@@ -1,23 +1,48 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.queries.Registry
+
+/** Benchmark main: runs the headline queries (Registry entries flagged
+  * bench=true, falling back to all) on SPARK_GRAFT_SF_DIR, printing one JSON
+  * line. Results are fully materialized via a noop-format write so column
+  * pruning can't skip the interesting work (a bare count() would let Catalyst
+  * drop every projection).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val headline = {
+      val flagged = Registry.all.filter(_.bench)
+      if (flagged.nonEmpty) flagged else Registry.all
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // warm the JVM + parquet footers once so timings measure the query, not
+    // first-touch class loading
+    headline.headOption.foreach { q =>
+      try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val results = headline.map { q =>
+      val t0 = System.nanoTime()
+      try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      q.name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

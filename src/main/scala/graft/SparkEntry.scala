@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Registry
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * All queries live in graft.queries.Registry as (name, builder, oracleSql)
+  * triples so the Spark implementation and its DuckDB oracle are maintained
+  * side by side.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: end-to-end hybrid-ish retrieval over sf0.001 — brute-force
+    * vector top-k over the embeddings table joined back to document text.
+    * Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Registry.byName.get("v_ann_topk") match {
+      case Some(q) => q.build(spark, dir)
+      case None    => Registry.all.head.build(spark, dir)
+    }
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Registry.all.map(q => q.name -> q.build).toMap
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted entries get a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // read parquet ms/ns timestamps as TIMESTAMP (UTC) — keeps timestamp
+      // semantics identical to the DuckDB oracle (which is tz-naive)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // events.ts is TIMESTAMP(NANOS) — read as long, converted in Tables
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,415 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Relational operator inventory (SURVEY.md §2) exercised on the driver's
+  * TPC-H-ish tables, each with a DuckDB oracle.
+  *
+  * Numeric-parity rules (so the hash compare is bit-exact between engines):
+  *  - SUM over doubles goes through an exact DECIMAL cast, then back to
+  *    DOUBLE: row-level double arithmetic is IEEE-identical in both engines,
+  *    decimal summation is order-independent, and decimal→double is exact.
+  *  - AVG/STDDEV outputs are rounded (summation order may differ by ULPs).
+  *  - Timestamps are always emitted as formatted strings (UTC session).
+  */
+object Relational {
+
+  /** exact sum of a double expression: decimal-cast each row, sum, cast back */
+  private def dsum(c: Column, scale: Int = 8): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double")
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- S1/S2/O4: scans, projection pruning, predicate pushdown -----
+    Q("s1_scan_project",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("s2_predicate_scan",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ----- P2: range predicate (chunkIndex BETWEEN analog) -----
+    Q("p2_range_predicate",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_linenumber").between(2, 4))
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+             |WHERE l_linenumber BETWEEN 2 AND 4
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ----- P3: scope prefix predicate (exact-or-descendant path match) -----
+    Q("p3_scope_prefix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("path", concat(lit("/corpus/"), col("lang"), lit("/"), col("source")))
+        docs.filter(graft.core.ScopeMatch.inScope(col("path"), Seq("/corpus/en")))
+          .select("doc_id", "path").orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, '/corpus/' || lang || '/' || source AS path FROM documents)
+             |SELECT doc_id, path FROM t
+             |WHERE path = '/corpus/en' OR path LIKE '/corpus/en/%'
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----- P4: IN-list predicate -----
+    Q("p4_in_list",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("lang").isin("en", "zh"))
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("SELECT doc_id, lang FROM documents WHERE lang IN ('en','zh') ORDER BY doc_id")),
+
+    // ----- P9: garbage-chunk filter (decoration/repeated-char detection) -----
+    Q("p9_garbage_flag",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val chars = docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        val maxc = chars.groupBy("doc_id", "ch").count()
+          .groupBy("doc_id").agg(max("count").as("maxc"))
+        docs.join(maxc, "doc_id")
+          .select(col("doc_id"),
+            (!col("text").rlike("[a-zA-Z0-9]") ||
+              (col("maxc") * 1.0) / length(col("text")) > 0.8).as("is_garbage"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+             |m AS (SELECT doc_id, max(cnt) AS maxc
+             |      FROM (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2) GROUP BY 1)
+             |SELECT d.doc_id,
+             |       (NOT regexp_matches(d.text, '[a-zA-Z0-9]'))
+             |       OR (m.maxc * 1.0 / length(d.text) > 0.8) AS is_garbage
+             |FROM documents d JOIN m ON d.doc_id = m.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ----- P10: min-length filter -----
+    Q("p10_min_length",
+      (s, d) => Tables.documents(s, d)
+        .filter(length(col("text")) >= 200)
+        .select("doc_id", "n_chars").orderBy("doc_id"),
+      Some("SELECT doc_id, n_chars FROM documents WHERE length(text) >= 200 ORDER BY doc_id")),
+
+    // ----- A1: per-file group-by (listFiles: count + max timestamp) -----
+    Q("a1_per_file_group",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("file_key"))
+        .agg(count(lit(1)).as("chunk_count"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ts"))
+        .orderBy("file_key"),
+      Some("""SELECT l_orderkey AS file_key, count(*) AS chunk_count,
+             |       strftime(max(l_shipdate), '%Y-%m-%d') AS last_ts
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // ----- A2: count -----
+    Q("a2_count",
+      (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("chunk_count")),
+      Some("SELECT count(*) AS chunk_count FROM lineitem")),
+
+    // ----- A3: distinct count -----
+    Q("a3_distinct_count",
+      (s, d) => Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_partkey")).as("document_count")),
+      Some("SELECT count(DISTINCT l_partkey) AS document_count FROM lineitem")),
+
+    // ----- A4: min-per-group (best score per file) -----
+    Q("a4_min_per_group",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(min("l_extendedprice").as("best_score"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, min(l_extendedprice) AS best_score
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- A5: scalar-max normalization (computed as scalar agg + broadcast
+    // join, NOT a single-partition window — the 100 TB-safe shape) -----
+    Q("a5_max_normalize",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val mx = ev.agg(max("value").as("mx"))
+        ev.crossJoin(broadcast(mx))
+          .select(col("event_id"), round(col("value") / col("mx"), 6).as("norm"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, round(value / (SELECT max(value) FROM events), 6) AS norm
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ----- A6: gap statistics (mean + population stddev of lead-gaps) -----
+    Q("a6_gap_stats",
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        Tables.events(s, d)
+          .withColumn("gap", lead("value", 1).over(w) - col("value"))
+          .filter(col("gap").isNotNull)
+          .groupBy("event_type")
+          .agg(round(avg("gap"), 6).as("mean_gap"),
+            round(stddev_pop(col("gap")), 6).as("sd_gap"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type,
+             |  lead(value) OVER (PARTITION BY event_type ORDER BY value, event_id) - value AS gap
+             |  FROM events)
+             |SELECT event_type, round(avg(gap), 6) AS mean_gap,
+             |       round(stddev_pop(gap), 6) AS sd_gap
+             |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- A7: median (exact, reference uses exact median) -----
+    Q("a7_median",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr("median(l_quantity)"), 2).as("med_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(CAST(median(l_quantity) AS DOUBLE), 2) AS med_qty
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- A9: manifest grouping (distinct spellings per key, sorted) -----
+    Q("a9_manifest_group",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("key"))
+        .agg(concat_ws(",", array_sort(collect_set(col("l_returnflag")))).as("spellings"),
+          count(lit(1)).as("row_cnt"))
+        .orderBy("key"),
+      Some("""SELECT l_orderkey AS key,
+             |       coalesce(string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag), '') AS spellings,
+             |       count(*) AS row_cnt
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- flagship aggregation (TPC-H Q1 shape; exact decimal sums) -----
+    Q("q1_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
+
+    // ----- join + agg + top-k (TPC-H Q3 shape; broadcast the dims) -----
+    Q("q3_topk_join",
+      (s, d) => {
+        val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+        li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      bench = true),
+
+    // ----- multi-way join (TPC-H Q5 shape) -----
+    Q("q5_region_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        val asia = broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey")))
+        li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+          .join(asia, col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin),
+      bench = true),
+
+    // ----- J4: list cross-reference (left join + ingested flag) -----
+    Q("j4_list_join",
+      (s, d) => {
+        val agg = Tables.lineitem(s, d)
+          .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+        Tables.orders(s, d)
+          .join(agg, col("o_orderkey") === col("l_orderkey"), "left_outer")
+          .select(col("o_orderkey"),
+            coalesce(col("cnt"), lit(0L)).as("chunk_count"),
+            col("cnt").isNotNull.as("ingested"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, coalesce(c.cnt, 0) AS chunk_count, c.cnt IS NOT NULL AS ingested
+             |FROM orders o
+             |LEFT JOIN (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1) c
+             |  ON o.o_orderkey = c.l_orderkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ----- J5: anti-join classifier (keys with no match) -----
+    Q("j5_anti_orphans",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ----- J7: dedup-by-key, first wins (deterministic via row_number) -----
+    Q("j7_dedup_first",
+      (s, d) => {
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // the tiebreak must reach a total order or first-wins is undefined
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        Tables.lineitem(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("l_orderkey", "l_linenumber", "l_partkey")
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey FROM (
+             |  SELECT l_orderkey, l_linenumber, l_partkey,
+             |         row_number() OVER (PARTITION BY l_orderkey
+             |           ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+             |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin)),
+
+    // ----- W3: neighbor range read (chunkIndex in [target-2, target+2]) -----
+    Q("w3_neighbors",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val tgt = li.groupBy("l_orderkey").count().filter(col("count") >= 5)
+          .agg(min("l_orderkey").as("k"))
+        li.join(broadcast(tgt), col("l_orderkey") === col("k"))
+          .filter(col("l_linenumber").between(1, 5))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_linenumber") === 3).as("is_target"))
+          .orderBy("l_linenumber")
+      },
+      Some("""WITH tgt AS (SELECT min(l_orderkey) AS k FROM (
+             |    SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) >= 5) t)
+             |SELECT l_orderkey, l_linenumber, l_linenumber = 3 AS is_target
+             |FROM lineitem, tgt WHERE l_orderkey = tgt.k AND l_linenumber BETWEEN 1 AND 5
+             |ORDER BY l_linenumber""".stripMargin)),
+
+    // ----- W4: consecutive-run detection (gaps-and-islands) -----
+    Q("w4_longest_run",
+      (s, d) => {
+        val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wTyp = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("grp", row_number().over(wAll) - row_number().over(wTyp))
+          .groupBy("user_id", "event_type", "grp").agg(count(lit(1)).as("run_len"))
+          .groupBy("user_id").agg(max("run_len").as("max_run"))
+          .orderBy("user_id")
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |  - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+             |  FROM events)
+             |SELECT user_id, max(run_len) AS max_run FROM (
+             |  SELECT user_id, event_type, grp, count(*) AS run_len FROM o GROUP BY 1, 2, 3)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- U1: union + dedup -----
+    Q("u1_union_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 2 === 0).select(col("lang").as("val"))
+          .union(docs.filter(col("doc_id") % 3 === 0).select(col("lang").as("val")))
+          .distinct().orderBy("val")
+      },
+      Some("""SELECT lang AS val FROM documents WHERE doc_id % 2 = 0
+             |UNION SELECT lang FROM documents WHERE doc_id % 3 = 0
+             |ORDER BY val""".stripMargin)),
+
+    // ----- U2: except -----
+    Q("u2_except",
+      (s, d) => Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+        .except(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT * FROM (
+             |  SELECT l_orderkey AS k FROM lineitem
+             |  EXCEPT
+             |  SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F')
+             |ORDER BY k""".stripMargin)),
+
+    // ----- U3/O5: distinct + deterministic order -----
+    Q("u3_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY 1, 2""".stripMargin)),
+
+    Q("o5_file_order",
+      (s, d) => Tables.documents(s, d).select("source").distinct().orderBy("source"),
+      Some("SELECT DISTINCT source FROM documents ORDER BY source")),
+
+    // ----- events: hourly rollup (streaming-windowed agg, batch form) -----
+    Q("e_hourly_rollup",
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
+
+    // ----- events: sessionization (lag + 30-min gap cut) -----
+    Q("e_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev", lag("ts", 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+              col("ts").cast("double") - col("prev").cast("double") > 1800, 1).otherwise(0))
+          .groupBy("user_id").agg(sum("new_s").as("sessions"))
+          .orderBy("user_id")
+      },
+      Some("""WITH o AS (SELECT user_id, ts, event_id,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
+             |SELECT user_id, sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+             |                         THEN 1 ELSE 0 END) AS sessions
+             |FROM o GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
