@@ -1,8 +1,208 @@
 package graft.queries
 
-/** Vector / FTS / hybrid-search operator queries — filled in as the search
-  * modules land (see graft.search).
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.search.{Bm25, HybridSearch, VectorSearch}
+
+/** Vector / FTS / hybrid-search operator queries (SURVEY §2.9, §3.1) over the
+  * documents ⋈ embeddings tables (doc_id = vec_id; 64-dim float vectors).
+  *
+  * Oracle parity notes: dot products are summed in double on both sides;
+  * emitted scores are rounded to 4 decimals with `+ 0.0` collapsing IEEE
+  * -0.0; candidate selection happens on RAW scores with a total-order
+  * tiebreak before rounding.
   */
 object RagQueries {
-  val qs: Seq[Q] = Seq()
+
+  private val Dim = 64
+
+  /** shared dot-score CTE: raw = 1 - <e, query(vec_id=0)> over joined docs */
+  private val DotCte =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |s AS (SELECT e.vec_id AS doc_id, d.lang, d.source,
+       |        1.0 - sum(e.embedding[t.i]::DOUBLE * q.qv[t.i]::DOUBLE) AS raw
+       |      FROM embeddings e, documents d, q, generate_series(1, $Dim) t(i)
+       |      WHERE d.doc_id = e.vec_id
+       |      GROUP BY e.vec_id, d.lang, d.source)""".stripMargin
+
+  private def chunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"), col("embedding"))
+
+  private def qv(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+
+  private def rounded(c: String): org.apache.spark.sql.Column =
+    round(col(c), 4) + 0.0
+
+  /** BM25 oracle SQL over a toks CTE named `toks(doc_id, tok)`; emits bm(doc_id, bm25raw) */
+  private def bm25Sql(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok IN ($inList) GROUP BY 1, 2),
+       |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |wt AS (SELECT tf.doc_id,
+       |        ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+       |        * (tf.tf * (1.2 + 1.0))
+       |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (st.sum_dl * 1.0 / st.n_docs))) AS w
+       |      FROM tf, dfq, dl, st WHERE tf.tok = dfq.tok AND tf.doc_id = dl.doc_id),
+       |bm AS (SELECT doc_id, sum(w) AS bm25raw FROM wt GROUP BY 1)""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- S3/O1: brute-force ANN top-k by dot distance -----
+    Q("v_ann_topk",
+      (s, d) => {
+        val c = chunks(s, d).crossJoin(broadcast(qv(s, d)))
+        VectorSearch.topK(c, col("qv"), 20, vectorCol = "embedding",
+          tiebreak = Seq("doc_id"))
+          .select(col("doc_id"), rounded("score").as("score"))
+      },
+      Some(s"""$DotCte
+              |SELECT doc_id, round(raw, 4) + 0.0 AS score FROM s
+              |ORDER BY raw, doc_id LIMIT 20""".stripMargin),
+      bench = true),
+
+    // ----- P5: distance threshold pushed below the sort -----
+    Q("v_ann_threshold",
+      (s, d) => {
+        val c = chunks(s, d).crossJoin(broadcast(qv(s, d)))
+          .withColumn("score", VectorSearch.dotDistance(col("embedding"), col("qv")))
+        c.filter(round(col("score"), 4) <= 0.7)
+          .orderBy("score", "doc_id").limit(20)
+          .select(col("doc_id"), rounded("score").as("score"))
+      },
+      Some(s"""$DotCte
+              |SELECT doc_id, round(raw, 4) + 0.0 AS score FROM s
+              |WHERE round(raw, 4) <= 0.7 ORDER BY raw, doc_id LIMIT 20""".stripMargin)),
+
+    // ----- similarity join: top-3 neighbors for each of 5 query vectors -----
+    Q("v_knn_join",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val w = Window.partitionBy("qid").orderBy("raw", "vec_id")
+        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+          .withColumn("raw", VectorSearch.dotDistance(col("embedding"), col("qv")))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            rounded("raw").as("score"), col("rnk"))
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+              |s AS (SELECT q.qid, e.vec_id,
+              |        1.0 - sum(e.embedding[t.i]::DOUBLE * q.qv[t.i]::DOUBLE) AS raw
+              |      FROM embeddings e, q, generate_series(1, $Dim) t(i)
+              |      WHERE e.vec_id <> q.qid GROUP BY 1, 2),
+              |r AS (SELECT qid, vec_id, raw,
+              |        row_number() OVER (PARTITION BY qid ORDER BY raw, vec_id) AS rnk FROM s)
+              |SELECT qid, vec_id AS doc_id, round(raw, 4) + 0.0 AS score, rnk
+              |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)),
+
+    // ----- W1/A6: relevance-gap grouping over the candidate set -----
+    Q("v_grouping",
+      (s, d) => {
+        val c = chunks(s, d).crossJoin(broadcast(qv(s, d)))
+        val cand = VectorSearch.topK(c, col("qv"), 20, vectorCol = "embedding",
+          tiebreak = Seq("doc_id"))
+        HybridSearch.applyGrouping(cand, "related", tiebreak = Seq("doc_id"),
+          keepGroupCol = true)
+          .select(col("doc_id"), rounded("score").as("score"), col("grp"))
+          .orderBy("score", "doc_id")
+      },
+      Some(s"""$DotCte,
+              |c AS (SELECT doc_id, raw FROM s ORDER BY raw, doc_id LIMIT 20),
+              |g AS (SELECT doc_id, raw, lead(raw) OVER (ORDER BY raw, doc_id) - raw AS gap FROM c),
+              |st AS (SELECT avg(gap) AS m, stddev_pop(gap) AS sd FROM g WHERE gap IS NOT NULL),
+              |b AS (SELECT doc_id, raw, CASE WHEN gap > m + 1.5 * sd THEN 1 ELSE 0 END AS boundary
+              |      FROM g, st),
+              |k AS (SELECT doc_id, raw, coalesce(sum(boundary) OVER (ORDER BY raw, doc_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp FROM b)
+              |SELECT doc_id, round(raw, 4) + 0.0 AS score, grp::BIGINT AS grp
+              |FROM k WHERE grp < 2 ORDER BY raw, doc_id""".stripMargin)),
+
+    // ----- S4/2.9: word-token BM25 (Lucene/Tantivy formula, k1=1.2 b=0.75) -----
+    Q("q_bm25",
+      (s, d) => Bm25.score(Tables.documents(s, d), Seq("doc_id"),
+          Bm25.wordTokens(col("text")), Seq("spark", "join", "stream"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25")),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              |             FROM documents),
+              |${bm25Sql(Seq("spark", "join", "stream"))}
+              |SELECT doc_id, round(bm25raw, 4) AS bm25 FROM bm
+              |ORDER BY bm25raw DESC, doc_id LIMIT 10""".stripMargin),
+      bench = true),
+
+    // ----- FTS ngram(2,3) BM25 — the reference's CJK-safe tokenizer -----
+    Q("q_fts_ngram",
+      (s, d) => Bm25.score(Tables.documents(s, d), Seq("doc_id"),
+          Bm25.ngramTokens("text"), Seq("sp", "pa", "ar", "rk", "spa", "par", "ark"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25")),
+      Some(s"""WITH toks AS (SELECT doc_id,
+              |    unnest([substr(text, i, 2) for i in range(1, length(text))]
+              |        || [substr(text, i, 3) for i in range(1, length(text) - 1)]) AS tok
+              |  FROM documents),
+              |${bm25Sql(Seq("sp", "pa", "ar", "rk", "spa", "par", "ark"))}
+              |SELECT doc_id, round(bm25raw, 4) AS bm25 FROM bm
+              |ORDER BY bm25raw DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ----- §3.1 end-to-end: ANN 2k candidates → BM25 boost → re-rank → k -----
+    Q("q_hybrid",
+      (s, d) => {
+        val ch = chunks(s, d)
+          .withColumn("filePath", col("source"))
+          .withColumn("chunkIndex", col("doc_id").cast("int"))
+          .withColumnRenamed("embedding", "vector")
+          .crossJoin(broadcast(qv(s, d)))
+        HybridSearch.search(ch, col("qv"),
+          HybridSearch.Params(limit = 10, weight = 0.6,
+            queryTokens = Seq("spark", "join")))
+          .select(col("doc_id"), rounded("score").as("score"),
+            rounded("boosted").as("boosted"))
+      },
+      Some(s"""$DotCte,
+              |c AS (SELECT doc_id, source, raw FROM s ORDER BY raw, source, doc_id LIMIT 20),
+              |toks AS (SELECT d.doc_id, unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS tok
+              |         FROM documents d, embeddings e WHERE d.doc_id = e.vec_id),
+              |${bm25Sql(Seq("spark", "join"))},
+              |fts AS (SELECT bm.* FROM bm JOIN documents dd ON bm.doc_id = dd.doc_id
+              |        WHERE dd.source IN (SELECT DISTINCT source FROM c)),
+              |mx AS (SELECT max(bm25raw) AS mkw FROM fts),
+              |fin AS (SELECT c.doc_id, c.raw,
+              |          c.raw / (1.0 + coalesce(fts.bm25raw / mx.mkw, 0.0) * 0.6) AS boosted
+              |        FROM c CROSS JOIN mx LEFT JOIN fts ON c.doc_id = fts.doc_id)
+              |SELECT doc_id, round(raw, 4) + 0.0 AS score, round(boosted, 4) + 0.0 AS boosted
+              |FROM fin ORDER BY boosted, doc_id LIMIT 10""".stripMargin),
+      bench = true),
+
+    // ----- W2/A4: per-file filter — keep chunks of the top-2 files -----
+    Q("q_file_filter",
+      (s, d) => {
+        val ch = chunks(s, d)
+          .withColumn("filePath", col("lang"))
+          .withColumn("chunkIndex", col("doc_id").cast("int"))
+          .withColumnRenamed("embedding", "vector")
+          .crossJoin(broadcast(qv(s, d)))
+        HybridSearch.search(ch, col("qv"),
+          HybridSearch.Params(limit = 20, maxFiles = Some(2)))
+          .select(col("doc_id"), col("lang"), rounded("score").as("score"))
+      },
+      Some(s"""$DotCte,
+              |c AS (SELECT doc_id, lang, raw FROM s ORDER BY raw, lang, doc_id LIMIT 40),
+              |best AS (SELECT lang, min(raw) AS b FROM c GROUP BY 1),
+              |r AS (SELECT lang, dense_rank() OVER (ORDER BY b, lang) AS rk FROM best)
+              |SELECT c.doc_id, c.lang, round(c.raw, 4) + 0.0 AS score
+              |FROM c JOIN r USING (lang) WHERE r.rk <= 2
+              |ORDER BY c.raw, c.lang, c.doc_id LIMIT 20""".stripMargin))
+  )
 }

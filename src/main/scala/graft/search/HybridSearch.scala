@@ -1,0 +1,133 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The hybrid query dataflow of the reference
+  * (`src/vectordb/index.ts:339-431`, SURVEY §3.1). Stage order is
+  * load-bearing and preserved exactly:
+  *
+  *   ANN top-(2·limit) → maxDistance filter → relevance-gap grouping (on raw
+  *   vector distances, BEFORE boost) → BM25 keyword boost (left join, missing
+  *   match ⇒ 0) → re-sort by boosted → per-file filter (AFTER boost) →
+  *   final limit.
+  *
+  * Scale notes: everything after the top-k runs on ≤ 2·limit ≤ 40 rows, so
+  * the unpartitioned windows used for grouping are driver-cheap by
+  * construction (the limit is enforced first — the reference bounds limit to
+  * 1..20, `src/vectordb/index.ts:346-348`). The expensive stages — vector
+  * scan and BM25 postings — are full DataFrame ops that scale out.
+  */
+object HybridSearch {
+
+  /** boundary multiplier (reference `src/vectordb/search-filters.ts:10`) */
+  val GapStdMultiplier = 1.5
+  /** candidate over-fetch (reference `src/vectordb/types.ts:9-10`) */
+  val CandidateMultiplier = 2
+  /** default hybrid weight (reference `src/vectordb/types.ts:18-19`) */
+  val DefaultWeight = 0.6
+
+  final case class Params(
+      limit: Int = 10,
+      maxDistance: Option[Double] = None,
+      weight: Double = DefaultWeight,
+      maxFiles: Option[Int] = None,
+      grouping: Option[String] = None, // "similar" | "related"
+      queryTokens: Seq[String] = Seq())
+
+  /** Relevance-gap grouping (`src/vectordb/search-filters.ts:23-64`): over
+    * rows sorted asc by score, gap(i) = score(i+1) - score(i); boundary where
+    * gap > mean + 1.5·stddev_pop(gaps); group ordinal = boundaries crossed
+    * before the row; `similar` keeps group 0, `related` groups 0-1.
+    * Input is the (≤ 2·limit)-row candidate set. */
+  def applyGrouping(results: DataFrame, mode: String,
+                    scoreCol: String = "score",
+                    tiebreak: Seq[String] = Seq(),
+                    keepGroupCol: Boolean = false): DataFrame = {
+    val keepGroups = mode match {
+      case "similar" => 1
+      case "related" => 2
+      case other => throw new IllegalArgumentException(s"grouping mode: $other")
+    }
+    val w = Window.orderBy((col(scoreCol) +: tiebreak.map(col)): _*)
+    val gaps = results.withColumn("_gap", lead(col(scoreCol), 1).over(w) - col(scoreCol))
+    val stats = gaps.filter(col("_gap").isNotNull)
+      .agg(avg("_gap").as("_mean"), stddev_pop(col("_gap")).as("_sd"))
+    gaps.crossJoin(broadcast(stats))
+      .withColumn("_boundary",
+        when(col("_gap") > col("_mean") + lit(GapStdMultiplier) * col("_sd"), 1).otherwise(0))
+      .withColumn("_grp",
+        coalesce(sum(col("_boundary"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .filter(col("_grp") < keepGroups)
+      .withColumn("grp", col("_grp"))
+      .drop("_gap", "_mean", "_sd", "_boundary", "_grp")
+      .transform(df => if (keepGroupCol) df else df.drop("grp"))
+  }
+
+  /** Keyword boost (`src/vectordb/search-filters.ts:121-152`): BM25 scores
+    * max-normalized to 0-1, then boosted = score / (1 + norm·weight); rows
+    * with no keyword match keep their score (norm 0). */
+  def applyKeywordBoost(vecResults: DataFrame, ftsScores: DataFrame,
+                        joinCols: Seq[String], weight: Double,
+                        scoreCol: String = "score"): DataFrame = {
+    val mx = ftsScores.agg(max("bm25").as("_max_kw"))
+    vecResults.join(ftsScores, joinCols, "left_outer")
+      .crossJoin(broadcast(mx))
+      .withColumn("_kw_norm", coalesce(col("bm25") / col("_max_kw"), lit(0.0)))
+      .withColumn("boosted", col(scoreCol) / (lit(1.0) + col("_kw_norm") * weight))
+      .drop("bm25", "_max_kw", "_kw_norm")
+  }
+
+  /** Top-N-files filter (`src/vectordb/search-filters.ts:76-101`): rank files
+    * by their best (lowest) score, keep all chunks of the top `maxFiles`
+    * files. Runs AFTER boost — "should respect the final ranking including
+    * keyword boost" (`src/vectordb/index.ts:419-424`). */
+  def applyFileFilter(results: DataFrame, fileCol: String, maxFiles: Int,
+                      scoreCol: String = "boosted"): DataFrame = {
+    val best = results.groupBy(fileCol).agg(min(scoreCol).as("_best"))
+      .withColumn("_rank", dense_rank().over(Window.orderBy(col("_best"), col(fileCol))))
+      .filter(col("_rank") <= maxFiles)
+      .select(fileCol)
+    results.join(broadcast(best), Seq(fileCol), "left_semi")
+  }
+
+  /** Full hybrid search over a chunks DataFrame with columns
+    * (filePath, chunkIndex, text, vector, ...). `queryVec` is typically a
+    * one-row broadcast column (crossJoin upstream) or a literal array. */
+  def search(chunks: DataFrame, queryVec: Column, p: Params,
+             fileCol: String = "filePath", indexCol: String = "chunkIndex",
+             textColName: String = "text"): DataFrame = {
+    require(p.limit >= 1 && p.limit <= 20, "limit must be in 1..20") // ref: index.ts:346-348
+    val tiebreak = Seq(fileCol, indexCol)
+    val cand0 = VectorSearch.topK(chunks, queryVec, p.limit * CandidateMultiplier,
+      scoreCol = "score", tiebreak = tiebreak)
+    val cand1 = p.maxDistance.map(md => cand0.filter(col("score") <= md)).getOrElse(cand0)
+    val cand2 = p.grouping.map(m => applyGrouping(cand1, m, tiebreak = tiebreak)).getOrElse(cand1)
+    val boosted =
+      if (p.queryTokens.isEmpty) cand2.withColumn("boosted", col("score"))
+      else {
+        // BM25 with global corpus stats; results restricted to vector-hit
+        // files -- the reference's `IN (vector-hit files)` predicate
+        // (`src/vectordb/index.ts:395-400`); max-normalization then runs
+        // over exactly that restricted set (`search-filters.ts:121-135`).
+        // (Production note: postings/stats would be a prebuilt index table,
+        // not recomputed per query -- recomputed here because the verify
+        // harness is stateless.)
+        // NB: rename the hit-file key before the semi join — hitFiles and
+        // ftsAll share lineage (both derive from `chunks`), and a same-name
+        // self-join would resolve to a trivially-true condition, silently
+        // un-restricting the max-normalization to the whole corpus.
+        val hitFiles = cand2.select(col(fileCol).as("_hit_file")).distinct()
+        val ftsAll = Bm25.score(chunks, Seq(fileCol, indexCol),
+          Bm25.wordTokens(col(textColName)), p.queryTokens)
+        val fts = ftsAll.join(broadcast(hitFiles),
+          col(fileCol) === col("_hit_file"), "left_semi")
+        applyKeywordBoost(cand2, fts, Seq(fileCol, indexCol), p.weight)
+      }
+    val reSorted = boosted.orderBy((col("boosted") +: tiebreak.map(col)): _*)
+    val filtered = p.maxFiles.map(n => applyFileFilter(reSorted, fileCol, n)).getOrElse(reSorted)
+    filtered.orderBy((col("boosted") +: tiebreak.map(col)): _*).limit(p.limit)
+  }
+}
