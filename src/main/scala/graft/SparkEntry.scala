@@ -11,12 +11,12 @@ import graft.queries.Registry
   */
 object SparkEntry {
 
-  /** Flagship: end-to-end hybrid-ish retrieval over sf0.001 — brute-force
-    * vector top-k over the embeddings table joined back to document text.
-    * Driver smoke-checks rows > 0. */
+  /** Flagship: the full RAG dataflow on sf0.001 — ingest (sentence split →
+    * Max-Min chunk → hashed embed) → hybrid search (ANN top-2k → gap
+    * grouping → BM25 boost → re-rank → top-k). Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    Registry.byName.get("v_ann_topk") match {
+    Registry.byName.get("rag_e2e_search") match {
       case Some(q) => q.build(spark, dir)
       case None    => Registry.all.head.build(spark, dir)
     }

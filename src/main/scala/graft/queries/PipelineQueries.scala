@@ -1,8 +1,137 @@
 package graft.queries
 
-/** Training-data-pipeline operator queries (dedup, similarity, text analysis,
-  * multimodal) — filled in as graft.ops lands.
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.embed.HashedEmbedder
+import graft.ingest.Ingest
+import graft.search.HybridSearch
+import graft.sync.SyncPlanner
+
+/** Sync reconciliation + full ingestion/search pipeline queries.
+  *
+  * Sync manifests are derived deterministically from the documents table:
+  *   key       = /corpus/<lang>/<source>/<doc_id>.md
+  *   disk      = docs with doc_id % 7 != 0           (some files deleted)
+  *   db        = docs with doc_id % 11 != 3          (some never ingested)
+  *   modified  = doc_id % 5 == 0 → different content hash ⇒ dirty
+  *   2nd spelling (upper-cased source) for doc_id % 13 == 2 ⇒ dirty
+  *   unobserved coverage prefix /corpus/zh ⇒ db-only zh keys are held
   */
 object PipelineQueries {
-  val qs: Seq[Q] = Seq()
+
+  private def keyCol: Column =
+    concat(lit("/corpus/"), col("lang"), lit("/"), col("source"),
+      lit("/"), col("doc_id").cast("string"), lit(".md"))
+
+  private def keyColUpper: Column =
+    concat(lit("/corpus/"), col("lang"), lit("/"), upper(col("source")),
+      lit("/"), col("doc_id").cast("string"), lit(".md"))
+
+  private def hashCol: Column =
+    md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit("v2")))
+      .otherwise(col("text")))
+
+  private def diskDF(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0)
+      .select(keyCol.as("key"), md5(col("text")).as("hash"))
+
+  private def dbDF(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 11 =!= 3)
+    val base = docs.select(keyCol.as("key"), keyCol.as("spelling"), hashCol.as("hash"))
+    val extra = docs.filter(col("doc_id") % 13 === 2)
+      .select(keyCol.as("key"), keyColUpper.as("spelling"), hashCol.as("hash"))
+    base.union(extra)
+  }
+
+  private val SyncCte =
+    """WITH k AS (SELECT doc_id, lang, source, text,
+      |            '/corpus/' || lang || '/' || source || '/' || doc_id || '.md' AS key
+      |          FROM documents),
+      |disk AS (SELECT key, md5(text) AS hash FROM k WHERE doc_id % 7 <> 0),
+      |dbrows AS (
+      |  SELECT key, key AS spelling,
+      |         md5(CASE WHEN doc_id % 5 = 0 THEN text || 'v2' ELSE text END) AS hash
+      |  FROM k WHERE doc_id % 11 <> 3
+      |  UNION ALL
+      |  SELECT key,
+      |         '/corpus/' || lang || '/' || upper(source) || '/' || doc_id || '.md' AS spelling,
+      |         md5(CASE WHEN doc_id % 5 = 0 THEN text || 'v2' ELSE text END) AS hash
+      |  FROM k WHERE doc_id % 11 <> 3 AND doc_id % 13 = 2),
+      |agg AS (SELECT key, count(DISTINCT spelling) AS n_spellings,
+      |               count(DISTINCT hash) AS n_hashes, max(hash) AS one_hash,
+      |               sum(CASE WHEN hash IS NULL THEN 1 ELSE 0 END) AS null_hashes
+      |        FROM dbrows GROUP BY 1),
+      |plan AS (SELECT coalesce(disk.key, agg.key) AS key,
+      |    CASE
+      |      WHEN disk.hash IS NOT NULL AND agg.key IS NULL THEN 'upsert'
+      |      WHEN disk.hash IS NOT NULL AND agg.n_spellings = 1 AND agg.n_hashes = 1
+      |           AND agg.null_hashes = 0 AND agg.one_hash = disk.hash THEN 'skip'
+      |      WHEN disk.hash IS NOT NULL THEN 'upsert'
+      |      WHEN coalesce(disk.key, agg.key) = '/corpus/zh'
+      |           OR coalesce(disk.key, agg.key) LIKE '/corpus/zh/%' THEN 'hold'
+      |      ELSE 'prune'
+      |    END AS action,
+      |    coalesce(agg.n_spellings, 0) AS n_spellings
+      |  FROM disk FULL JOIN agg ON disk.key = agg.key)""".stripMargin
+
+  /** shared flagship ingest pipeline: documents table → chunk rows */
+  def ingestedChunks(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      concat(lit("/corpus/"), col("lang"), lit("/"), col("source"),
+        lit("/"), col("doc_id").cast("string"), lit(".md")).as("filePath"),
+      col("text").as("content"))
+    Ingest.buildChunksDF(s, docs, () => new HashedEmbedder(64), "2026-01-01T00:00:00Z")
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- J1/J2: the flagship reconciliation full-outer join -----
+    Q("j1_sync_plan",
+      (s, d) => SyncPlanner.planDF(diskDF(s, d), dbDF(s, d),
+          unobservedPrefixes = Seq("/corpus/zh"))
+        .orderBy("key"),
+      Some(s"""$SyncCte
+              |SELECT key, action, n_spellings FROM plan ORDER BY key""".stripMargin),
+      bench = true),
+
+    // ----- A8: sync summary counters (upserted/skipped/pruned/held) -----
+    Q("a8_sync_summary",
+      (s, d) => SyncPlanner.planDF(diskDF(s, d), dbDF(s, d),
+          unobservedPrefixes = Seq("/corpus/zh"))
+        .groupBy("action").agg(count(lit(1)).as("cnt"))
+        .orderBy("action"),
+      Some(s"""$SyncCte
+              |SELECT action, count(*) AS cnt FROM plan GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- §3.2 ingestion dataflow: parse → chunk → embed → chunk rows -----
+    // (Max-Min chunking + hashed embeddings are not SQL-expressible — driver
+    // records the rows-only check; ScalaTest owns the semantics.)
+    Q("rag_ingest_chunks",
+      (s, d) => ingestedChunks(s, d)
+        .select(col("id"), col("filePath"), col("chunkIndex"),
+          length(col("text")).as("text_len"), size(col("vector")).as("dim"),
+          col("fileTitle"), col("contentHash"), col("timestamp"))
+        .orderBy("filePath", "chunkIndex"),
+      None,
+      bench = true),
+
+    // ----- flagship end-to-end: ingest → embed query → hybrid search -----
+    Q("rag_e2e_search",
+      (s, d) => {
+        val chunks = ingestedChunks(s, d)
+        val embedder = new HashedEmbedder(64)
+        val qv = typedLit(embedder.embed("spark join stream table").toSeq)
+        HybridSearch.search(chunks, qv,
+          HybridSearch.Params(limit = 10, weight = 0.6,
+            queryTokens = Seq("spark", "join", "stream", "table"),
+            grouping = Some("related")))
+          .select(col("filePath"), col("chunkIndex"),
+            round(col("score"), 4).as("score"),
+            round(col("boosted"), 4).as("boosted"))
+      },
+      None,
+      bench = true)
+  )
 }

@@ -1,0 +1,97 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.ChunkSchema
+
+/** Parquet-backed chunk table with the reference's store operations
+  * (`src/vectordb/index.ts`): insert, delete-by-filePath, upsert, neighbor
+  * range reads, per-file aggregates, status counts, manifest projection.
+  *
+  * Upsert is write-new-table-then-swap: the idiomatic, atomic replacement for
+  * the reference's delete → insert → backup/rollback dance
+  * (`src/server/index.ts:645-701`, SURVEY §7 "what's hard" #2). On a real
+  * deployment this is Delta `replaceWhere`/`MERGE` or an overwrite of the
+  * file's partition; plain parquet here, but the zero-chunk fail-fast BEFORE
+  * any destructive step (`:635-642`) is preserved as a hard invariant.
+  *
+  * Scale posture: the table would be partitioned by a path-hash bucket
+  * (`bucket(filePath)`) so delete/upsert touches one partition and per-file
+  * reads prune to one bucket; neighbor reads push (filePath, chunkIndex)
+  * predicates to parquet row groups.
+  */
+final class ChunkStore(spark: SparkSession, path: String) {
+
+  private def fs: FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new HPath(path))
+
+  def read(): DataFrame =
+    if (exists) spark.read.schema(ChunkSchema.schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ChunkSchema.schema)
+
+  /** append-only insert (first write creates the table) */
+  def insert(chunks: DataFrame): Unit =
+    chunks.write.mode(SaveMode.Append).parquet(path)
+
+  /** full-table atomic replace: write tmp, swap, drop old */
+  private def replaceWith(df: DataFrame): Unit = {
+    val tmp = path + ".tmp-" + System.nanoTime()
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val old = path + ".old-" + System.nanoTime()
+    val p = new HPath(path); val t = new HPath(tmp); val o = new HPath(old)
+    val f = fs
+    if (f.exists(p)) { f.rename(p, o) }
+    f.rename(t, p)
+    if (f.exists(o)) { f.delete(o, true) }
+  }
+
+  def deleteFile(filePath: String): Unit =
+    replaceWith(read().filter(col("filePath") =!= filePath))
+
+  /** upsert = replace all chunks of `filePath` with `newChunks`.
+    * Fails BEFORE any destructive step if newChunks is empty — the
+    * reference's NoChunksError invariant. */
+  def upsertFile(filePath: String, newChunks: DataFrame): Unit = {
+    if (newChunks.isEmpty)
+      throw new graft.ingest.Ingest.NoChunksError(filePath)
+    replaceWith(read().filter(col("filePath") =!= filePath).unionByName(newChunks))
+  }
+
+  /** neighbor range read (reference `src/vectordb/index.ts:138-164`,
+    * handler clamp `src/server/index.ts:1035-1037`): chunks of one file with
+    * chunkIndex ∈ [max(0, target-before), target+after], sorted asc
+    * (a contract, not incidental order), target flagged. */
+  def neighbors(filePath: String, target: Int, before: Int = 2, after: Int = 2): DataFrame = {
+    require(before >= 0 && before <= 50 && after >= 0 && after <= 50,
+      "before/after must be in 0..50") // ref: tool-input.ts:195-204
+    val lo = math.max(0, target - before)
+    val hi = target + after
+    read().filter(col("filePath") === filePath && col("chunkIndex").between(lo, hi))
+      .withColumn("isTarget", col("chunkIndex") === target)
+      .orderBy("chunkIndex")
+  }
+
+  /** per-file listing aggregate (reference `listFiles`,
+    * `src/vectordb/index.ts:511-556`) */
+  def listFiles(): DataFrame =
+    read().groupBy("filePath")
+      .agg(count(lit(1)).as("chunkCount"), max("timestamp").as("lastModified"))
+      .orderBy("filePath")
+
+  /** status counts (reference `src/vectordb/index.ts:585-595`) */
+  def status(): (Long, Long) = {
+    val df = read()
+    (df.count(), df.select("filePath").distinct().count())
+  }
+
+  /** manifest projection for sync (reference `listChunkHashes`,
+    * `src/vectordb/index.ts:480-504`): one row per stored (filePath,
+    * contentHash) pair — column-pruned, vectors never read. */
+  def manifest(): DataFrame =
+    read().select("filePath", "contentHash").distinct()
+}

@@ -1,0 +1,181 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ChunkSchema.{ChunkMetadata, ChunkRow}
+import graft.core.GraftSession
+import graft.embed.HashedEmbedder
+import graft.ingest.Ingest
+import graft.search.{Bm25, HybridSearch, VectorSearch}
+import graft.store.ChunkStore
+
+class StoreSearchSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private val embedder = new HashedEmbedder(64)
+
+  private def mkChunk(file: String, idx: Int, text: String): ChunkRow =
+    ChunkRow(s"$file-$idx", file, idx, text, embedder.embed(text),
+      ChunkMetadata(file.split('/').last, text.length.toLong, "md"),
+      Some("t"), Some("h"), "2026-01-01T00:00:00Z")
+
+  private def tmpStore(): ChunkStore =
+    new ChunkStore(spark, Files.createTempDirectory("chunks").toString + "/table")
+
+  // ---- ChunkStore ----
+
+  test("insert + read round trip with fixed schema") {
+    val st = tmpStore()
+    st.insert(Seq(mkChunk("/a/x.md", 0, "first chunk text"),
+      mkChunk("/a/x.md", 1, "second chunk text")).toDF())
+    assert(st.read().count() === 2)
+    // parquet read-back reports all fields nullable — compare names + types
+    assert(st.read().schema.fieldNames.toSeq ===
+      graft.core.ChunkSchema.schema.fieldNames.toSeq)
+    assert(st.read().schema.map(_.dataType.simpleString) ===
+      graft.core.ChunkSchema.schema.map(_.dataType.simpleString))
+  }
+
+  test("upsert replaces only the target file; delete removes it") {
+    val st = tmpStore()
+    st.insert(Seq(mkChunk("/a/x.md", 0, "old x"), mkChunk("/a/y.md", 0, "y text")).toDF())
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "new x"), mkChunk("/a/x.md", 1, "new x2")).toDF())
+    val rows = st.read().filter($"filePath" === "/a/x.md").select("text").as[String].collect().sorted
+    assert(rows === Array("new x", "new x2"))
+    assert(st.read().filter($"filePath" === "/a/y.md").count() === 1)
+    st.deleteFile("/a/x.md")
+    assert(st.read().select("filePath").distinct().as[String].collect() === Array("/a/y.md"))
+  }
+
+  test("zero-chunk upsert fails BEFORE any destructive step") {
+    val st = tmpStore()
+    st.insert(Seq(mkChunk("/a/x.md", 0, "keep me")).toDF())
+    intercept[Ingest.NoChunksError] {
+      st.upsertFile("/a/x.md", st.read().filter(lit(false)))
+    }
+    assert(st.read().count() === 1) // existing rows preserved
+  }
+
+  test("neighbors: clamp at 0, contract sort, isTarget, out-of-range empty") {
+    val st = tmpStore()
+    st.insert((0 to 9).map(i => mkChunk("/a/x.md", i, s"chunk $i")).toDF())
+    val n = st.neighbors("/a/x.md", target = 1, before = 5, after = 2)
+      .select("chunkIndex", "isTarget").as[(Int, Boolean)].collect()
+    assert(n.map(_._1).toSeq === Seq(0, 1, 2, 3)) // clamped to >= 0
+    assert(n.filter(_._2).map(_._1).toSeq === Seq(1))
+    assert(st.neighbors("/a/x.md", target = 99).count() === 0)
+    intercept[IllegalArgumentException] { st.neighbors("/a/x.md", 1, before = 51) }
+  }
+
+  test("listFiles + status aggregates") {
+    val st = tmpStore()
+    st.insert((0 to 2).map(i => mkChunk("/a/x.md", i, s"c$i")).toDF())
+    st.insert(Seq(mkChunk("/a/y.md", 0, "y")).toDF())
+    val lf = st.listFiles().as[(String, Long, String)].collect()
+    assert(lf.map(_._1).toSeq === Seq("/a/x.md", "/a/y.md"))
+    assert(lf.find(_._1 == "/a/x.md").get._2 === 3L)
+    assert(st.status() === (4L, 2L))
+  }
+
+  // ---- search semantics (reference vectordb.test.ts behavioral contracts) ----
+
+  private def scoreLadder(scores: Seq[Double]): org.apache.spark.sql.DataFrame =
+    scores.zipWithIndex.map { case (s, i) => (s"/f$i.md", i, s) }
+      .toDF("filePath", "chunkIndex", "score")
+
+  test("grouping: one clear gap — similar cuts at boundary, related keeps all") {
+    val ladder = scoreLadder(Seq(0.10, 0.11, 0.12, 0.50, 0.52))
+    val similar = HybridSearch.applyGrouping(ladder, "similar", tiebreak = Seq("filePath"))
+      .select("score").as[Double].collect().sorted
+    assert(similar === Array(0.10, 0.11, 0.12))
+    val related = HybridSearch.applyGrouping(ladder, "related", tiebreak = Seq("filePath"))
+    assert(related.count() === 5)
+  }
+
+  test("grouping: two gaps — related cuts at second boundary; similar subset of related") {
+    // enough small gaps that mean + 1.5·sd stays below the two jumps
+    val groupA = (0 until 10).map(i => 0.10 + i * 0.002)
+    val groupB = (0 until 3).map(i => 0.42 + i * 0.002)
+    val groupC = (0 until 2).map(i => 0.72 + i * 0.002)
+    val ladder = scoreLadder(groupA ++ groupB ++ groupC)
+    val similar = HybridSearch.applyGrouping(ladder, "similar", tiebreak = Seq("filePath"))
+      .select("score").as[Double].collect().toSet
+    val related = HybridSearch.applyGrouping(ladder, "related", tiebreak = Seq("filePath"))
+      .select("score").as[Double].collect().toSet
+    assert(similar === groupA.toSet)
+    assert(related === (groupA ++ groupB).toSet)
+    assert(similar.subsetOf(related))
+  }
+
+  test("grouping: no significant gap keeps everything") {
+    // alternating 0.025/0.015 gaps: sd stays small but threshold > max gap
+    val ladder = scoreLadder(Seq(0.10, 0.125, 0.14, 0.165, 0.18))
+    assert(HybridSearch.applyGrouping(ladder, "similar", tiebreak = Seq("filePath")).count() === 5)
+  }
+
+  test("keyword boost: monotone (boosted <= score), no-match unchanged") {
+    val vec = scoreLadder(Seq(0.2, 0.3, 0.4))
+    val fts = Seq(("/f0.md", 0, 2.0), ("/f1.md", 1, 1.0))
+      .toDF("filePath", "chunkIndex", "bm25")
+    val out = HybridSearch.applyKeywordBoost(vec, fts, Seq("filePath", "chunkIndex"), 0.6)
+      .select("filePath", "score", "boosted").as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("/f0.md")._2 < out("/f0.md")._1) // matched => boosted (smaller)
+    assert(out("/f2.md")._2 === out("/f2.md")._1) // no match => unchanged
+    assert(out.values.forall { case (s, b) => b <= s })
+    // weight 0 => pure vector order preserved
+    val w0 = HybridSearch.applyKeywordBoost(vec, fts, Seq("filePath", "chunkIndex"), 0.0)
+      .select("score", "boosted").as[(Double, Double)].collect()
+    assert(w0.forall { case (s, b) => b === s })
+  }
+
+  test("file filter: keeps all chunks of top-N files by best score") {
+    val rows = Seq(
+      ("/a.md", 0, 0.1), ("/a.md", 1, 0.9),
+      ("/b.md", 0, 0.2), ("/c.md", 0, 0.3)).toDF("filePath", "chunkIndex", "boosted")
+    val kept = HybridSearch.applyFileFilter(rows, "filePath", maxFiles = 2)
+      .select("filePath").as[String].collect().toSet
+    assert(kept === Set("/a.md", "/b.md")) // a best=0.1, b=0.2; c dropped
+    // maxFiles >= distinct files is a no-op
+    assert(HybridSearch.applyFileFilter(rows, "filePath", 5).count() === 4)
+  }
+
+  test("vector top-k: self-match scores ~0 and ranks first") {
+    val texts = Seq("spark join table", "stream window agg", "pasta tomato basil")
+    val chunks = texts.zipWithIndex.map { case (t, i) => mkChunk(s"/d$i.md", 0, t) }.toDF()
+    val qv = typedLit(embedder.embed("spark join table").toSeq)
+    val top = VectorSearch.topK(chunks, qv, 3, tiebreak = Seq("filePath"))
+      .select("filePath", "score").as[(String, Double)].collect()
+    assert(top.head._1 === "/d0.md")
+    assert(math.abs(top.head._2) < 1e-6)
+    assert(top.map(_._2).toSeq === top.map(_._2).toSeq.sorted)
+  }
+
+  test("bm25: more occurrences of a rarer term ranks higher; absent term scores nothing") {
+    val docs = Seq(
+      (0, "spark spark spark common common"),
+      (1, "spark common common common common"),
+      (2, "common common common common common")).toDF("doc_id", "text")
+    val scores = Bm25.score(docs, Seq("doc_id"), Bm25.wordTokens($"text"), Seq("spark"))
+      .as[(Int, Double)].collect().toMap
+    assert(scores(0) > scores(1))
+    assert(!scores.contains(2))
+  }
+
+  test("hybrid search end-to-end obeys limit bounds") {
+    val chunks = (0 until 30).map(i => mkChunk(s"/f$i.md", 0, s"text number $i spark data"))
+      .toDF()
+    val qv = typedLit(embedder.embed("spark data").toSeq)
+    intercept[IllegalArgumentException] {
+      HybridSearch.search(chunks, qv, HybridSearch.Params(limit = 21))
+    }
+    val res = HybridSearch.search(chunks, qv,
+      HybridSearch.Params(limit = 5, queryTokens = Seq("spark")))
+    assert(res.count() <= 5)
+  }
+}
