@@ -37,6 +37,29 @@ object Ingest {
     UUID.nameUUIDFromBytes(s"$filePath#$chunkIndex@$timestamp"
       .getBytes(StandardCharsets.UTF_8)).toString
 
+  /** assemble full chunk rows for one document (shared by the batch and
+    * streaming ingest paths) */
+  def assembleRows(doc: Doc, chunks: Seq[MaxMinChunker.TextChunk],
+                   vectors: Seq[Array[Float]], timestamp: String): Iterator[ChunkRow] = {
+    val content = Option(doc.content).getOrElse("")
+    val title = TitleExtractor.forFile(content, doc.filePath)
+    val hash = sha256Hex(content)
+    val fileName = doc.filePath.substring(doc.filePath.lastIndexOf('/') + 1)
+    val fileType = doc.filePath.substring(doc.filePath.lastIndexOf('.') + 1)
+    chunks.iterator.zip(vectors.iterator).map { case (c, v) =>
+      ChunkRow(
+        id = chunkId(doc.filePath, c.index, timestamp),
+        filePath = doc.filePath,
+        chunkIndex = c.index,
+        text = c.text,
+        vector = v,
+        metadata = ChunkMetadata(fileName, content.length.toLong, fileType),
+        fileTitle = Some(title.value),
+        contentHash = Some(hash),
+        timestamp = timestamp)
+    }
+  }
+
   /** docs(filePath, content) → full chunk rows (ChunkSchema). One shared
     * timestamp per ingest batch (reference `src/ingest/compute.ts:122,142`). */
   def buildChunks(docs: Dataset[Doc], mkEmbedder: () => Embedder,
@@ -49,25 +72,7 @@ object Ingest {
         val content = Option(doc.content).getOrElse("")
         val chunks = MaxMinChunker.chunkText(content, embedder.embedBatch, cfg = cfg)
         if (chunks.isEmpty) Iterator.empty
-        else {
-          val vectors = embedder.embedBatch(chunks.map(_.text))
-          val title = TitleExtractor.forFile(content, doc.filePath)
-          val hash = sha256Hex(content)
-          val fileName = doc.filePath.substring(doc.filePath.lastIndexOf('/') + 1)
-          val fileType = doc.filePath.substring(doc.filePath.lastIndexOf('.') + 1)
-          chunks.iterator.zip(vectors.iterator).map { case (c, v) =>
-            ChunkRow(
-              id = chunkId(doc.filePath, c.index, timestamp),
-              filePath = doc.filePath,
-              chunkIndex = c.index,
-              text = c.text,
-              vector = v,
-              metadata = ChunkMetadata(fileName, content.length.toLong, fileType),
-              fileTitle = Some(title.value),
-              contentHash = Some(hash),
-              timestamp = timestamp)
-          }
-        }
+        else assembleRows(doc, chunks, embedder.embedBatch(chunks.map(_.text)), timestamp)
       }
     }
   }

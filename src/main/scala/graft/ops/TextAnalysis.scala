@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * n-gram-heuristic language ID, quality scoring, document fingerprinting.
+  * All pure Column expressions (codegen'd, no UDFs) so they run at scan
+  * speed over 100 TB of documents and push down through Catalyst.
+  */
+object TextAnalysis {
+
+  /** whitespace-delimited token count */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish subword token estimate: words + punctuation marks counted
+    * separately (a cheap stand-in for a real tokenizer's token count) */
+  def subwordTokenEstimate(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]{1,6}|[^a-z0-9\\s]"), lit(0)))
+
+  private def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Language ID heuristic: CJK codepoints dominate → zh; otherwise the
+    * stopword family with the strictly-highest hit count wins, with fixed
+    * precedence en > de > fr > es on ties. Deterministic and portable to the
+    * SQL oracle (same regex counts). */
+  def langId(text: Column): Column = {
+    val t = lower(text)
+    val en = countMatches(t, "\\b(the|and|of|is|to)\\b")
+    val de = countMatches(t, "\\b(der|die|und|das|ist)\\b")
+    val fr = countMatches(t, "\\b(le|la|les|et|est)\\b")
+    val es = countMatches(t, "\\b(el|los|las|es|y)\\b")
+    when(countMatches(text, "[\\x{4e00}-\\x{9fff}]") > 0, lit("zh"))
+      .when(de > en && de > fr && de > es, lit("de"))
+      .when(fr > en && fr > de && fr > es, lit("fr"))
+      .when(es > en && es > de && es > fr, lit("es"))
+      .otherwise(lit("en"))
+  }
+
+  /** Quality score in [0,1]: alnum ratio, length saturation, stopword
+    * presence, and a repeated-word penalty — the length/punct/stopword-ratio
+    * family of heuristics. Rounded for cross-engine determinism. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val alnumRatio = countMatches(text, "[a-zA-Z0-9]").cast("double") / greatest(len, lit(1.0))
+    val lenScore = least(len / 500.0, lit(1.0))
+    val words = tokenCount(text).cast("double")
+    val stopRatio =
+      countMatches(lower(text), "\\b(the|and|of|is|to|a|in)\\b").cast("double") /
+        greatest(words, lit(1.0))
+    val distinctRatio =
+      size(array_distinct(regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0)))).cast("double") /
+        greatest(words, lit(1.0))
+    round(alnumRatio * 0.25 + lenScore * 0.25 +
+      least(stopRatio * 5.0, lit(1.0)) * 0.25 + distinctRatio * 0.25, 4)
+  }
+
+  /** canonical fingerprint: md5 of lowercased, whitespace-collapsed text */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

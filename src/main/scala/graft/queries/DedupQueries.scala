@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, Multimodal, Similarity}
+
+/** Dedup / similarity-search / multimodal operator queries.
+  *
+  * The dedup corpus augments documents with exact duplicates (doc_id+100000
+  * for doc_id%10=0) and near duplicates (appended words, doc_id+200000 for
+  * doc_id%10=5) so the operators have real work to find.
+  */
+object DedupQueries {
+
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs
+      .union(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .union(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" extra appended words")).as("text")))
+  }
+
+  private val DupCorpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' extra appended words' FROM documents
+      |  WHERE doc_id % 10 = 5)""".stripMargin
+
+  /** shared shingle CTE over the dup corpus (word 3-shingles, distinct) */
+  private val ShinglesCte =
+    s"""$DupCorpusCte,
+       |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM corpus),
+       |sh AS (SELECT doc_id,
+       |         CASE WHEN len(ws) >= 3
+       |           THEN list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)])
+       |           ELSE [] END AS shs
+       |       FROM w)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- exact dedup: hash-groupBy on normalized fingerprints -----
+    Q("d_exact_dup",
+      (s, d) => Dedup.exactDupGroups(dupCorpus(s, d), "doc_id", "text")
+        .orderBy("fp"),
+      Some(s"""WITH $DupCorpusCte
+              |SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+              |       min(doc_id) AS canonical_id, count(*) AS n_docs
+              |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // ----- n-gram Jaccard near-dup pairs (shingle posting join) -----
+    Q("d_jaccard_pairs",
+      (s, d) => {
+        val withSh = dupCorpus(s, d)
+          .withColumn("shs", Dedup.wordShingles("text", 3))
+        Dedup.jaccardPairs(withSh, "doc_id", "shs", threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $ShinglesCte,
+              |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+              |posts AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |          FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |j AS (SELECT id_a, id_b,
+              |        round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+              |      FROM inter
+              |      JOIN sizes sa ON sa.doc_id = id_a
+              |      JOIN sizes sb ON sb.doc_id = id_b)
+              |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin),
+      bench = true),
+
+    // ----- MinHash + LSH candidate pairs (16 hashes, 4 bands × 4 rows) -----
+    Q("d_minhash_lsh",
+      (s, d) => {
+        val withSig = dupCorpus(s, d)
+          .withColumn("shs", Dedup.wordShingles("text", 3))
+          .filter(size(col("shs")) > 0)
+          .withColumn("sig", Dedup.minhashSignature("shs", 16))
+        val bands = Dedup.lshBands(withSig, "doc_id", "sig", bands = 4, rowsPerBand = 4)
+        Dedup.lshCandidatePairs(bands, "doc_id").orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $ShinglesCte,
+              |sig AS (SELECT doc_id,
+              |    [list_min(list_transform(shs, s ->
+              |       CAST(concat('0x', substr(md5(i || ':' || s), 1, 15)) AS BIGINT)))
+              |     for i in range(0, 16)] AS sig
+              |  FROM sh WHERE len(shs) > 0),
+              |bands AS (SELECT doc_id, t.b,
+              |    md5(concat_ws(',', sig[t.b*4+1]::VARCHAR, sig[t.b*4+2]::VARCHAR,
+              |                       sig[t.b*4+3]::VARCHAR, sig[t.b*4+4]::VARCHAR)) AS band_hash
+              |  FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
+              |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+              |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin),
+      bench = true),
+
+    // ----- SimHash signatures (32-bit, per-row projection) -----
+    Q("d_simhash",
+      (s, d) => dupCorpus(s, d)
+        .filter(expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) > 0"))
+        .select(col("doc_id"), Dedup.simhash("text", 32).as("simhash"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $DupCorpusCte,
+              |w AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+              |      FROM corpus),
+              |h AS (SELECT doc_id, list_transform(ws, x ->
+              |        CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+              |      FROM w WHERE len(ws) > 0),
+              |d AS (SELECT doc_id, unnest(hs) AS h FROM h),
+              |bb AS (SELECT d.doc_id, t.b,
+              |         sum(CASE WHEN (d.h >> t.b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+              |       FROM d, (SELECT unnest(range(0, 32)) AS b) t GROUP BY 1, 2)
+              |SELECT doc_id,
+              |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+              |FROM bb GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- SimHash near-dup pairs (16-bit prefix block + hamming <= 6) -----
+    Q("d_simhash_pairs",
+      (s, d) => {
+        val sigs = dupCorpus(s, d)
+          .filter(expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) > 0"))
+          .select(col("doc_id"), Dedup.simhash("text", 32).as("simhash"))
+        Dedup.simhashPairs(sigs, "doc_id", "simhash",
+          bits = 32, prefixBits = 16, maxHamming = 6)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $DupCorpusCte,
+              |w AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+              |      FROM corpus),
+              |h AS (SELECT doc_id, list_transform(ws, x ->
+              |        CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+              |      FROM w WHERE len(ws) > 0),
+              |d AS (SELECT doc_id, unnest(hs) AS h FROM h),
+              |bb AS (SELECT d.doc_id, t.b,
+              |         sum(CASE WHEN (d.h >> t.b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+              |       FROM d, (SELECT unnest(range(0, 32)) AS b) t GROUP BY 1, 2),
+              |sig AS (SELECT doc_id,
+              |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+              |  FROM bb GROUP BY 1),
+              |blk AS (SELECT doc_id, simhash, simhash >> 16 AS blk FROM sig)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+              |FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ----- embedding-cosine near-dup pairs (top-100 by cosine) -----
+    Q("d_embed_dup",
+      (s, d) => Dedup.embeddingDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.3)
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+        .limit(100),
+      Some("""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    a.embedding AS va, b.embedding AS vb
+             |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+             |dt AS (SELECT id_a, id_b,
+             |    sum(va[t.i]::DOUBLE * vb[t.i]::DOUBLE) AS dot,
+             |    sum(va[t.i]::DOUBLE * va[t.i]::DOUBLE) AS na,
+             |    sum(vb[t.i]::DOUBLE * vb[t.i]::DOUBLE) AS nb
+             |  FROM p, generate_series(1, 64) t(i) GROUP BY 1, 2),
+             |c AS (SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos FROM dt)
+             |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.3
+             |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin),
+      bench = true),
+
+    // ----- SRP-LSH bucketed ANN (the scale path; 8 hyperplanes) -----
+    Q("ann_lsh_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        val withQ = e.crossJoin(broadcast(qv))
+        val bucketed = withQ
+          .withColumn("bucket", Similarity.srpBucket("embedding", 64, 8))
+          .withColumn("qbucket", Similarity.srpBucket("qv", 64, 8))
+        bucketed.filter(col("bucket") === col("qbucket"))
+          .withColumn("score",
+            round(graft.search.VectorSearch.dotDistance(col("embedding"), col("qv")), 4) + 0.0)
+          .orderBy("score", "vec_id").limit(10)
+          .select("vec_id", "score")
+      },
+      Some("""WITH comp AS (SELECT p.p, j.j,
+             |    CASE WHEN CAST(concat('0x', substr(md5(p.p || ':' || j.j), 1, 15)) AS BIGINT) % 2 = 0
+             |         THEN 1.0 ELSE -1.0 END AS c
+             |  FROM (SELECT unnest(range(0, 8)) AS p) p, (SELECT unnest(range(0, 64)) AS j) j),
+             |dotp AS (SELECT e.vec_id, c.p, sum(e.embedding[c.j + 1]::DOUBLE * c.c) AS sv
+             |  FROM embeddings e, comp c GROUP BY 1, 2),
+             |buck AS (SELECT vec_id,
+             |    sum(CASE WHEN sv > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+             |  FROM dotp GROUP BY 1),
+             |qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |cand AS (SELECT b.vec_id FROM buck b, qb WHERE b.bucket = qb.bucket),
+             |sc AS (SELECT e.vec_id,
+             |    1.0 - sum(e.embedding[t.i]::DOUBLE * q.qv[t.i]::DOUBLE) AS raw
+             |  FROM embeddings e, q, generate_series(1, 64) t(i)
+             |  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+             |  GROUP BY e.vec_id)
+             |SELECT vec_id, round(raw, 4) + 0.0 AS score FROM sc
+             |ORDER BY raw, vec_id LIMIT 10""".stripMargin)),
+
+    // ----- multimodal: binary payload + typed metadata projection -----
+    Q("m_binary_meta",
+      (s, d) => Multimodal.fromDocuments(Tables.documents(s, d), "doc_id", "text", "source")
+        .select(col("media_id"), col("modality"),
+          col("meta.bytes").as("n_bytes"), md5(col("payload")).as("payload_md5"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             |  length(text) AS n_bytes, md5(text) AS payload_md5
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ----- multimodal: frame sampling (contiguous byte ranges) -----
+    Q("m_frame_sample",
+      (s, d) => Multimodal.frameSample(
+          Multimodal.fromDocuments(Tables.documents(s, d), "doc_id", "text", "source"), 4)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_bytes"), md5(col("frame")).as("frame_md5"))
+        .orderBy("media_id", "frame_idx"),
+      Some("""WITH f AS (SELECT doc_id AS media_id, length(text) // 4 AS fl, text
+             |  FROM documents),
+             |fr AS (
+             |  SELECT media_id, t.i AS frame_idx,
+             |    CASE WHEN t.i < 3 THEN substr(text, t.i * fl + 1, fl)
+             |         ELSE substr(text, 3 * fl + 1, length(text) - 3 * fl) END AS frame
+             |  FROM f, (SELECT unnest(range(0, 4)) AS i) t)
+             |SELECT media_id, frame_idx, length(frame) AS frame_bytes, md5(frame) AS frame_md5
+             |FROM fr ORDER BY media_id, frame_idx""".stripMargin))
+  )
+}

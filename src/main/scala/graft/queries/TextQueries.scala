@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.TextAnalysis
+
+/** Text-analysis + scalar-function operator queries (SURVEY §2.8 + the
+  * training-pipeline text ops), all DuckDB-oracle-matched.
+  */
+object TextQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- token counting (whitespace + subword-ish estimate) -----
+    Q("t_token_count",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subwordTokenEstimate(col("text")).cast("long").as("n_subwords"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+             |  len(regexp_extract_all(lower(text), '[a-z0-9]{1,6}|[^a-z0-9\s]')) AS n_subwords
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- language-ID heuristic (CJK + stopword-family scores) -----
+    Q("t_langid",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("predicted"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT doc_id,
+             |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+             |  len(regexp_extract_all(lower(text), '\b(the|and|of|is|to)\b')) AS en,
+             |  len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS de,
+             |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr,
+             |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS es
+             |  FROM documents)
+             |SELECT doc_id, CASE
+             |  WHEN cjk > 0 THEN 'zh'
+             |  WHEN de > en AND de > fr AND de > es THEN 'de'
+             |  WHEN fr > en AND fr > de AND fr > es THEN 'fr'
+             |  WHEN es > en AND es > de AND es > fr THEN 'es'
+             |  ELSE 'en' END AS predicted
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ----- quality scoring (length/alnum/stopword/diversity mix) -----
+    Q("t_quality",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, round(
+             |    (len(regexp_extract_all(text, '[a-zA-Z0-9]')) * 1.0
+             |       / greatest(length(text) * 1.0, 1.0)) * 0.25
+             |  + least(length(text) * 1.0 / 500.0, 1.0) * 0.25
+             |  + least((len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|a|in)\b')) * 1.0
+             |       / greatest(len(regexp_extract_all(text, '\S+')) * 1.0, 1.0)) * 5.0, 1.0) * 0.25
+             |  + (len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) * 1.0
+             |       / greatest(len(regexp_extract_all(text, '\S+')) * 1.0, 1.0)) * 0.25
+             |  , 4) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- document fingerprint (normalized-content md5) -----
+    Q("t_fingerprint",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- F6: sha-256 content hash -----
+    Q("f6_content_hash",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, sha256(text) AS content_hash FROM documents ORDER BY doc_id")),
+
+    // ----- F7: base64url encode (raw-data path identity) -----
+    Q("f7_base64url",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        rtrim(translate(base64(col("source").cast("binary")), "+/", "-_"), "=").as("b64url"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  rtrim(translate(to_base64(source::BLOB), '+/', '-_'), '=') AS b64url
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- F8: source-URL normalization (origin+path, strip query/fragment) -----
+    Q("f8_url_normalize",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_replace(
+          concat(lit("https://example.com/p/"), col("source"), lit("?utm=x#frag")),
+          "[?#].*$", "").as("normalized"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace('https://example.com/p/' || source || '?utm=x#frag',
+             |                 '[?#].*$', '', 'g') AS normalized
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- F11: title extraction priority chain with provenance -----
+    Q("f11_title_extract",
+      (s, d) => {
+        val md = when(col("doc_id") % 3 === 0,
+          concat(lit("---\ntitle: T"), col("doc_id").cast("string"),
+            lit("\n---\n# H"), col("doc_id").cast("string"), lit("\n"), col("text")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("# H"), col("doc_id").cast("string"), lit("\n"), col("text")))
+          .otherwise(col("text"))
+        val fm = nullif(regexp_extract(md, "(?m)^title:[ \\t]*(.+)$", 1), lit(""))
+        val h1 = nullif(regexp_extract(md, "(?m)^# (.+)$", 1), lit(""))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          coalesce(fm, h1, concat(lit("doc-"), col("doc_id").cast("string"))).as("title"),
+          when(fm.isNotNull, lit("metadata"))
+            .when(h1.isNotNull, lit("content"))
+            .otherwise(lit("filename")).as("title_source"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id, CASE
+             |    WHEN doc_id % 3 = 0 THEN '---' || chr(10) || 'title: T' || doc_id || chr(10)
+             |         || '---' || chr(10) || '# H' || doc_id || chr(10) || text
+             |    WHEN doc_id % 3 = 1 THEN '# H' || doc_id || chr(10) || text
+             |    ELSE text END AS md
+             |  FROM documents),
+             |x AS (SELECT doc_id,
+             |    nullif(regexp_extract(md, '(?m)^title:[ \t]*(.+)$', 1), '') AS fm,
+             |    nullif(regexp_extract(md, '(?m)^# (.+)$', 1), '') AS h1
+             |  FROM m)
+             |SELECT doc_id,
+             |  coalesce(fm, h1, 'doc-' || doc_id) AS title,
+             |  CASE WHEN fm IS NOT NULL THEN 'metadata'
+             |       WHEN h1 IS NOT NULL THEN 'content'
+             |       ELSE 'filename' END AS title_source
+             |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // ----- F17: control-char strip + truncate-with-ellipsis -----
+    Q("f17_clean_truncate",
+      (s, d) => {
+        val cleaned = regexp_replace(col("text"), "[\\x00-\\x08\\x0b-\\x1f]", "")
+        val out = when(length(cleaned) > 200,
+          concat(substring(cleaned, 1, 200), lit("…"))).otherwise(cleaned)
+        Tables.documents(s, d).select(
+          col("doc_id"), length(out).cast("long").as("out_len"), md5(out).as("out_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id,
+             |    regexp_replace(text, '[\x00-\x08\x0b-\x1f]', '', 'g') AS cl
+             |  FROM documents),
+             |o AS (SELECT doc_id, CASE WHEN length(cl) > 200
+             |    THEN substr(cl, 1, 200) || chr(8230) ELSE cl END AS out FROM c)
+             |SELECT doc_id, length(out) AS out_len, md5(out) AS out_md5
+             |FROM o ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.embed.HashedEmbedder
+import graft.ingest.Ingest
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  test("streaming chunk ingest equals batch ingest (AvailableNow parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Ingest.Doc("/s/a.md", "# Title\nApache Spark processes data with distributed operators across many executors. " +
+        "It supports joins windows and aggregates over large datasets."),
+      Ingest.Doc("/s/b.txt", "Cooking pasta requires boiling water with salt for several minutes until al dente."))
+    val mem = MemoryStream[Ingest.Doc]
+    mem.addData(docs: _*)
+    val out = Files.createTempDirectory("stream-out").toString
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+    val q = StreamingIngest.chunkStream(mem.toDS(), () => new HashedEmbedder(64), "2026-01-01T00:00:00Z")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.read.parquet(out)
+      .select("filePath", "chunkIndex", "text", "contentHash")
+      .as[(String, Int, String, String)].collect().sortBy(r => (r._1, r._2))
+    val batch = Ingest.buildChunks(docs.toDS(), () => new HashedEmbedder(64), "2026-01-01T00:00:00Z")
+      .select("filePath", "chunkIndex", "text", "contentHash")
+      .as[(String, Int, String, String)].collect().sortBy(r => (r._1, r._2))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("windowed counts with watermark over event-time") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val agg = StreamingIngest.windowedCounts(events, "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), "click"),
+      (Timestamp.valueOf("2026-01-01 10:40:00"), "click"),
+      (Timestamp.valueOf("2026-01-01 11:10:00"), "view"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_type, max(cnt) FROM win_counts GROUP BY 1")
+      .as[(String, Long)].collect().toMap
+    q.stop()
+    assert(rows("click") === 2L)
+    assert(rows("view") === 1L)
+  }
+
+  test("stateful sessionization via mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData((1L, 100L), (1L, 200L), (2L, 150L))
+    q.processAllAvailable()
+    mem.addData((1L, 300L))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT userId, max(events) FROM sessions GROUP BY 1")
+      .as[(Long, Long)].collect().toMap
+    q.stop()
+    assert(rows(1L) === 3L) // state accumulated across micro-batches
+    assert(rows(2L) === 1L)
+  }
+}
