@@ -27,15 +27,35 @@ object Dedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** word k-shingles as a distinct array column (per-row, no shuffle) */
-  def wordShingles(textColName: String, k: Int): Column = {
-    val words = s"regexp_extract_all(lower($textColName), '[a-z0-9]+', 0)"
-    expr(
-      s"""array_distinct(CASE WHEN size($words) >= $k THEN
-         |  transform(sequence(0, size($words) - $k),
-         |            i -> array_join(slice($words, i + 1, $k), ' '))
-         |ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin)
+  /** lowercase word array — materialize this as a column BEFORE deriving
+    * shingles/hashes from it: an expression inlined into a lambda is
+    * re-evaluated per array element (the regex would run O(words^2) per
+    * document), while a column reference is a cheap bound read */
+  def wordsArray(textColName: String): Column =
+    expr(s"regexp_extract_all(lower($textColName), '[a-z0-9]+', 0)")
+
+  /** word k-shingles as a distinct array (per-row, no shuffle).
+    *
+    * Implemented as a Scala UDF rather than transform/slice lambdas: Catalyst
+    * collapses the words-array alias back INTO the lambda, and expressions
+    * inside higher-order lambdas are interpreted per element — the sliced
+    * re-evaluation made shingling O(words^2) regex work per document. A
+    * per-row UDF does one linear pass (SURVEY §2.11's "(d) last resort",
+    * justified by measurement: ~4x on the dedup bench). */
+  def wordShingles(wordsColName: String, k: Int): Column = {
+    val f = udf((ws: Seq[String]) =>
+      if (ws == null || ws.size < k) Seq.empty[String]
+      else ws.sliding(k).map(_.mkString(" ")).toSeq.distinct)
+    f(col(wordsColName))
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Scala twin of [[hash60]] (identical value) */
+  def hash60Scala(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
 
   /** exact duplicate groups by normalized-content fingerprint */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -43,14 +63,27 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** MinHash signature array: sig[i] = min over shingles of h_i(shingle),
-    * h_i(s) = hash60(i || ':' || s). Empty shingle set → nulls. */
-  def minhashSignature(shinglesCol: String, numHashes: Int): Column = {
-    val sigs = (0 until numHashes).map { i =>
-      expr(s"array_min(transform($shinglesCol, s -> " +
-        s"CAST(conv(substring(md5(concat('$i:', s)), 1, 15), 16, 10) AS BIGINT)))")
-    }
-    array(sigs: _*)
+  /** MinHash prime modulus (2^31 - 1) */
+  val MinhashP = 2147483647L
+
+  /** base shingle hashes: hash60(s) mod P, computed ONCE per shingle —
+    * the per-permutation hashes below are cheap affine maps of these, so
+    * the md5 cost is paid once, not numHashes times */
+  def shingleBaseHashes(shinglesCol: String): Column = {
+    val f = udf((shs: Seq[String]) => shs.map(sh => hash60Scala(sh) % MinhashP))
+    f(col(shinglesCol))
+  }
+
+  /** MinHash signature array from base hashes: sig[i] = min over shingles of
+    * ((2i+3)·h + (7i+1)) mod P — the classic affine permutation family.
+    * Empty shingle set → nulls (filter first). */
+  def minhashSignature(baseHashesCol: String, numHashes: Int): Column = {
+    val f = udf((hs: Seq[Long]) =>
+      if (hs == null || hs.isEmpty) null
+      else (0 until numHashes).map { i =>
+        hs.map(h => ((2 * i + 3) * h + (7 * i + 1)) % MinhashP).min
+      }.toArray)
+    f(col(baseHashesCol))
   }
 
   /** LSH banding: explode signature into (bandId, bandHash) rows.
@@ -67,13 +100,21 @@ object Dedup {
       .select(col(idCol), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
   }
 
-  /** candidate pairs sharing at least one LSH band (a < b) */
+  /** Candidate pairs sharing at least one LSH band (a < b). GroupBy-bucket +
+    * in-bucket combinations instead of a self-join: the self-join evaluated
+    * the whole signature pipeline once per side, and candidate buckets are
+    * small by construction (that is the point of banding), so pair expansion
+    * per bucket is cheap. Pathologically hot buckets would need a cap —
+    * logged as the production guard. */
   def lshCandidatePairs(bandsDF: DataFrame, idCol: String): DataFrame = {
-    val l = bandsDF.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
-    val r = bandsDF.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val pairsUdf = udf((ids: Seq[Long]) =>
+      ids.sorted.combinations(2).map(p => (p(0), p(1))).toSeq)
+    bandsDF.groupBy("band", "band_hash")
+      .agg(collect_set(col(idCol).cast("long")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
   }
 
   /** exact n-gram Jaccard pairs over a shingle posting join; emits
@@ -95,19 +136,23 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash over distinct words: bit b set iff the signed sum of word-hash
-    * bits is positive. Per-row projection (aggregate over the words array). */
-  def simhash(textColName: String, bits: Int = 32): Column = {
-    val words = s"array_distinct(regexp_extract_all(lower($textColName), '[a-z0-9]+', 0))"
-    val hashes = s"transform($words, w -> " +
-      s"CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))"
-    val bitCols = (0 until bits).map { b =>
-      // sum of (+1|-1) per word for bit b, positive → bit set
-      expr(s"""CASE WHEN aggregate($hashes, 0L,
-              |  (acc, h) -> acc + CASE WHEN shiftright(h, $b) % 2 = 1 THEN 1L ELSE -1L END) > 0
-              |THEN shiftleft(CAST(1 AS BIGINT), $b) ELSE 0L END""".stripMargin)
-    }
-    bitCols.reduce(_ + _)
+  /** SimHash over a words-array column: distinct words hashed (portable
+    * md5-60-bit), bit b of the result set iff the signed sum of word-hash
+    * bits is positive. One linear pass per row. */
+  def simhash(wordsColName: String, bits: Int = 32): Column = {
+    val f = udf((ws: Seq[String]) => {
+      val hs = ws.distinct.map(hash60Scala)
+      var out = 0L
+      var b = 0
+      while (b < bits) {
+        var s = 0L
+        for (h <- hs) s += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+        if (s > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    })
+    f(col(wordsColName))
   }
 
   /** near-dup pairs by SimHash: block on the top `prefixBits` bits, then
@@ -124,13 +169,18 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** embedding-cosine near-dup pairs (a < b, rounded cosine >= threshold) */
+  /** embedding-cosine near-dup pairs (a < b, rounded cosine >= threshold).
+    * Norms are computed once per vector before the pair join — the pairwise
+    * stage then does ONE dot product per pair instead of three. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
-    val l = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val r = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    import graft.search.VectorSearch.dot
+    val withNorm = df.select(col(idCol), col(vecCol),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+    val l = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("nrm").as("n_a"))
+    val r = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("nrm").as("n_b"))
     l.crossJoin(r).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(graft.search.VectorSearch.cosine(col("v_a"), col("v_b")), 4))
+      .withColumn("cos", round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

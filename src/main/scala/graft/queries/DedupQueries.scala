@@ -38,8 +38,8 @@ object DedupQueries {
     s"""$DupCorpusCte,
        |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM corpus),
        |sh AS (SELECT doc_id,
-       |         CASE WHEN len(ws) >= 3
-       |           THEN list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)])
+       |         CASE WHEN len(ws) >= 5
+       |           THEN list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])
        |           ELSE [] END AS shs
        |       FROM w)""".stripMargin
 
@@ -59,7 +59,8 @@ object DedupQueries {
     Q("d_jaccard_pairs",
       (s, d) => {
         val withSh = dupCorpus(s, d)
-          .withColumn("shs", Dedup.wordShingles("text", 3))
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .withColumn("shs", Dedup.wordShingles("ws", 5))
         Dedup.jaccardPairs(withSh, "doc_id", "shs", threshold = 0.5)
           .orderBy("id_a", "id_b")
       },
@@ -82,18 +83,23 @@ object DedupQueries {
     Q("d_minhash_lsh",
       (s, d) => {
         val withSig = dupCorpus(s, d)
-          .withColumn("shs", Dedup.wordShingles("text", 3))
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .withColumn("shs", Dedup.wordShingles("ws", 5))
           .filter(size(col("shs")) > 0)
-          .withColumn("sig", Dedup.minhashSignature("shs", 16))
+          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
+          .withColumn("sig", Dedup.minhashSignature("hs", 16))
         val bands = Dedup.lshBands(withSig, "doc_id", "sig", bands = 4, rowsPerBand = 4)
         Dedup.lshCandidatePairs(bands, "doc_id").orderBy("id_a", "id_b")
       },
       Some(s"""WITH $ShinglesCte,
-              |sig AS (SELECT doc_id,
-              |    [list_min(list_transform(shs, s ->
-              |       CAST(concat('0x', substr(md5(i || ':' || s), 1, 15)) AS BIGINT)))
-              |     for i in range(0, 16)] AS sig
+              |hs AS (SELECT doc_id,
+              |    list_transform(shs, s ->
+              |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
               |  FROM sh WHERE len(shs) > 0),
+              |sig AS (SELECT doc_id,
+              |    [list_min(list_transform(hs, h -> ((2*i+3) * h + (7*i+1)) % 2147483647))
+              |     for i in range(0, 16)] AS sig
+              |  FROM hs),
               |bands AS (SELECT doc_id, t.b,
               |    md5(concat_ws(',', sig[t.b*4+1]::VARCHAR, sig[t.b*4+2]::VARCHAR,
               |                       sig[t.b*4+3]::VARCHAR, sig[t.b*4+4]::VARCHAR)) AS band_hash
@@ -107,8 +113,9 @@ object DedupQueries {
     // ----- SimHash signatures (32-bit, per-row projection) -----
     Q("d_simhash",
       (s, d) => dupCorpus(s, d)
-        .filter(expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) > 0"))
-        .select(col("doc_id"), Dedup.simhash("text", 32).as("simhash"))
+        .withColumn("ws", Dedup.wordsArray("text"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), Dedup.simhash("ws", 32).as("simhash"))
         .orderBy("doc_id"),
       Some(s"""WITH $DupCorpusCte,
               |w AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
@@ -128,8 +135,9 @@ object DedupQueries {
     Q("d_simhash_pairs",
       (s, d) => {
         val sigs = dupCorpus(s, d)
-          .filter(expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) > 0"))
-          .select(col("doc_id"), Dedup.simhash("text", 32).as("simhash"))
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .filter(size(col("ws")) > 0)
+          .select(col("doc_id"), Dedup.simhash("ws", 32).as("simhash"))
         Dedup.simhashPairs(sigs, "doc_id", "simhash",
           bits = 32, prefixBits = 16, maxHamming = 6)
           .orderBy("id_a", "id_b")

@@ -120,7 +120,11 @@ object PipelineQueries {
     // ----- flagship end-to-end: ingest → embed query → hybrid search -----
     Q("rag_e2e_search",
       (s, d) => {
-        val chunks = ingestedChunks(s, d)
+        // persist: hybrid search references the chunk table several times
+        // (ANN scan, BM25 postings, corpus stats) — without this the whole
+        // chunk+embed pipeline re-runs per reference. In production the
+        // ingest output is a stored table; persist() is the in-session twin.
+        val chunks = ingestedChunks(s, d).persist()
         val embedder = new HashedEmbedder(64)
         val qv = typedLit(embedder.embed("spark join stream table").toSeq)
         HybridSearch.search(chunks, qv,
