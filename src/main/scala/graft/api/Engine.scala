@@ -1,0 +1,168 @@
+package graft.api
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{PathKeys, ScopeMatch}
+import graft.embed.{Embedder, HashedEmbedder}
+import graft.ingest.{DirectoryScanner, Ingest}
+import graft.search.{Bm25, HybridSearch}
+import graft.store.ChunkStore
+import graft.sync.SyncPlanner
+
+/** Driver-side facade mirroring the reference's tool surface
+  * (`src/server/tool-definitions.ts:10-202`): query_documents, ingest_file,
+  * ingest_data, sync, list_files, delete_document, read_chunk_neighbors,
+  * get_status — each backed by the Spark operators. A user of the reference
+  * switches by pointing this at their roots; protocol serving (MCP stdio,
+  * job polling) stays an external shell around these calls, per
+  * BASELINE.json's "serving requires external system".
+  */
+final class Engine(
+    spark: SparkSession,
+    storePath: String,
+    roots: Seq[String],
+    mkEmbedder: () => Embedder = () => new HashedEmbedder(64)) {
+
+  import spark.implicits._
+
+  val store = new ChunkStore(spark, storePath)
+  private val rawDataDir = storePath + "-raw-data"
+  private def embedder: Embedder = mkEmbedder()
+
+  final case class IngestResult(filePath: String, chunkCount: Long,
+                                fileTitle: String, timestamp: String)
+  final case class SyncSummary(upserted: Long, skipped: Long, empty: Long,
+                               pruned: Long, held: Long)
+
+  private def now(): String = java.time.Instant.now().toString
+
+  // ---- query_documents (reference §3.1) ----
+  def queryDocuments(query: String, limit: Int = 10,
+                     scope: Seq[String] = Seq.empty,
+                     grouping: Option[String] = None,
+                     maxDistance: Option[Double] = None,
+                     maxFiles: Option[Int] = None,
+                     weight: Double = HybridSearch.DefaultWeight): DataFrame = {
+    require(query.trim.nonEmpty, "query must be non-empty")
+    val chunks0 = store.read()
+    // scope pushdown below the scoring projection (ref: index.ts:356-360)
+    val chunks = if (scope.isEmpty) chunks0
+      else chunks0.filter(ScopeMatch.inScope(col("filePath"), scope))
+    val qv = typedLit(embedder.embed(query).toSeq)
+    val tokens = "[a-z0-9]+".r.findAllIn(query.toLowerCase).toSeq.distinct
+    HybridSearch.search(chunks, qv,
+      HybridSearch.Params(limit = limit, maxDistance = maxDistance,
+        weight = weight, maxFiles = maxFiles, grouping = grouping,
+        queryTokens = tokens))
+      .select("filePath", "chunkIndex", "text", "fileTitle", "score", "boosted")
+  }
+
+  // ---- ingest_file (reference §3.2) ----
+  def ingestFile(path: String): IngestResult = {
+    val spelled = PathKeys.storageSpelling(path)
+    val content = new String(Files.readAllBytes(Paths.get(spelled)), StandardCharsets.UTF_8)
+    val ts = now()
+    val chunks = Ingest.buildChunks(
+      Seq(Ingest.Doc(spelled, content)).toDS(), mkEmbedder, ts).toDF()
+    // zero-chunk fail-fast BEFORE any destructive step happens inside
+    // upsertFile (ref: server/index.ts:635-642)
+    store.upsertFile(spelled, chunks)
+    val title = graft.ingest.TitleExtractor.forFile(content, spelled)
+    IngestResult(spelled, chunks.count(), title.value, ts)
+  }
+
+  // ---- ingest_data (reference server/index.ts:731-797) ----
+  def normalizeSource(source: String): String =
+    if (source.startsWith("http://") || source.startsWith("https://"))
+      source.replaceAll("[?#].*$", "")
+    else source
+
+  def base64url(s: String): String =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+
+  def decodeRawDataSource(path: String): Option[String] = {
+    val name = Paths.get(path).getFileName.toString
+    if (!path.startsWith(rawDataDir) || !name.endsWith(".md")) None
+    else try Some(new String(Base64.getUrlDecoder.decode(name.dropRight(3)),
+      StandardCharsets.UTF_8))
+    catch { case _: Exception => None }
+  }
+
+  def ingestData(content: String, title: String, source: String,
+                 format: String = "md"): IngestResult = {
+    val normalized = normalizeSource(source)
+    Files.createDirectories(Paths.get(rawDataDir))
+    val target = Paths.get(rawDataDir, base64url(normalized) + ".md")
+    Files.write(target, content.getBytes(StandardCharsets.UTF_8))
+    val sidecar = Paths.get(rawDataDir, base64url(normalized) + ".meta.json")
+    def j(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    Files.write(sidecar,
+      s"""{"title": ${j(title)}, "source": ${j(normalized)}, "format": ${j(format)}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    try ingestFile(target.toString)
+    catch { case e: Throwable =>
+      Files.deleteIfExists(target); Files.deleteIfExists(sidecar); throw e
+    }
+  }
+
+  // ---- sync (reference §3.3: gather → plan → execute) ----
+  def sync(scope: Seq[String] = Seq.empty): SyncSummary = {
+    // coverage-complete scan: scope deliberately NOT pushed into the walk
+    // (ref: server/index.ts:1153-1157 — would corrupt prune safety)
+    val scanned = DirectoryScanner.scanRoots(roots,
+      excludePrefixes = Seq(storePath, rawDataDir))
+    val disk = scanned.files.map { f =>
+      val content = Files.readAllBytes(Paths.get(f.path))
+      SyncPlanner.DiskFile(PathKeys.syncPathKey(f.path), f.path,
+        Some(Ingest.sha256Hex(new String(content, StandardCharsets.UTF_8))))
+    }
+    val db = store.manifest().collect().toSeq.map { r =>
+      val p = r.getString(0)
+      SyncPlanner.DbEntry(PathKeys.syncPathKey(p), p, Option(r.getString(1)))
+    }
+    val plan = SyncPlanner.plan(disk, db,
+      SyncPlanner.Coverage(scanned.coverage.unobservedPrefixes),
+      SyncPlanner.Request(scope, Seq(storePath, rawDataDir)))
+
+    var upserted = 0L; var empty = 0L
+    for (u <- plan.upserts) {
+      try { ingestFile(u.path); upserted += 1 }
+      catch { case _: Ingest.NoChunksError => empty += 1 }
+      for (stale <- u.staleSpellings) store.deleteFile(stale)
+    }
+    for (p <- plan.prunes; spelling <- p.spellings) store.deleteFile(spelling)
+    SyncSummary(upserted, plan.skipped.size.toLong, empty,
+      plan.prunes.size.toLong, plan.held.size.toLong)
+  }
+
+  // ---- list_files (reference J4/J5) ----
+  def listFiles(): DataFrame = {
+    val scanned = DirectoryScanner.scanRoots(roots,
+      excludePrefixes = Seq(storePath, rawDataDir))
+      .files.map(f => (PathKeys.realpathForMatch(f.path), f.path, f.bytes))
+      .toDF("key", "path", "bytes")
+    val ingested = store.listFiles()
+      .withColumn("key", col("filePath"))
+    scanned.join(ingested, Seq("key"), "left_outer")
+      .select(col("path"), col("bytes"),
+        col("chunkCount").isNotNull.as("ingested"),
+        coalesce(col("chunkCount"), lit(0L)).as("chunk_count"),
+        col("lastModified"))
+      .orderBy("path")
+  }
+
+  // ---- remaining tools ----
+  def deleteDocument(path: String): Unit =
+    store.deleteFile(PathKeys.storageSpelling(path))
+
+  def readChunkNeighbors(path: String, chunkIndex: Int,
+                         before: Int = 2, after: Int = 2): DataFrame =
+    store.neighbors(PathKeys.storageSpelling(path), chunkIndex, before, after)
+
+  def status(): (Long, Long) = store.status()
+}

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Engine
+import graft.core.GraftSession
+import graft.ingest.DirectoryScanner
+
+/** End-to-end workflows through the tool facade — the Spark twin of the
+  * reference's rag-workflow.e2e tests. */
+class EngineSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+
+  private def write(path: String, content: String): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path), content.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def mkEngine(): (Engine, String) = {
+    val root = Files.createTempDirectory("engine-root").toString
+    val store = Files.createTempDirectory("engine-store").toString + "/chunks"
+    write(s"$root/spark.md",
+      "# Spark Guide\nApache Spark runs distributed joins windows and aggregations over large datasets. " +
+        "Executors process partitions in parallel across the cluster machines.")
+    write(s"$root/cooking.txt",
+      "Pasta Basics\n\nBoil water with salt and cook the pasta until al dente. " +
+        "Tomato sauce with basil and olive oil completes a classic italian dinner.")
+    write(s"$root/empty.txt", "   \n  \n")
+    (new Engine(spark, store, Seq(root)), root)
+  }
+
+  test("sync → query → neighbors → delete → re-sync round trip") {
+    val (engine, root) = mkEngine()
+
+    val s1 = engine.sync()
+    assert(s1.upserted === 2 && s1.empty === 1 && s1.pruned === 0)
+    assert(engine.status()._2 === 2) // two documents
+
+    // unchanged re-sync: all skips, nothing rewritten
+    val s2 = engine.sync()
+    assert(s2.upserted === 0 && s2.skipped === 2)
+
+    // query routes to the right document
+    val hits = engine.queryDocuments("distributed spark joins", limit = 5)
+    val top = hits.collect().head
+    assert(top.getAs[String]("filePath").endsWith("spark.md"))
+    assert(top.getAs[String]("fileTitle") === "Spark Guide")
+
+    // neighbors contract
+    val n = engine.readChunkNeighbors(s"$root/spark.md", 0)
+    assert(n.count() >= 1)
+    assert(n.filter("isTarget").count() === 1)
+
+    // content change → upsert on next sync
+    write(s"$root/cooking.txt",
+      "Pasta Basics\n\nCompletely new content about risotto rice and parmesan cheese dishes.")
+    val s3 = engine.sync()
+    assert(s3.upserted === 1 && s3.skipped === 1)
+
+    // deletion on disk → prune
+    Files.delete(Paths.get(s"$root/cooking.txt"))
+    val s4 = engine.sync()
+    assert(s4.pruned === 1)
+    assert(engine.status()._2 === 1)
+
+    // delete_document removes the rest
+    engine.deleteDocument(s"$root/spark.md")
+    assert(engine.status() === ((0L, 0L)))
+  }
+
+  test("scope filters queries; list_files cross-references ingested state") {
+    val (engine, root) = mkEngine()
+    engine.sync()
+    val scoped = engine.queryDocuments("pasta tomato", scope = Seq(s"$root"))
+    assert(scoped.count() >= 1)
+    val noMatchScope = engine.queryDocuments("pasta tomato", scope = Seq("/nonexistent"))
+    assert(noMatchScope.count() === 0)
+
+    val lf = engine.listFiles().collect()
+    assert(lf.length === 3) // includes empty.txt, not ingested
+    val byPath = lf.map(r => r.getAs[String]("path") -> r.getAs[Boolean]("ingested")).toMap
+    assert(byPath(s"$root/spark.md"))
+    assert(!byPath(s"$root/empty.txt"))
+  }
+
+  test("ingest_data: URL normalization + base64url round trip + rollback") {
+    val (engine, _) = mkEngine()
+    val res = engine.ingestData(
+      "# External Doc\nRetrieved content about streaming watermarks and stateful processing in engines.",
+      "External Doc", "https://example.com/page?utm=x#sec")
+    assert(res.chunkCount >= 1)
+    assert(engine.decodeRawDataSource(res.filePath) === Some("https://example.com/page"))
+    // whitespace-only content rolls back the raw-data file
+    val before = engine.status()._1
+    intercept[graft.ingest.Ingest.NoChunksError] {
+      engine.ingestData("   ", "Empty", "clipboard://2026-01-01")
+    }
+    assert(engine.status()._1 === before)
+  }
+
+  test("directory scanner: depth limit, symlink skip, coverage facts") {
+    val root = Files.createTempDirectory("scan-root").toString
+    write(s"$root/a.md", "top level")
+    var deep = root
+    for (i <- 1 to 12) { deep = s"$deep/d$i" }
+    write(s"$deep/too-deep.md", "below depth limit")
+    val linkTarget = Files.createTempDirectory("outside").toString
+    write(s"$linkTarget/escape.md", "outside root")
+    Files.createSymbolicLink(Paths.get(s"$root/link"), Paths.get(linkTarget))
+
+    val r = DirectoryScanner.scan(root)
+    assert(r.files.map(_.path) === Seq(s"$root/a.md"))
+    assert(r.coverage.depthLimited.nonEmpty)
+    assert(r.coverage.symlinks === Seq(s"$root/link"))
+    // the unobserved prefixes would guard prunes for anything beneath them
+    assert(r.coverage.unobservedPrefixes.exists(p => s"$deep/too-deep.md".startsWith(p)))
+  }
+
+  test("empty ingest preserves existing rows (zero-chunk invariant)") {
+    val (engine, root) = mkEngine()
+    engine.sync()
+    val before = engine.status()
+    write(s"$root/spark.md", "   ")
+    val s = engine.sync()
+    // empty.txt is re-attempted every sync (never in the DB) → 2 empties
+    assert(s.empty === 2)
+    assert(engine.status() === before) // old chunks for spark.md retained
+  }
+}
