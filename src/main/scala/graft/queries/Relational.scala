@@ -357,6 +357,25 @@ object Relational {
              |UNION SELECT lang FROM documents WHERE doc_id % 3 = 0
              |ORDER BY val""".stripMargin)),
 
+    // ----- A10: set-union accumulators (coverage arrays / candidate sets) -----
+    Q("a10_set_union",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 2 === 0).select("lang", "source")
+          .union(docs.filter(col("doc_id") % 3 === 0).select("lang", "source"))
+          .distinct()
+          .groupBy("lang")
+          .agg(concat_ws(",", array_sort(collect_set(col("source")))).as("sources"),
+            count(lit(1)).as("n_sources"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang,
+             |  coalesce(string_agg(DISTINCT source, ',' ORDER BY source), '') AS sources,
+             |  count(*) AS n_sources
+             |FROM (SELECT lang, source FROM documents WHERE doc_id % 2 = 0
+             |      UNION SELECT lang, source FROM documents WHERE doc_id % 3 = 0)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- U2: except -----
     Q("u2_except",
       (s, d) => Tables.lineitem(s, d).select(col("l_orderkey").as("k"))

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  test("text analysis: langid, quality bounds, fingerprint normalization") {
+    val rows = Seq(
+      (0L, "the cat and the dog is on the mat to play"),
+      (1L, "der hund und die katze ist im haus und der garten"),
+      (2L, "这是一段中文文本用来测试语言识别"),
+      (3L, "le chat et la souris est dans le jardin")).toDF("doc_id", "text")
+    val out = rows.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) === "en"); assert(out(1L) === "de")
+    assert(out(2L) === "zh"); assert(out(3L) === "fr")
+
+    val q = rows.select(TextAnalysis.qualityScore($"text").as("q")).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+
+    val fp = Seq(Tuple1("A  Text\nHere"), Tuple1("a text here")).toDF("t")
+      .select(TextAnalysis.fingerprint($"t")).as[String].collect()
+    assert(fp(0) === fp(1)) // case + whitespace normalized away
+  }
+
+  test("exact dedup groups duplicates under one canonical id") {
+    val rows = Seq((1L, "same text"), (2L, "same  TEXT"), (3L, "different")).toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(rows, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(groups(1L) === 2L) // 1 and 2 normalize to the same fingerprint
+    assert(groups(3L) === 1L)
+  }
+
+  test("minhash: identical shingle sets share every band; disjoint sets none") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+      .withColumn("ws", Dedup.wordsArray("text"))
+      .withColumn("shs", Dedup.wordShingles("ws", 5))
+      .filter(size($"shs") > 0)
+      .withColumn("hs", Dedup.shingleBaseHashes("shs"))
+      .withColumn("sig", Dedup.minhashSignature("hs", 16))
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBands(rows, "doc_id", "sig", 4, 4), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: near-identical texts within small hamming distance") {
+    val rows = Seq(
+      (1L, "spark streaming joins state watermark window trigger output"),
+      (2L, "spark streaming joins state watermark window trigger output extra"),
+      (3L, "completely unrelated cooking pasta sauce recipe basil")).toDF("doc_id", "text")
+      .withColumn("ws", Dedup.wordsArray("text"))
+      .select($"doc_id", Dedup.simhash("ws", 32).as("simhash"))
+    val sh = rows.as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+  }
+
+  test("SRP-LSH: self bucket always matches; top result is the query itself") {
+    val vecs = (0 until 50).map { i =>
+      val v = Array.tabulate(16)(j => math.sin(i * 17 + j * 3).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 7).select($"embedding".as("qv"))
+    val withQ = vecs.crossJoin(broadcast(q))
+      .withColumn("bucket", Similarity.srpBucket("embedding", 16, 6))
+      .withColumn("qbucket", Similarity.srpBucket("qv", 16, 6))
+    val cands = withQ.filter($"bucket" === $"qbucket")
+      .withColumn("score", graft.search.VectorSearch.dotDistance($"embedding", $"qv"))
+      .orderBy("score", "vec_id")
+    val top = cands.select("vec_id").as[Long].head()
+    assert(top === 7L)
+  }
+
+  test("multimodal: decode stub features and frame partition arithmetic") {
+    val media = Multimodal.fromDocuments(
+      Seq((0L, "abcdefghij", "s0"), (1L, "xy", "s1")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source")
+    val feats = Multimodal.decodeFeatures(media)
+      .select("media_id", "feat_mean", "feat_max")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(feats(0L)._2 === 'j'.toInt)
+    val frames = Multimodal.frameSample(media, 4)
+      .groupBy("media_id").agg(sum("frame_bytes").as("total"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(frames(0L) === ((10L, 4L))) // frames reassemble the payload exactly
+    assert(frames(1L) === ((2L, 4L)))  // short payload: empty middle frames
+  }
+
+  test("bm25 indexed path equals ad-hoc path") {
+    val docs = Seq((0L, "spark joins data"), (1L, "spark spark streaming"),
+      (2L, "other words entirely")).toDF("doc_id", "text")
+    val adhoc = graft.search.Bm25.score(docs, Seq("doc_id"),
+      graft.search.Bm25.wordTokens($"text"), Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    val idx = graft.search.Bm25.buildIndex(docs, Seq("doc_id"),
+      graft.search.Bm25.wordTokens($"text"))
+    val indexed = graft.search.Bm25.scoreIndexed(idx, Seq("doc_id"), Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    assert(adhoc === indexed)
+    assert(adhoc(1L) > adhoc(0L))
+  }
+}
