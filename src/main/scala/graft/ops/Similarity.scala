@@ -51,4 +51,65 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("score"))
   }
+
+  // ---- IVF (inverted-file) ANN: k-means coarse quantizer + probed lists ----
+
+  /** An IVF index: each vector assigned to its nearest centroid's list.
+    * `assignments` is persistable (and at 100 TB would be WRITTEN partitioned
+    * by `list_id`, so a probe reads only nProbe partitions); centroids are a
+    * tiny driver-side array (broadcast implicitly as literals). */
+  final case class IvfIndex(assignments: DataFrame, centroids: Array[Array[Float]])
+
+  /** build the IVF index with MLlib KMeans (fixed seed → deterministic) */
+  def buildIvf(df: DataFrame, idCol: String, vecColName: String,
+               nLists: Int, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featDf = df.withColumn("features", array_to_vector(col(vecColName)))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").fit(featDf)
+    val assigned = model.transform(featDf)
+      .select(col(idCol), col(vecColName), col("prediction").as("list_id"))
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  /** query: rank centroids by distance to the query (driver-side, tiny),
+    * probe the nearest `nProbe` lists, brute-force rerank within them */
+  def ivfTopK(idx: IvfIndex, idCol: String, vecColName: String,
+              queryVec: Array[Float], nProbe: Int, k: Int): DataFrame = {
+    def dist2(c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - queryVec(i); s += d * d; i += 1 }
+      s
+    }
+    val probeLists = idx.centroids.zipWithIndex
+      .sortBy { case (c, i) => (dist2(c), i) }.take(nProbe).map(_._2)
+    val qv = typedLit(queryVec.toSeq)
+    idx.assignments
+      .filter(col("list_id").isin(probeLists.map(Integer.valueOf): _*))
+      .withColumn("score", VectorSearch.dotDistance(col(vecColName), qv))
+      .orderBy(col("score"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  /** LSH-blocked near-dup pairs: candidate pairs limited to equal SRP
+    * buckets — the linear-ish scale path next to the exact quadratic pair
+    * join (recall bounded by bucket collision probability; raise recall by
+    * unioning over several plane seeds). */
+  def lshBlockedPairs(df: DataFrame, idCol: String, vecColName: String,
+                      dim: Int, planes: Int, threshold: Double): DataFrame = {
+    import graft.search.VectorSearch.dot
+    val bucketed = df
+      .withColumn("bucket", srpBucket(vecColName, dim, planes))
+      .withColumn("nrm", sqrt(dot(col(vecColName), col(vecColName))))
+    val l = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecColName).as("v_a"), col("nrm").as("n_a"))
+    val r = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecColName).as("v_b"), col("nrm").as("n_b"))
+    l.join(r, "bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 }

@@ -217,6 +217,47 @@ object DedupQueries {
              |SELECT vec_id, round(raw, 4) + 0.0 AS score FROM sc
              |ORDER BY raw, vec_id LIMIT 10""".stripMargin)),
 
+    // ----- embedding near-dup, LSH-blocked (the linear-ish scale path) -----
+    Q("d_embed_dup_lsh",
+      (s, d) => Similarity.lshBlockedPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", 64, planes = 8, threshold = 0.3)
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+        .limit(100),
+      Some("""WITH comp AS (SELECT p.p, j.j,
+             |    CASE WHEN CAST(concat('0x', substr(md5(p.p || ':' || j.j), 1, 15)) AS BIGINT) % 2 = 0
+             |         THEN 1.0 ELSE -1.0 END AS c
+             |  FROM (SELECT unnest(range(0, 8)) AS p) p, (SELECT unnest(range(0, 64)) AS j) j),
+             |dotp AS (SELECT e.vec_id, c.p, sum(e.embedding[c.j + 1]::DOUBLE * c.c) AS sv
+             |  FROM embeddings e, comp c GROUP BY 1, 2),
+             |buck AS (SELECT vec_id,
+             |    sum(CASE WHEN sv > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+             |  FROM dotp GROUP BY 1),
+             |p2 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    ea.embedding AS va, eb.embedding AS vb
+             |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+             |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+             |dt AS (SELECT id_a, id_b,
+             |    sum(va[t.i]::DOUBLE * vb[t.i]::DOUBLE) AS dot,
+             |    sum(va[t.i]::DOUBLE * va[t.i]::DOUBLE) AS na,
+             |    sum(vb[t.i]::DOUBLE * vb[t.i]::DOUBLE) AS nb
+             |  FROM p2, generate_series(1, 64) t(i) GROUP BY 1, 2),
+             |c AS (SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos FROM dt)
+             |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.3
+             |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin)),
+
+    // ----- IVF ANN (k-means coarse quantizer; not SQL-expressible) -----
+    Q("ann_ivf_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val qv = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val idx = Similarity.buildIvf(e, "vec_id", "embedding", nLists = 16)
+        Similarity.ivfTopK(idx, "vec_id", "embedding", qv, nProbe = 4, k = 10)
+          .select(col("vec_id"), (round(col("score"), 4) + 0.0).as("score"))
+      },
+      None),
+
     // ----- multimodal: binary payload + typed metadata projection -----
     Q("m_binary_meta",
       (s, d) => Multimodal.fromDocuments(Tables.documents(s, d), "doc_id", "text", "source")

@@ -98,6 +98,25 @@ class OpsSpec extends AnyFunSuite {
     assert(frames(1L) === ((2L, 4L)))  // short payload: empty middle frames
   }
 
+  test("IVF ANN: probed search recovers the brute-force top-k on clustered data") {
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val qv = vecs.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+
+    val brute = vecs
+      .withColumn("score", graft.search.VectorSearch.dotDistance($"embedding", typedLit(qv.toSeq)))
+      .orderBy("score", "vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val idx = Similarity.buildIvf(vecs, "vec_id", "embedding", nLists = 8, seed = 42L)
+    val ivf = Similarity.ivfTopK(idx, "vec_id", "embedding", qv, nProbe = 3, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.intersect(brute).size >= 8, s"recall too low: $ivf vs $brute")
+  }
+
   test("bm25 indexed path equals ad-hoc path") {
     val docs = Seq((0L, "spark joins data"), (1L, "spark spark streaming"),
       (2L, "other words entirely")).toDF("doc_id", "text")

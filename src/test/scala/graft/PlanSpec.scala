@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.queries.Registry
+
+/** Physical-plan regression guards: the scale properties argued in the
+  * README (pushdown, broadcast, top-k without global sort) must be visible
+  * in the executed plan, not just intended. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.byName(name).build(spark, dir).queryExecution.executedPlan.toString
+
+  test("predicate scan pushes filters into parquet and prunes columns") {
+    val p = plan("s2_predicate_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus)"), p.take(2000))
+    assert(p.contains(
+      "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double>"))
+    assert(!p.contains("o_orderdate")) // pruned away
+  }
+
+  test("dimension joins broadcast; top-k is TakeOrderedAndProject") {
+    val p = plan("q3_topk_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("brute-force ANN never globally sorts the corpus") {
+    val p = plan("v_ann_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("float_vector_dot")) // the codegen expression is in the plan
+  }
+
+  test("sync reconciliation is a single full-outer shuffle join") {
+    val p = plan("j1_sync_plan")
+    assert(p.contains("FullOuter"))
+  }
+}
