@@ -413,6 +413,26 @@ object Relational {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       bench = true),
 
+    // ----- skew mitigation: salted two-phase aggregation. A skewed hot key
+    // (one event_type carrying most rows) would bottleneck a single reducer;
+    // salting spreads the partial aggregate over 16 reducers and the final
+    // merge handles 16 rows per key. Result is identical to the plain
+    // groupBy — which is exactly what the oracle checks. -----
+    Q("e_skew_salted_agg",
+      (s, d) => {
+        val salted = Tables.events(s, d)
+          .withColumn("salt", pmod(col("event_id"), lit(16)))
+          .groupBy("event_type", "salt")
+          .agg(count(lit(1)).as("pc"),
+            sum(col("value").cast(DecimalType(30, 8))).as("ps"))
+        salted.groupBy("event_type")
+          .agg(sum("pc").as("cnt"), sum("ps").cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- events: sessionization (lag + 30-min gap cut) -----
     Q("e_sessionize",
       (s, d) => {
