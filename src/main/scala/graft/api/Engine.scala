@@ -70,8 +70,9 @@ final class Engine(
     val chunks = Ingest.buildChunks(
       Seq(Ingest.Doc(spelled, content)).toDS(), mkEmbedder, ts).toDF()
     // zero-chunk fail-fast BEFORE any destructive step happens inside
-    // upsertFile (ref: server/index.ts:635-642)
-    store.upsertFile(spelled, chunks)
+    // upsertFile (ref: server/index.ts:635-642); writers serialize on the
+    // mutation guard (reentrant under sync's own hold)
+    mutationGuard.synchronized(store.upsertFile(spelled, chunks))
     val title = graft.ingest.TitleExtractor.forFile(content, spelled)
     IngestResult(spelled, chunks.count(), title.value, ts)
   }
@@ -96,9 +97,15 @@ final class Engine(
   def ingestData(content: String, title: String, source: String,
                  format: String = "md"): IngestResult = {
     val normalized = normalizeSource(source)
+    // HTML sources go through main-content extraction → markdown before
+    // persisting, mirroring the Readability+Turndown stage (ref S8)
+    val persisted = format.toLowerCase match {
+      case "html" => graft.ingest.HtmlParser.toMarkdown(content)
+      case _ => content
+    }
     Files.createDirectories(Paths.get(rawDataDir))
     val target = Paths.get(rawDataDir, base64url(normalized) + ".md")
-    Files.write(target, content.getBytes(StandardCharsets.UTF_8))
+    Files.write(target, persisted.getBytes(StandardCharsets.UTF_8))
     val sidecar = Paths.get(rawDataDir, base64url(normalized) + ".meta.json")
     def j(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     Files.write(sidecar,
@@ -156,9 +163,44 @@ final class Engine(
       .orderBy("path")
   }
 
+  // ---- sync_start / sync_status: the one async boundary (reference
+  // §2.10/§3.3: job registered, floating run, clients poll; exactly one job
+  // retained per engine; a mutation guard serializes writers while reads
+  // stay concurrent — `src/server/index.ts:124-129, 233-239, 1075-1123`) ----
+  final case class SyncJob(jobId: String, running: Boolean,
+                           summary: Option[SyncSummary], error: Option[String])
+
+  private val jobRef = new java.util.concurrent.atomic.AtomicReference[SyncJob](null)
+  private val mutationGuard = new Object
+
+  def syncStart(scope: Seq[String] = Seq.empty): String = {
+    val jobId = java.util.UUID.randomUUID().toString
+    jobRef.set(SyncJob(jobId, running = true, None, None))
+    val t = new Thread(() => {
+      val done =
+        try {
+          val s = mutationGuard.synchronized(sync(scope))
+          SyncJob(jobId, running = false, Some(s), None)
+        } catch { case e: Throwable =>
+          SyncJob(jobId, running = false, None, Some(e.getMessage))
+        }
+      jobRef.set(done)
+    }, s"graft-sync-$jobId")
+    t.setDaemon(true)
+    t.start()
+    jobId
+  }
+
+  def syncStatus(jobId: String): SyncJob = {
+    val j = jobRef.get()
+    if (j == null || j.jobId != jobId)
+      throw new IllegalArgumentException(s"unknown sync job: $jobId")
+    j
+  }
+
   // ---- remaining tools ----
   def deleteDocument(path: String): Unit =
-    store.deleteFile(PathKeys.storageSpelling(path))
+    mutationGuard.synchronized(store.deleteFile(PathKeys.storageSpelling(path)))
 
   def readChunkNeighbors(path: String, chunkIndex: Int,
                          before: Int = 2, after: Int = 2): DataFrame =

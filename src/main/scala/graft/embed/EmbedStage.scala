@@ -29,9 +29,15 @@ object EmbedStage {
     df.mapPartitions { it =>
       val embedder = mkEmbedder()
       it.grouped(batchSize).flatMap { batch =>
-        val sorted = batch.sortBy(r => Option(r.getString(textIdx)).map(_.length).getOrElse(0))
-        val vecs = embedder.embedBatch(sorted.map(r => Option(r.getString(textIdx)).getOrElse("")))
-        sorted.zip(vecs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
+        val texts = batch.map(r => Option(r.getString(textIdx)).getOrElse(""))
+        // padding-skew guard: evict outliers from the padded batch and embed
+        // them solo (reference outlier deferral, embedder/index.ts:56-93)
+        val (main, deferred) = BatchPlanner.planBatch(texts.map(_.length))
+        val out = new Array[Array[Float]](batch.size)
+        val mainVecs = embedder.embedBatch(main.map(texts))
+        main.zip(mainVecs).foreach { case (i, v) => out(i) = v }
+        deferred.foreach(i => out(i) = embedder.embed(texts(i)))
+        batch.zip(out).map { case (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
       }
     }(enc)
   }

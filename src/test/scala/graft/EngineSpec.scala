@@ -102,6 +102,36 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.status()._1 === before)
   }
 
+  test("ingest_data html: main-content extraction to markdown before indexing") {
+    val (engine, _) = mkEngine()
+    val html =
+      """<html><head><title>Streaming Guide</title><script>track()</script></head>
+        |<body><h1>Watermarks Explained</h1>
+        |<p>Stateful streaming engines drop late events beyond the watermark boundary
+        |to keep state bounded over unbounded inputs across long running pipelines.</p>
+        |</body></html>""".stripMargin
+    val res = engine.ingestData(html, "Streaming Guide", "https://docs.example.com/stream", "html")
+    assert(res.chunkCount >= 1)
+    val hit = engine.queryDocuments("watermark late events", limit = 3).collect().head
+    assert(hit.getAs[String]("filePath") === res.filePath)
+    assert(!hit.getAs[String]("text").contains("track()")) // script never indexed
+  }
+
+  test("sync_start/sync_status: async job with mutation guard, single retained job") {
+    val (engine, _) = mkEngine()
+    val jobId = engine.syncStart()
+    var status = engine.syncStatus(jobId)
+    val deadline = System.currentTimeMillis() + 120000
+    while (status.running && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      status = engine.syncStatus(jobId)
+    }
+    assert(!status.running)
+    assert(status.error.isEmpty)
+    assert(status.summary.get.upserted === 2)
+    intercept[IllegalArgumentException] { engine.syncStatus("not-a-job") }
+  }
+
   test("directory scanner: depth limit, symlink skip, coverage facts") {
     val root = Files.createTempDirectory("scan-root").toString
     write(s"$root/a.md", "top level")
