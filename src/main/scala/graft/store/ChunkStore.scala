@@ -22,7 +22,16 @@ import graft.core.ChunkSchema
   * reads prune to one bucket; neighbor reads push (filePath, chunkIndex)
   * predicates to parquet row groups.
   */
-final class ChunkStore(spark: SparkSession, path: String) {
+final class ChunkStore(spark: SparkSession, path: String, numBuckets: Int = 0) {
+
+  private def bucketed: Boolean = numBuckets > 0
+
+  /** partition id for a file: portable 60-bit md5 hash mod numBuckets —
+    * identical Scala/Column twins so planner and executor agree */
+  def bucketOf(filePath: String): Long =
+    math.floorMod(graft.ops.Dedup.hash60Scala(filePath), numBuckets.toLong)
+
+  private def bucketCol = pmod(graft.ops.Dedup.hash60(col("filePath")), lit(numBuckets.toLong))
 
   private def fs: FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -30,28 +39,54 @@ final class ChunkStore(spark: SparkSession, path: String) {
   def exists: Boolean = fs.exists(new HPath(path))
 
   def read(): DataFrame =
-    if (exists) spark.read.schema(ChunkSchema.schema).parquet(path)
+    if (exists)
+      spark.read.schema(
+        if (bucketed) ChunkSchema.schema.add("pbucket", "long") else ChunkSchema.schema)
+        .parquet(path)
+        .select(ChunkSchema.schema.fieldNames.map(col): _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ChunkSchema.schema)
 
-  /** append-only insert (first write creates the table) */
+  /** append-only insert (first write creates the table). In bucketed mode
+    * rows land in their path-hash partition directory, so every later
+    * per-file operation touches exactly one partition. */
   def insert(chunks: DataFrame): Unit =
-    chunks.write.mode(SaveMode.Append).parquet(path)
+    if (bucketed)
+      chunks.withColumn("pbucket", bucketCol)
+        .write.partitionBy("pbucket").mode(SaveMode.Append).parquet(path)
+    else chunks.write.mode(SaveMode.Append).parquet(path)
 
-  /** full-table atomic replace: write tmp, swap, drop old */
-  private def replaceWith(df: DataFrame): Unit = {
-    val tmp = path + ".tmp-" + System.nanoTime()
+  /** atomic replace of one directory: write tmp, swap, drop old */
+  private def swapDir(target: String, df: DataFrame): Unit = {
+    val tmp = target + ".tmp-" + System.nanoTime()
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val old = path + ".old-" + System.nanoTime()
-    val p = new HPath(path); val t = new HPath(tmp); val o = new HPath(old)
+    val old = target + ".old-" + System.nanoTime()
+    val p = new HPath(target); val t = new HPath(tmp); val o = new HPath(old)
     val f = fs
     if (f.exists(p)) { f.rename(p, o) }
     f.rename(t, p)
     if (f.exists(o)) { f.delete(o, true) }
   }
 
+  /** rewrite only what a single-file mutation touches: the file's bucket
+    * partition in bucketed mode (1/numBuckets of the data — the 100 TB
+    * shape), the whole table otherwise */
+  private def rewriteForFile(filePath: String,
+                             transform: DataFrame => DataFrame): Unit = {
+    if (bucketed) {
+      val b = bucketOf(filePath)
+      val partDir = s"$path/pbucket=$b"
+      val existing =
+        if (fs.exists(new HPath(partDir)))
+          spark.read.schema(ChunkSchema.schema).parquet(partDir)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ChunkSchema.schema)
+      swapDir(partDir, transform(existing))
+    } else swapDir(path, transform(read()))
+  }
+
   def deleteFile(filePath: String): Unit =
-    replaceWith(read().filter(col("filePath") =!= filePath))
+    rewriteForFile(filePath, _.filter(col("filePath") =!= filePath))
 
   /** upsert = replace all chunks of `filePath` with `newChunks`.
     * Fails BEFORE any destructive step if newChunks is empty — the
@@ -59,7 +94,9 @@ final class ChunkStore(spark: SparkSession, path: String) {
   def upsertFile(filePath: String, newChunks: DataFrame): Unit = {
     if (newChunks.isEmpty)
       throw new graft.ingest.Ingest.NoChunksError(filePath)
-    replaceWith(read().filter(col("filePath") =!= filePath).unionByName(newChunks))
+    rewriteForFile(filePath,
+      _.filter(col("filePath") =!= filePath)
+        .unionByName(newChunks.select(ChunkSchema.schema.fieldNames.map(col): _*)))
   }
 
   /** neighbor range read (reference `src/vectordb/index.ts:138-164`,

@@ -82,6 +82,49 @@ class StoreSearchSpec extends AnyFunSuite {
     assert(st.status() === (4L, 2L))
   }
 
+  test("additive schema migration: old tables read with null new columns") {
+    // write a pre-migration table (no fileTitle / contentHash)
+    val dir = Files.createTempDirectory("old-schema").toString + "/table"
+    Seq(mkChunk("/a/x.md", 0, "legacy row")).toDF()
+      .drop("fileTitle", "contentHash")
+      .write.parquet(dir)
+    val st = new ChunkStore(spark, dir)
+    val row = st.read().collect().head
+    assert(row.getAs[String]("text") === "legacy row")
+    assert(row.getAs[String]("fileTitle") === null)
+    assert(row.getAs[String]("contentHash") === null)
+  }
+
+  test("bucketed layout: per-file upsert rewrites only the file's partition") {
+    val base = Files.createTempDirectory("bucketed").toString + "/table"
+    val st = new ChunkStore(spark, base, numBuckets = 8)
+    val files = (0 until 12).map(i => s"/corpus/doc$i.md")
+    st.insert(files.flatMap(f => Seq(mkChunk(f, 0, s"text of $f"))).toDF())
+    assert(st.read().count() === 12)
+
+    val target = files.head
+    val targetBucket = st.bucketOf(target)
+    // snapshot modification times of all OTHER partitions
+    def partFiles(): Map[String, Long] = {
+      val d = new java.io.File(base)
+      d.listFiles().filter(_.getName.startsWith("pbucket="))
+        .flatMap(p => p.listFiles().map(f => f.getPath -> f.lastModified()))
+        .toMap
+    }
+    val before = partFiles().filter(!_._1.contains(s"pbucket=$targetBucket"))
+    st.upsertFile(target, Seq(mkChunk(target, 0, "updated"), mkChunk(target, 1, "second")).toDF())
+    val after = partFiles().filter(!_._1.contains(s"pbucket=$targetBucket"))
+    assert(after === before) // untouched partitions bit-identical
+    assert(st.read().filter($"filePath" === target).count() === 2)
+    assert(st.read().count() === 13)
+
+    st.deleteFile(target)
+    assert(st.read().filter($"filePath" === target).count() === 0)
+    assert(st.read().count() === 11)
+    // neighbors + listing still work through the bucketed layout
+    assert(st.listFiles().count() === 11)
+  }
+
   // ---- search semantics (reference vectordb.test.ts behavioral contracts) ----
 
   private def scoreLadder(scores: Seq[Double]): org.apache.spark.sql.DataFrame =
