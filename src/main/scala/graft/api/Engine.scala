@@ -86,13 +86,8 @@ final class Engine(
   def base64url(s: String): String =
     Base64.getUrlEncoder.withoutPadding.encodeToString(s.getBytes(StandardCharsets.UTF_8))
 
-  def decodeRawDataSource(path: String): Option[String] = {
-    val name = Paths.get(path).getFileName.toString
-    if (!path.startsWith(rawDataDir) || !name.endsWith(".md")) None
-    else try Some(new String(Base64.getUrlDecoder.decode(name.dropRight(3)),
-      StandardCharsets.UTF_8))
-    catch { case _: Exception => None }
-  }
+  def decodeRawDataSource(path: String): Option[String] =
+    Engine.decodeRawData(rawDataDir, path)
 
   def ingestData(content: String, title: String, source: String,
                  format: String = "md"): IngestResult = {
@@ -147,20 +142,45 @@ final class Engine(
       plan.prunes.size.toLong, plan.held.size.toLong)
   }
 
-  // ---- list_files (reference J4/J5) ----
+  // ---- list_files (reference J4) ----
+  private val realpathUdf =
+    org.apache.spark.sql.functions.udf((p: String) => PathKeys.realpathForMatch(p))
+
   def listFiles(): DataFrame = {
     val scanned = DirectoryScanner.scanRoots(roots,
       excludePrefixes = Seq(storePath, rawDataDir))
       .files.map(f => (PathKeys.realpathForMatch(f.path), f.path, f.bytes))
       .toDF("key", "path", "bytes")
-    val ingested = store.listFiles()
-      .withColumn("key", col("filePath"))
+    // realpath BOTH sides (reference list.ts:31-70 keys on realpathForMatch)
+    // so symlinked-but-identical spellings still cross-reference
+    val ingested = store.listFiles().withColumn("key", realpathUdf(col("filePath")))
     scanned.join(ingested, Seq("key"), "left_outer")
       .select(col("path"), col("bytes"),
         col("chunkCount").isNotNull.as("ingested"),
         coalesce(col("chunkCount"), lit(0L)).as("chunk_count"),
         col("lastModified"))
       .orderBy("path")
+  }
+
+  /** sources classifier (reference J5, `src/utils/list-sources.ts:51-77`):
+    * ingested entries whose key matched NO scanned file — raw-data rows
+    * decoded back to their external source id, real-file orphans reported
+    * by path. */
+  def listSources(): DataFrame = {
+    val scannedKeys = DirectoryScanner.scanRoots(roots,
+      excludePrefixes = Seq(storePath, rawDataDir))
+      .files.map(f => Tuple1(PathKeys.realpathForMatch(f.path))).toDF("key")
+    val ingested = store.listFiles().withColumn("key", realpathUdf(col("filePath")))
+    val rd = rawDataDir // plain local: udf closures must not capture `this`
+    val decodeUdf = org.apache.spark.sql.functions.udf(
+      (p: String) => Engine.decodeRawData(rd, p).getOrElse(p))
+    val isRawUdf = org.apache.spark.sql.functions.udf(
+      (p: String) => Engine.decodeRawData(rd, p).isDefined)
+    ingested.join(scannedKeys, Seq("key"), "left_anti")
+      .select(decodeUdf(col("filePath")).as("source"),
+        isRawUdf(col("filePath")).as("is_raw_data"),
+        col("chunkCount").as("chunk_count"))
+      .orderBy("source")
   }
 
   // ---- sync_start / sync_status: the one async boundary (reference
@@ -207,4 +227,17 @@ final class Engine(
     store.neighbors(PathKeys.storageSpelling(path), chunkIndex, before, after)
 
   def status(): (Long, Long) = store.status()
+}
+
+object Engine {
+  /** recover the external source id from a managed raw-data path
+    * (reference `src/utils/raw-data-utils.ts:196-214`) */
+  def decodeRawData(rawDataDir: String, path: String): Option[String] = {
+    val name = java.nio.file.Paths.get(path).getFileName.toString
+    if (!path.startsWith(rawDataDir) || !name.endsWith(".md")) None
+    else try Some(new String(
+      java.util.Base64.getUrlDecoder.decode(name.dropRight(3)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Exception => None }
+  }
 }

@@ -94,6 +94,13 @@ class EngineSpec extends AnyFunSuite {
       "External Doc", "https://example.com/page?utm=x#sec")
     assert(res.chunkCount >= 1)
     assert(engine.decodeRawDataSource(res.filePath) === Some("https://example.com/page"))
+    // raw-data rows are managed: sync must NOT prune them (J2 guard), and
+    // the sources classifier (J5) reports them decoded
+    val summary = engine.sync()
+    assert(summary.pruned === 0)
+    val sources = engine.listSources().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Boolean]("is_raw_data")).toMap
+    assert(sources("https://example.com/page"))
     // whitespace-only content rolls back the raw-data file
     val before = engine.status()._1
     intercept[graft.ingest.Ingest.NoChunksError] {
