@@ -157,6 +157,30 @@ class EngineSpec extends AnyFunSuite {
     assert(r.coverage.unobservedPrefixes.exists(p => s"$deep/too-deep.md".startsWith(p)))
   }
 
+  test("cross-instance equivalence + zero-interval read consistency") {
+    // reference contracts: a DB ingested through one entry path answers
+    // identically through another (cross-path equivalence test family), and
+    // readConsistencyInterval=0 means every read sees external writers
+    val (engine1, root) = mkEngine()
+    engine1.sync()
+    val storePath = engine1.store.read().inputFiles.head
+      .replaceAll("/chunks/.*$", "/chunks")
+    val engine2 = new Engine(spark, storePath, Seq(root))
+
+    val q1 = engine1.queryDocuments("distributed spark joins", limit = 5)
+      .select("filePath", "chunkIndex").collect().map(_.toString).toSeq
+    val q2 = engine2.queryDocuments("distributed spark joins", limit = 5)
+      .select("filePath", "chunkIndex").collect().map(_.toString).toSeq
+    assert(q1 === q2)
+
+    // external writer (engine2) mutates; engine1's next read sees it
+    engine2.deleteDocument(s"$root/spark.md")
+    assert(engine1.status()._2 === engine2.status()._2)
+    assert(engine1.queryDocuments("distributed spark joins", limit = 5)
+      .filter(org.apache.spark.sql.functions.col("filePath").endsWith("spark.md"))
+      .count() === 0)
+  }
+
   test("empty ingest preserves existing rows (zero-chunk invariant)") {
     val (engine, root) = mkEngine()
     engine.sync()
