@@ -157,6 +157,23 @@ class EngineSpec extends AnyFunSuite {
     assert(r.coverage.unobservedPrefixes.exists(p => s"$deep/too-deep.md".startsWith(p)))
   }
 
+  test("query params: vector-only degrade, maxDistance, maxFiles") {
+    val (engine, _) = mkEngine()
+    engine.sync()
+    // no alphanumeric tokens → FTS stage skipped, pure vector ranking
+    // (reference: zero vector hits / no terms short-circuits FTS)
+    val vecOnly = engine.queryDocuments("???", limit = 3).collect()
+    assert(vecOnly.nonEmpty)
+    assert(vecOnly.forall(r =>
+      r.getAs[Double]("boosted") === r.getAs[Double]("score")))
+    // an impossible distance threshold filters everything
+    assert(engine.queryDocuments("spark joins", maxDistance = Some(1e-9)).count() === 0)
+    // maxFiles=1 restricts results to a single document
+    val oneFile = engine.queryDocuments("spark pasta water joins", limit = 10,
+      maxFiles = Some(1)).select("filePath").distinct().count()
+    assert(oneFile === 1)
+  }
+
   test("cross-instance equivalence + zero-interval read consistency") {
     // reference contracts: a DB ingested through one entry path answers
     // identically through another (cross-path equivalence test family), and
