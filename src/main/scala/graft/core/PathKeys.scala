@@ -42,6 +42,16 @@ object PathKeys {
     } catch { case _: Exception => storageSpelling(p) }
   }
 
+  /** user-facing display abbreviation: `$HOME` prefix → `~` (reference F18,
+    * `src/utils/base-dirs.ts:95-107` — usernames must not leak into
+    * responses served over a protocol boundary) */
+  def displayPath(p: String): String = {
+    val home = sys.props.getOrElse("user.home", "")
+    if (home.nonEmpty && (p == home || p.startsWith(home + "/")))
+      "~" + p.substring(home.length)
+    else p
+  }
+
   /** canonicalize a user-requested path: realpath(parent) + basename —
     * validates the ancestry without requiring the leaf to exist
     * (reference `canonicalizeRequestedPath`, `src/utils/scan.ts:59-65`) */

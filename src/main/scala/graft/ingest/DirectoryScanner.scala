@@ -95,10 +95,19 @@ object DirectoryScanner {
       Coverage(unreadable.toSeq, depthLimited.toSeq, symlinks.toSeq, oversized.toSeq))
   }
 
-  /** multi-root scan: union + first-wins dedup by sync key (reference J7/U1) */
+  /** nested-root pruning (reference U4, `src/utils/base-dirs.ts:279-335`):
+    * exact dedup, then drop any root nested under a surviving ancestor —
+    * scanning both `/a` and `/a/b` would double-visit `/a/b` */
+  def pruneNestedRoots(roots: Seq[String]): Seq[String] = {
+    val norm = roots.map(graft.core.PathKeys.storageSpelling).distinct
+    norm.filter(r => !norm.exists(a => a != r && graft.core.ScopeMatch.matches(r, a)))
+  }
+
+  /** multi-root scan: nested-root pruning, union + first-wins dedup by sync
+    * key (reference U4/J7/U1) */
   def scanRoots(roots: Seq[String], excludePrefixes: Seq[String] = Seq.empty,
                 scope: Seq[String] = Seq.empty): ScanResult = {
-    val results = roots.map(scan(_, excludePrefixes, scope))
+    val results = pruneNestedRoots(roots).map(scan(_, excludePrefixes, scope))
     val seen = mutable.Set.empty[String]
     val files = results.flatMap(_.files).filter(f => seen.add(PathKeys.syncPathKey(f.path)))
     ScanResult(files,

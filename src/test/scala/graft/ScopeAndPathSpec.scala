@@ -33,6 +33,22 @@ class ScopeAndPathSpec extends AnyFunSuite {
     assert(PathKeys.realpathForMatch("/definitely/not/there/x.md") === "/definitely/not/there/x.md")
   }
 
+  test("nested-root pruning: descendants of surviving ancestors dropped") {
+    import graft.ingest.DirectoryScanner.pruneNestedRoots
+    assert(pruneNestedRoots(Seq("/a", "/a/b", "/c", "/a/b/c", "/cd")) ===
+      Seq("/a", "/c", "/cd"))
+    assert(pruneNestedRoots(Seq("/a", "/a")) === Seq("/a")) // exact dedup
+    assert(pruneNestedRoots(Seq("/ab", "/a")) === Seq("/ab", "/a")) // not prefixes
+  }
+
+  test("display path abbreviates the home prefix only") {
+    val home = sys.props("user.home")
+    assert(PathKeys.displayPath(s"$home/docs/x.md") === "~/docs/x.md")
+    assert(PathKeys.displayPath(home) === "~")
+    assert(PathKeys.displayPath(s"${home}stead/x") === s"${home}stead/x")
+    assert(PathKeys.displayPath("/other/place") === "/other/place")
+  }
+
   // title extraction priority chains (reference title-extractor.ts:34-190)
   test("markdown title: frontmatter > H1 > filename") {
     val fm = "---\ntitle: From Frontmatter\n---\n# From H1\nbody"
