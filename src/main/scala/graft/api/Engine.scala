@@ -154,8 +154,14 @@ final class Engine(
     // realpath BOTH sides (reference list.ts:31-70 keys on realpathForMatch)
     // so symlinked-but-identical spellings still cross-reference
     val ingested = store.listFiles().withColumn("key", realpathUdf(col("filePath")))
+    val displayUdf = org.apache.spark.sql.functions.udf(
+      (p: String) => PathKeys.displayPath(p))
     scanned.join(ingested, Seq("key"), "left_outer")
-      .select(col("path"), col("bytes"),
+      .select(col("path"),
+        // home-abbreviated twin for anything user-facing (F18): the raw
+        // `path` stays the machine key, `display_path` is what gets shown
+        displayUdf(col("path")).as("display_path"),
+        col("bytes"),
         col("chunkCount").isNotNull.as("ingested"),
         coalesce(col("chunkCount"), lit(0L)).as("chunk_count"),
         col("lastModified"))

@@ -44,12 +44,15 @@ object PathKeys {
 
   /** user-facing display abbreviation: `$HOME` prefix → `~` (reference F18,
     * `src/utils/base-dirs.ts:95-107` — usernames must not leak into
-    * responses served over a protocol boundary) */
+    * responses served over a protocol boundary). Case-folded and
+    * either-separator on Windows, like the reference. */
   def displayPath(p: String): String = {
     val home = sys.props.getOrElse("user.home", "")
-    if (home.nonEmpty && (p == home || p.startsWith(home + "/")))
-      "~" + p.substring(home.length)
-    else p
+    if (home.isEmpty) return p
+    val (cp, ch) = if (isWindows) (p.toLowerCase, home.toLowerCase) else (p, home)
+    val isUnder = cp == ch ||
+      cp.startsWith(ch + "/") || (isWindows && cp.startsWith(ch + "\\"))
+    if (isUnder) "~" + p.substring(home.length) else p
   }
 
   /** canonicalize a user-requested path: realpath(parent) + basename —

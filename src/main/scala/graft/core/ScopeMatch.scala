@@ -23,10 +23,12 @@ object ScopeMatch {
   /** relative prefixes match nothing (reference: scope-match.ts:76-78) */
   def isUsablePrefix(p: String): Boolean = p.startsWith("/")
 
+  private def childPrefix(p: String): String = if (p == "/") "/" else p + "/"
+
   /** plain-Scala twin (used by driver-side helpers and tests) */
   def matches(path: String, prefix: String): Boolean = {
     val p = normalizePrefix(prefix)
-    isUsablePrefix(p) && (path == p || path.startsWith(p + "/"))
+    isUsablePrefix(p) && (path == p || path.startsWith(childPrefix(p)))
   }
 
   /** Column predicate: path in scope of ANY of the prefixes.
@@ -35,6 +37,6 @@ object ScopeMatch {
   def inScope(path: Column, prefixes: Seq[String]): Column = {
     val usable = prefixes.map(normalizePrefix).filter(isUsablePrefix)
     if (usable.isEmpty) lit(false)
-    else usable.map(p => path === lit(p) || path.startsWith(p + "/")).reduce(_ || _)
+    else usable.map(p => path === lit(p) || path.startsWith(childPrefix(p))).reduce(_ || _)
   }
 }

@@ -96,18 +96,31 @@ object DirectoryScanner {
   }
 
   /** nested-root pruning (reference U4, `src/utils/base-dirs.ts:279-335`):
-    * exact dedup, then drop any root nested under a surviving ancestor —
-    * scanning both `/a` and `/a/b` would double-visit `/a/b` */
-  def pruneNestedRoots(roots: Seq[String]): Seq[String] = {
-    val norm = roots.map(graft.core.PathKeys.storageSpelling).distinct
-    norm.filter(r => !norm.exists(a => a != r && graft.core.ScopeMatch.matches(r, a)))
+    * realpath-normalize (symlink-aliased roots must collide, like the
+    * reference's normalizeRealpath before dedup), exact dedup, then drop any
+    * root nested under a surviving ancestor — scanning both `/a` and `/a/b`
+    * would double-visit `/a/b`. Returns (surviving, pruned-with-ancestor)
+    * so callers can surface the closest-surviving-ancestor attribution
+    * instead of dropping roots silently. */
+  def pruneNestedRoots(roots: Seq[String]): (Seq[String], Seq[(String, String)]) = {
+    val norm = roots.map(PathKeys.realpathForMatch).distinct
+    val surviving = norm.filter(r => !norm.exists(a => a != r && ScopeMatch.matches(r, a)))
+    val pruned = norm.diff(surviving).map { r =>
+      // closest surviving ancestor = the longest surviving prefix of r
+      val anc = surviving.filter(a => ScopeMatch.matches(r, a)).maxBy(_.length)
+      r -> anc
+    }
+    (surviving, pruned)
   }
 
   /** multi-root scan: nested-root pruning, union + first-wins dedup by sync
-    * key (reference U4/J7/U1) */
+    * key (reference U4/J7/U1). Note: a pruned root is only covered through
+    * its ancestor's walk — depth budget counts from the ancestor, matching
+    * the reference's semantics. */
   def scanRoots(roots: Seq[String], excludePrefixes: Seq[String] = Seq.empty,
                 scope: Seq[String] = Seq.empty): ScanResult = {
-    val results = pruneNestedRoots(roots).map(scan(_, excludePrefixes, scope))
+    val (surviving, _) = pruneNestedRoots(roots)
+    val results = surviving.map(scan(_, excludePrefixes, scope))
     val seen = mutable.Set.empty[String]
     val files = results.flatMap(_.files).filter(f => seen.add(PathKeys.syncPathKey(f.path)))
     ScanResult(files,

@@ -33,12 +33,15 @@ class ScopeAndPathSpec extends AnyFunSuite {
     assert(PathKeys.realpathForMatch("/definitely/not/there/x.md") === "/definitely/not/there/x.md")
   }
 
-  test("nested-root pruning: descendants of surviving ancestors dropped") {
+  test("nested-root pruning: descendants dropped with ancestor attribution") {
     import graft.ingest.DirectoryScanner.pruneNestedRoots
-    assert(pruneNestedRoots(Seq("/a", "/a/b", "/c", "/a/b/c", "/cd")) ===
-      Seq("/a", "/c", "/cd"))
-    assert(pruneNestedRoots(Seq("/a", "/a")) === Seq("/a")) // exact dedup
-    assert(pruneNestedRoots(Seq("/ab", "/a")) === Seq("/ab", "/a")) // not prefixes
+    val (surviving, pruned) = pruneNestedRoots(Seq("/a", "/a/b", "/c", "/a/b/c", "/cd"))
+    assert(surviving === Seq("/a", "/c", "/cd"))
+    assert(pruned.toMap === Map("/a/b" -> "/a", "/a/b/c" -> "/a"))
+    assert(pruneNestedRoots(Seq("/a", "/a"))._1 === Seq("/a")) // exact dedup
+    assert(pruneNestedRoots(Seq("/ab", "/a"))._1 === Seq("/ab", "/a")) // not prefixes
+    // root "/" covers everything (the "//"-prefix bug regression guard)
+    assert(pruneNestedRoots(Seq("/", "/home/x"))._1 === Seq("/"))
   }
 
   test("display path abbreviates the home prefix only") {
