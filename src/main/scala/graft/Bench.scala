@@ -36,13 +36,17 @@ object Bench {
     }
     val results = headline.map { q =>
       val t0 = System.nanoTime()
-      try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      // a failed query reports -1, not its time-to-crash, and is excluded
+      // from the total — a fast failure must not look like a fast query
+      val elapsed =
+        try { q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      q.name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -63,18 +63,28 @@ final class Engine(
   }
 
   // ---- ingest_file (reference §3.2) ----
+  /** Single-document ingest computes chunks + vectors ONCE, driver-side
+    * (one document is below Spark's parallelism grain; the distributed path
+    * is Ingest.buildChunks for corpora). The path must be inside the
+    * configured roots or the managed raw-data dir — an out-of-root document
+    * would be silently pruned by the next sync (reference validateFilePath
+    * containment, parser/index.ts:165-235). */
   def ingestFile(path: String): IngestResult = {
     val spelled = PathKeys.storageSpelling(path)
+    require(spelled.startsWith(rawDataDir) || containedInRoots(spelled),
+      s"path outside configured roots: ${PathKeys.displayPath(spelled)}")
     val content = new String(Files.readAllBytes(Paths.get(spelled)), StandardCharsets.UTF_8)
     val ts = now()
-    val chunks = Ingest.buildChunks(
-      Seq(Ingest.Doc(spelled, content)).toDS(), mkEmbedder, ts).toDF()
-    // zero-chunk fail-fast BEFORE any destructive step happens inside
-    // upsertFile (ref: server/index.ts:635-642); writers serialize on the
-    // mutation guard (reentrant under sync's own hold)
-    mutationGuard.synchronized(store.upsertFile(spelled, chunks))
+    val embedder0 = mkEmbedder()
+    val chunks = graft.chunker.MaxMinChunker.chunkText(content, embedder0.embedBatch)
+    // zero-chunk fail-fast BEFORE any destructive step
+    // (ref: server/index.ts:635-642)
+    if (chunks.isEmpty) throw new Ingest.NoChunksError(spelled)
+    val rows = Ingest.assembleRows(Ingest.Doc(spelled, content), chunks,
+      embedder0.embedBatch(chunks.map(_.text)), ts).toSeq
+    mutationGuard.synchronized(store.upsertFile(spelled, rows.toDF()))
     val title = graft.ingest.TitleExtractor.forFile(content, spelled)
-    IngestResult(spelled, chunks.count(), title.value, ts)
+    IngestResult(spelled, rows.size.toLong, title.value, ts)
   }
 
   // ---- ingest_data (reference server/index.ts:731-797) ----
@@ -112,15 +122,41 @@ final class Engine(
     }
   }
 
+  /** a path is inside the configured roots both lexically AND canonically —
+    * a request reaching outside through a symlinked ancestor is refused
+    * (reference `isRequestedPathContained`, sync.ts:386-398) */
+  private def containedInRoots(p: String): Boolean = {
+    val lexical = roots.exists(r => ScopeMatch.matches(PathKeys.storageSpelling(p), r))
+    val canonical = roots.exists(r =>
+      ScopeMatch.matches(PathKeys.canonicalizeRequestedPath(p), PathKeys.realpathForMatch(r)))
+    lexical && canonical
+  }
+
   // ---- sync (reference §3.3: gather → plan → execute) ----
+  /** No scope → reconcile all roots. With a scope, each requested path is
+    * validated for containment (lexical + canonical, refused otherwise) and
+    * becomes its own depth-zero scan root (directory) or a direct target
+    * (file) — upserts are scope-limited, matching the reference
+    * (sync.ts:500-530). WITHIN a scanned root, coverage stays complete —
+    * scope is never pushed into the walk itself (prune safety,
+    * server/index.ts:1153-1157). */
   def sync(scope: Seq[String] = Seq.empty): SyncSummary = {
-    // coverage-complete scan: scope deliberately NOT pushed into the walk
-    // (ref: server/index.ts:1153-1157 — would corrupt prune safety)
-    val scanned = DirectoryScanner.scanRoots(roots,
+    val (scanRoots, directFiles, fileRequest) =
+      if (scope.isEmpty) (roots, Seq.empty[String], false)
+      else {
+        scope.foreach(p => require(containedInRoots(p),
+          s"requested path outside configured roots: ${PathKeys.displayPath(p)}"))
+        val spelled = scope.map(PathKeys.storageSpelling)
+        val (dirs, rest) = spelled.partition(p => Files.isDirectory(Paths.get(p)))
+        (dirs, rest.filter(p => Files.isRegularFile(Paths.get(p))),
+          dirs.isEmpty && rest.nonEmpty)
+      }
+    val scanned = DirectoryScanner.scanRoots(scanRoots,
       excludePrefixes = Seq(storePath, rawDataDir))
-    val disk = scanned.files.map { f =>
-      val content = Files.readAllBytes(Paths.get(f.path))
-      SyncPlanner.DiskFile(PathKeys.syncPathKey(f.path), f.path,
+    val allFiles = scanned.files.map(_.path) ++ directFiles
+    val disk = allFiles.map { f =>
+      val content = Files.readAllBytes(Paths.get(f))
+      SyncPlanner.DiskFile(PathKeys.syncPathKey(f), f,
         Some(Ingest.sha256Hex(new String(content, StandardCharsets.UTF_8))))
     }
     val db = store.manifest().collect().toSeq.map { r =>
@@ -129,17 +165,22 @@ final class Engine(
     }
     val plan = SyncPlanner.plan(disk, db,
       SyncPlanner.Coverage(scanned.coverage.unobservedPrefixes),
-      SyncPlanner.Request(scope, Seq(storePath, rawDataDir)))
+      SyncPlanner.Request(scope.map(PathKeys.syncPathKey),
+        Seq(storePath, rawDataDir), fileRequest = fileRequest))
 
-    var upserted = 0L; var empty = 0L
-    for (u <- plan.upserts) {
-      try { ingestFile(u.path); upserted += 1 }
-      catch { case _: Ingest.NoChunksError => empty += 1 }
-      for (stale <- u.staleSpellings) store.deleteFile(stale)
+    // execute under the mutation guard: stale/prune deletes must serialize
+    // with concurrent writers just like upserts (reentrant from syncStart)
+    mutationGuard.synchronized {
+      var upserted = 0L; var empty = 0L
+      for (u <- plan.upserts) {
+        try { ingestFile(u.path); upserted += 1 }
+        catch { case _: Ingest.NoChunksError => empty += 1 }
+        for (stale <- u.staleSpellings) store.deleteFile(stale)
+      }
+      for (p <- plan.prunes; spelling <- p.spellings) store.deleteFile(spelling)
+      SyncSummary(upserted, plan.skipped.size.toLong, empty,
+        plan.prunes.size.toLong, plan.held.size.toLong)
     }
-    for (p <- plan.prunes; spelling <- p.spellings) store.deleteFile(spelling)
-    SyncSummary(upserted, plan.skipped.size.toLong, empty,
-      plan.prunes.size.toLong, plan.held.size.toLong)
   }
 
   // ---- list_files (reference J4) ----
@@ -210,7 +251,10 @@ final class Engine(
         } catch { case e: Throwable =>
           SyncJob(jobId, running = false, None, Some(e.getMessage))
         }
-      jobRef.set(done)
+      // only publish if this job is still the current one — an old job
+      // finishing must not clobber a newer job's record (reference
+      // updateSyncJob ignores writes aimed at a replaced record)
+      jobRef.updateAndGet(cur => if (cur != null && cur.jobId == jobId) done else cur)
     }, s"graft-sync-$jobId")
     t.setDaemon(true)
     t.start()

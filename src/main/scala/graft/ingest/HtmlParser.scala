@@ -48,7 +48,8 @@ object HtmlParser {
   private def stripTags(s: String): String = s.replaceAll("(?s)<[^>]*>", " ")
 
   private def decodeEntities(s: String): String = s
-    .replace("&nbsp;", " ").replace("&amp;", "&")
+    .replace("&nbsp;", " ")
     .replace("&lt;", "<").replace("&gt;", ">")
     .replace("&quot;", "\"").replace("&#39;", "'").replace("&apos;", "'")
+    .replace("&amp;", "&") // LAST — else "&amp;lt;" double-decodes to "<"
 }

@@ -56,16 +56,28 @@ final class ChunkStore(spark: SparkSession, path: String, numBuckets: Int = 0) {
         .write.partitionBy("pbucket").mode(SaveMode.Append).parquet(path)
     else chunks.write.mode(SaveMode.Append).parquet(path)
 
-  /** atomic replace of one directory: write tmp, swap, drop old */
+  /** atomic replace of one directory: write tmp, swap, drop old.
+    * tmp/old live OUTSIDE the table root (a `pbucket=N.tmp-...` dir inside
+    * it would be parsed as a partition value and poison every later read),
+    * and every rename result is checked — a silent false would leave the
+    * table missing or doubled. */
   private def swapDir(target: String, df: DataFrame): Unit = {
-    val tmp = target + ".tmp-" + System.nanoTime()
+    val nano = System.nanoTime()
+    val tmp = s"$path.swap-$nano"
+    val old = s"$path.old-$nano"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val old = target + ".old-" + System.nanoTime()
     val p = new HPath(target); val t = new HPath(tmp); val o = new HPath(old)
     val f = fs
-    if (f.exists(p)) { f.rename(p, o) }
-    f.rename(t, p)
-    if (f.exists(o)) { f.delete(o, true) }
+    val parent = p.getParent
+    if (parent != null && !f.exists(parent)) f.mkdirs(parent)
+    if (f.exists(p) && !f.rename(p, o))
+      throw new java.io.IOException(s"swap failed: could not move $target aside")
+    if (!f.rename(t, p)) {
+      // restore the original before failing
+      if (f.exists(o)) f.rename(o, p)
+      throw new java.io.IOException(s"swap failed: could not move $tmp into place")
+    }
+    if (f.exists(o)) f.delete(o, true)
   }
 
   /** rewrite only what a single-file mutation touches: the file's bucket

@@ -25,21 +25,8 @@ object StreamingIngest {
   /** streaming docs(filePath, content) → streaming chunk rows; identical
     * semantics to Ingest.buildChunks (mapPartitions is stateless per batch) */
   def chunkStream(docs: Dataset[Ingest.Doc], mkEmbedder: () => Embedder,
-                  timestamp: String): Dataset[ChunkRow] = {
-    import docs.sparkSession.implicits._
-    docs.mapPartitions { it =>
-      val embedder = mkEmbedder()
-      it.flatMap { doc =>
-        val chunks = MaxMinChunker.chunkText(Option(doc.content).getOrElse(""),
-          embedder.embedBatch)
-        if (chunks.isEmpty) Iterator.empty
-        else {
-          val vectors = embedder.embedBatch(chunks.map(_.text))
-          Ingest.assembleRows(doc, chunks, vectors, timestamp)
-        }
-      }
-    }
-  }
+                  timestamp: String): Dataset[ChunkRow] =
+    Ingest.buildChunks(docs, mkEmbedder, timestamp) // one code path, two triggers
 
   /** event-time windowed counts with a watermark — late data beyond the
     * watermark is dropped, state is bounded */

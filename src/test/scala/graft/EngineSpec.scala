@@ -157,6 +157,20 @@ class EngineSpec extends AnyFunSuite {
     assert(r.coverage.unobservedPrefixes.exists(p => s"$deep/too-deep.md".startsWith(p)))
   }
 
+  test("scoped sync limits upserts to the requested path; out-of-root refused") {
+    val (engine, root) = mkEngine()
+    // file-scoped sync ingests exactly that file, not the whole root
+    val s = engine.sync(scope = Seq(s"$root/spark.md"))
+    assert(s.upserted === 1)
+    assert(engine.status()._2 === 1)
+    // directory-scoped sync then picks up the rest
+    val s2 = engine.sync(scope = Seq(root))
+    assert(s2.upserted === 1 && s2.skipped === 1 && s2.empty === 1)
+    // containment: requests and ingests outside the configured roots refuse
+    intercept[IllegalArgumentException] { engine.sync(scope = Seq("/etc")) }
+    intercept[IllegalArgumentException] { engine.ingestFile("/etc/hostname") }
+  }
+
   test("query params: vector-only degrade, maxDistance, maxFiles") {
     val (engine, _) = mkEngine()
     engine.sync()

@@ -36,9 +36,12 @@ def main(sf_dir, out_dir):
         spark_rows = con.sql(
             f"SELECT {', '.join(cols)} FROM spark_rel ORDER BY ALL").fetchall()
         if name not in oracles:
-            status = "ROWS-ONLY" if len(spark_rows) > 0 else "ROWS-ONLY-EMPTY!"
-            n_rowsonly += 1
-            print(f"  {status:10} {name} rows={len(spark_rows)}")
+            if len(spark_rows) > 0:
+                n_rowsonly += 1
+                print(f"  ROWS-ONLY  {name} rows={len(spark_rows)}")
+            else:
+                n_fail += 1
+                print(f"  FAIL       {name} rows-only query returned 0 rows")
             continue
         try:
             oracle_all = con.sql(oracles[name])
