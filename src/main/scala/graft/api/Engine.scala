@@ -32,6 +32,10 @@ final class Engine(
 
   val store = new ChunkStore(spark, storePath)
   private val rawDataDir = storePath + "-raw-data"
+  /** persisted FTS index, refreshed once per mutation batch (the reference's
+    * optimize() cadence — never once per file) */
+  private[graft] val ftsIndex = new graft.store.FtsIndexStore(spark, storePath + "-fts")
+  private def refreshFtsIndex(): Unit = ftsIndex.rebuild(store.read())
   private def embedder: Embedder = mkEmbedder()
 
   final case class IngestResult(filePath: String, chunkCount: Long,
@@ -58,7 +62,8 @@ final class Engine(
     HybridSearch.search(chunks, qv,
       HybridSearch.Params(limit = limit, maxDistance = maxDistance,
         weight = weight, maxFiles = maxFiles, grouping = grouping,
-        queryTokens = tokens))
+        queryTokens = tokens),
+      ftsIndex = ftsIndex.load())
       .select("filePath", "chunkIndex", "text", "fileTitle", "score", "boosted")
   }
 
@@ -70,6 +75,14 @@ final class Engine(
     * would be silently pruned by the next sync (reference validateFilePath
     * containment, parser/index.ts:165-235). */
   def ingestFile(path: String): IngestResult = {
+    val r = ingestFileNoRefresh(path)
+    refreshFtsIndex()
+    r
+  }
+
+  /** ingest without the per-call index refresh — sync batches many of these
+    * and refreshes ONCE at the end (ref skipOptimize, server/index.ts:546-549) */
+  private def ingestFileNoRefresh(path: String): IngestResult = {
     val spelled = PathKeys.storageSpelling(path)
     require(spelled.startsWith(rawDataDir) || containedInRoots(spelled),
       s"path outside configured roots: ${PathKeys.displayPath(spelled)}")
@@ -173,11 +186,14 @@ final class Engine(
     mutationGuard.synchronized {
       var upserted = 0L; var empty = 0L
       for (u <- plan.upserts) {
-        try { ingestFile(u.path); upserted += 1 }
+        try { ingestFileNoRefresh(u.path); upserted += 1 }
         catch { case _: Ingest.NoChunksError => empty += 1 }
         for (stale <- u.staleSpellings) store.deleteFile(stale)
       }
       for (p <- plan.prunes; spelling <- p.spellings) store.deleteFile(spelling)
+      // ONE index refresh per batch iff anything mutated (ref: single
+      // optimize(), features/sync.ts:459-465)
+      if (upserted > 0 || plan.prunes.nonEmpty) refreshFtsIndex()
       SyncSummary(upserted, plan.skipped.size.toLong, empty,
         plan.prunes.size.toLong, plan.held.size.toLong)
     }
@@ -269,8 +285,10 @@ final class Engine(
   }
 
   // ---- remaining tools ----
-  def deleteDocument(path: String): Unit =
+  def deleteDocument(path: String): Unit = {
     mutationGuard.synchronized(store.deleteFile(PathKeys.storageSpelling(path)))
+    refreshFtsIndex()
+  }
 
   def readChunkNeighbors(path: String, chunkIndex: Int,
                          before: Int = 2, after: Int = 2): DataFrame =

@@ -98,7 +98,8 @@ object HybridSearch {
     * one-row broadcast column (crossJoin upstream) or a literal array. */
   def search(chunks: DataFrame, queryVec: Column, p: Params,
              fileCol: String = "filePath", indexCol: String = "chunkIndex",
-             textColName: String = "text"): DataFrame = {
+             textColName: String = "text",
+             ftsIndex: Option[Bm25.Index] = None): DataFrame = {
     require(p.limit >= 1 && p.limit <= 20, "limit must be in 1..20") // ref: index.ts:346-348
     val tiebreak = Seq(fileCol, indexCol)
     val cand0 = VectorSearch.topK(chunks, queryVec, p.limit * CandidateMultiplier,
@@ -120,8 +121,13 @@ object HybridSearch {
         // self-join would resolve to a trivially-true condition, silently
         // un-restricting the max-normalization to the whole corpus.
         val hitFiles = cand2.select(col(fileCol).as("_hit_file")).distinct()
-        val ftsAll = Bm25.score(chunks, Seq(fileCol, indexCol),
-          Bm25.wordTokens(col(textColName)), p.queryTokens)
+        // a prebuilt index (FtsIndexStore) skips per-query corpus
+        // tokenization; the ad-hoc path computes the same values inline
+        val ftsAll = ftsIndex match {
+          case Some(idx) => Bm25.scoreIndexed(idx, Seq(fileCol, indexCol), p.queryTokens)
+          case None => Bm25.score(chunks, Seq(fileCol, indexCol),
+            Bm25.wordTokens(col(textColName)), p.queryTokens)
+        }
         val fts = ftsAll.join(broadcast(hitFiles),
           col(fileCol) === col("_hit_file"), "left_semi")
         applyKeywordBoost(cand2, fts, Seq(fileCol, indexCol), p.weight)

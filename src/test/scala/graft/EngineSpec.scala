@@ -157,6 +157,18 @@ class EngineSpec extends AnyFunSuite {
     assert(r.coverage.unobservedPrefixes.exists(p => s"$deep/too-deep.md".startsWith(p)))
   }
 
+  test("persisted FTS index: built per batch, indexed path equals ad-hoc") {
+    val (engine, _) = mkEngine()
+    engine.sync()
+    assert(engine.ftsIndex.exists) // one refresh per mutation batch
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("filePath"), r.getAs[Int]("chunkIndex"), r.getAs[Double]("boosted"))
+    val indexed = engine.queryDocuments("spark joins pasta", limit = 5).collect().map(key)
+    engine.ftsIndex.drop() // stored index gone → ad-hoc corpus scoring path
+    val adhoc = engine.queryDocuments("spark joins pasta", limit = 5).collect().map(key)
+    assert(indexed.toSeq === adhoc.toSeq)
+  }
+
   test("scoped sync limits upserts to the requested path; out-of-root refused") {
     val (engine, root) = mkEngine()
     // file-scoped sync ingests exactly that file, not the whole root
