@@ -62,6 +62,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("view") === 1L)
   }
 
+  test("append mode: watermark advance finalizes and emits closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val agg = StreamingIngest.windowedCounts(events, "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("win_append")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), "click"),
+      (Timestamp.valueOf("2026-01-01 10:50:00"), "click"))
+    q.processAllAvailable()
+    // window [10:00,11:00) still open — nothing emitted in append mode
+    assert(spark.sql("SELECT count(*) FROM win_append").as[Long].head() === 0L)
+    // an event far past the watermark horizon closes it
+    mem.addData((Timestamp.valueOf("2026-01-01 13:00:00"), "view"))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2026-01-01 14:00:00"), "view"))
+    q.processAllAvailable()
+    val closed = spark.sql(
+      "SELECT event_type, cnt FROM win_append WHERE window_start = '2026-01-01 10:00:00'")
+      .as[(String, Long)].collect().toMap
+    q.stop()
+    assert(closed === Map("click" -> 2L))
+    // late data for the closed window would now be dropped — state is bounded
+  }
+
+  test("file-source AvailableNow ingest writes chunk parquet incrementally") {
+    val inDir = Files.createTempDirectory("stream-in").toString
+    val out = Files.createTempDirectory("stream-out2").toString
+    val ckpt = Files.createTempDirectory("stream-ckpt2").toString
+    // docs arrive as JSON files in a watched directory
+    Files.write(java.nio.file.Paths.get(s"$inDir/batch1.json"),
+      """{"filePath":"/w/a.md","content":"Apache Spark executes distributed queries with resilient partitioned datasets across executor fleets."}"""
+        .getBytes("UTF-8"))
+    val docs = spark.readStream
+      .schema("filePath STRING, content STRING")
+      .json(inDir).as[Ingest.Doc]
+    StreamingIngest.runAvailableNow(docs, () => new HashedEmbedder(64),
+      "2026-01-01T00:00:00Z", out, ckpt)
+    val first = spark.read.parquet(out).count()
+    assert(first >= 1)
+    // second file arrives; AvailableNow resumes from the checkpoint and
+    // processes ONLY the new input (incremental reconciliation shape)
+    Files.write(java.nio.file.Paths.get(s"$inDir/batch2.json"),
+      """{"filePath":"/w/b.md","content":"Cooking risotto needs constant stirring with warm broth added slowly over gentle heat."}"""
+        .getBytes("UTF-8"))
+    StreamingIngest.runAvailableNow(docs, () => new HashedEmbedder(64),
+      "2026-01-01T00:00:00Z", out, ckpt)
+    val paths = spark.read.parquet(out).select("filePath").distinct()
+      .as[String].collect().toSet
+    assert(paths === Set("/w/a.md", "/w/b.md"))
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
