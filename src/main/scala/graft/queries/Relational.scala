@@ -262,6 +262,42 @@ object Relational {
              |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin),
       bench = true),
 
+    // ----- returned-item revenue (TPC-H Q10 shape: join + agg + top-k) -----
+    Q("q10_returned_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        li.join(broadcast(Tables.orders(s, d)), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // ----- exact interpolated quantiles (p50/p90/p99 latency-style stats) -----
+    Q("a7b_quantiles",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9D)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99D)"), 6).as("p99"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.5), 6) AS p50,
+             |  round(quantile_cont(value, 0.9), 6) AS p90,
+             |  round(quantile_cont(value, 0.99), 6) AS p99
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- J4: list cross-reference (left join + ingested flag) -----
     Q("j4_list_join",
       (s, d) => {
