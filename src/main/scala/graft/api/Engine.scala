@@ -26,16 +26,24 @@ final class Engine(
     spark: SparkSession,
     storePath: String,
     roots: Seq[String],
-    mkEmbedder: () => Embedder = () => new HashedEmbedder(64)) {
+    mkEmbedder: () => Embedder = () => new HashedEmbedder(64),
+    numBuckets: Int = 0) {
 
   import spark.implicits._
 
-  val store = new ChunkStore(spark, storePath)
+  val store = new ChunkStore(spark, storePath, numBuckets)
   private val rawDataDir = storePath + "-raw-data"
   /** persisted FTS index, refreshed once per mutation batch (the reference's
-    * optimize() cadence — never once per file) */
-  private[graft] val ftsIndex = new graft.store.FtsIndexStore(spark, storePath + "-fts")
+    * optimize() cadence — never once per file). In bucketed mode, single-file
+    * mutations refresh only the file's bucket (1/numBuckets of the corpus). */
+  private[graft] val ftsIndex =
+    new graft.store.FtsIndexStore(spark, storePath + "-fts", numBuckets)
   private def refreshFtsIndex(): Unit = ftsIndex.rebuild(store.read())
+  private def refreshFtsIndexFor(filePath: String): Unit =
+    if (numBuckets > 0 && ftsIndex.exists) {
+      val b = store.bucketOf(filePath)
+      ftsIndex.refreshBucket(store.readBucket(b), b)
+    } else refreshFtsIndex()
   private def embedder: Embedder = mkEmbedder()
 
   final case class IngestResult(filePath: String, chunkCount: Long,
@@ -76,7 +84,7 @@ final class Engine(
     * containment, parser/index.ts:165-235). */
   def ingestFile(path: String): IngestResult = {
     val r = ingestFileNoRefresh(path)
-    refreshFtsIndex()
+    refreshFtsIndexFor(r.filePath)
     r
   }
 
@@ -286,8 +294,9 @@ final class Engine(
 
   // ---- remaining tools ----
   def deleteDocument(path: String): Unit = {
-    mutationGuard.synchronized(store.deleteFile(PathKeys.storageSpelling(path)))
-    refreshFtsIndex()
+    val spelled = PathKeys.storageSpelling(path)
+    mutationGuard.synchronized(store.deleteFile(spelled))
+    refreshFtsIndexFor(spelled)
   }
 
   def readChunkNeighbors(path: String, chunkIndex: Int,

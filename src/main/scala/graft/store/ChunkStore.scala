@@ -80,6 +80,16 @@ final class ChunkStore(spark: SparkSession, path: String, numBuckets: Int = 0) {
     if (f.exists(o)) f.delete(o, true)
   }
 
+  /** current rows of one bucket partition (bucketed mode only) */
+  def readBucket(bucket: Long): DataFrame = {
+    require(bucketed, "readBucket requires a bucketed store")
+    val partDir = s"$path/pbucket=$bucket"
+    if (fs.exists(new HPath(partDir)))
+      spark.read.schema(ChunkSchema.schema).parquet(partDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ChunkSchema.schema)
+  }
+
   /** rewrite only what a single-file mutation touches: the file's bucket
     * partition in bucketed mode (1/numBuckets of the data — the 100 TB
     * shape), the whole table otherwise */

@@ -157,6 +157,32 @@ class EngineSpec extends AnyFunSuite {
     assert(r.coverage.unobservedPrefixes.exists(p => s"$deep/too-deep.md".startsWith(p)))
   }
 
+  test("bucketed engine: incremental index refresh equals full rebuild") {
+    val root = Files.createTempDirectory("bucketed-root").toString
+    val storeDir = Files.createTempDirectory("bucketed-store").toString + "/chunks"
+    (0 until 6).foreach(i => write(s"$root/doc$i.md",
+      s"# Doc $i\nDocument number $i talks about spark joins windows and aggregate pipelines " +
+        s"with partitioned distributed state number $i."))
+    val engine = new Engine(spark, storeDir, Seq(root), numBuckets = 4)
+    engine.sync()
+    assert(engine.ftsIndex.exists)
+    def results() = engine.queryDocuments("spark joins", limit = 5).collect()
+      .map(r => (r.getAs[String]("filePath"), r.getAs[Double]("boosted"))).toSeq
+
+    // single-file mutation → incremental bucket refresh
+    write(s"$root/doc3.md", "# Doc 3\nCompletely rewritten content about cooking pasta and tomato sauces instead.")
+    engine.ingestFile(s"$root/doc3.md")
+    val incremental = results()
+    // force a FULL rebuild and compare: identical rankings
+    engine.ftsIndex.rebuild(engine.store.read())
+    assert(results() === incremental)
+    // deletion through the incremental path stays consistent too
+    engine.deleteDocument(s"$root/doc5.md")
+    val afterDelete = results()
+    engine.ftsIndex.rebuild(engine.store.read())
+    assert(results() === afterDelete)
+  }
+
   test("persisted FTS index: built per batch, indexed path equals ad-hoc") {
     val (engine, _) = mkEngine()
     engine.sync()
