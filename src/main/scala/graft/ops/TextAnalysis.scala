@@ -60,4 +60,39 @@ object TextAnalysis {
   /** canonical fingerprint: md5 of lowercased, whitespace-collapsed text */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** winnowing parameters: k-gram rolling hash, window of W minima */
+  val WinnowK = 8
+  val WinnowWindow = 4
+  val WinnowBase = 31L
+  val WinnowMod = 2147483647L
+
+  /** Winnowing document fingerprints (rolling Rabin-Karp hashes over
+    * character k-grams, then the minimum of each W-length hash window —
+    * the classic near-dup/plagiarism fingerprint). Exact integer
+    * arithmetic, so the SQL oracle reproduces it bit-for-bit. Emits the
+    * distinct selected fingerprints as a sorted array. */
+  def winnowFingerprints(text: Column): Column = {
+    val k = WinnowK; val w = WinnowWindow; val b = WinnowBase; val m = WinnowMod
+    val f = udf((t: String) => {
+      val s = Option(t).getOrElse("")
+      if (s.length < k) Seq.empty[Long]
+      else {
+        // rolling hash: h(i+1) = ((h(i) - c_i·B^(k-1))·B + c_{i+k}) mod M
+        val pow = { var p = 1L; for (_ <- 1 until k) p = p * b % m; p }
+        val hs = new Array[Long](s.length - k + 1)
+        var h = 0L
+        for (j <- 0 until k) h = (h * b + s.charAt(j).toLong) % m
+        hs(0) = h
+        for (i <- 1 until hs.length) {
+          h = ((h - s.charAt(i - 1).toLong * pow % m + m * b) % m * b +
+            s.charAt(i + k - 1).toLong) % m
+          hs(i) = h
+        }
+        if (hs.length < w) Seq(hs.min)
+        else (0 to hs.length - w).map(i => hs.slice(i, i + w).min).distinct.sorted
+      }
+    })
+    f(text)
+  }
 }

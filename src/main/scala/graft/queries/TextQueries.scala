@@ -69,6 +69,44 @@ object TextQueries {
              |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- rolling-hash winnowing fingerprints (k=8 grams, window 4) -----
+    Q("t_winnow_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .filter(length(col("text")) >= TextAnalysis.WinnowK)
+        .select(col("doc_id"),
+          TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          element_at(col("fps"), 1).as("fp_min"),
+          expr("md5(array_join(transform(fps, x -> cast(x AS STRING)), ','))").as("fp_checksum"))
+        .orderBy("doc_id"),
+      Some {
+        // direct per-window Rabin-Karp form of the same hash: weights are
+        // B^(k-1-j) mod M precomputed for B=31, M=2^31-1, k=8
+        val m = TextAnalysis.WinnowMod
+        val weights = (0 until TextAnalysis.WinnowK).map { j =>
+          var p = 1L
+          for (_ <- 0 until (TextAnalysis.WinnowK - 1 - j)) p = p * TextAnalysis.WinnowBase % m
+          p
+        }.mkString("[", ", ", "]")
+        s"""WITH c AS (SELECT doc_id, text,
+           |    [ord(text[i])::BIGINT for i in range(1, length(text) + 1)] AS codes
+           |  FROM documents WHERE length(text) >= 8),
+           |h AS (SELECT doc_id,
+           |    [list_sum([codes[i + j] * ($weights)[j + 1] for j in range(0, 8)]) % $m
+           |     for i in range(1, len(codes) - 6)] AS hs
+           |  FROM c),
+           |f AS (SELECT doc_id,
+           |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+           |         ELSE list_sort(list_distinct(
+           |           [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]))
+           |    END AS fps
+           |  FROM h)
+           |SELECT doc_id, len(fps) AS n_fp, fps[1] AS fp_min,
+           |       md5(array_to_string(fps, ',')) AS fp_checksum
+           |FROM f ORDER BY doc_id""".stripMargin
+      }),
+
     // ----- F6: sha-256 content hash -----
     Q("f6_content_hash",
       (s, d) => Tables.documents(s, d).select(
