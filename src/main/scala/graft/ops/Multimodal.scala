@@ -60,6 +60,22 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Resize stub: deterministic payload downsampling (every `factor`-th
+    * byte) standing in for pixel-grid resampling. The Spark-side contract is
+    * real — binary in, smaller binary out, per-row projection, metadata
+    * updated — the byte math is the `???` a codec would replace. */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val f = udf((payload: Array[Byte]) =>
+      payload.zipWithIndex.collect { case (b, i) if i % factor == 0 => b })
+    media
+      .withColumn("payload", f(col("payload")))
+      .withColumn("meta", struct(
+        col("meta.source").as("source"),
+        length(col("payload")).cast("long").as("bytes"),
+        concat(col("meta.codec"), lit(s"/resized-1:$factor")).as("codec")))
+  }
+
   /** frame sampling: split payload into `n` contiguous byte ranges (last
     * frame takes the remainder); per-row generator, no shuffle */
   def frameSample(media: DataFrame, n: Int): DataFrame =

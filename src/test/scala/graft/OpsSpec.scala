@@ -96,6 +96,10 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(frames(0L) === ((10L, 4L))) // frames reassemble the payload exactly
     assert(frames(1L) === ((2L, 4L)))  // short payload: empty middle frames
+    val resized = Multimodal.resizeStub(media, 3)
+      .select("media_id", "meta.bytes").as[(Long, Long)].collect().toMap
+    assert(resized(0L) === 4L) // ceil(10/3) bytes survive
+    assert(resized(1L) === 1L)
   }
 
   test("IVF ANN: probed search recovers the brute-force top-k on clustered data") {
