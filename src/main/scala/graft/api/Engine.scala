@@ -67,11 +67,19 @@ final class Engine(
       else chunks0.filter(ScopeMatch.inScope(col("filePath"), scope))
     val qv = typedLit(embedder.embed(query).toSeq)
     val tokens = "[a-z0-9]+".r.findAllIn(query.toLowerCase).toSeq.distinct
+    // BM25 stats are GLOBAL regardless of scope — the reference's FTS index
+    // is corpus-wide and scope only restricts which rows come back — so the
+    // ad-hoc fallback builds its index from the UNSCOPED table too, keeping
+    // indexed and index-less scoring identical. No tokens → no index work.
+    val idx =
+      if (tokens.isEmpty) None
+      else ftsIndex.load().orElse(Some(Bm25.buildIndex(chunks0,
+        Seq("filePath", "chunkIndex"), Bm25.wordTokens(col("text")))))
     HybridSearch.search(chunks, qv,
       HybridSearch.Params(limit = limit, maxDistance = maxDistance,
         weight = weight, maxFiles = maxFiles, grouping = grouping,
         queryTokens = tokens),
-      ftsIndex = ftsIndex.load())
+      ftsIndex = idx)
       .select("filePath", "chunkIndex", "text", "fileTitle", "score", "boosted")
   }
 
@@ -82,7 +90,7 @@ final class Engine(
     * configured roots or the managed raw-data dir — an out-of-root document
     * would be silently pruned by the next sync (reference validateFilePath
     * containment, parser/index.ts:165-235). */
-  def ingestFile(path: String): IngestResult = {
+  def ingestFile(path: String): IngestResult = mutationGuard.synchronized {
     val r = ingestFileNoRefresh(path)
     refreshFtsIndexFor(r.filePath)
     r
@@ -138,8 +146,12 @@ final class Engine(
       s"""{"title": ${j(title)}, "source": ${j(normalized)}, "format": ${j(format)}}"""
         .getBytes(StandardCharsets.UTF_8))
     try ingestFile(target.toString)
-    catch { case e: Throwable =>
-      Files.deleteIfExists(target); Files.deleteIfExists(sidecar); throw e
+    catch {
+      // pre-destructive failure (nothing stored) → remove the raw files;
+      // a post-upsert failure (e.g. index refresh) keeps them — the store
+      // now references this document and the next sync reconciles it
+      case e: Ingest.NoChunksError =>
+        Files.deleteIfExists(target); Files.deleteIfExists(sidecar); throw e
     }
   }
 
@@ -293,9 +305,9 @@ final class Engine(
   }
 
   // ---- remaining tools ----
-  def deleteDocument(path: String): Unit = {
+  def deleteDocument(path: String): Unit = mutationGuard.synchronized {
     val spelled = PathKeys.storageSpelling(path)
-    mutationGuard.synchronized(store.deleteFile(spelled))
+    store.deleteFile(spelled)
     refreshFtsIndexFor(spelled)
   }
 

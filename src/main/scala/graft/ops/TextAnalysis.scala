@@ -75,18 +75,21 @@ object TextAnalysis {
   def winnowFingerprints(text: Column): Column = {
     val k = WinnowK; val w = WinnowWindow; val b = WinnowBase; val m = WinnowMod
     val f = udf((t: String) => {
-      val s = Option(t).getOrElse("")
+      // hash CODEPOINTS, not UTF-16 units — the SQL oracle's ord() and
+      // Spark's length() both count codepoints, so supplementary-plane
+      // characters must not desync the two sides
+      val s = Option(t).getOrElse("").codePoints().toArray
       if (s.length < k) Seq.empty[Long]
       else {
         // rolling hash: h(i+1) = ((h(i) - c_i·B^(k-1))·B + c_{i+k}) mod M
         val pow = { var p = 1L; for (_ <- 1 until k) p = p * b % m; p }
         val hs = new Array[Long](s.length - k + 1)
         var h = 0L
-        for (j <- 0 until k) h = (h * b + s.charAt(j).toLong) % m
+        for (j <- 0 until k) h = (h * b + s(j).toLong) % m
         hs(0) = h
         for (i <- 1 until hs.length) {
-          h = ((h - s.charAt(i - 1).toLong * pow % m + m * b) % m * b +
-            s.charAt(i + k - 1).toLong) % m
+          h = ((h - s(i - 1).toLong * pow % m + m * b) % m * b +
+            s(i + k - 1).toLong) % m
           hs(i) = h
         }
         if (hs.length < w) Seq(hs.min)

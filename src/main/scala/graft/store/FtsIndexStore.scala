@@ -48,17 +48,49 @@ final class FtsIndexStore(spark: SparkSession, path: String, numBuckets: Int = 0
     }
   }
 
-  /** full rebuild from the chunk table (one call per mutation batch) */
-  def rebuild(chunks: DataFrame): Unit = {
-    val (postings, docLens, stats) = buildParts(chunks)
-    if (bucketed) {
-      postings.write.partitionBy("pbucket").mode(SaveMode.Overwrite).parquet(postingsPath)
-      docLens.write.partitionBy("pbucket").mode(SaveMode.Overwrite).parquet(docLensPath)
-    } else {
-      postings.write.mode(SaveMode.Overwrite).parquet(postingsPath)
-      docLens.write.mode(SaveMode.Overwrite).parquet(docLensPath)
+  /** atomic directory replace: write tmp OUTSIDE the target, rename-aside
+    * swap, checked renames (same discipline as ChunkStore.swapDir) */
+  private def swapInto(target: String, write: String => Unit): Unit = {
+    val nano = System.nanoTime()
+    val tmp = s"$path-swap-$nano"
+    val old = s"$path-old-$nano"
+    write(tmp)
+    val f = fs
+    val tp = new HPath(target)
+    val parent = tp.getParent
+    if (parent != null && !f.exists(parent)) f.mkdirs(parent)
+    if (f.exists(tp) && !f.rename(tp, new HPath(old)))
+      throw new java.io.IOException(s"index swap failed: could not move $target aside")
+    if (!f.rename(new HPath(tmp), tp)) {
+      if (f.exists(new HPath(old))) f.rename(new HPath(old), tp)
+      throw new java.io.IOException(s"index swap failed: could not move $tmp into place")
     }
-    stats.write.mode(SaveMode.Overwrite).parquet(statsPath)
+    if (f.exists(new HPath(old))) f.delete(new HPath(old), true)
+  }
+
+  /** full rebuild from the chunk table (one call per mutation batch).
+    * Empty corpus → the index is dropped (queries fall back to ad-hoc
+    * scoring; a bucketed partitionBy write of zero rows would otherwise
+    * leave an unreadable postings dir behind a readable stats file).
+    * The token lineage is persisted so the three writes tokenize once. */
+  def rebuild(chunks: DataFrame): Unit = {
+    if (chunks.isEmpty) { drop(); return }
+    val (postings0, docLens0, stats) = buildParts(chunks)
+    val postings = postings0.persist()
+    val docLens = docLens0.persist()
+    try {
+      if (bucketed) {
+        swapInto(postingsPath,
+          tmp => postings.write.partitionBy("pbucket").mode(SaveMode.Overwrite).parquet(tmp))
+        swapInto(docLensPath,
+          tmp => docLens.write.partitionBy("pbucket").mode(SaveMode.Overwrite).parquet(tmp))
+      } else {
+        swapInto(postingsPath, tmp => postings.write.mode(SaveMode.Overwrite).parquet(tmp))
+        swapInto(docLensPath, tmp => docLens.write.mode(SaveMode.Overwrite).parquet(tmp))
+      }
+      // stats last: `exists` keys on stats, so readers only see a complete index
+      swapInto(statsPath, tmp => stats.write.mode(SaveMode.Overwrite).parquet(tmp))
+    } finally { postings.unpersist(); docLens.unpersist() }
   }
 
   /** incremental refresh of ONE bucket from that bucket's current chunks —
@@ -67,27 +99,27 @@ final class FtsIndexStore(spark: SparkSession, path: String, numBuckets: Int = 0
   def refreshBucket(bucketChunks: DataFrame, bucket: Long): Unit = {
     require(bucketed, "refreshBucket requires a bucketed index")
     val idx = Bm25.buildIndex(bucketChunks, idCols, Bm25.wordTokens(col("text")))
-    idx.postings.write.mode(SaveMode.Overwrite)
-      .parquet(s"$postingsPath/pbucket=$bucket")
-    idx.docLens.write.mode(SaveMode.Overwrite)
-      .parquet(s"$docLensPath/pbucket=$bucket")
-    val bucketStats = idx.docLens
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      .withColumn("pbucket", lit(bucket))
-      .select("pbucket", "n_docs", "sum_dl")
-    val others =
-      if (exists)
-        spark.read.parquet(statsPath).filter(col("pbucket") =!= bucket)
-          .select("pbucket", "n_docs", "sum_dl").collect().toSeq
-      else Seq.empty
-    val merged = spark.createDataFrame(
-      spark.sparkContext.parallelize(others ++ bucketStats.collect().toSeq),
-      bucketStats.schema)
-    val tmp = statsPath + ".tmp-" + System.nanoTime()
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    if (fs.exists(new HPath(statsPath))) fs.delete(new HPath(statsPath), true)
-    if (!fs.rename(new HPath(tmp), new HPath(statsPath)))
-      throw new java.io.IOException(s"stats swap failed for $statsPath")
+    val postings = idx.postings.persist()
+    val docLens = idx.docLens.persist()
+    try {
+      swapInto(s"$postingsPath/pbucket=$bucket",
+        tmp => postings.write.mode(SaveMode.Overwrite).parquet(tmp))
+      swapInto(s"$docLensPath/pbucket=$bucket",
+        tmp => docLens.write.mode(SaveMode.Overwrite).parquet(tmp))
+      val bucketStats = docLens
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        .withColumn("pbucket", lit(bucket))
+        .select("pbucket", "n_docs", "sum_dl")
+      val others =
+        if (exists)
+          spark.read.parquet(statsPath).filter(col("pbucket") =!= bucket)
+            .select("pbucket", "n_docs", "sum_dl").collect().toSeq
+        else Seq.empty
+      val merged = spark.createDataFrame(
+        spark.sparkContext.parallelize(others ++ bucketStats.collect().toSeq),
+        bucketStats.schema)
+      swapInto(statsPath, tmp => merged.write.mode(SaveMode.Overwrite).parquet(tmp))
+    } finally { postings.unpersist(); docLens.unpersist() }
   }
 
   def load(): Option[Bm25.Index] =
