@@ -61,6 +61,25 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** PII scrubbing for training corpora: emails, long digit runs (phone/IDs)
+    * and bare IPv4s replaced with typed placeholders. Pure regexp_replace
+    * chain — runs at scan speed and pushes through Catalyst. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{7,}\\b", "<NUMBER>")
+  }
+
+  /** deterministic train/val/test split from the portable content hash:
+    * stable across runs/engines, independent of row order — the property a
+    * reproducible corpus split needs (80/10/10) */
+  def hashSplit(key: Column): Column = {
+    val h = pmod(Dedup.hash60(key), lit(100L))
+    when(h < 80, lit("train")).when(h < 90, lit("val")).otherwise(lit("test"))
+  }
+
   /** winnowing parameters: k-gram rolling hash, window of W minima */
   val WinnowK = 8
   val WinnowWindow = 4

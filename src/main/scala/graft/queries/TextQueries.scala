@@ -69,6 +69,54 @@ object TextQueries {
              |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- PII redaction (emails / long digit runs / IPv4) -----
+    Q("t_redact_pii",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(
+            concat(col("text"), lit(" contact: user-"), col("doc_id").cast("string"),
+              lit("@example.com or 5551234567 at 10.0.0.1"))).as("redacted"))
+        .select(col("doc_id"), md5(col("redacted")).as("redacted_md5"),
+          (size(regexp_extract_all(col("redacted"), lit("<EMAIL>|<NUMBER>|<IP>"), lit(0))))
+            .cast("long").as("n_redactions"))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id,
+             |    regexp_replace(regexp_replace(regexp_replace(
+             |      text || ' contact: user-' || doc_id || '@example.com or 5551234567 at 10.0.0.1',
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |      '\b\d{7,}\b', '<NUMBER>', 'g') AS redacted
+             |  FROM documents)
+             |SELECT doc_id, md5(redacted) AS redacted_md5,
+             |       len(regexp_extract_all(redacted, '<EMAIL>|<NUMBER>|<IP>')) AS n_redactions
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ----- deterministic corpus split (80/10/10 by portable content hash) -----
+    Q("t_hash_split",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.hashSplit(md5(col("text"))).as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split"),
+      Some("""WITH s AS (SELECT lang,
+             |    CASE WHEN CAST(concat('0x', substr(md5(md5(text)), 1, 15)) AS BIGINT) % 100 < 80
+             |           THEN 'train'
+             |         WHEN CAST(concat('0x', substr(md5(md5(text)), 1, 15)) AS BIGINT) % 100 < 90
+             |           THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents)
+             |SELECT lang, split, count(*) AS n_docs FROM s
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- corpus length histogram (token-count buckets of 50) -----
+    Q("t_length_histogram",
+      (s, d) => Tables.documents(s, d)
+        .select(least(floor(TextAnalysis.tokenCount(col("text")) / 50), lit(5L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket"),
+      Some("""SELECT least(len(regexp_extract_all(text, '\S+')) // 50, 5) AS bucket,
+             |       count(*) AS n_docs
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- rolling-hash winnowing fingerprints (k=8 grams, window 4) -----
     Q("t_winnow_fingerprint",
       (s, d) => Tables.documents(s, d)
