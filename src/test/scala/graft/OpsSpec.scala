@@ -121,6 +121,46 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.intersect(brute).size >= 8, s"recall too low: $ivf vs $brute")
   }
 
+  test("pii redaction is idempotent and catches the planted patterns") {
+    val rows = Seq(
+      (0L, "reach me at jane.doe+x@corp.example.org thanks"),
+      (1L, "call 12345678 or ping 192.168.1.100 today"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val once = rows.select($"doc_id", TextAnalysis.redactPii($"text").as("r"))
+    val twice = once.select($"doc_id", TextAnalysis.redactPii($"r").as("r"))
+    assert(once.collect().toSeq === twice.collect().toSeq) // idempotent
+    val byId = once.as[(Long, String)].collect().toMap
+    assert(byId(0L).contains("<EMAIL>") && !byId(0L).contains("@"))
+    assert(byId(1L).contains("<NUMBER>") && byId(1L).contains("<IP>"))
+    assert(byId(2L) === "no pii here at all")
+  }
+
+  test("hash split is deterministic and roughly 80/10/10") {
+    val keys = (0 until 2000).map(i => Tuple1(s"doc-content-$i")).toDF("k")
+    val counts = keys.select(TextAnalysis.hashSplit($"k").as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 1600L) < 100)
+    assert(math.abs(counts("val") - 200L) < 60)
+    assert(math.abs(counts("test") - 200L) < 60)
+    // stable across evaluations
+    val again = keys.select(TextAnalysis.hashSplit($"k").as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(again === counts)
+  }
+
+  test("winnowing fingerprints overlap heavily for near-duplicate documents") {
+    val base = "the quick brown fox jumps over the lazy dog while spark processes distributed data"
+    val rows = Seq((0L, base), (1L, base + " with a small appended suffix"),
+      (2L, "entirely different content about cooking pasta with rich tomato sauce"))
+      .toDF("doc_id", "text")
+    val fps = rows.select($"doc_id", TextAnalysis.winnowFingerprints($"text").as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val overlap01 = fps(0L).toSet.intersect(fps(1L).toSet).size.toDouble / fps(0L).size
+    val overlap02 = fps(0L).toSet.intersect(fps(2L).toSet).size.toDouble / fps(0L).size
+    assert(overlap01 > 0.8, s"near-dup overlap too low: $overlap01")
+    assert(overlap02 < 0.2, s"unrelated overlap too high: $overlap02")
+  }
+
   test("bm25 indexed path equals ad-hoc path") {
     val docs = Seq((0L, "spark joins data"), (1L, "spark spark streaming"),
       (2L, "other words entirely")).toDF("doc_id", "text")
