@@ -29,7 +29,13 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # an oracle whose result dir is missing means the query CRASHED at build
+    # time — that must fail loudly, not vanish from the report
+    missing = sorted(set(oracles) - set(names))
     n_pass = n_fail = n_rowsonly = 0
+    for name in missing:
+        print(f"  FAIL       {name} no result written (query crashed during Verify)")
+        n_fail += 1
     for name in names:
         spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         cols = sorted(spark_rel.columns)
