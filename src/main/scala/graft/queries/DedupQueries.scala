@@ -110,6 +110,86 @@ object DedupQueries {
               |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
+    // ----- end-use: clean corpus via LSH candidates → Jaccard verify →
+    // keep-canonical (the dedup pipeline a training corpus actually runs) -----
+    Q("d_clean_corpus",
+      (s, d) => {
+        val corpus = dupCorpus(s, d)
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .withColumn("shs", Dedup.wordShingles("ws", 5))
+        val withSig = corpus.filter(size(col("shs")) > 0)
+          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
+          .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        val candidates = Dedup.lshCandidatePairs(
+          Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
+        val verified = Dedup.jaccardPairs(corpus, "doc_id", "shs", threshold = 0.8)
+          .join(candidates, Seq("id_a", "id_b"), "left_semi")
+        // drop the larger id of every verified pair (keep-canonical = min id)
+        val dropped = verified.select(col("id_b").as("doc_id")).distinct()
+        corpus.join(dropped, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("kept_docs"))
+      },
+      Some(s"""WITH $ShinglesCte,
+              |hs AS (SELECT doc_id,
+              |    list_transform(shs, s ->
+              |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+              |  FROM sh WHERE len(shs) > 0),
+              |sig AS (SELECT doc_id,
+              |    [list_min(list_transform(hs, h -> ((2*i+3) * h + (7*i+1)) % 2147483647))
+              |     for i in range(0, 16)] AS sig
+              |  FROM hs),
+              |bands AS (SELECT doc_id, t.b,
+              |    md5(concat_ws(',', sig[t.b*4+1]::VARCHAR, sig[t.b*4+2]::VARCHAR,
+              |                       sig[t.b*4+3]::VARCHAR, sig[t.b*4+4]::VARCHAR)) AS band_hash
+              |  FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+              |posts AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |          FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |verified AS (SELECT i.id_a, i.id_b
+              |  FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.id_a
+              |  JOIN sizes sb ON sb.doc_id = i.id_b
+              |  JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |  WHERE round(i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter), 4) >= 0.8),
+              |dropped AS (SELECT DISTINCT id_b AS doc_id FROM verified)
+              |SELECT count(*) AS kept_docs FROM corpus
+              |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin),
+      bench = true),
+
+    // ----- end-use: benchmark decontamination (train docs sharing 5-gram
+    // shingles with a held-out benchmark set are flagged) -----
+    Q("d_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .withColumn("shs", Dedup.wordShingles("ws", 5))
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("shs")).as("sh")).distinct()
+        val train = docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("shs")).as("sh"))
+        train.join(broadcast(bench), "sh")
+          .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |          FROM documents),
+             |sh AS (SELECT doc_id,
+             |         CASE WHEN len(ws) >= 5
+             |           THEN list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])
+             |           ELSE [] END AS shs
+             |       FROM w),
+             |bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0),
+             |train AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0)
+             |SELECT t.doc_id, count(DISTINCT t.s) AS n_shared
+             |FROM train t JOIN bench b ON t.s = b.s
+             |GROUP BY 1 HAVING count(DISTINCT t.s) >= 3 ORDER BY 1""".stripMargin)),
+
     // ----- SimHash signatures (32-bit, per-row projection) -----
     Q("d_simhash",
       (s, d) => dupCorpus(s, d)

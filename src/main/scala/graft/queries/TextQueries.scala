@@ -107,6 +107,26 @@ object TextQueries {
              |SELECT lang, split, count(*) AS n_docs FROM s
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- token budget: training tokens per lang per split (the "how many
+    // tokens do we have" query every corpus build ends with) -----
+    Q("t_token_budget",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          TextAnalysis.hashSplit(md5(col("text"))).as("split"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .groupBy("lang", "split")
+        .agg(sum(col("n_tok")).as("tokens"), count(lit(1)).as("docs"))
+        .orderBy("lang", "split"),
+      Some("""WITH s AS (SELECT lang, len(regexp_extract_all(text, '\S+')) AS n_tok,
+             |    CASE WHEN CAST(concat('0x', substr(md5(md5(text)), 1, 15)) AS BIGINT) % 100 < 80
+             |           THEN 'train'
+             |         WHEN CAST(concat('0x', substr(md5(md5(text)), 1, 15)) AS BIGINT) % 100 < 90
+             |           THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents)
+             |SELECT lang, split, sum(n_tok)::BIGINT AS tokens, count(*) AS docs
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----- corpus length histogram (token-count buckets of 50) -----
     Q("t_length_histogram",
       (s, d) => Tables.documents(s, d)
