@@ -381,6 +381,26 @@ object Relational {
              |  SELECT user_id, event_type, grp, count(*) AS run_len FROM o GROUP BY 1, 2, 3)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- W6: explicit frame spec — running total per partition -----
+    Q("w6_running_total",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d).filter(col("o_custkey") % 100 === 0)
+          .withColumn("running_spend",
+            sum(col("o_totalprice").cast(DecimalType(30, 2))).over(w).cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("running_spend"))
+          .orderBy("o_custkey", "orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+             |FROM orders WHERE o_custkey % 100 = 0
+             |ORDER BY o_custkey, orderdate, o_orderkey""".stripMargin)),
+
     // ----- U1: union + dedup -----
     Q("u1_union_dedup",
       (s, d) => {
