@@ -93,6 +93,63 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  // ---- Product quantization: memory-efficient ANN codes ----
+
+  /** A PQ index: each vector stored as `m` small centroid ids (here m×4
+    * bits-ish instead of dim×32-bit floats — the compression that lets a
+    * billion-vector index live in executor memory). Codebooks are tiny
+    * driver-side arrays; codes are a persistable DataFrame. */
+  final case class PqIndex(codes: DataFrame,
+                           codebooks: Array[Array[Array[Float]]], // m × k × subdim
+                           m: Int, dim: Int)
+
+  /** train per-subvector KMeans codebooks (deterministic seed) and encode
+    * every vector as its nearest-centroid id per block */
+  def buildPq(df: DataFrame, idCol: String, vecColName: String, dim: Int,
+              m: Int = 4, k: Int = 16, seed: Long = 42L): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, "dim must divide into m blocks")
+    val sub = dim / m
+    var cur = df
+    val codebooks = new Array[Array[Array[Float]]](m)
+    for (b <- 0 until m) {
+      val featCol = s"_pq_feat_$b"
+      val withFeat = cur.withColumn(featCol,
+        array_to_vector(expr(s"slice($vecColName, ${b * sub + 1}, $sub)")))
+      val model = new KMeans().setK(k).setSeed(seed + b).setMaxIter(20)
+        .setFeaturesCol(featCol).setPredictionCol(s"_pq_code_$b").fit(withFeat)
+      codebooks(b) = model.clusterCenters.map(_.toArray.map(_.toFloat))
+      cur = model.transform(withFeat).drop(featCol)
+    }
+    val codes = cur.select(col(idCol),
+      array((0 until m).map(b => col(s"_pq_code_$b")): _*).as("pq_code"))
+    PqIndex(codes, codebooks, m, dim)
+  }
+
+  /** ANN top-k by asymmetric distance: the query precomputes a per-block
+    * distance table to every centroid (driver-side, m×k doubles), and each
+    * stored vector's approximate distance is m table lookups — no float
+    * vector is ever read at query time. */
+  def pqTopK(idx: PqIndex, idCol: String, queryVec: Array[Float], kTop: Int): DataFrame = {
+    val sub = idx.dim / idx.m
+    // distance table: squared L2 from the query subvector to each centroid
+    val table: Array[Array[Double]] = Array.tabulate(idx.m) { b =>
+      idx.codebooks(b).map { c =>
+        var s = 0.0; var j = 0
+        while (j < sub) { val d = queryVec(b * sub + j) - c(j); s += d * d; j += 1 }
+        s
+      }
+    }
+    val dist = (0 until idx.m).map { b =>
+      element_at(typedLit(table(b).toSeq), col("pq_code").getItem(b) + 1)
+    }.reduce(_ + _)
+    idx.codes.withColumn("approx_dist", dist)
+      .orderBy(col("approx_dist"), col(idCol))
+      .limit(kTop)
+      .select(col(idCol), round(col("approx_dist"), 4).as("approx_dist"))
+  }
+
   /** LSH-blocked near-dup pairs: candidate pairs limited to equal SRP
     * buckets — the linear-ish scale path next to the exact quadratic pair
     * join (recall bounded by bucket collision probability; raise recall by

@@ -338,6 +338,18 @@ object DedupQueries {
       },
       None),
 
+    // ----- PQ ANN (product-quantized codes, asymmetric distance; KMeans
+    // codebooks are not SQL-expressible → rows-only, recall-tested in specs) -----
+    Q("ann_pq_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val qv = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val idx = Similarity.buildPq(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+        Similarity.pqTopK(idx, "vec_id", qv, kTop = 10)
+      },
+      None),
+
     // ----- multimodal: binary payload + typed metadata projection -----
     Q("m_binary_meta",
       (s, d) => Multimodal.fromDocuments(Tables.documents(s, d), "doc_id", "text", "source")

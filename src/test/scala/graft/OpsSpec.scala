@@ -83,6 +83,25 @@ class OpsSpec extends AnyFunSuite {
     assert(top === 7L)
   }
 
+  test("PQ ANN: asymmetric-distance search recovers brute-force neighbors") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val qv = vecs.filter($"vec_id" === 3).select("embedding").head().getSeq[Float](0).toArray
+    val brute = vecs
+      .withColumn("score", graft.search.VectorSearch.dotDistance($"embedding", typedLit(qv.toSeq)))
+      .orderBy("score", "vec_id").limit(10).select("vec_id").as[Long].collect().toSet
+    val idx = Similarity.buildPq(vecs, "vec_id", "embedding", dim = 16, m = 4, k = 8)
+    // PQ shortlists 30 by approximate distance; the true top-10 should be in it
+    val shortlist = Similarity.pqTopK(idx, "vec_id", qv, kTop = 30)
+      .select("vec_id").as[Long].collect().toSet
+    assert(brute.intersect(shortlist).size >= 8,
+      s"PQ shortlist missed too many true neighbors: ${brute.diff(shortlist)}")
+  }
+
   test("multimodal: decode stub features and frame partition arithmetic") {
     val media = Multimodal.fromDocuments(
       Seq((0L, "abcdefghij", "s0"), (1L, "xy", "s1")).toDF("doc_id", "text", "source"),
