@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through verbatim — no "[info] " log
+// prefix — so the one-line JSON from graft.Bench/graft.Verify stays
+// machine-parseable when invoked via `sbt "runMain graft.Bench"`.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

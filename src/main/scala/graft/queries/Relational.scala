@@ -503,8 +503,8 @@ object Relational {
       },
       Some("""WITH o AS (SELECT user_id, ts, event_id,
              |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
-             |SELECT user_id, sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
-             |                         THEN 1 ELSE 0 END) AS sessions
+             |SELECT user_id, CAST(sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+             |                              THEN 1 ELSE 0 END) AS BIGINT) AS sessions
              |FROM o GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -161,7 +161,8 @@ object TextQueries {
            |    [ord(text[i])::BIGINT for i in range(1, length(text) + 1)] AS codes
            |  FROM documents WHERE length(text) >= 8),
            |h AS (SELECT doc_id,
-           |    [list_sum([codes[i + j] * ($weights)[j + 1] for j in range(0, 8)]) % $m
+           |    [CAST(list_sum([codes[i + j] * ($weights)[j + 1] for j in range(0, 8)]) % $m
+           |          AS BIGINT)
            |     for i in range(1, len(codes) - 6)] AS hs
            |  FROM c),
            |f AS (SELECT doc_id,

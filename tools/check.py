@@ -51,6 +51,15 @@ def main(sf_dir, out_dir):
             continue
         try:
             oracle_all = con.sql(oracles[name])
+            # the real driver converts oracle results via pandas/arrow, where
+            # HUGEINT becomes float64 ("3.0" != "3") — fail loudly here so an
+            # uncast sum(int)/list_sum never reaches the driver (bit us in r1)
+            huge = [c for c, t in zip(oracle_all.columns, oracle_all.types)
+                    if str(t) in ("HUGEINT", "UHUGEINT")]
+            if huge:
+                print(f"  FAIL       {name} HUGEINT oracle columns {huge}: add CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
             ocols = sorted(oracle_all.columns)
             if ocols != cols:
                 print(f"  FAIL       {name} schema: spark={cols} oracle={ocols}")
