@@ -49,13 +49,24 @@ object Dedup {
     f(col(wordsColName))
   }
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
-  /** Scala twin of [[hash60]] (identical value) */
-  def hash60Scala(s: String): Long =
-    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+  /** Scala twin of [[hash60]] (identical value). The first 15 hex nibbles of
+    * the md5 are bytes 0-6 plus the high nibble of byte 7 — assembled
+    * directly from the digest, no hex-string round trip (this runs once per
+    * shingle; a format-per-byte hex encode dominated the minhash profile). */
+  def hash60Scala(s: String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >> 4)
+  }
 
   /** exact duplicate groups by normalized-content fingerprint */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -121,19 +132,41 @@ object Dedup {
     * (id_a, id_b, jaccard) for pairs sharing >= 1 shingle. */
   def jaccardPairs(df: DataFrame, idCol: String, shinglesCol: String,
                    threshold: Double): DataFrame = {
-    val sizes = df.select(col(idCol), size(col(shinglesCol)).as("n_sh"))
-    val posts = df.select(col(idCol), explode(col(shinglesCol)).as("sh"))
-    val l = posts.select(col("sh"), col(idCol).as("id_a"))
-    val r = posts.select(col("sh"), col(idCol).as("id_b"))
-    val inter = l.join(r, "sh").filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    // set size rides along the posting explode, so the per-pair union size
+    // is recovered from the grouped rows themselves (max of a functionally-
+    // dependent column) — no separate sizes relation, no post-agg joins.
+    // Persisting the postings makes the self-join read the (expensive)
+    // shingle projection once instead of once per side.
+    val posts = df.select(col(idCol), size(col(shinglesCol)).as("n_sh"),
+        explode(col(shinglesCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = posts.select(col("sh"), col(idCol).as("id_a"), col("n_sh").as("n_a"))
+    val r = posts.select(col("sh"), col(idCol).as("id_b"), col("n_sh").as("n_b"))
+    l.join(r, "sh").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"), max("n_a").as("n_a"), max("n_b").as("n_b"))
       .withColumn("jaccard",
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** exact Jaccard evaluated ONLY on given (id_a, id_b) pairs — the verify
+    * stage after LSH blocking. Per pair this is one array_intersect over the
+    * two (distinct) shingle arrays: no posting self-join, no quadratic
+    * blowup. The pair set is broadcast against the corpus scan, so the big
+    * side never shuffles; the joined pair rows are then small by
+    * construction (|candidates|). */
+  def jaccardOnPairs(pairs: DataFrame, df: DataFrame, idCol: String,
+                     shinglesCol: String): DataFrame = {
+    val l = df.select(col(idCol).cast("long").as("id_a"), col(shinglesCol).as("_shs_a"))
+    val r = df.select(col(idCol).cast("long").as("id_b"), col(shinglesCol).as("_shs_b"))
+    l.join(broadcast(pairs.select("id_a", "id_b")), Seq("id_a"))
+      .join(r, Seq("id_b"))
+      .withColumn("_inter", size(array_intersect(col("_shs_a"), col("_shs_b"))))
+      .withColumn("jaccard", round(col("_inter") /
+        (size(col("_shs_a")) + size(col("_shs_b")) - col("_inter")), 4))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** SimHash over a words-array column: distinct words hashed (portable

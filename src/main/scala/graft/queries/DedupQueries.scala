@@ -114,16 +114,23 @@ object DedupQueries {
     // keep-canonical (the dedup pipeline a training corpus actually runs) -----
     Q("d_clean_corpus",
       (s, d) => {
+        // the shingled corpus feeds three consumers (minhash signatures,
+        // both sides of the pair verify) — persist so the shingle UDF runs
+        // once, the in-session twin of a stored shingle table
         val corpus = dupCorpus(s, d)
           .withColumn("ws", Dedup.wordsArray("text"))
           .withColumn("shs", Dedup.wordShingles("ws", 5))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val withSig = corpus.filter(size(col("shs")) > 0)
           .withColumn("hs", Dedup.shingleBaseHashes("shs"))
           .withColumn("sig", Dedup.minhashSignature("hs", 16))
         val candidates = Dedup.lshCandidatePairs(
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
-        val verified = Dedup.jaccardPairs(corpus, "doc_id", "shs", threshold = 0.8)
-          .join(candidates, Seq("id_a", "id_b"), "left_semi")
+        // verify Jaccard ONLY on the LSH candidate pairs (the production
+        // shape: candidates ≪ all-pairs, so the exact check is a per-pair
+        // array_intersect, not a full shingle-posting self-join)
+        val verified = Dedup.jaccardOnPairs(candidates, corpus, "doc_id", "shs")
+          .filter(col("jaccard") >= 0.8)
         // drop the larger id of every verified pair (keep-canonical = min id)
         val dropped = verified.select(col("id_b").as("doc_id")).distinct()
         corpus.join(dropped, Seq("doc_id"), "left_anti")

@@ -94,15 +94,37 @@ object Bm25 {
     * (`src/vectordb/index.ts:395-407`). */
   def score(docs: DataFrame, idCols: Seq[String], tokens: Column,
             queryTokens: Seq[String], p: Params = Params()): DataFrame = {
-    // ad-hoc path: filter to query tokens BEFORE the postings groupBy so the
-    // full-corpus postings shuffle never happens (the indexed path pays it
-    // once at build time instead)
+    // ad-hoc path, single-pass: the query's tokens are known statically, so
+    // per-token tf pivots into the SAME map-side-combined groupBy that
+    // computes doc length — one tokenize, one explode, one shuffle carrying
+    // (id, dl, tf_0..tf_k). Corpus stats AND per-token document frequencies
+    // then collapse into ONE broadcast row. (The previous shape tokenized
+    // and exploded the corpus twice — once for lengths, once for postings —
+    // and paid a second shuffle joining them back.)
     val idc = idCols.map(col)
     val toks = docs.select(idc :+ explode(tokens).as("tok"): _*)
-    val dl = toks.groupBy(idc: _*).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val tf = toks.filter(col("tok").isin(queryTokens: _*))
-      .groupBy(idc :+ col("tok"): _*).agg(count(lit(1)).as("tf"))
-    scoreIndexed(Index(tf, dl, stats), idCols, queryTokens, p)
+    val tfCols = queryTokens.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"_tf$i")
+    }
+    val perDoc = toks.groupBy(idc: _*)
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val statCols = Seq(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")) ++
+      queryTokens.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val w = queryTokens.indices.map { i =>
+      val tf = col(s"_tf$i").cast("double")
+      val dfq = col(s"_df$i")
+      val idf = log(lit(1.0) + (col("n_docs") - dfq + 0.5) / (dfq + 0.5))
+      // tf = 0 ⇒ the term is 0, matching the postings form where absent
+      // tokens simply contribute no row to the per-doc sum
+      idf * (tf * (p.k1 + 1.0)) /
+        (tf + lit(p.k1) * (lit(1.0 - p.b) + lit(p.b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .filter(queryTokens.indices.map(i => col(s"_tf$i")).reduce(_ + _) > 0)
+      .withColumn("bm25", w)
+      .select(idc :+ col("bm25"): _*)
   }
 }
