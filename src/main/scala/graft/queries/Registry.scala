@@ -22,7 +22,7 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     Relational.qs ++ RagQueries.qs ++ PipelineQueries.qs ++
-      TextQueries.qs ++ DedupQueries.qs
+      TextQueries.qs ++ DedupQueries.qs ++ TimeQueries.qs
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.ops.TimeJoins
+import graft.streaming.StreamingIngest
+
+/** Event-time operators over the events table: as-of (point-in-time) join,
+  * bounded range join, rollup/pivot shapes, and the streaming twin of the
+  * hourly rollup (a real Structured Streaming job whose final state the
+  * DuckDB oracle checks against the batch aggregation).
+  *
+  * The reference has no event-time processing at all — these are part of the
+  * added large-scale-pipeline surface (attribution, activity windows,
+  * OLAP-style summaries over ingest telemetry).
+  */
+object TimeQueries {
+
+  private def dsum(c: Column, scale: Int = 8): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double")
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- as-of join: each purchase attributed to the user's latest click
+    // at-or-before it (union-tag + single-shuffle timeline sweep) -----
+    Q("j_asof_attrib",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts")
+        TimeJoins.asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("ts"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_us"),
+            unix_micros(col("asof_ts")).as("click_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us,
+             |       max(epoch_us(c.ts)) AS click_us
+             |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // ----- bounded range join: views in the 30 minutes after each purchase
+    // (equi-join on (user, time-bucket), bucket width = window span) -----
+    Q("j_range_follow",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "ts")
+        TimeJoins.rangeCountJoin(purchases, views, "user_id", "ts", "ts",
+            loSec = 0L, hiSec = 1800L)
+          .select(col("event_id"), col("user_id"), col("n_matches"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+             |SELECT p.event_id, p.user_id, count(v.user_id) AS n_matches
+             |FROM p LEFT JOIN v ON v.user_id = p.user_id
+             |  AND v.ts > p.ts AND v.ts <= p.ts + INTERVAL 30 MINUTE
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // ----- ROLLUP: revenue at (flag, status), per-flag, and grand total -----
+    Q("a_rollup_revenue",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        // rescale the exact decimal sum to 2 places BEFORE the double cast:
+        // per-row double→decimal(…,8) casts can differ between engines in
+        // the last decimal ulp, which cancels at subgroup level but crossed
+        // a double ulp boundary in the grand total
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(30, 8)))
+          .cast(DecimalType(30, 2)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("revenue"), col("n_items"))
+        .orderBy("flag", "status"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             |       coalesce(l_linestatus, 'ALL') AS status,
+             |  -- round(), not a DECIMAL(30,2) cast: DuckDB's decimal
+             |  -- downcast TRUNCATES, while round() is HALF_UP like Spark's
+             |  -- Decimal.changePrecision
+             |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ----- PIVOT: per user-decile event-type counts (explicit pivot values:
+    // no driver-side distinct scan, stable schema at any scale) -----
+    Q("a_pivot_events",
+      (s, d) => Tables.events(s, d)
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy("bucket")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("bucket"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("view"), lit(0L)).as("view"))
+        .orderBy("bucket"),
+      Some("""SELECT user_id % 10 AS bucket,
+             |  count(*) FILTER (WHERE event_type = 'click') AS click,
+             |  count(*) FILTER (WHERE event_type = 'error') AS error,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |  count(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- §2.10: the hourly rollup as a REAL Structured Streaming job
+    // (readStream → watermark → windowed agg → AvailableNow → final state);
+    // the oracle checks the stream's complete-mode result equals the batch
+    // aggregation over the same input -----
+    Q("e_stream_rollup",
+      (s, d) => StreamingIngest.hourlyRollupAvailableNow(s, s"$d/events.parquet")
+        .orderBy("hour", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -38,6 +38,47 @@ object StreamingIngest {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
 
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run the watermarked hourly rollup as a real Structured Streaming job
+    * over the events parquet (AvailableNow trigger → terminates when the
+    * backlog drains) and return the final result table. Complete output
+    * mode makes the result deterministic and equal to the batch aggregation
+    * — which is exactly what the DuckDB oracle checks. The production twin
+    * runs the same plan with a micro-batch trigger and append mode. */
+  def hourlyRollupAvailableNow(spark: org.apache.spark.sql.SparkSession,
+                               eventsPath: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema // ts = long (nanosAsLong)
+    // FileStreamSource insists its basePath be a directory (it treats the
+    // monitored path as the partition-discovery root), so a single flat
+    // parquet file can't be streamed directly — stage a symlink to it in a
+    // fresh temp dir and stream that dir. (Production corpora are
+    // directories of part files anyway; this shim is test-data-shaped.)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    stageDir.toFile.deleteOnExit()
+    val target = java.nio.file.Paths.get(eventsPath).toAbsolutePath
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve(target.getFileName.toString), target)
+    val raw = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val ev = raw.withColumn("ts",
+      timestamp_micros(expr("ts DIV 1000"))) // same ns→µs cast as Tables.load
+    val agg = ev
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 8)))
+          .cast("double").as("sum_value"))
+    val name = s"graft_stream_rollup_${sinkCounter.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+      col("event_type"), col("cnt"), col("sum_value"))
+  }
+
   final case class SessionState(count: Long, lastTs: Long)
   final case class SessionUpdate(userId: Long, events: Long, closed: Boolean)
 
