@@ -23,6 +23,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.GraftSession.quietNoisyLoggers()
 
     val headline = {
       val flagged = Registry.all.filter(_.bench)

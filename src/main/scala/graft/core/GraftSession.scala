@@ -8,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   * AQE coalesces down from there).
   */
 object GraftSession {
+
+  /** Silence per-row/per-query log noise whose conditions are deliberate
+    * here: WindowExec's "no partition defined" fires on the bounded
+    * (≤ 2·limit) post-top-k candidate windows in HybridSearch, where a
+    * single partition is the design (a constant partitionBy key would just
+    * be constant-folded away). Call after session creation. */
+  def quietNoisyLoggers(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   def local(threads: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
@@ -20,6 +31,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietNoisyLoggers()
     spark
   }
 }

@@ -29,15 +29,30 @@ object Similarity {
     if (v % 2 == 0) 1.0 else -1.0
   }
 
-  /** SRP bucket id for a vector column (planes ≤ 30) */
+  /** SRP bucket id for a vector column (planes ≤ 30).
+    *
+    * One per-row UDF pass over a precomputed ±1 component matrix. The
+    * expression form (planes × dim inlined add terms) generated a >64 KB
+    * janino method at 8×64, failing whole-stage codegen and dropping the
+    * entire stage to interpreted mode. Accumulation is sequential in j with
+    * a double accumulator — bit-identical to the left-associated SQL sum it
+    * replaces (and to the oracle's per-plane ordered sum). */
   def srpBucket(vecColName: String, dim: Int, planes: Int): Column = {
-    val bitCols = (0 until planes).map { p =>
-      val comps = (0 until dim)
-        .map(j => s"element_at($vecColName, ${j + 1}) * ${planeComponent(p, j)}")
-        .mkString(" + ")
-      expr(s"CASE WHEN ($comps) > 0 THEN shiftleft(CAST(1 AS BIGINT), $p) ELSE 0L END")
+    val comps = Array.tabulate(planes, dim)((p, j) => planeComponent(p, j))
+    val f = udf { (v: Seq[Float]) =>
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        var j = 0
+        val row = comps(p)
+        while (j < dim) { s += v(j) * row(j); j += 1 }
+        if (s > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
     }
-    bitCols.reduce(_ + _)
+    f(col(vecColName))
   }
 
   /** ANN top-k: probe the query's SRP bucket, brute-force rerank inside it.

@@ -50,10 +50,11 @@ object HybridSearch {
       case "related" => 2
       case other => throw new IllegalArgumentException(s"grouping mode: $other")
     }
-    // constant partition key: input is the bounded (≤ 2·limit) candidate
-    // set, so a single window partition is deliberate — and this keeps
-    // WindowExec from logging a spurious "no partition defined" warning
-    val w = Window.partitionBy(lit(0)).orderBy((col(scoreCol) +: tiebreak.map(col)): _*)
+    // unpartitioned window: input is the bounded (≤ 2·limit) candidate set,
+    // so a single window partition is deliberate (WindowExec's degradation
+    // warning is silenced in the mains — a constant partition key would be
+    // constant-folded away anyway)
+    val w = Window.orderBy((col(scoreCol) +: tiebreak.map(col)): _*)
     val gaps = results.withColumn("_gap", lead(col(scoreCol), 1).over(w) - col(scoreCol))
     val stats = gaps.filter(col("_gap").isNotNull)
       .agg(avg("_gap").as("_mean"), stddev_pop(col("_gap")).as("_sd"))
@@ -91,7 +92,7 @@ object HybridSearch {
                       scoreCol: String = "boosted"): DataFrame = {
     val best = results.groupBy(fileCol).agg(min(scoreCol).as("_best"))
       .withColumn("_rank", dense_rank().over( // bounded input: ≤ 2·limit files
-        Window.partitionBy(lit(0)).orderBy(col("_best"), col(fileCol))))
+        Window.orderBy(col("_best"), col(fileCol))))
       .filter(col("_rank") <= maxFiles)
       .select(fileCol)
     results.join(broadcast(best), Seq(fileCol), "left_semi")
