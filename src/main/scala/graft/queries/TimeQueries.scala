@@ -117,6 +117,79 @@ object TimeQueries {
              |  count(*) FILTER (WHERE event_type = 'view') AS view
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- sliding event-time windows (1h window, 30min slide): every event
+    // lands in exactly 2 windows; Spark's window() explodes to the covering
+    // windows per row, the oracle enumerates the same 2 epoch-aligned starts -----
+    Q("e_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("win_start", "event_type"),
+      Some("""WITH e AS (SELECT event_type, value,
+             |    unnest([to_timestamp(floor(epoch(ts) / 1800) * 1800),
+             |            to_timestamp(floor(epoch(ts) / 1800) * 1800) - INTERVAL 30 MINUTE]) AS s
+             |  FROM events)
+             |SELECT strftime(s, '%Y-%m-%d %H:%M') AS win_start, event_type,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+             |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- correlation / covariance aggregates per group -----
+    Q("a_corr_stats",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg((round(corr("l_quantity", "l_extendedprice"), 6) + lit(0.0)).as("corr_qp"),
+          (round(covar_pop("l_quantity", "l_extendedprice"), 4) + lit(0.0)).as("covar_qp"),
+          (round(covar_samp("l_quantity", "l_discount"), 6) + lit(0.0)).as("covar_qd"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qp,
+             |  round(covar_pop(l_quantity, l_extendedprice), 4) + 0.0 AS covar_qp,
+             |  round(covar_samp(l_quantity, l_discount), 6) + 0.0 AS covar_qd
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- top-k per group (row_number over a per-group ordered window;
+    // full tiebreak — (l_orderkey, l_linenumber) alone is NOT unique) -----
+    Q("w_topk_per_group",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        Tables.lineitem(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
+            col("l_extendedprice"))
+          .orderBy("l_returnflag", "rk")
+      },
+      Some("""SELECT l_returnflag, rk, l_orderkey, l_extendedprice FROM (
+             |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+             |               l_partkey, l_suppkey) AS rk
+             |  FROM lineitem) WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin)),
+
+    // ----- ntile: quartile users by activity within each event type -----
+    Q("w_ntile_activity",
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy(col("cnt").desc, col("user_id"))
+        counts.withColumn("quartile", ntile(4).over(w))
+          .orderBy("event_type", "user_id")
+          .select("event_type", "user_id", "cnt", "quartile")
+      },
+      Some("""WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+             |           FROM events GROUP BY 1, 2)
+             |SELECT event_type, user_id, cnt,
+             |  ntile(4) OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS quartile
+             |FROM c ORDER BY event_type, user_id""".stripMargin)),
+
     // ----- §2.10: the hourly rollup as a REAL Structured Streaming job
     // (readStream → watermark → windowed agg → AvailableNow → final state);
     // the oracle checks the stream's complete-mode result equals the batch
