@@ -283,6 +283,33 @@ object Relational {
              |WHERE l_returnflag = 'R'
              |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    // ----- TPC-H Q14 shape: promo revenue share (conditional agg over a
+    // broadcast part join — the part dim stays a build-side hash table) -----
+    Q("q14_promo_share",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (round(
+            sum(when(col("p_type") === "PROMO",
+                (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                  .cast(DecimalType(30, 8))).otherwise(lit(0).cast(DecimalType(30, 8))))
+              .cast("double") * 100.0 /
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(30, 8))).cast("double"), 6) + lit(0.0)).as("promo_pct"),
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))
+            .as("promo_revenue")),
+      Some("""SELECT
+             |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+             |          THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))
+             |          ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE) * 100.0 /
+             |        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 6) + 0.0
+             |    AS promo_pct,
+             |  CAST(sum(CASE WHEN p_type = 'PROMO'
+             |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))
+             |      ELSE CAST(0.0 AS DECIMAL(30,8)) END) AS DOUBLE) AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
+
     // ----- exact interpolated quantiles (p50/p90/p99 latency-style stats) -----
     Q("a7b_quantiles",
       (s, d) => Tables.events(s, d)

@@ -41,4 +41,26 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("j1_sync_plan")
     assert(p.contains("FullOuter"))
   }
+
+  test("as-of join is a timeline sweep, not a nested-loop join") {
+    val p = plan("j_asof_attrib")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window")) // the last_value sweep
+    // one shuffle for the union'd timeline, one for the final orderBy
+    assert("Exchange".r.findAllIn(p).size <= 3, p.take(2000))
+  }
+
+  test("range join is an equi-join on (key, bucket), not a nested loop") {
+    val p = plan("j_range_follow")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("streaming is absent from batch plans; pivot has no distinct scan") {
+    // explicit pivot values ⇒ the plan must NOT contain a first collect-
+    // distinct aggregation over event_type before the pivot aggregation
+    val p = plan("a_pivot_events")
+    assert(!p.contains("collect_distinct"))
+  }
 }
