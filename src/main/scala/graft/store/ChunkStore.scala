@@ -153,4 +153,55 @@ final class ChunkStore(spark: SparkSession, path: String, numBuckets: Int = 0) {
     * contentHash) pair — column-pruned, vectors never read. */
   def manifest(): DataFrame =
     read().select("filePath", "contentHash").distinct()
+
+  /** S12 compaction — the reference's `table.optimize({cleanupOlderThan})`
+    * (`src/vectordb/index.ts:317-324`), called once per batch, not per
+    * file. Two jobs:
+    *  1. rewrite every partition (bucket, or the whole unbucketed table)
+    *     holding more than `maxFragments` parquet files into one file via
+    *     the same atomic swap as upsert (append-heavy ingest fragments:
+    *     each insert adds files; per-bucket reads degrade with file count);
+    *  2. delete leftover `.old-*`/`.swap-*` dirs from crashed swaps older
+    *     than `cleanupOlderThanMs` (completed swaps clean up after
+    *     themselves; age-gating avoids racing an in-flight swap — the
+    *     reference's 60 s version-cleanup threshold,
+    *     `src/vectordb/types.ts:15-16`). */
+  def optimize(maxFragments: Int = 4, cleanupOlderThanMs: Long = 60000L): Unit = {
+    val f = fs
+    def fragmentCount(dir: String): Int = {
+      val p = new HPath(dir)
+      if (!f.exists(p)) 0
+      else f.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    if (bucketed) {
+      val root = new HPath(path)
+      if (f.exists(root)) {
+        f.listStatus(root).filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.startsWith("pbucket="))
+          .foreach { part =>
+            if (fragmentCount(part.toString) > maxFragments) {
+              val df = spark.read.schema(ChunkSchema.schema).parquet(part.toString)
+              swapDir(part.toString, df.coalesce(1))
+            }
+          }
+      }
+    } else if (fragmentCount(path) > maxFragments) {
+      swapDir(path, read().coalesce(1))
+    }
+    // stale swap debris: siblings named <table>.old-<nano> / <table>.swap-<nano>
+    val tablePath = new HPath(path)
+    val parent = tablePath.getParent
+    if (parent != null && f.exists(parent)) {
+      val prefix = tablePath.getName
+      val cutoff = System.currentTimeMillis() - cleanupOlderThanMs
+      f.listStatus(parent).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith(prefix + ".old-") || n.startsWith(prefix + ".swap-")
+        }
+        .foreach { p =>
+          if (f.getFileStatus(p).getModificationTime < cutoff) f.delete(p, true)
+        }
+    }
+  }
 }

@@ -125,6 +125,36 @@ class StoreSearchSpec extends AnyFunSuite {
     assert(st.listFiles().count() === 11)
   }
 
+  test("optimize compacts fragmented partitions and sweeps stale swap debris") {
+    val root = Files.createTempDirectory("compact")
+    val base = root.toString + "/table"
+    val st = new ChunkStore(spark, base, numBuckets = 2)
+    // 6 separate inserts of the same file set → every bucket accumulates
+    // one parquet fragment per insert
+    val files = (0 until 4).map(i => s"/corpus/doc$i.md")
+    (0 until 6).foreach { gen =>
+      st.insert(files.map(f => mkChunk(f, gen, s"gen $gen of $f")).toDF())
+    }
+    def fragments(): Int = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("pbucket="))
+      .map(_.listFiles().count(f => f.getName.endsWith(".parquet"))).sum
+    assert(fragments() >= 12, "inserts should fragment the partitions")
+    val beforeRows = st.read().orderBy("filePath", "chunkIndex").collect()
+
+    // plant stale + fresh swap debris next to the table
+    val stale = new java.io.File(root.toString + "/table.old-123")
+    stale.mkdirs()
+    stale.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
+    val fresh = new java.io.File(root.toString + "/table.swap-456")
+    fresh.mkdirs()
+
+    st.optimize(maxFragments = 2, cleanupOlderThanMs = 60000L)
+    assert(fragments() === 2, "one file per bucket after compaction")
+    assert(st.read().orderBy("filePath", "chunkIndex").collect() === beforeRows)
+    assert(!stale.exists, "stale debris swept")
+    assert(fresh.exists, "fresh debris (possible in-flight swap) kept")
+  }
+
   // ---- search semantics (reference vectordb.test.ts behavioral contracts) ----
 
   private def scoreLadder(scores: Seq[Double]): org.apache.spark.sql.DataFrame =
