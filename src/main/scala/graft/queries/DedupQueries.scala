@@ -181,7 +181,7 @@ object DedupQueries {
           .select(col("doc_id"), explode(col("shs")).as("sh"))
         train.join(broadcast(bench), "sh")
           .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_shared"))
-          .filter(col("n_shared") >= 3)
+          .filter(col("n_shared") >= 1)
           .orderBy("doc_id")
       },
       Some("""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
@@ -195,7 +195,63 @@ object DedupQueries {
              |train AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0)
              |SELECT t.doc_id, count(DISTINCT t.s) AS n_shared
              |FROM train t JOIN bench b ON t.s = b.s
-             |GROUP BY 1 HAVING count(DISTINCT t.s) >= 3 ORDER BY 1""".stripMargin)),
+             |GROUP BY 1 HAVING count(DISTINCT t.s) >= 1 ORDER BY 1""".stripMargin)),
+
+    // ----- decontamination with a Bloom prefilter — the 100 TB shape: the
+    // benchmark shingle set compresses to a broadcast Bloom filter, ~fpp of
+    // the train postings survive to the exact join (which then removes the
+    // false positives), so the shuffle carries ~1% of the corpus. Identical
+    // result to d_decontaminate; same oracle. -----
+    Q("d_decontaminate_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .withColumn("shs", Dedup.wordShingles("ws", 5))
+        val benchShingles = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("shs")).as("sh")).distinct()
+        val bloom = benchShingles.stat.bloomFilter("sh", 100000L, 0.01)
+        val bc = s.sparkContext.broadcast(bloom)
+        val mightMatch = udf((x: String) => bc.value.mightContain(x))
+        val train = docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("shs")).as("sh"))
+          .filter(mightMatch(col("sh")))
+        train.join(broadcast(benchShingles), "sh")
+          .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_shared"))
+          .filter(col("n_shared") >= 1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |          FROM documents),
+             |sh AS (SELECT doc_id,
+             |         CASE WHEN len(ws) >= 5
+             |           THEN list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])
+             |           ELSE [] END AS shs
+             |       FROM w),
+             |bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0),
+             |train AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0)
+             |SELECT t.doc_id, count(DISTINCT t.s) AS n_shared
+             |FROM train t JOIN bench b ON t.s = b.s
+             |GROUP BY 1 HAVING count(DISTINCT t.s) >= 1 ORDER BY 1""".stripMargin)),
+
+    // ----- deterministic stratified sampling: a fixed per-language quota
+    // drawn by portable hash order (reproducible across runs/engines — the
+    // training-data "N docs per stratum" primitive) -----
+    Q("t_stratified_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(Dedup.hash60(col("doc_id").cast("string")).asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select(col("lang"), col("doc_id"), col("rk"))
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, doc_id, rk FROM (
+             |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+             |             doc_id) AS rk
+             |  FROM documents) WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)),
 
     // ----- SimHash signatures (32-bit, per-row projection) -----
     Q("d_simhash",

@@ -192,13 +192,18 @@ object Relational {
         .agg(
           dsum(col("l_quantity"), 2).as("sum_qty"),
           dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          // round-2: per-row double->decimal casts can disagree between
+          // engines in the last decimal ulp (shortest-repr vs exact-binary
+          // rounding); at sf0.1 the accumulated 1e-8 noise crossed a double
+          // ulp at 5e9 magnitude. Rounding the output absorbs it.
+          (round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2) + lit(0.0))
+            .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
+             |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) + 0.0 AS sum_disc_price,
              |  count(*) AS count_order
              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       bench = true),
