@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ChunkSchema.{ChunkMetadata, ChunkRow}
+import graft.core.GraftSession
+import graft.embed.HashedEmbedder
+import graft.store.VersionedStore
+
+class VersionedStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+  private lazy val embedder = new HashedEmbedder(8)
+
+  private def mkChunk(file: String, idx: Int, text: String): ChunkRow =
+    ChunkRow(s"$file-$idx", file, idx, text, embedder.embed(text),
+      ChunkMetadata(file.split('/').last, text.length.toLong, "md"),
+      Some("t"), Some("h"), "2026-01-01T00:00:00Z")
+
+  private def tmpStore(buckets: Int = 4): VersionedStore =
+    new VersionedStore(spark,
+      Files.createTempDirectory("vstore").toString + "/table", buckets)
+
+  test("commits advance versions; reads resolve the latest snapshot") {
+    val st = tmpStore()
+    st.create()
+    assert(st.latestVersion() === Some(0L))
+    assert(st.read().count() === 0)
+
+    val v1 = st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "one")).toDF())
+    val v2 = st.upsertFile("/a/y.md", Seq(mkChunk("/a/y.md", 0, "two"),
+      mkChunk("/a/y.md", 1, "three")).toDF())
+    assert(v1 === 1L && v2 === 2L)
+    assert(st.read().count() === 3)
+    assert(st.read().select("filePath").distinct().count() === 2)
+  }
+
+  test("time travel: every historical snapshot stays readable and unchanged") {
+    val st = tmpStore()
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "v1 text")).toDF())
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "v2 text"),
+      mkChunk("/a/x.md", 1, "v2 extra")).toDF())
+
+    assert(st.readVersion(1L).select("text").as[String].collect().toSet ===
+      Set("v1 text"))
+    assert(st.readVersion(2L).select("text").as[String].collect().toSet ===
+      Set("v2 text", "v2 extra"))
+    // a reader holding the v1 DataFrame is unaffected by later commits
+    val v1df = st.readVersion(1L)
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "v3 text")).toDF())
+    assert(v1df.select("text").as[String].collect().toSet === Set("v1 text"))
+  }
+
+  test("upsert replaces only the target file; other buckets carried by reference") {
+    val st = tmpStore()
+    val files = (0 until 8).map(i => s"/corpus/doc$i.md")
+    files.foreach(f => st.upsertFile(f, Seq(mkChunk(f, 0, s"text $f")).toDF()))
+    val before = st.read().filter(col("filePath") =!= files.head)
+      .orderBy("id").collect()
+
+    st.upsertFile(files.head, Seq(mkChunk(files.head, 0, "updated")).toDF())
+    val after = st.read().filter(col("filePath") =!= files.head)
+      .orderBy("id").collect()
+    assert(after === before)
+    assert(st.read().filter(col("filePath") === files.head)
+      .select("text").as[String].collect().toSeq === Seq("updated"))
+  }
+
+  test("zero-chunk upsert fails before any commit") {
+    val st = tmpStore()
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "keep me")).toDF())
+    val v = st.latestVersion()
+    intercept[IllegalArgumentException] {
+      st.upsertFile("/a/x.md", Seq.empty[ChunkRow].toDF())
+    }
+    assert(st.latestVersion() === v)
+    assert(st.read().count() === 1)
+  }
+
+  test("concurrent writers to disjoint buckets all commit (CAS + rebase)") {
+    val st = tmpStore(buckets = 16)
+    st.create()
+    // run 8 upserts of distinct files concurrently; rebase must absorb the
+    // CAS races without losing any writer's data
+    val files = (0 until 8).map(i => s"/corpus/par$i.md")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = files.map(f => Future {
+      st.upsertFile(f, Seq(mkChunk(f, 0, s"text of $f")).toDF())
+    })
+    Await.result(Future.sequence(futures), 120.seconds)
+    assert(st.latestVersion() === Some(8L)) // one version per successful commit
+    assert(st.read().select("filePath").as[String].collect().toSet ===
+      files.toSet)
+  }
+
+  test("vacuum keeps recent snapshots intact and drops unreferenced files") {
+    val st = tmpStore()
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "gen1")).toDF())
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "gen2")).toDF())
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "gen3")).toDF())
+    st.vacuum(keepVersions = 2)
+    assert(st.versions() === Seq(2L, 3L))
+    // kept snapshots still fully readable
+    assert(st.readVersion(2L).select("text").as[String].collect().toSet === Set("gen2"))
+    assert(st.read().select("text").as[String].collect().toSet === Set("gen3"))
+    // vacuumed version is gone
+    intercept[Exception] { st.readVersion(1L).collect() }
+  }
+}
