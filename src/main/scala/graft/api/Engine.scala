@@ -316,6 +316,11 @@ final class Engine(
     store.neighbors(PathKeys.storageSpelling(path), chunkIndex, before, after)
 
   def status(): (Long, Long) = store.status()
+
+  /** once-per-batch maintenance (the reference's `optimize()` after a sync
+    * batch, `src/server/index.ts:546-549`): compact fragmented chunk
+    * partitions and sweep stale swap debris */
+  def optimize(): Unit = mutationGuard.synchronized { store.optimize() }
 }
 
 object Engine {

@@ -58,6 +58,29 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(out(201L) === 0L) // left row with zero matches is preserved
   }
 
+  test("rangeCountJoin matches the brute-force count on random data") {
+    val rnd = new scala.util.Random(13)
+    // timestamps quantized to seconds so boundary cases (exactly lo / hi
+    // after a left row) actually occur
+    val left = (0 until 150).map(i =>
+      (i.toLong, (rnd.nextInt(4) + 1).toLong, new Timestamp(1700000000000L + rnd.nextInt(5000) * 1000L)))
+      .toDF("event_id", "user_id", "ts")
+    val right = (0 until 400).map(_ =>
+      ((rnd.nextInt(4) + 1).toLong, new Timestamp(1700000000000L + rnd.nextInt(5000) * 1000L)))
+      .toDF("user_id", "ts")
+
+    val got = TimeJoins.rangeCountJoin(left, right, "user_id", "ts", "ts", 60L, 600L)
+      .select($"event_id", $"n_matches").as[(Long, Long)].collect().toMap
+
+    val r = right.as[(Long, Timestamp)].collect()
+    val expected = left.as[(Long, Long, Timestamp)].collect().map { case (id, k, t) =>
+      val lo = t.getTime + 60L * 1000
+      val hi = t.getTime + 600L * 1000
+      id -> r.count(p => p._1 == k && p._2.getTime > lo && p._2.getTime <= hi).toLong
+    }.toMap
+    assert(got === expected)
+  }
+
   test("asofJoin matches the brute-force join on random data") {
     val rnd = new scala.util.Random(7)
     val left = (0 until 200).map(i =>
