@@ -315,6 +315,35 @@ object Relational {
              |      ELSE CAST(0.0 AS DECIMAL(30,8)) END) AS DOUBLE) AS promo_revenue
              |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
 
+    // ----- semi-structured: JSON property extraction + aggregation over
+    // the events.props JSON column -----
+    Q("f_json_props",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("k_sum"), count(lit(1)).as("cnt"),
+          min("k").as("k_min"), max("k").as("k_max"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+             |  count(*) AS cnt,
+             |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- nested collect: per-group sorted list agg (deterministic via
+    // sort_array before the join to string) -----
+    Q("a_collect_sorted",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(concat_ws(",",
+          sort_array(collect_list(col("l_linenumber")))).as("linenumbers"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |  string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS linenumbers
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- exact interpolated quantiles (p50/p90/p99 latency-style stats) -----
     Q("a7b_quantiles",
       (s, d) => Tables.events(s, d)
