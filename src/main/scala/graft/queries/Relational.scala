@@ -505,6 +505,42 @@ object Relational {
              |  SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F')
              |ORDER BY k""".stripMargin)),
 
+    // ----- U4: intersect -----
+    Q("u4_intersect",
+      (s, d) => Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k"))
+        .intersect(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT * FROM (
+             |  SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'
+             |  INTERSECT
+             |  SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F')
+             |ORDER BY k""".stripMargin)),
+
+    // ----- GROUPING SETS with grouping_id (finer than rollup: the two
+    // single-dimension marginals plus the grand total, no (flag,status)) -----
+    Q("a_grouping_sets",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                |       coalesce(l_linestatus, 'ALL') AS status,
+                |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                |       count(*) AS n_items,
+                |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+                |FROM graft_li_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY flag, status""".stripMargin)
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             |       coalesce(l_linestatus, 'ALL') AS status,
+             |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+             |       count(*) AS n_items,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY flag, status""".stripMargin)),
+
     // ----- U3/O5: distinct + deterministic order -----
     Q("u3_distinct",
       (s, d) => Tables.lineitem(s, d)
