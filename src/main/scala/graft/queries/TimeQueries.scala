@@ -190,6 +190,32 @@ object TimeQueries {
              |  ntile(4) OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS quartile
              |FROM c ORDER BY event_type, user_id""".stripMargin)),
 
+    // ----- native session windows (gap-merged event-time sessions; the
+    // declarative twin of the lag+cumsum e_sessionize). Boundary semantics:
+    // an event exactly gap after its predecessor starts a NEW session
+    // (session end = last.ts + gap, exclusive), hence >= in the oracle -----
+    Q("w_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH o AS (SELECT user_id, ts, event_id,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+             |m AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 1800 THEN 1 ELSE 0 END AS new_s
+             |  FROM o),
+             |sn AS (SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m)
+             |SELECT user_id,
+             |  strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  count(*) AS n_events
+             |FROM sn GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
     // ----- §2.10: the hourly rollup as a REAL Structured Streaming job
     // (readStream → watermark → windowed agg → AvailableNow → final state);
     // the oracle checks the stream's complete-mode result equals the batch
