@@ -138,6 +138,19 @@ class OpsSpec extends AnyFunSuite {
     val ivf = Similarity.ivfTopK(idx, "vec_id", "embedding", qv, nProbe = 3, k = 10)
       .select("vec_id").as[Long].collect().toSet
     assert(ivf.intersect(brute).size >= 8, s"recall too low: $ivf vs $brute")
+
+    // the 100 TB claim: assignments written partitioned by list_id let a
+    // probe read ONLY the probed partitions — pin that partition pruning
+    // actually happens on the stored layout
+    val dir = java.nio.file.Files.createTempDirectory("ivf_parts").toString
+    idx.assignments.write.partitionBy("list_id").mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val probed = stored.filter($"list_id".isin(0L, 1L, 2L))
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.contains("list_id"), scan.take(1500))
+    assert(probed.select("list_id").distinct().as[Long].collect().toSet
+      .subsetOf(Set(0L, 1L, 2L)))
   }
 
   test("pii redaction is idempotent and catches the planted patterns") {
