@@ -43,7 +43,47 @@ object DedupQueries {
        |           ELSE [] END AS shs
        |       FROM w)""".stripMargin
 
+  /** per-vector affine int8 quantization (vector compression for storage/
+    * ANN): q[j] = round((v[j]-min)/(max-min)·255) - 128; constant vectors
+    * quantize to 0. Single-pass UDF (a transform() lambda would re-evaluate
+    * the inlined array_min/max per element — the Catalyst lambda gotcha),
+    * double arithmetic over float inputs matching the oracle exactly. */
+  private def quantizeInt8: org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null || v.isEmpty) Array.empty[Int]
+      else {
+        val mn = v.min.toDouble
+        val mx = v.max.toDouble
+        if (mx == mn) Array.fill(v.size)(0)
+        else v.map(x => (math.floor((x.toDouble - mn) / (mx - mn) * 255.0 + 0.5) - 128.0).toInt).toArray
+      }
+    }
+    f(_)
+  }
+
   val qs: Seq[Q] = Seq(
+
+    // ----- int8 vector quantization over the embeddings table -----
+    Q("v_quantize_int8",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"), quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"),
+          element_at(col("q"), 1).as("q_first"),
+          expr("md5(array_join(transform(q, x -> cast(x AS STRING)), ','))").as("q_checksum"))
+        .orderBy("vec_id"),
+      Some("""WITH s AS (SELECT vec_id,
+             |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+             |    CAST(list_max(embedding) AS DOUBLE) AS mx,
+             |    embedding
+             |  FROM embeddings),
+             |q AS (SELECT vec_id,
+             |    CASE WHEN mx = mn THEN [CAST(0 AS INT) for x in embedding]
+             |         ELSE [CAST(floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255.0 + 0.5) - 128 AS INT)
+             |               for x in embedding] END AS q
+             |  FROM s)
+             |SELECT vec_id, q[1] AS q_first,
+             |       md5(array_to_string(q, ',')) AS q_checksum
+             |FROM q ORDER BY vec_id""".stripMargin)),
 
     // ----- exact dedup: hash-groupBy on normalized fingerprints -----
     Q("d_exact_dup",

@@ -12,6 +12,27 @@ object TextQueries {
 
   val qs: Seq[Q] = Seq(
 
+    // ----- vocabulary building: top-50 word bigrams by document frequency
+    // (distinct per doc → explode → count; the map-side-combined groupBy is
+    // the whole-corpus shape) -----
+    Q("t_ngram_vocab",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("ws", graft.ops.Dedup.wordsArray("text"))
+        .withColumn("bgs", graft.ops.Dedup.wordShingles("ws", 2))
+        .select(explode(col("bgs")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("bigram")).limit(50),
+      Some("""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |          FROM documents),
+             |b AS (SELECT doc_id,
+             |        CASE WHEN len(ws) >= 2
+             |          THEN list_distinct([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))])
+             |          ELSE [] END AS bgs
+             |      FROM w)
+             |, p AS (SELECT unnest(bgs) AS bigram FROM b)
+             |SELECT bigram, count(*) AS df FROM p
+             |GROUP BY 1 ORDER BY df DESC, bigram LIMIT 50""".stripMargin)),
+
     // ----- token counting (whitespace + subword-ish estimate) -----
     Q("t_token_count",
       (s, d) => Tables.documents(s, d).select(
