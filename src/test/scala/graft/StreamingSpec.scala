@@ -131,4 +131,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1L) === 3L) // state accumulated across micro-batches
     assert(rows(2L) === 1L)
   }
+
+  test("foreachBatch commits micro-batches into the versioned store") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = new graft.store.VersionedStore(spark,
+      Files.createTempDirectory("stream-vstore").toString + "/table", numBuckets = 4)
+    store.create()
+    val mem = MemoryStream[Ingest.Doc]
+    val ckpt = Files.createTempDirectory("stream-vckpt").toString
+    val q = StreamingIngest.chunkStream(mem.toDS(), () => new HashedEmbedder(64), "2026-01-01T00:00:00Z")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.core.ChunkSchema.ChunkRow], _: Long) =>
+        // per-file upserts make micro-batch REPLAY idempotent: re-processing
+        // a batch rewrites the same files to the same content
+        val df = batch.toDF().persist()
+        val files = df.select("filePath").distinct().as[String](implicitly).collect()
+        files.foreach(f => store.upsertFile(f,
+          df.filter(org.apache.spark.sql.functions.col("filePath") === f)))
+        df.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+
+    mem.addData(Ingest.Doc("/v/a.md",
+      "Apache Spark processes data with distributed operators across many executors. " +
+        "It supports joins windows and aggregates over large datasets."))
+    val run1 = q.start(); run1.awaitTermination(60000)
+    val v1 = store.latestVersion().get
+    assert(store.read().select("filePath").distinct().count() === 1)
+
+    mem.addData(Ingest.Doc("/v/b.md",
+      "Cooking pasta requires boiling water with salt for several minutes until al dente."))
+    val run2 = q.start(); run2.awaitTermination(60000)
+    assert(store.latestVersion().get > v1)
+    assert(store.read().select("filePath").distinct().as[String].collect().toSet ===
+      Set("/v/a.md", "/v/b.md"))
+    // time travel still sees the first commit's state
+    assert(store.readVersion(v1).select("filePath").distinct().as[String]
+      .collect().toSet === Set("/v/a.md"))
+  }
 }
