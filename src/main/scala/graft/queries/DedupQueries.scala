@@ -271,7 +271,8 @@ object DedupQueries {
              |train AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0)
              |SELECT t.doc_id, count(DISTINCT t.s) AS n_shared
              |FROM train t JOIN bench b ON t.s = b.s
-             |GROUP BY 1 HAVING count(DISTINCT t.s) >= 1 ORDER BY 1""".stripMargin)),
+             |GROUP BY 1 HAVING count(DISTINCT t.s) >= 1 ORDER BY 1""".stripMargin),
+      bench = true),
 
     // ----- deterministic stratified sampling: a fixed per-language quota
     // drawn by portable hash order (reproducible across runs/engines — the

@@ -134,7 +134,8 @@ object TimeQueries {
              |SELECT strftime(s, '%Y-%m-%d %H:%M') AS win_start, event_type,
              |  count(*) AS cnt,
              |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
-             |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+             |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
 
     // ----- correlation / covariance aggregates per group -----
     Q("a_corr_stats",
@@ -214,7 +215,8 @@ object TimeQueries {
              |SELECT user_id,
              |  strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
              |  count(*) AS n_events
-             |FROM sn GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+             |FROM sn GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin),
+      bench = true),
 
     // ----- §2.10: the hourly rollup as a REAL Structured Streaming job
     // (readStream → watermark → windowed agg → AvailableNow → final state);
