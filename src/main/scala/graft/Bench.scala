@@ -33,9 +33,10 @@ object Bench {
     // plan pays whole-stage-codegen janino compilation + class loading
     // (measured 0.7-6.6s per query shape at sf0.1 — larger than the actual
     // data work), which a long-lived cluster pays once, not per query. The
-    // timed pass below then measures steady-state execution. Queries that
-    // persist() intermediates are unpersisted in between (see Registry), so
-    // the timed pass still does all data work.
+    // timed pass below then measures steady-state execution. The
+    // clearCache() between the passes (and after every timed query) drops
+    // any persist()ed intermediates, so each timed query does ALL its data
+    // work and cached blocks never accumulate across the run.
     headline.foreach { q =>
       try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -49,6 +50,7 @@ object Bench {
         try { q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
+      spark.sharedState.cacheManager.clearCache()
       q.name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -29,6 +29,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries that persist() intermediates (d_clean_corpus, d_jaccard_pairs,
+      // rag pipelines) release them here — ~90 queries in one session would
+      // otherwise accumulate cached blocks for the whole run
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -216,8 +216,11 @@ object Relational {
           .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
         val li = Tables.lineitem(s, d)
           .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
-        li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        // No broadcast hints: orders/customer are fact-sized at scale (a forced
+        // broadcast OOMs at 100x); AQE picks broadcast vs shuffled-hash by the
+        // measured post-filter size instead.
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -244,9 +247,12 @@ object Relational {
         val asia = broadcast(Tables.nation(s, d)
           .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
             col("n_regionkey") === col("r_regionkey")))
-        li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.supplier(s, d)),
+        // Broadcast only the true dimension (nation x region, 5-25 rows).
+        // orders/customer/supplier grow with the fact data: hints removed so
+        // AQE selects the join strategy from runtime sizes.
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d),
             col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
           .join(asia, col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name")

@@ -93,7 +93,14 @@ object Bm25 {
     * and the `IN (files)` predicate only restricts which rows come back
     * (`src/vectordb/index.ts:395-407`). */
   def score(docs: DataFrame, idCols: Seq[String], tokens: Column,
-            queryTokens: Seq[String], p: Params = Params()): DataFrame = {
+            rawQueryTokens: Seq[String], p: Params = Params()): DataFrame = {
+    // Match scoreIndexed's semantics at the edges: duplicate query tokens
+    // score once (the indexed path's isin() dedupes), and an empty query
+    // returns an empty result instead of throwing on the empty reduce.
+    val queryTokens = rawQueryTokens.distinct
+    if (queryTokens.isEmpty)
+      return docs.select(idCols.map(col): _*).where(lit(false))
+        .withColumn("bm25", lit(0.0))
     // ad-hoc path, single-pass: the query's tokens are known statically, so
     // per-token tf pivots into the SAME map-side-combined groupBy that
     // computes doc length — one tokenize, one explode, one shuffle carrying

@@ -178,8 +178,15 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
       val cur = latestVersion().getOrElse(0L)
       val curEntries = readManifest(cur)
       if (cur != base &&
-          curEntries.filter(_._1 == b).toSet != entriesAtBase.filter(_._1 == b).toSet)
-        return upsertFile(filePath, newChunks, maxRetries - attempt) // bucket conflict: redo
+          curEntries.filter(_._1 == b).toSet != entriesAtBase.filter(_._1 == b).toSet) {
+        // Bucket conflict: our rewrite was computed against a stale bucket
+        // state. Drop its (now superseded, never-referenced) data files and
+        // redo with the REMAINING retry budget — passing the full budget back
+        // made sustained same-bucket contention an unbounded livelock.
+        val f = fs
+        newFiles.foreach { case (_, p) => f.delete(new HPath(s"$root/$p"), false) }
+        return upsertFile(filePath, newChunks, maxRetries - attempt - 1)
+      }
       val next = curEntries.filterNot(_._1 == b) ++ newFiles
       if (tryCommit(cur + 1, next)) return cur + 1
       attempt += 1
@@ -188,18 +195,28 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
   }
 
   /** drop manifests older than the newest `keepVersions` and delete data
-    * files no kept manifest references */
-  def vacuum(keepVersions: Int = 2): Unit = {
+    * files no kept manifest references.
+    *
+    * `retentionMs` age-gates DATA-file deletion (Delta-style retention; the
+    * reference uses a 60 s cleanup threshold for its backup dirs,
+    * `src/server/index.ts:645-701`): an in-flight `upsertFile` stages its new
+    * files into `data/` BEFORE the manifest commit, so an un-gated vacuum
+    * racing that window would delete files the next commit references.
+    * Files younger than the cutoff are always kept. */
+  def vacuum(keepVersions: Int = 2, retentionMs: Long = 60000L): Unit = {
     val f = fs
     val vs = versions()
     if (vs.size <= keepVersions) return
     val (drop, keep) = vs.splitAt(vs.size - keepVersions)
     val referenced = keep.flatMap(readManifest).map(_._2).toSet
     drop.foreach(v => f.delete(manifestPath(v), false))
+    val cutoff = System.currentTimeMillis() - math.max(0L, retentionMs)
     val dd = new HPath(dataDir)
     if (f.exists(dd)) {
-      f.listStatus(dd).map(_.getPath).foreach { p =>
-        if (!referenced.contains(s"data/${p.getName}")) f.delete(p, false)
+      f.listStatus(dd).foreach { s =>
+        if (!referenced.contains(s"data/${s.getPath.getName}") &&
+            s.getModificationTime < cutoff)
+          f.delete(s.getPath, false)
       }
     }
   }

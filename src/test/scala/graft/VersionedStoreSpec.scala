@@ -104,12 +104,43 @@ class VersionedStoreSpec extends AnyFunSuite {
     st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "gen1")).toDF())
     st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "gen2")).toDF())
     st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "gen3")).toDF())
-    st.vacuum(keepVersions = 2)
+    st.vacuum(keepVersions = 2, retentionMs = 0L)
     assert(st.versions() === Seq(2L, 3L))
     // kept snapshots still fully readable
     assert(st.readVersion(2L).select("text").as[String].collect().toSet === Set("gen2"))
     assert(st.read().select("text").as[String].collect().toSet === Set("gen3"))
     // vacuumed version is gone
     intercept[Exception] { st.readVersion(1L).collect() }
+  }
+
+  test("vacuum retention never deletes young data files (in-flight writer safety)") {
+    val root = Files.createTempDirectory("vstore").toString + "/table"
+    val st = new VersionedStore(spark, root, 4)
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "gen1")).toDF())
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "gen2")).toDF())
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "gen3")).toDF())
+    val filesBefore = new java.io.File(s"$root/data").list().toSet
+    // all data files were written seconds ago: with the default retention
+    // window they survive vacuum even when unreferenced, so a concurrent
+    // upsert's staged-but-not-yet-committed files can never be swept
+    st.vacuum(keepVersions = 1)
+    assert(st.versions() === Seq(3L))
+    assert(st.read().select("text").as[String].collect().toSet === Set("gen3"))
+    assert(new java.io.File(s"$root/data").list().toSet === filesBefore)
+  }
+
+  test("same-bucket contention is bounded: retry budget shrinks across rebases") {
+    val st = tmpStore(buckets = 1) // every file collides in one bucket
+    st.create() // table must exist before writers race (create() is exclusive)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val files = (0 until 4).map(i => s"/hot/f$i.md")
+    val futures = files.map(f => Future {
+      st.upsertFile(f, Seq(mkChunk(f, 0, s"text of $f")).toDF())
+    })
+    Await.result(Future.sequence(futures), 180.seconds)
+    // all four land despite sharing the single bucket (serialized by redo)
+    assert(st.read().select("filePath").as[String].collect().toSet === files.toSet)
   }
 }
