@@ -173,7 +173,17 @@ final class Engine(
     * (sync.ts:500-530). WITHIN a scanned root, coverage stays complete —
     * scope is never pushed into the walk itself (prune safety,
     * server/index.ts:1153-1157). */
-  def sync(scope: Seq[String] = Seq.empty): SyncSummary = {
+  /** Gather → plan → execute. Below `distributedThreshold` files the gather
+    * is the reference-parity driver loop (one tool call over a workspace —
+    * a few thousand files — is below Spark's parallelism grain). At or above
+    * it, the gather DISTRIBUTES: the disk manifest is a `binaryFile` scan +
+    * `sha2` on the executors, the db manifest never leaves the cluster, the
+    * two reconcile in [[SyncPlanner.planActionsDF]]'s single full-outer
+    * shuffle, and only the ACTION rows (upserts/prunes — the work, not the
+    * world) are collected. At 100 TB / millions of files the driver holds
+    * the plan, never the manifests. */
+  def sync(scope: Seq[String] = Seq.empty,
+           distributedThreshold: Int = Engine.DistributedSyncThreshold): SyncSummary = {
     val (scanRoots, directFiles, fileRequest) =
       if (scope.isEmpty) (roots, Seq.empty[String], false)
       else {
@@ -187,36 +197,89 @@ final class Engine(
     val scanned = DirectoryScanner.scanRoots(scanRoots,
       excludePrefixes = Seq(storePath, rawDataDir))
     val allFiles = scanned.files.map(_.path) ++ directFiles
-    val disk = allFiles.map { f =>
-      val content = Files.readAllBytes(Paths.get(f))
-      SyncPlanner.DiskFile(PathKeys.syncPathKey(f), f,
-        Some(Ingest.sha256Hex(new String(content, StandardCharsets.UTF_8))))
-    }
-    val db = store.manifest().collect().toSeq.map { r =>
-      val p = r.getString(0)
-      SyncPlanner.DbEntry(PathKeys.syncPathKey(p), p, Option(r.getString(1)))
-    }
-    val plan = SyncPlanner.plan(disk, db,
-      SyncPlanner.Coverage(scanned.coverage.unobservedPrefixes),
-      SyncPlanner.Request(scope.map(PathKeys.syncPathKey),
-        Seq(storePath, rawDataDir), fileRequest = fileRequest))
+    val scopeKeys = scope.map(PathKeys.syncPathKey)
+    val excludes = Seq(storePath, rawDataDir)
+
+    val (upserts, prunes, skipped, held) =
+      if (allFiles.size >= distributedThreshold)
+        planDistributed(allFiles, scanned.coverage.unobservedPrefixes,
+          scopeKeys, excludes, fileRequest)
+      else {
+        val disk = allFiles.map { f =>
+          val content = Files.readAllBytes(Paths.get(f))
+          SyncPlanner.DiskFile(PathKeys.syncPathKey(f), f,
+            Some(Ingest.sha256Hex(new String(content, StandardCharsets.UTF_8))))
+        }
+        val db = store.manifest().collect().toSeq.map { r =>
+          val p = r.getString(0)
+          SyncPlanner.DbEntry(PathKeys.syncPathKey(p), p, Option(r.getString(1)))
+        }
+        val plan = SyncPlanner.plan(disk, db,
+          SyncPlanner.Coverage(scanned.coverage.unobservedPrefixes),
+          SyncPlanner.Request(scopeKeys, excludes, fileRequest = fileRequest))
+        (plan.upserts, plan.prunes, plan.skipped.size.toLong, plan.held.size.toLong)
+      }
 
     // execute under the mutation guard: stale/prune deletes must serialize
     // with concurrent writers just like upserts (reentrant from syncStart)
     mutationGuard.synchronized {
       var upserted = 0L; var empty = 0L
-      for (u <- plan.upserts) {
+      for (u <- upserts) {
         try { ingestFileNoRefresh(u.path); upserted += 1 }
         catch { case _: Ingest.NoChunksError => empty += 1 }
         for (stale <- u.staleSpellings) store.deleteFile(stale)
       }
-      for (p <- plan.prunes; spelling <- p.spellings) store.deleteFile(spelling)
+      for (p <- prunes; spelling <- p.spellings) store.deleteFile(spelling)
       // ONE index refresh per batch iff anything mutated (ref: single
       // optimize(), features/sync.ts:459-465)
-      if (upserted > 0 || plan.prunes.nonEmpty) refreshFtsIndex()
-      SyncSummary(upserted, plan.skipped.size.toLong, empty,
-        plan.prunes.size.toLong, plan.held.size.toLong)
+      if (upserted > 0 || prunes.nonEmpty) refreshFtsIndex()
+      SyncSummary(upserted, skipped, empty, prunes.size.toLong, held)
     }
+  }
+
+  /** the distributed gather+plan: manifests stay on the cluster, the driver
+    * collects only (upsert, prune) action rows and (skip, hold) counts */
+  private def planDistributed(allFiles: Seq[String], unobserved: Seq[String],
+                              scopeKeys: Seq[String], excludes: Seq[String],
+                              fileRequest: Boolean)
+      : (Seq[SyncPlanner.Upsert], Seq[SyncPlanner.Prune], Long, Long) = {
+    val syncKeyUdf = udf((p: String) => PathKeys.syncPathKey(p))
+    val disk =
+      if (allFiles.isEmpty)
+        spark.emptyDataFrame
+          .select(lit("").as("key"), lit("").as("path"), lit("").as("hash"))
+          .where(lit(false))
+      else
+        spark.read.format("binaryFile").load(allFiles: _*)
+          .select(regexp_replace(col("path"), "^file:", "").as("path"),
+            col("content"))
+          // hash parity with the driver path (Ingest.sha256Hex): bytes →
+          // UTF-8 string → bytes, so invalid sequences replace identically
+          .select(syncKeyUdf(col("path")).as("key"), col("path"),
+            sha2(encode(decode(col("content"), "UTF-8"), "UTF-8"), 256).as("hash"))
+    val db = store.manifest().select(
+      syncKeyUdf(col("filePath")).as("key"),
+      col("filePath").as("spelling"), col("contentHash").as("hash"))
+    val acts = SyncPlanner.planActionsDF(disk, db, unobserved, scopeKeys,
+      excludes, fileRequest).persist()
+    try {
+      val counts = acts.groupBy("action").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val work = acts.filter(col("action").isin("upsert", "prune"))
+        .collect().toSeq
+      val upserts = work.filter(_.getAs[String]("action") == "upsert")
+        .sortBy(_.getAs[String]("key"))
+        .map(r => SyncPlanner.Upsert(r.getAs[String]("key"),
+          r.getAs[String]("path"), None,
+          Option(r.getAs[scala.collection.Seq[String]]("stale_spellings"))
+            .map(_.toSeq).getOrElse(Seq.empty)))
+      val prunes = work.filter(_.getAs[String]("action") == "prune")
+        .sortBy(_.getAs[String]("key"))
+        .map(r => SyncPlanner.Prune(r.getAs[String]("key"),
+          Option(r.getAs[scala.collection.Seq[String]]("spellings"))
+            .map(_.toSeq).getOrElse(Seq.empty)))
+      (upserts, prunes, counts.getOrElse("skip", 0L), counts.getOrElse("hold", 0L))
+    } finally acts.unpersist()
   }
 
   // ---- list_files (reference J4) ----
@@ -324,6 +387,11 @@ final class Engine(
 }
 
 object Engine {
+  /** file count at which the sync gather distributes (below it the driver
+    * loop wins — a binaryFile scan's job-scheduling floor exceeds hashing a
+    * few hundred small files in-process) */
+  val DistributedSyncThreshold = 512
+
   /** recover the external source id from a managed raw-data path
     * (reference `src/utils/raw-data-utils.ts:196-214`) */
   def decodeRawData(rawDataDir: String, path: String): Option[String] = {

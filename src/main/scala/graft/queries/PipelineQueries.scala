@@ -76,6 +76,32 @@ object PipelineQueries {
       |    coalesce(agg.n_spellings, 0) AS n_spellings
       |  FROM disk FULL JOIN agg ON disk.key = agg.key)""".stripMargin
 
+  /** Materialize the j1 DISK manifest as real files — once per (sf, machine):
+    * `<tmp>/graft_sync_corpus_<sf>/<lang>/<source>/<doc_id>.md` containing the
+    * doc text. Fixture scaffolding only (executors write their partitions);
+    * the feature under test is the distributed gather that reads it back. */
+  private def corpusDir(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_sync_corpus_" + new java.io.File(d).getName)
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (!marker.exists()) {
+      val base = dir.getAbsolutePath
+      Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0)
+        .select("lang", "source", "doc_id", "text")
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            val p = java.nio.file.Paths.get(base, r.getString(0), r.getString(1),
+              r.getLong(2).toString + ".md")
+            java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.write(p, r.getString(3).getBytes("UTF-8"))
+          }
+        }
+      dir.mkdirs()
+      marker.createNewFile()
+    }
+    dir.getAbsolutePath
+  }
+
   /** shared flagship ingest pipeline: documents table → chunk rows */
   def ingestedChunks(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(
@@ -92,6 +118,31 @@ object PipelineQueries {
       (s, d) => SyncPlanner.planDF(diskDF(s, d), dbDF(s, d),
           unobservedPrefixes = Seq("/corpus/zh"))
         .orderBy("key"),
+      Some(s"""$SyncCte
+              |SELECT key, action, n_spellings FROM plan ORDER BY key""".stripMargin),
+      bench = true),
+
+    // ----- J1 distributed gather: the disk manifest comes from a REAL
+    // binaryFile scan + content hash on the executors (the 100 TB gather
+    // shape — Engine.sync routes through the same reader above its file-count
+    // threshold), reconciled by the same single full-outer shuffle. Output is
+    // hash-identical to j1_sync_plan: the gather changes WHERE the manifest
+    // is computed, never the plan. -----
+    Q("j1_sync_plan_distributed",
+      (s, d) => {
+        val dir = corpusDir(s, d)
+        val disk = s.read.format("binaryFile")
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.md")
+          .load(dir)
+          .select(
+            concat(lit("/corpus/"),
+              regexp_extract(col("path"), "([^/]+/[^/]+/[^/]+\\.md)$", 1)).as("key"),
+            md5(col("content")).as("hash"))
+        SyncPlanner.planDF(disk, dbDF(s, d),
+            unobservedPrefixes = Seq("/corpus/zh"))
+          .orderBy("key")
+      },
       Some(s"""$SyncCte
               |SELECT key, action, n_spellings FROM plan ORDER BY key""".stripMargin),
       bench = true),

@@ -86,22 +86,31 @@ object SyncPlanner {
     Plan(upserts.result(), skipped.result(), prunes.result(), held.result())
   }
 
-  /** DataFrame form: disk(key, hash) ⟗ db(key, spelling, hash) →
-    * (key, action, n_spellings). Same classification as [[plan]].
-    * Note `hash IS NOT NULL` participates in convergence: hashless rows
-    * (pre-migration or unreadable) are never "converged". */
-  def planDF(disk: DataFrame, db: DataFrame,
-             unobservedPrefixes: Seq[String],
-             scope: Seq[String] = Seq.empty,
-             excludePrefixes: Seq[String] = Seq.empty): DataFrame = {
-    val dbAgg = db.groupBy("key").agg(
+  /** the shared full-outer reconciliation: disk ⟗ grouped db + action
+    * classification. `withSpellings` additionally carries the stored
+    * spellings through the aggregate (needed to EXECUTE a plan, not to
+    * summarize one). */
+  private def reconcile(disk: DataFrame, db: DataFrame,
+                        unobservedPrefixes: Seq[String],
+                        scope: Seq[String], excludePrefixes: Seq[String],
+                        fileRequest: Boolean, withSpellings: Boolean): DataFrame = {
+    val baseAggs = Seq(
       countDistinct(col("spelling")).as("n_spellings"),
       countDistinct(col("hash")).as("n_hashes"),
       max(col("hash")).as("one_hash"),
       sum(when(col("hash").isNull, 1).otherwise(0)).as("null_hashes"))
+    val aggs = if (withSpellings)
+      baseAggs :+ sort_array(collect_set(col("spelling"))).as("spellings")
+    else baseAggs
+    val dbAgg = db.groupBy("key").agg(aggs.head, aggs.tail: _*)
     val diskR = disk.withColumnRenamed("hash", "disk_hash")
     def guardedCol(key: Column): Column = {
-      val inScope = if (scope.isEmpty) lit(true) else ScopeMatch.inScope(key, scope)
+      // prune-scope: prefix semantics for directory requests, EQUALITY for
+      // single-file requests (mirrors inPruneScope / reference sync.ts:259-265)
+      val inScope =
+        if (scope.isEmpty) lit(true)
+        else if (fileRequest) key.isin(scope: _*)
+        else ScopeMatch.inScope(key, scope)
       val unobserved = if (unobservedPrefixes.isEmpty) lit(false)
         else ScopeMatch.inScope(key, unobservedPrefixes)
       val excluded = if (excludePrefixes.isEmpty) lit(false)
@@ -116,7 +125,40 @@ object SyncPlanner {
             col("one_hash") === col("disk_hash"), lit("skip"))
           .when(col("disk_hash").isNotNull, lit("upsert"))
           .otherwise(when(guardedCol(col("key")), lit("hold")).otherwise(lit("prune"))))
+  }
+
+  /** DataFrame form: disk(key, hash) ⟗ db(key, spelling, hash) →
+    * (key, action, n_spellings). Same classification as [[plan]].
+    * Note `hash IS NOT NULL` participates in convergence: hashless rows
+    * (pre-migration or unreadable) are never "converged". */
+  def planDF(disk: DataFrame, db: DataFrame,
+             unobservedPrefixes: Seq[String],
+             scope: Seq[String] = Seq.empty,
+             excludePrefixes: Seq[String] = Seq.empty): DataFrame =
+    reconcile(disk, db, unobservedPrefixes, scope, excludePrefixes,
+        fileRequest = false, withSpellings = false)
       .select(col("key"), col("action"),
         coalesce(col("n_spellings"), lit(0L)).as("n_spellings"))
-  }
+
+  /** Executable action-plan form for the DISTRIBUTED sync gather: one row per
+    * key carrying everything the execute loop needs — the disk spelling to
+    * (re)ingest, the stored spellings that differ from it (stale deletes),
+    * and the spellings to prune. The caller aggregates skip/hold COUNTS and
+    * collects only upsert/prune rows: the manifests (potentially billions of
+    * keys) never reach the driver, only the work items do.
+    *
+    * disk(key, path, hash) ⟗ db(key, spelling, hash) →
+    * (key, action, path, stale_spellings, spellings). */
+  def planActionsDF(disk: DataFrame, db: DataFrame,
+                    unobservedPrefixes: Seq[String],
+                    scope: Seq[String] = Seq.empty,
+                    excludePrefixes: Seq[String] = Seq.empty,
+                    fileRequest: Boolean = false): DataFrame =
+    reconcile(disk, db, unobservedPrefixes, scope, excludePrefixes,
+        fileRequest, withSpellings = true)
+      .select(col("key"), col("action"), col("path"),
+        when(col("spellings").isNotNull,
+          array_remove(col("spellings"), col("path")))
+          .otherwise(array().cast("array<string>")).as("stale_spellings"),
+        coalesce(col("spellings"), array().cast("array<string>")).as("spellings"))
 }

@@ -250,6 +250,33 @@ class EngineSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("distributed sync gather matches the driver-side plan action for action") {
+    val (engine, root) = mkEngine()
+
+    // distributedThreshold = 0 forces every gather through the binaryFile +
+    // sha2 + planActionsDF path (Engine.sync routes there automatically once
+    // the walk exceeds DistributedSyncThreshold files)
+    val s1 = engine.sync(distributedThreshold = 0)
+    assert(s1.upserted === 2 && s1.empty === 1 && s1.pruned === 0)
+
+    // unchanged re-sync: hash parity between sha2(binaryFile content) and
+    // the stored Ingest.sha256Hex means everything classifies as skip
+    val s2 = engine.sync(distributedThreshold = 0)
+    assert(s2.upserted === 0 && s2.skipped === 2 && s2.pruned === 0)
+
+    // modify + delete, then reconcile distributed: upsert AND prune routes
+    write(s"$root/spark.md",
+      "# Spark Guide\nNew content on shuffle partitioning and broadcast joins in spark.")
+    Files.delete(Paths.get(s"$root/cooking.txt"))
+    val s3 = engine.sync(distributedThreshold = 0)
+    assert(s3.upserted === 1 && s3.pruned === 1)
+    assert(engine.status()._2 === 1)
+
+    // driver-side gather over the same final state agrees completely
+    val s4 = engine.sync() // default threshold → driver loop for 2 files
+    assert(s4.upserted === 0 && s4.skipped === 1 && s4.pruned === 0 && s4.held === 0)
+  }
+
   test("empty ingest preserves existing rows (zero-chunk invariant)") {
     val (engine, root) = mkEngine()
     engine.sync()
