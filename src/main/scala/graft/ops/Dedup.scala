@@ -115,18 +115,36 @@ object Dedup {
     * in-bucket combinations instead of a self-join: the self-join evaluated
     * the whole signature pipeline once per side, and candidate buckets are
     * small by construction (that is the point of banding), so pair expansion
-    * per bucket is cheap. Pathologically hot buckets would need a cap —
-    * logged as the production guard. */
-  def lshCandidatePairs(bandsDF: DataFrame, idCol: String): DataFrame = {
+    * per bucket is cheap.
+    *
+    * `maxBucketSize` is the production guard for pathologically hot buckets:
+    * a band hash shared by a large fraction of the corpus (boilerplate
+    * shingles, near-empty docs) would emit |bucket|² pairs and stall the
+    * stage. Buckets above the cap are DROPPED — their members can still pair
+    * through their other (bands−1) bands, so recall degrades only for pairs
+    * whose ONLY agreeing band is the hot one; in practice hot buckets are
+    * degenerate content whose pairs the verify stage would reject anyway.
+    * Use [[oversizedBuckets]] to inspect/log what a cap would drop. */
+  def lshCandidatePairs(bandsDF: DataFrame, idCol: String,
+                        maxBucketSize: Int = 1 << 16): DataFrame = {
     val pairsUdf = udf((ids: Seq[Long]) =>
       ids.sorted.combinations(2).map(p => (p(0), p(1))).toSeq)
     bandsDF.groupBy("band", "band_hash")
       .agg(collect_set(col(idCol).cast("long")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
       .select(explode(pairsUdf(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
   }
+
+  /** the buckets a `maxBucketSize` cap would drop — (band, band_hash,
+    * bucket_size), queryable so pipelines can log/audit dropped-pair volume
+    * instead of losing it silently */
+  def oversizedBuckets(bandsDF: DataFrame, idCol: String,
+                       maxBucketSize: Int): DataFrame =
+    bandsDF.groupBy("band", "band_hash")
+      .agg(countDistinct(col(idCol)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
 
   /** exact n-gram Jaccard pairs over a shingle posting join; emits
     * (id_a, id_b, jaccard) for pairs sharing >= 1 shingle. */
@@ -136,7 +154,10 @@ object Dedup {
     // is recovered from the grouped rows themselves (max of a functionally-
     // dependent column) — no separate sizes relation, no post-agg joins.
     // Persisting the postings makes the self-join read the (expensive)
-    // shingle projection once instead of once per side.
+    // shingle projection once instead of once per side. The cached blocks
+    // live until the caller's session drops them (catalog clearCache() /
+    // unpersist after the consuming action) — a lazily-returned DataFrame
+    // cannot unpersist its own inputs before the caller runs it.
     val posts = df.select(col(idCol), size(col(shinglesCol)).as("n_sh"),
         explode(col(shinglesCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -95,7 +95,11 @@ object DedupQueries {
               |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
-    // ----- n-gram Jaccard near-dup pairs (shingle posting join) -----
+    // ----- n-gram Jaccard near-dup pairs (shingle posting join).
+    // CORRECTNESS BASELINE ONLY — the posting self-join is quadratic in
+    // per-shingle posting length, so it stays oracle-gated but UNBENCHED;
+    // the headline workload is d_jaccard_pairs_lsh below (same output
+    // contract, LSH-bounded work). -----
     Q("d_jaccard_pairs",
       (s, d) => {
         val withSh = dupCorpus(s, d)
@@ -115,6 +119,57 @@ object DedupQueries {
               |      FROM inter
               |      JOIN sizes sa ON sa.doc_id = id_a
               |      JOIN sizes sb ON sb.doc_id = id_b)
+              |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ----- n-gram Jaccard pairs via LSH blocking (the 100 TB shape and the
+    // BENCHED headline): banded MinHash candidates, exact Jaccard verified
+    // per-pair with array_intersect — work is O(candidates), never
+    // O(posting²). Pairs whose signatures agree on no band are not
+    // candidates (documented LSH recall), so the threshold is re-checked
+    // exactly on the candidate set. -----
+    Q("d_jaccard_pairs_lsh",
+      (s, d) => {
+        val corpus = dupCorpus(s, d)
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .withColumn("shs", Dedup.wordShingles("ws", 5))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val withSig = corpus.filter(size(col("shs")) > 0)
+          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
+          .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        val candidates = Dedup.lshCandidatePairs(
+          Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
+        Dedup.jaccardOnPairs(candidates, corpus, "doc_id", "shs")
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $ShinglesCte,
+              |hs AS (SELECT doc_id,
+              |    list_transform(shs, s ->
+              |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+              |  FROM sh WHERE len(shs) > 0),
+              |sig AS (SELECT doc_id,
+              |    [list_min(list_transform(hs, h -> ((2*i+3) * h + (7*i+1)) % 2147483647))
+              |     for i in range(0, 16)] AS sig
+              |  FROM hs),
+              |bands AS (SELECT doc_id, t.b,
+              |    md5(concat_ws(',', sig[t.b*4+1]::VARCHAR, sig[t.b*4+2]::VARCHAR,
+              |                       sig[t.b*4+3]::VARCHAR, sig[t.b*4+4]::VARCHAR)) AS band_hash
+              |  FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+              |posts AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |          FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |j AS (SELECT i.id_a, i.id_b,
+              |        round(i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
+              |      FROM inter i
+              |      JOIN sizes sa ON sa.doc_id = i.id_a
+              |      JOIN sizes sb ON sb.doc_id = i.id_b
+              |      JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b)
               |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
               |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
@@ -346,7 +401,10 @@ object DedupQueries {
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
               |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ----- embedding-cosine near-dup pairs (top-100 by cosine) -----
+    // ----- embedding-cosine near-dup pairs (top-100 by cosine).
+    // CORRECTNESS BASELINE ONLY — the cross join is O(n²) in corpus size,
+    // so it stays oracle-gated but UNBENCHED; the headline workload is the
+    // SRP-bucketed d_embed_dup_lsh below. -----
     Q("d_embed_dup",
       (s, d) => Dedup.embeddingDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.3)
@@ -362,8 +420,7 @@ object DedupQueries {
              |  FROM p, generate_series(1, 64) t(i) GROUP BY 1, 2),
              |c AS (SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos FROM dt)
              |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.3
-             |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin),
-      bench = true),
+             |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin)),
 
     // ----- SRP-LSH bucketed ANN (the scale path; 8 hyperplanes) -----
     Q("ann_lsh_topk",
@@ -428,7 +485,8 @@ object DedupQueries {
              |  FROM p2, generate_series(1, 64) t(i) GROUP BY 1, 2),
              |c AS (SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos FROM dt)
              |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.3
-             |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin)),
+             |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin),
+      bench = true),
 
     // ----- IVF ANN (k-means coarse quantizer; not SQL-expressible) -----
     Q("ann_ivf_topk",

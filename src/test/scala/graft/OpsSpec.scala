@@ -54,6 +54,29 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("hot-bucket cap drops pathological LSH buckets, keeps healthy ones") {
+    // a degenerate band hash shared by 50 docs (boilerplate) would emit
+    // 50*49/2 pairs from one bucket; the cap drops the bucket while the
+    // healthy 2-doc bucket still pairs. Recall impact: only pairs whose
+    // SOLE agreeing band is the hot one are lost — here docs 100/101 also
+    // agree on band 1, so they survive the cap.
+    val hot = (0 until 50).map(i => (i.toLong, 0, "deadbeef"))
+    val healthy = Seq((100L, 0, "cafe01"), (101L, 0, "cafe01"),
+      (100L, 1, "beef02"), (101L, 1, "beef02"))
+    val bands = (hot ++ healthy).toDF("doc_id", "band", "band_hash")
+
+    val uncapped = Dedup.lshCandidatePairs(bands, "doc_id").collect()
+    assert(uncapped.length === 50 * 49 / 2 + 1)
+
+    val capped = Dedup.lshCandidatePairs(bands, "doc_id", maxBucketSize = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)))
+
+    val dropped = Dedup.oversizedBuckets(bands, "doc_id", maxBucketSize = 10)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(dropped === Seq((0, "deadbeef", 50L)))
+  }
+
   test("simhash: near-identical texts within small hamming distance") {
     val rows = Seq(
       (1L, "spark streaming joins state watermark window trigger output"),
@@ -151,6 +174,37 @@ class OpsSpec extends AnyFunSuite {
       scan.contains("list_id"), scan.take(1500))
     assert(probed.select("list_id").distinct().as[Long].collect().toSet
       .subsetOf(Set(0L, 1L, 2L)))
+  }
+
+  test("IVF/PQ recall@10 gated on the real embeddings table") {
+    // deterministic recall gate vs the brute-force oracle on actual data
+    // (not just the synthetic clustered fixture): ANN quality is verified,
+    // not only operator shape. The real embeddings table is UNIFORM RANDOM
+    // (no cluster structure), the adversarial case for IVF — measured curve:
+    // nProbe 4→0.57, 8→0.83, 10→0.90, 16→1.0. Gate at the half-probe point;
+    // the clustered-data advantage (recall 0.8+ probing 3/8 lists) is pinned
+    // by the synthetic IVF test above. PQ on random data needs fine
+    // subquantization: m=16×k=16 (4-dim subvectors) measures 0.90 at
+    // kTop=30 where m=8×k=16 sits at 0.50.
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = Seq(0L, 7L, 42L)
+    val ivfIdx = Similarity.buildIvf(e, "vec_id", "embedding", nLists = 16, seed = 42L)
+    val pqIdx = Similarity.buildPq(e, "vec_id", "embedding", dim = 64, m = 16, k = 16)
+    val recalls = queries.map { q =>
+      val qv = e.filter($"vec_id" === q).select("embedding").head().getSeq[Float](0).toArray
+      val brute = e
+        .withColumn("score", graft.search.VectorSearch.dotDistance($"embedding", typedLit(qv.toSeq)))
+        .orderBy("score", "vec_id").limit(10).select("vec_id").as[Long].collect().toSet
+      val ivf = Similarity.ivfTopK(ivfIdx, "vec_id", "embedding", qv, nProbe = 8, k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      val pq = Similarity.pqTopK(pqIdx, "vec_id", qv, kTop = 30)
+        .select("vec_id").as[Long].collect().toSet
+      (ivf.intersect(brute).size / 10.0, pq.intersect(brute).size / 10.0)
+    }
+    val ivfRecall = recalls.map(_._1).sum / recalls.size
+    val pqRecall = recalls.map(_._2).sum / recalls.size
+    assert(ivfRecall >= 0.8, s"IVF recall@10 $ivfRecall < 0.8 at nProbe=8/16")
+    assert(pqRecall >= 0.85, s"PQ shortlist recall@10 $pqRecall < 0.85 at kTop=30")
   }
 
   test("pii redaction is idempotent and catches the planted patterns") {
