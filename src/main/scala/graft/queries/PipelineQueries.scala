@@ -102,6 +102,39 @@ object PipelineQueries {
     dir.getAbsolutePath
   }
 
+  /** Deterministic page/line fixture for F16 (the text boundary SURVEY §7
+    * draws: header/footer removal runs on pre-extracted `(page, line, font,
+    * y)` rows, not on PDF bytes): every document becomes `3 + doc_id % 5`
+    * pages of 4 lines — a small-font repeating header at the page top, two
+    * body lines mid-page, a small-font "Page N" footer at the bottom. */
+  def pdfItems(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .withColumn("page", explode(expr("sequence(0, CAST(2 + doc_id % 5 AS INT))")))
+      .withColumn("it", explode(array(
+        struct(lit(98.0).as("y"), lit(6.0).as("font_size"),
+          concat(lit("Confidential "), col("source")).as("line")),
+        struct(lit(60.0).as("y"), lit(12.0).as("font_size"),
+          expr("substr(text, 1 + page*17, 40)").as("line")),
+        struct(lit(40.0).as("y"), lit(12.0).as("font_size"),
+          expr("substr(text, 50 + page*11, 40)").as("line")),
+        struct(lit(2.0).as("y"), lit(6.0).as("font_size"),
+          concat(lit("Page "), (col("page") + 1).cast("string")).as("line")))))
+      .select(col("doc_id"), col("page"), col("it.y").as("y"),
+        col("it.font_size").as("font_size"), col("it.line").as("line"))
+
+  private val PdfItemsCte =
+    """pg AS (SELECT doc_id, source, text,
+      |         unnest([p for p in range(0, 3 + CAST(doc_id % 5 AS INT))]) AS page
+      |       FROM documents),
+      |items AS (
+      |  -- DOUBLE casts: DuckDB reads bare x.y literals as DECIMAL, whose
+      |  -- median() is discrete (lower-middle) instead of interpolated
+      |  SELECT doc_id, page, 98.0::DOUBLE AS y, 6.0::DOUBLE AS font_size,
+      |         'Confidential ' || source AS line FROM pg
+      |  UNION ALL SELECT doc_id, page, 60.0, 12.0, substr(text, 1 + page*17, 40) FROM pg
+      |  UNION ALL SELECT doc_id, page, 40.0, 12.0, substr(text, 50 + page*11, 40) FROM pg
+      |  UNION ALL SELECT doc_id, page, 2.0, 6.0, 'Page ' || (page + 1) FROM pg)""".stripMargin
+
   /** shared flagship ingest pipeline: documents table → chunk rows */
   def ingestedChunks(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(
@@ -155,6 +188,56 @@ object PipelineQueries {
         .orderBy("action"),
       Some(s"""$SyncCte
               |SELECT action, count(*) AS cnt FROM plan GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- F16 stage 1: block-attribute header/footer hints (center-page
+    // sample → median font → small-font items in extreme Y bands), the pure
+    // relational half of the reference's 2-stage boundary filter -----
+    Q("f16_block_hints",
+      (s, d) => graft.ingest.PdfBoundaryFilter.blockHints(pdfItems(s, d))
+        .select(col("doc_id"),
+          (round(col("median_font"), 4) + 0.0).as("median_font"),
+          (round(col("page_height"), 4) + 0.0).as("page_height"),
+          array_join(transform(col("header_ys"), _.cast("string")), ",").as("header_ys"),
+          array_join(transform(col("footer_ys"), _.cast("string")), ",").as("footer_ys"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $PdfItemsCte,
+              |np AS (SELECT doc_id, count(DISTINCT page) AS n FROM items GROUP BY 1),
+              |samp AS (SELECT i.doc_id, i.page
+              |  FROM (SELECT DISTINCT doc_id, page FROM items) i JOIN np USING (doc_id)
+              |  WHERE np.n >= 3
+              |    AND i.page >= greatest(0, np.n // 2 - 2)
+              |    AND i.page < least(np.n, greatest(0, np.n // 2 - 2) + 5)),
+              |si AS (SELECT it.* FROM items it JOIN samp USING (doc_id, page)),
+              |stats AS (SELECT doc_id,
+              |    median(CASE WHEN font_size > 0 THEN font_size END) AS median_font,
+              |    max(y) AS page_height
+              |  FROM si GROUP BY 1),
+              |hints AS (SELECT si.doc_id,
+              |    coalesce(array_to_string(list_sort(list(DISTINCT CAST(round(y) AS BIGINT))
+              |      FILTER (WHERE font_size < median_font * 0.7 AND y > page_height * 0.9)), ','), '')
+              |      AS header_ys,
+              |    coalesce(array_to_string(list_sort(list(DISTINCT CAST(round(y) AS BIGINT))
+              |      FILTER (WHERE font_size < median_font * 0.7 AND y < page_height * 0.1)), ','), '')
+              |      AS footer_ys
+              |  FROM si JOIN stats USING (doc_id) GROUP BY 1)
+              |SELECT s.doc_id, round(s.median_font, 4) + 0.0 AS median_font,
+              |       round(s.page_height, 4) + 0.0 AS page_height,
+              |       h.header_ys, h.footer_ys
+              |FROM stats s JOIN hints h USING (doc_id) ORDER BY s.doc_id""".stripMargin)),
+
+    // ----- F16 end-to-end: stage-2 boundary-sentence detection (median
+    // pairwise embedding cosine, hint-boosted threshold) + strip. Embeddings
+    // are not SQL-expressible → rows-only; PdfFilterSpec owns the semantics. -----
+    Q("f16_strip_boundaries",
+      (s, d) => {
+        val items = pdfItems(s, d)
+        val patterns = graft.ingest.PdfBoundaryFilter.boundaryPatterns(
+          items, () => new HashedEmbedder(64))
+        graft.ingest.PdfBoundaryFilter.stripBoundaries(items, patterns)
+          .select(col("doc_id"), col("page"), length(col("text")).as("text_len"))
+          .orderBy("doc_id", "page")
+      },
+      None),
 
     // ----- §3.2 ingestion dataflow: parse → chunk → embed → chunk rows -----
     // (Max-Min chunking + hashed embeddings are not SQL-expressible — driver
