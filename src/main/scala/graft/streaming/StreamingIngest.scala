@@ -57,8 +57,13 @@ object StreamingIngest {
     val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
     stageDir.toFile.deleteOnExit()
     val target = java.nio.file.Paths.get(eventsPath).toAbsolutePath
-    java.nio.file.Files.createSymbolicLink(
-      stageDir.resolve(target.getFileName.toString), target)
+    val staged = stageDir.resolve(target.getFileName.toString)
+    // symlink when the filesystem supports it, copy otherwise
+    try java.nio.file.Files.createSymbolicLink(staged, target)
+    catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        java.nio.file.Files.copy(target, staged)
+    }
     val raw = spark.readStream.schema(schema).parquet(stageDir.toString)
     val ev = raw.withColumn("ts",
       timestamp_micros(expr("ts DIV 1000"))) // same ns→µs cast as Tables.load
@@ -74,17 +79,25 @@ object StreamingIngest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).select(
+    // materialize off the memory sink, then DROP the sink table — complete
+    // mode holds the full result per run, and repeated calls in a long-lived
+    // session would otherwise accumulate one table per invocation
+    val out = spark.table(name).select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
       col("event_type"), col("cnt"), col("sum_value"))
+    val materialized = spark.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    spark.catalog.dropTempView(name)
+    materialized
   }
 
   final case class SessionState(count: Long, lastTs: Long)
   final case class SessionUpdate(userId: Long, events: Long, closed: Boolean)
 
   /** custom stateful sessionization via mapGroupsWithState: per-user running
-    * session state across micro-batches (a production variant would add an
-    * event-time timeout to close idle sessions and bound state) */
+    * session state across micro-batches. Pedagogical NoTimeout variant —
+    * state grows with the user population forever; the production path is
+    * [[sessionizeWithTimeout]], which bounds state via event-time timeouts. */
   def sessionize(events: Dataset[(Long, Long)]): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
@@ -96,6 +109,50 @@ object StreamingIngest {
             math.max(prev.lastTs, if (incoming.isEmpty) 0L else incoming.map(_._2).max))
           state.update(st)
           SessionUpdate(userId, st.count, closed = false)
+      }
+  }
+
+  final case class SessionWindowState(count: Long, startTs: Long, lastTs: Long)
+  final case class ClosedSession(userId: Long, events: Long,
+                                 startTs: Long, endTs: Long)
+
+  /** Event-time sessionization with BOUNDED state — the production variant:
+    * a per-user session accumulates silently while events arrive; when the
+    * event-time watermark passes `lastTs + gapMs` the state TIMES OUT, the
+    * closed session is emitted, and the state row is removed. State size is
+    * one row per currently-active user — it never grows with history, which
+    * is the difference between surviving a 100 TB replay and OOMing the
+    * state store. Timestamps are epoch millis in the emitted session. */
+  def sessionizeWithTimeout(events: Dataset[(Long, java.sql.Timestamp)],
+                            gapMs: Long = 30L * 60 * 1000,
+                            watermark: String = "30 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionWindowState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionWindowState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove() // the bound: idle users leave the state store
+            Iterator.single(ClosedSession(userId, st.count, st.startTs, st.lastTs))
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq
+            val prev = state.getOption
+            val st = SessionWindowState(
+              prev.map(_.count).getOrElse(0L) + ts.size,
+              math.min(prev.map(_.startTs).getOrElse(Long.MaxValue), ts.min),
+              math.max(prev.map(_.lastTs).getOrElse(Long.MinValue), ts.max))
+            state.update(st)
+            // a timeout must sit beyond the current watermark: an event that
+            // arrived just inside the allowed lateness could otherwise ask
+            // for a timestamp the watermark already passed
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
       }
   }
 

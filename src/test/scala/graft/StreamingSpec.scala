@@ -132,6 +132,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(2L) === 1L)
   }
 
+  test("event-time timeout closes idle sessions and removes their state") {
+    implicit val sqlCtx = spark.sqlContext
+    // offset from epoch 0: a row whose event time equals the initial
+    // watermark (0) is filtered as late before it reaches the state function
+    def t(min: Long) = new java.sql.Timestamp((60 + min) * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingIngest.sessionizeWithTimeout(mem.toDS(),
+        gapMs = 10L * 60000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 active at minutes 0 and 5; user 2 at 6
+      mem.addData((1L, t(0)), (1L, t(5)), (2L, t(6)))
+      q.processAllAvailable()
+      // advance event time far past user 1's gap (5 + 10 < 30)…
+      mem.addData((2L, t(30)))
+      q.processAllAvailable()
+      // …and one more batch so the new watermark is applied to timeouts
+      mem.addData((2L, t(31)))
+      q.processAllAvailable()
+      val closed = spark.table("closed_sessions")
+        .as[StreamingIngest.ClosedSession].collect().filter(_.userId == 1L)
+      assert(closed.length === 1)
+      assert(closed.head.events === 2L)
+      assert(closed.head.startTs === t(0).getTime && closed.head.endTs === t(5).getTime)
+
+      // state removal is observable: user 1 returns and their NEW session
+      // counts from scratch instead of resuming the closed one
+      mem.addData((1L, t(40)))
+      q.processAllAvailable()
+      mem.addData((2L, t(70)))
+      q.processAllAvailable()
+      mem.addData((2L, t(71)))
+      q.processAllAvailable()
+      val second = spark.table("closed_sessions")
+        .as[StreamingIngest.ClosedSession].collect()
+        .filter(s => s.userId == 1L && s.startTs == t(40).getTime)
+      assert(second.length === 1)
+      assert(second.head.events === 1L) // fresh session, old count not resumed
+    } finally q.stop()
+  }
+
   test("foreachBatch commits micro-batches into the versioned store") {
     implicit val sqlCtx = spark.sqlContext
     val store = new graft.store.VersionedStore(spark,
