@@ -227,6 +227,56 @@ object TextQueries {
              |                 '[?#].*$', '', 'g') AS normalized
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- S7/F10: atomic-range PRODUCTION from table-structured input.
+    // Each doc becomes a markdown fixture (sanitized prose paragraph + a
+    // 2-column pipe table with 3 data rows); TableBlockParser turns the
+    // table rows into `Header: value` atomic blocks and computes their
+    // [start, end) ranges in the assembled content. The oracle recomputes
+    // every range with independent length arithmetic. -----
+    Q("f10_table_atomic_ranges",
+      (s, d) => {
+        // prose is sanitized of newlines/pipes so it stays ONE paragraph
+        // block and the offsets are pure arithmetic; the 'Doc N' prefix
+        // guarantees it is non-empty
+        val mdCol = concat(
+          lit("Doc "), col("doc_id").cast("string"), lit(" "),
+          trim(regexp_replace(expr("substr(text, 1, 40)"), "[\\s|]+", " ")),
+          lit("\n\n| Lang | Source |\n| --- | --- |\n| "),
+          col("lang"), lit(" | "), col("source"), lit(" |\n| "),
+          col("lang"), lit("2 | "), col("source"), lit("2 |\n| "),
+          upper(col("lang")), lit(" | "), upper(col("source")), lit(" |"))
+        val parseUdf = udf((md: String) => {
+          val p = graft.chunker.TableBlockParser.parse(md)
+          p.ranges.zipWithIndex.map { case (r, i) =>
+            (i, r.start, r.end, p.content.substring(r.start, r.end))
+          }
+        })
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(parseUdf(mdCol)).as("r"))
+          .select(col("doc_id"), col("r._1").as("range_idx"),
+            col("r._2").cast("long").as("rstart"), col("r._3").cast("long").as("rend"),
+            col("r._4").as("atomic_text"))
+          .orderBy("doc_id", "range_idx")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    'Doc ' || doc_id || ' ' ||
+             |      trim(regexp_replace(substr(text, 1, 40), '[\s|]+', ' ', 'g')) AS prose,
+             |    'Lang: ' || lang || chr(10) || 'Source: ' || source AS row0,
+             |    'Lang: ' || lang || '2' || chr(10) || 'Source: ' || source || '2' AS row1,
+             |    'Lang: ' || upper(lang) || chr(10) || 'Source: ' || upper(source) AS row2
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, 0 AS range_idx, len(prose) + 2 AS rstart,
+             |         len(prose) + 2 + len(row0) AS rend, row0 AS atomic_text FROM f
+             |  UNION ALL
+             |  SELECT doc_id, 1, len(prose) + len(row0) + 4,
+             |         len(prose) + len(row0) + 4 + len(row1), row1 FROM f
+             |  UNION ALL
+             |  SELECT doc_id, 2, len(prose) + len(row0) + len(row1) + 6,
+             |         len(prose) + len(row0) + len(row1) + 6 + len(row2), row2 FROM f)
+             |SELECT doc_id, range_idx, rstart, rend, atomic_text
+             |FROM o ORDER BY doc_id, range_idx""".stripMargin)),
+
     // ----- F11: title extraction priority chain with provenance -----
     Q("f11_title_extract",
       (s, d) => {

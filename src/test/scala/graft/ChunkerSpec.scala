@@ -90,6 +90,62 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
+  // ---- atomic-range PRODUCTION from table-structured input (S7) ----
+
+  test("markdown tables become per-row atomic blocks with exact ranges") {
+    val md =
+      """Intro paragraph about the corpus. It has two sentences.
+        |
+        || Name | Role |
+        || --- | --- |
+        || Ada Lovelace | First programmer of the analytical engine |
+        ||  | Mathematician |
+        |
+        |Closing remarks.""".stripMargin
+    val parsed = graft.chunker.TableBlockParser.parse(md)
+    assert(parsed.ranges.length === 2)
+    val texts = parsed.ranges.map(r => parsed.content.substring(r.start, r.end))
+    assert(texts(0) === "Name: Ada Lovelace\nRole: First programmer of the analytical engine")
+    assert(texts(1) === "Name: \nRole: Mathematician") // empty cell keeps its label
+    // ranges feed the splitter directly: they validate and stay indivisible
+    val units = SentenceSplitter.splitIntoSentenceUnits(parsed.content, parsed.ranges)
+    assert(units.count(_.atomic) === 2)
+    assert(units.filter(_.atomic).map(_.text) === texts)
+  }
+
+  test("table rows never split mid-chunk through the full chunker") {
+    // a table row longer than any natural sentence grouping: the chunker
+    // must carry it whole into exactly one chunk
+    val longRow = (1 to 12).map(i => s"fact number $i about dataframes").mkString(", ")
+    val md =
+      s"""Some prose before the table. More prose sentences here. Another one follows now.
+         |
+         || Key | Details |
+         || --- | --- |
+         || summary | $longRow |
+         |
+         |And a trailing paragraph with several words.""".stripMargin
+    val parsed = graft.chunker.TableBlockParser.parse(md)
+    val rowText = parsed.content.substring(parsed.ranges.head.start, parsed.ranges.head.end)
+    val chunks = MaxMinChunker.chunkText(parsed.content, embedBatch, parsed.ranges)
+    assert(chunks.count(_.text.contains(rowText)) === 1,
+      s"atomic table row was split across chunks:\n${chunks.map(_.text).mkString("\n---\n")}")
+  }
+
+  test("unsupported tables degrade to prose, never dropped") {
+    // ragged column counts → unsupported → cell text kept as ordinary block
+    val md =
+      """|| a | b |
+         || --- | --- |
+         || 1 | 2 | 3 |""".stripMargin
+    val parsed = graft.chunker.TableBlockParser.parse(md)
+    assert(parsed.ranges.isEmpty)
+    assert(parsed.content === "a b 1 2 3")
+    // header-only table (no data rows) likewise degrades
+    val headerOnly = graft.chunker.TableBlockParser.parse("| x | y |\n| --- | --- |")
+    assert(headerOnly.ranges.isEmpty && headerOnly.content === "x y")
+  }
+
   // ---- garbage detection ----
 
   test("garbage: empty, decoration, repeated char; alnum is kept") {
