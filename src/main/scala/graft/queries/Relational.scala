@@ -276,9 +276,12 @@ object Relational {
     // ----- returned-item revenue (TPC-H Q10 shape: join + agg + top-k) -----
     Q("q10_returned_revenue",
       (s, d) => {
+        // orders/customer are fact-sized (sf-proportional): no forced broadcast —
+        // a hint here OOMs the build side at 100×. AQE still broadcasts them at
+        // small sf; only the true dim (nation, 25 rows) keeps the hint.
         val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
-        li.join(broadcast(Tables.orders(s, d)), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
           .groupBy("c_custkey", "c_name", "n_name")
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -294,11 +297,12 @@ object Relational {
              |WHERE l_returnflag = 'R'
              |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
-    // ----- TPC-H Q14 shape: promo revenue share (conditional agg over a
-    // broadcast part join — the part dim stays a build-side hash table) -----
+    // ----- TPC-H Q14 shape: promo revenue share. part is sf-proportional
+    // (~20 M rows at sf100), not a true dim — no forced broadcast; AQE picks
+    // the broadcast strategy at small sf where it actually fits. -----
     Q("q14_promo_share",
       (s, d) => Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .agg(
           (round(
             sum(when(col("p_type") === "PROMO",

@@ -43,6 +43,26 @@ class PlanSpec extends AnyFunSuite {
     assert(hints("q5_region_revenue") <= 1)
   }
 
+  test("forced broadcast hints only target fixed-size dims (every relational query)") {
+    // nation (25 rows) and region (5 rows) are constant-size forever; every
+    // other TPC-H-ish table grows with sf, so a forced hint on one is a
+    // 100x-scale OOM. Hints are checked on the analyzed plan (the optimizer
+    // folds ResolvedHint into JoinHint, losing the subtree).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- graft.queries.Relational.qs) {
+      val analyzed = q.build(spark, dir).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint if h.hints.strategy.nonEmpty =>
+          // allowed: plan-bounded row counts (global aggregates: maxRows=1)
+          val bounded = h.child.maxRows.exists(_ <= 1000)
+          val outs = h.child.output.map(_.name)
+          assert(bounded || outs.forall(c => c.startsWith("n_") || c.startsWith("r_")),
+            s"${q.name}: forced broadcast over non-dim columns ${outs.filterNot(c => c.startsWith("n_") || c.startsWith("r_"))}")
+        case _ => ()
+      }
+    }
+  }
+
   test("brute-force ANN never globally sorts the corpus") {
     val p = plan("v_ann_topk")
     assert(p.contains("TakeOrderedAndProject"))
