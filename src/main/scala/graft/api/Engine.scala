@@ -27,7 +27,10 @@ final class Engine(
     storePath: String,
     roots: Seq[String],
     mkEmbedder: () => Embedder = () => new HashedEmbedder(64),
-    numBuckets: Int = 0) {
+    numBuckets: Int = 0,
+    annLists: Int = 16,
+    annProbes: Int = 8,
+    annThreshold: Long = Engine.AnnCorpusThreshold) {
 
   import spark.implicits._
 
@@ -38,12 +41,37 @@ final class Engine(
     * mutations refresh only the file's bucket (1/numBuckets of the corpus). */
   private[graft] val ftsIndex =
     new graft.store.FtsIndexStore(spark, storePath + "-fts", numBuckets)
-  private def refreshFtsIndex(): Unit = ftsIndex.rebuild(store.read())
-  private def refreshFtsIndexFor(filePath: String): Unit =
+  /** persisted IVF ANN index on the same refresh cadence — the reference
+    * keeps its vector index inside the store and queries it with an ANN
+    * scan, never a full scan (`src/vectordb/index.ts:352-353`). Below
+    * `annThreshold` chunks the index is dropped and queries brute-force
+    * (exact, and cheaper than probe overhead at tool scale). */
+  private[graft] val annIndex =
+    new graft.store.AnnIndexStore(spark, storePath + "-ann", numBuckets)
+  private def refreshIndexes(): Unit = {
+    ftsIndex.rebuild(store.read())
+    refreshAnn(None)
+  }
+  private def refreshIndexesFor(filePath: String): Unit =
     if (numBuckets > 0 && ftsIndex.exists) {
       val b = store.bucketOf(filePath)
       ftsIndex.refreshBucket(store.readBucket(b), b)
-    } else refreshFtsIndex()
+      refreshAnn(Some(filePath))
+    } else refreshIndexes()
+  /** maintain the ANN index across the corpus-size threshold: below it the
+    * index is dropped (brute force is exact and faster there); a bucketed
+    * single-file change above it reassigns ONE bucket against the stored
+    * centroids; anything else re-trains in full. */
+  private def refreshAnn(changed: Option[String]): Unit = {
+    val n = store.read().count()
+    if (n < annThreshold) annIndex.drop()
+    else changed match {
+      case Some(p) if numBuckets > 0 && annIndex.exists =>
+        val b = store.bucketOf(p)
+        annIndex.refreshBucket(store.readBucket(b), b)
+      case _ => annIndex.rebuild(store.read(), annLists)
+    }
+  }
   private def embedder: Embedder = mkEmbedder()
 
   final case class IngestResult(filePath: String, chunkCount: Long,
@@ -65,8 +93,21 @@ final class Engine(
     // scope pushdown below the scoring projection (ref: index.ts:356-360)
     val chunks = if (scope.isEmpty) chunks0
       else chunks0.filter(ScopeMatch.inScope(col("filePath"), scope))
-    val qv = typedLit(embedder.embed(query).toSeq)
+    val qArr = embedder.embed(query)
+    val qv = typedLit(qArr.toSeq)
     val tokens = "[a-z0-9]+".r.findAllIn(query.toLowerCase).toSeq.distinct
+    // ANN route (SURVEY §7 step 7): above the corpus threshold the candidate
+    // top-(2·limit) comes from the persisted IVF index — nProbe list
+    // partitions read, scope filter applied BEFORE the top-k so scoped
+    // queries still fill their k. Below it (or with no index) the exact
+    // brute-force scan runs; both paths score with the same expression.
+    val annCands =
+      if (annIndex.exists && annIndex.rowCount() >= annThreshold)
+        Some(annIndex.probe(qArr, annProbes,
+          limit * HybridSearch.CandidateMultiplier,
+          where = if (scope.isEmpty) None
+                  else Some(ScopeMatch.inScope(col("filePath"), scope))))
+      else None
     // BM25 stats are GLOBAL regardless of scope — the reference's FTS index
     // is corpus-wide and scope only restricts which rows come back — so the
     // ad-hoc fallback builds its index from the UNSCOPED table too, keeping
@@ -79,7 +120,7 @@ final class Engine(
       HybridSearch.Params(limit = limit, maxDistance = maxDistance,
         weight = weight, maxFiles = maxFiles, grouping = grouping,
         queryTokens = tokens),
-      ftsIndex = idx)
+      ftsIndex = idx, annCandidates = annCands)
       .select("filePath", "chunkIndex", "text", "fileTitle", "score", "boosted")
   }
 
@@ -92,7 +133,7 @@ final class Engine(
     * containment, parser/index.ts:165-235). */
   def ingestFile(path: String): IngestResult = mutationGuard.synchronized {
     val r = ingestFileNoRefresh(path)
-    refreshFtsIndexFor(r.filePath)
+    refreshIndexesFor(r.filePath)
     r
   }
 
@@ -232,7 +273,7 @@ final class Engine(
       for (p <- prunes; spelling <- p.spellings) store.deleteFile(spelling)
       // ONE index refresh per batch iff anything mutated (ref: single
       // optimize(), features/sync.ts:459-465)
-      if (upserted > 0 || prunes.nonEmpty) refreshFtsIndex()
+      if (upserted > 0 || prunes.nonEmpty) refreshIndexes()
       SyncSummary(upserted, skipped, empty, prunes.size.toLong, held)
     }
   }
@@ -371,7 +412,7 @@ final class Engine(
   def deleteDocument(path: String): Unit = mutationGuard.synchronized {
     val spelled = PathKeys.storageSpelling(path)
     store.deleteFile(spelled)
-    refreshFtsIndexFor(spelled)
+    refreshIndexesFor(spelled)
   }
 
   def readChunkNeighbors(path: String, chunkIndex: Int,
@@ -391,6 +432,12 @@ object Engine {
     * loop wins — a binaryFile scan's job-scheduling floor exceeds hashing a
     * few hundred small files in-process) */
   val DistributedSyncThreshold = 512
+
+  /** chunk count at which queries route through the persisted ANN index.
+    * Below it the exact brute-force scan is both correct and faster (probe
+    * overhead + recall loss buy nothing at tool scale); above it the probe
+    * reads nProbe/nLists of the corpus instead of all of it. */
+  val AnnCorpusThreshold = 4096L
 
   /** recover the external source id from a managed raw-data path
     * (reference `src/utils/raw-data-utils.ts:196-214`) */

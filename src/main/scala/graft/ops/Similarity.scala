@@ -77,15 +77,40 @@ object Similarity {
 
   /** build the IVF index with MLlib KMeans (fixed seed → deterministic) */
   def buildIvf(df: DataFrame, idCol: String, vecColName: String,
-               nLists: Int, seed: Long = 42L): IvfIndex = {
+               nLists: Int, seed: Long = 42L): IvfIndex =
+    buildIvfCols(df, Seq(idCol), vecColName, nLists, seed)
+
+  /** [[buildIvf]] generalized to carry several id columns through the
+    * assignment (the chunk table keys on (filePath, chunkIndex)) */
+  def buildIvfCols(df: DataFrame, idCols: Seq[String], vecColName: String,
+                   nLists: Int, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featDf = df.withColumn("features", array_to_vector(col(vecColName)))
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features").fit(featDf)
     val assigned = model.transform(featDf)
-      .select(col(idCol), col(vecColName), col("prediction").as("list_id"))
+      .select(idCols.map(col) ++ Seq(col(vecColName), col("prediction").as("list_id")): _*)
     IvfIndex(assigned, model.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  /** nearest-centroid assignment against FIXED centroids (squared-L2 argmin,
+    * first-min tie — KMeansModel.transform's rule): the incremental-refresh
+    * twin of [[buildIvfCols]], used when one path bucket's vectors change and
+    * re-training the coarse quantizer would rewrite every list */
+  def assignToLists(df: DataFrame, vecColName: String,
+                    centroids: Array[Array[Float]]): DataFrame = {
+    val f = udf { (v: Seq[Float]) =>
+      var best = 0; var bd = Double.MaxValue; var i = 0
+      while (i < centroids.length) {
+        val c = centroids(i); var s = 0.0; var j = 0
+        while (j < c.length) { val d = v(j) - c(j); s += d * d; j += 1 }
+        if (s < bd) { bd = s; best = i }
+        i += 1
+      }
+      best
+    }
+    df.withColumn("list_id", f(col(vecColName)))
   }
 
   /** query: rank centroids by distance to the query (driver-side, tiny),

@@ -500,6 +500,26 @@ object DedupQueries {
       },
       None),
 
+    // ----- persisted IVF probe (the Engine's flagship ANN read path): the
+    // index is BUILT ONCE into a list_id-partitioned parquet store, and the
+    // benched work is the probe — nProbe partitions read (PartitionFilters
+    // pinned in PlanSpec), rerank inside them. KMeans centroids are not
+    // SQL-expressible → rows-only; recall is gated in StoreSearchSpec. -----
+    Q("ann_ivf_store_probe",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val qv = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ann-ivf-" +
+          d.replaceAll("[^a-zA-Z0-9._-]", "_")
+        val st = new graft.store.AnnIndexStore(s, dir, 0, Seq("vec_id"), "embedding")
+        // build once per (tmpdir, sf): warm pass builds, timed pass probes
+        if (!st.exists || st.rowCount() != e.count()) st.rebuild(e, nLists = 16)
+        st.probe(qv, nProbe = 8, k = 10)
+          .select(col("vec_id"), (round(col("score"), 4) + 0.0).as("score"))
+      },
+      None, bench = true),
+
     // ----- PQ ANN (product-quantized codes, asymmetric distance; KMeans
     // codebooks are not SQL-expressible → rows-only, recall-tested in specs) -----
     Q("ann_pq_topk",

@@ -104,11 +104,21 @@ object HybridSearch {
   def search(chunks: DataFrame, queryVec: Column, p: Params,
              fileCol: String = "filePath", indexCol: String = "chunkIndex",
              textColName: String = "text",
-             ftsIndex: Option[Bm25.Index] = None): DataFrame = {
+             ftsIndex: Option[Bm25.Index] = None,
+             annCandidates: Option[DataFrame] = None): DataFrame = {
     require(p.limit >= 1 && p.limit <= 20, "limit must be in 1..20") // ref: index.ts:346-348
     val tiebreak = Seq(fileCol, indexCol)
-    val cand0 = VectorSearch.topK(chunks, queryVec, p.limit * CandidateMultiplier,
-      scoreCol = "score", tiebreak = tiebreak)
+    // `annCandidates` swaps the exact top-k scan for a precomputed
+    // (fileCol, indexCol, score) candidate set from a persisted ANN index
+    // (already scope-filtered, ≤ 2·limit rows by construction) — broadcast
+    // back onto the chunk table to recover the text/title columns the later
+    // stages and the final projection need. Every stage downstream is
+    // identical between the two routes.
+    val cand0 = annCandidates match {
+      case Some(c) => chunks.join(broadcast(c), Seq(fileCol, indexCol))
+      case None => VectorSearch.topK(chunks, queryVec, p.limit * CandidateMultiplier,
+        scoreCol = "score", tiebreak = tiebreak)
+    }
     val cand1 = p.maxDistance.map(md => cand0.filter(col("score") <= md)).getOrElse(cand0)
     val cand2 = p.grouping.map(m => applyGrouping(cand1, m, tiebreak = tiebreak)).getOrElse(cand1)
     val boosted =

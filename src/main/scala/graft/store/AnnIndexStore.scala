@@ -1,0 +1,140 @@
+package graft.store
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+import graft.search.VectorSearch
+
+/** Persisted IVF ANN index next to the chunk table — the scale twin of the
+  * brute-force vector scan behind the SAME query API (reference ANN scan,
+  * `src/vectordb/index.ts:352-353`; SURVEY §7 step 7 "swap brute-force top-k
+  * behind the same API"). Refresh cadence matches [[FtsIndexStore]]: once per
+  * mutation batch; per-path-bucket incremental in bucketed mode.
+  *
+  * Layout under `path/`:
+  *  - `assignments/` — (idCols…, vector, list_id), partitioned by
+  *    (pbucket?, list_id). A probe filters `list_id IN (nearest nProbe)` and
+  *    reads ONLY those partitions — PartitionFilters on the scan, pinned in
+  *    StoreSearchSpec. At 100 TB each list is further splittable; the probe
+  *    cost is corpus/nLists · nProbe, independent of total corpus size.
+  *  - `centroids/` — nLists tiny rows (list_id, centroid); collected driver-
+  *    side at probe time to rank lists (µs-scale: nLists ≤ a few hundred).
+  *  - `stats/` — per-pbucket row counts, written LAST so [[exists]] only
+  *    ever observes a complete index; answers [[rowCount]] without a scan
+  *    (the Engine's ANN-vs-brute-force routing reads it per query).
+  *
+  * Incremental refresh keeps centroids FIXED and reassigns only the changed
+  * path bucket (classic IVF posture — lists drift from optimal as data
+  * drifts; the next full rebuild re-trains the coarse quantizer). */
+final class AnnIndexStore(
+    spark: SparkSession, path: String, numBuckets: Int = 0,
+    idCols: Seq[String] = Seq("filePath", "chunkIndex"),
+    vecCol: String = "vector") {
+
+  private def bucketed: Boolean = numBuckets > 0
+  private val assignmentsPath = path + "/assignments"
+  private val centroidsPath = path + "/centroids"
+  private val statsPath = path + "/stats"
+
+  private def fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new HPath(statsPath))
+
+  /** indexed row count from the stats table (no data scan) */
+  def rowCount(): Long =
+    if (!exists) 0L
+    else spark.read.parquet(statsPath)
+      .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+
+  private def bucketCol =
+    pmod(graft.ops.Dedup.hash60(col(idCols.head)), lit(numBuckets.toLong))
+
+  /** full rebuild: train the coarse quantizer, assign every vector, swap all
+    * three directories in (stats last). Empty input drops the index — the
+    * query path falls back to the brute-force scan. `nLists` is clamped to
+    * the row count (KMeans cannot seed more centers than points). */
+  def rebuild(rows: DataFrame, nLists: Int, seed: Long = 42L): Unit = {
+    import spark.implicits._
+    val src = rows.select(idCols.map(col) :+ col(vecCol): _*)
+    val n = src.count()
+    if (n == 0L) { drop(); return }
+    val idx = Similarity.buildIvfCols(src, idCols, vecCol,
+      math.min(nLists.toLong, n).toInt, seed)
+    val assigned = (if (bucketed) idx.assignments.withColumn("pbucket", bucketCol)
+                    else idx.assignments).persist()
+    try {
+      val parts = if (bucketed) Seq("pbucket", "list_id") else Seq("list_id")
+      DirSwap.swapInto(fs, path, assignmentsPath)(tmp =>
+        assigned.write.partitionBy(parts: _*).mode(SaveMode.Overwrite).parquet(tmp))
+      DirSwap.swapInto(fs, path, centroidsPath)(tmp =>
+        idx.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("list_id", "centroid")
+          .write.mode(SaveMode.Overwrite).parquet(tmp))
+      val stats =
+        if (bucketed) assigned.groupBy("pbucket").agg(count(lit(1)).as("n_rows"))
+        else assigned.agg(count(lit(1)).as("n_rows")).withColumn("pbucket", lit(0L))
+      DirSwap.swapInto(fs, path, statsPath)(tmp =>
+        stats.select("pbucket", "n_rows")
+          .write.mode(SaveMode.Overwrite).parquet(tmp))
+    } finally assigned.unpersist()
+  }
+
+  def loadCentroids(): Array[Array[Float]] =
+    spark.read.parquet(centroidsPath).orderBy("list_id")
+      .collect().map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+
+  /** reassign ONE path bucket's vectors against the stored centroids and
+    * swap only that bucket's partition (1/numBuckets of the index — the same
+    * cost profile as ChunkStore/FtsIndexStore single-file mutations) */
+  def refreshBucket(bucketRows: DataFrame, bucket: Long): Unit = {
+    import spark.implicits._
+    require(bucketed, "refreshBucket requires a bucketed index")
+    require(exists, "refreshBucket requires an existing index (rebuild first)")
+    val assigned = Similarity.assignToLists(
+      bucketRows.select(idCols.map(col) :+ col(vecCol): _*), vecCol, loadCentroids())
+      .persist()
+    try {
+      val nMine = assigned.count()
+      DirSwap.swapInto(fs, path, s"$assignmentsPath/pbucket=$bucket")(tmp =>
+        assigned.write.partitionBy("list_id").mode(SaveMode.Overwrite).parquet(tmp))
+      // read-modify-write of the tiny (numBuckets-row) stats table
+      val others = spark.read.parquet(statsPath)
+        .filter(col("pbucket") =!= bucket)
+        .select("pbucket", "n_rows").as[(Long, Long)].collect().toSeq
+      DirSwap.swapInto(fs, path, statsPath)(tmp =>
+        (others :+ (bucket, nMine)).toDF("pbucket", "n_rows")
+          .write.mode(SaveMode.Overwrite).parquet(tmp))
+    } finally assigned.unpersist()
+  }
+
+  /** ANN top-k: rank centroids by distance to the query (driver-side, tiny),
+    * read ONLY the nearest `nProbe` list partitions, brute-force rerank
+    * within them. `where` pre-filters candidates (scope pushdown) BEFORE the
+    * top-k so a scoped query still fills its k. Scores are the same
+    * dot-distance expression as the brute-force path — the two paths return
+    * identical values on the rows they share. */
+  def probe(queryVec: Array[Float], nProbe: Int, k: Int,
+            where: Option[Column] = None): DataFrame = {
+    val cents = loadCentroids()
+    def dist2(c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - queryVec(i); s += d * d; i += 1 }
+      s
+    }
+    val lists = cents.zipWithIndex
+      .sortBy { case (c, i) => (dist2(c), i) }.take(nProbe).map(_._2)
+    val stored = spark.read.parquet(assignmentsPath)
+      .filter(col("list_id").isin(lists.map(Integer.valueOf).toSeq: _*))
+    val scoped = where.map(stored.filter).getOrElse(stored)
+    scoped
+      .withColumn("score", VectorSearch.dotDistance(col(vecCol), typedLit(queryVec.toSeq)))
+      .orderBy(col("score") +: idCols.map(col): _*)
+      .limit(k)
+      .select(idCols.map(col) :+ col("score"): _*)
+  }
+
+  def drop(): Unit =
+    if (fs.exists(new HPath(path))) fs.delete(new HPath(path), true)
+}

@@ -48,25 +48,9 @@ final class FtsIndexStore(spark: SparkSession, path: String, numBuckets: Int = 0
     }
   }
 
-  /** atomic directory replace: write tmp OUTSIDE the target, rename-aside
-    * swap, checked renames (same discipline as ChunkStore.swapDir) */
-  private def swapInto(target: String, write: String => Unit): Unit = {
-    val nano = System.nanoTime()
-    val tmp = s"$path-swap-$nano"
-    val old = s"$path-old-$nano"
-    write(tmp)
-    val f = fs
-    val tp = new HPath(target)
-    val parent = tp.getParent
-    if (parent != null && !f.exists(parent)) f.mkdirs(parent)
-    if (f.exists(tp) && !f.rename(tp, new HPath(old)))
-      throw new java.io.IOException(s"index swap failed: could not move $target aside")
-    if (!f.rename(new HPath(tmp), tp)) {
-      if (f.exists(new HPath(old))) f.rename(new HPath(old), tp)
-      throw new java.io.IOException(s"index swap failed: could not move $tmp into place")
-    }
-    if (f.exists(new HPath(old))) f.delete(new HPath(old), true)
-  }
+  /** atomic directory replace (shared [[DirSwap]] discipline) */
+  private def swapInto(target: String, write: String => Unit): Unit =
+    DirSwap.swapInto(fs, path, target)(write)
 
   /** full rebuild from the chunk table (one call per mutation batch).
     * Empty corpus → the index is dropped (queries fall back to ad-hoc

@@ -287,4 +287,47 @@ class EngineSpec extends AnyFunSuite {
     assert(s.empty === 2)
     assert(engine.status() === before) // old chunks for spark.md retained
   }
+
+  test("ANN read path: persisted index agrees with brute force; incremental refresh serves new docs") {
+    val root = Files.createTempDirectory("ann-root").toString
+    val store = Files.createTempDirectory("ann-store").toString + "/chunks"
+    val topics = Seq("spark shuffle partitions executors", "pasta cooking tomato sauce",
+      "quantum physics particle spin", "football match winning goals",
+      "garden flowers spring bloom", "database index btree lookup")
+    for (i <- 0 until 30)
+      write(s"$root/doc$i.md",
+        s"# Doc $i\n" + s"${topics(i % 6)} paragraph number $i. " * 5)
+    // annProbes = annLists ⇒ the probe is exhaustive, so the indexed route
+    // must agree with brute force EXACTLY — what's under test is the routing
+    // and the persisted layout, not recall (gated in StoreSearchSpec);
+    // annThreshold=1 forces the index on at this corpus size
+    val annEngine = new Engine(spark, store, Seq(root), numBuckets = 4,
+      annLists = 4, annProbes = 4, annThreshold = 1L)
+    val s = annEngine.sync()
+    assert(s.upserted === 30)
+    assert(annEngine.annIndex.exists)
+    assert(annEngine.annIndex.rowCount() === annEngine.status()._1)
+
+    // a second engine over the SAME store with an unreachable threshold
+    // stays on the exact brute-force scan — the two paths must agree
+    val bruteEngine = new Engine(spark, store, Seq(root), numBuckets = 4,
+      annThreshold = Long.MaxValue)
+    def rows(e: Engine) =
+      e.queryDocuments("spark shuffle partitions", limit = 10)
+        .select("filePath", "chunkIndex", "score", "boosted").collect().toSeq
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows(annEngine) === rows(bruteEngine))
+    // scoped query through the ANN route still fills from the scoped subset
+    val scoped = annEngine.queryDocuments("paragraph number", limit = 5,
+      scope = Seq(s"$root/doc7.md"))
+    assert(scoped.collect().forall(_.getAs[String]("filePath").endsWith("doc7.md")))
+
+    // single-file ingest above threshold routes through the per-bucket
+    // refresh (fixed centroids) — the new doc must be immediately probe-visible
+    write(s"$root/doc30.md",
+      "# Doc 30\nentirely novel topic: volcano geology magma chambers erupting basalt.")
+    annEngine.ingestFile(s"$root/doc30.md")
+    val hit = annEngine.queryDocuments("volcano geology magma", limit = 3).collect().head
+    assert(hit.getAs[String]("filePath").endsWith("doc30.md"))
+  }
 }

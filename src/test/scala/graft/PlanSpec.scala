@@ -69,6 +69,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("float_vector_dot")) // the codegen expression is in the plan
   }
 
+  test("persisted IVF probe reads only its list partitions") {
+    // the benched ANN path: the scan must carry PartitionFilters on list_id
+    // (nProbe/nLists of the corpus), never a full assignments read
+    val p = plan("ann_ivf_store_probe")
+    assert(p.contains("PartitionFilters: [") && p.contains("list_id"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("sync reconciliation is a single full-outer shuffle join") {
     val p = plan("j1_sync_plan")
     assert(p.contains("FullOuter"))

@@ -251,4 +251,73 @@ class StoreSearchSpec extends AnyFunSuite {
       HybridSearch.Params(limit = 5, queryTokens = Seq("spark")))
     assert(res.count() <= 5)
   }
+
+  // ---- AnnIndexStore (persisted IVF behind the engine read path) ----
+
+  test("persisted IVF index: probe prunes to nProbe list partitions; recall gated on real embeddings") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("ann-idx").toString + "/ann"
+    val st = new graft.store.AnnIndexStore(spark, dir, 0, Seq("vec_id"), "embedding")
+    assert(!st.exists && st.rowCount() === 0L)
+    st.rebuild(e, nLists = 16)
+    assert(st.exists)
+    assert(st.rowCount() === e.count())
+
+    // partition pruning: the probe scan carries PartitionFilters on list_id
+    // (the 100 TB claim — nProbe/nLists of the corpus read, never all of it)
+    val qv0 = e.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+    val probePlan = st.probe(qv0, nProbe = 8, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters: [") && probePlan.contains("list_id"),
+      probePlan.take(1500))
+
+    // recall@10 vs the brute-force oracle over several queries (uniform
+    // random embeddings — IVF's adversarial case; nProbe=8/16 measures 0.83)
+    val recalls = Seq(0L, 7L, 42L).map { q =>
+      val qv = e.filter($"vec_id" === q).select("embedding").head().getSeq[Float](0).toArray
+      val brute = e
+        .withColumn("score", VectorSearch.dotDistance($"embedding", typedLit(qv.toSeq)))
+        .orderBy("score", "vec_id").limit(10).select("vec_id").as[Long].collect().toSet
+      val ann = st.probe(qv, nProbe = 8, k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      ann.intersect(brute).size / 10.0
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.8, s"persisted-probe recall@10 $recall < 0.8 at nProbe=8/16")
+
+    // probing ALL lists is exact: identical to brute force, scores included
+    val bruteAll = e
+      .withColumn("score", VectorSearch.dotDistance($"embedding", typedLit(qv0.toSeq)))
+      .orderBy("score", "vec_id").limit(10)
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
+    val annAll = st.probe(qv0, nProbe = 16, k = 10)
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
+    assert(annAll === bruteAll)
+  }
+
+  test("bucketed ANN index: single-bucket refresh tracks a file's new vectors") {
+    val chunks = (0 until 24).map(i => mkChunk(s"/corpus/doc$i.md", 0, s"document $i about topic ${i % 6}"))
+    val dir = Files.createTempDirectory("ann-bucketed").toString + "/ann"
+    val st = new graft.store.AnnIndexStore(spark, dir, numBuckets = 4)
+    st.rebuild(chunks.toDF(), nLists = 4)
+    val total = st.rowCount()
+    assert(total === 24L)
+
+    // replace one file's chunks (two rows now) and refresh ONLY its bucket
+    val target = "/corpus/doc3.md"
+    val bucket = math.floorMod(graft.ops.Dedup.hash60Scala(target), 4L)
+    val bucketRows = chunks.filter(c =>
+        math.floorMod(graft.ops.Dedup.hash60Scala(c.filePath), 4L) == bucket)
+      .filterNot(_.filePath == target) ++
+      Seq(mkChunk(target, 0, "fresh text about spark shuffles"),
+          mkChunk(target, 1, "more fresh text about partitions"))
+    st.refreshBucket(bucketRows.toDF(), bucket)
+    assert(st.rowCount() === 25L) // 24 - 1 + 2
+
+    // the refreshed vectors are probe-visible: query exactly the new text
+    val qv = embedder.embed("fresh text about spark shuffles")
+    val top = st.probe(qv, nProbe = 4, k = 1).collect().head
+    assert(top.getAs[String]("filePath") === target)
+    assert(top.getAs[Double]("score") < 1e-6) // self-match (float-sum rounding)
+  }
 }
