@@ -39,6 +39,43 @@ object PdfBoundaryFilter {
                           similarityThreshold: Double = 0.85,
                           boostedThreshold: Double = 0.75)
 
+  /** F15 — item-level line assembly (reference `joinPageItems`,
+    * `src/parser/pdf-filter.ts:48-69`): positioned text items
+    * `(doc_id, page, x, y, font_size, item)` group into lines by ROUNDED Y
+    * (same rounded Y = same visual line, tolerating sub-pixel jitter), items
+    * within a line read left-to-right (X asc, item text as the tiebreak —
+    * the reference relies on extraction order, which a distributed shuffle
+    * does not preserve), lines read top-to-bottom (Y desc, the consumer's
+    * sort). One map-side-combinable aggregation; empty items are dropped.
+    * Output is F16's input shape: `(doc_id, page, y, font_size, line)` with
+    * y = the line's rounded Y and font_size = the line's largest glyph. */
+  def assembleLines(items: DataFrame): DataFrame =
+    items.filter(col("item") =!= "")
+      .withColumn("ry", round(col("y")).cast("long"))
+      .groupBy("doc_id", "page", "ry")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("x"), col("item")))),
+          x => x.getField("item")), " ").as("line"),
+        max(col("font_size")).as("font_size"))
+      .select(col("doc_id"), col("page"), col("ry").cast("double").as("y"),
+        col("font_size"), col("line"))
+
+  /** reference `joinFilteredPages` (`pdf-filter.ts:71-82`): page text =
+    * its lines top-to-bottom joined with newlines (trimmed), document text =
+    * non-empty pages in page order joined with blank lines */
+  def joinPages(lines: DataFrame): DataFrame =
+    lines
+      .groupBy("doc_id", "page")
+      .agg(trim(array_join(transform(
+        array_sort(collect_list(struct((-col("y")).as("ny"), col("line")))),
+        x => x.getField("line")), "\n")).as("page_text"))
+      .filter(length(col("page_text")) > 0)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("page"), col("page_text")))),
+        x => x.getField("page_text")), "\n\n").as("text"))
+
   /** center-page sample per document (reference `sampleCenterPages`,
     * pdf-filter.ts:271-280): pages ranked in order, window of
     * `samplePages` centered on floor(n/2), clamped to [0, n). Documents

@@ -122,6 +122,21 @@ object PipelineQueries {
       .select(col("doc_id"), col("page"), col("it.y").as("y"),
         col("it.font_size").as("font_size"), col("it.line").as("line"))
 
+  /** Item-level twin of [[pdfItems]] for F15: every fixture line splits into
+    * positioned word items — x advances with word position, y carries ±0.2
+    * sub-pixel jitter that rounding must absorb back into one line. The
+    * DataFrame's row order is irrelevant by construction (assembly sorts by
+    * coordinates), which is exactly what F15 is for. */
+  def pdfRawItems(s: SparkSession, d: String): DataFrame =
+    pdfItems(s, d)
+      .select(col("doc_id"), col("page"), col("y"), col("font_size"),
+        posexplode(split(col("line"), " ")).as(Seq("pos", "item")))
+      .select(col("doc_id"), col("page"),
+        (col("y") + (col("pos") % 3 - 1) * lit(0.2)).as("y"),
+        col("font_size"),
+        (lit(10.0) + col("pos") * lit(25.0)).as("x"),
+        col("item"))
+
   private val PdfItemsCte =
     """pg AS (SELECT doc_id, source, text,
       |         unnest([p for p in range(0, 3 + CAST(doc_id % 5 AS INT))]) AS page
@@ -238,6 +253,30 @@ object PipelineQueries {
           .orderBy("doc_id", "page")
       },
       None),
+
+    // ----- F15: item-level line assembly (reference joinPageItems,
+    // pdf-filter.ts:48-69): positioned word items regroup into visual lines
+    // by ROUNDED y (±0.2 jitter absorbed), read X-ascending within a line,
+    // top-to-bottom across lines. Completes the text-boundary PDF story:
+    // F15 assembles (x, y, text) items into lines, F16 filters them. -----
+    Q("f15_line_join",
+      (s, d) => graft.ingest.PdfBoundaryFilter.assembleLines(pdfRawItems(s, d))
+        .select(col("doc_id"), col("page"), col("y").cast("long").as("ry"),
+          col("font_size"), col("line"))
+        .orderBy(col("doc_id"), col("page"), col("ry").desc),
+      Some(s"""WITH $PdfItemsCte,
+              |raw AS (SELECT doc_id, page, y + (u.i % 3 - 1) * 0.2 AS y, font_size,
+              |         10.0 + u.i * 25.0 AS x, u.item AS item
+              |  FROM (SELECT doc_id, page, y, font_size,
+              |          unnest([{'i': i, 'item': parts[i + 1]} for i in range(0, len(parts))]) AS u
+              |        FROM (SELECT doc_id, page, y, font_size, str_split(line, ' ') AS parts
+              |              FROM items) t)),
+              |asm AS (SELECT doc_id, page, CAST(round(y) AS BIGINT) AS ry,
+              |         string_agg(item, ' ' ORDER BY x, item) AS line,
+              |         max(font_size) AS font_size
+              |  FROM raw WHERE item <> '' GROUP BY 1, 2, 3)
+              |SELECT doc_id, page, ry, font_size, line FROM asm
+              |ORDER BY doc_id, page, ry DESC""".stripMargin)),
 
     // ----- §3.2 ingestion dataflow: parse → chunk → embed → chunk rows -----
     // (Max-Min chunking + hashed embeddings are not SQL-expressible — driver

@@ -109,4 +109,34 @@ class PdfFilterSpec extends AnyFunSuite {
       .select("page").as[Int].collect().toSet
     assert(sampled === Set(2, 3, 4, 5, 6))
   }
+
+  test("F15 line assembly: out-of-order jittered items regroup into reading order") {
+    // items arrive scrambled (extraction order is not reading order, and a
+    // shuffle destroys it anyway): two visual lines with ±0.3 Y jitter, a
+    // word from line 2 interleaved first, an empty item to drop
+    val items = Seq(
+      // (doc, page, x, y, font_size, item)
+      (1L, 0, 60.0, 49.8, 10.0, "world"),
+      (1L, 0, 10.0, 80.2, 12.0, "Hello"),
+      (1L, 0, 35.0, 79.9, 12.0, "brave"),
+      (1L, 0, 10.0, 50.3, 10.0, "goodbye"),
+      (1L, 0, 60.0, 80.0, 12.0, "new"),
+      (1L, 0, 20.0, 50.0, 10.0, ""),
+      // second page, single line
+      (1L, 1, 10.0, 90.0, 12.0, "Appendix")
+    ).toDF("doc_id", "page", "x", "y", "font_size", "item")
+
+    val lines = PdfBoundaryFilter.assembleLines(items)
+    val byKey = lines.collect()
+      .map(r => (r.getAs[Int]("page"), r.getAs[Double]("y")) -> r).toMap
+    assert(byKey((0, 80.0)).getAs[String]("line") === "Hello brave new")
+    assert(byKey((0, 50.0)).getAs[String]("line") === "goodbye world")
+    assert(byKey((0, 80.0)).getAs[Double]("font_size") === 12.0)
+    assert(byKey((0, 50.0)).getAs[Double]("font_size") === 10.0)
+
+    // page join: lines top-to-bottom (Y desc), pages joined with blank lines
+    val doc = PdfBoundaryFilter.joinPages(lines).collect().head
+    assert(doc.getAs[String]("text") ===
+      "Hello brave new\ngoodbye world\n\nAppendix")
+  }
 }
