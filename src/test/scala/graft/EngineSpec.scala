@@ -288,6 +288,31 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.status() === before) // old chunks for spark.md retained
   }
 
+  test("pre-migration store: sync re-ingests hashless rows, then converges") {
+    val root = Files.createTempDirectory("legacy-root").toString
+    val store = Files.createTempDirectory("legacy-store").toString + "/chunks"
+    write(s"$root/a.md", "# Doc A\nSome stable content about spark executors and shuffles here.")
+    write(s"$root/b.md", "# Doc B\nEntirely different prose describing pasta sauce technique.")
+    new Engine(spark, store, Seq(root)).sync()
+
+    // simulate a table written before fileTitle/contentHash existed
+    val legacy = spark.read.parquet(store).drop("fileTitle", "contentHash")
+    val tmp = store + "-legacy"
+    legacy.write.parquet(tmp)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(store)).deleteRecursively()
+    assert(new java.io.File(tmp).renameTo(new java.io.File(store)))
+
+    // null content hashes are DIRTY, never converged (reference re-hashes
+    // hashless rows): every file re-upserts once, then the store converges
+    val engine = new Engine(spark, store, Seq(root))
+    val s1 = engine.sync()
+    assert(s1.upserted === 2 && s1.skipped === 0)
+    assert(engine.store.read().filter("contentHash IS NULL").count() === 0)
+    val s2 = engine.sync()
+    assert(s2.upserted === 0 && s2.skipped === 2)
+  }
+
   test("ANN read path: persisted index agrees with brute force; incremental refresh serves new docs") {
     val root = Files.createTempDirectory("ann-root").toString
     val store = Files.createTempDirectory("ann-store").toString + "/chunks"

@@ -95,6 +95,29 @@ class StoreSearchSpec extends AnyFunSuite {
     assert(row.getAs[String]("contentHash") === null)
   }
 
+  test("schema migration round trip: mutating an old table migrates it in place") {
+    // upsert into a pre-migration table: legacy rows survive with null new
+    // columns, the new file's rows carry them, and the REWRITTEN table is
+    // current-schema parquet (the additive migration happens on first write,
+    // reference ensureSchemaVersion, vectordb/index.ts:289-307)
+    val dir = Files.createTempDirectory("old-schema-rt").toString + "/table"
+    Seq(mkChunk("/a/x.md", 0, "legacy row"), mkChunk("/a/y.md", 0, "other legacy")).toDF()
+      .drop("fileTitle", "contentHash")
+      .write.parquet(dir)
+    val st = new ChunkStore(spark, dir)
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "migrated row")).toDF())
+    // physical schema of the rewritten table now includes the new columns
+    assert(spark.read.parquet(dir).columns.contains("contentHash"))
+    val rows = st.read().collect().map(r => r.getAs[String]("filePath") -> r).toMap
+    assert(rows("/a/x.md").getAs[String]("text") === "migrated row")
+    assert(rows("/a/x.md").getAs[String]("contentHash") === "h")
+    assert(rows("/a/y.md").getAs[String]("contentHash") === null) // untouched legacy
+    // hashless rows are never "converged": the manifest exposes the null
+    // for sync to classify as dirty (SyncPlannerSpec pins the classification)
+    val manifest = st.manifest().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(manifest("/a/y.md") === null)
+  }
+
   test("bucketed layout: per-file upsert rewrites only the file's partition") {
     val base = Files.createTempDirectory("bucketed").toString + "/table"
     val st = new ChunkStore(spark, base, numBuckets = 8)
