@@ -3,8 +3,9 @@ package graft.store
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.core.ChunkSchema
 
@@ -15,8 +16,12 @@ import graft.core.ChunkSchema
   * VLDB 2020):
   *
   *  - data files are immutable; a write only ADDS files under `data/`;
-  *  - a snapshot is a manifest under `_log/` listing (bucket, file) pairs;
-  *  - commit = write manifest to a temp name, then an atomic
+  *  - a snapshot is a manifest under `_log/` — itself a tiny PARQUET table
+  *    with one row per data file carrying file-level stats
+  *    (bucket, path, min/max filePath, row count), so reads can DATA-SKIP:
+  *    [[readFile]] opens only the files whose [min,max] range can contain
+  *    the requested path (the lakehouse min/max pruning pattern);
+  *  - commit = write manifest to a temp dir, then an atomic
   *    rename-if-absent to `v%08d.manifest` — Hadoop `rename` fails when the
   *    destination exists, which is the compare-and-swap: two writers racing
   *    to the same version number means exactly one wins;
@@ -29,17 +34,30 @@ import graft.core.ChunkSchema
   *  - `readVersion(v)` is time travel; `vacuum(keep)` drops manifests older
   *    than the kept window and any data file no kept manifest references.
   *
-  * At 100 TB the manifest is itself a parquet table (file-level min/max
-  * stats for pruning) — a text manifest keeps this slice dependency-free;
-  * the commit protocol is identical.
+  * Stats are gathered by reading each freshly staged file back (one
+  * column-pruned min/max/count over `filePath`); a production writer would
+  * surface them from the write tasks' parquet footers instead — the
+  * manifest format and the pruning are the load-bearing parts.
   */
 object VersionedStore {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(logDir: String): Object =
     locks.computeIfAbsent(logDir, _ => new Object)
+
+  /** one data file in a snapshot, with its pruning stats */
+  final case class ManifestEntry(bucket: Long, path: String,
+                                 minPath: String, maxPath: String, nRows: Long)
+
+  private val manifestSchema = StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("min_path", StringType, nullable = true),
+    StructField("max_path", StringType, nullable = true),
+    StructField("n_rows", LongType, nullable = false)))
 }
 
 final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 16) {
+  import VersionedStore.{ManifestEntry, manifestSchema}
 
   private val dataDir = s"$root/data"
   private val logDir = s"$root/_log"
@@ -68,16 +86,15 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
 
   def latestVersion(): Option[Long] = versions().lastOption
 
-  /** manifest body: one "bucket<TAB>relativePath" line per data file */
-  private def readManifest(v: Long): Seq[(Long, String)] = {
-    val in = fs.open(manifestPath(v))
-    try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map { line =>
-          val Array(b, p) = line.split("\t", 2)
-          (b.toLong, p)
-        }.toList
-    } finally in.close()
+  /** manifest body: one row per data file with min/max filePath stats */
+  private[store] def readManifest(v: Long): Seq[ManifestEntry] = {
+    val p = manifestPath(v)
+    if (!fs.exists(p)) throw new java.io.FileNotFoundException(p.toString)
+    spark.read.schema(manifestSchema).parquet(p.toString)
+      .collect().toSeq
+      .map(r => ManifestEntry(r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(e => (e.bucket, e.path))
   }
 
   /** atomic commit of `entries` as version `v`: returns false when v was
@@ -89,21 +106,23 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
     * silently replaces an existing destination (POSIX rename), so the
     * critical section is additionally serialized per log dir within the
     * JVM — which covers Spark's actual local topology (one driver commits;
-    * executors never write the log). */
-  private def tryCommit(v: Long, entries: Seq[(Long, String)]): Boolean = {
+    * executors never write the log). The manifest is a parquet DIRECTORY;
+    * directory rename is atomic under the same rules. */
+  private def tryCommit(v: Long, entries: Seq[ManifestEntry]): Boolean = {
     val f = fs
     f.mkdirs(new HPath(logDir))
-    val tmp = new HPath(s"$logDir/.tmp-${UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(entries.map { case (b, p) => s"$b\t$p" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
+    val tmp = s"$logDir/.tmp-${UUID.randomUUID()}"
+    val rows = entries.map(e =>
+      Row(e.bucket, e.path, e.minPath, e.maxPath, e.nRows))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), manifestSchema)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = manifestPath(v)
     VersionedStore.lockFor(logDir).synchronized {
-      if (f.exists(target)) { f.delete(tmp, false); false }
+      if (f.exists(target)) { f.delete(new HPath(tmp), true); false }
       else {
-        val ok = f.rename(tmp, target)
-        if (!ok) f.delete(tmp, false)
+        val ok = f.rename(new HPath(tmp), target)
+        if (!ok) f.delete(new HPath(tmp), true)
         ok
       }
     }
@@ -112,19 +131,28 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
   // ---- data files ----
 
   /** write df's rows for ONE bucket as immutable files; returns the new
-    * (bucket, relativePath) entries */
-  private def writeDataFiles(bucket: Long, df: DataFrame): Seq[(Long, String)] = {
+    * manifest entries WITH their pruning stats. Empty part files are
+    * dropped (they carry no rows and would only widen later reads). */
+  private def writeDataFiles(bucket: Long, df: DataFrame): Seq[ManifestEntry] = {
     val f = fs
     f.mkdirs(new HPath(dataDir))
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     df.write.mode(SaveMode.Overwrite).parquet(staging)
     val parts = f.listStatus(new HPath(staging))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val entries = parts.toSeq.map { s =>
-      val name = s"b$bucket-${UUID.randomUUID()}.parquet"
-      if (!f.rename(s.getPath, new HPath(s"$dataDir/$name")))
-        throw new java.io.IOException(s"could not stage data file $name")
-      (bucket, s"data/$name")
+    val entries = parts.toSeq.flatMap { s =>
+      // column-pruned stats scan of the one staged file (production: the
+      // write task reports these from the parquet footer it just wrote)
+      val st = spark.read.parquet(s.getPath.toString)
+        .agg(min("filePath"), max("filePath"), count(lit(1))).head()
+      if (st.getLong(2) == 0L) { f.delete(s.getPath, false); None }
+      else {
+        val name = s"b$bucket-${UUID.randomUUID()}.parquet"
+        if (!f.rename(s.getPath, new HPath(s"$dataDir/$name")))
+          throw new java.io.IOException(s"could not stage data file $name")
+        Some(ManifestEntry(bucket, s"data/$name",
+          st.getString(0), st.getString(1), st.getLong(2)))
+      }
     }
     f.delete(new HPath(staging), true)
     entries
@@ -138,12 +166,12 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
       require(tryCommit(0L, Seq.empty), "concurrent create")
     }
 
-  private def snapshotDF(entries: Seq[(Long, String)]): DataFrame =
+  private def snapshotDF(entries: Seq[ManifestEntry]): DataFrame =
     if (entries.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ChunkSchema.schema)
     else spark.read.schema(ChunkSchema.schema)
-      .parquet(entries.map { case (_, p) => s"$root/$p" }: _*)
+      .parquet(entries.map(e => s"$root/${e.path}"): _*)
 
   /** read a specific snapshot (time travel) */
   def readVersion(v: Long): DataFrame = snapshotDF(readManifest(v))
@@ -151,6 +179,23 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
   /** read the latest snapshot */
   def read(): DataFrame =
     latestVersion().map(readVersion).getOrElse(snapshotDF(Seq.empty))
+
+  /** the data files of the latest snapshot whose stats can contain
+    * `filePath` — bucket equality plus min/max range pruning. Exposed so
+    * the spec can pin that a one-file read opens ONLY matching files. */
+  def dataFilesFor(filePath: String): Seq[ManifestEntry] = {
+    val b = bucketOf(filePath)
+    latestVersion().map(readManifest).getOrElse(Seq.empty)
+      .filter(e => e.bucket == b &&
+        e.minPath != null && e.maxPath != null &&
+        e.minPath <= filePath && filePath <= e.maxPath)
+  }
+
+  /** single-file read via manifest stats: only the files [[dataFilesFor]]
+    * selects are opened — at 100 TB this is the difference between a
+    * point lookup and a full-table scan */
+  def readFile(filePath: String): DataFrame =
+    snapshotDF(dataFilesFor(filePath)).filter(col("filePath") === filePath)
 
   /** copy-on-write upsert of one file's chunks: rewrites ONLY the file's
     * bucket (other buckets' files are carried by reference), then commits
@@ -166,7 +211,9 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
     }
     // rewrite the bucket once (against the base snapshot)...
     val entriesAtBase = readManifest(base)
-    val bucketRows = snapshotDF(entriesAtBase.filter(_._1 == b))
+    def bucketState(es: Seq[ManifestEntry]) =
+      es.filter(_.bucket == b).map(_.path).toSet
+    val bucketRows = snapshotDF(entriesAtBase.filter(_.bucket == b))
       .filter(col("filePath") =!= filePath)
       .unionByName(newChunks.select(ChunkSchema.schema.fieldNames.map(col): _*))
     val newFiles = writeDataFiles(b, bucketRows)
@@ -177,17 +224,16 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
     while (attempt < maxRetries) {
       val cur = latestVersion().getOrElse(0L)
       val curEntries = readManifest(cur)
-      if (cur != base &&
-          curEntries.filter(_._1 == b).toSet != entriesAtBase.filter(_._1 == b).toSet) {
+      if (cur != base && bucketState(curEntries) != bucketState(entriesAtBase)) {
         // Bucket conflict: our rewrite was computed against a stale bucket
         // state. Drop its (now superseded, never-referenced) data files and
         // redo with the REMAINING retry budget — passing the full budget back
         // made sustained same-bucket contention an unbounded livelock.
         val f = fs
-        newFiles.foreach { case (_, p) => f.delete(new HPath(s"$root/$p"), false) }
+        newFiles.foreach(e => f.delete(new HPath(s"$root/${e.path}"), false))
         return upsertFile(filePath, newChunks, maxRetries - attempt - 1)
       }
-      val next = curEntries.filterNot(_._1 == b) ++ newFiles
+      val next = curEntries.filterNot(_.bucket == b) ++ newFiles
       if (tryCommit(cur + 1, next)) return cur + 1
       attempt += 1
     }
@@ -208,8 +254,8 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
     val vs = versions()
     if (vs.size <= keepVersions) return
     val (drop, keep) = vs.splitAt(vs.size - keepVersions)
-    val referenced = keep.flatMap(readManifest).map(_._2).toSet
-    drop.foreach(v => f.delete(manifestPath(v), false))
+    val referenced = keep.flatMap(readManifest).map(_.path).toSet
+    drop.foreach(v => f.delete(manifestPath(v), true))
     val cutoff = System.currentTimeMillis() - math.max(0L, retentionMs)
     val dd = new HPath(dataDir)
     if (f.exists(dd)) {

@@ -143,4 +143,41 @@ class VersionedStoreSpec extends AnyFunSuite {
     // all four land despite sharing the single bucket (serialized by redo)
     assert(st.read().select("filePath").as[String].collect().toSet === files.toSet)
   }
+
+  test("parquet manifest stats: a one-file read opens only matching data files") {
+    val st = tmpStore(buckets = 8)
+    val files = (0 until 8).map(i => s"/corpus/doc$i.md")
+    files.foreach(f => st.upsertFile(f, Seq(mkChunk(f, 0, s"text of $f"),
+      mkChunk(f, 1, s"second chunk of $f")).toDF())): Unit
+
+    // every manifest entry carries usable stats
+    val target = files(3)
+    val all = st.dataFilesFor(target)
+    // bucket + range pruning leaves exactly the file(s) holding the target;
+    // at 8 files over 8 buckets that is a strict subset of the snapshot
+    assert(all.nonEmpty)
+    assert(all.forall(e => e.bucket == st.bucketOf(target)))
+    assert(all.forall(e => e.minPath <= target && target <= e.maxPath))
+    assert(all.map(_.nRows).sum >= 2L)
+    val snapshotFiles = st.read().inputFiles.length
+    assert(all.size < snapshotFiles,
+      s"pruned ${all.size} vs snapshot $snapshotFiles — no skipping happened")
+
+    // the pruned read sees exactly the file's rows, and ONLY the pruned
+    // files back the scan
+    val df = st.readFile(target)
+    assert(df.select("text").as[String].collect().toSet ===
+      Set(s"text of $target", s"second chunk of $target"))
+    assert(df.inputFiles.length === all.size)
+
+    // a path whose stats ranges cannot contain it opens ZERO files
+    // (same-bucket membership alone is not enough — ranges must match)
+    val ghost = "/zzz/never-written.md"
+    assert(st.dataFilesFor(ghost).forall(e =>
+      e.minPath <= ghost && ghost <= e.maxPath))
+    assert(st.readFile(ghost).count() === 0L)
+    val below = "/AAA/before-everything.md"
+    assert(st.dataFilesFor(below).isEmpty)
+    assert(st.readFile(below).inputFiles.isEmpty)
+  }
 }
