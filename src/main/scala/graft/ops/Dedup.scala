@@ -97,6 +97,38 @@ object Dedup {
     f(col(baseHashesCol))
   }
 
+  /** Choose (bands, rowsPerBand) for an `nHashes`-long MinHash signature so
+    * the LSH s-curve's inflection threshold (1/b)^(1/r) lands nearest the
+    * requested Jaccard threshold (the standard selection rule, MMDS §3.4.3)
+    * — pipeline code says "dedupe at 0.8" instead of hand-picking banding,
+    * the way the reference surfaces tunables as config values. Searches the
+    * divisor pairs of nHashes; ties break toward fewer bands (the
+    * higher-precision side of the curve). */
+  def bandingFor(threshold: Double, nHashes: Int = 128): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0, 1)")
+    require(nHashes >= 2, "signature needs at least 2 hashes")
+    (1 to nHashes).filter(nHashes % _ == 0)
+      .map(b => (b, nHashes / b))
+      .minBy { case (b, r) =>
+        (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), b) }
+  }
+
+  /** End-to-end near-duplicate pairs at a requested Jaccard threshold: the
+    * banding comes from [[bandingFor]], candidates from the (hot-bucket-
+    * capped) banded join, and every candidate is verified with the exact
+    * broadcast per-pair Jaccard — the scale shape the benched
+    * d_jaccard_pairs_lsh pins, behind a one-argument knob. */
+  def nearDupPairsAt(df: DataFrame, idCol: String, shinglesCol: String,
+                     threshold: Double, nHashes: Int = 128): DataFrame = {
+    val (b, r) = bandingFor(threshold, nHashes)
+    val withSig = df.filter(size(col(shinglesCol)) > 0)
+      .withColumn("_hs", shingleBaseHashes(shinglesCol))
+      .withColumn("_sig", minhashSignature("_hs", nHashes))
+    val candidates = lshCandidatePairs(lshBands(withSig, idCol, "_sig", b, r), idCol)
+    jaccardOnPairs(candidates, df, idCol, shinglesCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** LSH banding: explode signature into (bandId, bandHash) rows.
     * bands × rowsPerBand must equal the signature length. */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,

@@ -405,14 +405,19 @@ object DedupQueries {
     // CORRECTNESS BASELINE ONLY — the cross join is O(n²) in corpus size,
     // so it stays oracle-gated but UNBENCHED; the headline workload is the
     // SRP-bucketed d_embed_dup_lsh below. -----
+    // Input CAPPED at vec_id < 500 (the full sf0.01 table, a strict subset
+    // beyond) so a future sf bump cannot turn the correctness run quadratic:
+    // the baseline stays exercised at a bounded N forever.
     Q("d_embed_dup",
-      (s, d) => Dedup.embeddingDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-          threshold = 0.3)
+      (s, d) => Dedup.embeddingDupPairs(
+          Tables.embeddings(s, d).filter(col("vec_id") < 500),
+          "vec_id", "embedding", threshold = 0.3)
         .orderBy(col("cos").desc, col("id_a"), col("id_b"))
         .limit(100),
-      Some("""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      Some("""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 500),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |    a.embedding AS va, b.embedding AS vb
-             |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+             |  FROM e a, e b WHERE a.vec_id < b.vec_id),
              |dt AS (SELECT id_a, id_b,
              |    sum(va[t.i]::DOUBLE * vb[t.i]::DOUBLE) AS dot,
              |    sum(va[t.i]::DOUBLE * va[t.i]::DOUBLE) AS na,

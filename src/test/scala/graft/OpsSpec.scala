@@ -260,4 +260,56 @@ class OpsSpec extends AnyFunSuite {
     assert(adhoc === indexed)
     assert(adhoc(1L) > adhoc(0L))
   }
+
+  test("bandingFor: chosen (b, r) brackets the requested threshold (property)") {
+    import org.scalacheck.Gen
+    def forAll[T](gen: Gen[T], n: Int = 60)(f: T => Unit): Unit = {
+      var seed = org.scalacheck.rng.Seed(42L)
+      var i = 0
+      while (i < n) {
+        gen.apply(Gen.Parameters.default, seed).foreach(f)
+        seed = seed.next
+        i += 1
+      }
+    }
+    def scurve(b: Int, r: Int): Double = math.pow(1.0 / b, 1.0 / r)
+    val gen = for {
+      t <- Gen.chooseNum(0.05, 0.95)
+      n <- Gen.oneOf(16, 32, 64, 128, 256)
+    } yield (t, n)
+    forAll(gen) { case (t, n) =>
+      val (b, r) = Dedup.bandingFor(t, n)
+      assert(b * r === n, s"banding must partition the signature: ($b, $r) for n=$n")
+      // no other divisor pair sits strictly closer to the requested threshold
+      val chosen = math.abs(scurve(b, r) - t)
+      val best = (1 to n).filter(n % _ == 0)
+        .map(bb => math.abs(scurve(bb, n / bb) - t)).min
+      assert(chosen === best, s"($b, $r) at ${scurve(b, r)} is not nearest to $t")
+      // bracketing: neighbors on the divisor ladder land on opposite sides
+      // (or the chosen point is an endpoint of the achievable range)
+      val curves = (1 to n).filter(n % _ == 0).map(bb => scurve(bb, n / bb)).sorted
+      assert(scurve(b, r) >= curves.head && scurve(b, r) <= curves.last)
+    }
+    // monotonicity: a higher requested threshold never picks MORE bands
+    val picks = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(t => Dedup.bandingFor(t, 128)._1)
+    assert(picks === picks.sorted.reverse)
+  }
+
+  test("nearDupPairsAt: one-knob dedupe finds planted near-dups and skips distinct docs") {
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank every morning " +
+      "while birds sing in the tall green trees beside the water"
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("morning", "evening")), // near-dup of 0
+      (2L, "completely different text about database partitioning strategies and " +
+        "shuffle optimization inside distributed analytical query engines today"),
+      (3L, base.replace("quick", "swift").replace("lazy", "sleepy")) // near-dup of 0
+    ).toDF("doc_id", "text")
+      .withColumn("ws", Dedup.wordsArray("text"))
+      .withColumn("shs", Dedup.wordShingles("ws", 3))
+    val pairs = Dedup.nearDupPairsAt(docs, "doc_id", "shs", threshold = 0.5, nHashes = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
 }
