@@ -61,6 +61,54 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Gopher-style document quality rules (public heuristics: Rae et al.
+    * 2021, "Scaling Language Models", table A1 family) as one struct of
+    * per-rule measurements + the overall keep flag:
+    *
+    *  - word count in [50, 100k]; mean word length in [3, 10]
+    *  - symbol-to-word ratio (# and ellipsis) < 0.1
+    *  - ≤90% of lines bullet-started; ≤30% ellipsis-ended
+    *  - ≥80% of words contain an alphabetic character
+    *  - ≥2 distinct common stop words present
+    *
+    * Pure codegen'd column expressions (counts via regexp_extract_all — no
+    * HOF lambdas, which evaluate interpreted). The keep flag is computed
+    * from the ROUNDED ratios so engines agree at rule boundaries. */
+  def gopherRules(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val meanWordLen = round(
+      length(regexp_replace(text, "\\s", "")).cast("double") /
+        greatest(words, lit(1.0)), 4) + lit(0.0)
+    val symbolRatio = round(
+      (countMatches(text, "#") + countMatches(text, "\\.\\.\\.")).cast("double") /
+        greatest(words, lit(1.0)), 4) + lit(0.0)
+    val lines = size(split(text, "\n")).cast("double")
+    val bulletRatio = round(
+      countMatches(text, "(?m)^\\s*[-*•]").cast("double") /
+        greatest(lines, lit(1.0)), 4) + lit(0.0)
+    val ellipsisRatio = round(
+      countMatches(text, "(?m)(\\.\\.\\.|…)$").cast("double") /
+        greatest(lines, lit(1.0)), 4) + lit(0.0)
+    val alphaRatio = round(
+      countMatches(text, "\\S*[A-Za-z]\\S*").cast("double") /
+        greatest(words, lit(1.0)), 4) + lit(0.0)
+    val nStop = size(array_distinct(regexp_extract_all(lower(text),
+      lit("\\b(the|be|to|of|and|that|have|with)\\b"), lit(0)))).cast("long")
+    val keep = words >= 50 && words <= 100000 &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      symbolRatio < 0.1 && bulletRatio <= 0.9 && ellipsisRatio <= 0.3 &&
+      alphaRatio >= 0.8 && nStop >= 2
+    struct(
+      words.cast("long").as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletRatio.as("bullet_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"),
+      alphaRatio.as("alpha_word_ratio"),
+      nStop.as("n_stopwords"),
+      keep.as("keep"))
+  }
+
   /** PII scrubbing for training corpora: emails, long digit runs (phone/IDs)
     * and bare IPv4s replaced with typed placeholders. Pure regexp_replace
     * chain — runs at scan speed and pushes through Catalyst. */

@@ -174,6 +174,50 @@ object DedupQueries {
               |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
+    // ----- one-knob dedupe: nearDupPairsAt("0.5") — banding chosen by the
+    // s-curve rule (bandingFor(0.5, 16) = 8 bands × 2 rows, inflection at
+    // (1/8)^(1/2) ≈ 0.354, the divisor pair nearest 0.5), then banded
+    // candidates + exact broadcast verify. The oracle replicates the CHOSEN
+    // banding, so a selection-rule regression breaks the hash. -----
+    Q("d_near_dup_at",
+      (s, d) => {
+        assert(Dedup.bandingFor(0.5, 16) == ((8, 2)),
+          "banding selection drifted; update the oracle to match")
+        val corpus = dupCorpus(s, d)
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .withColumn("shs", Dedup.wordShingles("ws", 5))
+        Dedup.nearDupPairsAt(corpus, "doc_id", "shs", threshold = 0.5, nHashes = 16)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $ShinglesCte,
+              |hs AS (SELECT doc_id,
+              |    list_transform(shs, s ->
+              |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+              |  FROM sh WHERE len(shs) > 0),
+              |sig AS (SELECT doc_id,
+              |    [list_min(list_transform(hs, h -> ((2*i+3) * h + (7*i+1)) % 2147483647))
+              |     for i in range(0, 16)] AS sig
+              |  FROM hs),
+              |bands AS (SELECT doc_id, t.b,
+              |    md5(concat_ws(',', sig[t.b*2+1]::VARCHAR, sig[t.b*2+2]::VARCHAR)) AS band_hash
+              |  FROM sig, (SELECT unnest(range(0, 8)) AS b) t),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+              |posts AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |          FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |j AS (SELECT i.id_a, i.id_b,
+              |        round(i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
+              |      FROM inter i
+              |      JOIN sizes sa ON sa.doc_id = i.id_a
+              |      JOIN sizes sb ON sb.doc_id = i.id_b
+              |      JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b)
+              |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // ----- MinHash + LSH candidate pairs (16 hashes, 4 bands × 4 rows) -----
     Q("d_minhash_lsh",
       (s, d) => {

@@ -81,6 +81,49 @@ object TextQueries {
              |  , 4) AS quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- Gopher-style quality rules (Rae et al. 2021 heuristic family):
+    // per-rule measurements + keep flag, all scan-speed column expressions -----
+    Q("t_gopher_rules",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.bullet_ratio").as("bullet_ratio"),
+          col("g.ellipsis_ratio").as("ellipsis_ratio"),
+          col("g.alpha_word_ratio").as("alpha_word_ratio"),
+          col("g.n_stopwords").as("n_stopwords"),
+          col("g.keep").as("keep"))
+        .orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id,
+             |    len(regexp_extract_all(text, '\S+')) AS n_words,
+             |    length(regexp_replace(text, '\s', '', 'g')) AS non_ws,
+             |    len(regexp_extract_all(text, '#'))
+             |      + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+             |    len(str_split(text, chr(10))) AS n_lines,
+             |    len(regexp_extract_all(text, '(?m)^\s*[-*•]')) AS n_bullet,
+             |    len(regexp_extract_all(text, '(?m)(\.\.\.|…)$')) AS n_ellip,
+             |    len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha,
+             |    len(list_distinct(regexp_extract_all(lower(text),
+             |        '\b(the|be|to|of|and|that|have|with)\b'))) AS n_stop
+             |  FROM documents),
+             |r AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             |    round(non_ws * 1.0 / greatest(n_words, 1), 4) + 0.0 AS mean_word_len,
+             |    round(n_sym * 1.0 / greatest(n_words, 1), 4) + 0.0 AS symbol_ratio,
+             |    round(n_bullet * 1.0 / greatest(n_lines, 1), 4) + 0.0 AS bullet_ratio,
+             |    round(n_ellip * 1.0 / greatest(n_lines, 1), 4) + 0.0 AS ellipsis_ratio,
+             |    round(n_alpha * 1.0 / greatest(n_words, 1), 4) + 0.0 AS alpha_word_ratio,
+             |    CAST(n_stop AS BIGINT) AS n_stopwords
+             |  FROM g)
+             |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+             |  ellipsis_ratio, alpha_word_ratio, n_stopwords,
+             |  (n_words BETWEEN 50 AND 100000)
+             |    AND mean_word_len BETWEEN 3.0 AND 10.0
+             |    AND symbol_ratio < 0.1 AND bullet_ratio <= 0.9
+             |    AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+             |    AND n_stopwords >= 2 AS keep
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // ----- document fingerprint (normalized-content md5) -----
     Q("t_fingerprint",
       (s, d) => Tables.documents(s, d).select(
