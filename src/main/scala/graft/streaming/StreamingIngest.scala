@@ -38,6 +38,19 @@ object StreamingIngest {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
 
+  /** Streaming exact dedup: drop re-arrivals of a content fingerprint.
+    * `dropDuplicatesWithinWatermark` keys state on the fingerprint column
+    * and EXPIRES entries once the watermark passes them — state is bounded
+    * by (dedup window × arrival rate), never corpus size, which is the only
+    * viable posture for an unbounded 100 TB document stream. The batch twin
+    * is the exact-dedup groupBy (`d_exact_dup`); within one watermark window
+    * the two agree. Docs must carry an event-time column `ts` and a
+    * `fingerprint` column (e.g. [[graft.ops.TextAnalysis.fingerprint]]). */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Run the watermarked hourly rollup as a real Structured Streaming job

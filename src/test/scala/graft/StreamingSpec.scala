@@ -115,6 +115,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(paths === Set("/w/a.md", "/w/b.md"))
   }
 
+  test("streaming exact dedup drops cross-batch re-arrivals; watermark bounds state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val docs = mem.toDF().toDF("ts", "fingerprint", "text")
+    val q = StreamingIngest.dedupStream(docs, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: two distinct docs + an in-batch duplicate
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), "fpA", "doc a"),
+      (Timestamp.valueOf("2026-01-01 10:01:00"), "fpB", "doc b"),
+      (Timestamp.valueOf("2026-01-01 10:02:00"), "fpA", "doc a again"))
+    q.processAllAvailable()
+    // batch 2: a CROSS-batch duplicate (state remembers fpA) + a new doc
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), "fpA", "doc a yet again"),
+      (Timestamp.valueOf("2026-01-01 10:06:00"), "fpC", "doc c"))
+    q.processAllAvailable()
+    val fps = spark.sql("SELECT fingerprint FROM dedup_stream")
+      .as[String].collect().toSeq
+    assert(fps.sorted === Seq("fpA", "fpB", "fpC")) // each exactly once
+    // advance the watermark far past the dedup window: fpA's state entry
+    // expires, so a much-later re-arrival is treated as NEW (bounded state —
+    // the documented within-watermark semantics, not a corpus-lifetime set)
+    mem.addData((Timestamp.valueOf("2026-01-01 12:00:00"), "fpD", "advance"))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2026-01-01 12:01:00"), "fpA", "doc a reborn"))
+    q.processAllAvailable()
+    val countA = spark.sql(
+      "SELECT count(*) FROM dedup_stream WHERE fingerprint = 'fpA'")
+      .as[Long].head()
+    q.stop()
+    spark.catalog.dropTempView("dedup_stream")
+    assert(countA === 2L) // once per watermark window, state expired between
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
