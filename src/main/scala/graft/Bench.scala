@@ -27,7 +27,14 @@ object Bench {
 
     val headline = {
       val flagged = Registry.all.filter(_.bench)
-      if (flagged.nonEmpty) flagged else Registry.all
+      val base = if (flagged.nonEmpty) flagged else Registry.all
+      // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the run for local iteration on
+      // one query's plan; the driver never sets it, so headline runs are
+      // always the full flagged set
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+        .map(only => base.filter(q => only.contains(q.name)))
+        .getOrElse(base)
     }
     // one untimed warm pass over EVERY headline query: first execution of a
     // plan pays whole-stage-codegen janino compilation + class loading
