@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: token counting,
@@ -60,6 +60,56 @@ object TextAnalysis {
   /** canonical fingerprint: md5 of lowercased, whitespace-collapsed text */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** word n-grams WITHOUT dedup (the counting twin of Dedup.wordShingles,
+    * which distincts for set similarity) — same per-row-UDF justification:
+    * lambda-inlined slicing re-evaluates per element */
+  def wordNgrams(wordsColName: String, n: Int): Column = {
+    val f = udf((ws: Seq[String]) =>
+      if (ws == null || ws.size < n) Seq.empty[String]
+      else ws.sliding(n).map(_.mkString(" ")).toSeq)
+    f(col(wordsColName))
+  }
+
+  /** Repetition statistics — the duplication half of the Gopher filter
+    * family: duplicate-line ratio (1 − distinct/total lines, a per-row
+    * expression) and the mass of the most frequent word bigram (needs
+    * per-ngram counts → one map-side-combined groupBy chain, no self-joins).
+    * High values flag boilerplate/spam that per-word stats miss. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val dupLine = df.select(col(idCol),
+      (round(lit(1.0) - size(array_distinct(lines)).cast("double") /
+        greatest(size(lines), lit(1)).cast("double"), 4) + lit(0.0)).as("dup_line_ratio"))
+    val topBigram = df
+      .withColumn("_ws", Dedup.wordsArray(textCol))
+      .select(col(idCol), explode(wordNgrams("_ws", 2)).as("ng"))
+      .groupBy(idCol, "ng").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max("c").as("_top"), sum("c").as("_tot"))
+      .select(col(idCol),
+        (round(col("_top").cast("double") / col("_tot"), 4) + lit(0.0)).as("top_bigram_frac"))
+    dupLine.join(topBigram, Seq(idCol), "left_outer")
+      .select(col(idCol), col("dup_line_ratio"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Unigram surprisal — the perplexity-proxy quality filter (CCNet family):
+    * mean −ln p(word) per document under the corpus's own unigram model.
+    * Low = common/fluent text, high = rare-token soup. The vocab is built
+    * in one map-side-combined count and broadcast against the word stream;
+    * at real scale the vocab is a stored dim table maintained by the same
+    * aggregation (cap it with a min-count to bound the broadcast). */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.withColumn("_ws", Dedup.wordsArray(textCol))
+      .select(col(idCol), explode(col("_ws")).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("wc"))
+    val total = vocab.agg(sum("wc").as("total"))
+    words.join(broadcast(vocab), Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("_nlp", -log(col("wc").cast("double") / col("total")))
+      .groupBy(idCol)
+      .agg((round(avg(col("_nlp")), 4) + lit(0.0)).as("surprisal"))
+  }
 
   /** Gopher-style document quality rules (public heuristics: Rae et al.
     * 2021, "Scaling Language Models", table A1 family) as one struct of

@@ -124,6 +124,41 @@ object TextQueries {
              |    AND n_stopwords >= 2 AS keep
              |FROM r ORDER BY doc_id""".stripMargin)),
 
+    // ----- repetition stats: duplicate-line ratio + top-bigram mass
+    // (the duplication half of the Gopher filters) -----
+    Q("t_repetition",
+      (s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH l AS (SELECT doc_id,
+             |    round(1.0 - len(list_distinct(str_split(text, chr(10)))) * 1.0
+             |      / greatest(len(str_split(text, chr(10))), 1), 4) + 0.0 AS dup_line_ratio
+             |  FROM documents),
+             |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |      FROM documents),
+             |ng AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+             |         THEN [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]
+             |         ELSE [] END) AS ng FROM w),
+             |c AS (SELECT doc_id, ng, count(*) AS c FROM ng GROUP BY 1, 2),
+             |t AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) + 0.0 AS top_bigram_frac
+             |      FROM c GROUP BY 1)
+             |SELECT doc_id, l.dup_line_ratio,
+             |       coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+             |FROM l LEFT JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ----- unigram surprisal: mean -ln p(word) under the corpus unigram
+    // model (perplexity-proxy filtering, CCNet family) -----
+    Q("t_surprisal",
+      (s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             |      FROM documents),
+             |v AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+             |tot AS (SELECT sum(wc) AS total FROM v)
+             |SELECT doc_id,
+             |       round(avg(-ln(wc * 1.0 / total)), 4) + 0.0 AS surprisal
+             |FROM w JOIN v USING (w), tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ----- document fingerprint (normalized-content md5) -----
     Q("t_fingerprint",
       (s, d) => Tables.documents(s, d).select(
