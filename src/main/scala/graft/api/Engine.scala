@@ -61,17 +61,23 @@ final class Engine(
   /** maintain the ANN index across the corpus-size threshold: below it the
     * index is dropped (brute force is exact and faster there); a bucketed
     * single-file change above it reassigns ONE bucket against the stored
-    * centroids; anything else re-trains in full. */
-  private def refreshAnn(changed: Option[String]): Unit = {
-    val n = store.read().count()
-    if (n < annThreshold) annIndex.drop()
-    else changed match {
+    * centroids; anything else re-trains in full.
+    *
+    * Corpus-count discipline: with a live index, the post-refresh total
+    * comes from the index's own stats table (numBuckets rows — no corpus
+    * scan, the cost that matters when a single-file tool call lands on a
+    * 100 TB table). A full count() runs only while the index is absent,
+    * i.e. while the corpus is small or was just dropped below threshold. */
+  private def refreshAnn(changed: Option[String]): Unit =
+    changed match {
       case Some(p) if numBuckets > 0 && annIndex.exists =>
         val b = store.bucketOf(p)
         annIndex.refreshBucket(store.readBucket(b), b)
-      case _ => annIndex.rebuild(store.read(), annLists)
+        if (annIndex.rowCount() < annThreshold) annIndex.drop()
+      case _ =>
+        if (store.read().count() < annThreshold) annIndex.drop()
+        else annIndex.rebuild(store.read(), annLists)
     }
-  }
   private def embedder: Embedder = mkEmbedder()
 
   final case class IngestResult(filePath: String, chunkCount: Long,
