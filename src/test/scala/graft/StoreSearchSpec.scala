@@ -342,5 +342,15 @@ class StoreSearchSpec extends AnyFunSuite {
     val top = st.probe(qv, nProbe = 4, k = 1).collect().head
     assert(top.getAs[String]("filePath") === target)
     assert(top.getAs[Double]("score") < 1e-6) // self-match (float-sum rounding)
+
+    // refresh a bucket to EMPTY (its last file deleted): stats drop, the
+    // probe still works over the remaining buckets
+    val emptied = chunks.take(0).toDF()
+    st.refreshBucket(emptied, bucket)
+    assert(st.rowCount() === 25L - bucketRows.size)
+    val survivors = st.probe(qv, nProbe = 4, k = 50).collect()
+    assert(survivors.nonEmpty)
+    assert(survivors.forall(r =>
+      math.floorMod(graft.ops.Dedup.hash60Scala(r.getAs[String]("filePath")), 4L) != bucket))
   }
 }
