@@ -39,20 +39,27 @@ object Similarity {
     * replaces (and to the oracle's per-plane ordered sum). */
   def srpBucket(vecColName: String, dim: Int, planes: Int): Column = {
     val comps = Array.tabulate(planes, dim)((p, j) => planeComponent(p, j))
-    val f = udf { (v: Seq[Float]) =>
-      var bucket = 0L
-      var p = 0
-      while (p < planes) {
-        var s = 0.0
-        var j = 0
-        val row = comps(p)
-        while (j < dim) { s += v(j) * row(j); j += 1 }
-        if (s > 0) bucket |= (1L << p)
-        p += 1
-      }
-      bucket
-    }
+    val f = udf((v: Seq[Float]) => srpBucketOf(v, comps, planes))
     f(col(vecColName))
+  }
+
+  /** Scala twin of [[srpBucket]] for driver-side query vectors (identical
+    * accumulation order, so planner and executor agree on the bucket) */
+  def srpBucketScala(v: Seq[Float], dim: Int, planes: Int): Long =
+    srpBucketOf(v, Array.tabulate(planes, dim)((p, j) => planeComponent(p, j)), planes)
+
+  private def srpBucketOf(v: Seq[Float], comps: Array[Array[Double]], planes: Int): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var j = 0
+      val row = comps(p)
+      while (j < v.size && j < row.length) { s += v(j) * row(j); j += 1 }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
   }
 
   /** ANN top-k: probe the query's SRP bucket, brute-force rerank inside it.

@@ -61,6 +61,30 @@ object DedupQueries {
     f(_)
   }
 
+  /** SRP bucket-probe top-k oracle (shared by the inline `ann_lsh_topk` and
+    * the persisted `ann_srp_store_probe` — the two must return the SAME
+    * rows: the index only changes where the bucket scan reads from). */
+  private val SrpTopkOracle =
+    """WITH comp AS (SELECT p.p, j.j,
+      |    CASE WHEN CAST(concat('0x', substr(md5(p.p || ':' || j.j), 1, 15)) AS BIGINT) % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END AS c
+      |  FROM (SELECT unnest(range(0, 8)) AS p) p, (SELECT unnest(range(0, 64)) AS j) j),
+      |dotp AS (SELECT e.vec_id, c.p, sum(e.embedding[c.j + 1]::DOUBLE * c.c) AS sv
+      |  FROM embeddings e, comp c GROUP BY 1, 2),
+      |buck AS (SELECT vec_id,
+      |    sum(CASE WHEN sv > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      |  FROM dotp GROUP BY 1),
+      |qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |cand AS (SELECT b.vec_id FROM buck b, qb WHERE b.bucket = qb.bucket),
+      |sc AS (SELECT e.vec_id,
+      |    1.0 - sum(e.embedding[t.i]::DOUBLE * q.qv[t.i]::DOUBLE) AS raw
+      |  FROM embeddings e, q, generate_series(1, 64) t(i)
+      |  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+      |  GROUP BY e.vec_id)
+      |SELECT vec_id, round(raw, 4) + 0.0 AS score FROM sc
+      |ORDER BY raw, vec_id LIMIT 10""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // ----- int8 vector quantization over the embeddings table -----
@@ -487,25 +511,27 @@ object DedupQueries {
           .orderBy("score", "vec_id").limit(10)
           .select("vec_id", "score")
       },
-      Some("""WITH comp AS (SELECT p.p, j.j,
-             |    CASE WHEN CAST(concat('0x', substr(md5(p.p || ':' || j.j), 1, 15)) AS BIGINT) % 2 = 0
-             |         THEN 1.0 ELSE -1.0 END AS c
-             |  FROM (SELECT unnest(range(0, 8)) AS p) p, (SELECT unnest(range(0, 64)) AS j) j),
-             |dotp AS (SELECT e.vec_id, c.p, sum(e.embedding[c.j + 1]::DOUBLE * c.c) AS sv
-             |  FROM embeddings e, comp c GROUP BY 1, 2),
-             |buck AS (SELECT vec_id,
-             |    sum(CASE WHEN sv > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
-             |  FROM dotp GROUP BY 1),
-             |qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
-             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-             |cand AS (SELECT b.vec_id FROM buck b, qb WHERE b.bucket = qb.bucket),
-             |sc AS (SELECT e.vec_id,
-             |    1.0 - sum(e.embedding[t.i]::DOUBLE * q.qv[t.i]::DOUBLE) AS raw
-             |  FROM embeddings e, q, generate_series(1, 64) t(i)
-             |  WHERE e.vec_id IN (SELECT vec_id FROM cand)
-             |  GROUP BY e.vec_id)
-             |SELECT vec_id, round(raw, 4) + 0.0 AS score FROM sc
-             |ORDER BY raw, vec_id LIMIT 10""".stripMargin)),
+      Some(SrpTopkOracle)),
+
+    // ----- persisted SRP probe: the SAME bucket top-k as ann_lsh_topk but
+    // through the on-disk abucket-partitioned index — build once, probe =
+    // one partition read. Deterministic md5 hyperplanes make the PERSISTED
+    // path hash-checkable against the oracle (IVF's trained lists cannot
+    // be), so this is the oracle-gated twin of ann_ivf_store_probe. -----
+    Q("ann_srp_store_probe",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val qv = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ann-srp-" +
+          d.replaceAll("[^a-zA-Z0-9._-]", "_")
+        val st = new graft.store.SrpIndexStore(s, dir, dim = 64, planes = 8,
+          0, Seq("vec_id"), "embedding")
+        if (!st.exists || st.rowCount() != e.count()) st.rebuild(e)
+        st.probe(qv, k = 10)
+          .select(col("vec_id"), (round(col("score"), 4) + 0.0).as("score"))
+      },
+      Some(SrpTopkOracle), bench = true),
 
     // ----- embedding near-dup, LSH-blocked (the linear-ish scale path) -----
     Q("d_embed_dup_lsh",

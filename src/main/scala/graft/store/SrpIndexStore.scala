@@ -1,0 +1,114 @@
+package graft.store
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+import graft.search.VectorSearch
+
+/** Persisted SRP-LSH ANN index — the hash-oracle-checkable sibling of the
+  * IVF [[AnnIndexStore]] (same layout discipline, no trained centroids):
+  * every vector's signed-random-projection bucket is a DETERMINISTIC
+  * function of the vector (md5-derived ±1 hyperplanes,
+  * [[Similarity.srpBucket]]), so the whole index — build, layout, probe —
+  * replays exactly in the DuckDB oracle, which KMeans-trained lists cannot.
+  *
+  * Layout under `path/`: `assignments/` partitioned by (pbucket?, abucket)
+  * — a probe filters `abucket` to the query's bucket (plus optional
+  * Hamming-1 neighbors for recall) and reads ONLY those partitions;
+  * `stats/` per-pbucket row counts, written last. Incremental per-path-
+  * bucket refresh needs no model state: the bucket function is pure. */
+final class SrpIndexStore(
+    spark: SparkSession, path: String, dim: Int, planes: Int,
+    numBuckets: Int = 0,
+    idCols: Seq[String] = Seq("filePath", "chunkIndex"),
+    vecCol: String = "vector") {
+
+  require(planes >= 1 && planes <= 30, "planes must be in 1..30")
+
+  private def bucketed: Boolean = numBuckets > 0
+  private val assignmentsPath = path + "/assignments"
+  private val statsPath = path + "/stats"
+
+  private def fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new HPath(statsPath))
+
+  def rowCount(): Long =
+    if (!exists) 0L
+    else spark.read.parquet(statsPath)
+      .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+
+  private def bucketCol =
+    pmod(graft.ops.Dedup.hash60(col(idCols.head)), lit(numBuckets.toLong))
+
+  private def assigned(rows: DataFrame): DataFrame = {
+    val base = rows.select(idCols.map(col) :+ col(vecCol): _*)
+      .withColumn("abucket", Similarity.srpBucket(vecCol, dim, planes))
+    if (bucketed) base.withColumn("pbucket", bucketCol) else base
+  }
+
+  def rebuild(rows: DataFrame): Unit = {
+    val a = assigned(rows).persist()
+    try {
+      if (a.isEmpty) { drop(); return }
+      val parts = if (bucketed) Seq("pbucket", "abucket") else Seq("abucket")
+      DirSwap.swapInto(fs, path, assignmentsPath)(tmp =>
+        a.write.partitionBy(parts: _*).mode(SaveMode.Overwrite).parquet(tmp))
+      val stats =
+        if (bucketed) a.groupBy("pbucket").agg(count(lit(1)).as("n_rows"))
+        else a.agg(count(lit(1)).as("n_rows")).withColumn("pbucket", lit(0L))
+      DirSwap.swapInto(fs, path, statsPath)(tmp =>
+        stats.select("pbucket", "n_rows")
+          .write.mode(SaveMode.Overwrite).parquet(tmp))
+    } finally a.unpersist()
+  }
+
+  /** reassign ONE path bucket (the bucket function is pure — no model to
+    * load) and swap only that partition + its stats row */
+  def refreshBucket(bucketRows: DataFrame, bucket: Long): Unit = {
+    import spark.implicits._
+    require(bucketed, "refreshBucket requires a bucketed index")
+    require(exists, "refreshBucket requires an existing index (rebuild first)")
+    val a = assigned(bucketRows).drop("pbucket").persist()
+    try {
+      val nMine = a.count()
+      DirSwap.swapInto(fs, path, s"$assignmentsPath/pbucket=$bucket")(tmp =>
+        a.write.partitionBy("abucket").mode(SaveMode.Overwrite).parquet(tmp))
+      val others = spark.read.parquet(statsPath)
+        .filter(col("pbucket") =!= bucket)
+        .select("pbucket", "n_rows").as[(Long, Long)].collect().toSeq
+      DirSwap.swapInto(fs, path, statsPath)(tmp =>
+        (others :+ (bucket, nMine)).toDF("pbucket", "n_rows")
+          .write.mode(SaveMode.Overwrite).parquet(tmp))
+    } finally a.unpersist()
+  }
+
+  /** probe the query's bucket (hammingRadius=0, the oracle-replayable form)
+    * or its Hamming-neighborhood (radius 1–2 trades read volume for recall);
+    * partition pruning keeps the scan to the probed buckets only */
+  def probe(queryVec: Seq[Float], k: Int, hammingRadius: Int = 0,
+            where: Option[Column] = None): DataFrame = {
+    val qb = Similarity.srpBucketScala(queryVec, dim, planes)
+    val buckets: Seq[Long] = hammingRadius match {
+      case 0 => Seq(qb)
+      case 1 => qb +: (0 until planes).map(p => qb ^ (1L << p))
+      case 2 => (qb +: (0 until planes).map(p => qb ^ (1L << p))) ++
+        (for { p <- 0 until planes; q <- (p + 1) until planes }
+          yield qb ^ (1L << p) ^ (1L << q))
+      case r => throw new IllegalArgumentException(s"hammingRadius $r not in 0..2")
+    }
+    val stored = spark.read.parquet(assignmentsPath)
+      .filter(col("abucket").isin(buckets.map(java.lang.Long.valueOf): _*))
+    val scoped = where.map(stored.filter).getOrElse(stored)
+    scoped
+      .withColumn("score", VectorSearch.dotDistance(col(vecCol), typedLit(queryVec)))
+      .orderBy(col("score") +: idCols.map(col): _*)
+      .limit(k)
+      .select(idCols.map(col) :+ col("score"): _*)
+  }
+
+  def drop(): Unit =
+    if (fs.exists(new HPath(path))) fs.delete(new HPath(path), true)
+}

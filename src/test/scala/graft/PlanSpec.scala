@@ -77,6 +77,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("persisted SRP probe reads only its bucket partition") {
+    val p = plan("ann_srp_store_probe")
+    assert(p.contains("PartitionFilters: [") && p.contains("abucket"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("sync reconciliation is a single full-outer shuffle join") {
     val p = plan("j1_sync_plan")
     assert(p.contains("FullOuter"))

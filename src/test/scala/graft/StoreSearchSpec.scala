@@ -318,6 +318,34 @@ class StoreSearchSpec extends AnyFunSuite {
     assert(annAll === bruteAll)
   }
 
+  test("persisted SRP index: probe equals the inline bucket scan; radius widens monotonically") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("srp-idx").toString + "/srp"
+    val st = new graft.store.SrpIndexStore(spark, dir, dim = 64, planes = 8,
+      0, Seq("vec_id"), "embedding")
+    st.rebuild(e)
+    assert(st.rowCount() === e.count())
+    val qv = e.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+
+    // persisted probe ≡ the inline srpBucket scan (same bucket, same scores)
+    val inline = e
+      .withColumn("bucket", graft.ops.Similarity.srpBucket("embedding", 64, 8))
+      .filter($"bucket" === graft.ops.Similarity.srpBucketScala(qv, 64, 8))
+      .withColumn("score", VectorSearch.dotDistance($"embedding", typedLit(qv)))
+      .orderBy("score", "vec_id").limit(10)
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
+    val persisted = st.probe(qv, k = 10)
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
+    assert(persisted === inline)
+
+    // Hamming radius only ADDS candidates (recall knob, same scan shape)
+    val r0 = st.probe(qv, k = 500).select("vec_id").as[Long].collect().toSet
+    val r1 = st.probe(qv, k = 500, hammingRadius = 1).select("vec_id").as[Long].collect().toSet
+    val r2 = st.probe(qv, k = 500, hammingRadius = 2).select("vec_id").as[Long].collect().toSet
+    assert(r0.subsetOf(r1) && r1.subsetOf(r2))
+    assert(r1.size > r0.size) // neighbors actually contribute on real data
+  }
+
   test("bucketed ANN index: single-bucket refresh tracks a file's new vectors") {
     val chunks = (0 until 24).map(i => mkChunk(s"/corpus/doc$i.md", 0, s"document $i about topic ${i % 6}"))
     val dir = Files.createTempDirectory("ann-bucketed").toString + "/ann"
