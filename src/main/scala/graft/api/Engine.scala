@@ -30,7 +30,10 @@ final class Engine(
     numBuckets: Int = 0,
     annLists: Int = 16,
     annProbes: Int = 8,
-    annThreshold: Long = Engine.AnnCorpusThreshold) {
+    annThreshold: Long = Engine.AnnCorpusThreshold,
+    annStrategy: String = "ivf",
+    annPlanes: Int = 8,
+    annProbeRadius: Int = 1) {
 
   import spark.implicits._
 
@@ -41,13 +44,25 @@ final class Engine(
     * mutations refresh only the file's bucket (1/numBuckets of the corpus). */
   private[graft] val ftsIndex =
     new graft.store.FtsIndexStore(spark, storePath + "-fts", numBuckets)
-  /** persisted IVF ANN index on the same refresh cadence — the reference
-    * keeps its vector index inside the store and queries it with an ANN
-    * scan, never a full scan (`src/vectordb/index.ts:352-353`). Below
-    * `annThreshold` chunks the index is dropped and queries brute-force
-    * (exact, and cheaper than probe overhead at tool scale). */
-  private[graft] val annIndex =
-    new graft.store.AnnIndexStore(spark, storePath + "-ann", numBuckets)
+  /** persisted ANN index on the same refresh cadence — the reference keeps
+    * its vector index inside the store and queries it with an ANN scan,
+    * never a full scan (`src/vectordb/index.ts:352-353`). Two pluggable
+    * index families behind the same probe seam: "ivf" (KMeans lists,
+    * recall-tuned via annProbes/annLists) and "srp" (deterministic
+    * hyperplane buckets, recall via annProbeRadius — the oracle-replayable
+    * family). Below `annThreshold` chunks the index is dropped and queries
+    * brute-force (exact, and cheaper than probe overhead at tool scale). */
+  private[graft] val annBackend: Engine.AnnBackend = annStrategy match {
+    case "ivf" => new Engine.IvfBackend(
+      new graft.store.AnnIndexStore(spark, storePath + "-ann", numBuckets),
+      annLists, annProbes)
+    case "srp" => new Engine.SrpBackend(
+      new graft.store.SrpIndexStore(spark, storePath + "-ann-srp",
+        mkEmbedder().dim, annPlanes, numBuckets),
+      annProbeRadius)
+    case other => throw new IllegalArgumentException(
+      s"annStrategy must be ivf or srp, got: $other")
+  }
   private def refreshIndexes(): Unit = {
     ftsIndex.rebuild(store.read())
     refreshAnn(None)
@@ -60,8 +75,8 @@ final class Engine(
     } else refreshIndexes()
   /** maintain the ANN index across the corpus-size threshold: below it the
     * index is dropped (brute force is exact and faster there); a bucketed
-    * single-file change above it reassigns ONE bucket against the stored
-    * centroids; anything else re-trains in full.
+    * single-file change above it reassigns ONE bucket; anything else
+    * rebuilds in full.
     *
     * Corpus-count discipline: with a live index, the post-refresh total
     * comes from the index's own stats table (numBuckets rows — no corpus
@@ -70,13 +85,13 @@ final class Engine(
     * i.e. while the corpus is small or was just dropped below threshold. */
   private def refreshAnn(changed: Option[String]): Unit =
     changed match {
-      case Some(p) if numBuckets > 0 && annIndex.exists =>
+      case Some(p) if numBuckets > 0 && annBackend.exists =>
         val b = store.bucketOf(p)
-        annIndex.refreshBucket(store.readBucket(b), b)
-        if (annIndex.rowCount() < annThreshold) annIndex.drop()
+        annBackend.refreshBucket(store.readBucket(b), b)
+        if (annBackend.rowCount() < annThreshold) annBackend.drop()
       case _ =>
-        if (store.read().count() < annThreshold) annIndex.drop()
-        else annIndex.rebuild(store.read(), annLists)
+        if (store.read().count() < annThreshold) annBackend.drop()
+        else annBackend.rebuild(store.read())
     }
   private def embedder: Embedder = mkEmbedder()
 
@@ -108,8 +123,8 @@ final class Engine(
     // queries still fill their k. Below it (or with no index) the exact
     // brute-force scan runs; both paths score with the same expression.
     val annCands =
-      if (annIndex.exists && annIndex.rowCount() >= annThreshold)
-        Some(annIndex.probe(qArr, annProbes,
+      if (annBackend.exists && annBackend.rowCount() >= annThreshold)
+        Some(annBackend.probe(qArr.toSeq,
           limit * HybridSearch.CandidateMultiplier,
           where = if (scope.isEmpty) None
                   else Some(ScopeMatch.inScope(col("filePath"), scope))))
@@ -444,6 +459,46 @@ object Engine {
     * overhead + recall loss buy nothing at tool scale); above it the probe
     * reads nProbe/nLists of the corpus instead of all of it. */
   val AnnCorpusThreshold = 4096L
+
+  /** uniform seam over the two persisted ANN index families — the engine's
+    * refresh/probe logic is strategy-blind */
+  private[graft] sealed trait AnnBackend {
+    def exists: Boolean
+    def rowCount(): Long
+    def drop(): Unit
+    def rebuild(rows: org.apache.spark.sql.DataFrame): Unit
+    def refreshBucket(rows: org.apache.spark.sql.DataFrame, bucket: Long): Unit
+    def probe(queryVec: Seq[Float], k: Int,
+              where: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame
+  }
+
+  private[graft] final class IvfBackend(
+      val index: graft.store.AnnIndexStore, nLists: Int, nProbe: Int)
+      extends AnnBackend {
+    def exists: Boolean = index.exists
+    def rowCount(): Long = index.rowCount()
+    def drop(): Unit = index.drop()
+    def rebuild(rows: org.apache.spark.sql.DataFrame): Unit = index.rebuild(rows, nLists)
+    def refreshBucket(rows: org.apache.spark.sql.DataFrame, bucket: Long): Unit =
+      index.refreshBucket(rows, bucket)
+    def probe(queryVec: Seq[Float], k: Int,
+              where: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame =
+      index.probe(queryVec.toArray, nProbe, k, where)
+  }
+
+  private[graft] final class SrpBackend(
+      val index: graft.store.SrpIndexStore, radius: Int)
+      extends AnnBackend {
+    def exists: Boolean = index.exists
+    def rowCount(): Long = index.rowCount()
+    def drop(): Unit = index.drop()
+    def rebuild(rows: org.apache.spark.sql.DataFrame): Unit = index.rebuild(rows)
+    def refreshBucket(rows: org.apache.spark.sql.DataFrame, bucket: Long): Unit =
+      index.refreshBucket(rows, bucket)
+    def probe(queryVec: Seq[Float], k: Int,
+              where: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame =
+      index.probe(queryVec, k, radius, where)
+  }
 
   /** recover the external source id from a managed raw-data path
     * (reference `src/utils/raw-data-utils.ts:196-214`) */

@@ -330,8 +330,8 @@ class EngineSpec extends AnyFunSuite {
       annLists = 4, annProbes = 4, annThreshold = 1L)
     val s = annEngine.sync()
     assert(s.upserted === 30)
-    assert(annEngine.annIndex.exists)
-    assert(annEngine.annIndex.rowCount() === annEngine.status()._1)
+    assert(annEngine.annBackend.exists)
+    assert(annEngine.annBackend.rowCount() === annEngine.status()._1)
 
     // a second engine over the SAME store with an unreachable threshold
     // stays on the exact brute-force scan — the two paths must agree
@@ -354,5 +354,20 @@ class EngineSpec extends AnyFunSuite {
     annEngine.ingestFile(s"$root/doc30.md")
     val hit = annEngine.queryDocuments("volcano geology magma", limit = 3).collect().head
     assert(hit.getAs[String]("filePath").endsWith("doc30.md"))
+
+    // the SRP strategy behind the SAME seam: planes=1 + radius=1 probes
+    // both buckets (exhaustive) — must also agree with brute force exactly,
+    // and its per-bucket refresh must serve a new doc immediately
+    val srpEngine = new Engine(spark, store, Seq(root), numBuckets = 4,
+      annThreshold = 1L, annStrategy = "srp", annPlanes = 1, annProbeRadius = 1)
+    srpEngine.sync() // all skips; index builds on... (see below)
+    // sync with zero mutations does not rebuild indexes — force one ingest
+    write(s"$root/doc31.md",
+      "# Doc 31\nglacier ice cores preserve ancient climate records in trapped air bubbles deep below.")
+    srpEngine.ingestFile(s"$root/doc31.md")
+    assert(srpEngine.annBackend.exists)
+    assert(rows(srpEngine) === rows(bruteEngine))
+    val hit31 = srpEngine.queryDocuments("glacier ice cores", limit = 3).collect().head
+    assert(hit31.getAs[String]("filePath").endsWith("doc31.md"))
   }
 }
