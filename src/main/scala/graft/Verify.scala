@@ -22,7 +22,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.GraftSession.quietNoisyLoggers()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=name1,name2 narrows the dump for local
+    // iteration (same contract as Bench's SPARK_GRAFT_BENCH_ONLY); the
+    // driver leaves it unset and gets every query.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

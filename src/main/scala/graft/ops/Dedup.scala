@@ -255,6 +255,71 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over an undirected pair set — the step between
+    * "near-dup pairs" and "deduplicated corpus": pairs are only locally
+    * transitive (A~B, B~C need not imply the pair A~C was emitted), so
+    * survivor selection must group by the transitive closure, else chains
+    * over-keep or over-drop.
+    *
+    * Returns (id, comp) for every id appearing in `edges`, comp = the
+    * minimum id reachable from it (the canonical representative).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes min(own label, neighbors' labels); converged when no label
+    * changed. Per round this is ONE shuffle (join edges with labels on dst
+    * + groupBy src), and the round count is the graph diameter, which for
+    * dedup clusters is small (near-dup groups are dense — usually 1–3
+    * rounds). The convergence check doubles as per-round materialization,
+    * so lineage never stacks beyond one iteration. At extreme diameters the
+    * large-star/small-star variant (Kiveris et al., "Connected Components
+    * in MapReduce", SoCC'14) halves round counts; same per-round shape.
+    *
+    * Reference behavior twin: the reference dedups by dropping one side of
+    * each verified pair (vectordb upsert keeps first-write); this operator
+    * is the corpus-scale generalization that makes the survivor choice
+    * well-defined on chains. */
+  def connectedComponents(edges: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges
+      .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+      .union(edges.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    try {
+      // localCheckpoint per round: labels feeds the NEXT round's plan twice
+      // (neighbor join + least/coalesce), so without lineage truncation the
+      // logical plan doubles every iteration — O(2^rounds) plan nodes blows
+      // the driver before the data is ever large. Checkpointing makes each
+      // round's plan one join deep; on a cluster a reliable checkpoint
+      // (HDFS) replaces the local one, same shape. Superseded rounds'
+      // blocks are released by the ContextCleaner once unreferenced.
+      var labels = sym.select(col("src").as("id"))
+        .distinct()
+        .select(col("id"), col("id").as("comp"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val nbrMin = sym
+          .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), Seq("dst"))
+          .groupBy("src").agg(min("nbr_comp").as("nbr_comp"))
+        val next = labels
+          .join(nbrMin.select(col("src").as("id"), col("nbr_comp")), Seq("id"), "left")
+          .select(col("id"), col("comp").as("old_comp"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          .localCheckpoint(true)
+        changed = next.filter(col("comp") =!= col("old_comp")).count()
+        labels = next.select("id", "comp")
+        iter += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds")
+      labels
+    } finally sym.unpersist()
+  }
+
   /** embedding-cosine near-dup pairs (a < b, rounded cosine >= threshold).
     * Norms are computed once per vector before the pair join — the pairwise
     * stage then does ONE dot product per pair instead of three. */

@@ -242,6 +242,70 @@ object DedupQueries {
               |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ----- transitive duplicate groups: LSH-verified pairs → connected
+    // components → (doc, canonical representative, group size). Pairs alone
+    // under-specify survivor choice on chains (A~B, B~C without A~C); the
+    // closure makes "keep the min id per group" well-defined. Spark side is
+    // iterative min-label propagation (one shuffle per round, diameter
+    // rounds); the oracle replays the closure with WITH RECURSIVE. -----
+    Q("d_dup_groups",
+      (s, d) => {
+        val corpus = dupCorpus(s, d)
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .withColumn("shs", Dedup.wordShingles("ws", 5))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val withSig = corpus.filter(size(col("shs")) > 0)
+          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
+          .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        val candidates = Dedup.lshCandidatePairs(
+          Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
+        val verified = Dedup.jaccardOnPairs(candidates, corpus, "doc_id", "shs")
+          .filter(col("jaccard") >= 0.5)
+        val comp = Dedup.connectedComponents(verified)
+        val sizes = comp.groupBy("comp").agg(count(lit(1)).as("group_size"))
+        comp.join(sizes, "comp")
+          .select(col("id").as("doc_id"), col("comp").as("group_rep"),
+            col("group_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $ShinglesCte,
+              |hs AS (SELECT doc_id,
+              |    list_transform(shs, s ->
+              |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+              |  FROM sh WHERE len(shs) > 0),
+              |sig AS (SELECT doc_id,
+              |    [list_min(list_transform(hs, h -> ((2*i+3) * h + (7*i+1)) % 2147483647))
+              |     for i in range(0, 16)] AS sig
+              |  FROM hs),
+              |bands AS (SELECT doc_id, t.b,
+              |    md5(concat_ws(',', sig[t.b*4+1]::VARCHAR, sig[t.b*4+2]::VARCHAR,
+              |                       sig[t.b*4+3]::VARCHAR, sig[t.b*4+4]::VARCHAR)) AS band_hash
+              |  FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+              |posts AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |          FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |verified AS (SELECT i.id_a, i.id_b
+              |  FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.id_a
+              |  JOIN sizes sb ON sb.doc_id = i.id_b
+              |  JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |  WHERE round(i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter), 4) >= 0.5),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+              |          UNION SELECT id_b, id_a FROM verified),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+              |cc AS (SELECT id, min(r) AS group_rep FROM reach GROUP BY 1)
+              |SELECT id AS doc_id, group_rep,
+              |       count(*) OVER (PARTITION BY group_rep) AS group_size
+              |FROM cc ORDER BY doc_id""".stripMargin)),
+
     // ----- MinHash + LSH candidate pairs (16 hashes, 4 bands × 4 rows) -----
     Q("d_minhash_lsh",
       (s, d) => {

@@ -226,6 +226,86 @@ object TextQueries {
              |SELECT lang, split, sum(n_tok)::BIGINT AS tokens, count(*) AS docs
              |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- training-sequence packing (concat-and-chunk): documents are laid
+    // head-to-tail in deterministic hash order within a (lang, shard)
+    // stream and cut every BUDGET tokens — each doc learns which packed
+    // sequence it starts in and at what token offset (the GPT-style
+    // dataloader layout, computed corpus-side). The shard key bounds the
+    // window partition: at 100 TB a per-lang stream would funnel one
+    // partition per language through a single task, while (lang, shard)
+    // streams stay executor-sized and pack independently. Running-sum
+    // windows stream (no frame materialization), so the whole op is one
+    // shuffle on the stream key. -----
+    Q("t_pack_sequences",
+      (s, d) => {
+        val budget = 256L
+        val docs = Tables.documents(s, d).select(
+          col("lang"),
+          pmod(graft.ops.Dedup.hash60(col("doc_id").cast("string")), lit(4L)).as("shard"),
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "shard")
+          .orderBy(graft.ops.Dedup.hash60(col("doc_id").cast("string")).asc,
+            col("doc_id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        docs
+          .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .select(col("lang"), col("shard"), col("doc_id"), col("n_tok"),
+            floor(col("cum_before") / budget).as("seq_id"),
+            (col("cum_before") % budget).as("tok_offset"))
+          .orderBy("lang", "shard", "seq_id", "tok_offset", "doc_id")
+      },
+      Some("""WITH t AS (SELECT lang,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS shard,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk,
+             |    doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok
+             |  FROM documents),
+             |c AS (SELECT lang, shard, doc_id, n_tok,
+             |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY hk, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             |  FROM t)
+             |SELECT lang, shard, doc_id, n_tok,
+             |       CAST(cum_before // 256 AS BIGINT) AS seq_id,
+             |       CAST(cum_before % 256 AS BIGINT) AS tok_offset
+             |FROM c ORDER BY lang, shard, seq_id, tok_offset, doc_id""".stripMargin)),
+
+    // ----- domain-mixture sampling: a target mixture (lang → weight) over a
+    // fixed doc budget becomes per-stratum quotas, drawn in deterministic
+    // hash order (the "resample the corpus to the training mixture"
+    // primitive — same shape as stratified sampling but quota = weight ×
+    // budget instead of a flat N). The weights table is a broadcast literal
+    // dim; the only shuffle is the per-stratum ranking window. -----
+    Q("t_domain_mix",
+      (s, d) => {
+        import s.implicits._
+        val budget = 200L
+        val weights = Seq(("en", 0.40), ("de", 0.20), ("fr", 0.20),
+          ("es", 0.10), ("zh", 0.10)).toDF("lang", "wt")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(graft.ops.Dedup.hash60(col("doc_id").cast("string")).asc,
+            col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w))
+          .join(broadcast(weights), "lang")
+          .filter(col("rk") <= round(col("wt") * budget))
+          .select(col("lang"), col("doc_id"), col("rk"),
+            round(col("wt") * budget).cast("long").as("quota"))
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH wt(lang, wt) AS (VALUES ('en', 0.40), ('de', 0.20), ('fr', 0.20),
+             |    ('es', 0.10), ('zh', 0.10)),
+             |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+             |             doc_id) AS rk
+             |  FROM documents)
+             |SELECT r.lang, r.doc_id, r.rk,
+             |       CAST(round(wt.wt * 200) AS BIGINT) AS quota
+             |FROM r JOIN wt ON wt.lang = r.lang
+             |WHERE r.rk <= round(wt.wt * 200)
+             |ORDER BY r.lang, r.rk""".stripMargin)),
+
     // ----- corpus length histogram (token-count buckets of 50) -----
     Q("t_length_histogram",
       (s, d) => Tables.documents(s, d)

@@ -295,6 +295,52 @@ class OpsSpec extends AnyFunSuite {
     assert(picks === picks.sorted.reverse)
   }
 
+  test("connectedComponents: chains close transitively, min id is the rep") {
+    // two components: a chain 1-2-3-4 (no direct 1-4 pair) and a pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges)
+    try {
+      val m = comp.as[(Long, Long)].collect().toMap
+      assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally comp.unpersist()
+
+    // a long path stresses the iteration bound (diameter = 12)
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val pc = Dedup.connectedComponents(path)
+    try {
+      val pm = pc.as[(Long, Long)].collect().toMap
+      assert(pm.size === 13 && pm.values.forall(_ === 0L))
+    } finally pc.unpersist()
+
+    // edge direction must not matter
+    val rev = Seq((5L, 2L), (2L, 9L)).toDF("id_a", "id_b")
+    val rc = Dedup.connectedComponents(rev)
+    try assert(rc.as[(Long, Long)].collect().toMap.values.toSet === Set(2L))
+    finally rc.unpersist()
+  }
+
+  test("sequence packing: offsets tile each (lang, shard) stream gaplessly") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.Registry.byName("t_pack_sequences")
+      .build(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // within each stream, in WINDOW order (hash key, then doc_id — emitted
+    // order can differ when zero-token docs tie on offset), cum-before must
+    // equal the running sum of preceding docs' tokens: seq_id*256 + offset
+    // is exactly that cumsum, so recompute and compare
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (Dedup.hash60Scala(r._3.toString), r._3)).foreach {
+        case (_, _, _, nTok, seqId, offset) =>
+          assert(seqId * 256 + offset === cum)
+          cum += nTok
+      }
+    }
+    // offsets always inside the budget; first doc of each stream at (0, 0)
+    assert(out.forall(r => r._6 >= 0 && r._6 < 256))
+  }
+
   test("nearDupPairsAt: one-knob dedupe finds planted near-dups and skips distinct docs") {
     val base = "the quick brown fox jumps over the lazy dog near the riverbank every morning " +
       "while birds sing in the tall green trees beside the water"

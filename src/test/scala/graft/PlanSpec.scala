@@ -103,6 +103,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sequence packing is one shuffle on the stream key plus the output sort") {
+    val p = plan("t_pack_sequences")
+    // one Exchange partitions the (lang, shard) streams for the running-sum
+    // window; the only other exchange is the final presentation orderBy.
+    // A third would mean the window or the projection re-shuffled.
+    assert(p.contains("Window"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+    // running sum must use the streaming frame, not a re-scanned range frame
+    assert(p.contains("unboundedpreceding"), p.take(2000))
+  }
+
   test("streaming is absent from batch plans; pivot has no distinct scan") {
     // explicit pivot values ⇒ the plan must NOT contain a first collect-
     // distinct aggregation over event_type before the pivot aggregation
