@@ -27,14 +27,14 @@ object Bench {
 
     val headline = {
       val flagged = Registry.all.filter(_.bench)
-      val base = if (flagged.nonEmpty) flagged else Registry.all
       // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the run for local iteration on
-      // one query's plan; the driver never sets it, so headline runs are
-      // always the full flagged set
+      // one query's plan — it selects from ALL registered queries, flagged
+      // or not, so unflagged baselines can be timed too; the driver never
+      // sets it, so headline runs are always the full flagged set
       sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .map(_.split(",").map(_.trim).toSet)
-        .map(only => base.filter(q => only.contains(q.name)))
-        .getOrElse(base)
+        .map(only => Registry.all.filter(q => only.contains(q.name)))
+        .getOrElse(if (flagged.nonEmpty) flagged else Registry.all)
     }
     // one untimed warm pass over EVERY headline query: first execution of a
     // plan pays whole-stage-codegen janino compilation + class loading

@@ -304,7 +304,7 @@ object DedupQueries {
               |cc AS (SELECT id, min(r) AS group_rep FROM reach GROUP BY 1)
               |SELECT id AS doc_id, group_rep,
               |       count(*) OVER (PARTITION BY group_rep) AS group_size
-              |FROM cc ORDER BY doc_id""".stripMargin)),
+              |FROM cc ORDER BY doc_id""".stripMargin), bench = true),
 
     // ----- MinHash + LSH candidate pairs (16 hashes, 4 bands × 4 rows) -----
     Q("d_minhash_lsh",

@@ -268,7 +268,8 @@ object TextQueries {
              |SELECT lang, shard, doc_id, n_tok,
              |       CAST(cum_before // 256 AS BIGINT) AS seq_id,
              |       CAST(cum_before % 256 AS BIGINT) AS tok_offset
-             |FROM c ORDER BY lang, shard, seq_id, tok_offset, doc_id""".stripMargin)),
+             |FROM c ORDER BY lang, shard, seq_id, tok_offset, doc_id""".stripMargin),
+      bench = true),
 
     // ----- domain-mixture sampling: a target mixture (lang → weight) over a
     // fixed doc budget becomes per-stratum quotas, drawn in deterministic
