@@ -346,6 +346,74 @@ class StoreSearchSpec extends AnyFunSuite {
     assert(r1.size > r0.size) // neighbors actually contribute on real data
   }
 
+  test("minhash index: delta candidates equal the full-run pairs touching the batch") {
+    import graft.ops.Dedup
+    val base = "the quick brown fox jumps over the lazy dog near the old stone " +
+      "bridge every single morning while the birds sing in the tall trees"
+    // stored corpus: two near-dups (0, 1) and a distinct doc (2);
+    // batch: a near-dup of 0/1 (10) and a fresh distinct doc (11)
+    val stored = Seq(
+      (0L, base), (1L, base + " with extra words"),
+      (2L, "completely different content about spark catalyst optimizer rules " +
+        "and whole stage code generation for columnar execution plans today")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " again and again"),
+      (11L, "unrelated legal boilerplate paragraph concerning limitation of " +
+        "liability and governing law in commercial software license agreements")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("mh-idx").toString + "/mh"
+    val st = new graft.store.MinhashIndexStore(spark, dir,
+      nHashes = 16, bands = 4, rowsPerBand = 4)
+    st.rebuild(stored)
+    assert(st.exists && st.rowCount() === 3)
+
+    val delta = st.deltaCandidates(batch).as[(Long, Long)].collect().toSet
+    // ground truth: band the UNION corpus, keep candidate pairs with a batch side
+    val union = stored.union(batch)
+      .withColumn("ws", Dedup.wordsArray("text"))
+      .withColumn("shs", Dedup.wordShingles("ws", 5))
+      .filter(size($"shs") > 0)
+      .withColumn("hs", Dedup.shingleBaseHashes("shs"))
+      .withColumn("sig", Dedup.minhashSignature("hs", 16))
+    val fullPairs = Dedup.lshCandidatePairs(
+        Dedup.lshBands(union, "doc_id", "sig", 4, 4), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val touchingBatch = fullPairs.filter(p => p._1 >= 10L || p._2 >= 10L)
+    assert(delta === touchingBatch)
+    assert(delta.contains((0L, 10L)) && delta.contains((1L, 10L)))
+    assert(!delta.exists(p => p._1 == 11L || p._2 == 11L)) // distinct doc pairs with nothing
+    st.drop()
+    assert(!st.exists)
+  }
+
+  test("bucketed minhash index: single-bucket refresh tracks new text") {
+    import graft.ops.Dedup
+    val nb = 4
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = (0L until 12L).map(i => (i, s"doc $i " + base + s" tail $i"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("mh-idx-b").toString + "/mh"
+    val st = new graft.store.MinhashIndexStore(spark, dir,
+      nHashes = 16, bands = 4, rowsPerBand = 4, numBuckets = nb)
+    st.rebuild(docs)
+    val before = st.rowCount()
+
+    // rewrite doc 0's bucket: doc 0 becomes an exact twin of doc 1
+    val b0 = Dedup.hash60Scala("0") % nb
+    val bucketDocs = docs.filter(
+      pmod(Dedup.hash60($"doc_id".cast("string")), lit(nb.toLong)) === b0)
+      .withColumn("text", when($"doc_id" === 0L,
+        lit(s"doc 1 $base tail 1")).otherwise($"text"))
+    st.refreshBucket(bucketDocs, b0)
+    assert(st.rowCount() === before) // same docs, new signatures
+
+    // a batch equal to doc 1's text must now find doc 0 as a candidate
+    val probe = Seq((100L, s"doc 1 $base tail 1")).toDF("doc_id", "text")
+    val cands = st.deltaCandidates(probe).as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 100L)) && cands.contains((1L, 100L)))
+    st.drop()
+  }
+
   test("bucketed ANN index: single-bucket refresh tracks a file's new vectors") {
     val chunks = (0 until 24).map(i => mkChunk(s"/corpus/doc$i.md", 0, s"document $i about topic ${i % 6}"))
     val dir = Files.createTempDirectory("ann-bucketed").toString + "/ann"
