@@ -17,6 +17,10 @@ object Verify {
       // events.ts is TIMESTAMP(NANOS) — read as long, converted in Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // external bucketed tables carry their own path; this only keeps the
+      // (otherwise empty) default warehouse dir out of the repo checkout
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

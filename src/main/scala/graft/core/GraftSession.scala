@@ -25,6 +25,10 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // external bucketed tables carry their own path; this only keeps the
+      // (otherwise empty) default warehouse dir out of the repo checkout
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

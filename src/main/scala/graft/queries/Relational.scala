@@ -612,6 +612,41 @@ object Relational {
              |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
              |SELECT user_id, CAST(sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
              |                              THEN 1 ELSE 0 END) AS BIGINT) AS sessions
-             |FROM o GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM o GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- bucketed co-located fact⋈fact join: lineitem and orders are laid
+    // out as bucketed tables on the join key (bucketBy + sortBy, one-time
+    // layout cost the warm pass pays), so the join runs with ZERO Exchange
+    // on either input — at 100 TB this is THE pattern for recurring joins
+    // between two fact tables, where per-query shuffles of both sides are
+    // the dominant cost and neither side can broadcast. hint("merge") pins
+    // the strategy the optimizer would pick at scale (at bench sf the
+    // orders side is small enough that AQE would broadcast it, which would
+    // hide the co-location being demonstrated); the Exchange-free-below-
+    // the-join property is pinned in PlanSpec. -----
+    Q("q_bucketed_join",
+      (s, d) => {
+        val suffix = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft-bt-$suffix"
+        val (ordersT, liT) = (s"graft_orders_b_$suffix", s"graft_lineitem_b_$suffix")
+        if (!s.catalog.tableExists(ordersT)) {
+          Tables.orders(s, d).write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"$base/orders").mode("overwrite").saveAsTable(ordersT)
+          Tables.lineitem(s, d).write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$base/lineitem").mode("overwrite").saveAsTable(liT)
+        }
+        s.table(liT)
+          .join(s.table(ordersT).hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true)
   )
 }

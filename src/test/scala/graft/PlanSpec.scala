@@ -48,11 +48,13 @@ class PlanSpec extends AnyFunSuite {
     // other TPC-H-ish table grows with sf, so a forced hint on one is a
     // 100x-scale OOM. Hints are checked on the analyzed plan (the optimizer
     // folds ResolvedHint into JoinHint, losing the subtree).
-    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
     for (q <- graft.queries.Relational.qs) {
       val analyzed = q.build(spark, dir).queryExecution.analyzed
       analyzed.foreach {
-        case h: ResolvedHint if h.hints.strategy.nonEmpty =>
+        // only BROADCAST pins a build side into memory; merge/shuffle hints
+        // (q_bucketed_join) pick among shuffle-safe strategies and are fine
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
           // allowed: plan-bounded row counts (global aggregates: maxRows=1)
           val bounded = h.child.maxRows.exists(_ <= 1000)
           val outs = h.child.output.map(_.name)
@@ -101,6 +103,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("j_range_follow")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bucketed fact join: zero Exchange below the join, bucketed scans") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("Bucketed: true"), p.take(3000))
+    assert(p.contains("SelectedBucketsCount: 16 out of 16"), p.take(3000))
+    // the bucketed layout satisfies the join's distribution requirement, so
+    // the only exchanges are the post-join aggregation and the output sort
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
   test("sequence packing is one shuffle on the stream key plus the output sort") {
