@@ -370,6 +370,44 @@ final class Engine(
       .orderBy("path")
   }
 
+  /** Near-duplicate file pairs over the ingested corpus at a Jaccard
+    * `threshold` — a training-pipeline tool over the engine's own store
+    * (beyond the reference surface, which only dedups EXACT content by
+    * hash at sync). Each file's text is reassembled from its chunks in
+    * contract order, shingled, and run through the one-knob banded LSH +
+    * exact-verify pipeline ([[graft.ops.Dedup.nearDupPairsAt]] — banding
+    * chosen by the s-curve rule). File identity travels as hash60(path)
+    * through the numeric pair machinery and is joined back to paths.
+    * Returns (path_a, path_b, jaccard), path_a < path_b.
+    *
+    * On-demand whole-corpus form (tool scale); a corpus-scale pipeline
+    * keeps signatures in a [[graft.store.MinhashIndexStore]] and probes
+    * per batch instead. */
+  def nearDuplicateFiles(threshold: Double = 0.8): DataFrame = {
+    val perFile = store.read()
+      .groupBy("filePath")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunkIndex"), col("text")))),
+        s => s("text")), " ").as("text"))
+      .withColumn("file_id", graft.ops.Dedup.hash60(col("filePath")))
+      .persist()
+    try {
+      val withSh = perFile
+        .withColumn("ws", graft.ops.Dedup.wordsArray("text"))
+        .withColumn("shs", graft.ops.Dedup.wordShingles("ws", 5))
+      val pairs = graft.ops.Dedup.nearDupPairsAt(
+        withSh.select(col("file_id"), col("shs")), "file_id", "shs", threshold)
+      val ids = perFile.select(col("file_id"), col("filePath"))
+      pairs
+        .join(ids.select(col("file_id").as("id_a"), col("filePath").as("pa")), Seq("id_a"))
+        .join(ids.select(col("file_id").as("id_b"), col("filePath").as("pb")), Seq("id_b"))
+        .select(least(col("pa"), col("pb")).as("path_a"),
+          greatest(col("pa"), col("pb")).as("path_b"), col("jaccard"))
+        .orderBy("path_a", "path_b")
+        .localCheckpoint(true)
+    } finally perFile.unpersist()
+  }
+
   /** sources classifier (reference J5, `src/utils/list-sources.ts:51-77`):
     * ingested entries whose key matched NO scanned file — raw-data rows
     * decoded back to their external source id, real-file orphans reported

@@ -254,7 +254,9 @@ object DedupQueries {
       (s, d) => {
         val stored = dupCorpus(s, d).filter(col("doc_id") < 200000)
         val batch = dupCorpus(s, d).filter(col("doc_id") >= 200000)
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft-mh-idx-" +
+        // layout params in the dir name: a banding change in a future build
+        // must miss this cache, not probe a stale differently-banded index
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft-mh-idx-16-4-4-" +
           d.replaceAll("[^a-zA-Z0-9._-]", "_")
         val st = new graft.store.MinhashIndexStore(s, dir,
           nHashes = 16, bands = 4, rowsPerBand = 4)

@@ -169,6 +169,32 @@ object StreamingIngest {
       }
   }
 
+  /** Watermarked stream-stream inner join — the streaming twin of the batch
+    * as-of/attribution join (`ops/TimeJoins`): each `click` joins follow-up
+    * `action` events for the same user within `[click.ts, click.ts +
+    * windowMs]`. Both sides carry watermarks and the join predicate is
+    * range-BOUNDED in event time, which is what lets Spark expire buffered
+    * state: a side's rows are dropped once the other side's watermark
+    * passes the bound, so state holds only the active window instead of
+    * the whole history — the difference between a stream join that runs
+    * forever and one that OOMs its state store. Returns (user_id,
+    * click_ts, action_ts, action_type) appendable per micro-batch. */
+  def clickAttributionJoin(clicks: DataFrame, actions: DataFrame,
+                           windowMs: Long = 10L * 60 * 1000,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val a = actions.select(col("user_id").as("a_user"), col("ts").as("action_ts"),
+        col("event_type").as("action_type"))
+      .withWatermark("action_ts", watermark)
+    c.join(a,
+      col("c_user") === col("a_user") &&
+        col("action_ts") >= col("click_ts") &&
+        col("action_ts") <= col("click_ts") + expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+      .select(col("c_user").as("user_id"), col("click_ts"),
+        col("action_ts"), col("action_type"))
+  }
+
   /** run the streaming ingest over a directory of text files using
     * AvailableNow (incremental batch), writing chunk parquet + checkpoint */
   def runAvailableNow(docs: Dataset[Ingest.Doc], mkEmbedder: () => Embedder,

@@ -370,4 +370,32 @@ class EngineSpec extends AnyFunSuite {
     val hit31 = srpEngine.queryDocuments("glacier ice cores", limit = 3).collect().head
     assert(hit31.getAs[String]("filePath").endsWith("doc31.md"))
   }
+
+  test("nearDuplicateFiles finds planted near-dup pair, skips distinct files") {
+    val root = Files.createTempDirectory("dup-root").toString
+    val store = Files.createTempDirectory("dup-store").toString + "/chunks"
+    val base = "The quick brown fox jumps over the lazy dog near the old stone " +
+      "bridge every morning. Birds sing loudly in the tall green trees beside " +
+      "the quiet river while fishermen wait patiently for the first catch of the day."
+    write(s"$root/a.md", s"# Doc A\n$base")
+    // inline word substitutions (same sentence shapes, so the difference
+    // survives chunking) — near-dup, not exact-dup, of a.md
+    write(s"$root/b.md", "# Doc B\n" + base
+      .replace("quick brown fox", "slow gray wolf")
+      .replace("first catch of the day", "best catch of the evening"))
+    write(s"$root/c.md", "# Doc C\nCompletely different content about Catalyst " +
+      "optimizer rules, whole stage code generation, shuffle partitioning and " +
+      "adaptive query execution inside a distributed SQL engine runtime today.")
+    val engine = new Engine(spark, store, Seq(root))
+    engine.sync()
+
+    val pairs = engine.nearDuplicateFiles(threshold = 0.5).collect()
+    assert(pairs.length === 1, pairs.mkString(";"))
+    assert(pairs.head.getAs[String]("path_a").endsWith("a.md"))
+    assert(pairs.head.getAs[String]("path_b").endsWith("b.md"))
+    assert(pairs.head.getAs[Double]("jaccard") >= 0.5)
+
+    // threshold above the pair's similarity → empty
+    assert(engine.nearDuplicateFiles(threshold = 0.95).isEmpty)
+  }
 }

@@ -249,4 +249,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.readVersion(v1).select("filePath").distinct().as[String]
       .collect().toSet === Set("/v/a.md"))
   }
+
+  test("stream-stream click attribution joins within the window, drops beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val actions = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamingIngest.clickAttributionJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      actions.toDF().toDF("user_id", "ts", "event_type"),
+      windowMs = 10L * 60 * 1000, watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("click_attr")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      (1L, Timestamp.valueOf("2026-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2026-01-01 10:00:00")))
+    actions.addData(
+      (1L, Timestamp.valueOf("2026-01-01 10:05:00"), "purchase"), // in window
+      (1L, Timestamp.valueOf("2026-01-01 10:20:00"), "refund"),   // beyond 10 min
+      (2L, Timestamp.valueOf("2026-01-01 09:55:00"), "view"),     // before click
+      (3L, Timestamp.valueOf("2026-01-01 10:02:00"), "view"))     // no click side
+    q.processAllAvailable()
+    // advance both watermarks so buffered state can expire
+    clicks.addData((9L, Timestamp.valueOf("2026-01-01 12:00:00")))
+    actions.addData((9L, Timestamp.valueOf("2026-01-01 12:00:01"), "noise"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, action_type FROM click_attr WHERE user_id < 9")
+      .as[(Long, String)].collect().toSet
+    q.stop()
+    assert(rows === Set((1L, "purchase")))
+  }
 }
