@@ -78,11 +78,10 @@ final class Engine(
     * single-file change above it reassigns ONE bucket; anything else
     * rebuilds in full.
     *
-    * Corpus-count discipline: with a live index, the post-refresh total
-    * comes from the index's own stats table (numBuckets rows — no corpus
-    * scan, the cost that matters when a single-file tool call lands on a
-    * 100 TB table). A full count() runs only while the index is absent,
-    * i.e. while the corpus is small or was just dropped below threshold. */
+    * Corpus-count discipline: every threshold decision reads the index's
+    * own stats table (numBuckets rows), never a standalone corpus count —
+    * the full-rebuild arm's only corpus scan is the rebuild itself, which
+    * is unavoidable, and a single-file bucketed change scans one bucket. */
   private def refreshAnn(changed: Option[String]): Unit =
     changed match {
       case Some(p) if numBuckets > 0 && annBackend.exists =>
@@ -90,8 +89,13 @@ final class Engine(
         annBackend.refreshBucket(store.readBucket(b), b)
         if (annBackend.rowCount() < annThreshold) annBackend.drop()
       case _ =>
-        if (store.read().count() < annThreshold) annBackend.drop()
-        else annBackend.rebuild(store.read())
+        // rebuild unconditionally (its scan is the one unavoidable corpus
+        // read — a standalone pre-count would scan the table twice), then
+        // enforce the threshold from the index's own stats table. A
+        // below-threshold corpus pays a rebuild-then-drop, but a corpus
+        // below threshold is small by definition.
+        annBackend.rebuild(store.read())
+        if (annBackend.rowCount() < annThreshold) annBackend.drop()
     }
   private def embedder: Embedder = mkEmbedder()
 

@@ -49,13 +49,18 @@ object Similarity {
     srpBucketOf(v, Array.tabulate(planes, dim)((p, j) => planeComponent(p, j)), planes)
 
   private def srpBucketOf(v: Seq[Float], comps: Array[Array[Double]], planes: Int): Long = {
+    // fail fast on a dim mismatch: a truncated projection would silently
+    // bucket build-time and probe-time vectors differently and recall
+    // would collapse with nothing in logs to catch it
+    require(comps.length == 0 || v.size >= comps(0).length,
+      s"vector dim ${v.size} < configured dim ${comps(0).length}")
     var bucket = 0L
     var p = 0
     while (p < planes) {
       var s = 0.0
       var j = 0
       val row = comps(p)
-      while (j < v.size && j < row.length) { s += v(j) * row(j); j += 1 }
+      while (j < row.length) { s += v(j) * row(j); j += 1 }
       if (s > 0) bucket |= (1L << p)
       p += 1
     }

@@ -397,10 +397,12 @@ object DedupQueries {
           d.replaceAll("[^a-zA-Z0-9._-]", "_")
         val st = new graft.store.MinhashIndexStore(s, dir,
           nHashes = 16, bands = 4, rowsPerBand = 4)
-        // existence-only gate: keeping the index fresh is the refresh path's
-        // job (rebuild/refreshBucket on mutation), not a per-probe count —
-        // the probe must not pay a corpus scan to ask "am I stale?"
-        if (!st.exists) st.rebuild(stored)
+        // staleness gate matches the ANN store queries: a row-count probe
+        // (one stats-file read + one metadata-cheap count) invalidates a
+        // cached index if the corpus was regenerated in place. Real engine
+        // freshness is the refresh path's job — this only protects the
+        // cross-run tmp cache.
+        if (!st.exists || st.rowCount() != stored.count()) st.rebuild(stored)
         val cands = st.deltaCandidates(batch)
         // exact-verify shingles ONLY the docs appearing in candidate pairs
         // (broadcast semi-join before the shingle projection): verify cost

@@ -29,27 +29,15 @@ import graft.search.VectorSearch
   * path bucket (classic IVF posture — lists drift from optimal as data
   * drifts; the next full rebuild re-trains the coarse quantizer). */
 final class AnnIndexStore(
-    spark: SparkSession, path: String, numBuckets: Int = 0,
+    protected val spark: SparkSession, protected val path: String,
+    protected val numBuckets: Int = 0,
     idCols: Seq[String] = Seq("filePath", "chunkIndex"),
-    vecCol: String = "vector") {
+    vecCol: String = "vector") extends BucketedIndexStore {
 
-  private def bucketed: Boolean = numBuckets > 0
   private val assignmentsPath = path + "/assignments"
   private val centroidsPath = path + "/centroids"
-  private val statsPath = path + "/stats"
 
-  private def fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  def exists: Boolean = fs.exists(new HPath(statsPath))
-
-  /** indexed row count from the stats table (no data scan) */
-  def rowCount(): Long =
-    if (!exists) 0L
-    else spark.read.parquet(statsPath)
-      .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
-
-  private def bucketCol =
-    pmod(graft.ops.Dedup.hash60(col(idCols.head)), lit(numBuckets.toLong))
+  protected def bucketKey = graft.ops.Dedup.hash60(col(idCols.head))
 
   /** full rebuild: train the coarse quantizer, assign every vector, swap all
     * three directories in (stats last). Empty input drops the index — the
@@ -59,7 +47,10 @@ final class AnnIndexStore(
     import spark.implicits._
     val src = rows.select(idCols.map(col) :+ col(vecCol): _*)
     val n = src.count()
-    if (n == 0L) { drop(); return }
+    // below 2 vectors there is nothing to quantize (KMeans needs k >= 2)
+    // and nothing an index could beat — the query path's brute-force
+    // fallback covers this regime
+    if (n < 2L) { drop(); return }
     val idx = Similarity.buildIvfCols(src, idCols, vecCol,
       math.min(nLists.toLong, n).toInt, seed)
     val assigned = (if (bucketed) idx.assignments.withColumn("pbucket", bucketCol)
@@ -72,12 +63,7 @@ final class AnnIndexStore(
         idx.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
           .toDF("list_id", "centroid")
           .write.mode(SaveMode.Overwrite).parquet(tmp))
-      val stats =
-        if (bucketed) assigned.groupBy("pbucket").agg(count(lit(1)).as("n_rows"))
-        else assigned.agg(count(lit(1)).as("n_rows")).withColumn("pbucket", lit(0L))
-      DirSwap.swapInto(fs, path, statsPath)(tmp =>
-        stats.select("pbucket", "n_rows")
-          .write.mode(SaveMode.Overwrite).parquet(tmp))
+      writeStats(assigned)
     } finally assigned.unpersist()
   }
 
@@ -99,13 +85,7 @@ final class AnnIndexStore(
       val nMine = assigned.count()
       DirSwap.swapInto(fs, path, s"$assignmentsPath/pbucket=$bucket")(tmp =>
         assigned.write.partitionBy("list_id").mode(SaveMode.Overwrite).parquet(tmp))
-      // read-modify-write of the tiny (numBuckets-row) stats table
-      val others = spark.read.parquet(statsPath)
-        .filter(col("pbucket") =!= bucket)
-        .select("pbucket", "n_rows").as[(Long, Long)].collect().toSeq
-      DirSwap.swapInto(fs, path, statsPath)(tmp =>
-        (others :+ (bucket, nMine)).toDF("pbucket", "n_rows")
-          .write.mode(SaveMode.Overwrite).parquet(tmp))
+      replaceBucketStats(bucket, nMine)
     } finally assigned.unpersist()
   }
 
@@ -134,7 +114,4 @@ final class AnnIndexStore(
       .limit(k)
       .select(idCols.map(col) :+ col("score"): _*)
   }
-
-  def drop(): Unit =
-    if (fs.exists(new HPath(path))) fs.delete(new HPath(path), true)
 }

@@ -1,0 +1,63 @@
+package graft.store
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing for the persisted index stores ([[AnnIndexStore]],
+  * [[SrpIndexStore]], [[MinhashIndexStore]]): the path-bucket column, the
+  * stats-table discipline (written LAST so [[exists]] only ever observes a
+  * complete index; answers [[rowCount]] without a data scan), and the
+  * read-modify-write of one bucket's stats row after an incremental
+  * refresh. [[FtsIndexStore]] keeps its own stats shape (per-bucket BM25
+  * corpus partials, not plain row counts) and does not extend this. */
+private[store] trait BucketedIndexStore {
+  protected def spark: SparkSession
+  protected def path: String
+  protected def numBuckets: Int
+  /** 60-bit key hash whose pmod is a row's path bucket */
+  protected def bucketKey: Column
+
+  protected final def bucketed: Boolean = numBuckets > 0
+  protected final def statsPath: String = path + "/stats"
+
+  protected final def fs =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new HPath(statsPath))
+
+  /** indexed row count from the stats table (no data scan) */
+  def rowCount(): Long =
+    if (!exists) 0L
+    else spark.read.parquet(statsPath)
+      .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+
+  def drop(): Unit =
+    if (fs.exists(new HPath(path))) fs.delete(new HPath(path), true)
+
+  protected final def bucketCol: Column = pmod(bucketKey, lit(numBuckets.toLong))
+
+  /** write the (pbucket, n_rows) stats table — call LAST in a rebuild;
+    * `df` must already carry `pbucket` when the store is bucketed */
+  protected final def writeStats(df: DataFrame): Unit = {
+    val stats =
+      if (bucketed) df.groupBy("pbucket").agg(count(lit(1)).as("n_rows"))
+      else df.agg(count(lit(1)).as("n_rows")).withColumn("pbucket", lit(0L))
+    DirSwap.swapInto(fs, path, statsPath)(tmp =>
+      stats.select("pbucket", "n_rows")
+        .write.mode(SaveMode.Overwrite).parquet(tmp))
+  }
+
+  /** replace ONE bucket's stats row (read-modify-write of the tiny
+    * numBuckets-row table) after an incremental bucket refresh */
+  protected final def replaceBucketStats(bucket: Long, n: Long): Unit = {
+    val sp = spark
+    import sp.implicits._
+    val others = sp.read.parquet(statsPath)
+      .filter(col("pbucket") =!= bucket)
+      .select("pbucket", "n_rows").as[(Long, Long)].collect().toSeq
+    DirSwap.swapInto(fs, path, statsPath)(tmp =>
+      (others :+ (bucket, n)).toDF("pbucket", "n_rows")
+        .write.mode(SaveMode.Overwrite).parquet(tmp))
+  }
+}

@@ -32,29 +32,18 @@ import graft.ops.Dedup
   * band hashes); choose them with [[Dedup.bandingFor]].
   */
 final class MinhashIndexStore(
-    spark: SparkSession, path: String,
+    protected val spark: SparkSession, protected val path: String,
     nHashes: Int, bands: Int, rowsPerBand: Int,
-    shingleK: Int = 5, numBuckets: Int = 0, idCol: String = "doc_id") {
+    shingleK: Int = 5, protected val numBuckets: Int = 0,
+    idCol: String = "doc_id") extends BucketedIndexStore {
 
   require(bands * rowsPerBand == nHashes,
     s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal nHashes ($nHashes)")
 
-  private def bucketed: Boolean = numBuckets > 0
   private val bandsPath = path + "/bands"
   private val sigsPath = path + "/sigs"
-  private val statsPath = path + "/stats"
 
-  private def fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  def exists: Boolean = fs.exists(new HPath(statsPath))
-
-  def rowCount(): Long =
-    if (!exists) 0L
-    else spark.read.parquet(statsPath)
-      .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
-
-  private def bucketCol =
-    pmod(Dedup.hash60(col(idCol).cast("string")), lit(numBuckets.toLong))
+  protected def bucketKey = Dedup.hash60(col(idCol).cast("string"))
 
   /** (id, sig) for docs with a non-empty shingle set — the signature
     * projection every caller shares (per-row, scan-speed, no shuffle) */
@@ -87,13 +76,7 @@ final class MinhashIndexStore(
         val w = s.write.mode(SaveMode.Overwrite)
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
       }
-      val stats =
-        if (bucketed) sigs.withColumn("pbucket", bucketCol)
-          .groupBy("pbucket").agg(count(lit(1)).as("n_rows"))
-        else sigs.agg(count(lit(1)).as("n_rows")).withColumn("pbucket", lit(0L))
-      DirSwap.swapInto(fs, path, statsPath)(tmp =>
-        stats.select("pbucket", "n_rows")
-          .write.mode(SaveMode.Overwrite).parquet(tmp))
+      writeStats(if (bucketed) sigs.withColumn("pbucket", bucketCol) else sigs)
     } finally sigs.unpersist()
   }
 
@@ -112,12 +95,7 @@ final class MinhashIndexStore(
         bandsOf(sigs).write.mode(SaveMode.Overwrite).parquet(tmp))
       DirSwap.swapInto(fs, path, s"$sigsPath/pbucket=$bucket")(tmp =>
         sigs.write.mode(SaveMode.Overwrite).parquet(tmp))
-      val others = spark.read.parquet(statsPath)
-        .filter(col("pbucket") =!= bucket)
-        .select("pbucket", "n_rows").as[(Long, Long)].collect().toSeq
-      DirSwap.swapInto(fs, path, statsPath)(tmp =>
-        (others :+ (bucket, nMine)).toDF("pbucket", "n_rows")
-          .write.mode(SaveMode.Overwrite).parquet(tmp))
+      replaceBucketStats(bucket, nMine)
     } finally sigs.unpersist()
   }
 
@@ -140,6 +118,7 @@ final class MinhashIndexStore(
     * production pipeline worried about degenerate stored buckets can
     * pre-filter [[storedBands]] with [[Dedup.oversizedBuckets]]. */
   def deltaCandidates(batchDocs: DataFrame, textCol: String = "text"): DataFrame = {
+    require(exists, "deltaCandidates requires an existing index (rebuild first)")
     val batchSigs = signatures(batchDocs, textCol).persist()
     try {
       val batchBands = bandsOf(batchSigs)
@@ -155,7 +134,4 @@ final class MinhashIndexStore(
       crossPairs.union(inBatchPairs).distinct().localCheckpoint(true)
     } finally batchSigs.unpersist()
   }
-
-  def drop(): Unit =
-    if (fs.exists(new HPath(path))) fs.delete(new HPath(path), true)
 }

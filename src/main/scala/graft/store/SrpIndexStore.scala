@@ -20,28 +20,17 @@ import graft.search.VectorSearch
   * `stats/` per-pbucket row counts, written last. Incremental per-path-
   * bucket refresh needs no model state: the bucket function is pure. */
 final class SrpIndexStore(
-    spark: SparkSession, path: String, dim: Int, planes: Int,
-    numBuckets: Int = 0,
+    protected val spark: SparkSession, protected val path: String,
+    dim: Int, planes: Int,
+    protected val numBuckets: Int = 0,
     idCols: Seq[String] = Seq("filePath", "chunkIndex"),
-    vecCol: String = "vector") {
+    vecCol: String = "vector") extends BucketedIndexStore {
 
   require(planes >= 1 && planes <= 30, "planes must be in 1..30")
 
-  private def bucketed: Boolean = numBuckets > 0
   private val assignmentsPath = path + "/assignments"
-  private val statsPath = path + "/stats"
 
-  private def fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  def exists: Boolean = fs.exists(new HPath(statsPath))
-
-  def rowCount(): Long =
-    if (!exists) 0L
-    else spark.read.parquet(statsPath)
-      .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
-
-  private def bucketCol =
-    pmod(graft.ops.Dedup.hash60(col(idCols.head)), lit(numBuckets.toLong))
+  protected def bucketKey = graft.ops.Dedup.hash60(col(idCols.head))
 
   private def assigned(rows: DataFrame): DataFrame = {
     val base = rows.select(idCols.map(col) :+ col(vecCol): _*)
@@ -56,12 +45,7 @@ final class SrpIndexStore(
       val parts = if (bucketed) Seq("pbucket", "abucket") else Seq("abucket")
       DirSwap.swapInto(fs, path, assignmentsPath)(tmp =>
         a.write.partitionBy(parts: _*).mode(SaveMode.Overwrite).parquet(tmp))
-      val stats =
-        if (bucketed) a.groupBy("pbucket").agg(count(lit(1)).as("n_rows"))
-        else a.agg(count(lit(1)).as("n_rows")).withColumn("pbucket", lit(0L))
-      DirSwap.swapInto(fs, path, statsPath)(tmp =>
-        stats.select("pbucket", "n_rows")
-          .write.mode(SaveMode.Overwrite).parquet(tmp))
+      writeStats(a)
     } finally a.unpersist()
   }
 
@@ -76,12 +60,7 @@ final class SrpIndexStore(
       val nMine = a.count()
       DirSwap.swapInto(fs, path, s"$assignmentsPath/pbucket=$bucket")(tmp =>
         a.write.partitionBy("abucket").mode(SaveMode.Overwrite).parquet(tmp))
-      val others = spark.read.parquet(statsPath)
-        .filter(col("pbucket") =!= bucket)
-        .select("pbucket", "n_rows").as[(Long, Long)].collect().toSeq
-      DirSwap.swapInto(fs, path, statsPath)(tmp =>
-        (others :+ (bucket, nMine)).toDF("pbucket", "n_rows")
-          .write.mode(SaveMode.Overwrite).parquet(tmp))
+      replaceBucketStats(bucket, nMine)
     } finally a.unpersist()
   }
 
@@ -108,7 +87,4 @@ final class SrpIndexStore(
       .limit(k)
       .select(idCols.map(col) :+ col("score"): _*)
   }
-
-  def drop(): Unit =
-    if (fs.exists(new HPath(path))) fs.delete(new HPath(path), true)
 }

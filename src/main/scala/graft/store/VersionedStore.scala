@@ -16,15 +16,16 @@ import graft.core.ChunkSchema
   * VLDB 2020):
   *
   *  - data files are immutable; a write only ADDS files under `data/`;
-  *  - a snapshot is a manifest under `_log/` — itself a tiny PARQUET table
-  *    with one row per data file carrying file-level stats
+  *  - a snapshot is a manifest under `_log/` — itself a tiny SINGLE-FILE
+  *    parquet table with one row per data file carrying file-level stats
   *    (bucket, path, min/max filePath, row count), so reads can DATA-SKIP:
   *    [[readFile]] opens only the files whose [min,max] range can contain
   *    the requested path (the lakehouse min/max pruning pattern);
-  *  - commit = write manifest to a temp dir, then an atomic
-  *    rename-if-absent to `v%08d.manifest` — Hadoop `rename` fails when the
-  *    destination exists, which is the compare-and-swap: two writers racing
-  *    to the same version number means exactly one wins;
+  *  - commit = stage the manifest, then an atomic FILE rename-if-absent to
+  *    `v%08d.manifest` — Hadoop file `rename` fails when the destination
+  *    exists, which is the compare-and-swap: two writers racing to the
+  *    same version number means exactly one wins (a directory rename would
+  *    not CAS: HDFS moves the source INTO an existing destination);
   *  - the loser rebases: bucket-granular copy-on-write means a concurrent
   *    upsert to a DIFFERENT bucket commutes, so the retry re-reads the
   *    latest manifest and re-applies its single-bucket delta;
@@ -100,14 +101,17 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
   /** atomic commit of `entries` as version `v`: returns false when v was
     * taken by a concurrent writer (caller rebases and retries).
     *
-    * The compare-and-swap is exists-check + rename. On HDFS/object-store
-    * committers rename-without-overwrite is atomic at the namenode, so the
-    * check+rename pair is safe cross-process. The LOCAL filesystem's rename
-    * silently replaces an existing destination (POSIX rename), so the
-    * critical section is additionally serialized per log dir within the
-    * JVM — which covers Spark's actual local topology (one driver commits;
-    * executors never write the log). The manifest is a parquet DIRECTORY;
-    * directory rename is atomic under the same rules. */
+    * The compare-and-swap is exists-check + rename of a single FILE. The
+    * manifest parquet is staged as a directory write, but only its one
+    * part-file is renamed into `v%08d.manifest` — file rename onto an
+    * existing destination FAILS atomically at the HDFS namenode, which is
+    * the cross-process CAS. (A directory rename would NOT give this: HDFS
+    * moves the source INTO an existing destination dir and reports
+    * success, so two racing writers would both "win".) The LOCAL
+    * filesystem's file rename silently replaces (POSIX), so the critical
+    * section is additionally serialized per log dir within the JVM —
+    * which covers Spark's actual local topology (one driver commits;
+    * executors never write the log). */
   private def tryCommit(v: Long, entries: Seq[ManifestEntry]): Boolean = {
     val f = fs
     f.mkdirs(new HPath(logDir))
@@ -117,15 +121,18 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), manifestSchema)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = manifestPath(v)
-    VersionedStore.lockFor(logDir).synchronized {
-      if (f.exists(target)) { f.delete(new HPath(tmp), true); false }
-      else {
-        val ok = f.rename(new HPath(tmp), target)
-        if (!ok) f.delete(new HPath(tmp), true)
-        ok
-      }
+    val part = f.listStatus(new HPath(tmp))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath) match {
+      case Array(p) => p
+      case ps => throw new IllegalStateException(
+        s"expected exactly one staged manifest part, got ${ps.length}")
     }
+    val target = manifestPath(v)
+    try VersionedStore.lockFor(logDir).synchronized {
+      if (f.exists(target)) false
+      else f.rename(part, target)
+    } finally f.delete(new HPath(tmp), true)
   }
 
   // ---- data files ----
@@ -140,18 +147,26 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
     df.write.mode(SaveMode.Overwrite).parquet(staging)
     val parts = f.listStatus(new HPath(staging))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // ONE column-pruned stats pass over the whole staging dir, grouped by
+    // source file — N sequential per-file jobs would multiply upsert
+    // latency by the per-job scheduling floor (production: the write task
+    // reports these from the parquet footer it just wrote). Zero-row part
+    // files produce no group and are dropped below.
+    val stats = spark.read.parquet(staging)
+      .groupBy(input_file_name().as("src"))
+      .agg(min("filePath").as("mn"), max("filePath").as("mx"),
+        count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getString(0).split('/').last ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
     val entries = parts.toSeq.flatMap { s =>
-      // column-pruned stats scan of the one staged file (production: the
-      // write task reports these from the parquet footer it just wrote)
-      val st = spark.read.parquet(s.getPath.toString)
-        .agg(min("filePath"), max("filePath"), count(lit(1))).head()
-      if (st.getLong(2) == 0L) { f.delete(s.getPath, false); None }
-      else {
-        val name = s"b$bucket-${UUID.randomUUID()}.parquet"
-        if (!f.rename(s.getPath, new HPath(s"$dataDir/$name")))
-          throw new java.io.IOException(s"could not stage data file $name")
-        Some(ManifestEntry(bucket, s"data/$name",
-          st.getString(0), st.getString(1), st.getLong(2)))
+      stats.get(s.getPath.getName) match {
+        case None => f.delete(s.getPath, false); None // zero rows
+        case Some((mn, mx, cnt)) =>
+          val name = s"b$bucket-${UUID.randomUUID()}.parquet"
+          if (!f.rename(s.getPath, new HPath(s"$dataDir/$name")))
+            throw new java.io.IOException(s"could not stage data file $name")
+          Some(ManifestEntry(bucket, s"data/$name", mn, mx, cnt))
       }
     }
     f.delete(new HPath(staging), true)

@@ -190,7 +190,7 @@ object StreamingIngest {
     c.join(a,
       col("c_user") === col("a_user") &&
         col("action_ts") >= col("click_ts") &&
-        col("action_ts") <= col("click_ts") + expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+        col("action_ts") <= col("click_ts") + expr(s"INTERVAL $windowMs MILLISECOND"))
       .select(col("c_user").as("user_id"), col("click_ts"),
         col("action_ts"), col("action_type"))
   }
