@@ -295,6 +295,46 @@ class OpsSpec extends AnyFunSuite {
     assert(picks === picks.sorted.reverse)
   }
 
+  test("connectedComponents equals a union-find reference on random graphs (property)") {
+    import org.scalacheck.Gen
+    def forAll[T](gen: Gen[T], n: Int = 12)(f: T => Unit): Unit = {
+      var seed = org.scalacheck.rng.Seed(7L)
+      var i = 0
+      while (i < n) {
+        gen.apply(Gen.Parameters.default, seed).foreach(f)
+        seed = seed.next
+        i += 1
+      }
+    }
+    // driver-side union-find as the independent reference implementation
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) parent(find(a)) = find(b)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      byRoot.valuesIterator.flatMap(ns => ns.map(_ -> ns.min)).toMap
+    }
+    val gen = for {
+      nNodes <- Gen.chooseNum(2, 24)
+      nEdges <- Gen.chooseNum(1, 30)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0, nNodes - 1)
+        b <- Gen.chooseNum(0, nNodes - 1) if a != b
+      } yield (a.toLong, b.toLong))
+    } yield edges
+    forAll(gen) { edges =>
+      if (edges.nonEmpty) {
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === unionFind(edges), s"edges=$edges")
+      }
+    }
+  }
+
   test("connectedComponents: chains close transitively, min id is the rep") {
     // two components: a chain 1-2-3-4 (no direct 1-4 pair) and a pair 10-11
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
