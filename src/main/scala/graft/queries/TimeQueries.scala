@@ -228,6 +228,29 @@ object TimeQueries {
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
              |  count(*) AS cnt,
              |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- REAL stream-stream join, oracle-matched: clicks attribute
+    // non-click follow-ups within 10 minutes via the watermarked
+    // range-bounded join, run AvailableNow over the events table and
+    // hash-compared against the batch join — the streaming twin of
+    // j_asof_attrib the way e_stream_rollup twins e_hourly_rollup. -----
+    Q("e_stream_attrib",
+      (s, d) => StreamingIngest.attributionAvailableNow(s, Tables.events(s, d))
+        .select(col("user_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("action_ts"), "yyyy-MM-dd HH:mm:ss").as("action_ts"),
+          col("action_type"))
+        .orderBy("user_id", "click_ts", "action_ts", "action_type"),
+      Some("""WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+             |a AS (SELECT user_id, ts AS ats, event_type FROM events
+             |      WHERE event_type <> 'click')
+             |SELECT c.user_id,
+             |  strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+             |  strftime(a.ats, '%Y-%m-%d %H:%M:%S') AS action_ts,
+             |  a.event_type AS action_type
+             |FROM c JOIN a ON a.user_id = c.user_id
+             |  AND a.ats >= c.cts AND a.ats <= c.cts + INTERVAL 10 MINUTE
+             |ORDER BY 1, 2, 3, 4""".stripMargin))
   )
 }

@@ -195,6 +195,40 @@ object StreamingIngest {
         col("action_ts"), col("action_type"))
   }
 
+  /** Oracle-matched AvailableNow run of [[clickAttributionJoin]] over a
+    * batch events table: events are staged SORTED by event time as a single
+    * file (one micro-batch, so the inner join's buffered state is never
+    * evicted before a match arrives — emission is complete and the result
+    * equals the batch join exactly), clicks join non-click follow-ups
+    * within the window, and the memory sink is dropped after
+    * materialization (the [[hourlyRollupAvailableNow]] discipline).
+    * Returns (user_id, click_ts, action_ts, action_type). */
+  def attributionAvailableNow(spark: org.apache.spark.sql.SparkSession,
+                              events: DataFrame,
+                              windowMs: Long = 10L * 60 * 1000): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_attrib")
+    stage.toFile.deleteOnExit()
+    events.select("user_id", "ts", "event_type").orderBy("ts").coalesce(1)
+      .write.mode("overwrite").parquet(stage.toString + "/src")
+    val raw = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+      .parquet(stage.toString + "/src")
+    val joined = clickAttributionJoin(
+      raw.filter(col("event_type") === "click"),
+      raw.filter(col("event_type") =!= "click"), windowMs)
+    val name = s"graft_stream_attrib_${sinkCounter.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name)
+    val materialized = spark.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    spark.catalog.dropTempView(name)
+    materialized
+  }
+
   /** run the streaming ingest over a directory of text files using
     * AvailableNow (incremental batch), writing chunk parquet + checkpoint */
   def runAvailableNow(docs: Dataset[Ingest.Doc], mkEmbedder: () => Embedder,
