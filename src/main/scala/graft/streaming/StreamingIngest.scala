@@ -86,22 +86,29 @@ object StreamingIngest {
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 8)))
           .cast("double").as("sum_value"))
-    val name = s"graft_stream_rollup_${sinkCounter.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
+    runToMemorySink(spark, agg, OutputMode.Complete(), "graft_stream_rollup")(
+      _.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("cnt"), col("sum_value")))
+  }
+
+  /** Shared memory-sink discipline for the oracle-matched streaming runs:
+    * AvailableNow until the backlog drains, project the sink table through
+    * `shape`, materialize driver-side, then DROP the sink view in a finally
+    * — the sink holds the full result per run, and repeated calls in a
+    * long-lived session would otherwise accumulate one table per call. */
+  private def runToMemorySink(spark: org.apache.spark.sql.SparkSession,
+                              df: DataFrame, mode: OutputMode, prefix: String)
+                             (shape: DataFrame => DataFrame): DataFrame = {
+    val name = s"${prefix}_${sinkCounter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    // materialize off the memory sink, then DROP the sink table — complete
-    // mode holds the full result per run, and repeated calls in a long-lived
-    // session would otherwise accumulate one table per invocation
-    val out = spark.table(name).select(
-      date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
-      col("event_type"), col("cnt"), col("sum_value"))
-    val materialized = spark.createDataFrame(
-      java.util.Arrays.asList(out.collect(): _*), out.schema)
-    spark.catalog.dropTempView(name)
-    materialized
+    try {
+      q.awaitTermination()
+      val out = shape(spark.table(name))
+      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally spark.catalog.dropTempView(name)
   }
 
   final case class SessionState(count: Long, lastTs: Long)
@@ -196,37 +203,36 @@ object StreamingIngest {
   }
 
   /** Oracle-matched AvailableNow run of [[clickAttributionJoin]] over a
-    * batch events table: events are staged SORTED by event time as a single
-    * file (one micro-batch, so the inner join's buffered state is never
+    * batch events table: events are staged as ONE file, so the whole input
+    * is a single micro-batch and the inner join's buffered state is never
     * evicted before a match arrives — emission is complete and the result
-    * equals the batch join exactly), clicks join non-click follow-ups
-    * within the window, and the memory sink is dropped after
-    * materialization (the [[hourlyRollupAvailableNow]] discipline).
-    * Returns (user_id, click_ts, action_ts, action_type). */
+    * equals the batch join exactly. (The guarantee comes from the single
+    * batch, NOT from input order; splitting the stage into several files
+    * would re-introduce watermark-paced eviction between batches.)
+    * The staging copy is deleted before returning — it is real data, not
+    * the rollup's symlink. Returns (user_id, click_ts, action_ts,
+    * action_type). */
   def attributionAvailableNow(spark: org.apache.spark.sql.SparkSession,
                               events: DataFrame,
                               windowMs: Long = 10L * 60 * 1000): DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_attrib")
-    stage.toFile.deleteOnExit()
-    events.select("user_id", "ts", "event_type").orderBy("ts").coalesce(1)
-      .write.mode("overwrite").parquet(stage.toString + "/src")
-    val raw = spark.readStream
-      .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
-      .parquet(stage.toString + "/src")
-    val joined = clickAttributionJoin(
-      raw.filter(col("event_type") === "click"),
-      raw.filter(col("event_type") =!= "click"), windowMs)
-    val name = s"graft_stream_attrib_${sinkCounter.incrementAndGet()}"
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val out = spark.table(name)
-    val materialized = spark.createDataFrame(
-      java.util.Arrays.asList(out.collect(): _*), out.schema)
-    spark.catalog.dropTempView(name)
-    materialized
+    val src = stage.toString + "/src"
+    try {
+      events.select("user_id", "ts", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(src)
+      // read schema from the staged file itself: write and read sides stay
+      // coupled by construction if the events schema ever drifts
+      val raw = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+      val joined = clickAttributionJoin(
+        raw.filter(col("event_type") === "click"),
+        raw.filter(col("event_type") =!= "click"), windowMs)
+      runToMemorySink(spark, joined, OutputMode.Append(), "graft_stream_attrib")(identity)
+    } finally {
+      import java.nio.file.{Files => JFiles}
+      import scala.jdk.CollectionConverters._
+      JFiles.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(p => JFiles.deleteIfExists(p))
+    }
   }
 
   /** run the streaming ingest over a directory of text files using
