@@ -45,14 +45,16 @@ object Bench {
     // (measured 0.7-6.6s per query shape at sf0.1 — larger than the actual
     // data work), which a long-lived cluster pays once, not per query. The
     // timed pass below then measures steady-state execution. The
-    // clearCache() between the passes (and after every timed query) drops
-    // any persist()ed intermediates, so each timed query does ALL its data
-    // work and cached blocks never accumulate across the run.
+    // releaseAllBlocks() between the passes (and after every timed query)
+    // drops persist()ed intermediates AND localCheckpoint blocks (which the
+    // CacheManager never tracks — left alone they accumulate over the warm
+    // pass and squeeze execution memory for the first timed queries), so
+    // each timed query does ALL its data work from a clean BlockManager.
     headline.foreach { q =>
       try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      graft.core.GraftSession.releaseAllBlocks(spark)
     }
-    spark.sharedState.cacheManager.clearCache()
     val results = headline.map { q =>
       val t0 = System.nanoTime()
       // a failed query reports -1, not its time-to-crash, and is excluded
@@ -61,7 +63,7 @@ object Bench {
         try { q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      spark.sharedState.cacheManager.clearCache()
+      graft.core.GraftSession.releaseAllBlocks(spark)
       q.name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

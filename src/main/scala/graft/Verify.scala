@@ -43,9 +43,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that persist() intermediates (d_clean_corpus, d_jaccard_pairs,
-      // rag pipelines) release them here — ~90 queries in one session would
-      // otherwise accumulate cached blocks for the whole run
-      spark.sharedState.cacheManager.clearCache()
+      // rag pipelines) or localCheckpoint (connected components, delta
+      // dedup) release them here — ~90 queries in one session would
+      // otherwise accumulate stored blocks for the whole run
+      graft.core.GraftSession.releaseAllBlocks(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

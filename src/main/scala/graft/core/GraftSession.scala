@@ -19,6 +19,20 @@ object GraftSession {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
 
+  /** Release EVERY stored block: cached Datasets (CacheManager) AND
+    * RDD-level blocks that `clearCache()` cannot see — `localCheckpoint`
+    * blocks are persisted directly on the RDD, bypass the CacheManager, and
+    * are otherwise only released when the ContextCleaner happens to GC the
+    * last reference. A long single-JVM run (Bench's 28 queries, Verify's
+    * ~90) accumulates those blocks until they squeeze execution memory; a
+    * real cluster recycles executors between jobs and never sees this.
+    * Blocking unpersist so the next query starts from a clean BlockManager
+    * rather than racing the async release. */
+  def releaseAllBlocks(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   def local(threads: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$threads]")

@@ -278,6 +278,14 @@ object Dedup {
     * each verified pair (vectordb upsert keeps first-write); this operator
     * is the corpus-scale generalization that makes the survivor choice
     * well-defined on chains. */
+  /** The persisted RDD behind a `localCheckpoint(true)`ed Dataset, if any.
+    * Checkpoint blocks live on the RDD (not in the CacheManager), so this
+    * is the only handle through which they can be released eagerly. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   def connectedComponents(edges: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b", maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -293,7 +301,10 @@ object Dedup {
       // the driver before the data is ever large. Checkpointing makes each
       // round's plan one join deep; on a cluster a reliable checkpoint
       // (HDFS) replaces the local one, same shape. Superseded rounds'
-      // blocks are released by the ContextCleaner once unreferenced.
+      // blocks are unpersisted EAGERLY below — waiting for the
+      // ContextCleaner to GC them lets one round per iteration pile up in
+      // the BlockManager for the rest of the session, squeezing execution
+      // memory for whatever runs next in the same JVM.
       var labels = sym.select(col("src").as("id"))
         .distinct()
         .select(col("id"), col("id").as("comp"))
@@ -310,6 +321,9 @@ object Dedup {
             least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
           .localCheckpoint(true)
         changed = next.filter(col("comp") =!= col("old_comp")).count()
+        // `next` is eagerly materialized into its own blocks, so the
+        // previous round's checkpoint is now dead weight — release it.
+        checkpointRdd(labels).foreach(_.unpersist(blocking = true))
         labels = next.select("id", "comp")
         iter += 1
       }

@@ -904,6 +904,37 @@ object DedupQueries {
              |         ELSE substr(text, 3 * fl + 1, length(text) - 3 * fl) END AS frame
              |  FROM f, (SELECT unnest(range(0, 4)) AS i) t)
              |SELECT media_id, frame_idx, length(frame) AS frame_bytes, md5(frame) AS frame_md5
-             |FROM fr ORDER BY media_id, frame_idx""".stripMargin))
+             |FROM fr ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // ----- multimodal: REAL image decode. Payloads are genuine 24-bit BMP
+    // bytes (header, bottom-up rows, 4-byte stride padding) built from a
+    // closed-form pixel rule; Spark PARSES the bytes (Multimodal.decodeBmp,
+    // mapPartitions) while the oracle computes the same statistics from the
+    // pixel rule directly — a stride, padding, or row-order bug in the
+    // parser breaks the hash. probe_luma pins pixel (1,2) specifically so a
+    // row-order mistake can't hide inside the permutation-invariant sum. -----
+    Q("m_decode_bmp",
+      (s, d) => Multimodal.decodeBmpFeatures(
+          Multimodal.bmpFromDocuments(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_px"),
+          col("sum_luma"), col("probe_luma"))
+        .orderBy("media_id"),
+      Some("""WITH dims AS (SELECT doc_id, doc_id % 256 AS did,
+             |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+             |px AS (SELECT doc_id, w, h, xs.x, ys.y,
+             |    (did + xs.x * ys.y) % 256 AS r,
+             |    (2 * did + 3 * xs.x + 5 * ys.y) % 256 AS g,
+             |    (did + 7 * xs.x + 13 * ys.y) % 256 AS b
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 8)) AS x) xs,
+             |    (SELECT unnest(range(0, 6)) AS y) ys
+             |  WHERE xs.x < w AND ys.y < h),
+             |lum AS (SELECT doc_id, w, h, x, y,
+             |    (299 * r + 587 * g + 114 * b) // 1000 AS luma FROM px)
+             |SELECT doc_id AS media_id, w AS width, h AS height,
+             |  count(*) AS n_px, CAST(sum(luma) AS BIGINT) AS sum_luma,
+             |  max(CASE WHEN x = 1 AND y = 2 THEN luma END) AS probe_luma
+             |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin))
   )
 }

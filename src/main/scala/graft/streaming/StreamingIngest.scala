@@ -98,7 +98,12 @@ object StreamingIngest {
     * long-lived session would otherwise accumulate one table per call. */
   private def runToMemorySink(spark: org.apache.spark.sql.SparkSession,
                               df: DataFrame, mode: OutputMode, prefix: String)
-                             (shape: DataFrame => DataFrame): DataFrame = {
+                             (shape: DataFrame => DataFrame): DataFrame =
+    runToMemorySinkWithStats(spark, df, mode, prefix)(shape)._1
+
+  private def runToMemorySinkWithStats(spark: org.apache.spark.sql.SparkSession,
+                                       df: DataFrame, mode: OutputMode, prefix: String)
+                                      (shape: DataFrame => DataFrame): (DataFrame, StreamRunStats) = {
     val name = s"${prefix}_${sinkCounter.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
@@ -106,8 +111,14 @@ object StreamingIngest {
       .start()
     try {
       q.awaitTermination()
+      val progress = q.recentProgress
+      val stats = StreamRunStats(
+        batches = progress.count(_.numInputRows > 0),
+        maxStateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+          .foldLeft(0L)(math.max))
       val out = shape(spark.table(name))
-      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      (spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema),
+        stats)
     } finally spark.catalog.dropTempView(name)
   }
 
@@ -202,33 +213,85 @@ object StreamingIngest {
         col("action_ts"), col("action_type"))
   }
 
+  /** Per-run stats of a streaming query: micro-batches that processed input
+    * and the PEAK buffered state-store rows across the run. The spec gates
+    * on both — batches > 1 proves state crossed batch boundaries, peak <
+    * input rows proves the watermark actually evicted instead of buffering
+    * the whole corpus. */
+  final case class StreamRunStats(batches: Long, maxStateRows: Long)
+
   /** Oracle-matched AvailableNow run of [[clickAttributionJoin]] over a
-    * batch events table: events are staged as ONE file, so the whole input
-    * is a single micro-batch and the inner join's buffered state is never
-    * evicted before a match arrives — emission is complete and the result
-    * equals the batch join exactly. (The guarantee comes from the single
-    * batch, NOT from input order; splitting the stage into several files
-    * would re-introduce watermark-paced eviction between batches.)
+    * batch events table, driven as a REAL multi-batch stream: events are
+    * staged as `numFiles` event-time-ordered parquet files (equal time
+    * spans, strictly increasing mtimes) and read with maxFilesPerTrigger=1,
+    * so the join's buffered state lives ACROSS micro-batches and the
+    * watermark evicts it batch-by-batch as event time advances — the
+    * semantics a stream-stream join exists to provide, exercised for real.
+    *
+    * Emission stays complete (= the batch join exactly) because arrival is
+    * event-time-ordered across files: a click buffered at time T is only
+    * evicted once the watermark passes T + windowMs, and by then every
+    * action with action_ts ≤ T + windowMs has already arrived (the
+    * watermark trails the max arrived ts by the full window). Out-of-order
+    * staging would forfeit this guarantee — order is load-bearing here.
+    *
     * The staging copy is deleted before returning — it is real data, not
     * the rollup's symlink. Returns (user_id, click_ts, action_ts,
     * action_type). */
   def attributionAvailableNow(spark: org.apache.spark.sql.SparkSession,
                               events: DataFrame,
-                              windowMs: Long = 10L * 60 * 1000): DataFrame = {
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_attrib")
-    val src = stage.toString + "/src"
+                              windowMs: Long = 10L * 60 * 1000,
+                              numFiles: Int = 4): DataFrame =
+    attributionAvailableNowWithStats(spark, events, windowMs, numFiles)._1
+
+  /** [[attributionAvailableNow]] plus the run's [[StreamRunStats]]. */
+  def attributionAvailableNowWithStats(spark: org.apache.spark.sql.SparkSession,
+                                       events: DataFrame,
+                                       windowMs: Long = 10L * 60 * 1000,
+                                       numFiles: Int = 4): (DataFrame, StreamRunStats) = {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val stage = JFiles.createTempDirectory("graft_stream_attrib")
+    val src = stage.resolve("src")
+    JFiles.createDirectories(src)
     try {
-      events.select("user_id", "ts", "event_type").coalesce(1)
-        .write.mode("overwrite").parquet(src)
-      // read schema from the staged file itself: write and read sides stay
-      // coupled by construction if the events schema ever drifts
-      val raw = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+      val ev = events.select("user_id", "ts", "event_type")
+      // equal TIME spans, not equal row counts: one cheap min/max agg
+      // instead of a global sort, and slice filters are plain distributed
+      // scans. Skewed slice sizes are fine — ordering is what matters.
+      val Array(lo, hi) = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val n = math.max(1, numFiles)
+      val span = math.max(1L, (hi - lo) / n + 1)
+      (0 until n).foreach { i =>
+        val sliceLo = lo + i * span
+        val sliceHi = lo + (i + 1) * span // exclusive; last slice covers hi
+        val tmp = stage.resolve(s"slice_$i").toString
+        ev.filter(unix_micros(col("ts")) >= sliceLo &&
+            unix_micros(col("ts")) < sliceHi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = JFiles.list(Paths.get(tmp)).iterator()
+        val found = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found += p }
+        val dest = src.resolve(f"events_$i%04d.parquet")
+        JFiles.move(found.head, dest, StandardCopyOption.REPLACE_EXISTING)
+        // FileStreamSource orders unread files by mtime: make the event-time
+        // order and the discovery order provably the same thing
+        JFiles.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+      }
+      // read schema from the staged files themselves: write and read sides
+      // stay coupled by construction if the events schema ever drifts
+      val raw = spark.readStream.schema(spark.read.parquet(src.toString).schema)
+        .option("maxFilesPerTrigger", "1") // ONE staged file per micro-batch
+        .parquet(src.toString)
       val joined = clickAttributionJoin(
         raw.filter(col("event_type") === "click"),
         raw.filter(col("event_type") =!= "click"), windowMs)
-      runToMemorySink(spark, joined, OutputMode.Append(), "graft_stream_attrib")(identity)
+      runToMemorySinkWithStats(spark, joined, OutputMode.Append(),
+        "graft_stream_attrib")(identity)
     } finally {
-      import java.nio.file.{Files => JFiles}
       import scala.jdk.CollectionConverters._
       JFiles.walk(stage).iterator().asScala.toSeq.reverse
         .foreach(p => JFiles.deleteIfExists(p))

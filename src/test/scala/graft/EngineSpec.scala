@@ -72,6 +72,42 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.status() === ((0L, 0L)))
   }
 
+  test("engine is green behind the LEARNED embedder: sync, query routing, neighbors") {
+    // same-model-for-index-and-query with the Word2Vec embedder behind the
+    // F1 seam — the whole ingest+search pipeline must work unchanged when
+    // the realistic model replaces feature hashing.
+    import spark.implicits._
+    val root = Files.createTempDirectory("engine-learned-root").toString
+    val store = Files.createTempDirectory("engine-learned-store").toString + "/chunks"
+    write(s"$root/spark.md",
+      "# Spark Guide\nApache Spark runs distributed joins windows and aggregations over large datasets. " +
+        "Executors process partitions in parallel across the cluster machines.")
+    write(s"$root/cooking.txt",
+      "Pasta Basics\n\nBoil water with salt and cook the pasta until al dente. " +
+        "Tomato sauce with basil and olive oil completes a classic italian dinner.")
+    // train on a corpus covering both topics so query tokens are in-vocab
+    val trainDocs = (0 until 30).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, "apache spark runs distributed joins windows aggregations executors " +
+          "process partitions parallel cluster machines large datasets")
+      else
+        (i.toLong, "boil water salt cook pasta al dente tomato sauce basil olive " +
+          "oil classic italian dinner")
+    }.toDF("doc_id", "text")
+    val learned = graft.embed.LearnedEmbedder.train(trainDocs, "text",
+      dim = 32, minCount = 1, maxIter = 3)
+    val engine = new Engine(spark, store, Seq(root), mkEmbedder = () => learned)
+    val s1 = engine.sync()
+    assert(s1.upserted === 2)
+    val hits = engine.queryDocuments("distributed spark joins", limit = 5)
+    val top = hits.collect().head
+    assert(top.getAs[String]("filePath").endsWith("spark.md"))
+    val cook = engine.queryDocuments("pasta tomato basil dinner", limit = 5)
+    assert(cook.collect().head.getAs[String]("filePath").endsWith("cooking.txt"))
+    val n = engine.readChunkNeighbors(s"$root/spark.md", 0)
+    assert(n.filter("isTarget").count() === 1)
+  }
+
   test("scope filters queries; list_files cross-references ingested state") {
     val (engine, root) = mkEngine()
     engine.sync()

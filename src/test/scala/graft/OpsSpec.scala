@@ -144,6 +144,73 @@ class OpsSpec extends AnyFunSuite {
     assert(resized(1L) === 1L)
   }
 
+  test("BMP encoder produces real BMPs: javax.imageio decodes them pixel-for-pixel") {
+    // independent decoder: the JDK's built-in BMP reader. If our encoder's
+    // header, stride padding, or bottom-up row order were wrong, ImageIO
+    // would either fail or disagree on pixel values.
+    for (docId <- Seq(0L, 1L, 2L, 3L, 4L, 7L, 13L, 255L, 256L, 1000L)) {
+      val bytes = Multimodal.encodeBmp(docId)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO could not read BMP for docId=$docId")
+      val did = (docId % 256).toInt
+      val w = (4 + docId % 5).toInt
+      val h = (3 + docId % 4).toInt
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) === (did + x * y) % 256, s"R at ($x,$y) id=$docId")
+        assert(((rgb >> 8) & 0xff) === (2 * did + 3 * x + 5 * y) % 256, s"G at ($x,$y) id=$docId")
+        assert((rgb & 0xff) === (did + 7 * x + 13 * y) % 256, s"B at ($x,$y) id=$docId")
+      }
+    }
+  }
+
+  test("BMP decoder: closed-form stats, top-down variant, malformed rejection") {
+    // round-trip equals the closed form the SQL oracle computes
+    for (docId <- Seq(0L, 1L, 2L, 3L, 4L, 99L, 255L, 511L)) {
+      val f = Multimodal.decodeBmp(Multimodal.encodeBmp(docId))
+      val did = (docId % 256).toInt
+      val w = (4 + docId % 5).toInt
+      val h = (3 + docId % 4).toInt
+      val lumas = for (y <- 0 until h; x <- 0 until w) yield {
+        val r = (did + x * y) % 256
+        val g = (2 * did + 3 * x + 5 * y) % 256
+        val b = (did + 7 * x + 13 * y) % 256
+        (299 * r + 587 * g + 114 * b) / 1000
+      }
+      assert(f.width === w && f.height === h && f.nPx === w.toLong * h)
+      assert(f.sumLuma === lumas.map(_.toLong).sum)
+      assert(f.probeLuma === lumas(2 * w + 1)) // pixel (x=1, y=2), row-major
+    }
+    // a top-down BMP (negative height) must decode to the same image stats:
+    // flip the height sign and reverse the stored row order of a fixture
+    val src = Multimodal.encodeBmp(7L)
+    val bb = java.nio.ByteBuffer.wrap(src.clone()).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val w = bb.getInt(18); val h = bb.getInt(22)
+    val stride = ((3 * w + 3) / 4) * 4
+    val flipped = src.clone()
+    bb2Flip(flipped, h, stride)
+    java.nio.ByteBuffer.wrap(flipped).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -h)
+    assert(Multimodal.decodeBmp(flipped) === Multimodal.decodeBmp(src))
+    // malformed payloads are rejected, not mis-parsed
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeBmp("not a bitmap at all, just text padded to length 54+"
+        .getBytes("UTF-8")))
+  }
+
+  private def bb2Flip(bytes: Array[Byte], h: Int, stride: Int): Unit = {
+    val off = 54
+    val tmp = new Array[Byte](stride)
+    for (i <- 0 until h / 2) {
+      val a = off + i * stride; val b = off + (h - 1 - i) * stride
+      System.arraycopy(bytes, a, tmp, 0, stride)
+      System.arraycopy(bytes, b, bytes, a, stride)
+      System.arraycopy(tmp, 0, bytes, b, stride)
+    }
+  }
+
   test("IVF ANN: probed search recovers the brute-force top-k on clustered data") {
     val rnd = new scala.util.Random(5)
     val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian().toFloat))
@@ -205,6 +272,52 @@ class OpsSpec extends AnyFunSuite {
     val pqRecall = recalls.map(_._2).sum / recalls.size
     assert(ivfRecall >= 0.8, s"IVF recall@10 $ivfRecall < 0.8 at nProbe=8/16")
     assert(pqRecall >= 0.85, s"PQ shortlist recall@10 $pqRecall < 0.85 at kTop=30")
+  }
+
+  test("IVF/PQ/SRP recall gates hold on LEARNED embeddings (Word2Vec geometry)") {
+    // the r4 gates ran on the uniform-random embeddings table; this re-runs
+    // them on vectors a REAL model produced from the documents corpus —
+    // distributional geometry with genuine cluster structure, the regime a
+    // production ANN index actually serves. Same thresholds as the random
+    // gates: IVF 0.8 at nProbe=8/16, PQ 0.85 at kTop=30 with m=16×k=16.
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select($"doc_id", $"text")
+    val le = graft.embed.LearnedEmbedder.train(docs, "text", dim = 64)
+    // the synthetic corpus draws from a 31-word vocabulary; a full fit
+    // covers (almost) all of it
+    assert(le.vocabSize >= 25, s"vocab ${le.vocabSize} is not a full fit of the corpus")
+    val vecs = graft.embed.EmbedStage
+      .withEmbeddings(docs, "text", "embedding", () => le)
+      .select($"doc_id".as("vec_id"), $"embedding")
+      .persist()
+    try {
+      val queries = Seq(0L, 7L, 42L)
+      val ivfIdx = Similarity.buildIvf(vecs, "vec_id", "embedding", nLists = 16, seed = 42L)
+      val pqIdx = Similarity.buildPq(vecs, "vec_id", "embedding", dim = 64, m = 16, k = 16)
+      val recalls = queries.map { q =>
+        val qv = vecs.filter($"vec_id" === q).select("embedding").head().getSeq[Float](0).toArray
+        val brute = vecs
+          .withColumn("score", graft.search.VectorSearch.dotDistance($"embedding", typedLit(qv.toSeq)))
+          .orderBy("score", "vec_id").limit(10).select("vec_id").as[Long].collect().toSet
+        val ivf = Similarity.ivfTopK(ivfIdx, "vec_id", "embedding", qv, nProbe = 8, k = 10)
+          .select("vec_id").as[Long].collect().toSet
+        val pq = Similarity.pqTopK(pqIdx, "vec_id", qv, kTop = 30)
+          .select("vec_id").as[Long].collect().toSet
+        // SRP same-bucket candidates must recover the query itself as top-1
+        val qb = Similarity.srpBucketScala(qv.toSeq, 64, 6)
+        val srpTop = vecs
+          .withColumn("bucket", Similarity.srpBucket("embedding", 64, 6))
+          .filter($"bucket" === qb)
+          .withColumn("score", graft.search.VectorSearch.dotDistance($"embedding", typedLit(qv.toSeq)))
+          .orderBy("score", "vec_id").select("vec_id").as[Long].head()
+        assert(srpTop === q, s"SRP self-bucket top-1 for query $q was $srpTop")
+        (ivf.intersect(brute).size / 10.0, pq.intersect(brute).size / 10.0)
+      }
+      val ivfRecall = recalls.map(_._1).sum / recalls.size
+      val pqRecall = recalls.map(_._2).sum / recalls.size
+      assert(ivfRecall >= 0.8, s"IVF recall@10 $ivfRecall < 0.8 on learned embeddings")
+      assert(pqRecall >= 0.85, s"PQ shortlist recall@10 $pqRecall < 0.85 on learned embeddings")
+    } finally vecs.unpersist()
   }
 
   test("pii redaction is idempotent and catches the planted patterns") {
@@ -293,6 +406,58 @@ class OpsSpec extends AnyFunSuite {
     // monotonicity: a higher requested threshold never picks MORE bands
     val picks = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(t => Dedup.bandingFor(t, 128)._1)
     assert(picks === picks.sorted.reverse)
+  }
+
+  test("nearDupPairsAt: verified precision is exact and banded recall meets the s-curve promise") {
+    // clustered corpora across thresholds 0.5–0.9: members of a cluster are
+    // the base shingle set with k replacements, giving a spread of true
+    // Jaccard values around each threshold. The pipeline is deterministic
+    // (fixed hash family), so these bounds are exact assertions, not flaky
+    // statistics.
+    val rnd = new scala.util.Random(1234)
+    def corpus(nClusters: Int, perCluster: Int): Seq[(Long, Set[String])] = {
+      var id = -1L
+      (0 until nClusters).flatMap { c =>
+        val base = Set.tabulate(60)(i => s"c${c}_s${i}_${rnd.nextInt(1000)}")
+        (0 until perCluster).map { _ =>
+          id += 1
+          val k = rnd.nextInt(31) // 0..30 replacements of 60 → Jaccard 1.0 .. ~0.33
+          val dropped = rnd.shuffle(base.toSeq).take(k).toSet
+          (id, (base -- dropped) ++ Set.tabulate(k)(i => s"n${id}_$i"))
+        }
+      }
+    }
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 0.0 else a.intersect(b).size.toDouble / a.union(b).size
+    for (t <- Seq(0.5, 0.6, 0.7, 0.8, 0.9)) {
+      val docs = corpus(nClusters = 4, perCluster = 6)
+      val df = docs.map { case (i, s) => (i, s.toSeq) }.toDF("id", "shs")
+      val got = Dedup.nearDupPairsAt(df, "id", "shs", t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      val byId = docs.toMap
+      // precision is EXACT modulo the 4-decimal rounding the operator
+      // applies: every emitted pair re-verifies against the driver-side
+      // Jaccard (the verify stage is exact set arithmetic, not approximate)
+      got.foreach { case (a, b, j) =>
+        val truth = jac(byId(a), byId(b))
+        assert(truth >= t - 5.1e-5,
+          s"pair ($a,$b) emitted at $j but true Jaccard $truth < $t")
+        assert(math.abs(truth - j) < 5.1e-5, s"pair ($a,$b): jaccard $j != $truth")
+      }
+      // recall: every pair the s-curve promises with near-certainty
+      // (capture prob 1-(1-j^r)^b >= 0.9999, and clear of the rounding
+      // boundary) must be present
+      val (b, r) = Dedup.bandingFor(t, 128)
+      val gotSet = got.map(p => (p._1, p._2)).toSet
+      val ids = docs.map(_._1)
+      for (i <- ids; k <- ids if i < k) {
+        val j = jac(byId(i), byId(k))
+        val captureProb = 1.0 - math.pow(1.0 - math.pow(j, r.toDouble), b.toDouble)
+        if (j >= t + 5.1e-5 && captureProb >= 0.9999)
+          assert(gotSet.contains((i, k)),
+            s"pair ($i,$k) with Jaccard $j (capture ${captureProb}) missed at t=$t")
+      }
+    }
   }
 
   test("connectedComponents equals a union-find reference on random graphs (property)") {

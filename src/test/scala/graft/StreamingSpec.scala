@@ -279,4 +279,36 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(rows === Set((1L, "purchase")))
   }
+
+  test("multi-batch attribution: state crosses micro-batches, watermark evicts, result equals batch join") {
+    import org.apache.spark.sql.functions._
+    val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val (result, stats) = StreamingIngest.attributionAvailableNowWithStats(
+      spark, events, windowMs = 10L * 60 * 1000, numFiles = 4)
+    // a REAL multi-batch run: join state survived at least 3 batch
+    // boundaries (4 staged files; a time-slice could in principle be empty)
+    assert(stats.batches >= 3, s"expected >=3 micro-batches, got ${stats.batches}")
+    // the watermark actually evicted: the join never buffered anywhere near
+    // the full corpus (equal-time-span staging keeps state ≈ one slice +
+    // the un-evicted watermark tail)
+    val total = events.count()
+    assert(stats.maxStateRows > 0)
+    assert(stats.maxStateRows < (total * 6) / 10,
+      s"state peak ${stats.maxStateRows} suggests no eviction (corpus $total)")
+    // completeness: exactly the batch range-join, row for row
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val a = events.filter(col("event_type") =!= "click")
+      .select(col("user_id").as("a_user"), col("ts").as("action_ts"),
+        col("event_type").as("action_type"))
+    val batch = c.join(a, col("user_id") === col("a_user") &&
+        col("action_ts") >= col("click_ts") &&
+        col("action_ts") <= col("click_ts") + expr("INTERVAL 600000 MILLISECOND"))
+      .select(col("user_id"), col("click_ts"), col("action_ts"), col("action_type"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id").cast("string"), col("click_ts").cast("string"),
+        col("action_ts").cast("string"), col("action_type"))
+        .as[(String, String, String, String)].collect().sorted.toSeq
+    assert(key(result) === key(batch))
+  }
 }
