@@ -119,6 +119,24 @@ object DedupQueries {
               |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
+    // ----- streaming exact dedup, oracle-matched: the dup corpus replayed
+    // as a REAL multi-batch stream (4 event-time-ordered staged files, one
+    // per trigger) through dropDuplicatesWithinWatermark — fingerprint
+    // state crosses micro-batch boundaries and drops the +100000 exact
+    // copies that arrive batches after their originals. The oracle is the
+    // batch twin: one row per distinct fingerprint. State expiry semantics
+    // (bounded state, re-admission past the window) are StreamingSpec-gated;
+    // here the delay exceeds the corpus's synthetic span so streaming and
+    // batch dedup agree exactly. -----
+    Q("e_stream_dedup",
+      (s, d) => graft.streaming.StreamingIngest
+        .exactDedupAvailableNow(s, dupCorpus(s, d))
+        .orderBy("fp"),
+      Some(s"""WITH $DupCorpusCte
+              |SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+              |       length(text) AS text_len
+              |FROM corpus ORDER BY fp""".stripMargin)),
+
     // ----- n-gram Jaccard near-dup pairs (shingle posting join).
     // CORRECTNESS BASELINE ONLY — the posting self-join is quadratic in
     // per-shingle posting length, so it stays oracle-gated but UNBENCHED;

@@ -185,6 +185,81 @@ object RagQueries {
               |FROM fin ORDER BY boosted, doc_id LIMIT 10""".stripMargin),
       bench = true),
 
+    // ----- §3.1 via the Engine's ANN route: persisted SRP probe feeding the
+    // SAME hybrid pipeline (api/Engine.scala:129-135 wires exactly this shape
+    // above annThreshold: probe → candidate join → boost → re-rank → k).
+    // Benched end-to-end and hash-gated — the SRP family is the
+    // oracle-replayable one, so the WHOLE routed path replays in SQL. The
+    // probe's scan is partition-pruned to the query's abucket (PlanSpec pins
+    // the pruning on the store; the index dir is shared with
+    // ann_srp_store_probe so the bench builds it once). -----
+    Q("q_hybrid_ann",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val qArr = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ann-srp-" +
+          d.replaceAll("[^a-zA-Z0-9._-]", "_") // shared with ann_srp_store_probe
+        val st = new graft.store.SrpIndexStore(s, dir, dim = Dim, planes = 8,
+          0, Seq("vec_id"), "embedding")
+        if (!st.exists || st.rowCount() != e.count()) st.rebuild(e)
+        val ch = chunks(s, d)
+          .withColumn("filePath", col("source"))
+          .withColumn("chunkIndex", col("doc_id").cast("int"))
+          .withColumnRenamed("embedding", "vector")
+        // candidate set = bucket-pruned probe top-(2·limit); recover the
+        // fileCol by a broadcast join of the ≤ 20 probe rows onto the slim
+        // (filePath, chunkIndex) projection — the engine's candidate shape
+        // hammingRadius=1 is the engine's recall setting (annProbeRadius):
+        // the probe reads the query's bucket plus its 8 Hamming-1 neighbor
+        // partitions — still a pruned scan, ~9/256 of the index
+        val cand = st.probe(qArr, k = 20, hammingRadius = 1)
+          .select(col("vec_id").cast("int").as("chunkIndex"), col("score"))
+        val annC = ch.select("filePath", "chunkIndex")
+          .join(broadcast(cand), Seq("chunkIndex"))
+          .select("filePath", "chunkIndex", "score")
+        HybridSearch.search(ch, typedLit(qArr.toSeq),
+          HybridSearch.Params(limit = 10, weight = 0.6,
+            queryTokens = Seq("spark", "join")),
+          annCandidates = Some(annC))
+          .select(col("doc_id"), rounded("score").as("score"),
+            rounded("boosted").as("boosted"))
+      },
+      Some(s"""WITH comp AS (SELECT p.p, j.j,
+              |    CASE WHEN CAST(concat('0x', substr(md5(p.p || ':' || j.j), 1, 15)) AS BIGINT) % 2 = 0
+              |         THEN 1.0 ELSE -1.0 END AS c
+              |  FROM (SELECT unnest(range(0, 8)) AS p) p, (SELECT unnest(range(0, $Dim)) AS j) j),
+              |dotp AS (SELECT e.vec_id, c.p, sum(e.embedding[c.j + 1]::DOUBLE * c.c) AS sv
+              |  FROM embeddings e, comp c GROUP BY 1, 2),
+              |buck AS (SELECT vec_id,
+              |    sum(CASE WHEN sv > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+              |  FROM dotp GROUP BY 1),
+              |qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
+              |probeb AS (SELECT bucket AS pb FROM qb
+              |           UNION ALL
+              |           SELECT xor(qb.bucket, (1::BIGINT << p.p)) AS pb
+              |           FROM qb, (SELECT unnest(range(0, 8)) AS p) p),
+              |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+              |sc AS (SELECT e.vec_id AS doc_id, d.source,
+              |    1.0 - sum(e.embedding[t.i]::DOUBLE * q.qv[t.i]::DOUBLE) AS raw
+              |  FROM embeddings e, documents d, q, generate_series(1, $Dim) t(i)
+              |  WHERE d.doc_id = e.vec_id
+              |    AND e.vec_id IN (SELECT b.vec_id FROM buck b, probeb WHERE b.bucket = probeb.pb)
+              |  GROUP BY 1, 2),
+              |c AS (SELECT doc_id, source, raw FROM sc ORDER BY raw, doc_id LIMIT 20),
+              |toks AS (SELECT d.doc_id, unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS tok
+              |         FROM documents d, embeddings e WHERE d.doc_id = e.vec_id),
+              |${bm25Sql(Seq("spark", "join"))},
+              |fts AS (SELECT bm.* FROM bm JOIN documents dd ON bm.doc_id = dd.doc_id
+              |        WHERE dd.source IN (SELECT DISTINCT source FROM c)),
+              |mx AS (SELECT max(bm25raw) AS mkw FROM fts),
+              |fin AS (SELECT c.doc_id, c.raw,
+              |          c.raw / (1.0 + coalesce(fts.bm25raw / mx.mkw, 0.0) * 0.6) AS boosted
+              |        FROM c CROSS JOIN mx LEFT JOIN fts ON c.doc_id = fts.doc_id)
+              |SELECT doc_id, round(raw, 4) + 0.0 AS score, round(boosted, 4) + 0.0 AS boosted
+              |FROM fin ORDER BY boosted, doc_id LIMIT 10""".stripMargin),
+      bench = true),
+
     // ----- W2/A4: per-file filter — keep chunks of the top-2 files -----
     Q("q_file_filter",
       (s, d) => {

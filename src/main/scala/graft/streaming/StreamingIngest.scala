@@ -298,6 +298,79 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming exact dedup run AvailableNow over a batch corpus, driven as
+    * a REAL multi-batch stream (same staging discipline as
+    * [[attributionAvailableNowWithStats]]): docs are staged as `numFiles`
+    * event-time-ordered parquet files (ts = base + doc_id seconds —
+    * synthetic but strictly increasing and unique, so doc-id order IS
+    * arrival order) and read one file per trigger, so the fingerprint state
+    * built in batch k drops re-arrivals in batch k+n. This is the streaming
+    * twin of the exact-dedup groupBy (`ops/Dedup.exactDupGroups`): on an
+    * unbounded corpus a lifetime dedup set is impossible, and
+    * `dropDuplicatesWithinWatermark` keys state on the fingerprint and
+    * EXPIRES entries once the watermark passes them — state follows the
+    * window, never the corpus. Here the delay exceeds the staged corpus's
+    * synthetic time span, so the run equals global first-wins dedup — which
+    * is what the DuckDB oracle hash-checks; the expiry semantics (bounded
+    * state, expired keys re-admitted) are spec-gated in StreamingSpec.
+    *
+    * The output keeps only fingerprint-DETERMINED columns (fp, text
+    * length): which of two identical rows reaches the state store first
+    * within one micro-batch is partition-order dependent, so emitting
+    * arrival-specific columns (doc_id, ts) would be nondeterministic —
+    * content-derived ones cannot differ between the candidates. */
+  def exactDedupAvailableNowWithStats(spark: org.apache.spark.sql.SparkSession,
+                                      corpus: DataFrame, numFiles: Int = 4,
+                                      watermarkDelay: String = "90 days"): (DataFrame, StreamRunStats) = {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val stage = JFiles.createTempDirectory("graft_stream_dedup")
+    val src = stage.resolve("src")
+    JFiles.createDirectories(src)
+    try {
+      // synthetic event time: 2025-01-01 + doc_id seconds (unique per row)
+      val ev = corpus.select(col("doc_id"), col("text"))
+        .withColumn("ts", timestamp_seconds(lit(1735689600L) + col("doc_id")))
+      val Array(lo, hi) = ev.agg(min(col("doc_id")), max(col("doc_id")))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val n = math.max(1, numFiles)
+      val span = math.max(1L, (hi - lo) / n + 1)
+      (0 until n).foreach { i =>
+        val tmp = stage.resolve(s"slice_$i").toString
+        ev.filter(col("doc_id") >= lo + i * span && col("doc_id") < lo + (i + 1) * span)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = JFiles.list(Paths.get(tmp)).iterator()
+        val found = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found += p }
+        val dest = src.resolve(f"docs_$i%04d.parquet")
+        JFiles.move(found.head, dest, StandardCopyOption.REPLACE_EXISTING)
+        // mtime order = event-time order, so FileStreamSource discovery
+        // replays arrival in doc-id order (same trick as the attribution run)
+        JFiles.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+      }
+      val raw = spark.readStream.schema(spark.read.parquet(src.toString).schema)
+        .option("maxFilesPerTrigger", "1") // ONE staged file per micro-batch
+        .parquet(src.toString)
+      val deduped = raw
+        .withColumn("fingerprint", graft.ops.TextAnalysis.fingerprint(col("text")))
+        .withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark("fingerprint")
+      runToMemorySinkWithStats(spark, deduped, OutputMode.Append(),
+        "graft_stream_dedup")(
+        _.select(col("fingerprint").as("fp"),
+          length(col("text")).cast("long").as("text_len")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      JFiles.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(p => JFiles.deleteIfExists(p))
+    }
+  }
+
+  def exactDedupAvailableNow(spark: org.apache.spark.sql.SparkSession,
+                             corpus: DataFrame, numFiles: Int = 4,
+                             watermarkDelay: String = "90 days"): DataFrame =
+    exactDedupAvailableNowWithStats(spark, corpus, numFiles, watermarkDelay)._1
+
   /** run the streaming ingest over a directory of text files using
     * AvailableNow (incremental batch), writing chunk parquet + checkpoint */
   def runAvailableNow(docs: Dataset[Ingest.Doc], mkEmbedder: () => Embedder,

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -149,6 +150,27 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     spark.catalog.dropTempView("dedup_stream")
     assert(countA === 2L) // once per watermark window, state expired between
+  }
+
+  test("multi-batch streaming exact dedup equals batch first-wins dedup") {
+    // duplicates land in DIFFERENT doc-id ranges, so with 3 staged files the
+    // re-arrivals hit state built in earlier micro-batches — the cross-batch
+    // path e_stream_dedup exercises at sf scale
+    val corpus = Seq(
+      (0L, "alpha beta gamma"), (1L, "delta epsilon"), (2L, "zeta eta theta"),
+      (10L, "Alpha  Beta   Gamma"), // batch 2: normalizes to doc 0's fp
+      (11L, "iota kappa"),
+      (20L, "delta epsilon"), // batch 3: exact copy of doc 1
+      (21L, "lambda mu nu")).toDF("doc_id", "text")
+    val (out, stats) = StreamingIngest.exactDedupAvailableNowWithStats(
+      spark, corpus, numFiles = 3)
+    val fps = out.select("fp").as[String].collect().toSeq
+    assert(fps.distinct.size === fps.size, "a fingerprint was emitted twice")
+    val batchFps = corpus
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct().as[String].collect().toSet
+    assert(fps.toSet === batchFps)
+    assert(stats.batches >= 3, s"expected >= 3 micro-batches, got ${stats.batches}")
   }
 
   test("stateful sessionization via mapGroupsWithState") {

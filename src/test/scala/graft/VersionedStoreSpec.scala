@@ -144,6 +144,50 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(st.read().select("filePath").as[String].collect().toSet === files.toSet)
   }
 
+  test("a reader's resolved snapshot survives vacuum of its version (retention)") {
+    val st = tmpStore()
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "gen1")).toDF())
+    // reader resolves v1 BEFORE the version is vacuumed away: snapshotDF
+    // pins the concrete data-file paths at resolve time
+    val v1df = st.readVersion(1L)
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "gen2")).toDF())
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "gen3")).toDF())
+    st.vacuum(keepVersions = 1) // default retention window (60 s)
+    assert(st.versions() === Seq(3L))
+    // new readers can no longer resolve v1 (its manifest is gone)...
+    intercept[Exception] { st.readVersion(1L).collect() }
+    // ...but the in-flight reader still collects: v1's data files are
+    // younger than the retention cutoff, so vacuum kept them even though
+    // no surviving manifest references them — the retention window is what
+    // makes "readers never lock" safe against a concurrent vacuum
+    assert(v1df.select("text").as[String].collect().toSet === Set("gen1"))
+    // an aged-out sweep (retentionMs = 0) finally drops the orphaned files
+    st.vacuum(keepVersions = 1, retentionMs = 0L)
+    assert(st.read().select("text").as[String].collect().toSet === Set("gen3"))
+  }
+
+  test("vacuum racing concurrent upserts never loses committed rows") {
+    val st = tmpStore(buckets = 8)
+    st.create()
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val files = (0 until 6).map(i => s"/race/f$i.md")
+    val writers = files.map(f => Future {
+      st.upsertFile(f, Seq(mkChunk(f, 0, s"text of $f")).toDF())
+    })
+    // vacuum loops with a deep-enough kept window that a writer's
+    // just-resolved latest manifest cannot age out mid-upsert; the
+    // retention window protects the writers' staged-but-uncommitted files
+    val vac = Future {
+      (1 to 8).foreach { _ => st.vacuum(keepVersions = 3); blocking(Thread.sleep(25)) }
+    }
+    Await.result(Future.sequence(writers :+ vac.map(_ => 0L)), 180.seconds)
+    st.vacuum(keepVersions = 1)
+    assert(st.read().select("filePath").as[String].collect().toSet === files.toSet)
+    assert(st.read().count() === files.size.toLong)
+  }
+
   test("parquet manifest stats: a one-file read opens only matching data files") {
     val st = tmpStore(buckets = 8)
     val files = (0 until 8).map(i => s"/corpus/doc$i.md")
