@@ -205,6 +205,136 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---------------------------------------------------------------- WAV --
+
+  /** Deterministic PCM WAV fixture for `docId` — the audio twin of
+    * [[encodeBmp]]: 16-bit mono little-endian samples at 8 kHz, sample
+    * count and every sample a closed-form function of (docId, i), so a SQL
+    * oracle recomputes the DECODED statistics without touching bytes. Odd
+    * docIds get a junk `LIST` chunk between `fmt ` and `data`, making the
+    * decoder's RIFF chunk WALK load-bearing (a parser that assumes `data`
+    * at a fixed offset breaks the hash on half the corpus). */
+  private[graft] def encodeWav(docId: Long): Array[Byte] = {
+    val did = (docId % 256).toInt
+    val n = (16 + docId % 17).toInt
+    val junk = docId % 2 == 1
+    val junkLen = if (junk) 12 else 0 // "LIST" + len + 4 payload bytes
+    val dataLen = 2 * n
+    val riffLen = 4 + 24 + junkLen + 8 + dataLen
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1)        // PCM
+    buf.putShort(1)        // mono
+    buf.putInt(8000)       // sample rate
+    buf.putInt(8000 * 2)   // byte rate
+    buf.putShort(2)        // block align
+    buf.putShort(16)       // bits per sample
+    if (junk) {
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4)
+      buf.put("INFO".getBytes("US-ASCII"))
+    }
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((did * 31 + i * 997) % 65536) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  final case class WavFeatures(sampleRate: Int, channels: Int, nSamples: Long,
+                               sumSamples: Long, probeSample: Long, maxAbs: Long)
+
+  /** Parse a PCM WAV: RIFF/WAVE magic, then a real chunk walk (chunks in
+    * any order, unknown chunks skipped via their declared length, odd
+    * lengths padded per spec) to find `fmt ` and `data`. 16-bit mono PCM
+    * only. Emits exact integer statistics: sample count, summed samples,
+    * probe sample i=3 (clamped) — the probe catches an endianness or
+    * offset bug that the permutation-invariant sum would hide — and max
+    * absolute amplitude. */
+  private[graft] def decodeWav(bytes: Array[Byte]): WavFeatures = {
+    require(bytes.length >= 44 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAV payload")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var sampleRate = -1
+    var channels = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val len = bb.getInt(off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length, s"truncated chunk $id")
+      id match {
+        case "fmt " =>
+          require(bb.getShort(off + 8) == 1, "unsupported format (PCM only)")
+          channels = bb.getShort(off + 10).toInt
+          sampleRate = bb.getInt(off + 12)
+          require(bb.getShort(off + 22) == 16, "unsupported bit depth (16 only)")
+        case "data" =>
+          dataOff = off + 8
+          dataLen = len
+        case _ => () // unknown chunk: skip by declared length
+      }
+      off += 8 + len + (len & 1) // RIFF pads odd-length chunks
+    }
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+    require(channels == 1, s"unsupported channel count $channels (mono only)")
+    val n = dataLen / 2
+    val probeIdx = math.min(3, n - 1)
+    var sum = 0L
+    var probe = 0L
+    var maxAbs = 0L
+    var i = 0
+    while (i < n) {
+      val v = bb.getShort(dataOff + 2 * i).toLong
+      sum += v
+      if (i == probeIdx) probe = v
+      if (math.abs(v) > maxAbs) maxAbs = math.abs(v)
+      i += 1
+    }
+    WavFeatures(sampleRate, channels, n, sum, probe, maxAbs)
+  }
+
+  /** media table whose payloads are REAL RIFF/PCM WAV bytes (same fixture
+    * discipline as [[bmpFromDocuments]]) */
+  def wavFromDocuments(docs: DataFrame, idCol: String): DataFrame = {
+    val enc = udf((id: Long) => encodeWav(id))
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("audio").as("modality"),
+      enc(col(idCol).cast("long")).as("payload"),
+      struct(lit("wav-fixture").as("source"),
+        length(enc(col(idCol).cast("long"))).cast("long").as("bytes"),
+        lit("pcm_s16le/8000/1").as("codec")).as("meta"))
+  }
+
+  /** REAL audio decode via mapPartitions — same production batch shape as
+    * [[decodeBmpFeatures]] */
+  def decodeWavFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_samples", LongType, nullable = false),
+      StructField("probe_sample", LongType, nullable = false),
+      StructField("max_abs", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val f = decodeWav(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), f.sampleRate.toLong, f.channels.toLong,
+          f.nSamples, f.sumSamples, f.probeSample, f.maxAbs)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** frame sampling: split payload into `n` contiguous byte ranges (last
     * frame takes the remainder); per-row generator, no shuffle */
   def frameSample(media: DataFrame, n: Int): DataFrame =

@@ -931,6 +931,32 @@ object DedupQueries {
     // pixel rule directly — a stride, padding, or row-order bug in the
     // parser breaks the hash. probe_luma pins pixel (1,2) specifically so a
     // row-order mistake can't hide inside the permutation-invariant sum. -----
+    // ----- multimodal: REAL audio decode — the WAV twin of m_decode_bmp.
+    // Payloads are genuine RIFF/PCM bytes (16-bit mono LE, odd docIds carry
+    // a junk LIST chunk so the decoder's chunk walk is exercised, not just
+    // a fixed-offset read); Spark parses bytes (Multimodal.decodeWav,
+    // mapPartitions) while the oracle computes the same statistics from the
+    // closed-form sample rule. probe_sample pins sample i=3 so an
+    // endianness or offset bug can't hide inside the sum. -----
+    Q("m_decode_wav",
+      (s, d) => Multimodal.decodeWavFeatures(
+          Multimodal.wavFromDocuments(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("sum_samples"), col("probe_sample"),
+          col("max_abs"))
+        .orderBy("media_id"),
+      Some("""WITH p AS (SELECT doc_id, doc_id % 256 AS did,
+             |    16 + doc_id % 17 AS n FROM documents),
+             |s AS (SELECT p.doc_id, p.n, t.i,
+             |    ((p.did * 31 + t.i * 997) % 65536) - 32768 AS v
+             |  FROM p, (SELECT unnest(range(0, 33)) AS i) t WHERE t.i < p.n)
+             |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+             |  CAST(1 AS BIGINT) AS channels, CAST(max(n) AS BIGINT) AS n_samples,
+             |  CAST(sum(v) AS BIGINT) AS sum_samples,
+             |  CAST(max(CASE WHEN i = 3 THEN v END) AS BIGINT) AS probe_sample,
+             |  CAST(max(abs(v)) AS BIGINT) AS max_abs
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("m_decode_bmp",
       (s, d) => Multimodal.decodeBmpFeatures(
           Multimodal.bmpFromDocuments(Tables.documents(s, d), "doc_id"))

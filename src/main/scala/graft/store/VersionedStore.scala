@@ -255,6 +255,61 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
     throw new java.io.IOException(s"upsert of $filePath lost $maxRetries CAS races")
   }
 
+  /** Compact fragmented buckets: every bucket holding more than
+    * `maxFilesPerBucket` files is rewritten as ONE file sorted by
+    * (filePath, chunkIndex) — rows are unchanged, so any oracle over the
+    * table is unaffected. This is the lakehouse OPTIMIZE step the
+    * copy-on-write upsert makes necessary: each single-file upsert adds a
+    * small file to its bucket, and at 100 TB an uncompacted table decays
+    * into millions of KB-files whose open/seek overhead dominates scans.
+    * Sorting the rewrite also TIGHTENS the manifest's [minPath, maxPath]
+    * stats (a compacted bucket prunes to exactly one file per point read).
+    *
+    * Concurrency: compaction is a no-data-change commit, so it must LOSE
+    * every race — a concurrent upsert to a bucket we compacted supersedes
+    * our rewrite (that bucket is dropped from the commit and its staged
+    * file deleted); untouched-bucket upserts commute and are rebased over,
+    * same as [[upsertFile]]. Returns the committed version, or None when
+    * nothing was fragmented or every rewrite was superseded. */
+  def compact(maxFilesPerBucket: Int = 4, maxRetries: Int = 20): Option[Long] = {
+    val base = latestVersion().getOrElse { return None }
+    val entriesAtBase = readManifest(base)
+    val frag = entriesAtBase.groupBy(_.bucket)
+      .filter(_._2.size > maxFilesPerBucket)
+    if (frag.isEmpty) return None
+    val rewritten: Map[Long, Seq[ManifestEntry]] = frag.map { case (b, es) =>
+      b -> writeDataFiles(b, snapshotDF(es)
+        .repartition(1)
+        .sortWithinPartitions(col("filePath"), col("chunkIndex")))
+    }
+    def dropFiles(es: Iterable[ManifestEntry]): Unit = {
+      val f = fs
+      es.foreach(e => f.delete(new HPath(s"$root/${e.path}"), false))
+    }
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = latestVersion().getOrElse(0L)
+      val curEntries = readManifest(cur)
+      def stateOf(es: Seq[ManifestEntry], b: Long) =
+        es.filter(_.bucket == b).map(_.path).toSet
+      // a bucket whose files changed since base was upserted concurrently:
+      // the upsert's data wins, our rewrite of it is garbage
+      val (valid, superseded) = rewritten.partition { case (b, _) =>
+        stateOf(curEntries, b) == stateOf(entriesAtBase, b)
+      }
+      if (valid.isEmpty) { dropFiles(rewritten.values.flatten); return None }
+      val next = curEntries.filterNot(e => valid.contains(e.bucket)) ++
+        valid.values.flatten
+      if (tryCommit(cur + 1, next.toSeq)) {
+        dropFiles(superseded.values.flatten)
+        return Some(cur + 1)
+      }
+      attempt += 1
+    }
+    dropFiles(rewritten.values.flatten)
+    throw new java.io.IOException(s"compaction lost $maxRetries CAS races")
+  }
+
   /** drop manifests older than the newest `keepVersions` and delete data
     * files no kept manifest references.
     *

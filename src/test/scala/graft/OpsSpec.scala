@@ -200,6 +200,49 @@ class OpsSpec extends AnyFunSuite {
         .getBytes("UTF-8")))
   }
 
+  test("WAV encoder produces real WAVs: javax.sound decodes them sample-for-sample") {
+    // independent decoder: the JDK's built-in RIFF/PCM reader. A wrong
+    // header field, chunk length, or sample byte order would make
+    // AudioSystem fail or disagree on the decoded samples.
+    for (docId <- Seq(0L, 1L, 2L, 3L, 16L, 17L, 255L, 256L, 1001L)) {
+      val bytes = Multimodal.encodeWav(docId)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      assert(fmt.getSampleRate === 8000f && fmt.getChannels === 1 &&
+        fmt.getSampleSizeInBits === 16, s"format mismatch for docId=$docId")
+      val n = (16 + docId % 17).toInt
+      val data = in.readAllBytes()
+      assert(data.length === 2 * n, s"sample count mismatch for docId=$docId")
+      val bb = java.nio.ByteBuffer.wrap(data)
+        .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+               else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val did = (docId % 256).toInt
+      for (i <- 0 until n)
+        assert(bb.getShort(2 * i).toInt === ((did * 31 + i * 997) % 65536) - 32768,
+          s"sample $i mismatch for docId=$docId")
+    }
+  }
+
+  test("WAV decoder: closed-form stats, chunk walk, malformed rejection") {
+    for (docId <- Seq(0L, 1L, 2L, 3L, 16L, 17L, 99L, 255L, 511L)) {
+      val f = Multimodal.decodeWav(Multimodal.encodeWav(docId))
+      val did = (docId % 256).toInt
+      val n = (16 + docId % 17).toInt
+      val samples = (0 until n).map(i => (((did * 31 + i * 997) % 65536) - 32768).toLong)
+      assert(f.sampleRate === 8000 && f.channels === 1 && f.nSamples === n.toLong)
+      assert(f.sumSamples === samples.sum)
+      assert(f.probeSample === samples(3))
+      assert(f.maxAbs === samples.map(math.abs).max)
+      // odd docIds carry a junk LIST chunk before data: identical stats
+      // prove the chunk walk skips it instead of mis-reading offsets
+    }
+    assert(Multimodal.decodeWav(Multimodal.encodeWav(1L)).sampleRate === 8000)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWav(("RIFFxxxxJUNK" + "x" * 64).getBytes("US-ASCII")))
+  }
+
   private def bb2Flip(bytes: Array[Byte], h: Int, stride: Int): Unit = {
     val off = 54
     val tmp = new Array[Byte](stride)

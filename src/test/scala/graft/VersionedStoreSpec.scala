@@ -188,6 +188,35 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(st.read().count() === files.size.toLong)
   }
 
+  test("compaction: fragmented bucket collapses to one sorted file, rows and history intact") {
+    val st = tmpStore(buckets = 1) // every upsert fragments the same bucket
+    val files = (0 until 6).map(i => s"/c/doc$i.md")
+    files.foreach(f => st.upsertFile(f,
+      Seq(mkChunk(f, 0, s"text of $f"), mkChunk(f, 1, s"more of $f")).toDF()))
+    val vBefore = st.latestVersion().get
+    val before = st.read().orderBy("id").collect()
+    val nFilesBefore = st.read().inputFiles.length
+    assert(nFilesBefore > 4, s"fixture not fragmented: $nFilesBefore files")
+
+    val vc = st.compact(maxFilesPerBucket = 4)
+    assert(vc === Some(vBefore + 1))
+    // rows unchanged, file count collapsed to one
+    assert(st.read().orderBy("id").collect() === before)
+    assert(st.read().inputFiles.length === 1)
+    // sorted rewrite → tight stats: a point read now opens exactly one file
+    assert(st.dataFilesFor(files(3)).size === 1)
+    assert(st.readFile(files(3)).count() === 2L)
+    // history is untouched (compaction adds a version, rewrites nothing old)
+    assert(st.readVersion(vBefore).orderBy("id").collect() === before)
+    // an already-compact table is a no-op, not a new version
+    assert(st.compact(maxFilesPerBucket = 4) === None)
+    assert(st.latestVersion() === vc)
+    // post-compaction upserts still work against the compacted layout
+    st.upsertFile(files.head, Seq(mkChunk(files.head, 0, "recompacted")).toDF())
+    assert(st.read().filter(col("filePath") === files.head)
+      .select("text").as[String].collect().toSeq === Seq("recompacted"))
+  }
+
   test("parquet manifest stats: a one-file read opens only matching data files") {
     val st = tmpStore(buckets = 8)
     val files = (0 until 8).map(i => s"/corpus/doc$i.md")
