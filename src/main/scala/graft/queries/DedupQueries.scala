@@ -216,6 +216,49 @@ object DedupQueries {
               |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
+    // ----- STREAMING incremental near-dup dedup, oracle-matched e2e: the
+    // dup corpus arrives as 4 doc-id-ordered micro-batches; each batch
+    // finds its pairs against the persisted MinHash index built so far
+    // (deltaCandidates → exact verify, cost follows the batch), then
+    // appends itself to the index (MinhashIndexStore.appendBatch). Every
+    // unordered pair surfaces exactly once — in the batch where its LATER
+    // member arrives — so the union over batches equals the full-corpus
+    // banded run, and the oracle is d_jaccard_pairs_lsh's VERBATIM: any
+    // drift between the incremental and the one-shot path breaks the hash. -----
+    Q("d_stream_delta_dedup",
+      (s, d) => graft.streaming.StreamingIngest
+        .incrementalDedupAvailableNow(s, dupCorpus(s, d))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $ShinglesCte,
+              |hs AS (SELECT doc_id,
+              |    list_transform(shs, s ->
+              |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+              |  FROM sh WHERE len(shs) > 0),
+              |sig AS (SELECT doc_id,
+              |    [list_min(list_transform(hs, h -> ((2*i+3) * h + (7*i+1)) % 2147483647))
+              |     for i in range(0, 16)] AS sig
+              |  FROM hs),
+              |bands AS (SELECT doc_id, t.b,
+              |    md5(concat_ws(',', sig[t.b*4+1]::VARCHAR, sig[t.b*4+2]::VARCHAR,
+              |                       sig[t.b*4+3]::VARCHAR, sig[t.b*4+4]::VARCHAR)) AS band_hash
+              |  FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+              |posts AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |          FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |j AS (SELECT i.id_a, i.id_b,
+              |        round(i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
+              |      FROM inter i
+              |      JOIN sizes sa ON sa.doc_id = i.id_a
+              |      JOIN sizes sb ON sb.doc_id = i.id_b
+              |      JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b)
+              |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // ----- one-knob dedupe: nearDupPairsAt("0.5") — banding chosen by the
     // s-curve rule (bandingFor(0.5, 16) = 8 bands × 2 rows, inflection at
     // (1/8)^(1/2) ≈ 0.354, the divisor pair nearest 0.5), then banded
@@ -530,6 +573,95 @@ object DedupQueries {
               |SELECT id AS doc_id, group_rep,
               |       count(*) OVER (PARTITION BY group_rep) AS group_size
               |FROM cc ORDER BY doc_id""".stripMargin), bench = true),
+
+    // ----- keep-best representative per dup group: the canonical corpus-
+    // cleaning step a near-dedup exists to feed. Same LSH→verify→CC chain
+    // as d_dup_groups, then each group keeps its HIGHEST-quality member
+    // (t_quality's score; doc_id tiebreak — exact-copy groups tie on
+    // quality), singletons keep themselves via the left join. Min-id
+    // canonical (d_clean_corpus) is the cheap variant; quality-argmax is
+    // what a training pipeline actually wants. -----
+    Q("d_keep_best",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val corpus = dupCorpus(s, d)
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .withColumn("shs", Dedup.wordShingles("ws", 5))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val withSig = corpus.filter(size(col("shs")) > 0)
+          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
+          .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        val candidates = Dedup.lshCandidatePairs(
+          Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
+        val verified = Dedup.jaccardOnPairs(candidates, corpus, "doc_id", "shs")
+          .filter(col("jaccard") >= 0.5)
+        val comp = Dedup.connectedComponents(verified)
+        val scored = corpus.select(col("doc_id"),
+          graft.ops.TextAnalysis.qualityScore(col("text")).as("quality"))
+        val grouped = scored.join(comp, scored("doc_id") === comp("id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("grp"),
+            col("quality"))
+        val w = Window.partitionBy("grp")
+          .orderBy(col("quality").desc, col("doc_id"))
+        grouped
+          .withColumn("rn", row_number().over(w))
+          .withColumn("group_size", count(lit(1)).over(Window.partitionBy("grp")))
+          .filter(col("rn") === 1)
+          .select(col("grp").as("group_rep"), col("doc_id").as("kept_id"),
+            col("quality"), col("group_size"))
+          .orderBy("group_rep")
+      },
+      Some(s"""WITH RECURSIVE $ShinglesCte,
+              |hs AS (SELECT doc_id,
+              |    list_transform(shs, s ->
+              |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+              |  FROM sh WHERE len(shs) > 0),
+              |sig AS (SELECT doc_id,
+              |    [list_min(list_transform(hs, h -> ((2*i+3) * h + (7*i+1)) % 2147483647))
+              |     for i in range(0, 16)] AS sig
+              |  FROM hs),
+              |bands AS (SELECT doc_id, t.b,
+              |    md5(concat_ws(',', sig[t.b*4+1]::VARCHAR, sig[t.b*4+2]::VARCHAR,
+              |                       sig[t.b*4+3]::VARCHAR, sig[t.b*4+4]::VARCHAR)) AS band_hash
+              |  FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+              |posts AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |          FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |verified AS (SELECT i.id_a, i.id_b
+              |  FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.id_a
+              |  JOIN sizes sb ON sb.doc_id = i.id_b
+              |  JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |  WHERE round(i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter), 4) >= 0.5),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+              |          UNION SELECT id_b, id_a FROM verified),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+              |cc AS (SELECT id, min(r) AS group_rep FROM reach GROUP BY 1),
+              |q AS (SELECT doc_id, round(
+              |    (len(regexp_extract_all(text, '[a-zA-Z0-9]')) * 1.0
+              |       / greatest(length(text) * 1.0, 1.0)) * 0.25
+              |  + least(length(text) * 1.0 / 500.0, 1.0) * 0.25
+              |  + least((len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|a|in)\\b')) * 1.0
+              |       / greatest(len(regexp_extract_all(text, '\\S+')) * 1.0, 1.0)) * 5.0, 1.0) * 0.25
+              |  + (len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) * 1.0
+              |       / greatest(len(regexp_extract_all(text, '\\S+')) * 1.0, 1.0)) * 0.25
+              |  , 4) AS quality FROM corpus),
+              |g AS (SELECT q.doc_id, coalesce(cc.group_rep, q.doc_id) AS grp, q.quality
+              |      FROM q LEFT JOIN cc ON cc.id = q.doc_id),
+              |r AS (SELECT grp, doc_id, quality,
+              |        row_number() OVER (PARTITION BY grp ORDER BY quality DESC, doc_id) AS rn,
+              |        count(*) OVER (PARTITION BY grp) AS group_size
+              |      FROM g)
+              |SELECT grp AS group_rep, doc_id AS kept_id, quality, group_size
+              |FROM r WHERE rn = 1 ORDER BY group_rep""".stripMargin)),
 
     // ----- MinHash + LSH candidate pairs (16 hashes, 4 bands × 4 rows) -----
     Q("d_minhash_lsh",

@@ -99,6 +99,48 @@ final class MinhashIndexStore(
     } finally sigs.unpersist()
   }
 
+  /** Append one mutation batch's signatures + bands to the stored index —
+    * the streaming-ingest cadence
+    * ([[graft.streaming.StreamingIngest.incrementalDedupAvailableNow]]):
+    * the index grows by |batch| rows with no corpus rescan and no directory
+    * swap. Bootstraps via [[rebuild]] when no index exists yet. Plain
+    * parquet append is safe here because the writer is single (foreachBatch
+    * executes serially) and a concurrent READER of a half-appended batch
+    * sees a superset of the previous index — which can only ADD candidate
+    * pairs, and candidates are always exact-verified downstream. Stats are
+    * merged LAST, same discipline as rebuild. Returns rows appended. */
+  def appendBatch(batchDocs: DataFrame, textCol: String = "text"): Long = {
+    if (!exists) { rebuild(batchDocs, textCol); return rowCount() }
+    val sp = spark
+    import sp.implicits._
+    val sigs = signatures(batchDocs, textCol).persist()
+    try {
+      val n = sigs.count()
+      if (n == 0L) return 0L
+      val parts = if (bucketed) Seq("pbucket") else Seq.empty
+      def appendTo(df: DataFrame, dest: String): Unit = {
+        val d = if (bucketed) df.withColumn("pbucket", bucketCol) else df
+        val w = d.write.mode(SaveMode.Append)
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(dest)
+      }
+      appendTo(bandsOf(sigs), bandsPath)
+      appendTo(sigs, sigsPath)
+      val cur = sp.read.parquet(statsPath)
+        .select("pbucket", "n_rows").as[(Long, Long)].collect().toMap
+      val add: Map[Long, Long] =
+        if (bucketed) sigs.withColumn("pbucket", bucketCol)
+          .groupBy("pbucket").agg(count(lit(1)).as("n"))
+          .as[(Long, Long)].collect().toMap
+        else Map(0L -> n)
+      val merged = (cur.keySet ++ add.keySet).toSeq.sorted
+        .map(b => (b, cur.getOrElse(b, 0L) + add.getOrElse(b, 0L)))
+      DirSwap.swapInto(fs, path, statsPath)(tmp =>
+        merged.toDF("pbucket", "n_rows")
+          .write.mode(SaveMode.Overwrite).parquet(tmp))
+      n
+    } finally sigs.unpersist()
+  }
+
   /** stored banded projection (id, band, band_hash) */
   def storedBands: DataFrame =
     spark.read.parquet(bandsPath).select(col(idCol), col("band"), col("band_hash"))

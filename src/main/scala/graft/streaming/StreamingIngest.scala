@@ -371,6 +371,132 @@ object StreamingIngest {
                              watermarkDelay: String = "90 days"): DataFrame =
     exactDedupAvailableNowWithStats(spark, corpus, numFiles, watermarkDelay)._1
 
+  /** Streaming INCREMENTAL near-dup dedup — the continuous-ingest shape of
+    * `d_delta_dedup`: each micro-batch (one staged doc-id-ordered file per
+    * trigger, same discipline as the other AvailableNow runs) runs inside
+    * foreachBatch as
+    *
+    *   1. candidates of the batch against everything indexed SO FAR
+    *      ([[graft.store.MinhashIndexStore.deltaCandidates]]: broadcast the
+    *      batch's bands onto the stored band table) plus in-batch banding;
+    *   2. exact Jaccard verify, shingling ONLY candidate-touched docs
+    *      (point-lookups into the accumulated doc store, never a rescan);
+    *   3. append the verified pairs to the output, the batch to the doc
+    *      store, and the batch's signatures to the index
+    *      ([[graft.store.MinhashIndexStore.appendBatch]]).
+    *
+    * Per-batch cost follows |batch| + |candidates| — the 100 TB posture: a
+    * corpus streaming in forever is deduped as it arrives, and the index is
+    * the only state that persists. Every unordered near-dup pair surfaces
+    * exactly once, in the batch where its LATER member arrives — so the
+    * union over batches equals the full-corpus banded LSH pairs at the same
+    * threshold, which is what the e2e oracle (d_stream_delta_dedup)
+    * hash-checks. Returns (id_a, id_b, jaccard) materialized driver-side;
+    * all staging/index/store state lives under a fresh temp dir, deleted on
+    * return (each invocation is a self-contained run). */
+  def incrementalDedupAvailableNowWithStats(spark: org.apache.spark.sql.SparkSession,
+                                            corpus: DataFrame,
+                                            threshold: Double = 0.5,
+                                            numFiles: Int = 4): (DataFrame, StreamRunStats) = {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val stage = JFiles.createTempDirectory("graft_stream_delta")
+    val src = stage.resolve("src")
+    JFiles.createDirectories(src)
+    val indexDir = stage.resolve("mh-index").toString
+    val docsDir = stage.resolve("docs").toString
+    val pairsDir = stage.resolve("pairs").toString
+    try {
+      val ev = corpus.select(col("doc_id"), col("text"))
+      val Array(lo, hi) = ev.agg(min(col("doc_id")), max(col("doc_id")))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val n = math.max(1, numFiles)
+      val span = math.max(1L, (hi - lo) / n + 1)
+      (0 until n).foreach { i =>
+        val tmp = stage.resolve(s"slice_$i").toString
+        ev.filter(col("doc_id") >= lo + i * span && col("doc_id") < lo + (i + 1) * span)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = JFiles.list(Paths.get(tmp)).iterator()
+        val found = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found += p }
+        val dest = src.resolve(f"docs_$i%04d.parquet")
+        JFiles.move(found.head, dest, StandardCopyOption.REPLACE_EXISTING)
+        JFiles.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+      }
+      val st = new graft.store.MinhashIndexStore(spark, indexDir,
+        nHashes = 16, bands = 4, rowsPerBand = 4)
+      var batchesWithRows = 0L
+      val raw = spark.readStream.schema(spark.read.parquet(src.toString).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+      val q = raw.writeStream
+        .foreachBatch { (batchDF: DataFrame, _: Long) =>
+          val batch = batchDF.persist()
+          try {
+            if (batch.take(1).nonEmpty) {
+              batchesWithRows += 1
+              val cands = (
+                if (st.exists) st.deltaCandidates(batch)
+                else { // first batch: no stored side yet, in-batch pairs only
+                  val sigs = st.signatures(batch)
+                  graft.ops.Dedup.lshCandidatePairs(
+                    graft.ops.Dedup.lshBands(sigs, "doc_id", "sig", 4, 4), "doc_id")
+                }).persist()
+              try {
+                if (cands.take(1).nonEmpty) {
+                  val candIds = cands.select(col("id_a").as("doc_id"))
+                    .union(cands.select(col("id_b").as("doc_id"))).distinct()
+                  // texts of candidate-touched docs: this batch plus point
+                  // lookups into the accumulated doc store
+                  val lookup =
+                    if (new java.io.File(docsDir).exists)
+                      batch.unionByName(spark.read.parquet(docsDir))
+                    else batch
+                  val needed = lookup.join(bcast(candIds), Seq("doc_id"), "left_semi")
+                    .withColumn("ws", graft.ops.Dedup.wordsArray("text"))
+                    .withColumn("shs", graft.ops.Dedup.wordShingles("ws", 5))
+                  graft.ops.Dedup.jaccardOnPairs(cands, needed, "doc_id", "shs")
+                    .filter(col("jaccard") >= threshold)
+                    .write.mode("append").parquet(pairsDir)
+                }
+              } finally cands.unpersist()
+              batch.select("doc_id", "text").write.mode("append").parquet(docsDir)
+              st.appendBatch(batch): Unit
+            }
+          } finally batch.unpersist(): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("id_b",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+      val out =
+        if (new java.io.File(pairsDir).exists) {
+          val p = spark.read.parquet(pairsDir)
+            .select(col("id_a").cast("long"), col("id_b").cast("long"),
+              col("jaccard").cast("double"))
+          spark.createDataFrame(java.util.Arrays.asList(p.collect(): _*), pairSchema)
+        } else spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), pairSchema)
+      (out, StreamRunStats(batches = batchesWithRows, maxStateRows = st.rowCount()))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      JFiles.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(p => JFiles.deleteIfExists(p))
+    }
+  }
+
+  def incrementalDedupAvailableNow(spark: org.apache.spark.sql.SparkSession,
+                                   corpus: DataFrame, threshold: Double = 0.5,
+                                   numFiles: Int = 4): DataFrame =
+    incrementalDedupAvailableNowWithStats(spark, corpus, threshold, numFiles)._1
+
   /** run the streaming ingest over a directory of text files using
     * AvailableNow (incremental batch), writing chunk parquet + checkpoint */
   def runAvailableNow(docs: Dataset[Ingest.Doc], mkEmbedder: () => Embedder,

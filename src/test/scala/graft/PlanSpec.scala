@@ -85,6 +85,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("ANN-routed hybrid e2e: partition-pruned probe inside the full pipeline") {
+    // the engine's routed read path (q_hybrid_ann): the candidate scan must
+    // be the pruned index-partition read, broadcast back onto the corpus —
+    // NEVER a corpus-wide vector scan or a shuffled candidate join
+    val p = plan("q_hybrid_ann")
+    assert(p.contains("PartitionFilters: [") && p.contains("abucket"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject")) // probe top-k + final re-rank
+    assert(p.contains("BroadcastHashJoin")) // ≤ 2·limit candidates broadcast
+    assert(!p.contains("float_vector_dot(vector"), // no brute-force corpus scan:
+      "corpus-wide dot product found in the ANN-routed plan") // dot runs on
+    assert(!p.contains("CartesianProduct"))        // probed bucket rows only
+  }
+
   test("sync reconciliation is a single full-outer shuffle join") {
     val p = plan("j1_sync_plan")
     assert(p.contains("FullOuter"))

@@ -173,6 +173,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats.batches >= 3, s"expected >= 3 micro-batches, got ${stats.batches}")
   }
 
+  test("streaming incremental near-dup dedup equals the one-shot batch run") {
+    // near-dup pairs planted ACROSS doc-id ranges so they only surface via
+    // index state built in earlier micro-batches
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (0L, base), (1L, "completely different text about cooking pasta with garlic and olive oil for dinner tonight yes"),
+      (2L, "a third unrelated document discussing spark shuffle partitions and broadcast joins in detail here"),
+      (10L, base + " extra"), // batch 2: near-dup of doc 0
+      (11L, "another filler document with enough words to shingle properly across five gram windows okay"),
+      (20L, base), // batch 3: exact dup of doc 0 (and near-dup of 10)
+      (21L, "final filler text mentioning embeddings vectors indexes and probes for completeness sake right")
+    ).toDF("doc_id", "text")
+    val (pairs, stats) = StreamingIngest.incrementalDedupAvailableNowWithStats(
+      spark, corpus, threshold = 0.5, numFiles = 3)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // one-shot twin over the same corpus
+    val shingled = corpus
+      .withColumn("ws", graft.ops.Dedup.wordsArray("text"))
+      .withColumn("shs", graft.ops.Dedup.wordShingles("ws", 5))
+    val withSig = shingled.filter(org.apache.spark.sql.functions.size(col("shs")) > 0)
+      .withColumn("hs", graft.ops.Dedup.shingleBaseHashes("shs"))
+      .withColumn("sig", graft.ops.Dedup.minhashSignature("hs", 16))
+    val oneShot = graft.ops.Dedup.jaccardOnPairs(
+        graft.ops.Dedup.lshCandidatePairs(
+          graft.ops.Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id"),
+        shingled, "doc_id", "shs")
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === oneShot)
+    assert(got.contains((0L, 20L)), "cross-batch exact dup not found via index state")
+    assert(got.contains((0L, 10L)), "cross-batch near dup not found via index state")
+    assert(stats.batches >= 3, s"expected >= 3 micro-batches, got ${stats.batches}")
+    assert(stats.maxStateRows === 7L, "index should hold exactly the signed docs")
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
