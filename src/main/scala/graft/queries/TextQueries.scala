@@ -206,6 +206,40 @@ object TextQueries {
              |SELECT lang, split, count(*) AS n_docs FROM s
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- final-stage corpus export: write the sharded training layout
+    // (split=/lang=/shard= dirs, deterministic hash placement, bounded file
+    // sizes) then READ IT BACK and manifest it — the oracle replays the
+    // placement rule from the raw table, so a writer bug (dropped rows,
+    // mis-routed shard, partition-column corruption) breaks the hash. The
+    // repartition-before-partitionBy discipline is what stops the
+    // tasks×dirs small-file explosion at 100 TB (see ops/CorpusWriter). -----
+    Q("t_shard_export",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-shard-export-" +
+          d.replaceAll("[^a-zA-Z0-9._-]", "_")
+        graft.ops.CorpusWriter.writeSharded(
+          Tables.documents(s, d).select("doc_id", "lang", "text"), out,
+          numShards = 8, maxRecordsPerFile = 100)
+        s.read.parquet(out)
+          .groupBy("split", "lang", "shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("sum_chars"))
+          .select(col("split"), col("lang"), col("shard").cast("long").as("shard"),
+            col("n_docs"), col("sum_chars"))
+          .orderBy("split", "lang", "shard")
+      },
+      Some("""WITH s AS (SELECT lang, length(text)::BIGINT AS n_chars,
+             |    CASE WHEN CAST(concat('0x', substr(md5(md5(text)), 1, 15)) AS BIGINT) % 100 < 80
+             |           THEN 'train'
+             |         WHEN CAST(concat('0x', substr(md5(md5(text)), 1, 15)) AS BIGINT) % 100 < 90
+             |           THEN 'val'
+             |         ELSE 'test' END AS split,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+             |  FROM documents)
+             |SELECT split, lang, shard, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // ----- token budget: training tokens per lang per split (the "how many
     // tokens do we have" query every corpus build ends with) -----
     Q("t_token_budget",
