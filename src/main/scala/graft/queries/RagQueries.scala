@@ -185,6 +185,51 @@ object RagQueries {
               |FROM fin ORDER BY boosted, doc_id LIMIT 10""".stripMargin),
       bench = true),
 
+    // ----- §3.1 with the PERSISTED BM25 index: same pipeline and ORACLE as
+    // q_hybrid, but keyword scores come from FtsIndexStore postings loaded
+    // from disk instead of re-tokenizing the corpus per query — the
+    // reference's production read shape (its FTS index lives in the store,
+    // `src/server/index.ts:546-549`). Benched next to q_hybrid so the
+    // index-vs-ad-hoc delta is measured, not asserted; identical scores are
+    // additionally spec-gated (OpsSpec "indexed equals ad-hoc"). -----
+    Q("q_hybrid_idx",
+      (s, d) => {
+        val ch = chunks(s, d)
+          .withColumn("filePath", col("source"))
+          .withColumn("chunkIndex", col("doc_id").cast("int"))
+          .withColumnRenamed("embedding", "vector")
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft-fts-idx-" +
+          d.replaceAll("[^a-zA-Z0-9._-]", "_")
+        val fts = new graft.store.FtsIndexStore(s, dir, 0)
+        // staleness probe for the cross-run tmp cache: embeddings count ==
+        // chunk-table count (1:1 join by construction), and a single-column
+        // count of one table is cheaper than counting the join
+        val stale = !fts.exists ||
+          fts.load().get.stats.select(col("n_docs")).head().getLong(0) !=
+            Tables.embeddings(s, d).count()
+        if (stale) fts.rebuild(ch)
+        HybridSearch.search(ch.crossJoin(broadcast(qv(s, d))), col("qv"),
+          HybridSearch.Params(limit = 10, weight = 0.6,
+            queryTokens = Seq("spark", "join")),
+          ftsIndex = fts.load())
+          .select(col("doc_id"), rounded("score").as("score"),
+            rounded("boosted").as("boosted"))
+      },
+      Some(s"""$DotCte,
+              |c AS (SELECT doc_id, source, raw FROM s ORDER BY raw, source, doc_id LIMIT 20),
+              |toks AS (SELECT d.doc_id, unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS tok
+              |         FROM documents d, embeddings e WHERE d.doc_id = e.vec_id),
+              |${bm25Sql(Seq("spark", "join"))},
+              |fts AS (SELECT bm.* FROM bm JOIN documents dd ON bm.doc_id = dd.doc_id
+              |        WHERE dd.source IN (SELECT DISTINCT source FROM c)),
+              |mx AS (SELECT max(bm25raw) AS mkw FROM fts),
+              |fin AS (SELECT c.doc_id, c.raw,
+              |          c.raw / (1.0 + coalesce(fts.bm25raw / mx.mkw, 0.0) * 0.6) AS boosted
+              |        FROM c CROSS JOIN mx LEFT JOIN fts ON c.doc_id = fts.doc_id)
+              |SELECT doc_id, round(raw, 4) + 0.0 AS score, round(boosted, 4) + 0.0 AS boosted
+              |FROM fin ORDER BY boosted, doc_id LIMIT 10""".stripMargin),
+      bench = true),
+
     // ----- §3.1 via the Engine's ANN route: persisted SRP probe feeding the
     // SAME hybrid pipeline (api/Engine.scala:129-135 wires exactly this shape
     // above annThreshold: probe → candidate join → boost → re-rank → k).
@@ -202,7 +247,8 @@ object RagQueries {
           d.replaceAll("[^a-zA-Z0-9._-]", "_") // shared with ann_srp_store_probe
         val st = new graft.store.SrpIndexStore(s, dir, dim = Dim, planes = 8,
           0, Seq("vec_id"), "embedding")
-        if (!st.exists || st.rowCount() != e.count()) st.rebuild(e)
+        val nCorpus = e.count() // one staleness probe shared by both indexes
+        if (!st.exists || st.rowCount() != nCorpus) st.rebuild(e)
         val ch = chunks(s, d)
           .withColumn("filePath", col("source"))
           .withColumn("chunkIndex", col("doc_id").cast("int"))
@@ -218,9 +264,18 @@ object RagQueries {
         val annC = ch.select("filePath", "chunkIndex")
           .join(broadcast(cand), Seq("chunkIndex"))
           .select("filePath", "chunkIndex", "score")
+        // BOTH persisted indexes, as the engine routes it: SRP candidates +
+        // FTS postings (dir shared with q_hybrid_idx, built once per corpus)
+        val ftsDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts-idx-" +
+          d.replaceAll("[^a-zA-Z0-9._-]", "_")
+        val fts = new graft.store.FtsIndexStore(s, ftsDir, 0)
+        val ftsStale = !fts.exists ||
+          fts.load().get.stats.select(col("n_docs")).head().getLong(0) != nCorpus
+        if (ftsStale) fts.rebuild(ch)
         HybridSearch.search(ch, typedLit(qArr.toSeq),
           HybridSearch.Params(limit = 10, weight = 0.6,
             queryTokens = Seq("spark", "join")),
+          ftsIndex = fts.load(),
           annCandidates = Some(annC))
           .select(col("doc_id"), rounded("score").as("score"),
             rounded("boosted").as("boosted"))

@@ -63,13 +63,23 @@ final class FtsIndexStore(spark: SparkSession, path: String, numBuckets: Int = 0
     val postings = postings0.persist()
     val docLens = docLens0.persist()
     try {
+      // postings are laid out TOKEN-SORTED (range-partitioned when the
+      // plan lets it, sorted within every file regardless): a query's
+      // `tok IN (...)` pushdown then skips row groups by the parquet
+      // min/max stats instead of scanning every posting — the difference
+      // between a probe that reads the query's tokens and one that reads
+      // the whole inverted index. At 100 TB this is the bucketed-by-token
+      // postings layout; here range partitioning gives the same skipping.
       if (bucketed) {
         swapInto(postingsPath,
-          tmp => postings.write.partitionBy("pbucket").mode(SaveMode.Overwrite).parquet(tmp))
+          tmp => postings.sortWithinPartitions("pbucket", "tok")
+            .write.partitionBy("pbucket").mode(SaveMode.Overwrite).parquet(tmp))
         swapInto(docLensPath,
           tmp => docLens.write.partitionBy("pbucket").mode(SaveMode.Overwrite).parquet(tmp))
       } else {
-        swapInto(postingsPath, tmp => postings.write.mode(SaveMode.Overwrite).parquet(tmp))
+        swapInto(postingsPath, tmp => postings
+          .repartitionByRange(col("tok")).sortWithinPartitions("tok")
+          .write.mode(SaveMode.Overwrite).parquet(tmp))
         swapInto(docLensPath, tmp => docLens.write.mode(SaveMode.Overwrite).parquet(tmp))
       }
       // stats last: `exists` keys on stats, so readers only see a complete index
@@ -87,7 +97,8 @@ final class FtsIndexStore(spark: SparkSession, path: String, numBuckets: Int = 0
     val docLens = idx.docLens.persist()
     try {
       swapInto(s"$postingsPath/pbucket=$bucket",
-        tmp => postings.write.mode(SaveMode.Overwrite).parquet(tmp))
+        tmp => postings.sortWithinPartitions("tok") // same skip-friendly layout
+          .write.mode(SaveMode.Overwrite).parquet(tmp))
       swapInto(s"$docLensPath/pbucket=$bucket",
         tmp => docLens.write.mode(SaveMode.Overwrite).parquet(tmp))
       val bucketStats = docLens
