@@ -181,12 +181,17 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
       require(tryCommit(0L, Seq.empty), "concurrent create")
     }
 
+  /** manifest paths are root-relative for files this table wrote, absolute
+    * for files referenced across roots (shallow clones) */
+  private def resolvePath(p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
+
   private def snapshotDF(entries: Seq[ManifestEntry]): DataFrame =
     if (entries.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ChunkSchema.schema)
     else spark.read.schema(ChunkSchema.schema)
-      .parquet(entries.map(e => s"$root/${e.path}"): _*)
+      .parquet(entries.map(e => resolvePath(e.path)): _*)
 
   /** read a specific snapshot (time travel) */
   def readVersion(v: Long): DataFrame = snapshotDF(readManifest(v))
@@ -253,6 +258,33 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
       attempt += 1
     }
     throw new java.io.IOException(s"upsert of $filePath lost $maxRetries CAS races")
+  }
+
+  /** Zero-copy SHALLOW CLONE of a snapshot into a new table root (the
+    * lakehouse branch-for-experimentation verb): the clone's v0 manifest
+    * references the SOURCE's data files by absolute path — nothing is
+    * copied, so cloning a 100 TB table is one tiny manifest write. Writes
+    * to the clone add files under the CLONE's root (copy-on-write keeps
+    * sources immutable), so source and clone diverge independently from
+    * the shared base. The source must not vacuum away files the clone's
+    * manifests still reference within the clone's lifetime — the same
+    * retention contract readers already rely on, extended to clones (a
+    * production catalog would track cross-table references; here the
+    * caller owns that retention policy, and the spec pins the semantics).
+    * Returns the clone. */
+  def cloneTo(destRoot: String, version: Option[Long] = None): VersionedStore = {
+    val v = version.orElse(latestVersion()).getOrElse(
+      throw new IllegalStateException("cannot clone an uninitialized table"))
+    val entries = readManifest(v).map { e =>
+      // rewrite relative source paths to absolute so the clone resolves
+      // them outside its own root; already-absolute entries pass through
+      if (e.path.startsWith("/") || e.path.contains("://")) e
+      else e.copy(path = s"$root/${e.path}")
+    }
+    val dest = new VersionedStore(spark, destRoot, numBuckets)
+    require(dest.latestVersion().isEmpty, s"clone destination $destRoot is not empty")
+    require(dest.tryCommit(0L, entries), "concurrent writer at clone destination")
+    dest
   }
 
   /** Compact fragmented buckets: every bucket holding more than

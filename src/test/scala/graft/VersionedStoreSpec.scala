@@ -217,6 +217,42 @@ class VersionedStoreSpec extends AnyFunSuite {
       .select("text").as[String].collect().toSeq === Seq("recompacted"))
   }
 
+  test("shallow clone: zero-copy branch reads the source and diverges on write") {
+    val srcRoot = Files.createTempDirectory("vstore-src").toString + "/table"
+    val src = new VersionedStore(spark, srcRoot, 4)
+    val files = (0 until 4).map(i => s"/cl/doc$i.md")
+    files.foreach(f => src.upsertFile(f, Seq(mkChunk(f, 0, s"base $f")).toDF()))
+
+    val cloneRoot = Files.createTempDirectory("vstore-clone").toString + "/table"
+    val clone = src.cloneTo(cloneRoot)
+    // zero-copy: the clone resolves the SOURCE's files; it owns none yet
+    assert(clone.read().orderBy("id").collect() === src.read().orderBy("id").collect())
+    assert(clone.read().inputFiles.forall(_.contains(srcRoot)))
+    assert(!new java.io.File(s"$cloneRoot/data").exists())
+
+    // clone writes land under the clone and never touch the source
+    clone.upsertFile(files.head, Seq(mkChunk(files.head, 0, "clone edit")).toDF())
+    assert(clone.read().filter(col("filePath") === files.head)
+      .select("text").as[String].head() === "clone edit")
+    assert(src.read().filter(col("filePath") === files.head)
+      .select("text").as[String].head() === s"base ${files.head}")
+
+    // source writes after the clone point don't leak into the clone
+    src.upsertFile(files(1), Seq(mkChunk(files(1), 0, "src moved on")).toDF())
+    assert(clone.read().filter(col("filePath") === files(1))
+      .select("text").as[String].head() === s"base ${files(1)}")
+
+    // compaction LOCALIZES the clone: afterwards every file it reads is its
+    // own, so the source's retention no longer constrains it
+    clone.compact(maxFilesPerBucket = 0)
+    assert(clone.read().inputFiles.forall(_.contains(cloneRoot)),
+      clone.read().inputFiles.take(3).mkString(","))
+    assert(clone.read().count() === 4L)
+
+    // cloning into a non-empty table is refused
+    intercept[IllegalArgumentException] { src.cloneTo(cloneRoot) }
+  }
+
   test("parquet manifest stats: a one-file read opens only matching data files") {
     val st = tmpStore(buckets = 8)
     val files = (0 until 8).map(i => s"/corpus/doc$i.md")
