@@ -781,6 +781,62 @@ object DedupQueries {
              |FROM train t JOIN bench b ON t.s = b.s
              |GROUP BY 1 HAVING count(DISTINCT t.s) >= 1 ORDER BY 1""".stripMargin)),
 
+    // ----- decontamination via WINNOWING fingerprints — the
+    // paraphrase-robust third variant: shingle decontamination (above)
+    // needs 5 words copied verbatim; winnowed rolling-hash fingerprints
+    // (k=8 chars, window 4) survive local edits, so a benchmark passage
+    // lightly reworded into a train doc still collides. The synthetic
+    // corpus shares heavy vocabulary, so 8-char grains have a high chance
+    // baseline (median 29 shared fps/doc at sf0.01) — the threshold sits
+    // at the ~p90 of that baseline (≥ 48), flagging only documents whose
+    // overlap is far beyond chance, which is how a real decontamination
+    // pass tunes its cutoff against the null distribution.
+    // Same broadcast-the-benchmark shape as the other decontam queries —
+    // at 100 TB the benchmark side is small by definition. -----
+    Q("d_decontam_winnow",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(length(col("text")) >= graft.ops.TextAnalysis.WinnowK)
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("fps")).as("fp")).distinct()
+        val train = docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
+        train.join(broadcast(bench), "fp")
+          .groupBy("doc_id").agg(countDistinct(col("fp")).as("n_shared"))
+          .filter(col("n_shared") >= 48)
+          .orderBy("doc_id")
+      },
+      Some {
+        val m = graft.ops.TextAnalysis.WinnowMod
+        val weights = (0 until graft.ops.TextAnalysis.WinnowK).map { j =>
+          var p = 1L
+          for (_ <- 0 until (graft.ops.TextAnalysis.WinnowK - 1 - j))
+            p = p * graft.ops.TextAnalysis.WinnowBase % m
+          p
+        }.mkString("[", ", ", "]")
+        s"""WITH c AS (SELECT doc_id, text,
+           |    [ord(text[i])::BIGINT for i in range(1, length(text) + 1)] AS codes
+           |  FROM documents WHERE length(text) >= 8),
+           |h AS (SELECT doc_id,
+           |    [CAST(list_sum([codes[i + j] * ($weights)[j + 1] for j in range(0, 8)]) % $m
+           |          AS BIGINT)
+           |     for i in range(1, len(codes) - 6)] AS hs
+           |  FROM c),
+           |f AS (SELECT doc_id,
+           |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+           |         ELSE list_sort(list_distinct(
+           |           [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]))
+           |    END AS fps
+           |  FROM h),
+           |bench AS (SELECT DISTINCT unnest(fps) AS fp FROM f WHERE doc_id % 97 = 0),
+           |train AS (SELECT doc_id, unnest(fps) AS fp FROM f WHERE doc_id % 97 <> 0)
+           |SELECT t.doc_id, count(DISTINCT t.fp) AS n_shared
+           |FROM train t JOIN bench b ON t.fp = b.fp
+           |GROUP BY 1 HAVING count(DISTINCT t.fp) >= 48 ORDER BY 1""".stripMargin
+      }),
+
     // ----- decontamination with a Bloom prefilter — the 100 TB shape: the
     // benchmark shingle set compresses to a broadcast Bloom filter, ~fpp of
     // the train postings survive to the exact join (which then removes the
