@@ -85,6 +85,131 @@ object DedupQueries {
       |SELECT vec_id, round(raw, 4) + 0.0 AS score FROM sc
       |ORDER BY raw, vec_id LIMIT 10""".stripMargin
 
+  /** oracle CTE chain of the cleaning pipeline through kept4 — shared by
+    * d_corpus_pipeline and d_train_manifest */
+  private val CleaningCtes =
+    s"""$DupCorpusCte,
+    |g AS (SELECT doc_id, text,
+    |    len(regexp_extract_all(text, '\\S+')) AS n_words,
+    |    len(regexp_extract_all(text, '#'))
+    |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+    |    len(str_split(text, chr(10))) AS n_lines,
+    |    len(regexp_extract_all(text, '(?m)^\\s*[-*•]')) AS n_bullet,
+    |    len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$$')) AS n_ellip
+    |  FROM corpus),
+    |kept1 AS (SELECT doc_id, text FROM g
+    |  WHERE (n_words BETWEEN 20 AND 100000)
+    |    AND round(n_sym * 1.0 / greatest(n_words, 1), 4) < 0.1
+    |    AND round(n_bullet * 1.0 / greatest(n_lines, 1), 4) <= 0.9
+    |    AND round(n_ellip * 1.0 / greatest(n_lines, 1), 4) <= 0.3),
+    |canon AS (SELECT min(doc_id) AS doc_id
+    |  FROM kept1
+    |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+    |kept2 AS (SELECT k.doc_id, k.text FROM kept1 k
+    |  JOIN canon c ON c.doc_id = k.doc_id),
+    |w2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+    |       FROM kept2),
+    |sh2 AS (SELECT doc_id,
+    |    CASE WHEN len(ws) >= 5
+    |      THEN list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])
+    |      ELSE [] END AS shs
+    |  FROM w2),
+    |hs AS (SELECT doc_id,
+    |    list_transform(shs, s ->
+    |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+    |  FROM sh2 WHERE len(shs) > 0),
+    |sig AS (SELECT doc_id,
+    |    [list_min(list_transform(hs, h -> ((2*i+3) * h + (7*i+1)) % 2147483647))
+    |     for i in range(0, 16)] AS sig
+    |  FROM hs),
+    |bands AS (SELECT doc_id, t.b,
+    |    md5(concat_ws(',', sig[t.b*4+1]::VARCHAR, sig[t.b*4+2]::VARCHAR,
+    |                       sig[t.b*4+3]::VARCHAR, sig[t.b*4+4]::VARCHAR)) AS band_hash
+    |  FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
+    |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    |  FROM bands a JOIN bands b
+    |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh2),
+    |posts AS (SELECT doc_id, unnest(shs) AS s FROM sh2),
+    |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    |          FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+    |          GROUP BY 1, 2),
+    |dropped AS (SELECT DISTINCT i.id_b AS doc_id
+    |  FROM inter i
+    |  JOIN sizes sa ON sa.doc_id = i.id_a
+    |  JOIN sizes sb ON sb.doc_id = i.id_b
+    |  JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+    |  WHERE round(i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter), 4) >= 0.8),
+    |kept3 AS (SELECT doc_id FROM kept2
+    |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+    |wb AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+    |       FROM corpus WHERE doc_id % 97 = 0),
+    |benchsh AS (SELECT DISTINCT unnest(CASE WHEN len(ws) >= 5
+    |    THEN list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])
+    |    ELSE [] END) AS sh
+    |  FROM wb),
+    |contaminated AS (SELECT DISTINCT p.doc_id
+    |  FROM posts p
+    |  JOIN kept3 k ON k.doc_id = p.doc_id
+    |  JOIN benchsh b ON b.sh = p.s
+    |  WHERE p.doc_id % 97 <> 0),
+    |kept4 AS (SELECT doc_id FROM kept3
+    |  WHERE doc_id % 97 <> 0
+    |    AND doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin
+
+  /** Shared cleaning pipeline (quality rules → exact dedup → verified
+    * near-dup drop → decontamination): d_corpus_pipeline reports its
+    * retention funnel, d_train_manifest lays out its survivors — ONE
+    * builder so the two can never drift. */
+  private final case class CleanStages(corpus: DataFrame, kept1: DataFrame,
+                                       kept2: DataFrame, kept3: DataFrame,
+                                       kept4: DataFrame)
+
+  private def cleaningStages(s: SparkSession, d: String): CleanStages = {
+    import graft.ops.TextAnalysis
+    val corpus = dupCorpus(s, d)
+    // the multilingual-safe subset of the Gopher rules (word floor +
+    // format ratios): stopword/alpha/mean-word-length rules are
+    // English priors that zero out CJK and non-English strata — the
+    // full rule set stays measured per-doc by t_gopher_rules
+    val g = TextAnalysis.gopherRules(col("text"))
+    val kept1 = corpus
+      .filter(g.getField("n_words").between(20, 100000) &&
+        g.getField("symbol_ratio") < 0.1 &&
+        g.getField("bullet_ratio") <= 0.9 &&
+        g.getField("ellipsis_ratio") <= 0.3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = kept1
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+    val kept2 = kept1.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("ws", Dedup.wordsArray("text"))
+      .withColumn("shs", Dedup.wordShingles("ws", 5))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = kept2.filter(size(col("shs")) > 0)
+      .withColumn("hs", Dedup.shingleBaseHashes("shs"))
+      .withColumn("sig", Dedup.minhashSignature("hs", 16))
+    val nearPairs = Dedup.jaccardOnPairs(
+        Dedup.lshCandidatePairs(
+          Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id"),
+        kept2, "doc_id", "shs")
+      .filter(col("jaccard") >= 0.8)
+    val dropped = nearPairs.select(col("id_b").as("doc_id")).distinct()
+    val kept3 = kept2.join(dropped, Seq("doc_id"), "left_anti")
+    // holdout = shingles of RAW-corpus docs with doc_id % 97 == 0 (the
+    // benchmark set exists independently of what cleaning kept)
+    val benchSh = corpus.filter(col("doc_id") % 97 === 0)
+      .withColumn("ws", Dedup.wordsArray("text"))
+      .select(explode(Dedup.wordShingles("ws", 5)).as("sh")).distinct()
+    val contaminated = kept3.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .join(broadcast(benchSh), "sh")
+      .select("doc_id").distinct()
+    val kept4 = kept3.filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    CleanStages(corpus, kept1, kept2, kept3, kept4)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ----- int8 vector quantization over the embeddings table -----
@@ -313,124 +438,17 @@ object DedupQueries {
     // banded candidates + broadcast verify, broadcast holdout join). -----
     Q("d_corpus_pipeline",
       (s, d) => {
-        import graft.ops.TextAnalysis
-        val corpus = dupCorpus(s, d)
-        // the multilingual-safe subset of the Gopher rules (word floor +
-        // format ratios): stopword/alpha/mean-word-length rules are
-        // English priors that zero out CJK and non-English strata — the
-        // full rule set stays measured per-doc by t_gopher_rules
-        val g = TextAnalysis.gopherRules(col("text"))
-        val kept1 = corpus
-          .filter(g.getField("n_words").between(20, 100000) &&
-            g.getField("symbol_ratio") < 0.1 &&
-            g.getField("bullet_ratio") <= 0.9 &&
-            g.getField("ellipsis_ratio") <= 0.3)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val canon = kept1
-          .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
-          .agg(min("doc_id").as("doc_id"))
-        val kept2 = kept1.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
-          .withColumn("ws", Dedup.wordsArray("text"))
-          .withColumn("shs", Dedup.wordShingles("ws", 5))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val withSig = kept2.filter(size(col("shs")) > 0)
-          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
-          .withColumn("sig", Dedup.minhashSignature("hs", 16))
-        val nearPairs = Dedup.jaccardOnPairs(
-            Dedup.lshCandidatePairs(
-              Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id"),
-            kept2, "doc_id", "shs")
-          .filter(col("jaccard") >= 0.8)
-        val dropped = nearPairs.select(col("id_b").as("doc_id")).distinct()
-        val kept3 = kept2.join(dropped, Seq("doc_id"), "left_anti")
-        // holdout = shingles of RAW-corpus docs with doc_id % 97 == 0 (the
-        // benchmark set exists independently of what cleaning kept)
-        val benchSh = corpus.filter(col("doc_id") % 97 === 0)
-          .withColumn("ws", Dedup.wordsArray("text"))
-          .select(explode(Dedup.wordShingles("ws", 5)).as("sh")).distinct()
-        val contaminated = kept3.filter(col("doc_id") % 97 =!= 0)
-          .select(col("doc_id"), explode(col("shs")).as("sh"))
-          .join(broadcast(benchSh), "sh")
-          .select("doc_id").distinct()
-        val kept4 = kept3.filter(col("doc_id") % 97 =!= 0)
-          .join(contaminated, Seq("doc_id"), "left_anti")
+        val st = cleaningStages(s, d)
         def stage(name: String, df: DataFrame) =
           df.agg(count(lit(1)).as("docs")).select(lit(name).as("stage"), col("docs"))
-        stage("1_raw", corpus)
-          .union(stage("2_quality", kept1))
-          .union(stage("3_exact_dedup", kept2))
-          .union(stage("4_near_dedup", kept3))
-          .union(stage("5_decontaminated", kept4))
+        stage("1_raw", st.corpus)
+          .union(stage("2_quality", st.kept1))
+          .union(stage("3_exact_dedup", st.kept2))
+          .union(stage("4_near_dedup", st.kept3))
+          .union(stage("5_decontaminated", st.kept4))
           .orderBy("stage")
       },
-      Some(s"""WITH $DupCorpusCte,
-              |g AS (SELECT doc_id, text,
-              |    len(regexp_extract_all(text, '\\S+')) AS n_words,
-              |    len(regexp_extract_all(text, '#'))
-              |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
-              |    len(str_split(text, chr(10))) AS n_lines,
-              |    len(regexp_extract_all(text, '(?m)^\\s*[-*•]')) AS n_bullet,
-              |    len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$$')) AS n_ellip
-              |  FROM corpus),
-              |kept1 AS (SELECT doc_id, text FROM g
-              |  WHERE (n_words BETWEEN 20 AND 100000)
-              |    AND round(n_sym * 1.0 / greatest(n_words, 1), 4) < 0.1
-              |    AND round(n_bullet * 1.0 / greatest(n_lines, 1), 4) <= 0.9
-              |    AND round(n_ellip * 1.0 / greatest(n_lines, 1), 4) <= 0.3),
-              |canon AS (SELECT min(doc_id) AS doc_id
-              |  FROM kept1
-              |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
-              |kept2 AS (SELECT k.doc_id, k.text FROM kept1 k
-              |  JOIN canon c ON c.doc_id = k.doc_id),
-              |w2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-              |       FROM kept2),
-              |sh2 AS (SELECT doc_id,
-              |    CASE WHEN len(ws) >= 5
-              |      THEN list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])
-              |      ELSE [] END AS shs
-              |  FROM w2),
-              |hs AS (SELECT doc_id,
-              |    list_transform(shs, s ->
-              |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
-              |  FROM sh2 WHERE len(shs) > 0),
-              |sig AS (SELECT doc_id,
-              |    [list_min(list_transform(hs, h -> ((2*i+3) * h + (7*i+1)) % 2147483647))
-              |     for i in range(0, 16)] AS sig
-              |  FROM hs),
-              |bands AS (SELECT doc_id, t.b,
-              |    md5(concat_ws(',', sig[t.b*4+1]::VARCHAR, sig[t.b*4+2]::VARCHAR,
-              |                       sig[t.b*4+3]::VARCHAR, sig[t.b*4+4]::VARCHAR)) AS band_hash
-              |  FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
-              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM bands a JOIN bands b
-              |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-              |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh2),
-              |posts AS (SELECT doc_id, unnest(shs) AS s FROM sh2),
-              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-              |          FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
-              |          GROUP BY 1, 2),
-              |dropped AS (SELECT DISTINCT i.id_b AS doc_id
-              |  FROM inter i
-              |  JOIN sizes sa ON sa.doc_id = i.id_a
-              |  JOIN sizes sb ON sb.doc_id = i.id_b
-              |  JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
-              |  WHERE round(i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter), 4) >= 0.8),
-              |kept3 AS (SELECT doc_id FROM kept2
-              |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
-              |wb AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-              |       FROM corpus WHERE doc_id % 97 = 0),
-              |benchsh AS (SELECT DISTINCT unnest(CASE WHEN len(ws) >= 5
-              |    THEN list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])
-              |    ELSE [] END) AS sh
-              |  FROM wb),
-              |contaminated AS (SELECT DISTINCT p.doc_id
-              |  FROM posts p
-              |  JOIN kept3 k ON k.doc_id = p.doc_id
-              |  JOIN benchsh b ON b.sh = p.s
-              |  WHERE p.doc_id % 97 <> 0),
-              |kept4 AS (SELECT doc_id FROM kept3
-              |  WHERE doc_id % 97 <> 0
-              |    AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+      Some(s"""WITH $CleaningCtes
               |SELECT stage, docs FROM (
               |  SELECT '1_raw' AS stage, count(*) AS docs FROM corpus
               |  UNION ALL SELECT '2_quality', count(*) FROM kept1
@@ -439,6 +457,40 @@ object DedupQueries {
               |  UNION ALL SELECT '5_decontaminated', count(*) FROM kept4)
               |ORDER BY stage""".stripMargin),
       bench = true),
+
+    // ----- the cleaned corpus laid out for training — the step AFTER the
+    // funnel: survivors of the full cleaning pipeline land in their
+    // (split, shard) cells with doc and token sums, i.e. the manifest a
+    // corpus build hands to the training job. Chains cleaning → placement
+    // through the SHARED builders (cleaningStages + CorpusWriter.layout),
+    // so a drift in either stage moves this hash. -----
+    Q("d_train_manifest",
+      (s, d) => {
+        val st = cleaningStages(s, d)
+        val finalDocs = st.corpus
+          .join(st.kept4.select("doc_id"), Seq("doc_id"), "left_semi")
+        graft.ops.CorpusWriter.layout(finalDocs, numShards = 8)
+          .select(col("split"), col("shard"),
+            graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+          .groupBy("split", "shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+          .orderBy("split", "shard")
+      },
+      Some(s"""WITH $CleaningCtes,
+              |fin AS (SELECT c.doc_id, c.text FROM corpus c
+              |        JOIN kept4 k ON k.doc_id = c.doc_id),
+              |m AS (SELECT
+              |    CASE WHEN CAST(concat('0x', substr(md5(md5(text)), 1, 15)) AS BIGINT) % 100 < 80
+              |           THEN 'train'
+              |         WHEN CAST(concat('0x', substr(md5(md5(text)), 1, 15)) AS BIGINT) % 100 < 90
+              |           THEN 'val'
+              |         ELSE 'test' END AS split,
+              |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+              |    len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tok
+              |  FROM fin)
+              |SELECT split, shard, count(*) AS n_docs,
+              |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+              |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ----- incremental dedup via the persisted signature index: the stored
     // corpus (doc_id < 200000) keeps its MinHash bands on disk
