@@ -173,6 +173,34 @@ object TimeQueries {
              |               l_partkey, l_suppkey) AS rk
              |  FROM lineitem) WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin)),
 
+    // ----- top-k per group via the custom bounded-buffer Aggregator
+    // (functions/TopKAggregator — SURVEY §2.11's typed-Aggregator seam):
+    // IDENTICAL semantics and oracle as w_topk_per_group, but partial
+    // aggregation ships at most k rows per group per map partition instead
+    // of sort-shuffling every row of the fact table — the per-group twin
+    // of the TakeOrderedAndProject global-top-k discipline. PlanSpec pins
+    // the shape (ObjectHashAggregate with a partial pass, no Window). -----
+    Q("w_topk_agg",
+      (s, d) => {
+        val topk = udaf(new graft.functions.TopKAggregator(3),
+          org.apache.spark.sql.Encoders.product[graft.functions.TopKAggregator.Entry])
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(topk(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_suppkey")).as("top"))
+          .select(col("l_returnflag"), posexplode(col("top")))
+          .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rk"),
+            col("col.okey").as("l_orderkey"), col("col.price").as("l_extendedprice"))
+          .orderBy("l_returnflag", "rk")
+      },
+      Some("""SELECT l_returnflag, rk, l_orderkey, l_extendedprice FROM (
+             |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+             |               l_partkey, l_suppkey) AS rk
+             |  FROM lineitem) WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin),
+      bench = true),
+
     // ----- ntile: quartile users by activity within each event type -----
     Q("w_ntile_activity",
       (s, d) => {

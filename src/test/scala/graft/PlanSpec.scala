@@ -128,6 +128,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("aggregator top-k: partial aggregation, no per-group window sort") {
+    val p = plan("w_topk_agg")
+    // the bounded-buffer Aggregator must run as a two-phase (partial →
+    // final) object-hash aggregate; a Window node here would mean the
+    // whole fact table is sort-shuffled before discarding all but k
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert("partial_topkaggregator|partial_\\w*TopKAggregator".r
+      .findFirstIn(p.toLowerCase).isDefined || p.contains("isMerge=false") ||
+      p.contains("Partial"), p.take(2000))
+    assert(!p.contains("Window"), "window sort found in the aggregator plan")
+  }
+
   test("sequence packing is one shuffle on the stream key plus the output sort") {
     val p = plan("t_pack_sequences")
     // one Exchange partitions the (lang, shard) streams for the running-sum
