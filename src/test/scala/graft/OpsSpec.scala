@@ -200,6 +200,44 @@ class OpsSpec extends AnyFunSuite {
         .getBytes("UTF-8")))
   }
 
+  test("TopKAggregator: any reduce/merge split equals global sort-take (property)") {
+    import org.scalacheck.Gen
+    import graft.functions.TopKAggregator
+    import TopKAggregator.Entry
+    val agg = new TopKAggregator(3)
+    val entryGen = for {
+      price <- Gen.chooseNum(0.0, 100.0)
+      okey <- Gen.chooseNum(0L, 20L)
+      lnum <- Gen.chooseNum(0, 3)
+    } yield Entry(price, okey, lnum, okey % 7, okey % 5)
+    val caseGen = for {
+      rows <- Gen.listOfN(40, entryGen)
+      cuts <- Gen.listOfN(3, Gen.chooseNum(0, 40))
+    } yield (rows, cuts.sorted)
+    val seed0 = org.scalacheck.rng.Seed(20260812L)
+    var seed = seed0
+    (1 to 80).foreach { _ =>
+      seed = seed.next
+      caseGen.apply(Gen.Parameters.default, seed).foreach { case (rows, cuts) =>
+        val expected = rows.sorted(TopKAggregator.ord).take(3)
+        // arbitrary partitioning into 4 slices, each reduced independently
+        // then merged in order — the contract partial aggregation relies on
+        val slices = (0 +: cuts :+ rows.size).sliding(2)
+          .map { case Seq(a, b) => rows.slice(a, b) }.toSeq
+        val merged = slices
+          .map(sl => sl.foldLeft(agg.zero)(agg.reduce))
+          .foldLeft(agg.zero)(agg.merge)
+        assert(agg.finish(merged) === expected,
+          s"split $cuts diverged from the global sort-take")
+        // merge is also order-insensitive across slice permutations
+        val mergedRev = slices.reverse
+          .map(sl => sl.foldLeft(agg.zero)(agg.reduce))
+          .foldLeft(agg.zero)(agg.merge)
+        assert(agg.finish(mergedRev) === expected)
+      }
+    }
+  }
+
   test("sharded corpus export: deterministic placement, bounded files, pruned reads") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, input_file_name, max => smax}
