@@ -488,6 +488,19 @@ final class Engine(
     * batch, `src/server/index.ts:546-549`): compact fragmented chunk
     * partitions and sweep stale swap debris */
   def optimize(): Unit = mutationGuard.synchronized { store.optimize() }
+
+  /** Export the chunk corpus in the sharded training layout
+    * ([[graft.ops.CorpusWriter]]): split=/shard= directories, content-hash
+    * split + id-hash shard placement, bounded file sizes. The bridge from
+    * the RAG store to a training-data build — the chunk table IS a cleaned
+    * corpus, and this hands it to a data loader in the layout it wants.
+    * Returns the output dir. */
+  def exportCorpus(outDir: String, numShards: Int = 16,
+                   maxRecordsPerFile: Long = 0L): String =
+    graft.ops.CorpusWriter.writeSharded(
+      store.read().select(col("id").as("doc_id"), col("text")),
+      outDir, numShards, maxRecordsPerFile,
+      extraPartitionCols = Seq.empty) // chunks carry no lang strata
 }
 
 object Engine {

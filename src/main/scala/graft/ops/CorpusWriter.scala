@@ -34,15 +34,22 @@ object CorpusWriter {
       .withColumn("shard",
         pmod(Dedup.hash60(col(idCol).cast("string")), lit(numShards.toLong)))
 
-  /** write `docs` as the sharded training layout; returns the output dir */
+  /** write `docs` as the sharded training layout; returns the output dir.
+    * `extraPartitionCols` sit between split and shard in the directory
+    * hierarchy (lang by default; a table without strata passes Seq.empty) */
   def writeSharded(docs: DataFrame, outDir: String, numShards: Int = 16,
                    maxRecordsPerFile: Long = 0L, idCol: String = "doc_id",
-                   textCol: String = "text"): String = {
+                   textCol: String = "text",
+                   extraPartitionCols: Seq[String] = Seq("lang")): String = {
     require(numShards >= 1, "numShards must be >= 1")
+    require(docs.take(1).nonEmpty,
+      "refusing to export an EMPTY corpus (zero-row partitioned writes " +
+        "leave an unreadable layout behind)") // fail fast, same as upserts
+    val partCols = ("split" +: extraPartitionCols) :+ "shard"
     val laid = layout(docs, numShards, idCol, textCol)
-      .repartition(col("split"), col("lang"), col("shard"))
-      .sortWithinPartitions("split", "lang", "shard", idCol)
-    val w = laid.write.partitionBy("split", "lang", "shard")
+      .repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols :+ idCol).map(col): _*)
+    val w = laid.write.partitionBy(partCols: _*)
       .mode(SaveMode.Overwrite)
     (if (maxRecordsPerFile > 0L)
        w.option("maxRecordsPerFile", maxRecordsPerFile.toString)

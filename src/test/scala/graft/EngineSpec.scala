@@ -407,6 +407,30 @@ class EngineSpec extends AnyFunSuite {
     assert(hit31.getAs[String]("filePath").endsWith("doc31.md"))
   }
 
+  test("exportCorpus: chunk table lands in the sharded training layout") {
+    val (engine, _) = mkEngine()
+    engine.sync()
+    val nChunks = engine.status()._1 // (chunks, files)
+    assert(nChunks > 0L)
+    val out = Files.createTempDirectory("engine-export").toString + "/corpus"
+    engine.exportCorpus(out, numShards = 4, maxRecordsPerFile = 50)
+    val back = spark.read.parquet(out)
+    // every chunk lands exactly once, with its placement columns
+    assert(back.count() === nChunks)
+    assert(back.columns.contains("split") && back.columns.contains("shard"))
+    assert(back.select("doc_id").distinct().count() === nChunks)
+    // directory hierarchy is split=/shard= (no lang stratum for chunks)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("split=")), dirs.mkString(","))
+    // an empty corpus export is refused, not written unreadably
+    val (empty, _) = (new Engine(spark,
+      Files.createTempDirectory("engine-empty").toString + "/chunks",
+      Seq(Files.createTempDirectory("engine-empty-root").toString)), ())
+    intercept[IllegalArgumentException] {
+      empty.exportCorpus(Files.createTempDirectory("engine-export2").toString + "/c")
+    }
+  }
+
   test("nearDuplicateFiles finds planted near-dup pair, skips distinct files") {
     val root = Files.createTempDirectory("dup-root").toString
     val store = Files.createTempDirectory("dup-store").toString + "/chunks"
