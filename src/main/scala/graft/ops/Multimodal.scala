@@ -335,6 +335,188 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---------------------------------------------------------------- AVI --
+
+  /** Deterministic uncompressed AVI fixture for `docId` — the VIDEO twin of
+    * [[encodeBmp]]/[[encodeWav]], completing the modality set with a real
+    * container: RIFF('AVI ') holding LIST('hdrl') (avih main header +
+    * LIST('strl') with a 'vids'/'DIB ' stream header and a
+    * BITMAPINFOHEADER strf) and LIST('movi') with one '00db' chunk per
+    * frame of raw bottom-up 24-bit BGR pixels (same stride padding as
+    * BMP). Dimensions, frame count, and every pixel are closed-form in
+    * (docId, x, y, frame), so a SQL oracle recomputes the DECODED
+    * statistics without parsing bytes. */
+  private[graft] def encodeAvi(docId: Long): Array[Byte] = {
+    val did = (docId % 256).toInt
+    val w = (4 + docId % 3).toInt
+    val h = (3 + docId % 2).toInt
+    val frames = (2 + docId % 3).toInt
+    val stride = ((3 * w + 3) / 4) * 4
+    val frameBytes = stride * h
+    def pxB(x: Int, y: Int, f: Int) = (did + 7 * x + 13 * y + 17 * f) % 256
+    def pxG(x: Int, y: Int, f: Int) = (2 * did + 3 * x + 5 * y + 11 * f) % 256
+    def pxR(x: Int, y: Int, f: Int) = (did + x * y + 29 * f) % 256
+    // 'hdrl' payload: subtype + avih chunk + LIST('strl') chunk
+    val strlLen = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlLen)
+    // riff layout: 'AVI ' + LIST hdrl + LIST movi
+    val moviSize = 4 + frames * (8 + frameBytes)
+    val riffLen = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII")): Unit
+    fourcc("RIFF"); buf.putInt(riffLen); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(100000)            // microseconds per frame (10 fps)
+    buf.putInt(frameBytes * 10)   // max bytes/sec
+    buf.putInt(0)                 // padding granularity
+    buf.putInt(0x10)              // AVIF_HASINDEX off, plain flags
+    buf.putInt(frames)            // total frames
+    buf.putInt(0)                 // initial frames
+    buf.putInt(1)                 // streams
+    buf.putInt(frameBytes)        // suggested buffer
+    buf.putInt(w).putInt(h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    fourcc("LIST"); buf.putInt(strlLen); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0)                 // flags
+    buf.putShort(0).putShort(0)   // priority, language
+    buf.putInt(0)                 // initial frames
+    buf.putInt(1).putInt(10)      // scale, rate → 10 fps
+    buf.putInt(0)                 // start
+    buf.putInt(frames)            // length in frames
+    buf.putInt(frameBytes)        // suggested buffer
+    buf.putInt(-1)                // quality (default)
+    buf.putInt(frameBytes)        // sample size
+    buf.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h)
+    buf.putShort(1).putShort(24)  // planes, bpp
+    buf.putInt(0)                 // BI_RGB
+    buf.putInt(frameBytes)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    var f = 0
+    while (f < frames) {
+      fourcc("00db"); buf.putInt(frameBytes)
+      var storedRow = 0
+      while (storedRow < h) {
+        val y = h - 1 - storedRow // bottom-up rows, like BMP
+        var x = 0
+        while (x < w) {
+          buf.put(pxB(x, y, f).toByte)
+          buf.put(pxG(x, y, f).toByte)
+          buf.put(pxR(x, y, f).toByte)
+          x += 1
+        }
+        var pad = stride - 3 * w
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        storedRow += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  final case class AviFeatures(width: Int, height: Int, nFrames: Int,
+                               sumLuma: Long, probeLuma: Long)
+
+  /** Parse an uncompressed AVI: RIFF('AVI ') walk with nested LIST
+    * recursion — avih supplies (width, height, frames), LIST('movi')'s
+    * '00db' chunks supply raw bottom-up BGR frames. Emits exact integer
+    * statistics: total frames, summed luma over every pixel of every
+    * frame, and the luma of pixel (x=1, y=1) of frame 1 (second frame,
+    * clamped) — the probe catches frame-order, stride, or row-order bugs
+    * the total sum cannot see. */
+  private[graft] def decodeAvi(bytes: Array[Byte]): AviFeatures = {
+    require(bytes.length >= 24 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "AVI ", "not an AVI payload")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var w = -1; var h = -1; var frames = -1
+    var sum = 0L; var probe = 0L; var frameIdx = 0
+    def walkFrame(off: Int, len: Int): Unit = {
+      require(w > 0 && h > 0, "movi before avih")
+      val stride = ((3 * w + 3) / 4) * 4
+      require(len >= stride * h, s"truncated frame $frameIdx")
+      val probeX = math.min(1, w - 1)
+      val probeY = math.min(1, h - 1)
+      val probeF = math.min(1, frames - 1)
+      var yImg = 0
+      while (yImg < h) {
+        val rowOff = off + (h - 1 - yImg) * stride // bottom-up
+        var x = 0
+        while (x < w) {
+          val o = rowOff + 3 * x
+          val luma = (299 * (bytes(o + 2) & 0xff) + 587 * (bytes(o + 1) & 0xff) +
+            114 * (bytes(o) & 0xff)) / 1000
+          sum += luma
+          if (frameIdx == probeF && x == probeX && yImg == probeY) probe = luma
+          x += 1
+        }
+        yImg += 1
+      }
+      frameIdx += 1
+    }
+    def walk(off0: Int, end: Int): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val len = bb.getInt(off + 4)
+        require(len >= 0 && off + 8 + len <= bytes.length, s"truncated chunk $id")
+        id match {
+          case "LIST" => walk(off + 12, off + 8 + len) // skip the subtype fourcc
+          case "avih" =>
+            frames = bb.getInt(off + 8 + 16)
+            w = bb.getInt(off + 8 + 32)
+            h = bb.getInt(off + 8 + 36)
+          case "00db" => walkFrame(off + 8, len)
+          case _ => () // strh/strf/junk: skipped by declared length
+        }
+        off += 8 + len + (len & 1) // RIFF pads odd chunks
+      }
+    }
+    walk(12, bytes.length)
+    require(w > 0 && h > 0 && frames >= 0, "missing avih header")
+    require(frameIdx == frames, s"frame count mismatch: header $frames, movi $frameIdx")
+    AviFeatures(w, h, frames, sum, probe)
+  }
+
+  /** media table whose payloads are REAL AVI bytes (fixture discipline of
+    * [[bmpFromDocuments]]/[[wavFromDocuments]]) */
+  def aviFromDocuments(docs: DataFrame, idCol: String): DataFrame = {
+    val enc = udf((id: Long) => encodeAvi(id))
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("video").as("modality"),
+      enc(col(idCol).cast("long")).as("payload"),
+      struct(lit("avi-fixture").as("source"),
+        length(enc(col(idCol).cast("long"))).cast("long").as("bytes"),
+        lit("rawvideo/bgr24").as("codec")).as("meta"))
+  }
+
+  /** REAL video decode via mapPartitions — same batch shape as the image
+    * and audio decodes */
+  def decodeAviFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("sum_luma", LongType, nullable = false),
+      StructField("probe_luma", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val f = decodeAvi(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), f.width, f.height, f.nFrames, f.sumLuma, f.probeLuma)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** frame sampling: split payload into `n` contiguous byte ranges (last
     * frame takes the remainder); per-row generator, no shuffle */
   def frameSample(media: DataFrame, n: Int): DataFrame =

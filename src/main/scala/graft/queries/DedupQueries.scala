@@ -1219,6 +1219,41 @@ object DedupQueries {
              |SELECT doc_id AS media_id, w AS width, h AS height,
              |  count(*) AS n_px, CAST(sum(luma) AS BIGINT) AS sum_luma,
              |  max(CASE WHEN x = 1 AND y = 2 THEN luma END) AS probe_luma
-             |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin))
+             |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin)),
+
+    // ----- multimodal: REAL video decode — the AVI twin completing the
+    // modality set. Payloads are genuine RIFF('AVI ') containers (nested
+    // hdrl/strl LISTs, avih main header, per-frame '00db' chunks of raw
+    // bottom-up BGR24 with stride padding); Spark walks the container and
+    // decodes every frame (Multimodal.decodeAvi, mapPartitions) while the
+    // oracle recomputes the same statistics from the (x, y, frame) pixel
+    // rule. probe_luma pins pixel (1,1) of frame 1 so frame-order, stride,
+    // or row-order bugs can't hide inside the permutation-invariant sum. -----
+    Q("m_decode_avi",
+      (s, d) => Multimodal.decodeAviFeatures(
+          Multimodal.aviFromDocuments(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("sum_luma"), col("probe_luma"))
+        .orderBy("media_id"),
+      Some("""WITH dims AS (SELECT doc_id, doc_id % 256 AS did,
+             |    4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+             |    2 + doc_id % 3 AS nf FROM documents),
+             |px AS (SELECT doc_id, w, h, nf, xs.x, ys.y, fs.f,
+             |    (did + xs.x * ys.y + 29 * fs.f) % 256 AS r,
+             |    (2 * did + 3 * xs.x + 5 * ys.y + 11 * fs.f) % 256 AS g,
+             |    (did + 7 * xs.x + 13 * ys.y + 17 * fs.f) % 256 AS b
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 6)) AS x) xs,
+             |    (SELECT unnest(range(0, 4)) AS y) ys,
+             |    (SELECT unnest(range(0, 4)) AS f) fs
+             |  WHERE xs.x < w AND ys.y < h AND fs.f < nf),
+             |lum AS (SELECT doc_id, w, h, nf, x, y, f,
+             |    (299 * r + 587 * g + 114 * b) // 1000 AS luma FROM px)
+             |SELECT doc_id AS media_id, w AS width, h AS height, nf AS n_frames,
+             |  CAST(sum(luma) AS BIGINT) AS sum_luma,
+             |  max(CASE WHEN x = 1 AND y = 1 AND f = 1 THEN luma END) AS probe_luma
+             |FROM lum GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin))
   )
 }

@@ -330,6 +330,48 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.decodeWav(("RIFFxxxxJUNK" + "x" * 64).getBytes("US-ASCII")))
   }
 
+  test("AVI decoder: closed-form stats, container walk, malformed rejection") {
+    for (docId <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 99L, 255L, 511L)) {
+      val f = Multimodal.decodeAvi(Multimodal.encodeAvi(docId))
+      val did = (docId % 256).toInt
+      val w = (4 + docId % 3).toInt
+      val h = (3 + docId % 2).toInt
+      val frames = (2 + docId % 3).toInt
+      def luma(x: Int, y: Int, fr: Int): Long = {
+        val r = (did + x * y + 29 * fr) % 256
+        val g = (2 * did + 3 * x + 5 * y + 11 * fr) % 256
+        val b = (did + 7 * x + 13 * y + 17 * fr) % 256
+        ((299 * r + 587 * g + 114 * b) / 1000).toLong
+      }
+      assert(f.width === w && f.height === h && f.nFrames === frames)
+      val all = for (fr <- 0 until frames; y <- 0 until h; x <- 0 until w)
+        yield luma(x, y, fr)
+      assert(f.sumLuma === all.sum)
+      assert(f.probeLuma === luma(1, 1, 1)) // second frame, pixel (1,1)
+    }
+    // a consistent container with a junk chunk between LISTs still decodes:
+    // splice an 8+4-byte 'JUNK' chunk after hdrl and patch the RIFF length
+    val src = Multimodal.encodeAvi(7L)
+    val bb = java.nio.ByteBuffer.wrap(src).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val hdrlLen = bb.getInt(16) // LIST hdrl chunk at offset 12
+    val insertAt = 12 + 8 + hdrlLen
+    val junk = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("JUNK".getBytes("US-ASCII")); junk.putInt(4); junk.putInt(0)
+    val spliced = src.take(insertAt) ++ junk.array() ++ src.drop(insertAt)
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, bb.getInt(4) + 12)
+    assert(Multimodal.decodeAvi(spliced) === Multimodal.decodeAvi(src))
+    // malformed payloads are rejected, not mis-parsed
+    intercept[IllegalArgumentException](Multimodal.decodeAvi(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAvi(("RIFFxxxxWAVE" + "x" * 64).getBytes("US-ASCII")))
+    // a header/movi frame-count mismatch is detected
+    val lying = src.clone()
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(12 + 8 + 4 + 8 + 16, 99) // avih totalFrames
+    intercept[IllegalArgumentException](Multimodal.decodeAvi(lying))
+  }
+
   private def bb2Flip(bytes: Array[Byte], h: Int, stride: Int): Unit = {
     val off = 54
     val tmp = new Array[Byte](stride)
