@@ -42,6 +42,33 @@ object Relational {
              |WHERE o_orderstatus = 'F' AND o_totalprice > 150000
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ----- JSONL source round trip: training corpora ARRIVE as jsonl, so
+    // the engine must read it losslessly. Documents are staged as .json
+    // (control chars and unicode escape through JSON) and read back with
+    // an EXPLICIT schema — schema inference over 100 TB of jsonl is a full
+    // extra corpus pass, never acceptable at scale — then compared against
+    // the parquet source by the oracle; any escaping or type-coercion loss
+    // in the reader breaks the hash. -----
+    Q("s_jsonl_roundtrip",
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val stage = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-" +
+          d.replaceAll("[^a-zA-Z0-9._-]", "_")
+        Tables.documents(s, d).select("doc_id", "lang", "source", "text")
+          .write.mode("overwrite").json(stage)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("source", StringType), StructField("text", StringType)))
+        s.read.schema(schema).json(stage)
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text")).cast("long").as("text_len"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, length(text)::BIGINT AS text_len,
+             |       md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ----- P2: range predicate (chunkIndex BETWEEN analog) -----
     Q("p2_range_predicate",
       (s, d) => Tables.lineitem(s, d)

@@ -260,6 +260,15 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
     throw new java.io.IOException(s"upsert of $filePath lost $maxRetries CAS races")
   }
 
+  /** table history from the manifests alone — (version, file count, row
+    * count, referenced bytes-on-manifest rows) without touching data files;
+    * the observability query every lakehouse exposes (DESCRIBE HISTORY) */
+  def history(): Seq[(Long, Int, Long)] =
+    versions().map { v =>
+      val es = readManifest(v)
+      (v, es.size, es.map(_.nRows).sum)
+    }
+
   /** Zero-copy SHALLOW CLONE of a snapshot into a new table root (the
     * lakehouse branch-for-experimentation verb): the clone's v0 manifest
     * references the SOURCE's data files by absolute path — nothing is

@@ -217,6 +217,19 @@ class VersionedStoreSpec extends AnyFunSuite {
       .select("text").as[String].collect().toSeq === Seq("recompacted"))
   }
 
+  test("history reports per-version file/row counts from manifests alone") {
+    val st = tmpStore(buckets = 1)
+    st.upsertFile("/h/a.md", Seq(mkChunk("/h/a.md", 0, "one")).toDF())
+    st.upsertFile("/h/b.md", Seq(mkChunk("/h/b.md", 0, "two"),
+      mkChunk("/h/b.md", 1, "three")).toDF())
+    val h = st.history()
+    assert(h.map(_._1) === Seq(0L, 1L, 2L)) // v0 = the auto-created empty table
+    assert(h.map(_._3) === Seq(0L, 1L, 3L)) // cumulative row counts per snapshot
+    st.compact(maxFilesPerBucket = 0)
+    val h2 = st.history()
+    assert(h2.last._1 === 3L && h2.last._2 === 1 && h2.last._3 === 3L)
+  }
+
   test("shallow clone: zero-copy branch reads the source and diverges on write") {
     val srcRoot = Files.createTempDirectory("vstore-src").toString + "/table"
     val src = new VersionedStore(spark, srcRoot, 4)
