@@ -269,6 +269,42 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
       (v, es.size, es.map(_.nRows).sum)
     }
 
+  /** FSCK for the snapshot log: verify the LATEST manifest's references
+    * against the filesystem — every referenced data file must exist, and
+    * its parquet row count must equal the manifest's stats row (the stats
+    * data-skipping trusts). Returns the list of problems (empty = clean).
+    * The check reads file FOOTERS via one column-pruned count per table,
+    * not data pages — at 100 TB this is a metadata sweep, not a scan.
+    * The complement of vacuum: vacuum proves nothing referenced is
+    * deleted, scrub proves nothing deleted is referenced. */
+  def scrub(): Seq[String] = {
+    val v = latestVersion().getOrElse(return Seq.empty)
+    val entries = readManifest(v)
+    if (entries.isEmpty) return Seq.empty
+    val f = fs
+    val (present, missing) = entries.partition(e =>
+      f.exists(new HPath(resolvePath(e.path))))
+    val missingMsgs = missing.map(e => s"missing data file: ${e.path}")
+    val countMsgs =
+      if (present.isEmpty) Seq.empty
+      else {
+        // one distributed metadata job for ALL files (parquet footer counts),
+        // not a driver loop of per-file jobs
+        val counts = spark.read.schema(ChunkSchema.schema)
+          .parquet(present.map(e => resolvePath(e.path)): _*)
+          .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+        present.flatMap { e =>
+          val name = e.path.split('/').last
+          val actual = counts.getOrElse(name, 0L)
+          if (actual != e.nRows)
+            Some(s"row-count drift: ${e.path} manifest=${e.nRows} actual=$actual")
+          else None
+        }
+      }
+    missingMsgs ++ countMsgs
+  }
+
   /** Zero-copy SHALLOW CLONE of a snapshot into a new table root (the
     * lakehouse branch-for-experimentation verb): the clone's v0 manifest
     * references the SOURCE's data files by absolute path — nothing is

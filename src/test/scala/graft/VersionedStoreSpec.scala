@@ -230,6 +230,20 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(h2.last._1 === 3L && h2.last._2 === 1 && h2.last._3 === 3L)
   }
 
+  test("scrub: clean table passes; a deleted data file is named precisely") {
+    val root = Files.createTempDirectory("vstore-scrub").toString + "/table"
+    val st = new VersionedStore(spark, root, 2)
+    val files = (0 until 4).map(i => s"/s/doc$i.md")
+    files.foreach(f => st.upsertFile(f, Seq(mkChunk(f, 0, s"text $f")).toDF()))
+    assert(st.scrub() === Seq.empty)
+    // sabotage: delete one referenced data file behind the manifest's back
+    val victim = st.dataFilesFor(files.head).head
+    assert(new java.io.File(s"$root/${victim.path}").delete())
+    val problems = st.scrub()
+    assert(problems.size === 1 && problems.head.contains(victim.path),
+      problems.mkString(";"))
+  }
+
   test("shallow clone: zero-copy branch reads the source and diverges on write") {
     val srcRoot = Files.createTempDirectory("vstore-src").toString + "/table"
     val src = new VersionedStore(spark, srcRoot, 4)
