@@ -201,6 +201,31 @@ object TimeQueries {
              |  FROM lineitem) WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin),
       bench = true),
 
+    // ----- percent_rank / cume_dist: the remaining rank-family windows
+    // (relative standing of a row within its group — the quantile-position
+    // primitive corpus-quality cutoffs are phrased in) -----
+    Q("w_cume_dist",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+          .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))
+        Tables.lineitem(s, d).filter(col("l_orderkey") < 1000)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_quantity"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber",
+            "l_partkey")
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey, l_quantity,
+             |  round(percent_rank() OVER w, 6) AS pr,
+             |  round(cume_dist() OVER w, 6) AS cd
+             |FROM lineitem WHERE l_orderkey < 1000
+             |WINDOW w AS (PARTITION BY l_returnflag
+             |  ORDER BY l_quantity, l_orderkey, l_linenumber, l_partkey, l_suppkey)
+             |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber, l_partkey""".stripMargin)),
+
     // ----- ntile: quartile users by activity within each event type -----
     Q("w_ntile_activity",
       (s, d) => {

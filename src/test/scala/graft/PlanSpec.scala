@@ -128,6 +128,14 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("indexed BM25 probe: token filter pushed into the postings scan") {
+    val p = plan("q_hybrid_idx")
+    // the query's tok IN (...) must reach the postings parquet as a pushed
+    // filter — an unpushed filter means every probe scans the whole
+    // inverted index
+    assert(p.contains("PushedFilters: [In(tok"), p.take(3000))
+  }
+
   test("aggregator top-k: partial aggregation, no per-group window sort") {
     val p = plan("w_topk_agg")
     // the bounded-buffer Aggregator must run as a two-phase (partial →
