@@ -1092,6 +1092,66 @@ object DedupQueries {
              |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin),
       bench = true),
 
+    // ----- SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    // 2303.09540 — public): cluster embeddings (here: deterministic SRP
+    // buckets standing in for the paper's k-means, which keeps the whole
+    // pipeline oracle-replayable), compute each cluster's centroid, keep
+    // the member closest to it as the representative. One explode+avg
+    // shuffle for centroids, one broadcast-joined dot per member — at
+    // 100 TB both stages are linear in the corpus and the cluster step is
+    // the same persisted-bucket layout the ANN stores use. -----
+    Q("d_semdedup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("bucket", Similarity.srpBucket("embedding", 64, 8))
+        val cent = e
+          .select(col("bucket"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("bucket", "pos").agg(avg("v").as("m"))
+          .groupBy("bucket").agg(expr(
+            "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+            .as("centroid"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket")
+          .orderBy(round(col("sim"), 6).desc, col("vec_id"))
+        e.join(broadcast(cent), "bucket") // centroids: one row per bucket
+          .withColumn("sim", expr(
+            "aggregate(zip_with(embedding, centroid, (a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_members", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+          .filter(col("rn") === 1)
+          .select(col("bucket"), col("vec_id").as("kept_vec_id"),
+            col("n_members"), (round(col("sim"), 4) + 0.0).as("kept_sim"))
+          .orderBy("bucket")
+      },
+      Some("""WITH comp AS (SELECT p.p, j.j,
+             |    CASE WHEN CAST(concat('0x', substr(md5(p.p || ':' || j.j), 1, 15)) AS BIGINT) % 2 = 0
+             |         THEN 1.0 ELSE -1.0 END AS c
+             |  FROM (SELECT unnest(range(0, 8)) AS p) p, (SELECT unnest(range(0, 64)) AS j) j),
+             |dotp AS (SELECT e.vec_id, c.p, sum(e.embedding[c.j + 1]::DOUBLE * c.c) AS sv
+             |  FROM embeddings e, comp c GROUP BY 1, 2),
+             |buck AS (SELECT vec_id,
+             |    sum(CASE WHEN sv > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+             |  FROM dotp GROUP BY 1),
+             |cent AS (SELECT b.bucket, t.i, avg(e.embedding[t.i]::DOUBLE) AS m
+             |  FROM embeddings e JOIN buck b ON b.vec_id = e.vec_id,
+             |       generate_series(1, 64) t(i)
+             |  GROUP BY 1, 2),
+             |sim AS (SELECT b.vec_id, b.bucket,
+             |    sum(e.embedding[c.i]::DOUBLE * c.m) AS s
+             |  FROM embeddings e
+             |  JOIN buck b ON b.vec_id = e.vec_id
+             |  JOIN cent c ON c.bucket = b.bucket
+             |  GROUP BY 1, 2),
+             |r AS (SELECT bucket, vec_id, s,
+             |        row_number() OVER (PARTITION BY bucket
+             |          ORDER BY round(s, 6) DESC, vec_id) AS rn,
+             |        count(*) OVER (PARTITION BY bucket) AS n_members
+             |      FROM sim)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, vec_id AS kept_vec_id,
+             |       n_members, round(s, 4) + 0.0 AS kept_sim
+             |FROM r WHERE rn = 1 ORDER BY bucket""".stripMargin)),
+
     // ----- IVF ANN (k-means coarse quantizer; not SQL-expressible) -----
     Q("ann_ivf_topk",
       (s, d) => {
