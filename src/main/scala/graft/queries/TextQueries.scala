@@ -240,6 +240,23 @@ object TextQueries {
              |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // ----- model-based quality filter (CCNet/GPT-3-era recipe): logistic
+    // regression bootstrapped from the rule verdict as a weak label, scores
+    // every doc with a calibrated p_keep that RANKS borderline documents
+    // where the hard rules only bisect. LR training is not SQL-expressible
+    // → rows-only; OpsSpec gates label recovery, class separation, and
+    // feature-direction sanity. -----
+    Q("t_quality_model",
+      (s, d) => {
+        val feats = graft.ops.QualityModel.featurize(Tables.documents(s, d))
+        graft.ops.QualityModel.trainScore(feats)
+          .select(col("id").as("doc_id"),
+            col("label").cast("long").as("rule_label"),
+            round(col("p_keep"), 4).as("p_keep"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // ----- token budget: training tokens per lang per split (the "how many
     // tokens do we have" query every corpus build ends with) -----
     Q("t_token_budget",

@@ -200,6 +200,39 @@ class OpsSpec extends AnyFunSuite {
         .getBytes("UTF-8")))
   }
 
+  test("quality model: recovers rule labels, separates classes, ranks sanely") {
+    import graft.ops.QualityModel
+    val good = (0 until 120).map { i =>
+      (i.toLong, ("the data pipeline processes documents with careful quality checks and " +
+        s"balanced vocabulary across many topics number $i ") * (2 + i % 3))
+    }
+    val bad = (200 until 240).map { i =>
+      i % 4 match {
+        case 0 => (i.toLong, s"short $i")                         // word floor
+        case 1 => (i.toLong, ("### ### " * 30) + s"symbols $i")   // symbol ratio
+        case 2 => (i.toLong, (s"- bullet point item\n" * 25) + i) // bullet ratio
+        case _ => (i.toLong, (s"and then it trailed off...\n" * 20) + i) // ellipsis
+      }
+    }
+    val docs = (good ++ bad).toDF("doc_id", "text")
+    val scored = QualityModel.trainScore(QualityModel.featurize(docs))
+      .select($"id", $"label", $"p_keep").as[(Long, Double, Double)].collect()
+    assert(scored.length === 160)
+    val byLabel = scored.groupBy(_._2)
+    assert(byLabel.keySet === Set(0.0, 1.0), "weak label must be two-class")
+    // thresholded at 0.5 the model recovers the rule verdict almost exactly
+    val acc = scored.count(r => (r._3 >= 0.5) == (r._2 == 1.0)).toDouble / scored.length
+    assert(acc >= 0.97, s"label recovery accuracy $acc")
+    // calibrated separation, not a degenerate constant
+    val mean1 = byLabel(1.0).map(_._3).sum / byLabel(1.0).size
+    val mean0 = byLabel(0.0).map(_._3).sum / byLabel(0.0).size
+    assert(mean1 - mean0 >= 0.5, s"class separation ${mean1 - mean0}")
+    // ranking sanity: the symbol-heavy docs score below every clean doc
+    val worstClean = scored.filter(_._2 == 1.0).map(_._3).min
+    val symbolDocs = scored.filter(r => r._1 >= 200 && r._1 % 4 == 1)
+    assert(symbolDocs.forall(_._3 < worstClean))
+  }
+
   test("TopKAggregator: any reduce/merge split equals global sort-take (property)") {
     import org.scalacheck.Gen
     import graft.functions.TopKAggregator
