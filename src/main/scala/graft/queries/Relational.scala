@@ -674,6 +674,55 @@ object Relational {
              |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY 1 ORDER BY 1""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ----- weighted PageRank over the supplier→customer transaction graph
+    // (ops/GraphRank): the iterative entity-importance pattern corpus
+    // curation uses for domain/URL authority weighting. Three damped
+    // iterations with dangling-mass redistribution, ALL nodes emitted
+    // ordered by id (rank-ordered output would make ulp-close ranks an
+    // oracle hazard); the oracle unrolls the exact same three iterations. -----
+    Q("g_pagerank",
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_suppkey").as("src"),
+            (col("o_custkey") + 100000L).as("dst"))
+          .agg(count(lit(1)).cast("double").as("weight"))
+        graft.ops.GraphRank.pageRank(edges, iters = 3, damping = 0.85)
+          .select(col("v"), (round(col("r"), 10) + 0.0).as("r"))
+          .orderBy("v")
+      },
+      Some("""WITH e AS (SELECT l_suppkey AS src, 100000 + o_custkey AS dst,
+             |    count(*)::DOUBLE AS w
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+             |nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e
+             |                                  UNION SELECT dst FROM e)),
+             |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+             |ow AS (SELECT src, sum(w) AS w_out FROM e GROUP BY 1),
+             |r0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes, nn),
+             |c1 AS (SELECT e.dst AS v, sum(r0.r * e.w / ow.w_out) AS contrib
+             |       FROM e JOIN ow USING (src) JOIN r0 ON r0.v = e.src GROUP BY 1),
+             |d1 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r0
+             |       WHERE v NOT IN (SELECT src FROM ow)),
+             |r1 AS (SELECT nodes.v,
+             |         0.15/nn.n + 0.85 * (coalesce(c1.contrib, 0.0) + d1.dm/nn.n) AS r
+             |       FROM nodes LEFT JOIN c1 ON c1.v = nodes.v, nn, d1),
+             |c2 AS (SELECT e.dst AS v, sum(r1.r * e.w / ow.w_out) AS contrib
+             |       FROM e JOIN ow USING (src) JOIN r1 ON r1.v = e.src GROUP BY 1),
+             |d2 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r1
+             |       WHERE v NOT IN (SELECT src FROM ow)),
+             |r2 AS (SELECT nodes.v,
+             |         0.15/nn.n + 0.85 * (coalesce(c2.contrib, 0.0) + d2.dm/nn.n) AS r
+             |       FROM nodes LEFT JOIN c2 ON c2.v = nodes.v, nn, d2),
+             |c3 AS (SELECT e.dst AS v, sum(r2.r * e.w / ow.w_out) AS contrib
+             |       FROM e JOIN ow USING (src) JOIN r2 ON r2.v = e.src GROUP BY 1),
+             |d3 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r2
+             |       WHERE v NOT IN (SELECT src FROM ow)),
+             |r3 AS (SELECT nodes.v,
+             |         0.15/nn.n + 0.85 * (coalesce(c3.contrib, 0.0) + d3.dm/nn.n) AS r
+             |       FROM nodes LEFT JOIN c3 ON c3.v = nodes.v, nn, d3)
+             |SELECT v, round(r, 10) + 0.0 AS r FROM r3 ORDER BY v""".stripMargin))
   )
 }
