@@ -159,6 +159,34 @@ object TextAnalysis {
       keep.as("keep"))
   }
 
+  /** Character-level Shannon entropy (bits/char) — the compressibility
+    * proxy quality filters use to catch boilerplate and keyboard-mash:
+    * low entropy = repetitive template text, implausibly high = random
+    * noise. Single-pass per-row UDF (the measured-win pattern used for
+    * shingles/simhash: an explode+groupBy twin would shuffle |text| rows
+    * per document for a per-document scalar); the SQL oracle computes the
+    * same sum via unnest+group. Deterministic double math, rounded at 4. */
+  def charEntropy(text: Column): Column = {
+    val f = udf((t: String) => {
+      if (t == null || t.isEmpty) 0.0
+      else {
+        val counts = new java.util.HashMap[Char, Long]()
+        var i = 0
+        while (i < t.length) {
+          counts.merge(t.charAt(i), 1L, (a, b) => a + b); i += 1
+        }
+        val n = t.length.toDouble
+        var h = 0.0
+        counts.forEach { (_, c) =>
+          val p = c / n
+          h -= p * (math.log(p) / math.log(2.0))
+        }
+        math.rint(h * 10000) / 10000
+      }
+    })
+    f(text)
+  }
+
   /** PII scrubbing for training corpora: emails, long digit runs (phone/IDs)
     * and bare IPv4s replaced with typed placeholders. Pure regexp_replace
     * chain — runs at scan speed and pushes through Catalyst. */

@@ -240,6 +240,24 @@ object TextQueries {
              |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // ----- character-level Shannon entropy: the compressibility proxy that
+    // catches boilerplate (low) and keyboard-mash (implausibly high) -----
+    Q("t_char_entropy",
+      (s, d) => Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          (TextAnalysis.charEntropy(col("text")) + 0.0).as("entropy"))
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (SELECT doc_id,
+             |    unnest([text[i] for i in range(1, length(text) + 1)]) AS c
+             |  FROM documents WHERE length(text) > 0),
+             |cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1),
+             |h AS (SELECT c.doc_id, -sum((k / n) * log2(k / n)) AS ent
+             |      FROM cnt c JOIN tot USING (doc_id) GROUP BY 1)
+             |SELECT doc_id, round(ent, 4) + 0.0 AS entropy FROM h
+             |ORDER BY doc_id""".stripMargin)),
+
     // ----- model-based quality filter (CCNet/GPT-3-era recipe): logistic
     // regression bootstrapped from the rule verdict as a weak label, scores
     // every doc with a calibrated p_keep that RANKS borderline documents

@@ -201,6 +201,30 @@ object TimeQueries {
              |  FROM lineitem) WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin),
       bench = true),
 
+    // ----- weekly retention cohorts: users grouped by first-seen week,
+    // activity counted per subsequent week — the self-join-on-first-event
+    // shape (one agg for cohorts, broadcast back onto the stream) -----
+    Q("e_retention_cohorts",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+        val firstWeek = ev.groupBy("user_id")
+          .agg(min(date_trunc("week", col("ts"))).as("cohort_ts"))
+        ev.join(firstWeek, "user_id")
+          .groupBy(col("cohort_ts"), date_trunc("week", col("ts")).as("week_ts"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .select(date_format(col("cohort_ts"), "yyyy-MM-dd").as("cohort"),
+            date_format(col("week_ts"), "yyyy-MM-dd").as("week"),
+            col("active_users"))
+          .orderBy("cohort", "week")
+      },
+      Some("""WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+             |          FROM events GROUP BY 1)
+             |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+             |       strftime(date_trunc('week', e.ts), '%Y-%m-%d') AS week,
+             |       count(DISTINCT e.user_id) AS active_users
+             |FROM events e JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----- percent_rank / cume_dist: the remaining rank-family windows
     // (relative standing of a row within its group — the quantile-position
     // primitive corpus-quality cutoffs are phrased in) -----
