@@ -384,6 +384,66 @@ object DedupQueries {
               |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ----- asymmetric CONTAINMENT pairs: |A∩B|/|A| catches a document
+    // embedded inside a longer one, which symmetric Jaccard dilutes below
+    // any sane threshold (the +200000 append-variants are exactly this
+    // shape). Candidates still come from the Jaccard-banded LSH — a
+    // documented recall caveat (true containment indexing signs the
+    // smaller set; at 0.5-jaccard banding the append-variants all
+    // surface) — and the exact verify computes both directions. -----
+    Q("d_containment_pairs",
+      (s, d) => {
+        val corpus = dupCorpus(s, d)
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .withColumn("shs", Dedup.wordShingles("ws", 5))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val withSig = corpus.filter(size(col("shs")) > 0)
+          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
+          .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        val cand = Dedup.lshCandidatePairs(
+          Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
+        val l = corpus.select(col("doc_id").cast("long").as("id_a"), col("shs").as("_a"))
+        val r = corpus.select(col("doc_id").cast("long").as("id_b"), col("shs").as("_b"))
+        l.join(broadcast(cand.select("id_a", "id_b")), Seq("id_a"))
+          .join(r, Seq("id_b"))
+          .withColumn("_inter", size(array_intersect(col("_a"), col("_b"))))
+          .select(col("id_a"), col("id_b"),
+            round(col("_inter") / size(col("_a")), 4).as("c_ab"),
+            round(col("_inter") / size(col("_b")), 4).as("c_ba"))
+          .filter(greatest(col("c_ab"), col("c_ba")) >= 0.8)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $ShinglesCte,
+              |hs AS (SELECT doc_id,
+              |    list_transform(shs, s ->
+              |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+              |  FROM sh WHERE len(shs) > 0),
+              |sig AS (SELECT doc_id,
+              |    [list_min(list_transform(hs, h -> ((2*i+3) * h + (7*i+1)) % 2147483647))
+              |     for i in range(0, 16)] AS sig
+              |  FROM hs),
+              |bands AS (SELECT doc_id, t.b,
+              |    md5(concat_ws(',', sig[t.b*4+1]::VARCHAR, sig[t.b*4+2]::VARCHAR,
+              |                       sig[t.b*4+3]::VARCHAR, sig[t.b*4+4]::VARCHAR)) AS band_hash
+              |  FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+              |posts AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |          FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |cont AS (SELECT i.id_a, i.id_b,
+              |        round(i.inter * 1.0 / sa.n_sh, 4) AS c_ab,
+              |        round(i.inter * 1.0 / sb.n_sh, 4) AS c_ba
+              |      FROM inter i
+              |      JOIN sizes sa ON sa.doc_id = i.id_a
+              |      JOIN sizes sb ON sb.doc_id = i.id_b
+              |      JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b)
+              |SELECT id_a, id_b, c_ab, c_ba FROM cont
+              |WHERE greatest(c_ab, c_ba) >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
+
     // ----- one-knob dedupe: nearDupPairsAt("0.5") — banding chosen by the
     // s-curve rule (bandingFor(0.5, 16) = 8 bands × 2 rows, inflection at
     // (1/8)^(1/2) ≈ 0.354, the divisor pair nearest 0.5), then banded
