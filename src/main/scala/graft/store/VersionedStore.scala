@@ -269,6 +269,47 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
       (v, es.size, es.map(_.nRows).sum)
     }
 
+  /** file-level diff between two snapshots: (added, removed) manifest
+    * entries — the cheap first question an incremental consumer asks
+    * ("what files changed since v?"); pure manifest arithmetic, no data
+    * read. With bucket-granular copy-on-write an added file can carry
+    * rows that merely moved files — [[changes]] answers at row level. */
+  def diff(vFrom: Long, vTo: Long): (Seq[ManifestEntry], Seq[ManifestEntry]) = {
+    val from = readManifest(vFrom).map(e => e.path -> e).toMap
+    val to = readManifest(vTo).map(e => e.path -> e).toMap
+    ((to.keySet -- from.keySet).toSeq.sorted.map(to),
+      (from.keySet -- to.keySet).toSeq.sorted.map(from))
+  }
+
+  /** Row-level change data feed between two snapshots — Delta-style CDF
+    * (public: the Delta Lake paper's change-feed pattern) derived FROM the
+    * snapshots rather than logged at write time: chunk identity is
+    * (id, contentHash), so
+    *   insert  = id in vTo only
+    *   update  = id in both, contentHash changed (post-image emitted)
+    *   delete  = id in vFrom only.
+    * The two snapshot reads prune to the DIFF's files ([[diff]]): rows in
+    * carried-over files can't have changed (files are immutable), so at
+    * 100 TB the feed costs the churned buckets, not the table. Returns
+    * vTo-schema rows plus `_change_type`. */
+  def changes(vFrom: Long, vTo: Long): DataFrame = {
+    val (added, removed) = diff(vFrom, vTo)
+    val before = snapshotDF(removed)
+    val after = snapshotDF(added)
+    val beforeKeys = before.select(col("id"), col("contentHash").as("_old_hash"))
+    val afterKeys = after.select(col("id").as("_new_id"))
+    val inserts = after.join(beforeKeys.select("id"), Seq("id"), "left_anti")
+      .withColumn("_change_type", lit("insert"))
+    val updates = after.join(beforeKeys, Seq("id"))
+      .filter(col("contentHash") =!= col("_old_hash"))
+      .drop("_old_hash")
+      .withColumn("_change_type", lit("update_postimage"))
+    val deletes = before.join(afterKeys,
+        col("id") === col("_new_id"), "left_anti")
+      .withColumn("_change_type", lit("delete"))
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
   /** FSCK for the snapshot log: verify the LATEST manifest's references
     * against the filesystem — every referenced data file must exist, and
     * its parquet row count must equal the manifest's stats row (the stats

@@ -230,6 +230,47 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(h2.last._1 === 3L && h2.last._2 === 1 && h2.last._3 === 3L)
   }
 
+  test("change data feed: insert/update/delete derived from snapshot diff") {
+    val st = tmpStore(buckets = 2)
+    // contentHash must track content for CDF identity (mkChunk's constant
+    // hash would make every rewrite look unchanged — correctly so, since
+    // contentHash IS this store's content identity)
+    def ck(file: String, idx: Int, text: String): ChunkRow =
+      mkChunk(file, idx, text).copy(contentHash = Some(s"h-${text.hashCode}"))
+    st.upsertFile("/c/a.md", Seq(ck("/c/a.md", 0, "alpha v1"),
+      ck("/c/a.md", 1, "beta v1")).toDF()) // v1
+    st.upsertFile("/c/b.md", Seq(ck("/c/b.md", 0, "gamma")).toDF()) // v2
+    // v3: /c/a.md rewritten — chunk 0 changed, chunk 1 identical, chunk 2 new
+    st.upsertFile("/c/a.md", Seq(ck("/c/a.md", 0, "alpha v2"),
+      ck("/c/a.md", 1, "beta v1"),
+      ck("/c/a.md", 2, "delta new")).toDF())
+
+    // file diff: only the churned bucket's files move
+    val (added, removed) = st.diff(2L, 3L)
+    assert(added.nonEmpty && removed.nonEmpty)
+    assert((added ++ removed).forall(_.bucket === st.bucketOf("/c/a.md")))
+
+    val ch = st.changes(2L, 3L)
+      .select("id", "_change_type").as[(String, String)].collect().toMap
+    // carried-over identical rows (beta, gamma) are NOT in the feed
+    assert(ch === Map(
+      "/c/a.md-0" -> "update_postimage",
+      "/c/a.md-2" -> "insert"))
+    // a delete shows up as delete
+    st.upsertFile("/c/a.md", Seq(ck("/c/a.md", 0, "alpha v2")).toDF()) // v4
+    val ch2 = st.changes(3L, 4L)
+      .select("id", "_change_type").as[(String, String)].collect().toMap
+    assert(ch2 === Map(
+      "/c/a.md-1" -> "delete",
+      "/c/a.md-2" -> "delete"))
+    // full-span feed composes: v1 → v4 sees b.md's insert and a.md's net state
+    val span = st.changes(1L, 4L)
+      .select("id", "_change_type").as[(String, String)].collect().toMap
+    assert(span("/c/b.md-0") === "insert")
+    assert(span("/c/a.md-0") === "update_postimage")
+    assert(span("/c/a.md-1") === "delete")
+  }
+
   test("scrub: clean table passes; a deleted data file is named precisely") {
     val root = Files.createTempDirectory("vstore-scrub").toString + "/table"
     val st = new VersionedStore(spark, root, 2)
