@@ -64,6 +64,39 @@ final class SrpIndexStore(
     } finally a.unpersist()
   }
 
+  /** Append one batch's vectors to the stored index — the streaming-ingest
+    * cadence (same discipline as MinhashIndexStore.appendBatch): the bucket
+    * function is pure, so a batch signs itself and parquet-appends into its
+    * abucket partitions; no model state, no directory swap, index grows by
+    * |batch|. Bootstraps via [[rebuild]] when absent. A reader mid-append
+    * sees a superset of the previous index in SOME buckets — probes may
+    * return brand-new vectors early, never lose old ones. Returns rows
+    * appended. */
+  def appendBatch(rows: DataFrame): Long = {
+    if (!exists) { rebuild(rows); return rowCount() }
+    val sp = spark
+    import sp.implicits._
+    val a = assigned(rows).persist()
+    try {
+      val n = a.count()
+      if (n == 0L) return 0L
+      val parts = if (bucketed) Seq("pbucket", "abucket") else Seq("abucket")
+      a.write.mode(SaveMode.Append).partitionBy(parts: _*).parquet(assignmentsPath)
+      val cur = sp.read.parquet(statsPath)
+        .select("pbucket", "n_rows").as[(Long, Long)].collect().toMap
+      val add: Map[Long, Long] =
+        if (bucketed) a.groupBy("pbucket").agg(count(lit(1)).as("n"))
+          .as[(Long, Long)].collect().toMap
+        else Map(0L -> n)
+      val merged = (cur.keySet ++ add.keySet).toSeq.sorted
+        .map(b => (b, cur.getOrElse(b, 0L) + add.getOrElse(b, 0L)))
+      DirSwap.swapInto(fs, path, statsPath)(tmp =>
+        merged.toDF("pbucket", "n_rows")
+          .write.mode(SaveMode.Overwrite).parquet(tmp))
+      n
+    } finally a.unpersist()
+  }
+
   /** probe the query's bucket (hammingRadius=0, the oracle-replayable form)
     * or its Hamming-neighborhood (radius 1–2 trades read volume for recall);
     * partition pruning keeps the scan to the probed buckets only */

@@ -346,6 +346,32 @@ class StoreSearchSpec extends AnyFunSuite {
     assert(r1.size > r0.size) // neighbors actually contribute on real data
   }
 
+  test("SRP appendBatch: appended vectors become probe-visible, index equals one-shot rebuild") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val batch1 = e.filter($"vec_id" < 400)
+    val batch2 = e.filter($"vec_id" >= 400)
+    val dir = Files.createTempDirectory("srp-append").toString + "/srp"
+    val st = new graft.store.SrpIndexStore(spark, dir, dim = 64, planes = 8,
+      0, Seq("vec_id"), "embedding")
+    st.appendBatch(batch1) // bootstrap = rebuild
+    assert(st.rowCount() === batch1.count())
+    val n2 = st.appendBatch(batch2)
+    assert(n2 === batch2.count())
+    assert(st.rowCount() === e.count())
+    // a probe with a BATCH-2 vector finds it: the appended partition serves
+    val late = e.filter($"vec_id" === 450).select("embedding").head().getSeq[Float](0)
+    val hits = st.probe(late, k = 5).select("vec_id").as[Long].collect().toSet
+    assert(hits.contains(450L))
+    // appended index ≡ one-shot rebuild over the same rows, probe for probe
+    val dir2 = Files.createTempDirectory("srp-oneshot").toString + "/srp"
+    val oneShot = new graft.store.SrpIndexStore(spark, dir2, dim = 64, planes = 8,
+      0, Seq("vec_id"), "embedding")
+    oneShot.rebuild(e)
+    val qv = e.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    assert(st.probe(qv, k = 20).select("vec_id").as[Long].collect().toSeq ===
+      oneShot.probe(qv, k = 20).select("vec_id").as[Long].collect().toSeq)
+  }
+
   test("minhash index: delta candidates equal the full-run pairs touching the batch") {
     import graft.ops.Dedup
     val base = "the quick brown fox jumps over the lazy dog near the old stone " +
