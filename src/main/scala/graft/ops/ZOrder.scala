@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) multi-dimensional clustering + stats-based file
+  * pruning — the data-layout half of multi-column data skipping.
+  *
+  * A table laid out by ONE sort column prunes scans on that column only:
+  * file-level min/max on any other column spans the whole domain, so a
+  * predicate on it opens every file. Interleaving the bits of k rank-
+  * bucketized dimensions into one clustering key gives every file a tight
+  * min/max envelope on ALL k dimensions at once — a range predicate on any
+  * subset of them prunes files BEFORE any scan task is scheduled. At 100 TB
+  * this is the difference between "point-range query touches a few hundred
+  * MB" and "every query is a full-table scan"; the same layout idea ships
+  * as Delta Lake's OPTIMIZE ZORDER BY and as space-filling-curve clustering
+  * in Iceberg (public designs; see Morton 1966 for the curve itself).
+  *
+  * Everything here is deliberately engine-native:
+  *  - per-dimension bucket boundaries come from ONE distributed
+  *    `approxQuantile` pass over all dims (rank-based, so skewed
+  *    dimensions still fill all buckets — linear min/max scaling would
+  *    collapse a power-law dim into its first bucket);
+  *  - the bucket + interleave computation is a fold of `when`/bit-shift
+  *    column expressions — whole-stage-codegen'd, no UDF, no HOF
+  *    CodegenFallback in the layout write;
+  *  - the clustering shuffle is a single `repartitionByRange` on the
+  *    z-value (range partitioner = contiguous curve segments per file);
+  *  - file stats are ONE column-pruned grouped pass over the written
+  *    files (production: collected from parquet footers at write time),
+  *    persisted as a tiny `_zstats` sidecar the reader loads driver-side —
+  *    pruning cost is O(files) metadata rows, never a data scan.
+  *
+  * Reference scope note: the reference engine has no multi-dim layout
+  * operator (its store is an embedded per-chunk vectordb); this is part of
+  * the corpus-scale layer this library adds on top of the reference's
+  * query surface, alongside [[graft.store.VersionedStore]]'s manifest
+  * min/max skipping (single path dimension) which it generalizes.
+  */
+object ZOrder {
+
+  /** inclusive range predicate on one (numeric) dimension */
+  final case class ZRange(dim: String, lo: Double, hi: Double)
+
+  private def statsDir(outDir: String) = s"$outDir/_zstats"
+  private def dataDir(outDir: String) = s"$outDir/data"
+
+  /** Rank-based bucket boundaries for each dim: `(1<<bits)-1` interior
+    * quantiles per dimension, all dims in one distributed pass. Duplicate
+    * boundaries (low-cardinality dims) are kept — they only skip bucket
+    * numbers, monotonicity is what matters. */
+  def boundaries(df: DataFrame, dims: Seq[String], bits: Int,
+                 relErr: Double = 0.001): Map[String, Array[Double]] = {
+    require(bits >= 1 && bits <= 12, s"bits=$bits out of range 1..12")
+    val n = 1 << bits
+    val probs = (1 until n).map(i => i.toDouble / n).toArray
+    val casted = df.select(dims.map(d => col(d).cast("double").as(d)): _*)
+    dims.zip(casted.stat.approxQuantile(dims.toArray, probs, relErr)).toMap
+  }
+
+  /** bucket index of `c` given sorted boundaries: the count of boundaries
+    * <= value, as a chain of codegen'd comparisons (boundaries are a
+    * driver-side constant, ≤ 4095 of them). NULL never satisfies `>=`,
+    * so null values land in bucket 0. */
+  def bucketExpr(c: Column, bounds: Array[Double]): Column =
+    bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(c.cast("double") >= lit(b), 1L).otherwise(0L)
+    }
+
+  /** Morton interleave of k bucket columns of `bits` bits each: bit i of
+    * dim j lands at position i*k + j. The per-bit terms occupy disjoint
+    * bit positions, so integer addition is exactly bitwise OR. */
+  def interleave(buckets: Seq[Column], bits: Int): Column = {
+    val k = buckets.size
+    require(k >= 1, "need at least one dimension")
+    require(bits * k <= 62, s"z-value would overflow a long: $bits bits x $k dims")
+    val terms =
+      for { i <- 0 until bits; (b, j) <- buckets.zipWithIndex }
+        yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ + _)
+  }
+
+  /** the z-value column for `dims` under the given boundaries */
+  def zValue(dims: Seq[String], bounds: Map[String, Array[Double]],
+             bits: Int): Column =
+    interleave(dims.map(d => bucketExpr(col(d), bounds(d))), bits)
+
+  /** Cluster `df` along the z-curve over `dims`: one range shuffle on the
+    * z-value into `numFiles` contiguous curve segments, rows sorted by
+    * z within each segment so row-group stats inside each file are tight
+    * too (parquet row-group pruning composes with file pruning). */
+  def cluster(df: DataFrame, dims: Seq[String], bits: Int = 6,
+              numFiles: Int = 32): DataFrame = {
+    val bounds = boundaries(df, dims, bits)
+    df.withColumn("_z", zValue(dims, bounds, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
+
+  /** Write `df` under `outDir` with the given layout transform, then
+    * compute and persist per-file min/max stats for `statsDims` as the
+    * `_zstats` sidecar (one column-pruned pass grouped by file). Returns
+    * the number of data files written. */
+  def writeLayout(df: DataFrame, outDir: String, statsDims: Seq[String],
+                  layout: DataFrame => DataFrame): Long = {
+    val spark = df.sparkSession
+    layout(df).write.mode(SaveMode.Overwrite).parquet(dataDir(outDir))
+    val statAggs = statsDims.flatMap(d =>
+      Seq(min(col(d).cast("double")).as(s"min_$d"),
+          max(col(d).cast("double")).as(s"max_$d")))
+    val aggs = count(lit(1)).as("n_rows") +: statAggs
+    val stats = spark.read.parquet(dataDir(outDir))
+      .groupBy(input_file_name().as("path"))
+      .agg(aggs.head, aggs.tail: _*)
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir(outDir))
+    spark.read.parquet(statsDir(outDir)).count()
+  }
+
+  /** convenience: z-ordered layout over `dims` */
+  def writeZOrdered(df: DataFrame, outDir: String, dims: Seq[String],
+                    bits: Int = 6, numFiles: Int = 32): Long =
+    writeLayout(df, outDir, dims, cluster(_, dims, bits, numFiles))
+
+  /** comparison layout: single-column sort (what a naive pipeline writes);
+    * stats are still collected for all `statsDims` so the pruning gap is
+    * measured on equal footing */
+  def writeSorted(df: DataFrame, outDir: String, sortCol: String,
+                  statsDims: Seq[String], numFiles: Int = 32): Long =
+    writeLayout(df, outDir, statsDims,
+      _.repartitionByRange(numFiles, col(sortCol)).sortWithinPartitions(sortCol))
+
+  /** the sidecar stats table (tiny: one row per data file) */
+  def stats(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(statsDir(outDir))
+
+  /** data-file paths whose stats envelope intersects EVERY requested
+    * range, plus the total file count — driver-side, O(files) metadata.
+    * A file with null stats on a dim (all-null rows) can never satisfy an
+    * inclusive range and is pruned. */
+  def prunedPaths(spark: SparkSession, outDir: String,
+                  ranges: Seq[ZRange]): (Seq[String], Long) = {
+    val pred = ranges
+      .map(r => col(s"max_${r.dim}") >= r.lo && col(s"min_${r.dim}") <= r.hi)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val st = stats(spark, outDir)
+    val selected = st.filter(pred).select("path")
+      .collect().map(_.getString(0)).toSeq.sorted
+    (selected, st.count())
+  }
+
+  /** Pruned range read: open only the files [[prunedPaths]] selects, then
+    * apply the exact residual predicate (file stats are a superset filter,
+    * never the final answer). An empty selection short-circuits to an
+    * empty frame with the table's schema. */
+  def read(spark: SparkSession, outDir: String, ranges: Seq[ZRange]): DataFrame = {
+    val (paths, _) = prunedPaths(spark, outDir, ranges)
+    val residual = ranges
+      .map(r => col(r.dim).cast("double").between(r.lo, r.hi))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    if (paths.isEmpty) {
+      val schema = spark.read.parquet(dataDir(outDir)).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(paths: _*).filter(residual)
+  }
+}

@@ -723,6 +723,34 @@ object Relational {
              |r3 AS (SELECT nodes.v,
              |         0.15/nn.n + 0.85 * (coalesce(c3.contrib, 0.0) + d3.dm/nn.n) AS r
              |       FROM nodes LEFT JOIN c3 ON c3.v = nodes.v, nn, d3)
-             |SELECT v, round(r, 10) + 0.0 AS r FROM r3 ORDER BY v""".stripMargin))
+             |SELECT v, round(r, 10) + 0.0 AS r FROM r3 ORDER BY v""".stripMargin)),
+
+    // ----- Z-order clustered layout + stats-pruned multi-dim range read
+    // (ops/ZOrder): the layout is built once per sf dir (cached in tmp),
+    // then the read opens ONLY the files whose (user_id, value) stats
+    // envelope intersects the predicate — the result is layout-invariant,
+    // so the oracle is the plain filtered aggregate over the source table.
+    // OpsSpec pins the pruning itself (z-order opens strictly fewer files
+    // than a single-column-sorted layout for the same predicate). -----
+    Q("q_zorder_read",
+      (s, d) => {
+        val suffix = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-z-$suffix"
+        val done = new java.io.File(s"$out/_zstats/_SUCCESS")
+        if (!done.exists())
+          graft.ops.ZOrder.writeZOrdered(Tables.events(s, d), out,
+            Seq("user_id", "value"), bits = 6, numFiles = 32)
+        graft.ops.ZOrder.read(s, out, Seq(
+            graft.ops.ZOrder.ZRange("user_id", 40, 75),
+            graft.ops.ZOrder.ZRange("value", 120.0, 260.0)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE user_id BETWEEN 40 AND 75 AND value BETWEEN 120.0 AND 260.0
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

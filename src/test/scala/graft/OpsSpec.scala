@@ -768,4 +768,63 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
+
+  test("z-order: interleave bit layout, bucket monotonicity, null handling") {
+    import graft.ops.ZOrder
+    // buckets (1, 2) at 2 bits: z = bit0(a)<<0 | bit0(b)<<1 | bit1(a)<<2
+    // | bit1(b)<<3 = 1 + 0 + 0 + 8 = 9
+    val z = Seq((1L, 2L)).toDF("a", "b")
+      .select(ZOrder.interleave(Seq(col("a"), col("b")), 2).as("z"))
+      .as[Long].head()
+    assert(z === 9L)
+    // bucket = count of boundaries <= value; nulls land in bucket 0
+    val bs = Array(1.0, 2.0, 3.0)
+    val got = Seq(Some(0.5), Some(1.0), Some(2.5), None).toDF("v")
+      .select(ZOrder.bucketExpr(col("v"), bs).as("b")).as[Long].collect().toSeq
+    assert(got === Seq(0L, 1L, 2L, 0L))
+    // duplicate boundaries stay monotone (low-cardinality dims)
+    val dup = Seq(0.0, 5.0, 10.0).toDF("v")
+      .select(ZOrder.bucketExpr(col("v"), Array(5.0, 5.0, 5.0)).as("b"))
+      .as[Long].collect().toSeq
+    assert(dup === Seq(0L, 3L, 3L))
+  }
+
+  test("z-order layout prunes multi-dim range reads a single-sort layout cannot") {
+    import graft.ops.ZOrder
+    import graft.ops.ZOrder.ZRange
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "event_type", "value")
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val zdir = s"$base/z"; val ldir = s"$base/linear"
+    assert(ZOrder.writeZOrdered(events, zdir, Seq("user_id", "value"),
+      bits = 4, numFiles = 16) === 16L)
+    ZOrder.writeSorted(events, ldir, "user_id", Seq("user_id", "value"),
+      numFiles = 16)
+    // a value-only range: the user_id-sorted layout has no order on value,
+    // so every file's value envelope spans the domain and nothing prunes;
+    // the z-order layout dedicates half the key bits to value and opens a
+    // strict subset
+    val valueOnly = Seq(ZRange("value", 40.0, 110.0))
+    val (zSel, zTot) = ZOrder.prunedPaths(spark, zdir, valueOnly)
+    val (lSel, lTot) = ZOrder.prunedPaths(spark, ldir, valueOnly)
+    // range partitioning on a 15-distinct-value column leaves some
+    // partitions empty (empty files carry no stats row), so compare
+    // fractions, not absolute counts
+    assert(zTot === 16L && lTot >= 10L)
+    assert(lSel.size === lTot,
+      s"single-sort layout unexpectedly pruned: ${lSel.size} of $lTot")
+    assert(zSel.size < lSel.size,
+      s"z-order opened ${zSel.size} files vs linear ${lSel.size}")
+    // pruned read is exact: identical rows to the brute-force filter, on a
+    // predicate over BOTH dims
+    val both = Seq(ZRange("user_id", 3, 7), ZRange("value", 40.0, 110.0))
+    val got = ZOrder.read(spark, zdir, both)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val want = events
+      .filter(col("user_id").between(3, 7) && col("value").between(40.0, 110.0))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got === want && want.nonEmpty)
+    // stats sidecar is one row per file with finite envelopes
+    assert(ZOrder.stats(spark, zdir).count() === 16L)
+  }
 }
