@@ -309,6 +309,78 @@ object PipelineQueries {
             round(col("boosted"), 4).as("boosted"))
       },
       None,
-      bench = true)
+      bench = true),
+
+    // ----- incrementally maintained materialized view over the versioned
+    // chunk table (store/MaterializedView): documents land as chunk rows in
+    // 8 logical files; files 0–2 then take an editing batch (deletes at
+    // doc_id%7==0, text revisions at doc_id%5==0). The per-file rollup is
+    // refreshed INCREMENTALLY — the change feed names the 3 touched
+    // groups, only their data files are re-read (manifest-stats pruned),
+    // untouched groups carry forward. The final view state is
+    // layout-invariant, so the oracle replays the edit rule over the
+    // source table directly. Store build is cached per sf dir; the first
+    // run exercises full→incremental, later runs hit the noop path and
+    // read the same committed view snapshot. -----
+    Q("mv_incremental",
+      (s, d) => {
+        val suffix = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft-mv-$suffix"
+        val store = new graft.store.VersionedStore(s, s"$root/table", numBuckets = 4)
+        val mv = new graft.store.MaterializedView(s, store, s"$root/view",
+          "filePath", Seq(
+            count(lit(1)).as("n_chunks"),
+            sum(length(col("text"))).cast("long").as("total_chars"),
+            min(col("contentHash")).as("min_hash")))
+        val done = new java.io.File(s"$root/_built")
+        if (!done.exists()) {
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), col("text"))
+            .withColumn("fp", concat(lit("corpus/f"),
+              (col("doc_id") % 8).cast("string"), lit(".txt")))
+          def chunkRows(part: DataFrame): DataFrame = part.select(
+            concat(col("fp"), lit("#"), col("doc_id").cast("string")).as("id"),
+            col("fp").as("filePath"),
+            col("doc_id").cast("int").as("chunkIndex"),
+            col("text"),
+            array().cast("array<float>").as("vector"),
+            struct(col("fp").as("fileName"),
+              length(col("text")).cast("long").as("fileSize"),
+              lit("txt").as("fileType")).as("metadata"),
+            lit(null).cast("string").as("fileTitle"),
+            md5(col("text")).as("contentHash"),
+            lit("2026-01-01T00:00:00Z").as("timestamp"))
+          store.create()
+          (0 until 8).foreach { f =>
+            store.upsertFile(s"corpus/f$f.txt",
+              chunkRows(docs.filter(col("doc_id") % 8 === f)))
+          }
+          mv.refresh() // full build pins the base view snapshot
+          val edited = docs
+            .filter(col("doc_id") % 8 <= 2 && col("doc_id") % 7 =!= 0)
+            .withColumn("text", when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+          (0 to 2).foreach { f =>
+            store.upsertFile(s"corpus/f$f.txt",
+              chunkRows(edited.filter(col("doc_id") % 8 === f)))
+          }
+          done.createNewFile()
+        }
+        mv.refresh().df
+          .select(col("filePath").as("file_path"), col("n_chunks"),
+            col("total_chars"), col("min_hash"))
+          .orderBy("file_path")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 8 <= 2 AND doc_id % 5 = 0
+             |         THEN text || ' [rev2]' ELSE text END AS t
+             |  FROM documents
+             |  WHERE NOT (doc_id % 8 <= 2 AND doc_id % 7 = 0))
+             |SELECT 'corpus/f' || (doc_id % 8) || '.txt' AS file_path,
+             |  count(*) AS n_chunks,
+             |  CAST(sum(length(t)) AS BIGINT) AS total_chars,
+             |  min(md5(t)) AS min_hash
+             |FROM base GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -217,6 +217,16 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
   def readFile(filePath: String): DataFrame =
     snapshotDF(dataFilesFor(filePath)).filter(col("filePath") === filePath)
 
+  /** multi-path pruned read: the union of [[dataFilesFor]] selections for
+    * every requested path (deduplicated), with the exact residual filter.
+    * The path set is expected to be churn-bounded (an incremental
+    * consumer's affected keys), so the per-path manifest walk stays a
+    * driver-side metadata pass. */
+  def readFiles(filePaths: Seq[String]): DataFrame = {
+    val entries = filePaths.flatMap(dataFilesFor).distinct
+    snapshotDF(entries).filter(col("filePath").isInCollection(filePaths))
+  }
+
   /** copy-on-write upsert of one file's chunks: rewrites ONLY the file's
     * bucket (other buckets' files are carried by reference), then commits
     * with CAS + rebase. Retries are bounded: bucket-disjoint writers always
@@ -225,6 +235,19 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
                  maxRetries: Int = 20): Long = {
     require(newChunks.take(1).nonEmpty,
       s"refusing upsert of ZERO chunks for $filePath") // zero-chunk fail-fast
+    rewriteFileBucket(filePath, Some(newChunks), maxRetries)
+  }
+
+  /** whole-file delete: the same single-bucket copy-on-write rewrite as
+    * [[upsertFile]] with no replacement rows (the J6 stale-file delete at
+    * the versioned layer). Deleting a file no stats range can contain is a
+    * no-op that commits nothing. */
+  def deleteFile(filePath: String, maxRetries: Int = 20): Long =
+    if (dataFilesFor(filePath).isEmpty) latestVersion().getOrElse(0L)
+    else rewriteFileBucket(filePath, None, maxRetries)
+
+  private def rewriteFileBucket(filePath: String, newChunks: Option[DataFrame],
+                                maxRetries: Int): Long = {
     val b = bucketOf(filePath)
     val base = latestVersion().getOrElse {
       create(); 0L
@@ -233,9 +256,10 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
     val entriesAtBase = readManifest(base)
     def bucketState(es: Seq[ManifestEntry]) =
       es.filter(_.bucket == b).map(_.path).toSet
-    val bucketRows = snapshotDF(entriesAtBase.filter(_.bucket == b))
+    val kept = snapshotDF(entriesAtBase.filter(_.bucket == b))
       .filter(col("filePath") =!= filePath)
-      .unionByName(newChunks.select(ChunkSchema.schema.fieldNames.map(col): _*))
+    val bucketRows = newChunks.fold(kept)(nc =>
+      kept.unionByName(nc.select(ChunkSchema.schema.fieldNames.map(col): _*)))
     val newFiles = writeDataFiles(b, bucketRows)
     // ...then CAS-commit, rebasing the untouched-bucket references on
     // every retry. Same-bucket concurrent commits invalidate our rewrite
@@ -251,13 +275,14 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
         // made sustained same-bucket contention an unbounded livelock.
         val f = fs
         newFiles.foreach(e => f.delete(new HPath(s"$root/${e.path}"), false))
-        return upsertFile(filePath, newChunks, maxRetries - attempt - 1)
+        return rewriteFileBucket(filePath, newChunks, maxRetries - attempt - 1)
       }
       val next = curEntries.filterNot(_.bucket == b) ++ newFiles
       if (tryCommit(cur + 1, next)) return cur + 1
       attempt += 1
     }
-    throw new java.io.IOException(s"upsert of $filePath lost $maxRetries CAS races")
+    throw new java.io.IOException(
+      s"rewrite of $filePath lost $maxRetries CAS races")
   }
 
   /** table history from the manifests alone — (version, file count, row

@@ -357,4 +357,82 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(st.dataFilesFor(below).isEmpty)
     assert(st.readFile(below).inputFiles.isEmpty)
   }
+
+  test("deleteFile: single-bucket copy-on-write removal; ghost delete is a no-op") {
+    val st = tmpStore()
+    st.upsertFile("/a/x.md", Seq(mkChunk("/a/x.md", 0, "xx")).toDF())
+    st.upsertFile("/a/y.md", Seq(mkChunk("/a/y.md", 0, "yy")).toDF())
+    val vBefore = st.latestVersion().get
+    val vDel = st.deleteFile("/a/x.md")
+    assert(vDel === vBefore + 1)
+    assert(st.read().select("filePath").as[String].collect().toSeq === Seq("/a/y.md"))
+    // the deleted file's rows are still visible via time travel
+    assert(st.readVersion(vBefore).filter(col("filePath") === "/a/x.md").count() === 1L)
+    // deleting a path no stats range can contain commits nothing
+    assert(st.deleteFile("/zzz/ghost.md") === vDel)
+    assert(st.latestVersion() === Some(vDel))
+    // the change feed reports exactly the one delete
+    val ch = st.changes(vBefore, vDel)
+    assert(ch.filter(col("_change_type") === "delete")
+      .select("filePath").as[String].collect().toSeq === Seq("/a/x.md"))
+  }
+
+  test("materialized view: full, incremental (only churned groups recomputed), noop") {
+    import graft.store.MaterializedView
+    // content-derived hashes so edits actually register in the change feed
+    def chunk(file: String, idx: Int, text: String): graft.core.ChunkSchema.ChunkRow =
+      graft.core.ChunkSchema.ChunkRow(s"$file-$idx", file, idx, text,
+        embedder.embed(text),
+        graft.core.ChunkSchema.ChunkMetadata(file.split('/').last,
+          text.length.toLong, "md"),
+        Some("t"), Some(s"h-${text.hashCode}"), "2026-01-01T00:00:00Z")
+    val root = Files.createTempDirectory("mvstore").toString
+    val st = new VersionedStore(spark, s"$root/table", 4)
+    val mv = new MaterializedView(spark, st, s"$root/view", "filePath", Seq(
+      count(lit(1)).as("n_chunks"),
+      sum(length(col("text"))).cast("long").as("total_chars"),
+      max(col("text")).as("max_text"))) // non-distributive on purpose
+
+    st.upsertFile("/a/x.md", Seq(chunk("/a/x.md", 0, "alpha"),
+      chunk("/a/x.md", 1, "beta")).toDF())
+    st.upsertFile("/a/y.md", Seq(chunk("/a/y.md", 0, "gamma")).toDF())
+    st.upsertFile("/b/z.md", Seq(chunk("/b/z.md", 0, "delta")).toDF())
+
+    val full = mv.refresh()
+    assert(full.mode === "full")
+    assert(full.df.count() === 3L)
+
+    // edit ONE file: drop a chunk, revise the other (max_text must shrink —
+    // +/- maintenance could not produce this, partial recompute does)
+    st.upsertFile("/a/x.md", Seq(chunk("/a/x.md", 0, "alp")).toDF())
+    val inc = mv.refresh()
+    assert(inc.mode === "incremental")
+    assert(inc.recomputedGroups === 1L)
+    val got = inc.df.orderBy("filePath")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got === Seq(("/a/x.md", 1L, 3L, "alp"),
+      ("/a/y.md", 1L, 5L, "gamma"), ("/b/z.md", 1L, 5L, "delta")))
+    // incremental result is bit-identical to a from-scratch recompute
+    val scratch = st.read().groupBy("filePath")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        max(col("text")).as("max_text"))
+      .orderBy("filePath").as[(String, Long, Long, String)].collect().toSeq
+    assert(got === scratch)
+
+    // whole-file delete drops its group from the view
+    st.deleteFile("/b/z.md")
+    val inc2 = mv.refresh()
+    assert(inc2.mode === "incremental" && inc2.recomputedGroups === 1L)
+    assert(inc2.df.select("filePath").as[String].collect().sorted.toSeq ===
+      Seq("/a/x.md", "/a/y.md"))
+
+    // already current → noop; view snapshots are immutable history
+    val noop = mv.refresh()
+    assert(noop.mode === "noop")
+    assert(mv.refreshedVersions().size === 3)
+    mv.prune(keep = 1)
+    assert(mv.refreshedVersions().size === 1)
+    assert(mv.read().count() === 2L)
+  }
 }
