@@ -204,6 +204,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-document duplicate k-gram coverage — per document, the fraction
+    * of its DISTINCT word k-grams that occur in at least one OTHER
+    * document (plus the gram count). The per-doc signal behind exact-
+    * substring training-data dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022 — public): documents
+    * whose gram mass is mostly shared are boilerplate/copies even when no
+    * single pair crosses a Jaccard threshold.
+    *
+    * Scale shape: both aggregations and the join are keyed on the gram —
+    * two gram-hash shuffles over O(total grams) rows, never a document
+    * pair join. Shingles arrive distinct per doc ([[wordShingles]]), so
+    * the gram→doc count IS the containing-doc count. */
+  def dupGramCoverage(docs: DataFrame, idCol: String,
+                      shinglesCol: String): DataFrame = {
+    val gd = docs.select(col(idCol), explode(col(shinglesCol)).as("g"))
+    val nd = gd.groupBy("g").agg(count(lit(1)).as("n_docs"))
+    val cov = gd.join(nd, Seq("g"))
+      .groupBy(idCol)
+      .agg((round(sum(when(col("n_docs") >= 2, 1L).otherwise(0L)) /
+          count(lit(1)), 4) + 0.0).as("dup_gram_frac"),
+        count(lit(1)).as("n_grams"))
+    // docs below the shingle length floor have no grams: coverage 0
+    docs.select(col(idCol))
+      .join(cov, Seq(idCol), "left")
+      .na.fill(Map("dup_gram_frac" -> 0.0, "n_grams" -> 0L))
+  }
+
   /** exact Jaccard evaluated ONLY on given (id_a, id_b) pairs — the verify
     * stage after LSH blocking. Per pair this is one array_intersect over the
     * two (distinct) shingle arrays: no posting self-join, no quadratic

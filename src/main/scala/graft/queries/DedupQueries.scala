@@ -289,6 +289,33 @@ object DedupQueries {
               |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ----- cross-document duplicate k-gram coverage (ops/Dedup
+    // .dupGramCoverage): the per-doc exact-substring-dedup signal — what
+    // fraction of a doc's distinct 5-grams appear in some OTHER doc. The
+    // planted +100000 exact copies score 1.0, the +200000 near-dups just
+    // below, originals without a copy near 0. Gram-keyed shuffles only;
+    // no pair join. -----
+    Q("d_gram_coverage",
+      (s, d) => {
+        val withSh = dupCorpus(s, d)
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .withColumn("shs", Dedup.wordShingles("ws", 5))
+        Dedup.dupGramCoverage(withSh, "doc_id", "shs")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ShinglesCte,
+              |gd AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+              |nd AS (SELECT g, count(*) AS n_docs FROM gd GROUP BY 1),
+              |cov AS (SELECT doc_id,
+              |    round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+              |      / count(*), 4) + 0.0 AS dup_gram_frac,
+              |    CAST(count(*) AS BIGINT) AS n_grams
+              |  FROM gd JOIN nd USING (g) GROUP BY 1)
+              |SELECT c.doc_id, coalesce(cov.dup_gram_frac, 0.0) AS dup_gram_frac,
+              |       CAST(coalesce(cov.n_grams, 0) AS BIGINT) AS n_grams
+              |FROM corpus c LEFT JOIN cov USING (doc_id)
+              |ORDER BY c.doc_id""".stripMargin)),
+
     // ----- n-gram Jaccard pairs via LSH blocking (the 100 TB shape and the
     // BENCHED headline): banded MinHash candidates, exact Jaccard verified
     // per-pair with array_intersect — work is O(candidates), never

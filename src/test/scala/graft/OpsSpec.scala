@@ -769,6 +769,22 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("dupGramCoverage: exact copies score 1.0, unique docs 0.0, short docs 0 grams") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // exact copy of 0
+      (2L, "one two three four five six seven eight"), // unique
+      (3L, "tiny")                                     // below the 5-gram floor
+    ).toDF("doc_id", "text")
+      .withColumn("ws", Dedup.wordsArray("text"))
+      .withColumn("shs", Dedup.wordShingles("ws", 5))
+    val out = Dedup.dupGramCoverage(docs, "doc_id", "shs")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) === ((1.0, 3L)) && out(1L) === ((1.0, 3L)))
+    assert(out(2L) === ((0.0, 4L)))
+    assert(out(3L) === ((0.0, 0L)))
+  }
+
   test("z-order: interleave bit layout, bucket monotonicity, null handling") {
     import graft.ops.ZOrder
     // buckets (1, 2) at 2 bits: z = bit0(a)<<0 | bit0(b)<<1 | bit1(a)<<2
