@@ -307,6 +307,52 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSet === Set("/v/a.md"))
   }
 
+  test("streaming materialized view: per-batch refresh tracks the store incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("stream-mv").toString
+    val store = new graft.store.VersionedStore(spark, s"$root/table", numBuckets = 4)
+    store.create()
+    val mv = new graft.store.MaterializedView(spark, store, s"$root/view",
+      "filePath", Seq(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_chunks")))
+    val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mem = MemoryStream[Ingest.Doc]
+    val ckpt = Files.createTempDirectory("stream-mv-ckpt").toString
+    val q = StreamingIngest.chunkStream(mem.toDS(), () => new HashedEmbedder(64), "2026-01-01T00:00:00Z")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.core.ChunkSchema.ChunkRow], _: Long) =>
+        val df = batch.toDF().persist()
+        val files = df.select("filePath").distinct().as[String](implicitly).collect()
+        files.foreach(f => store.upsertFile(f,
+          df.filter(org.apache.spark.sql.functions.col("filePath") === f)))
+        df.unpersist()
+        // the view rides the same commit cadence: refresh cost follows the
+        // batch's churned files, not the table
+        modes += mv.refresh().mode
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+
+    mem.addData(Ingest.Doc("/mv/a.md",
+      "Apache Spark processes data with distributed operators across many executors. " +
+        "It supports joins windows and aggregates over large datasets."))
+    val run1 = q.start(); run1.awaitTermination(60000)
+    mem.addData(Ingest.Doc("/mv/b.md",
+      "Cooking pasta requires boiling water with salt for several minutes until al dente."))
+    val run2 = q.start(); run2.awaitTermination(60000)
+
+    assert(modes.head === "full" && modes.tail.forall(_ === "incremental"))
+    val got = mv.read().orderBy("filePath")
+      .as[(String, Long)].collect().toSeq
+    val scratch = store.read().groupBy("filePath")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_chunks"))
+      .orderBy("filePath").as[(String, Long)].collect().toSeq
+    assert(got === scratch && got.map(_._1) === Seq("/mv/a.md", "/mv/b.md"))
+  }
+
   test("stream-stream click attribution joins within the window, drops beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]
