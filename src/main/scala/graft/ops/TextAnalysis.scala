@@ -243,4 +243,74 @@ object TextAnalysis {
     })
     f(text)
   }
+
+  /** Heavy-hitter tokens (count >= `minCount`) without a full-vocabulary
+    * shuffle — the two-pass candidates-then-verify pattern for frequency
+    * questions over a 100 TB token stream:
+    *
+    *  - pass 1: each partition runs a bounded Misra–Gries summary
+    *    (capacity-k map; Misra & Gries 1982 — public) over its own tokens
+    *    and emits only entries whose summary count PLUS the exact
+    *    undercount cap (d = decrement rounds taken) clears the
+    *    per-partition threshold ceil(minCount/P). Pigeonhole: a globally-
+    *    heavy token is locally heavy in >= 1 partition, and MG undercounts
+    *    by at most d, so the emitted union is a GUARANTEED superset of the
+    *    true heavy hitters — PROVIDED d stays below the threshold. When it
+    *    doesn't (capacity too small for the partition's token volume: a
+    *    heavy token may have been evicted outright), the summary cannot
+    *    certify absence and the pass FAILS LOUDLY rather than silently
+    *    dropping hitters — size capacity >= n_p/tau_p (default 65536
+    *    certifies ~65M tokens/partition at tau_p=1000). Driver traffic is
+    *    O(P × capacity) candidate strings, not the vocabulary.
+    *  - pass 2: exact counts for candidate tokens only — the broadcast
+    *    isin filter pushes to the scan, and map-side partial aggregation
+    *    collapses each partition's candidate rows to <= |candidates|
+    *    before the (tiny) shuffle. Output is EXACT, so the oracle is the
+    *    plain HAVING-count query.
+    *
+    * The token stream is evaluated once per pass (two scan-speed passes;
+    * a cache would trade memory for the second scan). `mapPartitions` is
+    * justified per SURVEY §2.11(d): the MG summary is genuinely per-
+    * partition imperative state no Column expression composes. */
+  def heavyHitterTokens(df: DataFrame, textCol: String, minCount: Long,
+                        capacity: Int = 1 << 16): DataFrame = {
+    require(minCount >= 1 && capacity >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(Dedup.wordsArray(textCol)).as("w")).as[String]
+    val nPart = math.max(words.rdd.getNumPartitions, 1)
+    val tauP = math.max(1L, math.ceil(minCount.toDouble / nPart).toLong)
+    val candidates = words.mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long]()
+      var d = 0L // decrement rounds taken = exact per-token undercount cap
+      it.foreach { w =>
+        if (m.containsKey(w)) m.put(w, m.get(w) + 1L)
+        else if (m.size < capacity) m.put(w, 1L)
+        else { // classic MG: a full-map miss decrements every entry instead
+          d += 1
+          val itr = m.entrySet().iterator()
+          while (itr.hasNext) {
+            val e = itr.next()
+            if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      if (d >= tauP) throw new IllegalStateException(
+        s"heavyHitterTokens: MG capacity $capacity exhausted ($d decrement " +
+          s"rounds >= per-partition threshold $tauP) — an evicted token " +
+          s"could be a true heavy hitter; raise capacity above " +
+          s"partitionTokens/$tauP")
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.collect {
+        case e if e.getValue + d >= tauP => e.getKey
+      }
+    }.distinct().collect().toSeq
+    if (candidates.isEmpty)
+      spark.emptyDataset[(String, Long)].toDF("w", "cnt")
+    else
+      words.toDF("w")
+        .filter(col("w").isInCollection(candidates))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+  }
 }

@@ -33,6 +33,20 @@ object TextQueries {
              |SELECT bigram, count(*) AS df FROM p
              |GROUP BY 1 ORDER BY df DESC, bigram LIMIT 50""".stripMargin)),
 
+    // ----- heavy-hitter tokens via per-partition Misra–Gries candidates +
+    // exact verification (ops/TextAnalysis.heavyHitterTokens): the
+    // two-pass shape that answers "which tokens occur >= T times" without
+    // shuffling the vocabulary. The emitted set is exact (pass 2
+    // re-counts), so the oracle is the plain HAVING query. -----
+    Q("t_heavy_hitters",
+      (s, d) => graft.ops.TextAnalysis
+        .heavyHitterTokens(Tables.documents(s, d), "text", minCount = 300L)
+        .orderBy("w"),
+      Some("""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             |          FROM documents)
+             |SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w
+             |GROUP BY 1 HAVING count(*) >= 300 ORDER BY w""".stripMargin)),
+
     // ----- token counting (whitespace + subword-ish estimate) -----
     Q("t_token_count",
       (s, d) => Tables.documents(s, d).select(

@@ -785,6 +785,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) === ((0.0, 0L)))
   }
 
+  test("heavyHitterTokens: exact output; certification failure is loud, not wrong") {
+    // 40×"alpha", 25×"beta", rest singletons across 3 partitions
+    val docs = (Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      (0 until 30).map(i => s"unique$i"))
+      .map(Tuple1(_)).toDF("text").repartition(3)
+    val got = TextAnalysis.heavyHitterTokens(docs, "text", minCount = 20L,
+        capacity = 64)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("alpha" -> 40L, "beta" -> 25L))
+    // a capacity too small for the partition volume must FAIL (an evicted
+    // token could be heavy), never silently drop a hitter
+    val boom = intercept[org.apache.spark.SparkException] {
+      TextAnalysis.heavyHitterTokens(docs, "text", minCount = 3L, capacity = 1)
+        .collect()
+    }
+    assert(boom.getMessage.contains("capacity") ||
+      Option(boom.getCause).exists(_.getMessage.contains("capacity")))
+  }
+
   test("z-order: interleave bit layout, bucket monotonicity, null handling") {
     import graft.ops.ZOrder
     // buckets (1, 2) at 2 bits: z = bit0(a)<<0 | bit0(b)<<1 | bit1(a)<<2
