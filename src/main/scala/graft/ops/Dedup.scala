@@ -218,7 +218,12 @@ object Dedup {
     * the gram→doc count IS the containing-doc count. */
   def dupGramCoverage(docs: DataFrame, idCol: String,
                       shinglesCol: String): DataFrame = {
+    // persist the exploded postings: they feed BOTH the doc-count aggregate
+    // and the coverage join — without this the (expensive) shingle UDF
+    // projection runs twice (same discipline + unpersist caveat as
+    // jaccardPairs: blocks live until the caller's session releases them)
     val gd = docs.select(col(idCol), explode(col(shinglesCol)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nd = gd.groupBy("g").agg(count(lit(1)).as("n_docs"))
     val cov = gd.join(nd, Seq("g"))
       .groupBy(idCol)

@@ -152,16 +152,28 @@ object ZOrder {
 
   /** Pruned range read: open only the files [[prunedPaths]] selects, then
     * apply the exact residual predicate (file stats are a superset filter,
-    * never the final answer). An empty selection short-circuits to an
-    * empty frame with the table's schema. */
+    * never the final answer). On integral columns the double bounds are
+    * tightened to whole numbers (ceil lo / floor hi) so the comparison
+    * stays in the column's own type and PUSHES DOWN to the parquet reader
+    * — a cast-to-double comparison would disqualify the predicate from
+    * PushedFilters and re-scan every surviving file's pages. An empty
+    * selection short-circuits to an empty frame with the table's schema. */
   def read(spark: SparkSession, outDir: String, ranges: Seq[ZRange]): DataFrame = {
     val (paths, _) = prunedPaths(spark, outDir, ranges)
-    val residual = ranges
-      .map(r => col(r.dim).cast("double").between(r.lo, r.hi))
-      .reduceOption(_ && _).getOrElse(lit(true))
     if (paths.isEmpty) {
       val schema = spark.read.parquet(dataDir(outDir)).schema
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else spark.read.parquet(paths: _*).filter(residual)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val df = spark.read.parquet(paths: _*)
+    val residual = ranges.map { r =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      df.schema(r.dim).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(r.dim).between(math.ceil(r.lo).toLong, math.floor(r.hi).toLong)
+        case _ => col(r.dim).cast("double").between(r.lo, r.hi)
+      }
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    df.filter(residual)
   }
 }
