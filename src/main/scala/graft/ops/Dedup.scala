@@ -49,6 +49,42 @@ object Dedup {
     f(col(wordsColName))
   }
 
+  /** DISTINCT 64-bit hashes of word k-shingles WITHOUT materializing the
+    * shingle strings: per-word 32-bit hashes combined by a k-step
+    * polynomial+mix per gram. At corpus scale the gram STRING stream is
+    * ~5x the byte volume of the hash stream (k words × avg word length vs
+    * 8 bytes) — for counting/threshold signals the strings are never
+    * needed, so this is the projection the exchange should carry.
+    * Collision behavior is the consumer's contract to document (64-bit:
+    * ~1e-7 at 1M distinct grams). */
+  def wordShingleHashes(wordsColName: String, k: Int): Column = {
+    val f = udf((ws: Seq[String]) =>
+      if (ws == null || ws.size < k) Seq.empty[Long]
+      else {
+        val wh = new Array[Long](ws.size)
+        var i = 0
+        while (i < wh.length) {
+          wh(i) = scala.util.hashing.MurmurHash3.stringHash(ws(i)).toLong & 0xffffffffL
+          i += 1
+        }
+        val out = new Array[Long](ws.size - k + 1)
+        i = 0
+        while (i < out.length) {
+          var h = 1125899906842597L
+          var j = 0
+          while (j < k) {
+            h = h * 6364136223846793005L + wh(i + j)
+            h ^= (h >>> 29)
+            j += 1
+          }
+          out(i) = h
+          i += 1
+        }
+        out.toSeq.distinct
+      })
+    f(col(wordsColName))
+  }
+
   private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -219,21 +255,33 @@ object Dedup {
   def dupGramCoverage(docs: DataFrame, idCol: String,
                       shinglesCol: String): DataFrame = {
     // persist the exploded postings: they feed BOTH the doc-count aggregate
-    // and the coverage join — without this the (expensive) shingle UDF
-    // projection runs twice (same discipline + unpersist caveat as
-    // jaccardPairs: blocks live until the caller's session releases them)
+    // and the coverage join — without this the (expensive) gram projection
+    // runs twice (same discipline + unpersist caveat as jaccardPairs:
+    // blocks live until the caller's session releases them). The column is
+    // expected to carry HASHED grams ([[wordShingleHashes]]) — both
+    // shuffles key on the gram, and an 8-byte key cuts exchanged bytes
+    // ~5x vs shingle strings. A 64-bit collision merges two grams' doc
+    // counts — one-sided and vanishing for a ">= 2 docs" threshold signal
+    // (~1e-7 at 1M distinct grams; even at 10^12 corpus grams the chance
+    // any count is off stays in the percent range, far below the signal's
+    // own noise).
     val gd = docs.select(col(idCol), explode(col(shinglesCol)).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nd = gd.groupBy("g").agg(count(lit(1)).as("n_docs"))
-    val cov = gd.join(nd, Seq("g"))
-      .groupBy(idCol)
-      .agg((round(sum(when(col("n_docs") >= 2, 1L).otherwise(0L)) /
-          count(lit(1)), 4) + 0.0).as("dup_gram_frac"),
-        count(lit(1)).as("n_grams"))
-    // docs below the shingle length floor have no grams: coverage 0
-    docs.select(col(idCol))
-      .join(cov, Seq(idCol), "left")
-      .na.fill(Map("dup_gram_frac" -> 0.0, "n_grams" -> 0L))
+    // per-doc gram totals ride the (already-distinct) shingle array — a
+    // per-row size(), NO shuffle; only the covered-gram count needs the
+    // gram-keyed pass. Pre-filtering the doc-count side to n_docs >= 2
+    // means the join carries only genuinely-shared grams (small for a
+    // mostly-clean corpus; AQE broadcasts it when it fits).
+    val totals = docs.select(col(idCol), size(col(shinglesCol)).as("n_grams"))
+    val shared = gd.groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val covered = gd.join(shared, Seq("g"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_cov"))
+    totals.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        (round(coalesce(col("n_cov"), lit(0L)) /
+          greatest(col("n_grams"), lit(1)), 4) + 0.0).as("dup_gram_frac"),
+        col("n_grams").cast("long").as("n_grams"))
   }
 
   /** exact Jaccard evaluated ONLY on given (id_a, id_b) pairs — the verify

@@ -299,7 +299,7 @@ object DedupQueries {
       (s, d) => {
         val withSh = dupCorpus(s, d)
           .withColumn("ws", Dedup.wordsArray("text"))
-          .withColumn("shs", Dedup.wordShingles("ws", 5))
+          .withColumn("shs", Dedup.wordShingleHashes("ws", 5))
         Dedup.dupGramCoverage(withSh, "doc_id", "shs")
           .orderBy("doc_id")
       },
@@ -314,7 +314,8 @@ object DedupQueries {
               |SELECT c.doc_id, coalesce(cov.dup_gram_frac, 0.0) AS dup_gram_frac,
               |       CAST(coalesce(cov.n_grams, 0) AS BIGINT) AS n_grams
               |FROM corpus c LEFT JOIN cov USING (doc_id)
-              |ORDER BY c.doc_id""".stripMargin)),
+              |ORDER BY c.doc_id""".stripMargin),
+      bench = true),
 
     // ----- n-gram Jaccard pairs via LSH blocking (the 100 TB shape and the
     // BENCHED headline): banded MinHash candidates, exact Jaccard verified
