@@ -42,28 +42,39 @@ final case class MvRefresh(df: DataFrame, mode: String,
   * incremental dedup index.
   */
 final class MaterializedView(spark: SparkSession, store: VersionedStore,
-                             mvRoot: String, groupCol: String,
+                             mvRoot: String, groupCols: Seq[String],
                              aggs: Seq[Column]) {
+  require(groupCols.nonEmpty, "materialized view needs at least one group column")
   require(aggs.nonEmpty, "materialized view needs at least one aggregate")
+
+  /** single-group-column convenience */
+  def this(spark: SparkSession, store: VersionedStore, mvRoot: String,
+           groupCol: String, aggs: Seq[Column]) =
+    this(spark, store, mvRoot, Seq(groupCol), aggs)
 
   private def fs: FileSystem =
     new HPath(mvRoot).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def dirFor(v: Long) = f"$mvRoot/v$v%08d"
 
-  /** store versions this view has been refreshed at, ascending */
+  /** Store versions this view has been refreshed at, ascending. Only
+    * COMPLETE snapshots count: a refresh interrupted mid-write leaves a
+    * directory without the `_SUCCESS` marker, and treating it as current
+    * would serve a torn view forever — such dirs are ignored (and simply
+    * rewritten by the next refresh of that version). */
   def refreshedVersions(): Seq[Long] = {
     val p = new HPath(mvRoot)
     val f = fs
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+          f.exists(new HPath(s"$mvRoot/$n/_SUCCESS")) =>
         n.drop(1).toLong }
       .sorted.toSeq
   }
 
   private def compute(src: DataFrame): DataFrame =
-    src.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    src.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
   private def write(df: DataFrame, v: Long): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(dirFor(v))
@@ -87,15 +98,34 @@ final class MaterializedView(spark: SparkSession, store: VersionedStore,
         write(compute(store.read()), latest)
         MvRefresh(readAt(latest), "full", -1L, latest)
       case Some(prev) =>
-        val keys = store.changes(prev, latest)
-          .select(col(groupCol).cast("string")).distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
+        // affected keys are multi-column tuples; membership tests run on a
+        // single concatenated key expression (separator outside the path/
+        // text alphabet) so both sides stay driver-broadcast collections
+        val keyExpr = concat_ws("\u0001", groupCols.map(c => col(c).cast("string")): _*)
+        val changed = store.changes(prev, latest)
+          .select(groupCols.map(c => col(c).cast("string").as(c)): _*)
+          .distinct().collect()
+        val keys = changed.map(r => groupCols.indices.map(r.getString).mkString("\u0001"))
+          .toSeq.sorted
         if (keys.isEmpty) {
           write(readAt(prev), latest)
           MvRefresh(readAt(latest), "incremental", 0L, latest)
         } else {
-          val recomputed = compute(store.readFiles(keys))
-          val carried = readAt(prev).filter(!col(groupCol).isInCollection(keys))
+          // An affected group's rows are NOT confined to the batch's files
+          // (a group can span the table), so the recompute source is the
+          // whole current snapshot restricted to the affected keys. When
+          // the LEADING group column is the store's stats dimension
+          // (filePath), that restriction prunes to the groups' data files
+          // through the manifest ([[VersionedStore.readFiles]]); for any
+          // other grouping the restriction is a scan-time filter — at
+          // production scale you'd lay the table out (bucket/z-order) on
+          // the view's leading dim to get the same pruning.
+          val src =
+            if (groupCols.head == "filePath")
+              store.readFiles(changed.map(_.getString(0)).distinct.toSeq)
+            else store.read()
+          val recomputed = compute(src.filter(keyExpr.isInCollection(keys)))
+          val carried = readAt(prev).filter(!keyExpr.isInCollection(keys))
           // fully deleted groups appear in `keys` but produce no recomputed
           // row — the union drops them from the view, as it must
           write(carried.unionByName(recomputed), latest)

@@ -435,4 +435,45 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(mv.refreshedVersions().size === 1)
     assert(mv.read().count() === 2L)
   }
+
+  test("materialized view: multi-column groups and torn-refresh recovery") {
+    import graft.store.MaterializedView
+    def chunk(file: String, idx: Int, text: String, ftype: String) =
+      graft.core.ChunkSchema.ChunkRow(s"$file-$idx", file, idx, text,
+        embedder.embed(text),
+        graft.core.ChunkSchema.ChunkMetadata(file.split('/').last, text.length.toLong, ftype),
+        Some("t"), Some(s"h-${text.hashCode}"), "2026-01-01T00:00:00Z")
+    val root = Files.createTempDirectory("mvmulti").toString
+    val st = new VersionedStore(spark, s"$root/table", 4)
+    // group on (fileTitle, timestamp) — NOT the store's stats dimension,
+    // so the incremental recompute must source affected groups from the
+    // whole snapshot (a group can span files the batch never touched)
+    val mv = new MaterializedView(spark, st, s"$root/view",
+      Seq("fileTitle", "timestamp"), Seq(count(lit(1)).as("n_chunks")))
+
+    st.upsertFile("/m/a.md", Seq(chunk("/m/a.md", 0, "aaa", "md"),
+      chunk("/m/a.md", 1, "bbbb", "md")).toDF())
+    st.upsertFile("/m/b.md", Seq(chunk("/m/b.md", 0, "ccccc", "md")).toDF())
+    assert(mv.refresh().mode === "full")
+
+    // an edit touches one file; the affected group ("t", ts) spans BOTH
+    // files, so the recompute must see the untouched file's rows too
+    st.upsertFile("/m/a.md", Seq(chunk("/m/a.md", 0, "dd", "md")).toDF())
+    val inc = mv.refresh()
+    assert(inc.mode === "incremental" && inc.recomputedGroups === 1L)
+    val got = inc.df.as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("t", "2026-01-01T00:00:00Z", 2L))) // rewritten a.md + untouched b.md
+
+    // torn refresh: a version dir WITHOUT _SUCCESS must not count as
+    // refreshed — the next refresh rewrites it instead of serving it
+    val vBefore = st.latestVersion().get
+    st.upsertFile("/m/c.md", Seq(chunk("/m/c.md", 0, "eee", "md")).toDF())
+    val torn = new java.io.File(f"$root/view/v${st.latestVersion().get}%08d")
+    torn.mkdirs() // simulated crash: directory exists, no _SUCCESS, no data
+    assert(mv.refreshedVersions().max === vBefore)
+    val healed = mv.refresh()
+    assert(healed.mode === "incremental")
+    assert(healed.df.as[(String, String, Long)].collect().toSeq ===
+      Seq(("t", "2026-01-01T00:00:00Z", 3L)))
+  }
 }
