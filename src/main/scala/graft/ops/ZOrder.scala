@@ -44,6 +44,7 @@ object ZOrder {
   final case class ZRange(dim: String, lo: Double, hi: Double)
 
   private def statsDir(outDir: String) = s"$outDir/_zstats"
+  private def metaDir(outDir: String) = s"$outDir/_zmeta"
   private def dataDir(outDir: String) = s"$outDir/data"
 
   /** Rank-based bucket boundaries for each dim: `(1<<bits)-1` interior
@@ -118,10 +119,75 @@ object ZOrder {
     spark.read.parquet(statsDir(outDir)).count()
   }
 
-  /** convenience: z-ordered layout over `dims` */
+  /** Z-ordered layout over `dims`, plus a `_zmeta` sidecar pinning the
+    * clustering key (dim order, bits, bucket boundaries) so later APPEND
+    * batches cluster with the SAME key — boundaries are part of the
+    * layout's identity, not of any one batch. */
   def writeZOrdered(df: DataFrame, outDir: String, dims: Seq[String],
-                    bits: Int = 6, numFiles: Int = 32): Long =
-    writeLayout(df, outDir, dims, cluster(_, dims, bits, numFiles))
+                    bits: Int = 6, numFiles: Int = 32): Long = {
+    val bounds = boundaries(df, dims, bits)
+    val n = writeLayout(df, outDir, dims,
+      _.withColumn("_z", zValue(dims, bounds, bits))
+        .repartitionByRange(numFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    dims.zipWithIndex
+      .map { case (d, i) => (i, d, bits, bounds(d).toSeq) }
+      .toDF("ord", "dim", "bits", "bounds")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaDir(outDir))
+    n
+  }
+
+  /** Incremental layout maintenance: cluster ONLY the new batch along the
+    * stored clustering key and add its files + stats to the sidecars —
+    * upkeep costs the batch, not the table (the same cost shape as the
+    * incremental dedup index and the materialized view). Batch rows
+    * outside the original boundary range clamp to the edge cells; their
+    * file stats are still computed from the data, so pruning stays exact.
+    * A periodic [[writeZOrdered]] rewrite re-derives boundaries and
+    * restores global clustering (the OPTIMIZE cadence). Returns the number
+    * of files the batch added. */
+  def appendZOrdered(df: DataFrame, outDir: String, batchFiles: Int = 8): Long = {
+    val spark = df.sparkSession
+    val meta = spark.read.parquet(metaDir(outDir))
+      .collect().sortBy(_.getAs[Int]("ord"))
+    require(meta.nonEmpty, s"no _zmeta under $outDir — not a z-ordered layout")
+    val bits = meta.head.getAs[Int]("bits")
+    val dims = meta.map(_.getAs[String]("dim")).toSeq
+    val bounds = meta.map(r =>
+      r.getAs[String]("dim") -> r.getAs[Seq[Double]]("bounds").toArray).toMap
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def listData(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dataDir(outDir))
+      fs.listStatus(p).collect {
+        case st if st.isFile && st.getPath.getName.endsWith(".parquet") =>
+          st.getPath.toString
+      }.toSet
+    }
+    val before = listData()
+    df.withColumn("_z", zValue(dims, bounds, bits))
+      .repartitionByRange(batchFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Append).parquet(dataDir(outDir))
+    val added = (listData() -- before).toSeq.sorted
+    if (added.isEmpty) return 0L
+    // stats for the NEW files only, appended to the sidecar (data first,
+    // stats last: a crash in between leaves the new files invisible to
+    // stats-driven readers, never a torn view of them)
+    val statAggs = dims.flatMap(d =>
+      Seq(min(col(d).cast("double")).as(s"min_$d"),
+          max(col(d).cast("double")).as(s"max_$d")))
+    val aggs = count(lit(1)).as("n_rows") +: statAggs
+    spark.read.parquet(added: _*)
+      .groupBy(input_file_name().as("path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(statsDir(outDir))
+    added.size.toLong
+  }
 
   /** comparison layout: single-column sort (what a naive pipeline writes);
     * stats are still collected for all `statsDims` so the pruning gap is

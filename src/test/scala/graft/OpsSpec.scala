@@ -862,4 +862,36 @@ class OpsSpec extends AnyFunSuite {
     // stats sidecar is one row per file with finite envelopes
     assert(ZOrder.stats(spark, zdir).count() === 16L)
   }
+
+  test("z-order append: batches cluster on the stored key, reads stay exact") {
+    import graft.ops.ZOrder
+    import graft.ops.ZOrder.ZRange
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("zappend").toString + "/t"
+    val base = events.filter(col("event_id") < 600)
+    val b1 = events.filter(col("event_id") >= 600 && col("event_id") < 800)
+    val b2 = events.filter(col("event_id") >= 800)
+    val n0 = ZOrder.writeZOrdered(base, dir, Seq("user_id", "value"),
+      bits = 4, numFiles = 8)
+    val n1 = ZOrder.appendZOrdered(b1, dir, batchFiles = 4)
+    val n2 = ZOrder.appendZOrdered(b2, dir, batchFiles = 4)
+    assert(n1 > 0 && n2 > 0)
+    // sidecar tracks every file; the layout serves exact reads over the
+    // union of base + batches
+    assert(ZOrder.stats(spark, dir).count() === n0 + n1 + n2)
+    val ranges = Seq(ZRange("user_id", 3, 9), ZRange("value", 30.0, 150.0))
+    val got = ZOrder.read(spark, dir, ranges)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val want = events
+      .filter(col("user_id").between(3, 9) && col("value").between(30.0, 150.0))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got === want && want.nonEmpty)
+    // appended batches keep multi-dim pruning: a narrow range must not
+    // open every file
+    val (sel, tot) = ZOrder.prunedPaths(spark, dir,
+      Seq(ZRange("value", 30.0, 60.0)))
+    assert(sel.size < tot,
+      s"append destroyed pruning: ${sel.size} of $tot files opened")
+  }
 }
