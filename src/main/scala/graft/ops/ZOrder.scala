@@ -201,6 +201,60 @@ object ZOrder {
   def stats(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(statsDir(outDir))
 
+  /** FSCK for the layout: data files the stats sidecar doesn't know
+    * (an append that crashed between its data and stats writes — such
+    * files are INVISIBLE to stats-driven reads) and stats rows whose data
+    * file is gone (external deletion — such rows can only ever select a
+    * read that then fails). Returns (unstated data files, orphaned stats
+    * paths); both empty = consistent. Metadata-only: a directory listing
+    * against the sidecar, no data scan. */
+  def scrub(spark: SparkSession, outDir: String): (Seq[String], Seq[String]) = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir(outDir)))
+      .collect { case st if st.isFile && st.getPath.getName.endsWith(".parquet") =>
+        st.getPath.getName }.toSet
+    val inStats = stats(spark, outDir).select("path")
+      .collect().map(_.getString(0)).toSeq
+    val statNames = inStats.map(_.split('/').last).toSet
+    val unstated = (onDisk -- statNames).toSeq.sorted
+    val orphaned = inStats.filter(p => !onDisk.contains(p.split('/').last)).sorted
+    (unstated, orphaned)
+  }
+
+  /** Repair after [[scrub]] findings: recompute stats for unstated data
+    * files (appends them to the sidecar, making the files readable again)
+    * and drop orphaned stats rows (rewrites the sidecar without them).
+    * Cost follows the damage: only unstated FILES are scanned; the
+    * orphan drop is a sidecar-sized rewrite. */
+  def repair(spark: SparkSession, outDir: String): (Long, Long) = {
+    val (unstated, orphaned) = scrub(spark, outDir)
+    val meta = spark.read.parquet(metaDir(outDir))
+      .collect().sortBy(_.getAs[Int]("ord"))
+    val dims = meta.map(_.getAs[String]("dim")).toSeq
+    if (orphaned.nonEmpty) {
+      val keep = stats(spark, outDir)
+        .filter(!col("path").isInCollection(orphaned))
+        .collect()
+      val schema = stats(spark, outDir).schema
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(keep.toSeq, 1), schema)
+        .write.mode(SaveMode.Overwrite).parquet(statsDir(outDir))
+    }
+    if (unstated.nonEmpty) {
+      val paths = unstated.map(n => s"${dataDir(outDir)}/$n")
+      val statAggs = dims.flatMap(d =>
+        Seq(min(col(d).cast("double")).as(s"min_$d"),
+            max(col(d).cast("double")).as(s"max_$d")))
+      val aggs = count(lit(1)).as("n_rows") +: statAggs
+      spark.read.parquet(paths: _*)
+        .groupBy(input_file_name().as("path"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(statsDir(outDir))
+    }
+    (unstated.size.toLong, orphaned.size.toLong)
+  }
+
   /** data-file paths whose stats envelope intersects EVERY requested
     * range, plus the total file count — driver-side, O(files) metadata.
     * A file with null stats on a dim (all-null rows) can never satisfy an

@@ -894,4 +894,40 @@ class OpsSpec extends AnyFunSuite {
     assert(sel.size < tot,
       s"append destroyed pruning: ${sel.size} of $tot files opened")
   }
+
+  test("z-order scrub/repair: unstated files become readable, orphaned stats drop") {
+    import graft.ops.ZOrder
+    import graft.ops.ZOrder.ZRange
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("zscrub").toString + "/t"
+    ZOrder.writeZOrdered(events, dir, Seq("user_id", "value"), bits = 4, numFiles = 8)
+    assert(ZOrder.scrub(spark, dir) === ((Seq.empty, Seq.empty)))
+    val wide = Seq(ZRange("user_id", 0, 1e9), ZRange("value", -1e9, 1e9))
+    val baseline = ZOrder.read(spark, dir, wide).count()
+
+    // crash twin of append: a data file lands with no stats row → invisible
+    val dataFiles = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val src = dataFiles.minBy(_.getName)
+    val copyRows = spark.read.parquet(src.getPath).count()
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(s"$dir/data/zz-unstated.parquet").toPath)
+    assert(ZOrder.read(spark, dir, wide).count() === baseline) // invisible
+    // external deletion: stats row outlives its file
+    val victim = dataFiles.maxBy(_.getName)
+    val victimRows = spark.read.parquet(victim.getPath).count()
+    victim.delete()
+
+    val (unstated, orphaned) = ZOrder.scrub(spark, dir)
+    assert(unstated === Seq("zz-unstated.parquet"))
+    assert(orphaned.size === 1 && orphaned.head.endsWith(victim.getName))
+
+    assert(ZOrder.repair(spark, dir) === ((1L, 1L)))
+    assert(ZOrder.scrub(spark, dir) === ((Seq.empty, Seq.empty)))
+    // repaired layout serves the surviving rows: baseline minus the deleted
+    // file's rows plus the recovered copy's
+    assert(ZOrder.read(spark, dir, wide).count() ===
+      baseline - victimRows + copyRows)
+  }
 }
