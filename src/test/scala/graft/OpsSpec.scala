@@ -895,6 +895,45 @@ class OpsSpec extends AnyFunSuite {
       s"append destroyed pruning: ${sel.size} of $tot files opened")
   }
 
+  test("z-order interleave: bijective and per-dim monotone (property)") {
+    import graft.ops.ZOrder
+    import org.scalacheck.Gen
+    // Scala reference twin of the Column expression
+    def ref(buckets: Seq[Long], bits: Int): Long =
+      (for { i <- 0 until bits; j <- buckets.indices }
+        yield ((buckets(j) >> i) & 1L) << (i * buckets.size + j)).sum
+    def unref(z: Long, k: Int, bits: Int): Seq[Long] =
+      (0 until k).map(j =>
+        (0 until bits).map(i => ((z >> (i * k + j)) & 1L) << i).sum)
+    for (k <- Seq(1, 2, 3); bits <- Seq(3, 6)) {
+      val gen = Gen.listOfN(k, Gen.chooseNum(0L, (1L << bits) - 1))
+      var seed = org.scalacheck.rng.Seed(20260813L)
+      val samples = (0 until 80).flatMap { _ =>
+        val s = gen.apply(Gen.Parameters.default, seed); seed = seed.next
+        s.map(_.toSeq)
+      }
+      // expression twin: one Spark pass over all samples
+      val cols = (0 until k).map(j => col(s"b$j"))
+      val df = samples.map(t => Tuple1(t)).toDF("bs")
+        .select((0 until k).map(j => element_at(col("bs"), j + 1).as(s"b$j")): _*)
+      val got = df.select(ZOrder.interleave(cols, bits).as("z")).as[Long].collect()
+      samples.zip(got).foreach { case (t, z) =>
+        assert(z === ref(t, bits))           // expression == reference
+        assert(unref(z, k, bits) === t)      // bijective: buckets recoverable
+      }
+      // per-dim monotone: raising ONE bucket (others fixed) raises z
+      samples.take(30).foreach { t =>
+        (0 until k).foreach { j =>
+          if (t(j) < (1L << bits) - 1) {
+            val up = t.updated(j, t(j) + 1)
+            assert(ref(up, bits) > ref(t, bits),
+              s"z not monotone in dim $j at $t (bits=$bits)")
+          }
+        }
+      }
+    }
+  }
+
   test("z-order scrub/repair: unstated files become readable, orphaned stats drop") {
     import graft.ops.ZOrder
     import graft.ops.ZOrder.ZRange
