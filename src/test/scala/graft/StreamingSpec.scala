@@ -353,6 +353,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === scratch && got.map(_._1) === Seq("/mv/a.md", "/mv/b.md"))
   }
 
+  test("streaming z-order sink: batches land clustered on the stored key, reads stay exact") {
+    import graft.ops.ZOrder
+    import graft.ops.ZOrder.ZRange
+    implicit val sqlCtx = spark.sqlContext
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "value")
+    val dir = Files.createTempDirectory("stream-z").toString + "/t"
+    // bootstrap: the historical table pins the clustering key...
+    ZOrder.writeZOrdered(events.filter(col("event_id") < 700), dir,
+      Seq("user_id", "value"), bits = 4, numFiles = 8)
+    // ...then the stream maintains the layout per micro-batch — each batch
+    // clusters on the STORED key, so upkeep cost follows the batch
+    val mem = MemoryStream[(Long, Long, Double)]
+    val ckpt = Files.createTempDirectory("stream-z-ckpt").toString
+    val q = mem.toDF().toDF("event_id", "user_id", "value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) ZOrder.appendZOrdered(batch, dir, batchFiles = 2)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+    val tail = events.filter(col("event_id") >= 700)
+      .as[(Long, Long, Double)].collect()
+    val (t1, t2) = tail.splitAt(tail.length / 2)
+    mem.addData(t1.toSeq: _*); val r1 = q.start(); r1.awaitTermination(60000)
+    mem.addData(t2.toSeq: _*); val r2 = q.start(); r2.awaitTermination(60000)
+
+    val ranges = Seq(ZRange("user_id", 2, 8), ZRange("value", 25.0, 140.0))
+    val got = ZOrder.read(spark, dir, ranges)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val want = events
+      .filter(col("user_id").between(2, 8) && col("value").between(25.0, 140.0))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got === want && want.nonEmpty)
+    // the streamed layout still prunes
+    val (sel, tot) = ZOrder.prunedPaths(spark, dir, Seq(ZRange("value", 25.0, 60.0)))
+    assert(sel.size < tot)
+    assert(ZOrder.scrub(spark, dir) === ((Seq.empty, Seq.empty)))
+  }
+
   test("stream-stream click attribution joins within the window, drops beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]
