@@ -735,14 +735,18 @@ object Relational {
     Q("q_zorder_read",
       (s, d) => {
         val suffix = d.replaceAll("[^a-zA-Z0-9]", "_")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-z-$suffix"
+        // dir name carries the layout generation (z3 = 3-dim key): a
+        // cached layout is only ever reused by code expecting its exact
+        // dims, never reinterpreted
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-z3-$suffix"
         val done = new java.io.File(s"$out/_zstats/_SUCCESS")
         if (!done.exists())
           graft.ops.ZOrder.writeZOrdered(Tables.events(s, d), out,
-            Seq("user_id", "value"), bits = 6, numFiles = 32)
+            Seq("user_id", "value", "event_id"), bits = 6, numFiles = 32)
         graft.ops.ZOrder.read(s, out, Seq(
             graft.ops.ZOrder.ZRange("user_id", 40, 75),
-            graft.ops.ZOrder.ZRange("value", 120.0, 260.0)))
+            graft.ops.ZOrder.ZRange("value", 120.0, 260.0),
+            graft.ops.ZOrder.ZRange("event_id", 0, 8000)))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
           .orderBy("event_type")
@@ -751,6 +755,7 @@ object Relational {
              |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
              |FROM events
              |WHERE user_id BETWEEN 40 AND 75 AND value BETWEEN 120.0 AND 260.0
+             |  AND event_id BETWEEN 0 AND 8000
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
