@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   *    CodegenFallback in the layout write;
   *  - the clustering shuffle is a single `repartitionByRange` on the
   *    z-value (range partitioner = contiguous curve segments per file);
-  *  - file stats are ONE column-pruned grouped pass over the written
-  *    files (production: collected from parquet footers at write time),
-  *    persisted as a tiny `_zstats` sidecar the reader loads driver-side —
-  *    pruning cost is O(files) metadata rows, never a data scan.
+  *  - file stats come from the PARQUET FOOTERS of the written files
+  *    (driver-side metadata reads — the min/max the writer already paid
+  *    for), persisted as a tiny `_zstats` sidecar the reader loads
+  *    driver-side. Neither collecting nor using the sidecar ever re-reads
+  *    data pages: at 100 TB a post-write re-scan would double the write
+  *    cost, so the layout write touches each data byte exactly once.
   *
   * Reference scope note: the reference engine has no multi-dim layout
   * operator (its store is an embedded per-chunk vectordb); this is part of
@@ -100,23 +102,84 @@ object ZOrder {
       .drop("_z")
   }
 
+  /** data files currently under the layout, full-path form, sorted */
+  private def listDataFiles(spark: SparkSession, outDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dataDir(outDir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).collect {
+      case st if st.isFile && st.getPath.getName.endsWith(".parquet") =>
+        st.getPath.toString
+    }.toSeq.sorted
+  }
+
+  /** Per-file (n_rows, min/max per dim) sidecar rows read from parquet
+    * FOOTER metadata — O(files) driver-side footer reads, never a data
+    * scan: the row-group statistics the writer already computed are folded
+    * into one envelope per file. Dims must be numeric primitives (int /
+    * long / float / double — the same contract the pruning predicate's
+    * double comparison assumes); a non-numeric dim fails loudly rather
+    * than silently mis-pruning. Zero-row part files (repartitionByRange
+    * routinely leaves empty partitions, and Spark still emits their
+    * footer-only files) get a stats row with n_rows=0 and null min/max —
+    * stated, so [[scrub]] stays clean, and null-stat rows can never
+    * satisfy an inclusive range so they are always pruned. */
+  private[graft] def footerStats(spark: SparkSession, paths: Seq[String],
+                               dims: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val conf = spark.sessionState.newHadoopConf()
+    def num(v: Any, where: String): Double = v match {
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"non-numeric parquet footer statistic at $where: ${other.getClass.getName}")
+    }
+    val rows: Seq[Row] = paths.sorted.map { p =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount.toLong).sum
+        val dimStats: Seq[Any] = dims.flatMap { d =>
+          var mn = 0.0; var mx = 0.0; var any = false
+          for (b <- blocks; c <- b.getColumns.asScala
+               if c.getPath.toDotString == d) {
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val lo = num(st.genericGetMin, s"$p:$d")
+              val hi = num(st.genericGetMax, s"$p:$d")
+              if (!any) { mn = lo; mx = hi; any = true }
+              else { mn = math.min(mn, lo); mx = math.max(mx, hi) }
+            }
+          }
+          if (any) Seq(Double.box(mn), Double.box(mx)) else Seq(null, null)
+        }
+        Row.fromSeq(p +: Long.box(nRows) +: dimStats)
+      } finally reader.close()
+    }
+    val schema = StructType(
+      StructField("path", StringType, nullable = true) +:
+      StructField("n_rows", LongType, nullable = false) +:
+      dims.flatMap(d => Seq(
+        StructField(s"min_$d", DoubleType, nullable = true),
+        StructField(s"max_$d", DoubleType, nullable = true))))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Write `df` under `outDir` with the given layout transform, then
-    * compute and persist per-file min/max stats for `statsDims` as the
-    * `_zstats` sidecar (one column-pruned pass grouped by file). Returns
-    * the number of data files written. */
+    * persist per-file min/max stats for `statsDims` as the `_zstats`
+    * sidecar, collected from the written files' parquet footers (no
+    * second scan of the data). Returns the number of data files written. */
   def writeLayout(df: DataFrame, outDir: String, statsDims: Seq[String],
                   layout: DataFrame => DataFrame): Long = {
     val spark = df.sparkSession
     layout(df).write.mode(SaveMode.Overwrite).parquet(dataDir(outDir))
-    val statAggs = statsDims.flatMap(d =>
-      Seq(min(col(d).cast("double")).as(s"min_$d"),
-          max(col(d).cast("double")).as(s"max_$d")))
-    val aggs = count(lit(1)).as("n_rows") +: statAggs
-    val stats = spark.read.parquet(dataDir(outDir))
-      .groupBy(input_file_name().as("path"))
-      .agg(aggs.head, aggs.tail: _*)
-    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir(outDir))
-    spark.read.parquet(statsDir(outDir)).count()
+    val files = listDataFiles(spark, outDir)
+    footerStats(spark, files, statsDims)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir(outDir))
+    files.size.toLong
   }
 
   /** Z-ordered layout over `dims`, plus a `_zmeta` sidecar pinning the
@@ -158,33 +221,19 @@ object ZOrder {
     val dims = meta.map(_.getAs[String]("dim")).toSeq
     val bounds = meta.map(r =>
       r.getAs[String]("dim") -> r.getAs[Seq[Double]]("bounds").toArray).toMap
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    def listData(): Set[String] = {
-      val p = new org.apache.hadoop.fs.Path(dataDir(outDir))
-      fs.listStatus(p).collect {
-        case st if st.isFile && st.getPath.getName.endsWith(".parquet") =>
-          st.getPath.toString
-      }.toSet
-    }
-    val before = listData()
+    val before = listDataFiles(spark, outDir).toSet
     df.withColumn("_z", zValue(dims, bounds, bits))
       .repartitionByRange(batchFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode(SaveMode.Append).parquet(dataDir(outDir))
-    val added = (listData() -- before).toSeq.sorted
+    val added = (listDataFiles(spark, outDir).toSet -- before).toSeq.sorted
     if (added.isEmpty) return 0L
-    // stats for the NEW files only, appended to the sidecar (data first,
-    // stats last: a crash in between leaves the new files invisible to
-    // stats-driven readers, never a torn view of them)
-    val statAggs = dims.flatMap(d =>
-      Seq(min(col(d).cast("double")).as(s"min_$d"),
-          max(col(d).cast("double")).as(s"max_$d")))
-    val aggs = count(lit(1)).as("n_rows") +: statAggs
-    spark.read.parquet(added: _*)
-      .groupBy(input_file_name().as("path"))
-      .agg(aggs.head, aggs.tail: _*)
+    // stats for the NEW files only — footer reads, not a re-scan —
+    // appended to the sidecar (data first, stats last: a crash in between
+    // leaves the new files invisible to stats-driven readers, never a
+    // torn view of them)
+    footerStats(spark, added, dims)
       .coalesce(1).write.mode(SaveMode.Append).parquet(statsDir(outDir))
     added.size.toLong
   }
@@ -242,14 +291,12 @@ object ZOrder {
         .write.mode(SaveMode.Overwrite).parquet(statsDir(outDir))
     }
     if (unstated.nonEmpty) {
+      // footer reads handle zero-row part files too (they get an n_rows=0
+      // stats row), so scrub → repair → scrub converges to clean even on
+      // layouts containing footer-only empty files — the old scan-based
+      // recompute could never state those (no data rows → no group row)
       val paths = unstated.map(n => s"${dataDir(outDir)}/$n")
-      val statAggs = dims.flatMap(d =>
-        Seq(min(col(d).cast("double")).as(s"min_$d"),
-            max(col(d).cast("double")).as(s"max_$d")))
-      val aggs = count(lit(1)).as("n_rows") +: statAggs
-      spark.read.parquet(paths: _*)
-        .groupBy(input_file_name().as("path"))
-        .agg(aggs.head, aggs.tail: _*)
+      footerStats(spark, paths, dims)
         .coalesce(1).write.mode(SaveMode.Append).parquet(statsDir(outDir))
     }
     (unstated.size.toLong, orphaned.size.toLong)

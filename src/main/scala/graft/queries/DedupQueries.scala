@@ -259,7 +259,7 @@ object DedupQueries {
         .orderBy("fp"),
       Some(s"""WITH $DupCorpusCte
               |SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-              |       length(text) AS text_len
+              |       length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_len
               |FROM corpus ORDER BY fp""".stripMargin)),
 
     // ----- n-gram Jaccard near-dup pairs (shingle posting join).

@@ -100,12 +100,20 @@ final class MaterializedView(spark: SparkSession, store: VersionedStore,
       case Some(prev) =>
         // affected keys are multi-column tuples; membership tests run on a
         // single concatenated key expression (separator outside the path/
-        // text alphabet) so both sides stay driver-broadcast collections
-        val keyExpr = concat_ws("\u0001", groupCols.map(c => col(c).cast("string")): _*)
+        // text alphabet) so both sides stay driver-broadcast collections.
+        // Null group values get an explicit sentinel on BOTH sides:
+        // concat_ws silently SKIPS null columns while the driver side must
+        // render them, so without the sentinel a null-keyed group
+        // (fileTitle is nullable and an advertised group column) would
+        // never match isInCollection and be served stale forever.
+        val keyExpr = concat_ws("\u0001", groupCols.map(c =>
+          coalesce(col(c).cast("string"), lit(MaterializedView.NullKey))): _*)
         val changed = store.changes(prev, latest)
           .select(groupCols.map(c => col(c).cast("string").as(c)): _*)
           .distinct().collect()
-        val keys = changed.map(r => groupCols.indices.map(r.getString).mkString("\u0001"))
+        val keys = changed.map(r => groupCols.indices
+            .map(i => Option(r.getString(i)).getOrElse(MaterializedView.NullKey))
+            .mkString("\u0001"))
           .toSeq.sorted
         if (keys.isEmpty) {
           write(readAt(prev), latest)
@@ -120,9 +128,10 @@ final class MaterializedView(spark: SparkSession, store: VersionedStore,
           // other grouping the restriction is a scan-time filter — at
           // production scale you'd lay the table out (bucket/z-order) on
           // the view's leading dim to get the same pruning.
+          val leadKeys = changed.map(_.getString(0))
           val src =
-            if (groupCols.head == "filePath")
-              store.readFiles(changed.map(_.getString(0)).distinct.toSeq)
+            if (groupCols.head == "filePath" && !leadKeys.contains(null))
+              store.readFiles(leadKeys.distinct.toSeq)
             else store.read()
           val recomputed = compute(src.filter(keyExpr.isInCollection(keys)))
           val carried = readAt(prev).filter(!keyExpr.isInCollection(keys))
@@ -140,4 +149,11 @@ final class MaterializedView(spark: SparkSession, store: VersionedStore,
     refreshedVersions().dropRight(math.max(keep, 1))
       .foreach(v => f.delete(new HPath(dirFor(v)), true))
   }
+}
+
+object MaterializedView {
+  /** Sentinel rendering a null group value identically in the Catalyst key
+    * expression and the driver-side key string; \u0000 cannot appear in a
+    * cast-to-string column value, so no real key collides with it. */
+  val NullKey = "\u0000<null>"
 }

@@ -325,8 +325,13 @@ final class VersionedStore(spark: SparkSession, root: String, numBuckets: Int = 
     val afterKeys = after.select(col("id").as("_new_id"))
     val inserts = after.join(beforeKeys.select("id"), Seq("id"), "left_anti")
       .withColumn("_change_type", lit("insert"))
+    // null-SAFE inequality: contentHash is nullable in the schema, and a
+    // null-on-either-side row under =!= would be neither insert, update,
+    // nor delete — silently absent from the feed (and so never refreshed
+    // by MaterializedView). <=> treats null=null as equal, null vs value
+    // as changed — exactly the update semantics wanted here.
     val updates = after.join(beforeKeys, Seq("id"))
-      .filter(col("contentHash") =!= col("_old_hash"))
+      .filter(!(col("contentHash") <=> col("_old_hash")))
       .drop("_old_hash")
       .withColumn("_change_type", lit("update_postimage"))
     val deletes = before.join(afterKeys,

@@ -314,11 +314,15 @@ object StreamingIngest {
     * is what the DuckDB oracle hash-checks; the expiry semantics (bounded
     * state, expired keys re-admitted) are spec-gated in StreamingSpec.
     *
-    * The output keeps only fingerprint-DETERMINED columns (fp, text
-    * length): which of two identical rows reaches the state store first
-    * within one micro-batch is partition-order dependent, so emitting
-    * arrival-specific columns (doc_id, ts) would be nondeterministic —
-    * content-derived ones cannot differ between the candidates. */
+    * The output keeps only fingerprint-DETERMINED columns: the fp itself
+    * and the length of the NORMALIZED text (the exact string the
+    * fingerprint hashes — lowercased, whitespace-collapsed, trimmed).
+    * Which of two same-fp rows reaches the state store first within one
+    * micro-batch is partition-order dependent, so emitting any
+    * arrival-specific column (doc_id, ts, RAW length — two texts with the
+    * same fp can differ in raw length by whitespace/case) would be
+    * nondeterministic; only columns the fp functionally determines are
+    * safe. */
   def exactDedupAvailableNowWithStats(spark: org.apache.spark.sql.SparkSession,
                                       corpus: DataFrame, numFiles: Int = 4,
                                       watermarkDelay: String = "90 days"): (DataFrame, StreamRunStats) = {
@@ -358,7 +362,8 @@ object StreamingIngest {
       runToMemorySinkWithStats(spark, deduped, OutputMode.Append(),
         "graft_stream_dedup")(
         _.select(col("fingerprint").as("fp"),
-          length(col("text")).cast("long").as("text_len")))
+          length(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+            .cast("long").as("text_len")))
     } finally {
       import scala.jdk.CollectionConverters._
       JFiles.walk(stage).iterator().asScala.toSeq.reverse
@@ -427,14 +432,28 @@ object StreamingIngest {
       val st = new graft.store.MinhashIndexStore(spark, indexDir,
         nHashes = 16, bands = 4, rowsPerBand = 4)
       var batchesWithRows = 0L
+      // foreachBatch is AT-LEAST-ONCE: a crash between sink work and
+      // checkpoint advance replays the micro-batch with the same batchId.
+      // The appends below are not naturally idempotent (index signatures,
+      // the doc store, and emitted pairs would all double), so each fully
+      // processed batchId leaves a marker and replays are skipped; the pair
+      // and doc writes additionally go to per-batch `batch=<id>`
+      // subdirectories in Overwrite mode, so even a replay of a PARTIALLY
+      // processed batch cannot duplicate them. The one remaining
+      // at-least-once window is MinhashIndexStore.appendBatch on a
+      // mid-batch crash — production closes it by keying index segments on
+      // batchId the same way.
+      val markerDir = stage.resolve("processed")
+      JFiles.createDirectories(markerDir)
       val raw = spark.readStream.schema(spark.read.parquet(src.toString).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src.toString)
       val q = raw.writeStream
-        .foreachBatch { (batchDF: DataFrame, _: Long) =>
+        .foreachBatch { (batchDF: DataFrame, batchId: Long) =>
+          val marker = markerDir.resolve(f"batch-$batchId%08d")
           val batch = batchDF.persist()
           try {
-            if (batch.take(1).nonEmpty) {
+            if (!JFiles.exists(marker) && batch.take(1).nonEmpty) {
               batchesWithRows += 1
               val cands = (
                 if (st.exists) st.deltaCandidates(batch)
@@ -451,18 +470,21 @@ object StreamingIngest {
                   // lookups into the accumulated doc store
                   val lookup =
                     if (new java.io.File(docsDir).exists)
-                      batch.unionByName(spark.read.parquet(docsDir))
-                    else batch
+                      batch.select("doc_id", "text")
+                        .unionByName(spark.read.parquet(docsDir).select("doc_id", "text"))
+                    else batch.select("doc_id", "text")
                   val needed = lookup.join(bcast(candIds), Seq("doc_id"), "left_semi")
                     .withColumn("ws", graft.ops.Dedup.wordsArray("text"))
                     .withColumn("shs", graft.ops.Dedup.wordShingles("ws", 5))
                   graft.ops.Dedup.jaccardOnPairs(cands, needed, "doc_id", "shs")
                     .filter(col("jaccard") >= threshold)
-                    .write.mode("append").parquet(pairsDir)
+                    .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
                 }
               } finally cands.unpersist()
-              batch.select("doc_id", "text").write.mode("append").parquet(docsDir)
+              batch.select("doc_id", "text").write.mode("overwrite")
+                .parquet(s"$docsDir/batch=$batchId")
               st.appendBatch(batch): Unit
+              JFiles.createFile(marker): Unit
             }
           } finally batch.unpersist(): Unit
         }

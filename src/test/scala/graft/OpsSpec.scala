@@ -843,11 +843,13 @@ class OpsSpec extends AnyFunSuite {
     val (zSel, zTot) = ZOrder.prunedPaths(spark, zdir, valueOnly)
     val (lSel, lTot) = ZOrder.prunedPaths(spark, ldir, valueOnly)
     // range partitioning on a 15-distinct-value column leaves some
-    // partitions empty (empty files carry no stats row), so compare
-    // fractions, not absolute counts
-    assert(zTot === 16L && lTot >= 10L)
-    assert(lSel.size === lTot,
-      s"single-sort layout unexpectedly pruned: ${lSel.size} of $lTot")
+    // partitions empty (footer-only files: stated with n_rows=0 and null
+    // stats, so always pruned), so the linear layout's no-pruning claim is
+    // against its NON-EMPTY file count
+    val lNonEmpty = ZOrder.stats(spark, ldir).filter(col("n_rows") > 0).count()
+    assert(zTot === 16L && lNonEmpty >= 10L)
+    assert(lSel.size === lNonEmpty,
+      s"single-sort layout unexpectedly pruned: ${lSel.size} of $lNonEmpty")
     assert(zSel.size < lSel.size,
       s"z-order opened ${zSel.size} files vs linear ${lSel.size}")
     // pruned read is exact: identical rows to the brute-force filter, on a
@@ -968,5 +970,94 @@ class OpsSpec extends AnyFunSuite {
     // file's rows plus the recovered copy's
     assert(ZOrder.read(spark, dir, wide).count() ===
       baseline - victimRows + copyRows)
+  }
+
+  test("z-order: _zstats come from parquet footers — correct, and no second data scan") {
+    import graft.ops.ZOrder
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("zfooter").toString + "/t"
+    ZOrder.writeZOrdered(events, dir, Seq("user_id", "value"), bits = 4, numFiles = 8)
+    val files = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    // scan-based oracle: the stats a full re-read of the data would compute
+    val want = spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("path"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("user_id").cast("double")).as("min_user_id"),
+        max(col("user_id").cast("double")).as("max_user_id"),
+        min(col("value").cast("double")).as("min_value"),
+        max(col("value").cast("double")).as("max_value"))
+      .collect()
+      .map(r => new java.io.File(r.getString(0)).getName ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // job pin: footerStats is driver-side footer metadata — it must launch
+    // ZERO Spark jobs (a job here means the data was re-scanned). Listener
+    // events are delivered in order, so once the sentinel job's start is
+    // observed, any earlier job start would have been observed too.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got = try {
+      val rows = ZOrder.footerStats(spark, files, Seq("user_id", "value")).collect()
+      spark.sparkContext.parallelize(1 to 2, 1).count() // sentinel job
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() === 1,
+        s"footerStats launched ${jobs.get() - 1} Spark job(s) — a data re-scan")
+      rows
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // footer stats == scan stats, file by file (non-empty files; empty
+    // part files are footer-stated with n_rows=0 and no scan-side row)
+    val gotNonEmpty = got.filter(_.getAs[Long]("n_rows") > 0)
+    assert(gotNonEmpty.map(r => new java.io.File(r.getString(0)).getName).toSet
+      === want.keySet)
+    gotNonEmpty.foreach { r =>
+      val name = new java.io.File(r.getString(0)).getName
+      val (n, loU, hiU, loV, hiV) = want(name)
+      assert(r.getAs[Long]("n_rows") === n, s"n_rows mismatch in $name")
+      assert(r.getAs[Double]("min_user_id") === loU && r.getAs[Double]("max_user_id") === hiU,
+        s"user_id envelope mismatch in $name")
+      assert(r.getAs[Double]("min_value") === loV && r.getAs[Double]("max_value") === hiV,
+        s"value envelope mismatch in $name")
+    }
+  }
+
+  test("z-order scrub/repair converge on a layout containing an empty part file") {
+    import graft.ops.ZOrder
+    import graft.ops.ZOrder.ZRange
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("zempty").toString + "/t"
+    ZOrder.writeZOrdered(events, dir, Seq("user_id", "value"), bits = 4, numFiles = 8)
+    val wide = Seq(ZRange("user_id", -1e9, 1e9), ZRange("value", -1e9, 1e9))
+    val baseline = ZOrder.read(spark, dir, wide).count()
+    // fabricate the footer-only empty part file a crashed append's empty
+    // partition leaves behind — the r5 non-convergence: scan-based stat
+    // recompute produced no group row for it, so scrub reported it
+    // unstated forever
+    val stage = java.nio.file.Files.createTempDirectory("zemptysrc").toString
+    events.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$stage/e")
+    val part = new java.io.File(s"$stage/e").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$dir/data/zz-empty.parquet").toPath)
+    val (unstated, orphaned) = ZOrder.scrub(spark, dir)
+    assert(unstated === Seq("zz-empty.parquet") && orphaned.isEmpty)
+    assert(ZOrder.repair(spark, dir) === ((1L, 0L)))
+    assert(ZOrder.scrub(spark, dir) === ((Seq.empty, Seq.empty))) // converged
+    // the empty file is stated with n_rows=0 and null stats — never
+    // selected by any range, so reads are unchanged
+    val row = ZOrder.stats(spark, dir)
+      .filter(col("path").endsWith("zz-empty.parquet")).collect()
+    assert(row.length === 1 && row.head.getAs[Long]("n_rows") === 0L)
+    assert(row.head.isNullAt(row.head.fieldIndex("min_user_id")))
+    assert(ZOrder.read(spark, dir, wide).count() === baseline)
   }
 }

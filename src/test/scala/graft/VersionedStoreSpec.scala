@@ -476,4 +476,68 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(healed.df.as[(String, String, Long)].collect().toSeq ===
       Seq(("t", "2026-01-01T00:00:00Z", 3L)))
   }
+
+  test("materialized view: a NULL group key refreshes, not served stale") {
+    import graft.store.MaterializedView
+    def chunk(file: String, idx: Int, text: String, title: Option[String]) =
+      ChunkRow(s"$file-$idx", file, idx, text, embedder.embed(text),
+        ChunkMetadata(file.split('/').last, text.length.toLong, "md"),
+        title, Some(s"h-${text.hashCode}"), "2026-01-01T00:00:00Z")
+    val root = Files.createTempDirectory("mvnull").toString
+    val st = new VersionedStore(spark, s"$root/table", 4)
+    // group on nullable fileTitle: one of the groups' key IS null. The
+    // r5 failure mode: concat_ws SKIPS nulls in the Catalyst key while the
+    // driver side rendered them as a different string, so the null-keyed
+    // group never matched isInCollection — its stale row was carried
+    // forward AND excluded from the recompute. Sentinel keying on both
+    // sides makes the membership test agree.
+    val mv = new MaterializedView(spark, st, s"$root/view", "fileTitle", Seq(
+      count(lit(1)).as("n_chunks"),
+      sum(length(col("text"))).cast("long").as("total_chars")))
+    st.upsertFile("/n/a.md", Seq(chunk("/n/a.md", 0, "alpha", None),
+      chunk("/n/a.md", 1, "beta", Some("t"))).toDF())
+    st.upsertFile("/n/b.md", Seq(chunk("/n/b.md", 0, "gamma", None)).toDF())
+    assert(mv.refresh().mode === "full")
+    // this edit touches ONLY the null-titled group
+    st.upsertFile("/n/b.md",
+      Seq(chunk("/n/b.md", 0, "gamma grew much longer", None)).toDF())
+    val inc = mv.refresh()
+    assert(inc.mode === "incremental" && inc.recomputedGroups === 1L)
+    val got = inc.df.orderBy("fileTitle")
+      .as[(Option[String], Long, Long)].collect().toSeq
+    val scratch = st.read().groupBy("fileTitle")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+      .orderBy("fileTitle").as[(Option[String], Long, Long)].collect().toSeq
+    assert(got === scratch)
+    assert(got.contains((None, 2L, ("alpha" + "gamma grew much longer").length.toLong)))
+  }
+
+  test("change feed: null contentHash rows diff null-safely (update not dropped)") {
+    def chunk(text: String, hash: Option[String]) =
+      ChunkRow("/c/x.md-0", "/c/x.md", 0, text, embedder.embed(text),
+        ChunkMetadata("x.md", text.length.toLong, "md"), Some("t"), hash,
+        "2026-01-01T00:00:00Z")
+    val st = tmpStore()
+    st.upsertFile("/c/x.md", Seq(chunk("one", None)).toDF())
+    val v1 = st.latestVersion().get
+    st.upsertFile("/c/x.md", Seq(chunk("two", Some("h2"))).toDF())
+    val v2 = st.latestVersion().get
+    // null → value: a =!= comparison evaluates to null and the row would
+    // vanish from the feed (neither insert, update, nor delete); the
+    // null-safe <=> negation reports it as the update it is
+    val up1 = st.changes(v1, v2).filter(col("_change_type") === "update_postimage")
+      .select("text").as[String].collect().toSeq
+    assert(up1 === Seq("two"))
+    // value → null: same hazard on the other side
+    st.upsertFile("/c/x.md", Seq(chunk("three", None)).toDF())
+    val v3 = st.latestVersion().get
+    val up2 = st.changes(v2, v3).filter(col("_change_type") === "update_postimage")
+      .select("text").as[String].collect().toSeq
+    assert(up2 === Seq("three"))
+    // null → null is NOT an update (identical by the null-safe test)
+    st.upsertFile("/c/x.md", Seq(chunk("three", None)).toDF())
+    val v4 = st.latestVersion().get
+    assert(st.changes(v3, v4).count() === 0L)
+  }
 }
