@@ -249,7 +249,8 @@ final class Engine(
     * world) are collected. At 100 TB / millions of files the driver holds
     * the plan, never the manifests. */
   def sync(scope: Seq[String] = Seq.empty,
-           distributedThreshold: Int = Engine.DistributedSyncThreshold): SyncSummary = {
+           distributedThreshold: Int = Engine.DistributedSyncThreshold,
+           batchExecuteThreshold: Int = Engine.BatchedExecuteThreshold): SyncSummary = {
     val (scanRoots, directFiles, fileRequest) =
       if (scope.isEmpty) (roots, Seq.empty[String], false)
       else {
@@ -289,18 +290,69 @@ final class Engine(
     // execute under the mutation guard: stale/prune deletes must serialize
     // with concurrent writers just like upserts (reentrant from syncStart)
     mutationGuard.synchronized {
-      var upserted = 0L; var empty = 0L
-      for (u <- upserts) {
-        try { ingestFileNoRefresh(u.path); upserted += 1 }
-        catch { case _: Ingest.NoChunksError => empty += 1 }
-        for (stale <- u.staleSpellings) store.deleteFile(stale)
-      }
-      for (p <- prunes; spelling <- p.spellings) store.deleteFile(spelling)
+      val pruneSpellings = prunes.flatMap(_.spellings)
+      val (upserted, empty) =
+        if (upserts.size >= batchExecuteThreshold ||
+            pruneSpellings.size >= batchExecuteThreshold)
+          executeBatched(upserts, pruneSpellings)
+        else {
+          // reference-parity per-file loop: right below the threshold,
+          // where a binaryFile job's scheduling floor exceeds a handful of
+          // driver-side ingests (one tool call over a small workspace)
+          var up = 0L; var em = 0L
+          for (u <- upserts) {
+            try { ingestFileNoRefresh(u.path); up += 1 }
+            catch { case _: Ingest.NoChunksError => em += 1 }
+            for (stale <- u.staleSpellings) store.deleteFile(stale)
+          }
+          for (spelling <- pruneSpellings) store.deleteFile(spelling)
+          (up, em)
+        }
       // ONE index refresh per batch iff anything mutated (ref: single
       // optimize(), features/sync.ts:459-465)
       if (upserted > 0 || prunes.nonEmpty) refreshIndexes()
       SyncSummary(upserted, skipped, empty, prunes.size.toLong, held)
     }
+  }
+
+  /** The batched sync executor — replaces the per-file driver loop at or
+    * above `batchExecuteThreshold` dirty files: ONE `binaryFile` read over
+    * every upsert path → the distributed chunk+embed pipeline
+    * ([[Ingest.buildChunks]], the same per-document logic the loop path
+    * runs) → ONE batched store overwrite ([[ChunkStore.upsertFiles]]) that
+    * also carries every stale-spelling and prune delete. Per-file
+    * zero-chunk semantics are preserved exactly: a file whose parse
+    * produces no chunks is counted `empty` and its existing rows stay (it
+    * is simply absent from the replace set) — the loop path's
+    * NoChunksError invariant (reference `src/server/index.ts:635-642`),
+    * whose per-file loop (`src/features/sync.ts:411-468`) is a
+    * single-process artifact, not semantics. At 100k dirty files the loop
+    * schedules 100k+ Spark jobs; this path schedules O(1). */
+  private def executeBatched(upserts: Seq[SyncPlanner.Upsert],
+                             pruneSpellings: Seq[String]): (Long, Long) = {
+    val ts = now()
+    val spelled = upserts.map(u => PathKeys.storageSpelling(u.path))
+    spelled.foreach(p => require(p.startsWith(rawDataDir) || containedInRoots(p),
+      s"path outside configured roots: ${PathKeys.displayPath(p)}"))
+    val deletes = (upserts.flatMap(_.staleSpellings) ++ pruneSpellings).distinct
+    if (spelled.isEmpty) { // prune-only batch: one deleting overwrite
+      store.upsertFiles(
+        Seq.empty[graft.core.ChunkSchema.ChunkRow].toDF(), Seq.empty, deletes)
+      return (0L, 0L)
+    }
+    val mk = mkEmbedder // local copy: the executor closure must not drag `this`
+    val docs = spark.read.format("binaryFile").load(spelled: _*)
+      .select(regexp_replace(col("path"), "^file:", "").as("filePath"),
+        // decode parity with the driver path (Ingest reads bytes → UTF-8
+        // string): invalid sequences replace identically, so hashes agree
+        decode(col("content"), "UTF-8").as("content"))
+    val rows = Ingest.buildChunksDF(spark, docs, mk, ts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val produced = rows.select("filePath").distinct().as[String].collect().toSet
+      store.upsertFiles(rows, produced.toSeq.sorted, deletes)
+      (produced.size.toLong, (spelled.size - produced.size).toLong)
+    } finally { rows.unpersist(); () }
   }
 
   /** the distributed gather+plan: manifests stay on the cluster, the driver
@@ -508,6 +560,14 @@ object Engine {
     * loop wins — a binaryFile scan's job-scheduling floor exceeds hashing a
     * few hundred small files in-process) */
   val DistributedSyncThreshold = 512
+
+  /** dirty-file count at which the sync EXECUTE batches (one binaryFile →
+    * chunk+embed → single partitioned overwrite) instead of looping one
+    * ingest job per file. Lower than the gather threshold: the execute
+    * loop pays a full store rewrite per file, so batching wins as soon as
+    * a few dozen files are dirty, while the gather loop only pays a
+    * driver-side read+hash per file. */
+  val BatchedExecuteThreshold = 32
 
   /** chunk count at which queries route through the persisted ANN index.
     * Below it the exact brute-force scan is both correct and faster (probe

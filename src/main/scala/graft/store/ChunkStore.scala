@@ -121,6 +121,67 @@ final class ChunkStore(spark: SparkSession, path: String, numBuckets: Int = 0) {
         .unionByName(newChunks.select(ChunkSchema.schema.fieldNames.map(col): _*)))
   }
 
+  /** Batched upsert — the sync execute path at scale: replace all chunks
+    * of `replacePaths` with the matching rows of `newChunks` AND delete
+    * all rows of `deletePaths`, as ONE Spark write job (plus O(affected
+    * buckets) driver-side renames in bucketed mode) instead of one
+    * table/bucket rewrite per file. `newChunks` must contain rows ONLY
+    * for `replacePaths`; files in neither list keep their rows, and in
+    * bucketed mode their buckets are not even read. The zero-chunk
+    * invariant lives one level up: the sync executor lists a file in
+    * `replacePaths` only when its parse produced chunks, so a
+    * zero-chunk file's existing rows survive by construction.
+    * Crash posture (bucketed): buckets swap one rename at a time, so a
+    * crash mid-sequence leaves some buckets new and some old — each
+    * bucket is internally consistent (never torn), and the next sync
+    * reconciles the remainder by content hash. */
+  def upsertFiles(newChunks: DataFrame, replacePaths: Seq[String],
+                  deletePaths: Seq[String] = Seq.empty): Unit = {
+    import spark.implicits._
+    val affected = (replacePaths ++ deletePaths).distinct
+    if (affected.isEmpty) return
+    val projected = newChunks.select(ChunkSchema.schema.fieldNames.map(col): _*)
+    // removal via broadcast anti-join, not a giant literal IN list — the
+    // affected set is every dirty file of the batch
+    val affectedDF = broadcast(affected.toDF("filePath"))
+    if (!bucketed) {
+      val keep = read().join(affectedDF, Seq("filePath"), "left_anti")
+      swapDir(path, keep.unionByName(projected))
+    } else {
+      val f = fs
+      val buckets = affected.map(bucketOf).distinct.sorted
+      val liveDirs = buckets.map(b => s"$path/pbucket=$b")
+        .filter(d => f.exists(new HPath(d)))
+      val existing =
+        if (liveDirs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ChunkSchema.schema)
+        else spark.read.schema(ChunkSchema.schema).parquet(liveDirs: _*)
+      val keep = existing.join(affectedDF, Seq("filePath"), "left_anti")
+      val out = keep.unionByName(projected).withColumn("pbucket", bucketCol)
+      val nano = System.nanoTime()
+      val tmp = s"$path.swap-$nano"
+      out.write.partitionBy("pbucket").mode(SaveMode.Overwrite).parquet(tmp)
+      if (!f.exists(new HPath(path))) f.mkdirs(new HPath(path))
+      buckets.foreach { b =>
+        val live = new HPath(s"$path/pbucket=$b")
+        val fresh = new HPath(s"$tmp/pbucket=$b")
+        val old = new HPath(s"$path.old-$nano-$b")
+        val hadLive = f.exists(live)
+        if (hadLive && !f.rename(live, old))
+          throw new java.io.IOException(
+            s"batch swap failed: could not move $live aside")
+        if (f.exists(fresh) && !f.rename(fresh, live)) {
+          if (hadLive) f.rename(old, live)
+          throw new java.io.IOException(
+            s"batch swap failed: could not move $fresh into place")
+        }
+        if (hadLive) f.delete(old, true)
+      }
+      f.delete(new HPath(tmp), true)
+    }
+  }
+
   /** neighbor range read (reference `src/vectordb/index.ts:138-164`,
     * handler clamp `src/server/index.ts:1035-1037`): chunks of one file with
     * chunkIndex ∈ [max(0, target-before), target+after], sorted asc

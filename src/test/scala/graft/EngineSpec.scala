@@ -313,6 +313,89 @@ class EngineSpec extends AnyFunSuite {
     assert(s4.upserted === 0 && s4.skipped === 1 && s4.pruned === 0 && s4.held === 0)
   }
 
+  test("batched sync execute: 100+ dirty files, O(1) jobs, counts equal the loop path") {
+    // two identical workspaces, two engines: one forced down the per-file
+    // execute loop, one down the batched binaryFile→chunk+embed→single-
+    // overwrite executor (bucketed, so the per-bucket swap path runs too)
+    def fill(root: String): Unit = {
+      (0 until 104).foreach { i =>
+        write(s"$root/docs/f$i.md",
+          s"# Doc $i\nAlpha bravo charlie document number $i. " +
+            ("Spark engines shuffle partitions across executors. " * (1 + i % 3)))
+      }
+      (0 until 6).foreach(i => write(s"$root/docs/empty$i.txt", "  \n \n"))
+    }
+    val rootA = Files.createTempDirectory("bsync-a").toString
+    val rootB = Files.createTempDirectory("bsync-b").toString
+    fill(rootA); fill(rootB)
+    val loopEngine = new Engine(spark,
+      Files.createTempDirectory("bsync-sa").toString + "/chunks", Seq(rootA))
+    val batchEngine = new Engine(spark,
+      Files.createTempDirectory("bsync-sb").toString + "/chunks", Seq(rootB),
+      numBuckets = 8)
+
+    def countJobs(body: => Engine#SyncSummary): (Engine#SyncSummary, Int) = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val s = body
+        val before = jobs.get()
+        spark.sparkContext.parallelize(1 to 2, 1).count() // flush sentinel
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (jobs.get() <= before && System.nanoTime() < deadline) Thread.sleep(20)
+        (s, jobs.get() - 1) // minus the sentinel
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    val (loopSummary, loopJobs) =
+      countJobs(loopEngine.sync(batchExecuteThreshold = Int.MaxValue))
+    val (batchSummary, batchJobs) =
+      countJobs(batchEngine.sync(batchExecuteThreshold = 1))
+    assert(loopSummary.upserted === 104L && loopSummary.empty === 6L)
+    assert(batchSummary === loopSummary)
+    // the scale claim: the loop path schedules O(files) jobs, the batched
+    // path O(1) — at minimum 3× fewer here, dominated by the shared
+    // once-per-batch index refresh
+    assert(batchJobs * 3 < loopJobs,
+      s"batched execute not O(1): $batchJobs jobs vs loop $loopJobs")
+    // identical corpus content (ids/timestamps differ by construction:
+    // the batch shares one ingest timestamp)
+    def state(e: Engine) = e.store.read()
+      .select("filePath", "chunkIndex", "text").collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1), r.getString(2)))
+      .sorted.toSeq
+    assert(state(batchEngine) === state(loopEngine))
+
+    // mutate both workspaces identically: edits, deletes, unchanged files
+    Seq(rootA, rootB).foreach { root =>
+      write(s"$root/docs/f3.md",
+        "# Doc 3\nCompletely revised content about broadcast joins in spark. " +
+          "Broadcast hash joins ship the small dimension table to every executor. " +
+          "The optimizer picks them automatically below the size threshold.")
+      write(s"$root/docs/f7.md",
+        "# Doc 7\nAlso revised, now discussing shuffle partitions in detail. " +
+          "Shuffle partitions determine the parallelism of every exchange stage. " +
+          "Adaptive execution coalesces them at runtime when they are small.")
+      (20 until 23).foreach(i => Files.delete(Paths.get(s"$root/docs/f$i.md")))
+    }
+    val loop2 = loopEngine.sync(batchExecuteThreshold = Int.MaxValue)
+    val batch2 = batchEngine.sync(batchExecuteThreshold = 1)
+    assert(loop2.upserted === 2L && loop2.pruned === 3L)
+    assert(batch2 === loop2)
+    assert(state(batchEngine) === state(loopEngine))
+    // queries over the batch-built store behave identically
+    val hit = batchEngine.queryDocuments("revised broadcast joins", limit = 3)
+      .collect().head
+    assert(hit.getAs[String]("filePath").endsWith("f3.md") ||
+      hit.getAs[String]("filePath").endsWith("f7.md"))
+  }
+
   test("empty ingest preserves existing rows (zero-chunk invariant)") {
     val (engine, root) = mkEngine()
     engine.sync()
