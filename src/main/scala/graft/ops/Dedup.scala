@@ -180,30 +180,58 @@ object Dedup {
   }
 
   /** Candidate pairs sharing at least one LSH band (a < b). GroupBy-bucket +
-    * in-bucket combinations instead of a self-join: the self-join evaluated
-    * the whole signature pipeline once per side, and candidate buckets are
-    * small by construction (that is the point of banding), so pair expansion
-    * per bucket is cheap.
+    * in-bucket pair expansion instead of a self-join: the self-join
+    * evaluated the whole signature pipeline once per side, and candidate
+    * buckets are small by construction (that is the point of banding).
     *
-    * `maxBucketSize` is the production guard for pathologically hot buckets:
-    * a band hash shared by a large fraction of the corpus (boilerplate
-    * shingles, near-empty docs) would emit |bucket|² pairs and stall the
-    * stage. Buckets above the cap are DROPPED — their members can still pair
-    * through their other (bands−1) bands, so recall degrades only for pairs
-    * whose ONLY agreeing band is the hot one; in practice hot buckets are
-    * degenerate content whose pairs the verify stage would reject anyway.
-    * Use [[oversizedBuckets]] to inspect/log what a cap would drop. */
+    * Pair expansion is STREAMED: two chained `posexplode` generators with
+    * a `j > i` guard yield pairs row-at-a-time through the operator
+    * iterator, so no bucket's pair set is ever resident at once. (The
+    * prior `combinations(2)` UDF forced each bucket's pairs into one
+    * in-memory Seq before exploding — a 65k-id bucket is ~2.1e9 resident
+    * tuples in a single eval, an executor OOM rather than a slow stage.)
+    *
+    * `maxBucketSize` now bounds quadratic WORK, not survival: a band hash
+    * shared by a large fraction of the corpus (boilerplate shingles,
+    * near-empty docs) would emit |bucket|² pairs and stall the stage. The
+    * default (2048 ids ⇒ ≤ ~2.1M pairs per bucket) keeps any one bucket's
+    * pair volume bounded at 100 TB corpus scale. Buckets above the cap are
+    * DROPPED — their members can still pair through their other (bands−1)
+    * bands, so recall degrades only for pairs whose ONLY agreeing band is
+    * the hot one; in practice hot buckets are degenerate content the
+    * verify stage would reject anyway. Every dropped bucket is WARN-logged
+    * executor-side (band, hash, size), and a caller-supplied
+    * `droppedBuckets` accumulator counts them for pipeline-level audit
+    * (task retries may overcount — it is an audit signal, not an exact
+    * statistic); [[oversizedBuckets]] remains the queryable inspection. */
   def lshCandidatePairs(bandsDF: DataFrame, idCol: String,
-                        maxBucketSize: Int = 1 << 16): DataFrame = {
-    val pairsUdf = udf((ids: Seq[Long]) =>
-      ids.sorted.combinations(2).map(p => (p(0), p(1))).toSeq)
+                        maxBucketSize: Int = 2048,
+                        droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val cap = maxBucketSize
+    val acc = droppedBuckets
+    val keepUdf = udf((band: Int, hash: String, n: Int) => {
+      val keep = n <= cap
+      if (!keep) {
+        acc.foreach(_.add(1L))
+        lshLog.warn(s"LSH hot bucket dropped: band=$band band_hash=$hash " +
+          s"size=$n cap=$cap (members can still pair via their other bands)")
+      }
+      keep
+    })
     bandsDF.groupBy("band", "band_hash")
-      .agg(collect_set(col(idCol).cast("long")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
-      .select(explode(pairsUdf(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .agg(sort_array(collect_set(col(idCol).cast("long"))).as("ids"))
+      .filter(size(col("ids")) > 1 &&
+        keepUdf(col("band"), col("band_hash"), size(col("ids"))))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("i"), col("id_a"), posexplode(col("ids")).as(Seq("j", "id_b")))
+      .filter(col("j") > col("i"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
+
+  /** executor-side audit logger for the LSH hot-bucket cap */
+  @transient private lazy val lshLog =
+    org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup.lsh")
 
   /** the buckets a `maxBucketSize` cap would drop — (band, band_hash,
     * bucket_size), queryable so pipelines can log/audit dropped-pair volume

@@ -191,7 +191,9 @@ object DedupQueries {
       .withColumn("sig", Dedup.minhashSignature("hs", 16))
     val nearPairs = Dedup.jaccardOnPairs(
         Dedup.lshCandidatePairs(
-          Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id"),
+          Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id",
+          droppedBuckets = Some(s.sparkContext.longAccumulator(
+            "graft.lsh.dropped_hot_buckets.cleaning_pipeline"))),
         kept2, "doc_id", "shs")
       .filter(col("jaccard") >= 0.8)
     val dropped = nearPairs.select(col("id_b").as("doc_id")).distinct()
@@ -813,7 +815,12 @@ object DedupQueries {
           .withColumn("hs", Dedup.shingleBaseHashes("shs"))
           .withColumn("sig", Dedup.minhashSignature("hs", 16))
         val bands = Dedup.lshBands(withSig, "doc_id", "sig", bands = 4, rowsPerBand = 4)
-        Dedup.lshCandidatePairs(bands, "doc_id").orderBy("id_a", "id_b")
+        // named accumulator = the hot-bucket audit surfaces in the Spark UI
+        // per stage; dropped buckets also WARN-log executor-side
+        Dedup.lshCandidatePairs(bands, "doc_id",
+            droppedBuckets = Some(s.sparkContext.longAccumulator(
+              "graft.lsh.dropped_hot_buckets.d_minhash_lsh")))
+          .orderBy("id_a", "id_b")
       },
       Some(s"""WITH $ShinglesCte,
               |hs AS (SELECT doc_id,
@@ -849,7 +856,9 @@ object DedupQueries {
           .withColumn("hs", Dedup.shingleBaseHashes("shs"))
           .withColumn("sig", Dedup.minhashSignature("hs", 16))
         val candidates = Dedup.lshCandidatePairs(
-          Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
+          Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id",
+          droppedBuckets = Some(s.sparkContext.longAccumulator(
+            "graft.lsh.dropped_hot_buckets.d_clean_corpus")))
         // verify Jaccard ONLY on the LSH candidate pairs (the production
         // shape: candidates ≪ all-pairs, so the exact check is a per-pair
         // array_intersect, not a full shingle-posting self-join)
