@@ -583,6 +583,10 @@ object Engine {
     def drop(): Unit
     def rebuild(rows: org.apache.spark.sql.DataFrame): Unit
     def refreshBucket(rows: org.apache.spark.sql.DataFrame, bucket: Long): Unit
+    /** streaming-freshness append: a batch's vectors become probe-visible
+      * without a rebuild (both families support it; IVF self-rebuilds once
+      * its centroid-drift counter trips) */
+    def appendBatch(rows: org.apache.spark.sql.DataFrame): Long
     def probe(queryVec: Seq[Float], k: Int,
               where: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame
   }
@@ -596,6 +600,8 @@ object Engine {
     def rebuild(rows: org.apache.spark.sql.DataFrame): Unit = index.rebuild(rows, nLists)
     def refreshBucket(rows: org.apache.spark.sql.DataFrame, bucket: Long): Unit =
       index.refreshBucket(rows, bucket)
+    def appendBatch(rows: org.apache.spark.sql.DataFrame): Long =
+      index.appendBatch(rows, nLists)
     def probe(queryVec: Seq[Float], k: Int,
               where: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame =
       index.probe(queryVec.toArray, nProbe, k, where)
@@ -610,6 +616,8 @@ object Engine {
     def rebuild(rows: org.apache.spark.sql.DataFrame): Unit = index.rebuild(rows)
     def refreshBucket(rows: org.apache.spark.sql.DataFrame, bucket: Long): Unit =
       index.refreshBucket(rows, bucket)
+    def appendBatch(rows: org.apache.spark.sql.DataFrame): Long =
+      index.appendBatch(rows)
     def probe(queryVec: Seq[Float], k: Int,
               where: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame =
       index.probe(queryVec, k, radius, where)

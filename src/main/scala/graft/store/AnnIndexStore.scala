@@ -64,7 +64,75 @@ final class AnnIndexStore(
           .toDF("list_id", "centroid")
           .write.mode(SaveMode.Overwrite).parquet(tmp))
       writeStats(assigned)
+      writeDrift(0L) // fresh centroids: the staleness clock restarts
     } finally assigned.unpersist()
+  }
+
+  private val driftPath = path + "/drift"
+
+  /** rows appended against FIXED centroids since the last training pass —
+    * the staleness signal [[appendBatch]]'s rebuild trigger reads */
+  def appendedSinceRebuild(): Long =
+    if (!fs.exists(new HPath(driftPath))) 0L
+    else spark.read.parquet(driftPath)
+      .agg(coalesce(sum("appended"), lit(0L))).head().getLong(0)
+
+  private def writeDrift(n: Long): Unit = {
+    import spark.implicits._
+    DirSwap.swapInto(fs, path, driftPath)(tmp =>
+      Seq(n).toDF("appended").write.mode(SaveMode.Overwrite).parquet(tmp))
+  }
+
+  /** Append one batch's vectors to the stored lists — freshness parity with
+    * [[SrpIndexStore.appendBatch]] for the streaming-ingest cadence: the
+    * batch is assigned against the STORED centroids (no retraining) and
+    * parquet-appended into its (pbucket?, list_id) partitions, so probes
+    * see the new vectors immediately; stats merge bucket-wise. A reader
+    * mid-append sees a superset of the previous index — probes may return
+    * brand-new vectors early, never lose old ones.
+    *
+    * Appending against fixed centroids DRIFTS the lists away from optimal
+    * as the data distribution moves (the classic IVF staleness), so a
+    * counter tracks rows appended since the last training; once it exceeds
+    * `driftRebuildAt` of the index's total, this append finishes by
+    * re-training — a full [[rebuild]] sourced from the index's OWN stored
+    * vectors (assignments carry them), no corpus rescan, drift counter
+    * reset. Bootstraps via [[rebuild]] when the index is absent. Returns
+    * rows appended. */
+  def appendBatch(rows: DataFrame, nLists: Int, driftRebuildAt: Double = 0.5,
+                  seed: Long = 42L): Long = {
+    if (!exists) { rebuild(rows, nLists, seed); return rowCount() }
+    val sp = spark
+    import sp.implicits._
+    val src = rows.select(idCols.map(col) :+ col(vecCol): _*)
+    val assignedB = Similarity.assignToLists(src, vecCol, loadCentroids())
+    val a = (if (bucketed) assignedB.withColumn("pbucket", bucketCol) else assignedB)
+      .persist()
+    try {
+      val n = a.count()
+      if (n == 0L) return 0L
+      val parts = if (bucketed) Seq("pbucket", "list_id") else Seq("list_id")
+      a.write.mode(SaveMode.Append).partitionBy(parts: _*).parquet(assignmentsPath)
+      val cur = sp.read.parquet(statsPath)
+        .select("pbucket", "n_rows").as[(Long, Long)].collect().toMap
+      val add: Map[Long, Long] =
+        if (bucketed) a.groupBy("pbucket").agg(count(lit(1)).as("n"))
+          .as[(Long, Long)].collect().toMap
+        else Map(0L -> n)
+      val merged = (cur.keySet ++ add.keySet).toSeq.sorted
+        .map(b => (b, cur.getOrElse(b, 0L) + add.getOrElse(b, 0L)))
+      DirSwap.swapInto(fs, path, statsPath)(tmp =>
+        merged.toDF("pbucket", "n_rows")
+          .write.mode(SaveMode.Overwrite).parquet(tmp))
+      val appended = appendedSinceRebuild() + n
+      val total = merged.map(_._2).sum
+      if (appended.toDouble > driftRebuildAt * total.toDouble) {
+        val all = sp.read.parquet(assignmentsPath)
+          .select(idCols.map(col) :+ col(vecCol): _*)
+        rebuild(all, nLists, seed) // resets the drift counter
+      } else writeDrift(appended)
+      n
+    } finally a.unpersist()
   }
 
   def loadCentroids(): Array[Array[Float]] =
