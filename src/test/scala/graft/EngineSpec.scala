@@ -396,6 +396,33 @@ class EngineSpec extends AnyFunSuite {
       hit.getAs[String]("filePath").endsWith("f7.md"))
   }
 
+  test("golden fixtures: the two un-oracled flagship pipelines are hash-pinned") {
+    import org.apache.spark.sql.functions.col
+    // The driver cannot DuckDB-oracle rag_ingest_chunks / rag_e2e_search
+    // (Max-Min chunking + hashed embeddings are not SQL-expressible), so
+    // the repo SELF-oracles them: the full result hash on the
+    // deterministic HashedEmbedder at sf0.01 is pinned as a fixture. A
+    // failure here means chunking/embedding/hybrid-scoring semantics
+    // drifted — update a constant only with an intentional, explained
+    // change (and re-derive it from this same canonicalHash).
+    def canonicalHash(df: org.apache.spark.sql.DataFrame): String = {
+      val cols = df.columns.sorted
+      val body = df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString(""))
+        .sorted.mkString("\n")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest((cols.mkString(",") + "\n" + body).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val sf = "/root/testdata/sf0.01"
+    val ingest = graft.SparkEntry.queries("rag_ingest_chunks")(spark, sf)
+    val e2e = graft.SparkEntry.queries("rag_e2e_search")(spark, sf)
+    assert(ingest.count() === 498L)
+    assert(e2e.count() === 5L)
+    assert((canonicalHash(ingest), canonicalHash(e2e)) ===
+      (("d6a59d81322e1b798c480dbdddaa5a97", "7130e1cbbbd060109a89121e6e3e0ed5")))
+  }
+
   test("empty ingest preserves existing rows (zero-chunk invariant)") {
     val (engine, root) = mkEngine()
     engine.sync()
