@@ -546,13 +546,34 @@ final class Engine(
     * split + id-hash shard placement, bounded file sizes. The bridge from
     * the RAG store to a training-data build — the chunk table IS a cleaned
     * corpus, and this hands it to a data loader in the layout it wants.
-    * Returns the output dir. */
+    *
+    * `zorderBy` selects the CLUSTERED export mode instead: the corpus is
+    * laid out along the Morton curve over the named numeric dimensions
+    * ([[graft.ops.ZOrder.writeZOrdered]]) with the `_zstats` sidecar, so
+    * range predicates over the export prune files driver-side before any
+    * scan task is scheduled — the layout an analytics/curation reader
+    * wants, where the sharded layout serves sequential training readers.
+    * Clustered mode exports an extended projection (doc_id, file_path,
+    * chunk_index, text, text_len) so there are numeric dimensions to
+    * cluster on; dims must come from the numeric ones. Returns the
+    * output dir. */
   def exportCorpus(outDir: String, numShards: Int = 16,
-                   maxRecordsPerFile: Long = 0L): String =
-    graft.ops.CorpusWriter.writeSharded(
-      store.read().select(col("id").as("doc_id"), col("text")),
-      outDir, numShards, maxRecordsPerFile,
-      extraPartitionCols = Seq.empty) // chunks carry no lang strata
+                   maxRecordsPerFile: Long = 0L,
+                   zorderBy: Seq[String] = Seq.empty,
+                   zorderFiles: Int = 32): String =
+    if (zorderBy.nonEmpty) {
+      val docs = store.read().select(
+        col("id").as("doc_id"), col("filePath").as("file_path"),
+        col("chunkIndex").cast("long").as("chunk_index"), col("text"),
+        length(col("text")).cast("long").as("text_len"))
+      graft.ops.ZOrder.writeZOrdered(docs, outDir, zorderBy,
+        bits = 6, numFiles = zorderFiles)
+      outDir
+    } else
+      graft.ops.CorpusWriter.writeSharded(
+        store.read().select(col("id").as("doc_id"), col("text")),
+        outDir, numShards, maxRecordsPerFile,
+        extraPartitionCols = Seq.empty) // chunks carry no lang strata
 }
 
 object Engine {

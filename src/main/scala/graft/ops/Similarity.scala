@@ -92,14 +92,36 @@ object Similarity {
                nLists: Int, seed: Long = 42L): IvfIndex =
     buildIvfCols(df, Seq(idCol), vecColName, nLists, seed)
 
+  /** Exact distinct-vector count (hash-based: one shuffle of longs, the
+    * vectors themselves never move). Spark 4.1's blockified KMeans throws
+    * AIOOBE when kmeans|| init collapses to fewer distinct centers than k
+    * (observed: 60 rows / 3 distinct dim-64 vectors, k=16), and
+    * low-distinct corpora are ROUTINE in dedup work (boilerplate shards) —
+    * so the KMeans entry points below clamp k to this count. k ≤ distinct
+    * is always safe, and an index never needs more lists than distinct
+    * points anyway. */
+  private def distinctCount(df: DataFrame, c: Column): Long =
+    df.select(xxhash64(c).as("_h")).distinct().count()
+
   /** [[buildIvf]] generalized to carry several id columns through the
     * assignment (the chunk table keys on (filePath, chunkIndex)) */
   def buildIvfCols(df: DataFrame, idCols: Seq[String], vecColName: String,
                    nLists: Int, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val distinct = distinctCount(df, col(vecColName))
+    if (distinct <= 1L || nLists <= 1) {
+      // degenerate corpus (≤1 distinct vector) or a single requested list:
+      // nothing to train — one list holding everything, its centroid the
+      // (single) vector value
+      val assigned = df.select(
+        idCols.map(col) ++ Seq(col(vecColName), lit(0).as("list_id")): _*)
+      val centroid = df.select(vecColName).head().getSeq[Float](0).toArray
+      return IvfIndex(assigned, Array(centroid))
+    }
+    val k = math.min(nLists.toLong, distinct).toInt
     val featDf = df.withColumn("features", array_to_vector(col(vecColName)))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features").fit(featDf)
     val assigned = model.transform(featDf)
       .select(idCols.map(col) ++ Seq(col(vecColName), col("prediction").as("list_id")): _*)
@@ -167,12 +189,23 @@ object Similarity {
     val codebooks = new Array[Array[Array[Float]]](m)
     for (b <- 0 until m) {
       val featCol = s"_pq_feat_$b"
-      val withFeat = cur.withColumn(featCol,
-        array_to_vector(expr(s"slice($vecColName, ${b * sub + 1}, $sub)")))
-      val model = new KMeans().setK(k).setSeed(seed + b).setMaxIter(20)
-        .setFeaturesCol(featCol).setPredictionCol(s"_pq_code_$b").fit(withFeat)
-      codebooks(b) = model.clusterCenters.map(_.toArray.map(_.toFloat))
-      cur = model.transform(withFeat).drop(featCol)
+      val sliceExpr = expr(s"slice($vecColName, ${b * sub + 1}, $sub)")
+      // same distinct-clamp as buildIvfCols: a low-variance subvector block
+      // (constant dims are common in hashed/padded embeddings) would
+      // otherwise crash the blockified KMeans when distinct < k
+      val distinct = distinctCount(cur, sliceExpr)
+      if (distinct <= 1L) {
+        codebooks(b) = Array(
+          cur.select(sliceExpr.as("_s")).head().getSeq[Float](0).toArray)
+        cur = cur.withColumn(s"_pq_code_$b", lit(0))
+      } else {
+        val kb = math.min(k.toLong, distinct).toInt
+        val withFeat = cur.withColumn(featCol, array_to_vector(sliceExpr))
+        val model = new KMeans().setK(kb).setSeed(seed + b).setMaxIter(20)
+          .setFeaturesCol(featCol).setPredictionCol(s"_pq_code_$b").fit(withFeat)
+        codebooks(b) = model.clusterCenters.map(_.toArray.map(_.toFloat))
+        cur = model.transform(withFeat).drop(featCol)
+      }
     }
     val codes = cur.select(col(idCol),
       array((0 until m).map(b => col(s"_pq_code_$b")): _*).as("pq_code"))

@@ -541,6 +541,42 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("exportCorpus zorderBy: clustered export prunes range reads via the sidecar") {
+    import graft.ops.ZOrder
+    import graft.ops.ZOrder.ZRange
+    // a corpus with three distinct document-length classes, so text_len is
+    // a real clustering dimension
+    val root = Files.createTempDirectory("zexp-root").toString
+    (0 until 60).foreach { i =>
+      write(s"$root/docs/d$i.md",
+        s"# Doc $i\nAlpha bravo charlie document number $i. " +
+          ("Spark engines shuffle partitions across executors at scale. " * (1 + (i % 3) * 4)))
+    }
+    val engine = new Engine(spark,
+      Files.createTempDirectory("zexp-store").toString + "/chunks", Seq(root))
+    engine.sync()
+    val out = Files.createTempDirectory("zexp-out").toString + "/corpus"
+    engine.exportCorpus(out, zorderBy = Seq("text_len", "chunk_index"),
+      zorderFiles = 8)
+    // sidecar states every file; a narrow text_len range opens a strict
+    // subset of the layout (the OpsSpec pruning pin, through the engine
+    // tool), and the pruned read is exact
+    val all = engine.store.read().count()
+    assert(ZOrder.stats(spark, out).agg(
+      org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0) === all)
+    val lens = spark.read.parquet(s"$out/data")
+      .select("text_len").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    val (lo, hi) = (lens.head.toDouble, lens(lens.length / 4).toDouble)
+    val (sel, tot) = ZOrder.prunedPaths(spark, out,
+      Seq(ZRange("text_len", lo, hi)))
+    assert(sel.size < tot.toInt,
+      s"clustered export did not prune: opened ${sel.size} of $tot files")
+    val got = ZOrder.read(spark, out, Seq(ZRange("text_len", lo, hi))).count()
+    val want = lens.count(l => l >= lo && l <= hi).toLong
+    assert(got === want && want > 0L)
+  }
+
   test("nearDuplicateFiles finds planted near-dup pair, skips distinct files") {
     val root = Files.createTempDirectory("dup-root").toString
     val store = Files.createTempDirectory("dup-store").toString + "/chunks"
