@@ -623,6 +623,28 @@ object Relational {
              |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- skew mitigation: salted shuffle join. event_type has FIVE
+    // distinct values — joined plainly, five reducers do all the work no
+    // matter how many the cluster has. ops.Skew.saltedJoin spreads each
+    // key over 16 reducers by replicating the (tiny) per-type dim; the
+    // result is identical to the plain join, which the oracle checks.
+    // The comparison is value > per-type min — stored doubles compared
+    // verbatim, no arithmetic whose rounding could diverge across engines.
+    Q("j_skew_salted_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val dim = ev.groupBy("event_type").agg(min("value").as("type_min"))
+        graft.ops.Skew.saltedJoin(ev, dim, "event_type", 16, col("event_id"))
+          .filter(col("value") > col("type_min"))
+          .groupBy("event_type").agg(count(lit(1)).as("above_min"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim AS (SELECT event_type, min(value) AS type_min FROM events GROUP BY 1)
+             |SELECT e.event_type, count(*) AS above_min
+             |FROM events e JOIN dim USING (event_type)
+             |WHERE e.value > dim.type_min
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- events: sessionization (lag + 30-min gap cut) -----
     Q("e_sessionize",
       (s, d) => {

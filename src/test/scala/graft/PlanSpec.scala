@@ -165,4 +165,62 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("a_pivot_events")
     assert(!p.contains("collect_distinct"))
   }
+
+  test("salted join shuffles the fact on (key, salt), not key alone") {
+    // event_type has 5 distinct values: an unsalted shuffle join uses 5
+    // reducers forever. The salted plan's fact-side exchange must hash on
+    // (event_type, _salt) — 80 reduce streams — through a shuffle join, not
+    // a broadcast that would quietly discard the salting being exercised.
+    val p = plan("j_skew_salted_join")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert("hashpartitioning\\(event_type#\\d+L?, _salt#\\d+".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
+
+  test("AQE splits a skewed shuffle partition at runtime") {
+    // the adaptive counterpart to static salting: with one key carrying 95%
+    // of the fact side, the map-output stats must trigger OptimizeSkewedJoin
+    // (plan prints "skewed") instead of one reducer dragging the whole join
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // local-scale thresholds: the default 256 MB bar is a cluster number;
+      // the MECHANISM (stats → split) is what this test pins
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "131072")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      import org.apache.spark.sql.functions._
+      // 200k rows, 95% on k=7; md5 payload keeps shuffle bytes incompressible
+      // enough that the hot partition's MAP-OUTPUT size clears the threshold
+      val fact = spark.range(0, 200000).select(
+        when(col("id") % 20 =!= 0, lit(7L))
+          .otherwise(pmod(col("id"), lit(100L))).as("k"),
+        md5(concat(lit("payload"), col("id"))).as("payload"))
+      val dim = spark.range(0, 100).select(
+        col("id").as("k"), md5(col("id").cast("string")).as("dv"))
+      // payload/dv flow through the join (consumed by the hash below), so
+      // the exchange carries real bytes — a bare count would prune them and
+      // shrink the hot partition below any threshold
+      val q = fact.join(dim, "k")
+        .select(pmod(xxhash64(col("payload"), col("dv")), lit(1000000L)).as("h"))
+        .agg(sum("h")) // bounded so 200k-row ANSI sum cannot overflow
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(500))
+      assert(p.contains("skewed"), "no skewed split in the final adaptive plan:\n" +
+        p.take(3000))
+      // and the split join is still correct: every fact row matched its dim
+      assert(fact.join(dim, "k").count() === 200000L)
+    } finally keys.foreach { k =>
+      saved(k) match { case Some(v) => conf.set(k, v); case None => conf.unset(k) }
+    }
+  }
 }
