@@ -168,18 +168,31 @@ final class Engine(
     val spelled = PathKeys.storageSpelling(path)
     require(spelled.startsWith(rawDataDir) || containedInRoots(spelled),
       s"path outside configured roots: ${PathKeys.displayPath(spelled)}")
-    val content = new String(Files.readAllBytes(Paths.get(spelled)), StandardCharsets.UTF_8)
+    val bytes = Files.readAllBytes(Paths.get(spelled))
+    // S6: PDFs parse byte-level (PdfTextParser → F15/F16 pipeline); the doc
+    // carries the RAW-bytes hash so sync change detection stays consistent
+    // with the manifest, and the Info /Title when present
+    val doc: Ingest.Doc =
+      if (graft.ingest.PdfIngest.isPdf(spelled)) {
+        import spark.implicits._
+        val raw = Seq((spelled, bytes)).toDF("filePath", "content")
+        graft.ingest.PdfIngest.pdfDocsDF(spark, raw, mkEmbedder)
+          .as[Ingest.Doc].collect().headOption
+          .getOrElse(Ingest.Doc(spelled, "",
+            Some(Ingest.sha256Hex(new String(bytes, StandardCharsets.UTF_8))), None))
+      } else Ingest.Doc(spelled, new String(bytes, StandardCharsets.UTF_8))
     val ts = now()
     val embedder0 = mkEmbedder()
-    val chunks = graft.chunker.MaxMinChunker.chunkText(content, embedder0.embedBatch)
+    val chunks = graft.chunker.MaxMinChunker.chunkText(doc.content, embedder0.embedBatch)
     // zero-chunk fail-fast BEFORE any destructive step
     // (ref: server/index.ts:635-642)
     if (chunks.isEmpty) throw new Ingest.NoChunksError(spelled)
-    val rows = Ingest.assembleRows(Ingest.Doc(spelled, content), chunks,
+    val rows = Ingest.assembleRows(doc, chunks,
       embedder0.embedBatch(chunks.map(_.text)), ts).toSeq
     mutationGuard.synchronized(store.upsertFile(spelled, rows.toDF()))
-    val title = graft.ingest.TitleExtractor.forFile(content, spelled)
-    IngestResult(spelled, rows.size.toLong, title.value, ts)
+    val title = doc.titleOverride.getOrElse(
+      graft.ingest.TitleExtractor.forFile(doc.content, spelled).value)
+    IngestResult(spelled, rows.size.toLong, title, ts)
   }
 
   // ---- ingest_data (reference server/index.ts:731-797) ----
@@ -341,18 +354,34 @@ final class Engine(
       return (0L, 0L)
     }
     val mk = mkEmbedder // local copy: the executor closure must not drag `this`
-    val docs = spark.read.format("binaryFile").load(spelled: _*)
-      .select(regexp_replace(col("path"), "^file:", "").as("filePath"),
-        // decode parity with the driver path (Ingest reads bytes → UTF-8
-        // string): invalid sequences replace identically, so hashes agree
-        decode(col("content"), "UTF-8").as("content"))
+    val (pdfPaths, textPaths) = spelled.partition(graft.ingest.PdfIngest.isPdf)
+    val textDocs =
+      if (textPaths.isEmpty) None
+      else Some(spark.read.format("binaryFile").load(textPaths: _*)
+        .select(regexp_replace(col("path"), "^file:", "").as("filePath"),
+          // decode parity with the driver path (Ingest reads bytes → UTF-8
+          // string): invalid sequences replace identically, so hashes agree
+          Ingest.utf8Lossy(col("content")).as("content"),
+          lit(null).cast("string").as("rawHash"),
+          lit(null).cast("string").as("titleOverride")))
+    // PDFs: one binaryFile pass (persisted — the items flatMap and the
+    // hash/title projection both consume it) through the byte parser +
+    // F15/F16 pipeline; parse-empty files fall out and count `empty`
+    val pdfRaw =
+      if (pdfPaths.isEmpty) None
+      else Some(spark.read.format("binaryFile").load(pdfPaths: _*)
+        .select(regexp_replace(col("path"), "^file:", "").as("filePath"),
+          col("content"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pdfDocs = pdfRaw.map(raw => graft.ingest.PdfIngest.pdfDocsDF(spark, raw, mk))
+    val docs = (textDocs.toSeq ++ pdfDocs.toSeq).reduce(_ unionByName _)
     val rows = Ingest.buildChunksDF(spark, docs, mk, ts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val produced = rows.select("filePath").distinct().as[String].collect().toSet
       store.upsertFiles(rows, produced.toSeq.sorted, deletes)
       (produced.size.toLong, (spelled.size - produced.size).toLong)
-    } finally { rows.unpersist(); () }
+    } finally { rows.unpersist(); pdfRaw.foreach(_.unpersist()); () }
   }
 
   /** the distributed gather+plan: manifests stay on the cluster, the driver
@@ -373,8 +402,10 @@ final class Engine(
             col("content"))
           // hash parity with the driver path (Ingest.sha256Hex): bytes →
           // UTF-8 string → bytes, so invalid sequences replace identically
+          // (utf8Lossy, NOT SQL decode — ANSI decode throws on the malformed
+          // sequences every PDF contains)
           .select(syncKeyUdf(col("path")).as("key"), col("path"),
-            sha2(encode(decode(col("content"), "UTF-8"), "UTF-8"), 256).as("hash"))
+            sha2(encode(Ingest.utf8Lossy(col("content")), "UTF-8"), 256).as("hash"))
     val db = store.manifest().select(
       syncKeyUdf(col("filePath")).as("key"),
       col("filePath").as("spelling"), col("contentHash").as("hash"))

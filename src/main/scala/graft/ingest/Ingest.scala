@@ -20,7 +20,14 @@ import graft.embed.Embedder
   */
 object Ingest {
 
-  final case class Doc(filePath: String, content: String)
+  /** `content` is what gets chunked/titled — extracted text for binary
+    * formats (PDF), the file text otherwise. `rawHash` overrides the stored
+    * contentHash for binary formats, where change detection must hash the
+    * FILE (what the sync manifest sees), not the extraction. `titleOverride`
+    * carries format metadata titles (PDF Info /Title) into F11. */
+  final case class Doc(filePath: String, content: String,
+                       rawHash: Option[String] = None,
+                       titleOverride: Option[String] = None)
 
   class NoChunksError(filePath: String)
     extends RuntimeException(s"document produced zero chunks: $filePath")
@@ -29,6 +36,15 @@ object Ingest {
     MessageDigest.getInstance("SHA-256")
       .digest(content.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
+
+  /** bytes → UTF-8 string with U+FFFD replacement — EXACT parity with the
+    * driver path's `new String(bytes, UTF_8)`. SQL `decode(..., 'UTF-8')`
+    * under ANSI mode THROWS on malformed sequences, which every binary
+    * format (PDF) triggers — manifest hashing and batched ingest must use
+    * this instead so binary and text files hash identically on both paths. */
+  val utf8Lossy: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+      if (b == null) null else new String(b, StandardCharsets.UTF_8))
 
   /** Deterministic chunk id (name-based UUID over filePath+index+timestamp —
     * the reference uses randomUUID, `src/ingest/compute.ts:129`; determinism
@@ -42,8 +58,9 @@ object Ingest {
   def assembleRows(doc: Doc, chunks: Seq[MaxMinChunker.TextChunk],
                    vectors: Seq[Array[Float]], timestamp: String): Iterator[ChunkRow] = {
     val content = Option(doc.content).getOrElse("")
-    val title = TitleExtractor.forFile(content, doc.filePath)
-    val hash = sha256Hex(content)
+    val title = doc.titleOverride.map(TitleExtractor.Title(_, "metadata"))
+      .getOrElse(TitleExtractor.forFile(content, doc.filePath))
+    val hash = doc.rawHash.getOrElse(sha256Hex(content))
     val fileName = doc.filePath.substring(doc.filePath.lastIndexOf('/') + 1)
     val fileType = doc.filePath.substring(doc.filePath.lastIndexOf('.') + 1)
     chunks.iterator.zip(vectors.iterator).map { case (c, v) =>
@@ -77,10 +94,17 @@ object Ingest {
     }
   }
 
-  /** DataFrame convenience: df(filePath, content) → chunk rows */
+  /** DataFrame convenience: df(filePath, content[, rawHash, titleOverride])
+    * → chunk rows; the optional override columns default to null */
   def buildChunksDF(spark: SparkSession, docs: DataFrame, mkEmbedder: () => Embedder,
                     timestamp: String): DataFrame = {
     import spark.implicits._
-    buildChunks(docs.select("filePath", "content").as[Doc], mkEmbedder, timestamp).toDF()
+    import org.apache.spark.sql.functions.{col, lit}
+    def optCol(n: String) =
+      if (docs.columns.contains(n)) col(n) else lit(null).cast("string").as(n)
+    buildChunks(
+      docs.select(col("filePath"), col("content"),
+        optCol("rawHash"), optCol("titleOverride")).as[Doc],
+      mkEmbedder, timestamp).toDF()
   }
 }

@@ -1,0 +1,54 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-side PDF ingestion: [[PdfTextParser]] (pure per-doc byte parse)
+  * feeding the existing F15/F16 relational pipeline ([[PdfBoundaryFilter]]).
+  * One `binaryFile` pass; items, lines, boundary patterns and the strip are
+  * all DataFrame stages — the same shapes the fixture-driven queries pin.
+  *
+  * The returned docs carry `rawHash` = sha-256 of the file BYTES decoded as
+  * UTF-8 — the exact value the sync manifest computes for every file — so
+  * change detection keeps working even though the stored row's `text` is
+  * the extracted text, not the bytes. Without this override a synced PDF
+  * would re-upsert forever (stored hash of extracted text ≠ manifest hash
+  * of raw bytes).
+  */
+object PdfIngest {
+
+  def isPdf(path: String): Boolean = path.toLowerCase.endsWith(".pdf")
+
+  /** raw(filePath, content: binary) →
+    * (filePath, content: extracted text, rawHash, titleOverride).
+    * Documents whose parse yields no text produce NO row — the caller's
+    * zero-chunk semantics (count empty, preserve existing rows) apply. */
+  def pdfDocsDF(spark: SparkSession, raw: DataFrame,
+                mkEmbedder: () => graft.embed.Embedder): DataFrame = {
+    import spark.implicits._
+    val items = raw.select("filePath", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        PdfTextParser.parseItems(bytes)
+          .map(it => (p, it.page, it.x, it.y, it.fontSize, it.text))
+      }
+      .toDF("doc_id", "page", "x", "y", "font_size", "item")
+    val lines = PdfBoundaryFilter.assembleLines(items)
+    val patterns = PdfBoundaryFilter.boundaryPatterns(lines, mkEmbedder)
+    val stripped = PdfBoundaryFilter.stripBoundaries(lines, patterns)
+    val text = stripped
+      .filter(length(col("text")) > 0)
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("page"), col("text")))),
+        x => x.getField("text")), "\n\n").as("content"))
+    // per-file facts ride a narrow projection of the same scan: the manifest
+    // hash (decode parity with the sync planner) and the Info-dict title
+    val titleUdf = udf((b: Array[Byte]) => PdfTextParser.docTitle(b))
+    val meta = raw.select(col("filePath").as("doc_id"),
+      sha2(encode(Ingest.utf8Lossy(col("content")), "UTF-8"), 256).as("rawHash"),
+      titleUdf(col("content")).as("titleOverride"))
+    text.join(meta, Seq("doc_id"))
+      .select(col("doc_id").as("filePath"), col("content"),
+        col("rawHash"), col("titleOverride"))
+  }
+}

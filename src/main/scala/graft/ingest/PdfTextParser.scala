@@ -1,0 +1,479 @@
+package graft.ingest
+
+import java.util.zip.Inflater
+import scala.collection.mutable
+
+/** S6 — byte-level PDF text extraction, pure JVM.
+  *
+  * The reference parses PDFs with mupdf (`src/parser/pdf-extract.ts:79-153`)
+  * into positioned text items `(page, x, y, fontSize, text)` that its filter
+  * stage consumes. This is a from-scratch subset parser of the public PDF
+  * spec (ISO 32000) producing the SAME item shape, so the whole existing
+  * F15/F16 pipeline ([[PdfBoundaryFilter]]) runs unchanged on real PDF
+  * bytes: parse → line assembly → header/footer strip → document text.
+  *
+  * Supported subset (the overwhelmingly common case for text documents):
+  *  - classic object syntax (`N G obj … endobj`); xref is NOT required —
+  *    objects are discovered by scanning, so damaged/linearized files parse
+  *  - page ordering via the Catalog → /Pages → /Kids tree (cycle-guarded),
+  *    falling back to /Type /Page objects in byte order
+  *  - /Contents as a single stream or an array of streams
+  *  - FlateDecode (java.util.zip) and unfiltered content streams
+  *  - text operators: BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, ', ", TJ (with
+  *    kerning-gap → space), literal strings (escapes, octal, nesting),
+  *    hex strings, UTF-16BE (BOM) and Latin-1/PDFDoc byte decoding
+  *
+  * Not supported (emit nothing rather than garbage): LZW/DCT/CCITT filters,
+  * CID-keyed composite fonts with custom CMaps (their show strings are
+  * glyph indexes — undecodable without the CMap), encrypted files. These
+  * are the cases the reference delegates to mupdf's font machinery; the
+  * boundary is documented in SURVEY §7.
+  *
+  * Scale shape: [[parseItems]] is a pure per-document function — the corpus
+  * path runs it inside a `flatMap` over a `binaryFile` scan (one pass, no
+  * driver involvement), then everything downstream is the existing
+  * relational F15/F16 pipeline.
+  */
+object PdfTextParser {
+
+  final case class Item(page: Int, x: Double, y: Double,
+                        fontSize: Double, text: String)
+
+  // ---- minimal PDF object model ----
+  private sealed trait PVal
+  private final case class PNum(v: Double) extends PVal
+  private final case class PName(v: String) extends PVal
+  private final case class PStr(bytes: Array[Byte]) extends PVal
+  private final case class PRef(num: Int) extends PVal
+  private final case class PArr(items: Vector[PVal]) extends PVal
+  private final case class PDict(m: Map[String, PVal]) extends PVal
+  private case object PNullV extends PVal
+
+  private final case class PdfObj(num: Int, dict: Option[PDict],
+                                  stream: Option[Array[Byte]])
+
+  /** document title from the Info dictionary's /Title (F11 "metadata"
+    * provenance). The Info dict is found structurally — a /Title string in a
+    * dict that is neither an outline item (/Parent) nor a typed object
+    * (/Type) — because this parser does not require the trailer. */
+  def docTitle(bytes: Array[Byte]): Option[String] =
+    try scanObjects(bytes).iterator
+      .flatMap(_.dict)
+      .filter(d => !d.m.contains("Parent") && !d.m.contains("Type"))
+      .collectFirst { case d if d.m.get("Title").exists(_.isInstanceOf[PStr]) =>
+        decodeText(d.m("Title").asInstanceOf[PStr].bytes).trim }
+      .filter(_.nonEmpty)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** entry point: all positioned text items of a PDF, in page order */
+  def parseItems(bytes: Array[Byte]): Seq[Item] =
+    try {
+      val objs = scanObjects(bytes)
+      val byNum = objs.map(o => o.num -> o).toMap
+      val pages = orderedPages(objs, byNum)
+      pages.zipWithIndex.flatMap { case (pageObj, idx) =>
+        contentBytes(pageObj, byNum) match {
+          case Some(data) => interpret(data, idx + 1)
+          case None => Seq.empty
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  // ---- object scanning ----
+
+  /** find every `N G obj … endobj` span; xref-free so damaged files parse */
+  private def scanObjects(b: Array[Byte]): Seq[PdfObj] = {
+    val out = mutable.ArrayBuffer.empty[PdfObj]
+    var i = 0
+    while (i < b.length - 3) {
+      if (b(i) == 'o' && b(i + 1) == 'b' && b(i + 2) == 'j' &&
+          (i + 3 >= b.length || isDelim(b(i + 3)))) {
+        // walk back over ws, generation digits, ws, object digits
+        var j = i - 1
+        while (j >= 0 && isWs(b(j))) j -= 1
+        val genEnd = j
+        while (j >= 0 && isDigit(b(j))) j -= 1
+        val genStart = j + 1
+        while (j >= 0 && isWs(b(j))) j -= 1
+        val numEnd = j
+        while (j >= 0 && isDigit(b(j))) j -= 1
+        val numStart = j + 1
+        if (numEnd >= numStart && genEnd >= genStart &&
+            (j < 0 || !isDigit(b(j)))) {
+          val num = new String(b, numStart, numEnd - numStart + 1).toInt
+          val bodyStart = i + 3
+          val (obj, nextPos) = parseObject(b, num, bodyStart)
+          out += obj
+          // endobj is located AFTER the stream extent — binary stream data
+          // can contain the "endobj" byte sequence and must not truncate
+          val end = indexOf(b, "endobj", nextPos)
+          i = if (end < 0) b.length else end
+        }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** parse one object's dict + stream starting at `start`; returns the
+    * object and the position just past its stream data (or dict) */
+  private def parseObject(b: Array[Byte], num: Int,
+                          start: Int): (PdfObj, Int) = {
+    val lex = new Lexer(b, start, b.length)
+    lex.skipWs()
+    val dict = if (lex.peeks("<<")) Some(lex.dict()) else None
+    lex.skipWs()
+    if (!lex.peeks("stream")) (PdfObj(num, dict, None), lex.pos)
+    else {
+      var dStart = lex.pos + "stream".length
+      if (dStart < b.length && b(dStart) == '\r') dStart += 1
+      if (dStart < b.length && b(dStart) == '\n') dStart += 1
+      // /Length as a direct integer bounds the data exactly (and safely
+      // steps over any "endstream" byte collision inside compressed data);
+      // indirect /Length refs fall back to the keyword scan — the subset
+      // boundary documented above
+      val dEnd = dict.flatMap(_.m.get("Length")) match {
+        case Some(PNum(n)) if dStart + n.toInt <= b.length => dStart + n.toInt
+        case _ =>
+          val e = indexOf(b, "endstream", dStart)
+          if (e < 0) b.length else e
+      }
+      val data = java.util.Arrays.copyOfRange(b, dStart, math.max(dStart, dEnd))
+      (PdfObj(num, dict, Some(data)), dEnd)
+    }
+  }
+
+  // ---- page tree ----
+
+  /** catalog → /Pages → /Kids walk (the authoritative page order);
+    * fallback: /Type /Page objects in byte order */
+  private def orderedPages(objs: Seq[PdfObj],
+                           byNum: Map[Int, PdfObj]): Seq[PdfObj] = {
+    def isType(o: PdfObj, t: String): Boolean =
+      o.dict.exists(_.m.get("Type").contains(PName(t)))
+    val fromTree: Seq[PdfObj] =
+      objs.find(isType(_, "Catalog"))
+        .flatMap(_.dict.flatMap(_.m.get("Pages")))
+        .collect { case PRef(n) => n }
+        .map { root =>
+          val seen = mutable.Set.empty[Int]
+          val acc = mutable.ArrayBuffer.empty[PdfObj]
+          def walk(num: Int, depth: Int): Unit =
+            if (depth < 64 && seen.add(num)) byNum.get(num).foreach { o =>
+              if (isType(o, "Page")) acc += o
+              else o.dict.flatMap(_.m.get("Kids")) match {
+                case Some(PArr(kids)) =>
+                  kids.foreach { case PRef(k) => walk(k, depth + 1); case _ => () }
+                case _ => ()
+              }
+            }
+          walk(root, 0)
+          acc.toSeq
+        }
+        .getOrElse(Seq.empty)
+    if (fromTree.nonEmpty) fromTree else objs.filter(isType(_, "Page"))
+  }
+
+  /** a page's decoded content: single stream or array, concatenated */
+  private def contentBytes(page: PdfObj,
+                           byNum: Map[Int, PdfObj]): Option[Array[Byte]] = {
+    def decoded(num: Int): Option[Array[Byte]] =
+      byNum.get(num).flatMap(o => o.stream.flatMap(s => decode(s, o.dict)))
+    page.dict.flatMap(_.m.get("Contents")).flatMap {
+      case PRef(n) => decoded(n)
+      case PArr(items) =>
+        val parts = items.collect { case PRef(n) => decoded(n) }.flatten
+        if (parts.isEmpty) None
+        else Some(parts.reduce((a, c) => a ++ Array[Byte]('\n') ++ c))
+      case _ => None
+    }
+  }
+
+  private def decode(data: Array[Byte], dict: Option[PDict]): Option[Array[Byte]] =
+    dict.flatMap(_.m.get("Filter")) match {
+      case None => Some(data)
+      case Some(PName("FlateDecode")) => inflate(data)
+      case Some(PArr(Vector(PName("FlateDecode")))) => inflate(data)
+      case Some(_) => None // unsupported filter: emit nothing, not garbage
+    }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val inf = new Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      var n = inf.inflate(buf)
+      while (n > 0) { out.write(buf, 0, n); n = inf.inflate(buf) }
+      inf.end()
+      Some(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---- content-stream interpreter (text operators only) ----
+
+  private def interpret(content: Array[Byte], page: Int): Seq[Item] = {
+    val items = mutable.ArrayBuffer.empty[Item]
+    val lex = new Lexer(content, 0, content.length)
+    val stack = mutable.ArrayBuffer.empty[PVal] // operand stack
+    var fontSize = 0.0
+    var scale = 1.0            // |d| of the last Tm — uniform-scale subset
+    var leading = 0.0
+    var lineX = 0.0; var lineY = 0.0   // start-of-line position
+    var curX = 0.0; var curY = 0.0     // current show position
+
+    def num(v: PVal): Double = v match { case PNum(n) => n; case _ => 0.0 }
+    def newline(): Unit = { lineY -= leading; curX = lineX; curY = lineY }
+    def show(s: String): Unit = if (s.nonEmpty) {
+      items += Item(page, curX, curY, fontSize * scale, s)
+      // rough advance so several shows on one visual line keep X order
+      curX += s.length * fontSize * scale * 0.5
+    }
+
+    var tok = lex.token()
+    while (tok != null) {
+      tok match {
+        case op: Op => op.name match {
+          case "BT" =>
+            lineX = 0; lineY = 0; curX = 0; curY = 0; stack.clear()
+          case "Tf" =>
+            if (stack.nonEmpty) fontSize = num(stack.last); stack.clear()
+          case "Tm" =>
+            if (stack.length >= 6) {
+              val d = num(stack(stack.length - 3))
+              scale = if (d != 0) math.abs(d) else 1.0
+              lineX = num(stack(stack.length - 2))
+              lineY = num(stack(stack.length - 1))
+              curX = lineX; curY = lineY
+            }
+            stack.clear()
+          case "Td" | "TD" =>
+            if (stack.length >= 2) {
+              val tx = num(stack(stack.length - 2))
+              val ty = num(stack(stack.length - 1))
+              if (op.name == "TD") leading = -ty
+              lineX += tx; lineY += ty; curX = lineX; curY = lineY
+            }
+            stack.clear()
+          case "TL" =>
+            if (stack.nonEmpty) leading = num(stack.last); stack.clear()
+          case "T*" => newline(); stack.clear()
+          case "Tj" =>
+            stack.lastOption.collect { case PStr(sb) => show(decodeText(sb)) }
+            stack.clear()
+          case "'" =>
+            newline()
+            stack.lastOption.collect { case PStr(sb) => show(decodeText(sb)) }
+            stack.clear()
+          case "\"" =>
+            newline()
+            stack.lastOption.collect { case PStr(sb) => show(decodeText(sb)) }
+            stack.clear()
+          case "TJ" =>
+            stack.lastOption.collect { case PArr(parts) =>
+              val sb = new StringBuilder
+              parts.foreach {
+                case PStr(s) => sb ++= decodeText(s)
+                // a large negative kern is an inter-word gap (thousandths
+                // of an em): the standard heuristic threshold
+                case PNum(n) if n < -180 => sb += ' '
+                case _ => ()
+              }
+              show(sb.toString)
+            }
+            stack.clear()
+          case "ET" => stack.clear()
+          case _ => stack.clear() // any other operator consumes its operands
+        }
+        case v => stack += v
+      }
+      tok = lex.token()
+    }
+    items.toSeq
+  }
+
+  /** show-string bytes → text: UTF-16BE when BOM'd, else Latin-1 (covers
+    * PDFDoc/WinAnsi for the ASCII range this subset targets) */
+  private def decodeText(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+      new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  // ---- lexing ----
+
+  private final case class Op(name: String) extends PVal
+
+  private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12
+  private def isDigit(c: Byte): Boolean = c >= '0' && c <= '9'
+  private def isDelim(c: Byte): Boolean =
+    isWs(c) || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '(' || c == ')' || c == '/' || c == '%'
+
+  private def indexOf(b: Array[Byte], s: String, from: Int,
+                      until: Int = Int.MaxValue): Int = {
+    val lim = math.min(b.length, until) - s.length
+    var i = math.max(0, from)
+    while (i <= lim) {
+      var j = 0
+      while (j < s.length && b(i + j) == s.charAt(j)) j += 1
+      if (j == s.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** tokenizer shared by dictionary parsing and the content interpreter */
+  private final class Lexer(b: Array[Byte], start: Int, end: Int) {
+    var pos: Int = start
+
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < end) {
+        if (isWs(b(pos))) pos += 1
+        else if (b(pos) == '%') { while (pos < end && b(pos) != '\n') pos += 1 }
+        else go = false
+      }
+    }
+
+    def peeks(s: String): Boolean =
+      pos + s.length <= end && (0 until s.length).forall(i => b(pos + i) == s.charAt(i))
+
+    /** next value or operator; null at end */
+    def token(): PVal = {
+      skipWs()
+      if (pos >= end) return null
+      val c = b(pos)
+      if (peeks("<<")) dict()
+      else if (c == '<') { PStr(hexString()) }
+      else if (c == '(') { PStr(litString()) }
+      else if (c == '/') { PName(name()) }
+      else if (c == '[') {
+        pos += 1
+        val items = Vector.newBuilder[PVal]
+        var t = token()
+        while (t != null && t != Op("]")) { items += t; t = token() }
+        PArr(items.result())
+      }
+      else if (c == ']') { pos += 1; Op("]") }
+      else if (c == '>' && pos + 1 < end && b(pos + 1) == '>') { pos += 2; Op(">>") }
+      else if (isDigit(c) || c == '+' || c == '-' || c == '.') numberOrRef()
+      else {
+        // bare keyword / operator (Tj, BT, true, R handled in numberOrRef…)
+        val s = pos
+        while (pos < end && !isDelim(b(pos))) pos += 1
+        val w = new String(b, s, pos - s)
+        w match {
+          case "true" | "false" => PNum(if (w == "true") 1 else 0)
+          case "null" => PNullV
+          case _ => Op(w)
+        }
+      }
+    }
+
+    /** number, or an `N G R` indirect reference (3-token lookahead) */
+    private def numberOrRef(): PVal = {
+      val s = pos
+      if (b(pos) == '+' || b(pos) == '-') pos += 1
+      while (pos < end && (isDigit(b(pos)) || b(pos) == '.')) pos += 1
+      val first = new String(b, s, pos - s).toDouble
+      if (first >= 0 && first == first.floor) {
+        val save = pos
+        skipWs()
+        val gs = pos
+        while (pos < end && isDigit(b(pos))) pos += 1
+        if (pos > gs) {
+          skipWs()
+          if (pos < end && b(pos) == 'R' &&
+              (pos + 1 >= end || isDelim(b(pos + 1)))) {
+            pos += 1
+            return PRef(first.toInt)
+          }
+        }
+        pos = save
+      }
+      PNum(first)
+    }
+
+    def dict(): PDict = {
+      pos += 2 // <<
+      val m = Map.newBuilder[String, PVal]
+      var t = token()
+      while (t != null && t != Op(">>")) {
+        t match {
+          case PName(k) =>
+            val v = token()
+            if (v != null && v != Op(">>")) m += k -> v
+            else return PDict(m.result())
+          case _ => () // malformed entry: skip
+        }
+        t = token()
+      }
+      PDict(m.result())
+    }
+
+    private def name(): String = {
+      pos += 1 // '/'
+      val s = pos
+      while (pos < end && !isDelim(b(pos))) pos += 1
+      new String(b, s, pos - s)
+    }
+
+    private def hexString(): Array[Byte] = {
+      pos += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      while (pos < end && b(pos) != '>') {
+        val c = b(pos)
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 }
+        }
+        pos += 1
+      }
+      if (hi >= 0) out.write(hi * 16) // odd digit count: pad with 0
+      if (pos < end) pos += 1 // '>'
+      out.toByteArray
+    }
+
+    private def litString(): Array[Byte] = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (pos < end && depth > 0) {
+        val c = b(pos)
+        if (c == '\\' && pos + 1 < end) {
+          pos += 1
+          val e = b(pos)
+          e match {
+            case 'n' => out.write('\n')
+            case 'r' => out.write('\r')
+            case 't' => out.write('\t')
+            case 'b' => out.write('\b')
+            case 'f' => out.write(12)
+            case '(' => out.write('(')
+            case ')' => out.write(')')
+            case '\\' => out.write('\\')
+            case '\n' => () // line continuation
+            case '\r' =>
+              if (pos + 1 < end && b(pos + 1) == '\n') pos += 1
+            case d if d >= '0' && d <= '7' =>
+              var v = d - '0'; var k = 0
+              while (k < 2 && pos + 1 < end &&
+                     b(pos + 1) >= '0' && b(pos + 1) <= '7') {
+                pos += 1; v = v * 8 + (b(pos) - '0'); k += 1
+              }
+              out.write(v & 0xFF)
+            case other => out.write(other.toInt)
+          }
+          pos += 1
+        } else {
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          if (depth > 0) out.write(c.toInt)
+          pos += 1
+        }
+      }
+      out.toByteArray
+    }
+  }
+}

@@ -577,6 +577,70 @@ class EngineSpec extends AnyFunSuite {
     assert(got === want && want > 0L)
   }
 
+  test("PDF ingest end-to-end: sync (loop + batched), search, title, idempotent re-sync") {
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.Deflater
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new Deflater(); d.setInput(raw); d.finish()
+      val out = new ByteArrayOutputStream(); val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def pdfBytes(title: String, sentences: Seq[String]): Array[Byte] = {
+      val content = "BT /F1 12 Tf 72 720 Td " +
+        sentences.map(s => s"($s) Tj 0 -20 Td ").mkString + "ET"
+      val data = deflate(content.getBytes(StandardCharsets.ISO_8859_1))
+      val sb = new StringBuilder
+      sb ++= "%PDF-1.4\n"
+      sb ++= "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+      sb ++= "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+      sb ++= "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+      sb ++= s"4 0 obj\n<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n"
+      sb ++= new String(data, StandardCharsets.ISO_8859_1)
+      sb ++= "\nendstream\nendobj\n"
+      sb ++= s"5 0 obj\n<< /Title ($title) /Producer (spec) >>\nendobj\n"
+      sb ++= "trailer\n<< /Root 1 0 R /Size 6 >>\n%%EOF\n"
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    }
+    val root = Files.createTempDirectory("pdf-root").toString
+    Files.createDirectories(Paths.get(s"$root/docs"))
+    Files.write(Paths.get(s"$root/docs/volcano.pdf"), pdfBytes("Volcano Geology",
+      Seq("Volcano geology explains how magma chambers feed eruptions.",
+        "Basalt columns form when thick lava flows cool slowly over years.",
+        "Seismometers detect tremor swarms before most major eruptions begin.")))
+    write(s"$root/docs/pasta.md",
+      "# Pasta Guide\nBoil water with salt and cook pasta until al dente for a classic dinner.")
+
+    // loop path (below the batch threshold)
+    val engine = new Engine(spark,
+      Files.createTempDirectory("pdf-store").toString + "/chunks", Seq(root))
+    val s1 = engine.sync()
+    assert(s1.upserted === 2, s1)
+    // idempotent re-sync is THE raw-hash parity gate: a wrong stored hash
+    // (e.g. hash of extracted text) would re-upsert the PDF here
+    val s2 = engine.sync()
+    assert(s2.upserted === 0 && s2.skipped === 2, s2)
+    // searchable + metadata title from the Info dict
+    val top = engine.queryDocuments("magma chamber eruption geology", limit = 3)
+      .collect().head
+    assert(top.getAs[String]("filePath").endsWith("volcano.pdf"))
+    assert(top.getAs[String]("fileTitle") === "Volcano Geology")
+
+    // batched path: same corpus through the ONE-job executor
+    val engine2 = new Engine(spark,
+      Files.createTempDirectory("pdf-store2").toString + "/chunks", Seq(root))
+    val b1 = engine2.sync(batchExecuteThreshold = 1)
+    assert(b1.upserted === 2, b1)
+    val b2 = engine2.sync(batchExecuteThreshold = 1)
+    assert(b2.upserted === 0 && b2.skipped === 2, b2)
+    // both paths store identical chunk text for the PDF
+    def pdfText(e: Engine) = e.store.read()
+      .filter(org.apache.spark.sql.functions.col("filePath").endsWith("volcano.pdf"))
+      .orderBy("chunkIndex")
+      .collect().map(_.getAs[String]("text")).mkString("|")
+    assert(pdfText(engine) === pdfText(engine2) && pdfText(engine).contains("magma"))
+  }
+
   test("nearDuplicateFiles finds planted near-dup pair, skips distinct files") {
     val root = Files.createTempDirectory("dup-root").toString
     val store = Files.createTempDirectory("dup-store").toString + "/chunks"

@@ -98,7 +98,9 @@ class StreamingSpec extends AnyFunSuite {
       """{"filePath":"/w/a.md","content":"Apache Spark executes distributed queries with resilient partitioned datasets across executor fleets."}"""
         .getBytes("UTF-8"))
     val docs = spark.readStream
-      .schema("filePath STRING, content STRING")
+      // the optional override columns (absent in the JSON → null) complete
+      // the Doc shape; text streams never set them
+      .schema("filePath STRING, content STRING, rawHash STRING, titleOverride STRING")
       .json(inDir).as[Ingest.Doc]
     StreamingIngest.runAvailableNow(docs, () => new HashedEmbedder(64),
       "2026-01-01T00:00:00Z", out, ckpt)
