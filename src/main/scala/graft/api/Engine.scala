@@ -180,14 +180,22 @@ final class Engine(
           .as[Ingest.Doc].collect().headOption
           .getOrElse(Ingest.Doc(spelled, "",
             Some(Ingest.sha256Hex(new String(bytes, StandardCharsets.UTF_8))), None))
-      } else Ingest.Doc(spelled, new String(bytes, StandardCharsets.UTF_8))
+      } else if (spelled.toLowerCase.endsWith(".docx"))
+        // S7: unzip + walk document.xml → markdown; raw-bytes hash parity
+        // with the sync manifest, Dublin Core title when present
+        Ingest.Doc(spelled, graft.ingest.DocxParser.toMarkdown(bytes),
+          Some(Ingest.sha256Hex(new String(bytes, StandardCharsets.UTF_8))),
+          graft.ingest.DocxParser.docTitle(bytes))
+      else Ingest.Doc(spelled, new String(bytes, StandardCharsets.UTF_8))
     val ts = now()
     val embedder0 = mkEmbedder()
-    val chunks = graft.chunker.MaxMinChunker.chunkText(doc.content, embedder0.embedBatch)
+    val (chunkSrc, ranges) = Ingest.parsedFor(doc)
+    val chunks = graft.chunker.MaxMinChunker.chunkText(chunkSrc,
+      embedder0.embedBatch, atomicRanges = ranges)
     // zero-chunk fail-fast BEFORE any destructive step
     // (ref: server/index.ts:635-642)
     if (chunks.isEmpty) throw new Ingest.NoChunksError(spelled)
-    val rows = Ingest.assembleRows(doc, chunks,
+    val rows = Ingest.assembleRows(doc.copy(content = chunkSrc), chunks,
       embedder0.embedBatch(chunks.map(_.text)), ts).toSeq
     mutationGuard.synchronized(store.upsertFile(spelled, rows.toDF()))
     val title = doc.titleOverride.getOrElse(
@@ -354,7 +362,8 @@ final class Engine(
       return (0L, 0L)
     }
     val mk = mkEmbedder // local copy: the executor closure must not drag `this`
-    val (pdfPaths, textPaths) = spelled.partition(graft.ingest.PdfIngest.isPdf)
+    val (pdfPaths, nonPdf) = spelled.partition(graft.ingest.PdfIngest.isPdf)
+    val (docxPaths, textPaths) = nonPdf.partition(_.toLowerCase.endsWith(".docx"))
     val textDocs =
       if (textPaths.isEmpty) None
       else Some(spark.read.format("binaryFile").load(textPaths: _*)
@@ -374,7 +383,23 @@ final class Engine(
           col("content"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pdfDocs = pdfRaw.map(raw => graft.ingest.PdfIngest.pdfDocsDF(spark, raw, mk))
-    val docs = (textDocs.toSeq ++ pdfDocs.toSeq).reduce(_ unionByName _)
+    // DOCX converts per-row (unzip + StAX walk → markdown) — no second
+    // projection needed, so no persist; parse-empty files filter out and
+    // count `empty`
+    val docxDocs =
+      if (docxPaths.isEmpty) None
+      else {
+        val mdUdf = udf((b: Array[Byte]) => graft.ingest.DocxParser.toMarkdown(b))
+        val titleUdf = udf((b: Array[Byte]) => graft.ingest.DocxParser.docTitle(b))
+        Some(spark.read.format("binaryFile").load(docxPaths: _*)
+          .select(regexp_replace(col("path"), "^file:", "").as("filePath"),
+            mdUdf(col("content")).as("content"),
+            sha2(encode(Ingest.utf8Lossy(col("content")), "UTF-8"), 256).as("rawHash"),
+            titleUdf(col("content")).as("titleOverride"))
+          .filter(length(col("content")) > 0))
+      }
+    val docs = (textDocs.toSeq ++ docxDocs.toSeq ++ pdfDocs.toSeq)
+      .reduce(_ unionByName _)
     val rows = Ingest.buildChunksDF(spark, docs, mk, ts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -493,6 +518,39 @@ final class Engine(
         .orderBy("path_a", "path_b")
         .localCheckpoint(true)
     } finally perFile.unpersist()
+  }
+
+  /** F21 — per-page visual-candidate manifest over the workspace's PDFs
+    * (reference `src/pdf-visual/detector.ts` + orchestrator contract in
+    * `src/pdf-visual/index.ts:17-29`): which pages a renderer + VLM
+    * captioner (F20, the external seam) should run on, with the padded
+    * crop rect the renderer would use. Scope validation matches sync's
+    * containment rule; the sweep itself is ONE `binaryFile` scan with
+    * [[graft.ingest.VisualDetector.detect]] pure per document — at corpus
+    * scale candidates fall out of a single distributed pass, no driver
+    * loop. Returns (filePath, page, isCandidate, x0, y0, x1, y1); crop
+    * columns are null for non-candidates and full-page-fallback pages. */
+  def visualCandidates(scope: Seq[String] = Seq.empty): DataFrame = {
+    val requested =
+      if (scope.isEmpty) roots
+      else {
+        scope.foreach(p => require(containedInRoots(p),
+          s"requested path outside configured roots: ${PathKeys.displayPath(p)}"))
+        scope.map(PathKeys.storageSpelling)
+      }
+    val (dirs, files) = requested.partition(p => Files.isDirectory(Paths.get(p)))
+    val pdfs = (DirectoryScanner.scanRoots(dirs,
+      excludePrefixes = Seq(storePath, rawDataDir)).files.map(_.path) ++
+      files.filter(p => Files.isRegularFile(Paths.get(p))))
+      .filter(graft.ingest.PdfIngest.isPdf)
+    if (pdfs.isEmpty)
+      Seq.empty[(String, Int, Boolean, Option[Double], Option[Double],
+        Option[Double], Option[Double])]
+        .toDF("filePath", "page", "isCandidate", "x0", "y0", "x1", "y1")
+    else graft.ingest.PdfIngest.visualCandidatesDF(spark,
+      spark.read.format("binaryFile").load(pdfs: _*)
+        .select(regexp_replace(col("path"), "^file:", "").as("filePath"),
+          col("content")))
   }
 
   /** sources classifier (reference J5, `src/utils/list-sources.ts:51-77`):

@@ -26,7 +26,7 @@ object DirectoryScanner {
 
   val MaxDepth = 10                       // reference src/utils/limits.ts:9
   val MaxFileBytes: Long = 100L * 1024 * 1024 // limits.ts:15-21 (default)
-  val SupportedExtensions: Set[String] = Set("md", "markdown", "txt", "pdf")
+  val SupportedExtensions: Set[String] = Set("md", "markdown", "txt", "pdf", "docx")
 
   final case class ScannedFile(path: String, ext: String, bytes: Long)
   final case class Coverage(

@@ -77,6 +77,20 @@ object Ingest {
     }
   }
 
+  /** Per-format chunk-time parse (S7): a DOCX doc's content is the markdown
+    * [[DocxParser.toMarkdown]] produced — running it through
+    * [[graft.chunker.TableBlockParser]] here yields the atomic ranges that
+    * keep table rows indivisible (reference `docx-parser.ts:259-274`). The
+    * ONE implementation of the atomic semantics, shared by the driver loop,
+    * the batched executor, and streaming ingest. */
+  def parsedFor(doc: Doc): (String, Seq[graft.chunker.SentenceSplitter.AtomicRange]) = {
+    val content = Option(doc.content).getOrElse("")
+    if (doc.filePath.toLowerCase.endsWith(".docx")) {
+      val p = graft.chunker.TableBlockParser.parse(content)
+      (p.content, p.ranges)
+    } else (content, Seq.empty)
+  }
+
   /** docs(filePath, content) → full chunk rows (ChunkSchema). One shared
     * timestamp per ingest batch (reference `src/ingest/compute.ts:122,142`). */
   def buildChunks(docs: Dataset[Doc], mkEmbedder: () => Embedder,
@@ -86,10 +100,12 @@ object Ingest {
     docs.mapPartitions { it =>
       val embedder = mkEmbedder()
       it.flatMap { doc =>
-        val content = Option(doc.content).getOrElse("")
-        val chunks = MaxMinChunker.chunkText(content, embedder.embedBatch, cfg = cfg)
+        val (content, ranges) = parsedFor(doc)
+        val chunks = MaxMinChunker.chunkText(content, embedder.embedBatch,
+          atomicRanges = ranges, cfg = cfg)
         if (chunks.isEmpty) Iterator.empty
-        else assembleRows(doc, chunks, embedder.embedBatch(chunks.map(_.text)), timestamp)
+        else assembleRows(doc.copy(content = content), chunks,
+          embedder.embedBatch(chunks.map(_.text)), timestamp)
       }
     }
   }

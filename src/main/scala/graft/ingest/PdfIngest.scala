@@ -51,4 +51,23 @@ object PdfIngest {
       .select(col("doc_id").as("filePath"), col("content"),
         col("rawHash"), col("titleOverride"))
   }
+
+  /** F21 — raw(filePath, content: binary) → one row per page:
+    * (filePath, page, isCandidate, x0, y0, x1, y1), the crop columns null
+    * for non-candidates and full-page-fallback candidates. This is the
+    * work manifest the external F20 captioner consumes: same `binaryFile`
+    * scan as text extraction, [[VisualDetector.detect]] pure per document,
+    * so the candidate sweep of a corpus is one distributed pass. */
+  def visualCandidatesDF(spark: SparkSession, raw: DataFrame): DataFrame = {
+    import spark.implicits._
+    raw.select("filePath", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        VisualDetector.detect(bytes).map { r =>
+          val c = r.cropRect
+          (p, r.page, r.isCandidate,
+            c.map(_.x0), c.map(_.y0), c.map(_.x1), c.map(_.y1))
+        }
+      }
+      .toDF("filePath", "page", "isCandidate", "x0", "y0", "x1", "y1")
+  }
 }

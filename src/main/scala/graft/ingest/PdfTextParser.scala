@@ -40,16 +40,16 @@ object PdfTextParser {
                         fontSize: Double, text: String)
 
   // ---- minimal PDF object model ----
-  private sealed trait PVal
-  private final case class PNum(v: Double) extends PVal
-  private final case class PName(v: String) extends PVal
-  private final case class PStr(bytes: Array[Byte]) extends PVal
-  private final case class PRef(num: Int) extends PVal
-  private final case class PArr(items: Vector[PVal]) extends PVal
-  private final case class PDict(m: Map[String, PVal]) extends PVal
-  private case object PNullV extends PVal
+  private[ingest] sealed trait PVal
+  private[ingest] final case class PNum(v: Double) extends PVal
+  private[ingest] final case class PName(v: String) extends PVal
+  private[ingest] final case class PStr(bytes: Array[Byte]) extends PVal
+  private[ingest] final case class PRef(num: Int) extends PVal
+  private[ingest] final case class PArr(items: Vector[PVal]) extends PVal
+  private[ingest] final case class PDict(m: Map[String, PVal]) extends PVal
+  private[ingest] case object PNullV extends PVal
 
-  private final case class PdfObj(num: Int, dict: Option[PDict],
+  private[ingest] final case class PdfObj(num: Int, dict: Option[PDict],
                                   stream: Option[Array[Byte]])
 
   /** document title from the Info dictionary's /Title (F11 "metadata"
@@ -82,7 +82,7 @@ object PdfTextParser {
   // ---- object scanning ----
 
   /** find every `N G obj … endobj` span; xref-free so damaged files parse */
-  private def scanObjects(b: Array[Byte]): Seq[PdfObj] = {
+  private[ingest] def scanObjects(b: Array[Byte]): Seq[PdfObj] = {
     val out = mutable.ArrayBuffer.empty[PdfObj]
     var i = 0
     while (i < b.length - 3) {
@@ -147,7 +147,7 @@ object PdfTextParser {
 
   /** catalog → /Pages → /Kids walk (the authoritative page order);
     * fallback: /Type /Page objects in byte order */
-  private def orderedPages(objs: Seq[PdfObj],
+  private[ingest] def orderedPages(objs: Seq[PdfObj],
                            byNum: Map[Int, PdfObj]): Seq[PdfObj] = {
     def isType(o: PdfObj, t: String): Boolean =
       o.dict.exists(_.m.get("Type").contains(PName(t)))
@@ -175,7 +175,7 @@ object PdfTextParser {
   }
 
   /** a page's decoded content: single stream or array, concatenated */
-  private def contentBytes(page: PdfObj,
+  private[ingest] def contentBytes(page: PdfObj,
                            byNum: Map[Int, PdfObj]): Option[Array[Byte]] = {
     def decoded(num: Int): Option[Array[Byte]] =
       byNum.get(num).flatMap(o => o.stream.flatMap(s => decode(s, o.dict)))
@@ -300,16 +300,16 @@ object PdfTextParser {
 
   // ---- lexing ----
 
-  private final case class Op(name: String) extends PVal
+  private[ingest] final case class Op(name: String) extends PVal
 
-  private def isWs(c: Byte): Boolean =
+  private[ingest] def isWs(c: Byte): Boolean =
     c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12
   private def isDigit(c: Byte): Boolean = c >= '0' && c <= '9'
   private def isDelim(c: Byte): Boolean =
     isWs(c) || c == '<' || c == '>' || c == '[' || c == ']' ||
       c == '(' || c == ')' || c == '/' || c == '%'
 
-  private def indexOf(b: Array[Byte], s: String, from: Int,
+  private[ingest] def indexOf(b: Array[Byte], s: String, from: Int,
                       until: Int = Int.MaxValue): Int = {
     val lim = math.min(b.length, until) - s.length
     var i = math.max(0, from)
@@ -323,7 +323,7 @@ object PdfTextParser {
   }
 
   /** tokenizer shared by dictionary parsing and the content interpreter */
-  private final class Lexer(b: Array[Byte], start: Int, end: Int) {
+  private[ingest] final class Lexer(b: Array[Byte], start: Int, end: Int) {
     var pos: Int = start
 
     def skipWs(): Unit = {

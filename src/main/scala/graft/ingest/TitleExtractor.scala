@@ -44,7 +44,10 @@ object TitleExtractor {
   def forFile(content: String, filePath: String): Title = {
     val ext = filePath.substring(filePath.lastIndexOf('.') + 1).toLowerCase
     ext match {
-      case "md" | "markdown" => markdown(content, filePath)
+      // docx content at this point IS markdown (DocxParser.toMarkdown);
+      // its metadata title, when present, is applied upstream as an
+      // override — this is the content-provenance fallback chain
+      case "md" | "markdown" | "docx" => markdown(content, filePath)
       case _ => text(content, filePath)
     }
   }

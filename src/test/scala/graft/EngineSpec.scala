@@ -641,6 +641,107 @@ class EngineSpec extends AnyFunSuite {
     assert(pdfText(engine) === pdfText(engine2) && pdfText(engine).contains("magma"))
   }
 
+  test("DOCX ingest end-to-end: table rows chunk atomically; idempotent re-sync") {
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val W = """xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main""""
+    def docxBytes(title: String, body: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(); val zip = new ZipOutputStream(bos)
+      def entry(n: String, c: String): Unit = {
+        zip.putNextEntry(new ZipEntry(n)); zip.write(c.getBytes("UTF-8")); zip.closeEntry()
+      }
+      entry("word/document.xml",
+        s"""<?xml version="1.0"?><w:document $W><w:body>$body</w:body></w:document>""")
+      entry("docProps/core.xml",
+        """<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" xmlns:dc="http://purl.org/dc/elements/1.1/">""" +
+          s"<dc:title>$title</dc:title></cp:coreProperties>")
+      zip.close(); bos.toByteArray
+    }
+    def para(t: String) = s"<w:p><w:r><w:t>$t</w:t></w:r></w:p>"
+    def cell(t: String) = s"<w:tc>${para(t)}</w:tc>"
+    val body =
+      para("Instrument specifications are listed for every sensor in the array below.") +
+        "<w:tbl>" +
+        s"<w:tr>${cell("Sensor")}${cell("Range")}</w:tr>" +
+        s"<w:tr>${cell("Seismometer")}${cell("0.1 to 50 hertz")}</w:tr>" +
+        s"<w:tr>${cell("Tiltmeter")}${cell("1 microradian")}</w:tr>" +
+        "</w:tbl>" +
+        para("Calibration happens quarterly with reference signals from the observatory.")
+    val root = Files.createTempDirectory("docx-root").toString
+    Files.createDirectories(Paths.get(s"$root/d"))
+    Files.write(Paths.get(s"$root/d/sensors.docx"),
+      docxBytes("Sensor Handbook", body))
+    write(s"$root/d/note.md", "# Note\nPlain markdown beside the binary document for the mixed batch.")
+
+    val engine = new Engine(spark,
+      Files.createTempDirectory("docx-store").toString + "/chunks", Seq(root))
+    val s1 = engine.sync()
+    assert(s1.upserted === 2, s1)
+    val s2 = engine.sync() // raw-hash parity gate
+    assert(s2.upserted === 0 && s2.skipped === 2, s2)
+    val rows = engine.store.read()
+      .filter(org.apache.spark.sql.functions.col("filePath").endsWith("sensors.docx"))
+      .collect()
+    assert(rows.head.getAs[String]("fileTitle") === "Sensor Handbook")
+    // each table row survived as one indivisible Header: value block inside
+    // some chunk — the atomic contract, now from real bytes
+    val texts = rows.map(_.getAs[String]("text")).mkString("\n")
+    assert(texts.contains("Sensor: Seismometer\nRange: 0.1 to 50 hertz"))
+    assert(texts.contains("Sensor: Tiltmeter\nRange: 1 microradian"))
+
+    // batched executor path stores identical content
+    val engine2 = new Engine(spark,
+      Files.createTempDirectory("docx-store2").toString + "/chunks", Seq(root))
+    assert(engine2.sync(batchExecuteThreshold = 1).upserted === 2)
+    def docxText(e: Engine) = e.store.read()
+      .filter(org.apache.spark.sql.functions.col("filePath").endsWith("sensors.docx"))
+      .orderBy("chunkIndex").collect().map(_.getAs[String]("text")).mkString("|")
+    assert(docxText(engine) === docxText(engine2))
+  }
+
+  test("visualCandidates: per-page manifest over workspace PDFs, scope-validated") {
+    def onePagePdf(content: String, withImage: Boolean): Array[Byte] = {
+      val sb = new StringBuilder
+      sb ++= "%PDF-1.4\n"
+      sb ++= "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+      sb ++= "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\nendobj\n"
+      val res = if (withImage) " /Resources << /XObject << /Im1 5 0 R >> >>" else ""
+      sb ++= s"3 0 obj\n<< /Type /Page /Parent 2 0 R$res /Contents 4 0 R >>\nendobj\n"
+      sb ++= s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n"
+      if (withImage)
+        sb ++= "5 0 obj\n<< /Subtype /Image /Width 8 /Height 8 /Length 3 >>\nstream\nabc\nendstream\nendobj\n"
+      sb ++= "trailer\n<< /Root 1 0 R /Size 6 >>\n%%EOF\n"
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    }
+    val root = Files.createTempDirectory("vis-root").toString
+    Files.createDirectories(Paths.get(s"$root/docs"))
+    // a figure page (20% image) and a text-only page, plus a non-PDF
+    Files.write(Paths.get(s"$root/docs/figure.pdf"),
+      onePagePdf("q 280 0 0 340 150 300 cm /Im1 Do Q", withImage = true))
+    Files.write(Paths.get(s"$root/docs/plain.pdf"),
+      onePagePdf("BT /F1 12 Tf 72 720 Td (only text here) Tj ET", withImage = false))
+    write(s"$root/docs/readme.md", "# Not a PDF\nScanned but never a candidate row.")
+
+    val engine = new Engine(spark,
+      Files.createTempDirectory("vis-store").toString + "/chunks", Seq(root))
+    val rows = engine.visualCandidates().orderBy("filePath").collect()
+    assert(rows.length === 2) // one row per page, PDFs only
+    val fig = rows(0)
+    assert(fig.getString(0).endsWith("figure.pdf") && fig.getBoolean(2))
+    // 280x340 at (150,300): pad x max(12, 22.4)=22.4, y max(12, 27.2)=27.2
+    assert(math.abs(fig.getDouble(3) - 127.6) < 1e-9 &&
+      math.abs(fig.getDouble(6) - 667.2) < 1e-9)
+    val plain = rows(1)
+    assert(plain.getString(0).endsWith("plain.pdf") && !plain.getBoolean(2) &&
+      plain.isNullAt(3))
+    // scoped to a file; out-of-root scope refused like sync
+    val scoped = engine.visualCandidates(Seq(s"$root/docs/figure.pdf")).collect()
+    assert(scoped.length === 1 && scoped.head.getBoolean(2))
+    intercept[IllegalArgumentException] {
+      engine.visualCandidates(Seq("/etc/passwd"))
+    }
+  }
+
   test("nearDuplicateFiles finds planted near-dup pair, skips distinct files") {
     val root = Files.createTempDirectory("dup-root").toString
     val store = Files.createTempDirectory("dup-store").toString + "/chunks"
