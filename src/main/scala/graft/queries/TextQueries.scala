@@ -571,6 +571,166 @@ object TextQueries {
              |o AS (SELECT doc_id, CASE WHEN length(cl) > 200
              |    THEN substr(cl, 1, 200) || chr(8230) ELSE cl END AS out FROM c)
              |SELECT doc_id, length(out) AS out_len, md5(out) AS out_md5
-             |FROM o ORDER BY doc_id""".stripMargin))
+             |FROM o ORDER BY doc_id""".stripMargin)),
+
+    // ----- BPE vocabulary training (ops/Bpe): the merge table learned on
+    // the corpus. Iterative-with-driver-loop by nature (each merge's argmax
+    // feeds the next round), so no SQL oracle — BpeSpec cross-validates the
+    // distributed delta-maintained learner merge-for-merge against a
+    // sequential reference on randomized corpora. -----
+    Q("t_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Bpe.learn(Tables.documents(s, d), "text",
+          numMerges = 24, minCount = 2)
+          .toDF().select(col("rank").cast("long").as("merge_rank"),
+            col("left").as("lhs"), col("right").as("rhs"), col("merged"),
+            col("pairCount").as("pair_count"))
+          .orderBy("merge_rank")
+      },
+      None),
+
+    // ----- BPE applied at corpus scale: learn the merge table, then encode
+    // every document (greedy by rank, pure map-side — the merge table rides
+    // the closure). Rows-only like t_bpe_merges (the learn step is the
+    // non-SQL part); BpeSpec pins encode semantics. -----
+    Q("t_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.ops.Bpe.learn(docs, "text", numMerges = 24,
+          minCount = 2)
+        graft.ops.Bpe.encode(docs, "text", merges)
+          .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
+            md5(array_join(col("tokens"), "")).as("tokens_md5"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // ----- temperature-based mixture quotas: sampling weights COMPUTED
+    // from per-language counts (w_d ∝ cnt_d^(1/2) — the standard
+    // temperature rebalance that upsamples low-resource slices), unlike
+    // t_domain_mix's fixed weight vector. sqrt is IEEE-correctly-rounded
+    // in both engines, so the quota arithmetic agrees bit-for-bit. -----
+    Q("t_temperature_mix",
+      (s, d) => {
+        val budget = 200L
+        val counts = Tables.documents(s, d)
+          .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum(sqrt(col("cnt"))).as("tot"))
+        val quotas = counts.crossJoin(broadcast(tot))
+          .select(col("lang"), col("cnt"),
+            round(lit(budget) * sqrt(col("cnt")) / col("tot"))
+              .cast("long").as("quota"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(graft.ops.Dedup.hash60(col("doc_id").cast("string")).asc,
+            col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w))
+          .join(broadcast(quotas), "lang")
+          .filter(col("rk") <= col("quota"))
+          .select(col("lang"), col("doc_id"), col("rk"), col("quota"))
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+             |          FROM documents GROUP BY 1),
+             |t AS (SELECT sum(sqrt(cnt)) AS tot FROM c),
+             |q AS (SELECT lang, cnt,
+             |        CAST(round(200 * sqrt(cnt) / tot) AS BIGINT) AS quota
+             |      FROM c CROSS JOIN t),
+             |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+             |             doc_id) AS rk
+             |  FROM documents)
+             |SELECT r.lang, r.doc_id, r.rk, q.quota
+             |FROM r JOIN q ON q.lang = r.lang WHERE r.rk <= q.quota
+             |ORDER BY r.lang, r.rk""".stripMargin)),
+
+    // ----- TF-IDF top terms per document — the classic relevance weighting
+    // over (term, doc) counts. The per-doc window sorts only each doc's own
+    // term set (bounded by document length, not corpus size), after the
+    // (doc, term) aggregation already shuffled once; ln() is rounded to 6
+    // decimals on BOTH sides before ranking so cross-engine libm ulps can
+    // neither flip a rank nor a hash. -----
+    Q("t_tfidf_topterms",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = docs.select(col("doc_id"),
+          explode(graft.ops.Dedup.wordsArray("text")).as("w"))
+        val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val scored = tf.join(dfreq, "w").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("w"), col("tf"),
+            round(col("tf") * log(col("n") / col("df")), 6).as("score"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+        scored.withColumn("rn", row_number().over(win))
+          .filter(col("rn") <= 5).drop("rn")
+          .orderBy(col("doc_id"), col("score").desc, col("w"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+             |       FROM w GROUP BY 1, 2),
+             |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |s AS (SELECT doc_id, tf.w AS w, tf,
+             |        round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+             |      FROM tf JOIN df USING (w) CROSS JOIN n),
+             |r AS (SELECT *, row_number()
+             |        OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rn
+             |      FROM s)
+             |SELECT w, doc_id, tf, score FROM r WHERE rn <= 5
+             |ORDER BY doc_id, score DESC, w""".stripMargin)),
+
+    // ----- PMI collocations: which adjacent word pairs co-occur far more
+    // than chance — the corpus-statistics signal behind multi-word-unit
+    // detection. Pair counts keep multiplicity (unlike t_ngram_vocab's
+    // document frequency); probabilities are pairs/N_pairs vs
+    // unigrams/N_tokens, min support 20, top 50 by PMI. -----
+    Q("t_pmi_collocations",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ws = docs.select(graft.ops.Dedup.wordsArray("text").as("ws"))
+        val pairs = ws
+          .select(explode(zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("c_xy"))
+        val uni = ws.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val totals = pairs.agg(sum("c_xy").as("n_pairs"))
+          .crossJoin(uni.agg(sum("c").as("n_tok")))
+        pairs.filter(col("c_xy") >= 20)
+          .join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+          .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+          .crossJoin(broadcast(totals))
+          .select(col("a"), col("b"), col("c_xy"),
+            round(log((col("c_xy") / col("n_pairs")) /
+              ((col("c_a") / col("n_tok")) * (col("c_b") / col("n_tok")))), 6)
+              .as("pmi"))
+          .orderBy(col("pmi").desc, col("a"), col("b")).limit(50)
+      },
+      Some("""WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |          FROM documents),
+             |p AS (SELECT unnest([{'a': ws[i], 'b': ws[i+1]}
+             |               for i in range(1, len(ws))]) AS s
+             |      FROM w WHERE len(ws) >= 2),
+             |pc AS (SELECT s.a AS a, s.b AS b, CAST(count(*) AS BIGINT) AS c_xy
+             |       FROM p GROUP BY 1, 2),
+             |u AS (SELECT unnest(ws) AS w FROM w),
+             |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+             |t AS (SELECT (SELECT CAST(sum(c_xy) AS DOUBLE) FROM pc) AS n_pairs,
+             |             (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS n_tok)
+             |SELECT pc.a, pc.b, c_xy,
+             |  round(ln((c_xy / n_pairs) /
+             |    ((ua.c / n_tok) * (ub.c / n_tok))), 6) AS pmi
+             |FROM pc JOIN uc ua ON pc.a = ua.w JOIN uc ub ON pc.b = ub.w
+             |CROSS JOIN t WHERE c_xy >= 20
+             |ORDER BY pmi DESC, pc.a, pc.b LIMIT 50""".stripMargin))
   )
 }

@@ -328,6 +328,56 @@ object TimeQueries {
              |  a.event_type AS action_type
              |FROM c JOIN a ON a.user_id = c.user_id
              |  AND a.ats >= c.cts AND a.ats <= c.cts + INTERVAL 10 MINUTE
-             |ORDER BY 1, 2, 3, 4""".stripMargin))
+             |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    // ----- SCD2 dimension build from a change log: collapse each user's
+    // consecutive same-type event runs into validity intervals
+    // (valid_from/valid_to, open interval = current row) — the type-2
+    // slowly-changing-dimension shape every warehouse derives from CDC
+    // feeds. Gaps-and-islands via change-flag running sum, then one lead()
+    // for the interval close; two window passes + one groupBy, all
+    // partitioned by the dimension key. -----
+    Q("j_scd2_dimension",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val marked = Tables.events(s, d)
+          .select("user_id", "ts", "event_id", "event_type")
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .withColumn("chg",
+            when(col("prev").isNull || col("prev") =!= col("event_type"), 1)
+              .otherwise(0))
+          .withColumn("grp", sum(col("chg")).over(w))
+        val runs = marked.groupBy("user_id", "grp")
+          .agg(min(col("event_type")).as("event_type"),
+            min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("grp")
+        runs.withColumn("vt", lead(col("vf"), 1).over(wl))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("vf")).as("valid_from_us"),
+            unix_micros(col("vt")).as("valid_to_us"),
+            col("vt").isNull.as("is_current"), col("n_events"))
+          .orderBy("user_id", "valid_from_us")
+      },
+      Some("""WITH m AS (SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id) IS DISTINCT FROM event_type
+             |      THEN 1 ELSE 0 END AS chg
+             |  FROM events),
+             |g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp
+             |      FROM m),
+             |r AS (SELECT user_id, grp, min(event_type) AS event_type,
+             |        min(ts) AS vf, CAST(count(*) AS BIGINT) AS n_events
+             |      FROM g GROUP BY 1, 2),
+             |f AS (SELECT user_id, event_type, vf,
+             |        lead(vf) OVER (PARTITION BY user_id ORDER BY grp) AS vt,
+             |        n_events
+             |      FROM r)
+             |SELECT user_id, event_type, epoch_us(vf) AS valid_from_us,
+             |       epoch_us(vt) AS valid_to_us, vt IS NULL AS is_current,
+             |       n_events
+             |FROM f ORDER BY user_id, valid_from_us""".stripMargin))
   )
 }

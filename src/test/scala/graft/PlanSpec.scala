@@ -166,6 +166,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_distinct"))
   }
 
+  test("corpus-stats scalars broadcast; tfidf/pmi have no cartesian blowup") {
+    // t_tfidf_topterms and t_pmi_collocations crossJoin 1-row global
+    // aggregates (N docs / N pairs / N tokens): that must stay a broadcast
+    // nested-loop against a single row — a CartesianProduct here would be
+    // a corpus x corpus disaster at scale. The per-doc window in tfidf
+    // sorts each doc's own term set only (bounded by doc length), never a
+    // global Sort of the (doc, term) table outside the exchange.
+    for (name <- Seq("t_tfidf_topterms", "t_pmi_collocations")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(2000))
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$name:\n" + p.take(2000))
+    }
+  }
+
   test("salted join shuffles the fact on (key, salt), not key alone") {
     // event_type has 5 distinct values: an unsalted shuffle join uses 5
     // reducers forever. The salted plan's fact-side exchange must hash on
