@@ -33,7 +33,8 @@ final class Engine(
     annThreshold: Long = Engine.AnnCorpusThreshold,
     annStrategy: String = "ivf",
     annPlanes: Int = 8,
-    annProbeRadius: Int = 1) {
+    annProbeRadius: Int = 1,
+    mkCaptioner: Option[() => graft.ingest.Captioner] = None) {
 
   import spark.implicits._
 
@@ -189,14 +190,20 @@ final class Engine(
       else Ingest.Doc(spelled, new String(bytes, StandardCharsets.UTF_8))
     val ts = now()
     val embedder0 = mkEmbedder()
-    val (chunkSrc, ranges) = Ingest.parsedFor(doc)
-    val chunks = graft.chunker.MaxMinChunker.chunkText(chunkSrc,
-      embedder0.embedBatch, atomicRanges = ranges)
+    // F20: with a captioner configured, a PDF's visual-candidate pages
+    // (F21) render and caption from the RAW bytes; chunkAndCaption appends
+    // them as dedicated chunks with continuing indexes
+    val captions: Seq[Ingest.CapRec] =
+      if (graft.ingest.PdfIngest.isPdf(spelled))
+        mkCaptioner.map(f => graft.ingest.VisualCaption.captionDoc(bytes, f())
+          .map(c => Ingest.CapRec(c.page, c.text))).getOrElse(Seq.empty)
+      else Seq.empty
+    val rows = Ingest.chunkAndCaption(doc, captions, embedder0, ts)
     // zero-chunk fail-fast BEFORE any destructive step
-    // (ref: server/index.ts:635-642)
-    if (chunks.isEmpty) throw new Ingest.NoChunksError(spelled)
-    val rows = Ingest.assembleRows(doc.copy(content = chunkSrc), chunks,
-      embedder0.embedBatch(chunks.map(_.text)), ts).toSeq
+    // (ref: server/index.ts:635-642). A text-empty PDF with captioned
+    // pages ingests caption-only (ref visual.ts builds caption chunks
+    // regardless of text-chunk count).
+    if (rows.isEmpty) throw new Ingest.NoChunksError(spelled)
     mutationGuard.synchronized(store.upsertFile(spelled, rows.toDF()))
     val title = doc.titleOverride.getOrElse(
       graft.ingest.TitleExtractor.forFile(doc.content, spelled).value)
@@ -382,7 +389,30 @@ final class Engine(
         .select(regexp_replace(col("path"), "^file:", "").as("filePath"),
           col("content"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val pdfDocs = pdfRaw.map(raw => graft.ingest.PdfIngest.pdfDocsDF(spark, raw, mk))
+    val mkCap = mkCaptioner // local copy, same closure hygiene as `mk`
+    // F20 in the batched path: caption rows assemble in the SAME task as
+    // the file's text chunks (buildVisualChunksDF → chunkAndCaption), so
+    // batched and loop ingest produce identical rows by construction. The
+    // full-outer text↔captions join keeps caption-only files alive;
+    // pdfMetaDF (computed for every file in the scan) fills their
+    // hash/title.
+    val pdfRows: Option[DataFrame] = pdfRaw.map { raw =>
+      val docsText = graft.ingest.PdfIngest.pdfDocsDF(spark, raw, mk)
+      mkCap match {
+        case Some(f) =>
+          val caps = graft.ingest.VisualCaption.captionsDF(spark, raw, f)
+            .groupBy("filePath")
+            .agg(collect_list(struct(col("page"), col("caption"))).as("captions"))
+          val docs = docsText.drop("rawHash", "titleOverride")
+            .join(caps, Seq("filePath"), "full_outer")
+            .join(graft.ingest.PdfIngest.pdfMetaDF(raw), Seq("filePath"))
+            .select(col("filePath"),
+              coalesce(col("content"), lit("")).as("content"),
+              col("rawHash"), col("titleOverride"), col("captions"))
+          Ingest.buildVisualChunksDF(spark, docs, mk, ts)
+        case None => Ingest.buildChunksDF(spark, docsText, mk, ts)
+      }
+    }
     // DOCX converts per-row (unzip + StAX walk → markdown) — no second
     // projection needed, so no persist; parse-empty files filter out and
     // count `empty`
@@ -398,9 +428,10 @@ final class Engine(
             titleUdf(col("content")).as("titleOverride"))
           .filter(length(col("content")) > 0))
       }
-    val docs = (textDocs.toSeq ++ docxDocs.toSeq ++ pdfDocs.toSeq)
+    val flatDocs = (textDocs.toSeq ++ docxDocs.toSeq).reduceOption(_ unionByName _)
+    val rows = (flatDocs.map(d => Ingest.buildChunksDF(spark, d, mk, ts)).toSeq
+        ++ pdfRows.toSeq)
       .reduce(_ unionByName _)
-    val rows = Ingest.buildChunksDF(spark, docs, mk, ts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val produced = rows.select("filePath").distinct().as[String].collect().toSet

@@ -91,6 +91,37 @@ object Ingest {
     } else (content, Seq.empty)
   }
 
+  /** F20 caption record riding a document into chunk assembly:
+    * (page, post-processed caption text, pre-wrap). */
+  final case class CapRec(page: Int, caption: String)
+
+  /** One document → its full chunk rows: parse-aware chunking, then F20
+    * caption chunks appended with CONTINUING indexes and the
+    * `[Visual content on page N: …]` wrapper (reference
+    * `src/ingest/visual.ts:151-159` — captions become dedicated chunks so
+    * the semantic chunker can't split their internal structure). Empty
+    * result = zero-chunk document (the caller decides fail-fast vs skip).
+    * A text-empty PDF whose pages captioned still produces rows — the
+    * reference's caption-only ingest leg. THE one implementation of
+    * chunk-row assembly, shared by the driver loop, the batched sync
+    * executor, and streaming ingest, so visual mode cannot drift between
+    * paths. */
+  def chunkAndCaption(doc: Doc, captions: Seq[CapRec], embedder: Embedder,
+                      timestamp: String,
+                      cfg: MaxMinChunker.Config = MaxMinChunker.Config()): Seq[ChunkRow] = {
+    val (content, ranges) = parsedFor(doc)
+    val chunks = MaxMinChunker.chunkText(content, embedder.embedBatch,
+      atomicRanges = ranges, cfg = cfg)
+    val all = chunks ++ captions.sortBy(_.page).zipWithIndex.map {
+      case (c, i) => MaxMinChunker.TextChunk(
+        VisualCaption.wrap(VisualCaption.PageCaption(c.page, c.caption)),
+        chunks.length + i)
+    }
+    if (all.isEmpty) Seq.empty
+    else assembleRows(doc.copy(content = content), all,
+      embedder.embedBatch(all.map(_.text)), timestamp).toSeq
+  }
+
   /** docs(filePath, content) → full chunk rows (ChunkSchema). One shared
     * timestamp per ingest batch (reference `src/ingest/compute.ts:122,142`). */
   def buildChunks(docs: Dataset[Doc], mkEmbedder: () => Embedder,
@@ -99,15 +130,27 @@ object Ingest {
     import docs.sparkSession.implicits._
     docs.mapPartitions { it =>
       val embedder = mkEmbedder()
-      it.flatMap { doc =>
-        val (content, ranges) = parsedFor(doc)
-        val chunks = MaxMinChunker.chunkText(content, embedder.embedBatch,
-          atomicRanges = ranges, cfg = cfg)
-        if (chunks.isEmpty) Iterator.empty
-        else assembleRows(doc.copy(content = content), chunks,
-          embedder.embedBatch(chunks.map(_.text)), timestamp)
-      }
+      it.flatMap(doc => chunkAndCaption(doc, Seq.empty, embedder, timestamp, cfg))
     }
+  }
+
+  /** Visual-mode batched builder: docs carry their page captions
+    * ((filePath, content, rawHash, titleOverride, captions)); text and
+    * caption chunks assemble in the same task via [[chunkAndCaption]] —
+    * identical rows to the driver loop's visual path by construction. */
+  def buildVisualChunksDF(spark: SparkSession, docs: DataFrame,
+                          mkEmbedder: () => Embedder, timestamp: String): DataFrame = {
+    import spark.implicits._
+    docs.select("filePath", "content", "rawHash", "titleOverride", "captions")
+      .as[(String, String, Option[String], Option[String], Seq[CapRec])]
+      .mapPartitions { it =>
+        val embedder = mkEmbedder()
+        it.flatMap { case (p, content, hash, title, caps) =>
+          // null captions = text-only file on the full-outer join's left leg
+          chunkAndCaption(Doc(p, content, hash, title),
+            Option(caps).getOrElse(Seq.empty), embedder, timestamp)
+        }
+      }.toDF()
   }
 
   /** DataFrame convenience: df(filePath, content[, rawHash, titleOverride])

@@ -43,13 +43,21 @@ object PdfIngest {
         x => x.getField("text")), "\n\n").as("content"))
     // per-file facts ride a narrow projection of the same scan: the manifest
     // hash (decode parity with the sync planner) and the Info-dict title
-    val titleUdf = udf((b: Array[Byte]) => PdfTextParser.docTitle(b))
-    val meta = raw.select(col("filePath").as("doc_id"),
-      sha2(encode(Ingest.utf8Lossy(col("content")), "UTF-8"), 256).as("rawHash"),
-      titleUdf(col("content")).as("titleOverride"))
+    val meta = pdfMetaDF(raw).withColumnRenamed("filePath", "doc_id")
     text.join(meta, Seq("doc_id"))
       .select(col("doc_id").as("filePath"), col("content"),
         col("rawHash"), col("titleOverride"))
+  }
+
+  /** Per-file PDF facts for EVERY file in the scan (independent of whether
+    * text extraction produced anything): the raw-bytes manifest hash and
+    * the Info-dict title. Shared by text ingest and the visual (F20) path,
+    * where a text-empty PDF can still ingest caption-only. */
+  def pdfMetaDF(raw: DataFrame): DataFrame = {
+    val titleUdf = udf((b: Array[Byte]) => PdfTextParser.docTitle(b))
+    raw.select(col("filePath"),
+      sha2(encode(Ingest.utf8Lossy(col("content")), "UTF-8"), 256).as("rawHash"),
+      titleUdf(col("content")).as("titleOverride"))
   }
 
   /** F21 — raw(filePath, content: binary) → one row per page:

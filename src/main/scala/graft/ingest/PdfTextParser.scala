@@ -174,6 +174,17 @@ object PdfTextParser {
     if (fromTree.nonEmpty) fromTree else objs.filter(isType(_, "Page"))
   }
 
+  /** one page's decoded content bytes (1-based index into the page tree
+    * order), empty when the page or its streams are absent/undecodable —
+    * the F20 render seam's input (VisualCaption.renderPage) */
+  private[ingest] def pageContentBytes(bytes: Array[Byte], page: Int): Array[Byte] =
+    try {
+      val objs = scanObjects(bytes)
+      val byNum = objs.map(o => o.num -> o).toMap
+      orderedPages(objs, byNum).lift(page - 1)
+        .flatMap(contentBytes(_, byNum)).getOrElse(Array.emptyByteArray)
+    } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
+
   /** a page's decoded content: single stream or array, concatenated */
   private[ingest] def contentBytes(page: PdfObj,
                            byNum: Map[Int, PdfObj]): Option[Array[Byte]] = {
