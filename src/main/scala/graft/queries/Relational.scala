@@ -778,6 +778,132 @@ object Relational {
              |FROM events
              |WHERE user_id BETWEEN 40 AND 75 AND value BETWEEN 120.0 AND 260.0
              |  AND event_id BETWEEN 0 AND 8000
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- IN-subquery on an aggregated HAVING (TPC-H Q18 shape): which
+    // customers placed an order whose total quantity exceeds the threshold.
+    // Catalyst rewrites the IN as a left-semi join against the aggregated
+    // subquery — no correlated re-execution, one extra shuffle on the
+    // already-grouped key. -----
+    Q("q18_large_orders",
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy("l_orderkey").agg(dsum(col("l_quantity"), 2).as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        Tables.orders(s, d)
+          .join(big, col("o_orderkey") === big("l_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+             |  GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(30,2))) > 300)
+             |GROUP BY 1, 2, 3, 4, 5
+             |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // ----- correlated-min subquery (TPC-H Q2 shape, adapted: no partsupp
+    // table, so supply cost = a part's min unit price over its lineitems):
+    // which suppliers sell each small part at its global best unit price.
+    // The correlation decorrelates into one extra aggregate + equijoin on
+    // l_partkey — both shuffles on the same key, so AQE coalesces them. -----
+    Q("q2_min_cost_supplier",
+      (s, d) => {
+        val unit = Tables.lineitem(s, d)
+          .groupBy("l_partkey", "l_suppkey")
+          .agg((round(min(col("l_extendedprice") / col("l_quantity")), 6) + lit(0.0))
+            .as("unit"))
+        val best = unit.groupBy(col("l_partkey").as("bp"))
+          .agg(min(col("unit")).as("best"))
+        unit.join(best, col("l_partkey") === col("bp") && col("unit") === col("best"))
+          .join(Tables.part(s, d).filter(col("p_size") <= 3),
+            col("p_partkey") === col("l_partkey"))
+          .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+          .join(Tables.nation(s, d), col("n_nationkey") === col("s_nationkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("n_name"), col("unit"))
+          .orderBy("p_partkey", "s_name")
+      },
+      Some("""WITH cost AS (SELECT l_partkey, l_suppkey,
+             |    round(min(l_extendedprice / l_quantity), 6) + 0.0 AS unit
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT p_partkey, p_name, s_name, n_name, unit
+             |FROM cost
+             |JOIN part ON p_partkey = l_partkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |WHERE p_size <= 3
+             |  AND unit = (SELECT min(unit) FROM cost c2
+             |              WHERE c2.l_partkey = cost.l_partkey)
+             |ORDER BY p_partkey, s_name""".stripMargin)),
+
+    // ----- EXISTS / NOT-EXISTS twin (TPC-H Q21 shape, adapted to the
+    // available columns: "late" = shipped >90 days after the order date):
+    // suppliers who were the SOLE late supplier on a multi-supplier order.
+    // Both correlated existentials collapse into ONE per-(order, supplier)
+    // aggregate reused twice — the order-level counts derive from it with a
+    // second groupBy on the same key, so the whole decorrelated plan pays
+    // two shuffles total, not four. -----
+    Q("q21_sole_late_supplier",
+      (s, d) => {
+        val ls = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1).otherwise(0))
+            .as("late"))
+        val perOrder = ls.groupBy(col("l_orderkey").as("ok"))
+          .agg(count(lit(1)).as("nsupp"), sum(col("late")).as("nlate"))
+        val sole = ls
+          .join(perOrder, col("l_orderkey") === col("ok") &&
+            col("nsupp") > 1 && col("nlate") === 1 && col("late") === 1)
+        sole.join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some("""WITH ls AS (SELECT l_orderkey, l_suppkey,
+             |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |        THEN 1 ELSE 0 END) AS late
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  GROUP BY 1, 2),
+             |po AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS nsupp,
+             |         sum(late) AS nlate
+             |       FROM ls GROUP BY 1)
+             |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+             |FROM ls JOIN po USING (l_orderkey)
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |WHERE nsupp > 1 AND nlate = 1 AND late = 1
+             |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin)),
+
+    // ----- scalar subquery + anti-join (TPC-H Q22 shape): above-average-
+    // balance customers with no RECENT order. The scalar average broadcasts
+    // (one row); the NOT EXISTS becomes a left-anti join against the
+    // filtered orders projection — no correlated probe per row. -----
+    Q("q22_idle_customers",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val avgBal = cust.agg(avg(col("c_acctbal")).as("ab"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+          .select(col("o_custkey"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("ab"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |    WHERE o_custkey = c_custkey
+             |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

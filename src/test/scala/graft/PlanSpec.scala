@@ -180,6 +180,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("subquery shapes decorrelate: semi/anti joins, no correlated re-execution") {
+    // q18's IN-subquery and q22's NOT EXISTS must become JOINS against the
+    // aggregated/filtered subquery — a correlated per-row probe would be
+    // O(rows x subquery) at scale. q22's scalar average is a broadcast of
+    // ONE row; none of the four may degrade to a cartesian product.
+    for (name <- Seq("q18_large_orders", "q2_min_cost_supplier",
+        "q21_sole_late_supplier", "q22_idle_customers")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(2000))
+    }
+    val q22 = plan("q22_idle_customers")
+    assert(q22.contains("LeftAnti"), q22.take(2000))
+    assert(q22.contains("BroadcastNestedLoopJoin"), q22.take(2000))
+  }
+
   test("salted join shuffles the fact on (key, salt), not key alone") {
     // event_type has 5 distinct values: an unsalted shuffle join uses 5
     // reducers forever. The salted plan's fact-side exchange must hash on
