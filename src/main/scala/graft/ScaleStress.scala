@@ -45,8 +45,13 @@ object ScaleStress {
     }
   }
 
-  private val Headline =
-    Seq("d_minhash_lsh", "d_gram_coverage", "d_corpus_pipeline", "d_dup_groups")
+  /** default = the dedup headlines; SPARK_GRAFT_STRESS_QUERIES=a,b,c
+    * selects any documents-table queries (e.g. the text-analysis set) */
+  private def headline: Seq[String] =
+    sys.env.get("SPARK_GRAFT_STRESS_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(
+        Seq("d_minhash_lsh", "d_gram_coverage", "d_corpus_pipeline", "d_dup_groups"))
 
   def main(args: Array[String]): Unit = {
     val baseDir = args(0)
@@ -96,7 +101,7 @@ object ScaleStress {
         collector.shuffleWrite, collector.tasks)
     }
 
-    val rows = Headline.map { name =>
+    val rows = headline.map { name =>
       val (t1, _, _, sw1, _) = timed(name, baseDir)
       val (tN, maxSpill, totSpill, swN, tasks) = timed(name, bigDir)
       val entry =

@@ -173,6 +173,44 @@ object TextQueries {
              |FROM w JOIN v USING (w), tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ----- CCNet-style perplexity bucketing: tertile the corpus by unigram
+    // surprisal into head/middle/tail (Wenzek et al., "CCNet: Extracting
+    // High Quality Monolingual Datasets from Web Crawl Data", LREC 2020 —
+    // their LM-perplexity thirds, with t_surprisal's unigram model standing
+    // in for the KenLM). Cutoffs are EXACT interpolated percentiles of the
+    // per-doc score table (one row per doc — the already-reduced side, not
+    // the corpus; at true corpus scale swap in approx percentiles with a
+    // documented tolerance), broadcast as one row; bucketing is then a
+    // map-side comparison. Both engines compute the percentile over the
+    // SAME 4-decimal-rounded surprisals and the cutoffs are rounded to 6
+    // before comparing, so a tie means bit-equal doubles on both sides. -----
+    Q("t_ppl_buckets",
+      (s, d) => {
+        val sup = TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        val cuts = sup.agg(
+          (round(expr("percentile(surprisal, 1.0/3)"), 6) + lit(0.0)).as("c1"),
+          (round(expr("percentile(surprisal, 2.0/3)"), 6) + lit(0.0)).as("c2"))
+        sup.crossJoin(broadcast(cuts))
+          .select(col("doc_id"), col("surprisal"),
+            when(col("surprisal") <= col("c1"), "head")
+              .when(col("surprisal") <= col("c2"), "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             |      FROM documents),
+             |v AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+             |tot AS (SELECT sum(wc) AS total FROM v),
+             |s AS (SELECT doc_id, round(avg(-ln(wc * 1.0 / total)), 4) + 0.0 AS surprisal
+             |      FROM w JOIN v USING (w), tot GROUP BY doc_id),
+             |c AS (SELECT round(quantile_cont(surprisal, 1.0/3), 6) + 0.0 AS c1,
+             |             round(quantile_cont(surprisal, 2.0/3), 6) + 0.0 AS c2 FROM s)
+             |SELECT doc_id, surprisal,
+             |  CASE WHEN surprisal <= c1 THEN 'head'
+             |       WHEN surprisal <= c2 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM s CROSS JOIN c ORDER BY doc_id""".stripMargin)),
+
     // ----- document fingerprint (normalized-content md5) -----
     Q("t_fingerprint",
       (s, d) => Tables.documents(s, d).select(
