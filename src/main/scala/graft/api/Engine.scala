@@ -434,9 +434,11 @@ final class Engine(
       .reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val produced = rows.select("filePath").distinct().as[String].collect().toSet
-      store.upsertFiles(rows, produced.toSeq.sorted, deletes)
-      (produced.size.toLong, (spelled.size - produced.size).toLong)
+      // upserted/empty counts come from the store's own count-distinct
+      // aggregate over the persisted rows — the driver never materializes
+      // the O(dirty files) produced-path set
+      val produced = store.upsertFilesFromRows(rows, deletes)
+      (produced, spelled.size - produced)
     } finally { rows.unpersist(); pdfRaw.foreach(_.unpersist()); () }
   }
 

@@ -29,12 +29,25 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint(true)`ed per round with eager release of the superseded
   * blocks — the same lineage/memory discipline as
   * [[Dedup.connectedComponents]] (a reliable checkpoint replaces the local
-  * one on a cluster). Production knob not taken here: batching the top-K
-  * non-overlapping pairs per round to amortize the driver round-trip.
+  * one on a cluster).
   *
-  * Determinism: ties break on (count desc, left asc, right asc), and the
-  * in-word replace is left-to-right non-overlapping — both pinned by
-  * [[BpeSpec]]'s cross-validation against [[learnLocal]].
+  * [[learnBatched]] amortizes the per-merge driver round-trip: per round it
+  * takes the K highest-count pairs that are pairwise SYMBOL-DISJOINT (no
+  * symbol string shared between any two selected pairs) and applies all K
+  * in ONE delta pass. Disjointness makes the batch exact: merging (a,b)
+  * cannot create or destroy an occurrence of (c,d) when {a,b} ∩ {c,d} = ∅,
+  * so each batch member's count and its delta are the same as if it were
+  * merged alone. The divergence from strictly-sequential BPE is ORDER-level
+  * only: a pair newly created by batch member i (count ≤ cᵢ) may out-count
+  * batch member j>i, which sequential BPE would have merged first. On
+  * corpora free of that interaction the merge TABLES are equal ([[BpeSpec]]
+  * pins this), and at K=1 the two are identical merge-for-merge. A 32k-
+  * vocab run at K=64 is ~500 rounds instead of ~32k job barriers.
+  *
+  * Determinism: ties break on (count desc, left asc, right asc), batch
+  * selection is the greedy scan of that total order, and the in-word
+  * replace is left-to-right non-overlapping — all pinned by [[BpeSpec]]'s
+  * cross-validation against [[learnLocal]] / [[learnLocalBatched]].
   */
 object Bpe {
 
@@ -47,7 +60,7 @@ object Bpe {
       (a, b) => struct(a.as("a"), b.as("b")))
 
   /** left-to-right non-overlapping replace of (left,right) → merged */
-  private[ops] def mergeOnce(syms: Seq[String], left: String, right: String,
+  private[graft] def mergeOnce(syms: Seq[String], left: String, right: String,
                              merged: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var i = 0
@@ -59,6 +72,53 @@ object Bpe {
     out.result()
   }
 
+  /** one-pass left-to-right replace of a BATCH of symbol-disjoint pairs;
+    * identical to [[mergeOnce]] when the batch has one member. Disjointness
+    * (no symbol shared between pairs) makes the single scan equivalent to
+    * applying the pairs sequentially in any order. */
+  private[graft] def mergeMulti(syms: Seq[String], lefts: Seq[String],
+                              rights: Seq[String], mergeds: Seq[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      var hit = -1
+      if (i + 1 < syms.length) {
+        var k = 0
+        while (hit < 0 && k < lefts.length) {
+          if (syms(i) == lefts(k) && syms(i + 1) == rights(k)) hit = k
+          k += 1
+        }
+      }
+      if (hit >= 0) { out += mergeds(hit); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** greedy prefix-respecting scan of tiebreak-ordered candidates: select a
+    * pair iff neither of its symbols appears in an already-selected pair,
+    * stop at `k` selections. Property-tested (pairwise disjointness, order
+    * preservation, first-candidate-always-selected) in BpeSpec. */
+  private[graft] def selectDisjoint(cands: Seq[(String, String, Long)],
+                                  k: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.HashSet.empty[String]
+    val out = Seq.newBuilder[(String, String, Long)]
+    var n = 0
+    val it = cands.iterator
+    while (n < k && it.hasNext) {
+      val c = it.next()
+      if (!used(c._1) && !used(c._2)) {
+        used += c._1; used += c._2; out += c; n += 1
+      }
+    }
+    out.result()
+  }
+
+  /** how deep into the ordered pair table a round looks for disjoint
+    * candidates — shared by the distributed learner and the local twin so
+    * their selections are identical by construction */
+  private[graft] def candidateFetch(batchK: Int): Int = math.max(8 * batchK, 32)
+
   /** word → initial symbol sequence (characters; a production byte-level
     * variant swaps in UTF-8 bytes here, same machinery) */
   private def charSymbols(word: String): Seq[String] = word.map(_.toString)
@@ -66,15 +126,25 @@ object Bpe {
   /** Train `numMerges` BPE merges on the corpus behind `docs(textCol)`.
     * Stops early when the best remaining pair's count falls below
     * `minCount`. Returns the ordered merge table (rank ascending) — small
-    * by construction (≤ numMerges rows), safe on the driver. */
+    * by construction (≤ numMerges rows), safe on the driver.
+    * Merge-for-merge identical to sequential BPE ([[learnLocal]]). */
   def learn(docs: DataFrame, textCol: String, numMerges: Int,
-            minCount: Long = 2L): Seq[Merge] = {
+            minCount: Long = 2L): Seq[Merge] =
+    learnBatched(docs, textCol, numMerges, minCount, batchK = 1)
+
+  /** Batched trainer: per round, the top-K symbol-disjoint pairs merge in
+    * ONE delta pass — the production knob that collapses a 32k-vocab run
+    * from ~32k sequential job barriers to ~vocab/K rounds (see class doc
+    * for the exactness argument and the order-level divergence bound).
+    * `batchK = 1` is exactly sequential BPE. */
+  def learnBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                   minCount: Long = 2L, batchK: Int = 64): Seq[Merge] = {
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     val spark = docs.sparkSession
-    import spark.implicits._
 
     // corpus → word-frequency dict (the ONE corpus-sized aggregation),
     // then words → char symbol sequences
-    val mergeUdf = udf(mergeOnce _)
+    val mergeUdf = udf(mergeMulti _)
     var words = docs
       .select(explode(Dedup.wordsArray(textCol)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -94,21 +164,34 @@ object Bpe {
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
-      // TakeOrdered(1) over vocab-scale pair counts; deterministic tiebreak
-      val best = pairCounts.orderBy(desc("cnt"), asc("a"), asc("b")).head(1)
-      if (best.isEmpty || best.head.getAs[Long]("cnt") < minCount) done = true
+      // ONE driver round-trip per ROUND: TakeOrdered(fetch) over the
+      // vocab-scale pair table, deterministic tiebreak total order
+      val cands = pairCounts.orderBy(desc("cnt"), asc("a"), asc("b"))
+        .head(candidateFetch(batchK))
+        .iterator
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt")))
+        .filter(_._3 >= minCount)
+        .toSeq
+      val batch = selectDisjoint(cands, math.min(batchK, numMerges - rank))
+      if (batch.isEmpty) done = true
       else {
-        val (l, r, c) = (best.head.getAs[String]("a"),
-          best.head.getAs[String]("b"), best.head.getAs[Long]("cnt"))
-        val m = l + r
-        merges += Merge(rank, l, r, m, c)
+        batch.foreach { case (l, r, c) =>
+          merges += Merge(rank, l, r, l + r, c); rank += 1
+        }
+        val lefts = batch.map(_._1)
+        val rights = batch.map(_._2)
+        val mergeds = batch.map(b => b._1 + b._2)
 
-        val hasPair = exists(adjacentPairs(col("syms")),
-          p => p.getField("a") === lit(l) && p.getField("b") === lit(r))
-        // map-side split: only words containing the pair re-pair
+        // one array traversal tests membership of ANY batch pair
+        val hasPair = exists(adjacentPairs(col("syms")), p =>
+          batch.map { case (l, r, _) =>
+            p.getField("a") === lit(l) && p.getField("b") === lit(r)
+          }.reduce(_ || _))
+        // map-side split: only words containing some batch pair re-pair
         val affected = words.filter(hasPair)
         val mergedAffected = affected.select(
-          mergeUdf(col("syms"), lit(l), lit(r), lit(m)).as("syms"), col("cnt"))
+          mergeUdf(col("syms"), typedLit(lefts), typedLit(rights),
+            typedLit(mergeds)).as("syms"), col("cnt"))
         val delta = affected
           .select(explode(adjacentPairs(col("syms"))).as("p"), (-col("cnt")).as("cnt"))
           .union(mergedAffected
@@ -121,8 +204,8 @@ object Bpe {
           .filter(col("cnt") > 0)
           .localCheckpoint(true)
         // union concatenates partition lists — without the (shuffle-free)
-        // coalesce the words table doubles its partition count every merge
-        // and the task count explodes exponentially by rank ~15
+        // coalesce the words table doubles its partition count every round
+        // and the task count explodes exponentially by round ~15
         val parts = spark.sparkContext.defaultParallelism
         val nextWords = words.filter(!hasPair).union(mergedAffected)
           .coalesce(parts)
@@ -130,7 +213,6 @@ object Bpe {
         // superseded rounds' blocks released eagerly (see Dedup CC notes)
         releaseCheckpoint(pairCounts); releaseCheckpoint(words)
         pairCounts = nextPairs; words = nextWords
-        rank += 1
       }
     }
     releaseCheckpoint(pairCounts); releaseCheckpoint(words)
@@ -194,6 +276,44 @@ object Bpe {
           merges += Merge(rank, l, r, m, c)
           words = words.map { case (syms, n) => (mergeOnce(syms, l, r, m), n) }
           rank += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** sequential twin of [[learnBatched]]: same candidate window, same
+    * greedy disjoint selection, same one-pass multi-replace — the oracle
+    * proving the distributed batched learner implements EXACTLY these
+    * semantics on arbitrary corpora (BpeSpec), independent of whether the
+    * batch order matches strictly-sequential BPE */
+  def learnLocalBatched(wordCounts: Seq[(String, Long)], numMerges: Int,
+                        minCount: Long = 2L, batchK: Int = 64): Seq[Merge] = {
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    var words: Seq[(Seq[String], Long)] = wordCounts
+      .filter(_._1.length >= 2).map { case (w, c) => (charSymbols(w), c) }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]
+      for ((syms, c) <- words; p <- syms.zip(syms.tail))
+        counts(p) = counts.getOrElse(p, 0L) + c
+      val cands = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }
+        .take(candidateFetch(batchK))
+        .collect { case ((a, b), n) if n >= minCount => (a, b, n) }
+      val batch = selectDisjoint(cands, math.min(batchK, numMerges - rank))
+      if (batch.isEmpty) done = true
+      else {
+        batch.foreach { case (l, r, c) =>
+          merges += Merge(rank, l, r, l + r, c); rank += 1
+        }
+        val lefts = batch.map(_._1)
+        val rights = batch.map(_._2)
+        val mergeds = batch.map(b => b._1 + b._2)
+        words = words.map { case (syms, n) =>
+          (mergeMulti(syms, lefts, rights, mergeds), n)
         }
       }
     }

@@ -644,6 +644,42 @@ object TextQueries {
       },
       None),
 
+    // ----- Unigram-LM vocabulary training (ops/Unigram): SentencePiece's
+    // EM-trained piece table (Kudo 2018) — the tokenizer family production
+    // vocabularies actually ship. Iterative EM with a driver-side M-step by
+    // nature (like SentencePiece itself), so no SQL oracle — UnigramSpec
+    // pins the distributed E-step against a sequential forward-backward
+    // reference and Viterbi against brute-force enumeration; determinism
+    // comes from the 9-decimal expected-count rounding inside learn().
+    // Emitted logProbs are rounded again for parquet-level stability. -----
+    Q("t_unigram_train",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Unigram.learn(Tables.documents(s, d), "text",
+          targetSize = 150, seedSize = 600)
+          .toDF()
+          .select(col("piece"),
+            round(col("logProb"), 6).as("log_prob"))
+          .orderBy(desc("log_prob"), asc("piece"))
+      },
+      None),
+
+    // ----- Unigram-LM applied at corpus scale: learn the piece table, then
+    // Viterbi-segment every document (pure map-side, the table rides the
+    // closure — the same application shape as t_bpe_encode). -----
+    Q("t_unigram_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pieces = graft.ops.Unigram.learn(docs, "text",
+          targetSize = 150, seedSize = 600)
+        graft.ops.Unigram.encode(docs, "text", pieces)
+          .select(col("doc_id"),
+            size(col("tokens")).cast("long").as("n_tokens"),
+            md5(array_join(col("tokens"), " ")).as("tokens_md5"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // ----- temperature-based mixture quotas: sampling weights COMPUTED
     // from per-language counts (w_d ∝ cnt_d^(1/2) — the standard
     // temperature rebalance that upsamples low-resource slices), unlike

@@ -143,13 +143,45 @@ final class ChunkStore(spark: SparkSession, path: String, numBuckets: Int = 0) {
     val projected = newChunks.select(ChunkSchema.schema.fieldNames.map(col): _*)
     // removal via broadcast anti-join, not a giant literal IN list — the
     // affected set is every dirty file of the batch
-    val affectedDF = broadcast(affected.toDF("filePath"))
+    upsertCore(projected, broadcast(affected.toDF("filePath")),
+      affected.map(bucketOf).distinct.sorted)
+  }
+
+  /** [[upsertFiles]] with the replace set derived FROM `newChunks` instead
+    * of a driver-side path list: the anti-join key set and (bucketed) the
+    * affected-bucket list come from aggregates over the rows, so the driver
+    * never holds O(dirty files) strings — only O(numBuckets) bucket ids in
+    * bucketed mode. Returns the number of distinct files the rows cover
+    * (the batch's `upserted` count), from the same aggregate. Zero-chunk
+    * semantics are inherited: a file with no rows in `newChunks` is absent
+    * from the derived replace set, so its existing rows survive. */
+  def upsertFilesFromRows(newChunks: DataFrame,
+                          deletePaths: Seq[String] = Seq.empty): Long = {
+    import spark.implicits._
+    val projected = newChunks.select(ChunkSchema.schema.fieldNames.map(col): _*)
+    val producedPaths = projected.select("filePath").distinct()
+    val produced = producedPaths.count()
+    if (produced == 0L && deletePaths.isEmpty) return 0L
+    // no broadcast hint here: the derived key set is unbounded (every dirty
+    // file of the batch), so AQE's runtime sizing picks broadcast vs
+    // shuffled anti-join — the one place the literal-list path could not
+    val affectedDF =
+      producedPaths.unionByName(deletePaths.toDF("filePath")).distinct()
+    val buckets =
+      if (!bucketed) Seq.empty[Long]
+      else affectedDF.select(bucketCol.as("b")).distinct()
+        .as[Long].collect().toSeq.sorted // O(numBuckets), bounded
+    upsertCore(projected, affectedDF, buckets)
+    produced
+  }
+
+  private def upsertCore(projected: DataFrame, affectedDF: DataFrame,
+                         buckets: Seq[Long]): Unit = {
     if (!bucketed) {
       val keep = read().join(affectedDF, Seq("filePath"), "left_anti")
       swapDir(path, keep.unionByName(projected))
     } else {
       val f = fs
-      val buckets = affected.map(bucketOf).distinct.sorted
       val liveDirs = buckets.map(b => s"$path/pbucket=$b")
         .filter(d => f.exists(new HPath(d)))
       val existing =

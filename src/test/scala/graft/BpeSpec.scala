@@ -92,6 +92,106 @@ class BpeSpec extends AnyFunSuite {
     assert(lowToks === Seq("low"))
   }
 
+  // ---- batched trainer (learnBatched / learnLocalBatched) ----
+
+  test("batched(K=1) local twin is sequential BPE merge-for-merge") {
+    val wordGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val corpusGen = Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n, wordGen))
+    forAll(corpusGen, n = 30) { words =>
+      val wc = wordCountsOf(Seq(words.mkString(" ")))
+      assert(Bpe.learnLocalBatched(wc, numMerges = 10, minCount = 2, batchK = 1)
+        === Bpe.learnLocal(wc, numMerges = 10, minCount = 2))
+    }
+  }
+
+  test("distributed batched equals the local batched twin on random corpora") {
+    val wordGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd', 'e')).map(_.mkString))
+    val corpusGen = Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n, wordGen))
+    forAll(corpusGen, n = 8) { words =>
+      val text = words.mkString(" ")
+      val df = Seq(text).toDF("text")
+      val dist = Bpe.learnBatched(df, "text", numMerges = 10, minCount = 2,
+        batchK = 4)
+      val local = Bpe.learnLocalBatched(wordCountsOf(Seq(text)),
+        numMerges = 10, minCount = 2, batchK = 4)
+      assert(dist === local)
+    }
+  }
+
+  test("batched(K=64) equals sequential BPE on interaction-free corpora") {
+    // interaction-free: 2-char words (a merge consumes its whole word, so
+    // no merge CREATES a pair) over pairwise-DISJOINT alphabets (no symbol
+    // conflicts, so batching never defers a selection) — the regime where
+    // batched must reproduce sequential's table exactly, order included
+    val disjointWords = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op",
+      "qr", "st", "uv", "wx", "yz", "01", "23", "45", "67", "89")
+    val corpusGen = for {
+      n <- Gen.chooseNum(2, disjointWords.length)
+      words <- Gen.pick(n, disjointWords)
+      counts <- Gen.listOfN(n, Gen.chooseNum(2L, 50L))
+    } yield words.toSeq.zip(counts)
+    forAll(corpusGen, n = 20) { wc =>
+      val seqTable = Bpe.learnLocal(wc, numMerges = 50, minCount = 2)
+      val batTable = Bpe.learnLocalBatched(wc, numMerges = 50, minCount = 2,
+        batchK = 64)
+      assert(batTable === seqTable)
+      // and the whole table lands in ONE batched round
+      assert(batTable.size === wc.count(_._2 >= 2))
+    }
+  }
+
+  test("selectDisjoint: pairwise symbol-disjoint, order-preserving, top-first") {
+    val candGen = Gen.chooseNum(0, 40).flatMap { n =>
+      Gen.listOfN(n, for {
+        a <- Gen.oneOf("a", "b", "c", "d", "e", "f")
+        b <- Gen.oneOf("a", "b", "c", "d", "e", "f")
+      } yield (a, b))
+    }.map(_.distinct.zipWithIndex
+      .map { case ((a, b), i) => (a, b, (100 - i).toLong) })
+    forAll(candGen, n = 50) { cands =>
+      val sel = Bpe.selectDisjoint(cands, k = 8)
+      assert(sel.length <= 8)
+      // every selected pair is a candidate, in candidate order
+      assert(sel === cands.filter(sel.contains))
+      // the top candidate is always selected
+      if (cands.nonEmpty) assert(sel.headOption === cands.headOption)
+      // pairwise symbol-disjointness
+      for (Seq(x, y) <- sel.combinations(2)) {
+        val sx = Set(x._1, x._2); val sy = Set(y._1, y._2)
+        assert(sx.intersect(sy).isEmpty, s"$x and $y share a symbol")
+      }
+      // maximality of the greedy scan: any unselected candidate conflicts
+      // with an earlier selection (or the batch already reached k)
+      if (sel.length < 8) {
+        val usedBefore = scala.collection.mutable.HashSet.empty[String]
+        cands.foreach { c =>
+          if (sel.contains(c)) { usedBefore += c._1; usedBefore += c._2 }
+          else assert(usedBefore(c._1) || usedBefore(c._2),
+            s"$c was skipped without a conflict")
+        }
+      }
+    }
+  }
+
+  test("mergeMulti on one pair equals mergeOnce; disjoint pairs commute") {
+    val symsGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.toSeq))
+    forAll(symsGen, n = 60) { syms =>
+      assert(Bpe.mergeMulti(syms, Seq("a"), Seq("b"), Seq("ab"))
+        === Bpe.mergeOnce(syms, "a", "b", "ab"))
+      // (a,b) and (c,d) are symbol-disjoint: one fused pass == either
+      // sequential order
+      val fused = Bpe.mergeMulti(syms, Seq("a", "c"), Seq("b", "d"),
+        Seq("ab", "cd"))
+      val seq1 = Bpe.mergeOnce(Bpe.mergeOnce(syms, "a", "b", "ab"), "c", "d", "cd")
+      val seq2 = Bpe.mergeOnce(Bpe.mergeOnce(syms, "c", "d", "cd"), "a", "b", "ab")
+      assert(fused === seq1)
+      assert(fused === seq2)
+    }
+  }
+
   test("encode matches a by-hand greedy application") {
     val merges = Seq(
       Bpe.Merge(0, "l", "o", "lo", 10),
