@@ -18,16 +18,20 @@ import scala.collection.mutable
   *  - page ordering via the Catalog → /Pages → /Kids tree (cycle-guarded),
   *    falling back to /Type /Page objects in byte order
   *  - /Contents as a single stream or an array of streams
-  *  - FlateDecode (java.util.zip) and unfiltered content streams
+  *  - FlateDecode (java.util.zip) and unfiltered content streams,
+  *    including /DecodeParms predictors (PNG row filters 10–15, TIFF 2)
   *  - text operators: BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, ', ", TJ (with
   *    kerning-gap → space), literal strings (escapes, octal, nesting),
   *    hex strings, UTF-16BE (BOM) and Latin-1/PDFDoc byte decoding
+  *  - /ToUnicode CMaps for the single-byte codespace (bfchar + bfrange,
+  *    incrementing or array form), selected per show via Tf's font operand
+  *    — simple-font subset embeddings decode to real unicode
   *
   * Not supported (emit nothing rather than garbage): LZW/DCT/CCITT filters,
-  * CID-keyed composite fonts with custom CMaps (their show strings are
-  * glyph indexes — undecodable without the CMap), encrypted files. These
-  * are the cases the reference delegates to mupdf's font machinery; the
-  * boundary is documented in SURVEY §7.
+  * CID-keyed composite fonts with MULTI-byte CMaps (their show strings are
+  * 2-byte glyph indexes — undecodable without the full CMap machinery),
+  * encrypted files. These are the cases the reference delegates to mupdf's
+  * font machinery; the boundary is documented in SURVEY §7.
   *
   * Scale shape: [[parseItems]] is a pure per-document function — the corpus
   * path runs it inside a `flatMap` over a `binaryFile` scan (one pass, no
@@ -73,7 +77,8 @@ object PdfTextParser {
       val pages = orderedPages(objs, byNum)
       pages.zipWithIndex.flatMap { case (pageObj, idx) =>
         contentBytes(pageObj, byNum) match {
-          case Some(data) => interpret(data, idx + 1)
+          case Some(data) =>
+            interpret(data, idx + 1, pageFontCMaps(pageObj, byNum))
           case None => Seq.empty
         }
       }
@@ -200,13 +205,98 @@ object PdfTextParser {
     }
   }
 
-  private def decode(data: Array[Byte], dict: Option[PDict]): Option[Array[Byte]] =
-    dict.flatMap(_.m.get("Filter")) match {
-      case None => Some(data)
-      case Some(PName("FlateDecode")) => inflate(data)
-      case Some(PArr(Vector(PName("FlateDecode")))) => inflate(data)
-      case Some(_) => None // unsupported filter: emit nothing, not garbage
+  private def decode(data: Array[Byte], dict: Option[PDict]): Option[Array[Byte]] = {
+    val m = dict.map(_.m).getOrElse(Map.empty)
+    // /DecodeParms (or its /DP alias) as a direct dict, or a 1-element
+    // array parallel to a 1-element /Filter array; an indirect-ref parms
+    // we cannot resolve here → emit nothing rather than mis-predict
+    val parms = m.get("DecodeParms").orElse(m.get("DP")) match {
+      case Some(d: PDict) => Right(Some(d))
+      case Some(PArr(Vector(d: PDict))) => Right(Some(d))
+      case Some(PNullV) | Some(PArr(Vector(PNullV))) | None => Right(None)
+      case Some(_) => Left(())
     }
+    (m.get("Filter"), parms) match {
+      case (None, _) => Some(data)
+      case (Some(PName("FlateDecode")), Right(p)) =>
+        inflate(data).flatMap(applyPredictor(_, p))
+      case (Some(PArr(Vector(PName("FlateDecode")))), Right(p)) =>
+        inflate(data).flatMap(applyPredictor(_, p))
+      case _ => None // unsupported filter/parms: emit nothing, not garbage
+    }
+  }
+
+  /** undo a /Predictor on flate output: PNG row filters 10–15 (None/Sub/Up/
+    * Average/Paeth per row, tag byte leading each row) and TIFF horizontal
+    * differencing (2, 8-bit components). Predictor ≤ 1 is the identity. */
+  private[ingest] def applyPredictor(data: Array[Byte],
+                                     parms: Option[PDict]): Option[Array[Byte]] = {
+    val m = parms.map(_.m).getOrElse(Map.empty)
+    def intOf(k: String, dflt: Int): Int = m.get(k) match {
+      case Some(PNum(n)) => n.toInt
+      case _ => dflt
+    }
+    val pred = intOf("Predictor", 1)
+    if (pred <= 1) Some(data)
+    else {
+      val colors = intOf("Colors", 1)
+      val bpc = intOf("BitsPerComponent", 8)
+      val columns = intOf("Columns", 1)
+      val bpp = math.max(1, colors * bpc / 8)
+      val rowLen = (columns * colors * bpc + 7) / 8
+      if (rowLen <= 0) None
+      else if (pred == 2) {
+        if (bpc != 8) None // sub-byte TIFF differencing: out of subset
+        else {
+          val out = data.clone()
+          var r = 0
+          while (r + rowLen <= out.length) {
+            var i = r + bpp
+            while (i < r + rowLen) {
+              out(i) = ((out(i) + out(i - bpp)) & 0xFF).toByte; i += 1
+            }
+            r += rowLen
+          }
+          Some(out)
+        }
+      } else if (pred >= 10) {
+        val stride = rowLen + 1
+        val rows = data.length / stride
+        val out = new Array[Byte](rows * rowLen)
+        var r = 0
+        while (r < rows) {
+          val ft = data(r * stride) & 0xFF
+          if (ft > 4) return None // not a PNG filter tag: refuse, don't garble
+          val src = r * stride + 1
+          val dst = r * rowLen
+          var i = 0
+          while (i < rowLen) {
+            val raw = data(src + i) & 0xFF
+            val left = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+            val up = if (r > 0) out(dst - rowLen + i) & 0xFF else 0
+            val ul = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xFF else 0
+            val v = ft match {
+              case 0 => raw
+              case 1 => raw + left
+              case 2 => raw + up
+              case 3 => raw + ((left + up) / 2)
+              case _ => // Paeth
+                val p = left + up - ul
+                val pa = math.abs(p - left)
+                val pb = math.abs(p - up)
+                val pc = math.abs(p - ul)
+                raw + (if (pa <= pb && pa <= pc) left
+                       else if (pb <= pc) up else ul)
+            }
+            out(dst + i) = (v & 0xFF).toByte
+            i += 1
+          }
+          r += 1
+        }
+        Some(out)
+      } else None
+    }
+  }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] =
     try {
@@ -220,9 +310,81 @@ object PdfTextParser {
       Some(out.toByteArray)
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  // ---- /ToUnicode CMaps (single-byte codespace subset) ----
+
+  /** Parse a /ToUnicode CMap stream into byte-code → unicode string, the
+    * SINGLE-BYTE case (2-hex-digit source codes): bfchar pairs, bfrange
+    * with an incrementing base or an explicit destination array. Multi-byte
+    * CID codespaces stay out of subset (their show strings need the full
+    * CMap machinery the reference gets from mupdf). */
+  private[graft] def parseCMap(bytes: Array[Byte]): Map[Int, String] = {
+    val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val m = mutable.Map.empty[Int, String]
+    def hexStr(h: String): String = { // UTF-16BE code units, 4 digits each
+      val units = h.grouped(4).filter(_.length == 4)
+        .map(g => Integer.parseInt(g, 16).toChar).toArray
+      new String(units)
+    }
+    val charBlock = "(?s)beginbfchar(.*?)endbfchar".r
+    val pair = "<([0-9A-Fa-f]{2})>\\s*<([0-9A-Fa-f]+)>".r
+    for (blk <- charBlock.findAllMatchIn(text);
+         p <- pair.findAllMatchIn(blk.group(1)))
+      m(Integer.parseInt(p.group(1), 16)) = hexStr(p.group(2))
+    val rangeBlock = "(?s)beginbfrange(.*?)endbfrange".r
+    val triple =
+      ("(?s)<([0-9A-Fa-f]{2})>\\s*<([0-9A-Fa-f]{2})>\\s*" +
+       "(?:<([0-9A-Fa-f]+)>|\\[(.*?)\\])").r
+    val dstHex = "<([0-9A-Fa-f]+)>".r
+    for (blk <- rangeBlock.findAllMatchIn(text);
+         t <- triple.findAllMatchIn(blk.group(1))) {
+      val lo = Integer.parseInt(t.group(1), 16)
+      val hi = Integer.parseInt(t.group(2), 16)
+      if (t.group(3) != null && t.group(3).length >= 4) {
+        // incrementing base: the final UTF-16 unit carries the offset
+        val base = t.group(3)
+        val prefix = hexStr(base.dropRight(4))
+        val last = Integer.parseInt(base.takeRight(4), 16)
+        var c = lo
+        while (c <= hi) { m(c) = prefix + (last + (c - lo)).toChar; c += 1 }
+      } else if (t.group(4) != null) {
+        dstHex.findAllMatchIn(t.group(4)).map(_.group(1)).zipWithIndex
+          .foreach { case (d, i) => if (lo + i <= hi) m(lo + i) = hexStr(d) }
+      }
+    }
+    m.toMap
+  }
+
+  /** per-page font-name → single-byte ToUnicode map, from the page's
+    * /Resources → /Font dict (direct or one indirect hop); fonts without a
+    * parseable map are simply absent (shows fall back to byte decoding) */
+  private[ingest] def pageFontCMaps(page: PdfObj, byNum: Map[Int, PdfObj])
+      : Map[String, Map[Int, String]] = {
+    def asDict(v: PVal): Option[PDict] = v match {
+      case d: PDict => Some(d)
+      case PRef(n) => byNum.get(n).flatMap(_.dict)
+      case _ => None
+    }
+    val fonts = for {
+      res <- page.dict.flatMap(_.m.get("Resources")).flatMap(asDict)
+      fd <- res.m.get("Font").flatMap(asDict)
+    } yield fd.m
+    fonts.getOrElse(Map.empty).flatMap { case (fname, fv) =>
+      val cmap = for {
+        fd <- asDict(fv)
+        tu <- fd.m.get("ToUnicode")
+        num <- tu match { case PRef(n) => Some(n); case _ => None }
+        obj <- byNum.get(num)
+        s <- obj.stream
+        dec <- decode(s, obj.dict)
+      } yield parseCMap(dec)
+      cmap.filter(_.nonEmpty).map(fname -> _)
+    }
+  }
+
   // ---- content-stream interpreter (text operators only) ----
 
-  private def interpret(content: Array[Byte], page: Int): Seq[Item] = {
+  private def interpret(content: Array[Byte], page: Int,
+                        fonts: Map[String, Map[Int, String]] = Map.empty): Seq[Item] = {
     val items = mutable.ArrayBuffer.empty[Item]
     val lex = new Lexer(content, 0, content.length)
     val stack = mutable.ArrayBuffer.empty[PVal] // operand stack
@@ -231,9 +393,20 @@ object PdfTextParser {
     var leading = 0.0
     var lineX = 0.0; var lineY = 0.0   // start-of-line position
     var curX = 0.0; var curY = 0.0     // current show position
+    var curCMap: Option[Map[Int, String]] = None // active font's ToUnicode
 
     def num(v: PVal): Double = v match { case PNum(n) => n; case _ => 0.0 }
     def newline(): Unit = { lineY -= leading; curX = lineX; curY = lineY }
+    // show-string decode: the active font's single-byte ToUnicode map when
+    // present (BOM'd UTF-16BE still wins — it IS already unicode), else the
+    // byte decoding; unmapped codes fall back per byte
+    def decodeShown(sb: Array[Byte]): String = curCMap match {
+      case Some(cm) if !(sb.length >= 2 && (sb(0) & 0xFF) == 0xFE &&
+                         (sb(1) & 0xFF) == 0xFF) =>
+        sb.iterator.map(b =>
+          cm.getOrElse(b & 0xFF, (b & 0xFF).toChar.toString)).mkString
+      case _ => decodeText(sb)
+    }
     def show(s: String): Unit = if (s.nonEmpty) {
       items += Item(page, curX, curY, fontSize * scale, s)
       // rough advance so several shows on one visual line keep X order
@@ -247,7 +420,9 @@ object PdfTextParser {
           case "BT" =>
             lineX = 0; lineY = 0; curX = 0; curY = 0; stack.clear()
           case "Tf" =>
-            if (stack.nonEmpty) fontSize = num(stack.last); stack.clear()
+            if (stack.nonEmpty) fontSize = num(stack.last)
+            curCMap = stack.collectFirst { case PName(f) => f }.flatMap(fonts.get)
+            stack.clear()
           case "Tm" =>
             if (stack.length >= 6) {
               val d = num(stack(stack.length - 3))
@@ -269,21 +444,21 @@ object PdfTextParser {
             if (stack.nonEmpty) leading = num(stack.last); stack.clear()
           case "T*" => newline(); stack.clear()
           case "Tj" =>
-            stack.lastOption.collect { case PStr(sb) => show(decodeText(sb)) }
+            stack.lastOption.collect { case PStr(sb) => show(decodeShown(sb)) }
             stack.clear()
           case "'" =>
             newline()
-            stack.lastOption.collect { case PStr(sb) => show(decodeText(sb)) }
+            stack.lastOption.collect { case PStr(sb) => show(decodeShown(sb)) }
             stack.clear()
           case "\"" =>
             newline()
-            stack.lastOption.collect { case PStr(sb) => show(decodeText(sb)) }
+            stack.lastOption.collect { case PStr(sb) => show(decodeShown(sb)) }
             stack.clear()
           case "TJ" =>
             stack.lastOption.collect { case PArr(parts) =>
               val sb = new StringBuilder
               parts.foreach {
-                case PStr(s) => sb ++= decodeText(s)
+                case PStr(s) => sb ++= decodeShown(s)
                 // a large negative kern is an inter-word gap (thousandths
                 // of an em): the standard heuristic threshold
                 case PNum(n) if n < -180 => sb += ' '

@@ -155,6 +155,155 @@ class PdfParserSpec extends AnyFunSuite {
     assert(items(1).y < items(0).y) // the Td state carried across streams
   }
 
+  // ---- flate predictors (/DecodeParms) ----
+
+  /** PNG-predictor-encode `raw` (Colors=1, 8 bpc): each row prefixed by a
+    * filter tag, cycling through Sub/Up/Average/Paeth/None so every branch
+    * of the decoder is exercised; rows padded with spaces (harmless in a
+    * content stream) */
+  private def pngPredict(raw: Array[Byte], rowLen: Int): Array[Byte] = {
+    val pad = (rowLen - raw.length % rowLen) % rowLen
+    val padded = raw ++ Array.fill(pad)(' '.toByte)
+    val out = new ByteArrayOutputStream()
+    val filters = Array(1, 2, 3, 4, 0)
+    for (r <- 0 until padded.length / rowLen) {
+      val ft = filters(r % filters.length)
+      out.write(ft)
+      for (i <- 0 until rowLen) {
+        val cur = padded(r * rowLen + i) & 0xFF
+        val left = if (i >= 1) padded(r * rowLen + i - 1) & 0xFF else 0
+        val up = if (r > 0) padded((r - 1) * rowLen + i) & 0xFF else 0
+        val ul = if (r > 0 && i >= 1) padded((r - 1) * rowLen + i - 1) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        out.write((cur - pred) & 0xFF)
+      }
+    }
+    out.toByteArray
+  }
+
+  private def predictorPdf(content: String, parms: String,
+                           encode: Array[Byte] => Array[Byte]): Array[Byte] = {
+    val data = deflate(encode(content.getBytes(StandardCharsets.ISO_8859_1)))
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.4\n"
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    sb ++= s"4 0 obj\n<< /Length ${data.length} /Filter /FlateDecode " +
+      s"/DecodeParms $parms >>\nstream\n" +
+      new String(data, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  test("PNG predictors (Sub/Up/Average/Paeth/None rows) decode exactly") {
+    val content = "BT /F1 12 Tf 72 720 Td (predictor row filters survive) Tj " +
+      "0 -20 Td (across many rows of the stream) Tj ET"
+    val pdf = predictorPdf(content,
+      "<< /Predictor 12 /Columns 16 >>", pngPredict(_, 16))
+    assert(PdfTextParser.parseItems(pdf).map(_.text) ===
+      Seq("predictor row filters survive", "across many rows of the stream"))
+  }
+
+  test("TIFF predictor 2 (horizontal differencing) decodes exactly") {
+    def tiffPredict(raw: Array[Byte]): Array[Byte] = {
+      val rowLen = 16
+      val pad = (rowLen - raw.length % rowLen) % rowLen
+      val padded = raw ++ Array.fill(pad)(' '.toByte)
+      val out = padded.clone()
+      for (r <- 0 until padded.length / rowLen; i <- (rowLen - 1) to 1 by -1)
+        out(r * rowLen + i) =
+          ((padded(r * rowLen + i) - padded(r * rowLen + i - 1)) & 0xFF).toByte
+      out
+    }
+    val pdf = predictorPdf("BT /F1 12 Tf 72 720 Td (tiff differenced) Tj ET",
+      "<< /Predictor 2 /Columns 16 >>", tiffPredict)
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("tiff differenced"))
+  }
+
+  test("a bad predictor tag or unresolvable DecodeParms emits nothing") {
+    // filter tag 9 is not a PNG row filter: refuse the stream
+    val pdf = predictorPdf("BT (x) Tj ET", "<< /Predictor 12 /Columns 16 >>",
+      raw => { val e = pngPredict(raw, 16); e(0) = 9; e })
+    assert(PdfTextParser.parseItems(pdf) === Seq.empty)
+    // DecodeParms as an indirect ref is out of subset: nothing, not garbage
+    val pdf2 = predictorPdf("BT (x) Tj ET", "9 0 R", pngPredict(_, 16))
+    assert(PdfTextParser.parseItems(pdf2) === Seq.empty)
+  }
+
+  // ---- /ToUnicode CMaps (single-byte) ----
+
+  private def cmapPdf(content: String, cmap: String): Array[Byte] = {
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.4\n"
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >>")
+    sb ++= streamObj(4, content, compress = false)
+    sb ++= obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
+      "/ToUnicode 6 0 R >>")
+    sb ++= streamObj(6, cmap, compress = true) // CMaps are usually flated
+    sb ++= obj(7, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private val testCMap =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |1 begincodespacerange
+      |<00> <FF>
+      |endcodespacerange
+      |2 beginbfchar
+      |<01> <0048>
+      |<02> <0069>
+      |endbfchar
+      |2 beginbfrange
+      |<10> <12> <0061>
+      |<20> <21> [<0058> <0059>]
+      |endbfrange
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end
+      |end""".stripMargin
+
+  test("ToUnicode bfchar/bfrange decode shows; unmapped bytes fall back") {
+    // 01 02 → "Hi" (bfchar), 10 11 12 → "abc" (incrementing bfrange),
+    // 20 21 → "XY" (array bfrange), 41 → "A" (unmapped → Latin-1)
+    val pdf = cmapPdf(
+      "BT /F1 12 Tf 72 720 Td <01021011122021 41> Tj ET", testCMap)
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("HiabcXYA"))
+  }
+
+  test("Tf font switches swap the active CMap; BOM'd UTF-16 still wins") {
+    val pdf = cmapPdf(
+      "BT /F1 12 Tf 72 720 Td <0102> Tj " +
+        "/F2 12 Tf 0 -20 Td <4869> Tj " +          // F2 has no ToUnicode
+        "/F1 12 Tf 0 -20 Td <FEFF014C0151> Tj ET", // BOM: already unicode
+      testCMap)
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("Hi", "Hi", "Ōő"))
+  }
+
+  test("parseCMap handles bfrange with a multi-unit base prefix") {
+    val cm = PdfTextParser.parseCMap(
+      ("1 beginbfrange\n<05> <06> <00660066006C>\nendbfrange")
+        .getBytes(StandardCharsets.ISO_8859_1))
+    // base "ffl": the LAST UTF-16 unit increments across the range
+    assert(cm(0x05) === "ffl" && cm(0x06) === "ffm")
+  }
+
   // ---- the Spark extraction pipeline ----
 
   test("pdfDocsDF: extracted text in page order; rawHash matches the sync manifest") {
