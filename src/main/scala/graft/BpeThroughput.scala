@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * materializations PER MERGE (the scheduling floor a 32k-vocab run would
   * multiply ~32k times), K=64 pays the same per ROUND of ≤64 merges.
   *
-  *   tools/run.sh graft.BpeThroughput <sfDir> [numMerges=1000] [ks=1,64]
+  *   tools/run.sh graft.BpeThroughput <sfDir> [numMerges=1000] [ks=1,64] [checkpointEvery=8]
   *
   * The testdata documents table has only 31 distinct words — nowhere near
   * enough pair diversity to sustain a 1k-merge ladder — so the corpus here
@@ -26,6 +26,7 @@ object BpeThroughput {
     val numMerges = if (args.length > 1) args(1).toInt else 1000
     val ks = if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq
              else Seq(1, 64)
+    val ckptEvery = if (args.length > 3) args(3).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,19 +47,24 @@ object BpeThroughput {
       .cache()
     docs.count() // corpus materialized before the clock starts
 
+    def r2(x: Double): Double = math.round(x * 100) / 100.0
     val rows = ks.map { k =>
       graft.core.GraftSession.releaseAllBlocks(spark)
+      docs.persist(); docs.count() // re-pin the corpus the release dropped
       val t0 = System.nanoTime()
       val merges = graft.ops.Bpe.learnBatched(docs, "text", numMerges,
-        minCount = 1L, batchK = k)
+        minCount = 1L, batchK = k, checkpointEvery = ckptEvery)
       val sec = (System.nanoTime() - t0) / 1e9
       val rate = merges.size / sec
       System.err.println(
-        f"[bpe] K=$k%-3d merges=${merges.size}%5d wall=$sec%8.1fs " +
-        f"merges/sec=$rate%7.2f")
-      f""""k_$k": {"merges": ${merges.size}, "sec": $sec%.1f, "merges_per_sec": $rate%.2f}"""
+        s"[bpe] K=$k ckptEvery=$ckptEvery merges=${merges.size} " +
+        s"wall=${r2(sec)}s merges/sec=${r2(rate)}")
+      // Double.toString is locale-independent (the f"" interpolator is not)
+      s""""k_$k": {"merges": ${merges.size}, "sec": ${r2(sec)}, "merges_per_sec": ${r2(rate)}}"""
     }
-    println(rows.mkString(s"""{"sf": "$sfDir", "num_merges": $numMerges,\n""", ",\n", "\n}"))
+    println(rows.mkString(
+      s"""{"sf": "$sfDir", "num_merges": $numMerges, "checkpoint_every": $ckptEvery,\n""",
+      ",\n", "\n}"))
     spark.stop()
   }
 }

@@ -26,18 +26,26 @@ import org.apache.spark.sql.functions._
   * Cost per merge therefore follows the AFFECTED subset (for a zipfian
   * vocab, a sliver after the first few merges), while a naive recount pays
   * the whole symbol table 50 000 times. Both iterating tables are
-  * `localCheckpoint(true)`ed per round with eager release of the superseded
-  * blocks — the same lineage/memory discipline as
-  * [[Dedup.connectedComponents]] (a reliable checkpoint replaces the local
-  * one on a cluster).
+  * `localCheckpoint(true)`ed every `checkpointEvery` rounds with eager
+  * release of the superseded blocks — the same lineage/memory discipline
+  * as [[Dedup.connectedComponents]] (a reliable checkpoint replaces the
+  * local one on a cluster); between checkpoints the lineage is a bounded,
+  * known window of delta ops, so the per-round materialization tax is paid
+  * once per window instead of once per round.
   *
   * [[learnBatched]] amortizes the per-merge driver round-trip: per round it
-  * takes the K highest-count pairs that are pairwise SYMBOL-DISJOINT (no
-  * symbol string shared between any two selected pairs) and applies all K
-  * in ONE delta pass. Disjointness makes the batch exact: merging (a,b)
-  * cannot create or destroy an occurrence of (c,d) when {a,b} ∩ {c,d} = ∅,
-  * so each batch member's count and its delta are the same as if it were
-  * merged alone. The divergence from strictly-sequential BPE is ORDER-level
+  * takes the K highest-count pairs that are pairwise DISJOINT over symbols
+  * AND merged outputs (no string shared between any two selected pairs'
+  * {left, right, left+right} triples) and applies all K in ONE delta pass.
+  * That disjointness makes the batch exact: merging (a,b)→"ab" can neither
+  * create nor destroy an occurrence of (c,d) when {a,b,ab} ∩ {c,d,cd} = ∅
+  * (creating one needs "ab" ∈ {c,d}; destroying one consumes an a or b; a
+  * shared output "ab" = "cd" would conflate two tokens), so each batch
+  * member's count and its delta are the same as if it were merged alone.
+  * The symbols-only version of this claim is FALSE — ("in","g") batched
+  * with ("ing","s") interact through the first pair's output — which is
+  * why the merged output participates in the disjointness check.
+  * The divergence from strictly-sequential BPE is ORDER-level
   * only: a pair newly created by batch member i (count ≤ cᵢ) may out-count
   * batch member j>i, which sequential BPE would have merged first. On
   * corpora free of that interaction the merge TABLES are equal ([[BpeSpec]]
@@ -96,8 +104,14 @@ object Bpe {
   }
 
   /** greedy prefix-respecting scan of tiebreak-ordered candidates: select a
-    * pair iff neither of its symbols appears in an already-selected pair,
-    * stop at `k` selections. Property-tested (pairwise disjointness, order
+    * pair iff none of its three strings — left symbol, right symbol, and the
+    * MERGED OUTPUT (left+right) — collides with any of the three strings of
+    * an already-selected pair, stop at `k` selections. Including the merged
+    * output closes the mid-round interaction a symbols-only check misses:
+    * with ("in","g") selected, ("ing","s") shares no SYMBOL but its left is
+    * the first pair's output, so merging the first creates new ("ing","s")
+    * occurrences mid-round and the recorded count/delta would be stale.
+    * Property-tested (pairwise disjointness incl. merged outputs, order
     * preservation, first-candidate-always-selected) in BpeSpec. */
   private[graft] def selectDisjoint(cands: Seq[(String, String, Long)],
                                   k: Int): Seq[(String, String, Long)] = {
@@ -107,8 +121,9 @@ object Bpe {
     val it = cands.iterator
     while (n < k && it.hasNext) {
       val c = it.next()
-      if (!used(c._1) && !used(c._2)) {
-        used += c._1; used += c._2; out += c; n += 1
+      val merged = c._1 + c._2
+      if (!used(c._1) && !used(c._2) && !used(merged)) {
+        used += c._1; used += c._2; used += merged; out += c; n += 1
       }
     }
     out.result()
@@ -132,14 +147,25 @@ object Bpe {
             minCount: Long = 2L): Seq[Merge] =
     learnBatched(docs, textCol, numMerges, minCount, batchK = 1)
 
-  /** Batched trainer: per round, the top-K symbol-disjoint pairs merge in
+  /** Batched trainer: per round, the top-K disjoint pairs merge in
     * ONE delta pass — the production knob that collapses a 32k-vocab run
     * from ~32k sequential job barriers to ~vocab/K rounds (see class doc
     * for the exactness argument and the order-level divergence bound).
-    * `batchK = 1` is exactly sequential BPE. */
+    * `batchK = 1` is exactly sequential BPE.
+    *
+    * `checkpointEvery` bounds how often the two iterating tables are
+    * materialized: rounds between checkpoints carry a lazy lineage of at
+    * most `checkpointEvery` delta ops (each a filter + union + vocab-scale
+    * groupBy over the last checkpointed base — bounded, known depth), so
+    * each round's argmax re-derives at most that window instead of paying
+    * a full two-table materialization per round. Semantics are untouched
+    * (the plans are deterministic); only the materialization schedule
+    * changes — BpeSpec's merge-table equalities hold for any value. */
   def learnBatched(docs: DataFrame, textCol: String, numMerges: Int,
-                   minCount: Long = 2L, batchK: Int = 64): Seq[Merge] = {
+                   minCount: Long = 2L, batchK: Int = 64,
+                   checkpointEvery: Int = 8): Seq[Merge] = {
     require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val spark = docs.sparkSession
 
     // corpus → word-frequency dict (the ONE corpus-sized aggregation),
@@ -161,6 +187,11 @@ object Bpe {
       .localCheckpoint(true)
 
     val merges = Seq.newBuilder[Merge]
+    // the round-0 checkpoints above are the current lineage roots; replaced
+    // (and their blocks released) every `checkpointEvery` rounds
+    var ckptPairs = pairCounts
+    var ckptWords = words
+    var round = 0
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
@@ -199,23 +230,30 @@ object Bpe {
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum("cnt").as("cnt"))
 
-        val nextPairs = pairCounts.union(delta)
+        round += 1
+        val doCkpt = round % checkpointEvery == 0
+        val nextPairs0 = pairCounts.union(delta)
           .groupBy("a", "b").agg(sum("cnt").as("cnt"))
           .filter(col("cnt") > 0)
-          .localCheckpoint(true)
         // union concatenates partition lists — without the (shuffle-free)
         // coalesce the words table doubles its partition count every round
         // and the task count explodes exponentially by round ~15
         val parts = spark.sparkContext.defaultParallelism
-        val nextWords = words.filter(!hasPair).union(mergedAffected)
+        val nextWords0 = words.filter(!hasPair).union(mergedAffected)
           .coalesce(parts)
-          .localCheckpoint(true)
-        // superseded rounds' blocks released eagerly (see Dedup CC notes)
-        releaseCheckpoint(pairCounts); releaseCheckpoint(words)
-        pairCounts = nextPairs; words = nextWords
+        if (doCkpt) {
+          val nextPairs = nextPairs0.localCheckpoint(true)
+          val nextWords = nextWords0.localCheckpoint(true)
+          // superseded checkpoints' blocks released eagerly (Dedup CC notes)
+          releaseCheckpoint(ckptPairs); releaseCheckpoint(ckptWords)
+          ckptPairs = nextPairs; ckptWords = nextWords
+          pairCounts = nextPairs; words = nextWords
+        } else {
+          pairCounts = nextPairs0; words = nextWords0
+        }
       }
     }
-    releaseCheckpoint(pairCounts); releaseCheckpoint(words)
+    releaseCheckpoint(ckptPairs); releaseCheckpoint(ckptWords)
     merges.result()
   }
 
