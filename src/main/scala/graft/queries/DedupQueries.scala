@@ -1411,6 +1411,69 @@ object DedupQueries {
              |SELECT doc_id AS media_id, w AS width, h AS height, nf AS n_frames,
              |  CAST(sum(luma) AS BIGINT) AS sum_luma,
              |  max(CASE WHEN x = 1 AND y = 1 AND f = 1 THEN luma END) AS probe_luma
-             |FROM lum GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin))
+             |FROM lum GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin)),
+
+    // ----- F21: visual-candidate detection over genuine assembled PDFs.
+    // Every doc_id becomes real single-page PDF bytes whose image/stroke
+    // geometry follows the closed-form rule in ingest/PdfFixtures (five
+    // modes: large image, sub-threshold image, stroke rows across the 5-rect
+    // threshold, text-only vs full-page-crop fallback, corner-logo
+    // suppression made decision-relevant). Spark runs the byte-level
+    // detector (object scan, MediaBox inheritance, XObject resolution, CTM,
+    // stroke bboxes — VisualDetector.detect inside the same flatMap shape as
+    // text extraction) while the oracle recomputes the expected decision and
+    // padded/clamped crop directly from the geometry rule; crop columns are
+    // -1 for non-candidates and full-page-fallback pages. Reference rules:
+    // src/pdf-visual/detector.ts:27-48,263-309. -----
+    Q("m_visual_candidates",
+      (s, d) => {
+        val mk = udf((id: Long) => graft.ingest.PdfFixtures.syntheticPdf(id))
+        val raw = Tables.documents(s, d).select(
+          concat(lit("/pdf/"), col("doc_id").cast("string"), lit(".pdf"))
+            .as("filePath"),
+          mk(col("doc_id")).as("content"))
+        graft.ingest.PdfIngest.visualCandidatesDF(s, raw)
+          .select(col("filePath").as("file_path"),
+            col("page").cast("long").as("page"),
+            col("isCandidate").as("is_candidate"),
+            (round(coalesce(col("x0"), lit(-1.0)), 4) + 0.0).as("x0"),
+            (round(coalesce(col("y0"), lit(-1.0)), 4) + 0.0).as("y0"),
+            (round(coalesce(col("x1"), lit(-1.0)), 4) + 0.0).as("x1"),
+            (round(coalesce(col("y1"), lit(-1.0)), 4) + 0.0).as("y1"))
+          .orderBy("file_path")
+      },
+      Some("""WITH g AS (SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS mode,
+             |    '/pdf/' || doc_id || '.pdf' AS file_path,
+             |    (180 + (doc_id % 10) * 20)::DOUBLE AS w0,
+             |    CAST(3 + doc_id % 4 AS INTEGER) AS ns,
+             |    (50 + (doc_id % 3) * 30)::DOUBLE AS sy
+             |  FROM documents),
+             |pads AS (SELECT file_path, mode, ns, sy, w0, doc_id,
+             |    greatest(12.0::DOUBLE, w0 * 0.08::DOUBLE) AS xp0,
+             |    ((ns - 1) * 100 + 40)::DOUBLE AS uw
+             |  FROM g),
+             |dec AS (SELECT file_path,
+             |    (mode = 0 OR (mode = 2 AND ns >= 5)
+             |      OR (mode = 3 AND doc_id % 2 = 1)) AS is_candidate,
+             |    CASE WHEN mode = 0 THEN 50 - xp0
+             |         WHEN mode = 2 AND ns >= 5
+             |           THEN 50 - greatest(12.0::DOUBLE, uw * 0.08::DOUBLE)
+             |         ELSE -1.0::DOUBLE END AS x0,
+             |    CASE WHEN mode = 0 THEN 176.0::DOUBLE
+             |         WHEN mode = 2 AND ns >= 5 THEN sy - 12
+             |         ELSE -1.0::DOUBLE END AS y0,
+             |    CASE WHEN mode = 0 THEN 50 + w0 + xp0
+             |         WHEN mode = 2 AND ns >= 5
+             |           THEN least(612.0::DOUBLE,
+             |                      50 + uw + greatest(12.0::DOUBLE, uw * 0.08::DOUBLE))
+             |         ELSE -1.0::DOUBLE END AS x1,
+             |    CASE WHEN mode = 0 THEN 524.0::DOUBLE
+             |         WHEN mode = 2 AND ns >= 5 THEN sy + 52
+             |         ELSE -1.0::DOUBLE END AS y1
+             |  FROM pads)
+             |SELECT file_path, CAST(1 AS BIGINT) AS page, is_candidate,
+             |  round(x0, 4) + 0.0 AS x0, round(y0, 4) + 0.0 AS y0,
+             |  round(x1, 4) + 0.0 AS x1, round(y1, 4) + 0.0 AS y1
+             |FROM dec ORDER BY file_path""".stripMargin))
   )
 }

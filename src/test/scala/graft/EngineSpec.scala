@@ -417,10 +417,15 @@ class EngineSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.01"
     val ingest = graft.SparkEntry.queries("rag_ingest_chunks")(spark, sf)
     val e2e = graft.SparkEntry.queries("rag_e2e_search")(spark, sf)
+    // f16_strip_boundaries is the third un-oracled pipeline (stage-2
+    // boundary detection runs on embedding cosines): same self-oracle.
+    val strip = graft.SparkEntry.queries("f16_strip_boundaries")(spark, sf)
     assert(ingest.count() === 498L)
     assert(e2e.count() === 5L)
-    assert((canonicalHash(ingest), canonicalHash(e2e)) ===
-      (("d6a59d81322e1b798c480dbdddaa5a97", "7130e1cbbbd060109a89121e6e3e0ed5")))
+    assert(strip.count() === 2500L)
+    assert((canonicalHash(ingest), canonicalHash(e2e), canonicalHash(strip)) ===
+      (("d6a59d81322e1b798c480dbdddaa5a97", "7130e1cbbbd060109a89121e6e3e0ed5",
+        "b658f25819e4fa6d6d21d13d32df0b52")))
   }
 
   test("empty ingest preserves existing rows (zero-chunk invariant)") {

@@ -189,6 +189,30 @@ class VisualDetectorSpec extends AnyFunSuite {
     assert(!r.isCandidate)
   }
 
+  test("PdfFixtures modes decide as the closed-form registry oracle expects") {
+    import graft.ingest.PdfFixtures
+    // mode 0 (doc 10): 180x300 image at (50,200) — candidate, crop padded
+    val m0 = single(PdfFixtures.syntheticPdf(10))
+    assert(m0.isCandidate)
+    assertRect(m0.cropRect, Rect(50 - 14.4, 176, 230 + 14.4, 524))
+    // mode 1 (doc 6): 110x200 at (80,150) — below both image thresholds
+    assert(!single(PdfFixtures.syntheticPdf(6)).isCandidate)
+    // mode 2: doc 22 → n=3+22%4=5 strokes at y=50+22%3=80 — candidate;
+    //         doc 12 → n=3 — not
+    val m2 = single(PdfFixtures.syntheticPdf(22))
+    assert(m2.isCandidate)
+    assertRect(m2.cropRect, Rect(50 - 35.2, 80 - 12, 490 + 35.2, 120 + 12))
+    assert(!single(PdfFixtures.syntheticPdf(12)).isCandidate)
+    // mode 3: even doc 8 text-only → not; odd doc 13 full-page image →
+    // candidate with the full-page crop fallback (None)
+    assert(!single(PdfFixtures.syntheticPdf(8)).isCandidate)
+    val m3 = single(PdfFixtures.syntheticPdf(13))
+    assert(m3.isCandidate && m3.cropRect.isEmpty)
+    // mode 4 (doc 4): two mediums total 0.1362 + suppressed corner logo —
+    // NOT a candidate (a broken suppression would flip this to 0.153 >= 0.15)
+    assert(!single(PdfFixtures.syntheticPdf(4)).isCandidate)
+  }
+
   test("visualCandidatesDF: one row per page, crop columns null off-candidates") {
     import spark.implicits._
     val figure = pdf("q 200 0 0 300 100 300 cm /Im1 Do Q")
