@@ -18,20 +18,26 @@ import scala.collection.mutable
   *  - page ordering via the Catalog → /Pages → /Kids tree (cycle-guarded),
   *    falling back to /Type /Page objects in byte order
   *  - /Contents as a single stream or an array of streams
-  *  - FlateDecode (java.util.zip) and unfiltered content streams,
-  *    including /DecodeParms predictors (PNG row filters 10–15, TIFF 2)
+  *  - FlateDecode (java.util.zip) and LZWDecode (ISO 32000 §7.4.4.2,
+  *    variable 9–12 bit codes, /EarlyChange) plus unfiltered content
+  *    streams, including /DecodeParms predictors (PNG row filters 10–15,
+  *    TIFF 2); predictor input that is not a whole number of rows is
+  *    refused, not partially decoded
   *  - text operators: BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, ', ", TJ (with
   *    kerning-gap → space), literal strings (escapes, octal, nesting),
   *    hex strings, UTF-16BE (BOM) and Latin-1/PDFDoc byte decoding
-  *  - /ToUnicode CMaps for the single-byte codespace (bfchar + bfrange,
-  *    incrementing or array form), selected per show via Tf's font operand
-  *    — simple-font subset embeddings decode to real unicode
+  *  - /ToUnicode CMaps with a 1-byte OR 2-byte codespace (bfchar +
+  *    bfrange, incrementing or array form), selected per show via Tf's
+  *    font operand; /Resources inherited through the /Pages chain. The
+  *    2-byte case is what CID-keyed subset-embedded fonts (most CJK and
+  *    modern-toolchain PDFs) emit: show strings are 2-byte codes looked
+  *    up as units, unmapped codes dropped rather than byte-garbled
   *
-  * Not supported (emit nothing rather than garbage): LZW/DCT/CCITT filters,
-  * CID-keyed composite fonts with MULTI-byte CMaps (their show strings are
-  * 2-byte glyph indexes — undecodable without the full CMap machinery),
-  * encrypted files. These are the cases the reference delegates to mupdf's
-  * font machinery; the boundary is documented in SURVEY §7.
+  * Not supported (emit nothing rather than garbage): DCT/CCITT/JBIG2/JPX
+  * filters, mixed-width CMap codespaces, CID fonts carrying NO usable
+  * /ToUnicode (glyph-id shows are undecodable without embedded font
+  * tables), encrypted files. These are the cases the reference delegates
+  * to mupdf's font machinery; the boundary is documented in SURVEY §7.
   *
   * Scale shape: [[parseItems]] is a pure per-document function — the corpus
   * path runs it inside a `flatMap` over a `binaryFile` scan (one pass, no
@@ -216,12 +222,23 @@ object PdfTextParser {
       case Some(PNullV) | Some(PArr(Vector(PNullV))) | None => Right(None)
       case Some(_) => Left(())
     }
-    (m.get("Filter"), parms) match {
-      case (None, _) => Some(data)
-      case (Some(PName("FlateDecode")), Right(p)) =>
+    def earlyChange(p: Option[PDict]): Int =
+      p.flatMap(_.m.get("EarlyChange")) match {
+        case Some(PNum(n)) => n.toInt
+        case _ => 1
+      }
+    val filter = m.get("Filter") match {
+      case Some(PName(f)) => Some(f)
+      case Some(PArr(Vector(PName(f)))) => Some(f)
+      case None => Some("")
+      case _ => None // filter chains / non-name filters: out of subset
+    }
+    (filter, parms) match {
+      case (Some(""), _) => Some(data)
+      case (Some("FlateDecode"), Right(p)) =>
         inflate(data).flatMap(applyPredictor(_, p))
-      case (Some(PArr(Vector(PName("FlateDecode")))), Right(p)) =>
-        inflate(data).flatMap(applyPredictor(_, p))
+      case (Some("LZWDecode"), Right(p)) =>
+        lzwDecode(data, earlyChange(p)).flatMap(applyPredictor(_, p))
       case _ => None // unsupported filter/parms: emit nothing, not garbage
     }
   }
@@ -247,6 +264,7 @@ object PdfTextParser {
       if (rowLen <= 0) None
       else if (pred == 2) {
         if (bpc != 8) None // sub-byte TIFF differencing: out of subset
+        else if (data.length % rowLen != 0) None // partial row: refuse
         else {
           val out = data.clone()
           var r = 0
@@ -261,6 +279,10 @@ object PdfTextParser {
         }
       } else if (pred >= 10) {
         val stride = rowLen + 1
+        // a trailing partial row means the stream is corrupt/truncated:
+        // refuse whole (mirrors the bad-filter-tag refusal below) rather
+        // than emit the decodable prefix as if it were the document
+        if (data.length % stride != 0) return None
         val rows = data.length / stride
         val out = new Array[Byte](rows * rowLen)
         var r = 0
@@ -298,6 +320,53 @@ object PdfTextParser {
     }
   }
 
+  /** LZWDecode (ISO 32000 §7.4.4.2, the TIFF variant): MSB-first packed
+    * codes starting at 9 bits, Clear=256 resets the table and width,
+    * EOD=257, width grows at 511/1023/2047 (shifted by `earlyChange`, the
+    * /DecodeParms default 1 — the same one-code-early switch mupdf and
+    * pdf.js implement). An out-of-table code other than the next-to-assign
+    * slot (the standard KwKwK case) means corrupt input → refuse whole. */
+  private[graft] def lzwDecode(data: Array[Byte],
+                               earlyChange: Int = 1): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val dict = mutable.ArrayBuffer.empty[Array[Byte]]
+      def resetDict(): Unit = {
+        dict.clear()
+        var i = 0
+        while (i < 256) { dict += Array(i.toByte); i += 1 }
+        dict += null; dict += null // 256 Clear, 257 EOD
+      }
+      resetDict()
+      var width = 9
+      var bitBuf = 0L
+      var bitCnt = 0
+      var prev: Array[Byte] = null
+      var i = 0
+      var done = false
+      while (i < data.length && !done) {
+        bitBuf = (bitBuf << 8) | (data(i) & 0xFF); bitCnt += 8; i += 1
+        while (bitCnt >= width && !done) {
+          val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+          bitCnt -= width
+          if (code == 256) { resetDict(); width = 9; prev = null }
+          else if (code == 257) done = true
+          else {
+            val entry =
+              if (code < dict.length && dict(code) != null) dict(code)
+              else if (code == dict.length && prev != null) prev :+ prev(0)
+              else return None // invalid code: refuse, don't garble
+            out.write(entry)
+            if (prev != null) dict += (prev :+ entry(0))
+            prev = entry
+            if (width < 12 && dict.length + earlyChange >= (1 << width))
+              width += 1
+          }
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def inflate(data: Array[Byte]): Option[Array[Byte]] =
     try {
       val inf = new Inflater()
@@ -310,33 +379,60 @@ object PdfTextParser {
       Some(out.toByteArray)
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  // ---- /ToUnicode CMaps (single-byte codespace subset) ----
+  // ---- /ToUnicode CMaps (uniform 1- or 2-byte codespace subset) ----
 
-  /** Parse a /ToUnicode CMap stream into byte-code → unicode string, the
-    * SINGLE-BYTE case (2-hex-digit source codes): bfchar pairs, bfrange
-    * with an incrementing base or an explicit destination array. Multi-byte
-    * CID codespaces stay out of subset (their show strings need the full
-    * CMap machinery the reference gets from mupdf). */
-  private[graft] def parseCMap(bytes: Array[Byte]): Map[Int, String] = {
+  /** A parsed /ToUnicode map: `width` bytes per source code (1 or 2), code →
+    * unicode string. Shows under a width-2 font are consumed two bytes at a
+    * time (the CID-keyed subset-embedded-font shape). */
+  private[graft] final case class CMap(width: Int, m: Map[Int, String]) {
+    def isEmpty: Boolean = m.isEmpty
+  }
+
+  /** Parse a /ToUnicode CMap stream: bfchar pairs, bfrange with an
+    * incrementing base or an explicit destination array. The code width
+    * comes from `begincodespacerange` (falling back to the hex width of the
+    * source codes themselves); a mixed-width or >2-byte codespace is out of
+    * subset and yields an empty map (shows fall back per the caller). */
+  private[graft] def parseCMap(bytes: Array[Byte]): CMap = {
     val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val m = mutable.Map.empty[Int, String]
     def hexStr(h: String): String = { // UTF-16BE code units, 4 digits each
       val units = h.grouped(4).filter(_.length == 4)
         .map(g => Integer.parseInt(g, 16).toChar).toArray
       new String(units)
     }
     val charBlock = "(?s)beginbfchar(.*?)endbfchar".r
-    val pair = "<([0-9A-Fa-f]{2})>\\s*<([0-9A-Fa-f]+)>".r
-    for (blk <- charBlock.findAllMatchIn(text);
-         p <- pair.findAllMatchIn(blk.group(1)))
-      m(Integer.parseInt(p.group(1), 16)) = hexStr(p.group(2))
+    val pair = "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r
     val rangeBlock = "(?s)beginbfrange(.*?)endbfrange".r
     val triple =
-      ("(?s)<([0-9A-Fa-f]{2})>\\s*<([0-9A-Fa-f]{2})>\\s*" +
+      ("(?s)<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*" +
        "(?:<([0-9A-Fa-f]+)>|\\[(.*?)\\])").r
     val dstHex = "<([0-9A-Fa-f]+)>".r
+    // code width: every codespacerange bound and every bfchar/bfrange
+    // source code must agree on ONE width of 1 or 2 bytes
+    val csBlock = "(?s)begincodespacerange(.*?)endcodespacerange".r
+    val csWidths = (for {
+      blk <- csBlock.findAllMatchIn(text)
+      p <- pair.findAllMatchIn(blk.group(1))
+      g <- Seq(p.group(1), p.group(2))
+    } yield g.length).toSet
+    val srcWidths =
+      (for (blk <- charBlock.findAllMatchIn(text);
+            p <- pair.findAllMatchIn(blk.group(1))) yield p.group(1).length).toSet ++
+      (for (blk <- rangeBlock.findAllMatchIn(text);
+            t <- triple.findAllMatchIn(blk.group(1));
+            g <- Seq(t.group(1), t.group(2))) yield g.length).toSet
+    val hexW = if (csWidths.nonEmpty) csWidths else srcWidths
+    if (hexW.size != 1 || (hexW.head != 2 && hexW.head != 4))
+      return CMap(0, Map.empty)
+    val width = hexW.head / 2
+    val wOk = (s: String) => s.length == width * 2
+    val m = mutable.Map.empty[Int, String]
+    for (blk <- charBlock.findAllMatchIn(text);
+         p <- pair.findAllMatchIn(blk.group(1)) if wOk(p.group(1)))
+      m(Integer.parseInt(p.group(1), 16)) = hexStr(p.group(2))
     for (blk <- rangeBlock.findAllMatchIn(text);
-         t <- triple.findAllMatchIn(blk.group(1))) {
+         t <- triple.findAllMatchIn(blk.group(1))
+         if wOk(t.group(1)) && wOk(t.group(2))) {
       val lo = Integer.parseInt(t.group(1), 16)
       val hi = Integer.parseInt(t.group(2), 16)
       if (t.group(3) != null && t.group(3).length >= 4) {
@@ -351,21 +447,36 @@ object PdfTextParser {
           .foreach { case (d, i) => if (lo + i <= hi) m(lo + i) = hexStr(d) }
       }
     }
-    m.toMap
+    CMap(width, m.toMap)
   }
 
-  /** per-page font-name → single-byte ToUnicode map, from the page's
-    * /Resources → /Font dict (direct or one indirect hop); fonts without a
-    * parseable map are simply absent (shows fall back to byte decoding) */
+  /** inheritable page-tree attribute: the page's own dict, else the
+    * /Parent chain (ISO 32000 §7.7.3.4), cycle-guarded by depth */
+  private[ingest] def inheritedAttr(obj: PdfObj, byNum: Map[Int, PdfObj],
+                                    key: String, depth: Int = 0): Option[PVal] =
+    if (depth >= 64) None
+    else obj.dict.flatMap(_.m.get(key)) match {
+      case some @ Some(_) => some
+      case None => obj.dict.flatMap(_.m.get("Parent")) match {
+        case Some(PRef(p)) =>
+          byNum.get(p).flatMap(inheritedAttr(_, byNum, key, depth + 1))
+        case _ => None
+      }
+    }
+
+  /** per-page font-name → ToUnicode [[CMap]], from the page's (inheritable,
+    * per §7.7.3.4 — intermediate /Pages nodes commonly hold it) /Resources
+    * → /Font dict (direct or one indirect hop); fonts without a parseable
+    * map are simply absent (shows fall back to byte decoding) */
   private[ingest] def pageFontCMaps(page: PdfObj, byNum: Map[Int, PdfObj])
-      : Map[String, Map[Int, String]] = {
+      : Map[String, CMap] = {
     def asDict(v: PVal): Option[PDict] = v match {
       case d: PDict => Some(d)
       case PRef(n) => byNum.get(n).flatMap(_.dict)
       case _ => None
     }
     val fonts = for {
-      res <- page.dict.flatMap(_.m.get("Resources")).flatMap(asDict)
+      res <- inheritedAttr(page, byNum, "Resources").flatMap(asDict)
       fd <- res.m.get("Font").flatMap(asDict)
     } yield fd.m
     fonts.getOrElse(Map.empty).flatMap { case (fname, fv) =>
@@ -377,14 +488,14 @@ object PdfTextParser {
         s <- obj.stream
         dec <- decode(s, obj.dict)
       } yield parseCMap(dec)
-      cmap.filter(_.nonEmpty).map(fname -> _)
+      cmap.filter(!_.isEmpty).map(fname -> _)
     }
   }
 
   // ---- content-stream interpreter (text operators only) ----
 
   private def interpret(content: Array[Byte], page: Int,
-                        fonts: Map[String, Map[Int, String]] = Map.empty): Seq[Item] = {
+                        fonts: Map[String, CMap] = Map.empty): Seq[Item] = {
     val items = mutable.ArrayBuffer.empty[Item]
     val lex = new Lexer(content, 0, content.length)
     val stack = mutable.ArrayBuffer.empty[PVal] // operand stack
@@ -393,18 +504,30 @@ object PdfTextParser {
     var leading = 0.0
     var lineX = 0.0; var lineY = 0.0   // start-of-line position
     var curX = 0.0; var curY = 0.0     // current show position
-    var curCMap: Option[Map[Int, String]] = None // active font's ToUnicode
+    var curCMap: Option[CMap] = None // active font's ToUnicode
 
     def num(v: PVal): Double = v match { case PNum(n) => n; case _ => 0.0 }
     def newline(): Unit = { lineY -= leading; curX = lineX; curY = lineY }
-    // show-string decode: the active font's single-byte ToUnicode map when
-    // present (BOM'd UTF-16BE still wins — it IS already unicode), else the
-    // byte decoding; unmapped codes fall back per byte
+    // show-string decode through the active font's ToUnicode map. Width 1:
+    // BOM'd UTF-16BE still wins (it IS already unicode) and unmapped codes
+    // fall back per byte. Width 2: bytes are CID-font codes with no byte-
+    // level meaning — consumed pairwise, unmapped codes (and a trailing odd
+    // byte) dropped rather than garbled, and no BOM exception (0xFEFF is
+    // just another code in a 2-byte codespace).
     def decodeShown(sb: Array[Byte]): String = curCMap match {
+      case Some(cm) if cm.width == 2 =>
+        val out = new StringBuilder
+        var i = 0
+        while (i + 1 < sb.length) {
+          val code = ((sb(i) & 0xFF) << 8) | (sb(i + 1) & 0xFF)
+          cm.m.get(code).foreach(out ++= _)
+          i += 2
+        }
+        out.toString
       case Some(cm) if !(sb.length >= 2 && (sb(0) & 0xFF) == 0xFE &&
                          (sb(1) & 0xFF) == 0xFF) =>
         sb.iterator.map(b =>
-          cm.getOrElse(b & 0xFF, (b & 0xFF).toChar.toString)).mkString
+          cm.m.getOrElse(b & 0xFF, (b & 0xFF).toChar.toString)).mkString
       case _ => decodeText(sb)
     }
     def show(s: String): Unit = if (s.nonEmpty) {

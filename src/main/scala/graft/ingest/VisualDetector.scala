@@ -167,25 +167,13 @@ object VisualDetector {
 
   // ---- inheritable page attributes ----
 
-  /** /MediaBox, walking /Parent (ISO 32000 §7.7.3.4 inheritance);
-    * US Letter when absent */
+  /** /MediaBox, walking /Parent (ISO 32000 §7.7.3.4 inheritance via
+    * [[PdfTextParser.inheritedAttr]]); US Letter when absent */
   private def mediaBox(page: PdfObj, byNum: Map[Int, PdfObj]): Rect =
-    inherited(page, byNum, "MediaBox") match {
+    inheritedAttr(page, byNum, "MediaBox") match {
       case Some(PArr(Vector(PNum(a), PNum(b), PNum(c), PNum(d)))) =>
         Rect(math.min(a, c), math.min(b, d), math.max(a, c), math.max(b, d))
       case _ => Rect(0, 0, 612, 792)
-    }
-
-  private def inherited(obj: PdfObj, byNum: Map[Int, PdfObj],
-                        key: String, depth: Int = 0): Option[PVal] =
-    if (depth >= 64) None
-    else obj.dict.flatMap(_.m.get(key)) match {
-      case some @ Some(_) => some
-      case None => obj.dict.flatMap(_.m.get("Parent")) match {
-        case Some(PRef(p)) =>
-          byNum.get(p).flatMap(inherited(_, byNum, key, depth + 1))
-        case _ => None
-      }
     }
 
   /** names under /Resources → /XObject whose target is /Subtype /Image */
@@ -197,7 +185,7 @@ object VisualDetector {
       case _ => None
     }
     (for {
-      res <- inherited(page, byNum, "Resources").flatMap(deref)
+      res <- inheritedAttr(page, byNum, "Resources").flatMap(deref)
       xobj <- res.m.get("XObject").flatMap(deref)
     } yield xobj.m.collect {
       case (name, PRef(n))

@@ -241,6 +241,104 @@ class PdfParserSpec extends AnyFunSuite {
     assert(PdfTextParser.parseItems(pdf2) === Seq.empty)
   }
 
+  test("a trailing partial predictor row refuses the stream whole") {
+    // truncated mid-row: the decodable prefix must NOT be emitted as if it
+    // were the document (same posture as the bad-filter-tag refusal)
+    val png = predictorPdf("BT /F1 12 Tf 72 720 Td (will be truncated) Tj ET",
+      "<< /Predictor 12 /Columns 16 >>", raw => pngPredict(raw, 16).dropRight(3))
+    assert(PdfTextParser.parseItems(png) === Seq.empty)
+    val tiff = predictorPdf("BT /F1 12 Tf 72 720 Td (also truncated) Tj ET",
+      "<< /Predictor 2 /Columns 16 >>", raw => {
+        val rowLen = 16
+        val pad = (rowLen - raw.length % rowLen) % rowLen
+        val padded = raw ++ Array.fill(pad)(' '.toByte)
+        val out = padded.clone()
+        for (r <- 0 until padded.length / rowLen; i <- (rowLen - 1) to 1 by -1)
+          out(r * rowLen + i) =
+            ((padded(r * rowLen + i) - padded(r * rowLen + i - 1)) & 0xFF).toByte
+        out.dropRight(5)
+      })
+    assert(PdfTextParser.parseItems(tiff) === Seq.empty)
+  }
+
+  // ---- LZWDecode ----
+
+  /** pack a code sequence MSB-first at the widths the PDF LZW state machine
+    * implies (9 bits after Clear, early-change growth) — only used for the
+    * spec-example vector, which never leaves 9 bits */
+  private def pack9(codes: Seq[Int]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var buf = 0L; var cnt = 0
+    codes.foreach { c =>
+      buf = (buf << 9) | c; cnt += 9
+      while (cnt >= 8) { out.write(((buf >> (cnt - 8)) & 0xFF).toInt); cnt -= 8 }
+    }
+    if (cnt > 0) out.write(((buf << (8 - cnt)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** standard LZW encoder (EarlyChange=1) for round-trip coverage past the
+    * 9-bit spec example: width grows when nextCode reaches 1 << width */
+  private def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var buf = 0L; var cnt = 0; var width = 9
+    def emit(code: Int): Unit = {
+      buf = (buf << width) | code; cnt += width
+      while (cnt >= 8) { out.write(((buf >> (cnt - 8)) & 0xFF).toInt); cnt -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[Vector[Byte], Int]
+    (0 until 256).foreach(i => dict(Vector(i.toByte)) = i)
+    var nextCode = 258
+    emit(256) // leading Clear, as PDF producers emit
+    var cur = Vector.empty[Byte]
+    raw.foreach { b =>
+      val ext = cur :+ b
+      if (dict.contains(ext)) cur = ext
+      else {
+        emit(dict(cur))
+        dict(ext) = nextCode; nextCode += 1
+        if (width < 12 && nextCode >= (1 << width)) width += 1
+        cur = Vector(b)
+      }
+    }
+    if (cur.nonEmpty) emit(dict(cur))
+    emit(257) // EOD
+    if (cnt > 0) out.write(((buf << (8 - cnt)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  test("lzwDecode reproduces the ISO 32000 §7.4.4.2 example sequence") {
+    // input 45 45 45 45 45 65 45 45 45 45 (hex) →
+    // codes 256 0x45 258 258 0x65 259 0x45 257
+    val encoded = pack9(Seq(256, 0x45, 258, 258, 0x65, 259, 0x45, 257))
+    assert(PdfTextParser.lzwDecode(encoded).map(_.toSeq) ===
+      Some(Seq[Byte](0x45, 0x45, 0x45, 0x45, 0x45, 0x65, 0x45, 0x45, 0x45, 0x45)))
+    // an out-of-table code (no KwKwK justification) refuses the stream
+    assert(PdfTextParser.lzwDecode(pack9(Seq(256, 300, 257))) === None)
+  }
+
+  test("LZWDecode streams extract end-to-end (width growth exercised)") {
+    // enough distinct material to push the encoder past 511 entries and
+    // through the early-change 9→10 bit switch
+    val lines = (0 until 40).map(i =>
+      s"0 -12 Td (lzw line $i with some repeating repeating text) Tj").mkString(" ")
+    val content = s"BT /F1 10 Tf 72 760 Td (first lzw line) Tj $lines ET"
+    val data = lzwEncode(content.getBytes(StandardCharsets.ISO_8859_1))
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.4\n"
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    sb ++= s"4 0 obj\n<< /Length ${data.length} /Filter /LZWDecode >>\nstream\n" +
+      new String(data, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    val items = PdfTextParser.parseItems(
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+    assert(items.map(_.text) ===
+      "first lzw line" +: (0 until 40).map(i =>
+        s"lzw line $i with some repeating repeating text"))
+  }
+
   // ---- /ToUnicode CMaps (single-byte) ----
 
   private def cmapPdf(content: String, cmap: String): Array[Byte] = {
@@ -301,7 +399,80 @@ class PdfParserSpec extends AnyFunSuite {
       ("1 beginbfrange\n<05> <06> <00660066006C>\nendbfrange")
         .getBytes(StandardCharsets.ISO_8859_1))
     // base "ffl": the LAST UTF-16 unit increments across the range
-    assert(cm(0x05) === "ffl" && cm(0x06) === "ffm")
+    assert(cm.width === 1)
+    assert(cm.m(0x05) === "ffl" && cm.m(0x06) === "ffm")
+  }
+
+  // ---- /ToUnicode CMaps (2-byte codespace: CID-keyed subset fonts) ----
+
+  private val testCMap2 =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |2 beginbfchar
+      |<0003> <0048>
+      |<0004> <0069>
+      |endbfchar
+      |2 beginbfrange
+      |<0010> <0012> <0061>
+      |<0020> <0021> [<0058> <0059>]
+      |endbfrange
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end
+      |end""".stripMargin
+
+  test("2-byte ToUnicode CMaps decode CID-font shows pairwise") {
+    // <0003><0004> → "Hi", <0010..0012> → "abc", <0020><0021> → "XY"
+    val pdf = cmapPdf(
+      "BT /F1 12 Tf 72 720 Td <000300040010001100120020 0021> Tj ET", testCMap2)
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("HiabcXY"))
+  }
+
+  test("2-byte shows drop unmapped codes and trailing odd bytes, never garble") {
+    // 0999 is unmapped (dropped); the trailing lone byte 42 is dropped too
+    val pdf = cmapPdf(
+      "BT /F1 12 Tf 72 720 Td <0003 0999 0004 42> Tj ET", testCMap2)
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("Hi"))
+  }
+
+  test("mixed-width or >2-byte codespaces are refused (byte-decode fallback)") {
+    // codespace says 1 byte but the bfchar codes are 2-byte → no usable map
+    val mixed = PdfTextParser.parseCMap(
+      ("1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "1 beginbfchar\n<0003> <0048>\nendbfchar")
+        .getBytes(StandardCharsets.ISO_8859_1))
+    assert(mixed.isEmpty)
+    val wide = PdfTextParser.parseCMap(
+      ("1 begincodespacerange\n<000000> <FFFFFF>\nendcodespacerange\n" +
+        "1 beginbfchar\n<000003> <0048>\nendbfchar")
+        .getBytes(StandardCharsets.ISO_8859_1))
+    assert(wide.isEmpty)
+    // a font whose CMap is unusable falls back to byte decoding
+    val pdf = cmapPdf("BT /F1 12 Tf 72 720 Td (Plain) Tj ET",
+      "1 begincodespacerange\n<000000> <FFFFFF>\nendcodespacerange")
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("Plain"))
+  }
+
+  test("fonts inherit /Resources from ancestor Pages nodes") {
+    // /Resources lives on the Pages node; the page itself has none — the
+    // /Parent walk must still find /F1's ToUnicode (ISO 32000 §7.7.3.4)
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.4\n"
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    sb ++= streamObj(4, "BT /F1 12 Tf 72 720 Td <0102> Tj ET", compress = false)
+    sb ++= obj(5, "<< /Type /Font /Subtype /Type1 /ToUnicode 6 0 R >>")
+    sb ++= streamObj(6, testCMap, compress = true)
+    sb ++= "%%EOF\n"
+    val items = PdfTextParser.parseItems(
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+    assert(items.map(_.text) === Seq("Hi"))
   }
 
   // ---- the Spark extraction pipeline ----
