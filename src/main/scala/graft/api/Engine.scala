@@ -267,15 +267,19 @@ final class Engine(
     * (sync.ts:500-530). WITHIN a scanned root, coverage stays complete —
     * scope is never pushed into the walk itself (prune safety,
     * server/index.ts:1153-1157). */
-  /** Gather → plan → execute. Below `distributedThreshold` files the gather
-    * is the reference-parity driver loop (one tool call over a workspace —
-    * a few thousand files — is below Spark's parallelism grain). At or above
-    * it, the gather DISTRIBUTES: the disk manifest is a `binaryFile` scan +
+  /** Gather → plan → execute. Below `distributedThreshold` files ON BOTH
+    * SIDES — disk walk AND db manifest — the gather is the reference-parity
+    * driver loop (one tool call over a workspace — a few thousand files —
+    * is below Spark's parallelism grain). At or above it on EITHER side,
+    * the gather DISTRIBUTES: the disk manifest is a `binaryFile` scan +
     * `sha2` on the executors, the db manifest never leaves the cluster, the
     * two reconcile in [[SyncPlanner.planActionsDF]]'s single full-outer
     * shuffle, and only the ACTION rows (upserts/prunes — the work, not the
-    * world) are collected. At 100 TB / millions of files the driver holds
-    * the plan, never the manifests. */
+    * world) are collected. Routing on the db side too makes the driver
+    * collect provably bounded: a near-empty scan root over a large store
+    * (a prune-heavy sync) would otherwise collect O(store files) on the
+    * driver. At 100 TB / millions of files the driver holds the plan,
+    * never the manifests. */
   def sync(scope: Seq[String] = Seq.empty,
            distributedThreshold: Int = Engine.DistributedSyncThreshold,
            batchExecuteThreshold: Int = Engine.BatchedExecuteThreshold): SyncSummary = {
@@ -296,7 +300,9 @@ final class Engine(
     val excludes = Seq(storePath, rawDataDir)
 
     val (upserts, prunes, skipped, held) =
-      if (allFiles.size >= distributedThreshold)
+      if (allFiles.size >= distributedThreshold ||
+          store.manifest().limit(distributedThreshold).count() >=
+            math.max(1L, distributedThreshold.toLong))
         planDistributed(allFiles, scanned.coverage.unobservedPrefixes,
           scopeKeys, excludes, fileRequest)
       else {

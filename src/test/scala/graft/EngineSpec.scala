@@ -313,6 +313,37 @@ class EngineSpec extends AnyFunSuite {
     assert(s4.upserted === 0 && s4.skipped === 1 && s4.pruned === 0 && s4.held === 0)
   }
 
+  test("planSync routes distributed when the DB manifest exceeds the threshold") {
+    // a near-empty scan root over a larger store (prune-heavy sync): the
+    // db side alone must push the gather distributed, so the driver never
+    // collects O(store files) — and the two routes plan identically
+    def fill(root: String): Unit =
+      (0 until 12).foreach(i => write(s"$root/docs/p$i.md",
+        s"# Doc $i\nPrune routing corpus document $i about spark shuffle stages."))
+    val rootA = Files.createTempDirectory("route-a").toString
+    val rootB = Files.createTempDirectory("route-b").toString
+    fill(rootA); fill(rootB)
+    val engA = new Engine(spark,
+      Files.createTempDirectory("route-sa").toString + "/chunks", Seq(rootA))
+    val engB = new Engine(spark,
+      Files.createTempDirectory("route-sb").toString + "/chunks", Seq(rootB))
+    assert(engA.sync().upserted === 12L && engB.sync().upserted === 12L)
+    // shrink both workspaces to 3 files: disk (3) < threshold (10) ≤ db (12)
+    Seq(rootA, rootB).foreach(root => (3 until 12).foreach(i =>
+      Files.delete(Paths.get(s"$root/docs/p$i.md"))))
+    val sA = engA.sync(distributedThreshold = 10)       // db side routes distributed
+    val sB = engB.sync(distributedThreshold = Int.MaxValue) // forced driver loop
+    assert(sA.upserted === 0L && sA.skipped === 3L && sA.pruned === 9L &&
+      sA.held === 0L)
+    assert(sB === sA)
+    def state(e: Engine) = e.store.read()
+      .select("filePath", "chunkIndex", "text", "contentHash").collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1),
+        r.getString(2), r.getString(3)))
+      .sorted.toSeq
+    assert(state(engA) === state(engB))
+  }
+
   test("batched sync execute: 100+ dirty files, O(1) jobs, counts equal the loop path") {
     // two identical workspaces, two engines: one forced down the per-file
     // execute loop, one down the batched binaryFile→chunk+embed→single-
