@@ -26,7 +26,7 @@ object BpeThroughput {
     val numMerges = if (args.length > 1) args(1).toInt else 1000
     val ks = if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq
              else Seq(1, 64)
-    val ckptEvery = if (args.length > 3) args(3).toInt else 8
+    val ckptEvery = if (args.length > 3) args(3).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -26,12 +26,11 @@ import org.apache.spark.sql.functions._
   * Cost per merge therefore follows the AFFECTED subset (for a zipfian
   * vocab, a sliver after the first few merges), while a naive recount pays
   * the whole symbol table 50 000 times. Both iterating tables are
-  * `localCheckpoint(true)`ed every `checkpointEvery` rounds with eager
-  * release of the superseded blocks — the same lineage/memory discipline
-  * as [[Dedup.connectedComponents]] (a reliable checkpoint replaces the
-  * local one on a cluster); between checkpoints the lineage is a bounded,
-  * known window of delta ops, so the per-round materialization tax is paid
-  * once per window instead of once per round.
+  * `localCheckpoint(true)`ed per round — CONCURRENTLY, the two jobs
+  * overlap — with eager release of the superseded blocks: the same
+  * lineage/memory discipline as [[Dedup.connectedComponents]] (a reliable
+  * checkpoint replaces the local one on a cluster). Windowed (every-N)
+  * checkpointing was measured and rejected — see [[learnBatched]].
   *
   * [[learnBatched]] amortizes the per-merge driver round-trip: per round it
   * takes the K highest-count pairs that are pairwise DISJOINT over symbols
@@ -153,26 +152,63 @@ object Bpe {
     * for the exactness argument and the order-level divergence bound).
     * `batchK = 1` is exactly sequential BPE.
     *
-    * `checkpointEvery` bounds how often the two iterating tables are
-    * materialized: rounds between checkpoints carry a lazy lineage of at
-    * most `checkpointEvery` delta ops (each a filter + union + vocab-scale
-    * groupBy over the last checkpointed base — bounded, known depth), so
-    * each round's argmax re-derives at most that window instead of paying
-    * a full two-table materialization per round. Semantics are untouched
-    * (the plans are deterministic); only the materialization schedule
-    * changes — BpeSpec's merge-table equalities hold for any value. */
+    * `checkpointEvery` windows how often the two iterating tables are
+    * materialized. MEASURED GUIDANCE: keep the default 1. This loop takes
+    * a driver action (the argmax) EVERY round, so laziness between
+    * checkpoints buys nothing — each round's argmax re-executes the whole
+    * un-checkpointed window, and the delta's diamond shape (`words`
+    * referenced twice per round) makes Catalyst's copied plan trees grow
+    * ~3× per lazy round. At sf0.1 / 1000 merges / K=64:
+    * `checkpointEvery=1` = 80 s, `=4` = 326 s (window re-execution),
+    * `=8` = task-deserialization failure at ~26 MiB task binaries
+    * (PERF.md round 8). The knob stays for the measurement harness, not
+    * for production use. Semantics are untouched for any value (the plans
+    * are deterministic); only the materialization schedule changes. The
+    * real per-round win is below: the two checkpoint jobs are independent
+    * and run CONCURRENTLY, so a round pays argmax + max(ckpt_pairs,
+    * ckpt_words) instead of the three-barrier sum. */
   def learnBatched(docs: DataFrame, textCol: String, numMerges: Int,
                    minCount: Long = 2L, batchK: Int = 64,
-                   checkpointEvery: Int = 8): Seq[Merge] = {
+                   checkpointEvery: Int = 1): Seq[Merge] = {
     require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val spark = docs.sparkSession
+    // Loop-scoped session tuning, restored after. (a) AQE materializes
+    // every shuffle as a query stage with its own re-optimization barrier —
+    // pure fixed latency for this loop's vocab-scale sub-second jobs
+    // (hundreds of them at a real vocab), and the plans need none of its
+    // help (fixed tiny shuffles, no joins). (b) The session's shuffle
+    // partitioning is sized for corpus-scale queries; the loop's iterating
+    // tables are vocab-scale, so every round's groupBys at the session
+    // setting are mostly empty-task scheduling overhead. The initial
+    // corpus-sized word-count aggregation keeps full parallelism via its
+    // OWN explicit repartition below, so only the tiny per-round shuffles
+    // shrink. Both measured on the K=64 ladder (PERF.md round 8).
+    val keys = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" ->
+        math.min(8, spark.sparkContext.defaultParallelism).toString)
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try learnBatchedLoop(spark, docs, textCol, numMerges, minCount, batchK,
+      checkpointEvery)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def learnBatchedLoop(spark: SparkSession, docs: DataFrame,
+                               textCol: String, numMerges: Int, minCount: Long,
+                               batchK: Int, checkpointEvery: Int): Seq[Merge] = {
 
     // corpus → word-frequency dict (the ONE corpus-sized aggregation),
     // then words → char symbol sequences
-    val mergeUdf = udf(mergeMulti _)
     var words = docs
       .select(explode(Dedup.wordsArray(textCol)).as("w"))
+      // the ONE corpus-sized shuffle keeps full parallelism regardless of
+      // the loop-scoped shuffle-partition override (the groupBy reuses
+      // this clustering, so no second exchange appears)
+      .repartition(spark.sparkContext.defaultParallelism, col("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       // split-on-empty can emit a trailing "" depending on the regex
       // engine's limit semantics — drop any empty symbols defensively
@@ -213,16 +249,25 @@ object Bpe {
         val rights = batch.map(_._2)
         val mergeds = batch.map(b => b._1 + b._2)
 
-        // one array traversal tests membership of ANY batch pair
-        val hasPair = exists(adjacentPairs(col("syms")), p =>
-          batch.map { case (l, r, _) =>
-            p.getField("a") === lit(l) && p.getField("b") === lit(r)
-          }.reduce(_ || _))
+        // The batch rides UDF CLOSURES, not literals: embedding 64 fresh
+        // lit()s per round (the previous exists(...)-over-literals
+        // membership test and typedLit merge args) makes every round's
+        // generated code unique, so whole-stage codegen recompiles ~every
+        // stage every round — measured as the dominant per-round cost once
+        // the checkpoint jobs overlap (PERF.md round 8: 61 s → 39 s at
+        // 1000 merges). With closures the generated source is identical
+        // across rounds and janino's cache hits; the closure data
+        // serializes with the task, not the plan.
+        val pairSet = batch.map { case (l, r, _) => (l, r) }.toSet
+        val hasPairUdf = udf((syms: Seq[String]) =>
+          syms.length >= 2 && syms.iterator.zip(syms.iterator.drop(1))
+            .exists(pairSet))
         // map-side split: only words containing some batch pair re-pair
+        val hasPair = hasPairUdf(col("syms"))
         val affected = words.filter(hasPair)
         val mergedAffected = affected.select(
-          mergeUdf(col("syms"), typedLit(lefts), typedLit(rights),
-            typedLit(mergeds)).as("syms"), col("cnt"))
+          udf((syms: Seq[String]) => mergeMulti(syms, lefts, rights, mergeds))
+            .apply(col("syms")).as("syms"), col("cnt"))
         val delta = affected
           .select(explode(adjacentPairs(col("syms"))).as("p"), (-col("cnt")).as("cnt"))
           .union(mergedAffected
@@ -232,18 +277,33 @@ object Bpe {
 
         round += 1
         val doCkpt = round % checkpointEvery == 0
+        // the iterating tables are VOCAB-scale (words ~10k-10M rows, pairs
+        // ~alphabet²+vocab), far below the corpus scale the session's
+        // shuffle-partition setting is sized for — pinning them to a few
+        // partitions cuts every round's per-stage task count (the rounds
+        // are scheduling-bound, not data-bound; measured in PERF.md r8)
+        val parts = math.min(8, spark.sparkContext.defaultParallelism)
         val nextPairs0 = pairCounts.union(delta)
           .groupBy("a", "b").agg(sum("cnt").as("cnt"))
           .filter(col("cnt") > 0)
+          .coalesce(parts)
         // union concatenates partition lists — without the (shuffle-free)
         // coalesce the words table doubles its partition count every round
         // and the task count explodes exponentially by round ~15
-        val parts = spark.sparkContext.defaultParallelism
         val nextWords0 = words.filter(!hasPair).union(mergedAffected)
           .coalesce(parts)
         if (doCkpt) {
-          val nextPairs = nextPairs0.localCheckpoint(true)
-          val nextWords = nextWords0.localCheckpoint(true)
+          // the two eager materializations are independent Spark jobs —
+          // submit them from separate threads so they overlap on the (idle
+          // during a barrier) executor cores: the round pays
+          // max(ckpt_pairs, ckpt_words), not the sum
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val fp = Future(nextPairs0.localCheckpoint(true))
+          val fw = Future(nextWords0.localCheckpoint(true))
+          val nextPairs = Await.result(fp, Duration.Inf)
+          val nextWords = Await.result(fw, Duration.Inf)
           // superseded checkpoints' blocks released eagerly (Dedup CC notes)
           releaseCheckpoint(ckptPairs); releaseCheckpoint(ckptWords)
           ckptPairs = nextPairs; ckptWords = nextWords

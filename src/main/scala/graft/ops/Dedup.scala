@@ -226,6 +226,19 @@ object Dedup {
       .select(col("i"), col("id_a"), posexplode(col("ids")).as(Seq("j", "id_b")))
       .filter(col("j") > col("i"))
       .select(col("id_a"), col("id_b"))
+      // repartition by pair key BEFORE the distinct: the exchange then
+      // carries the raw pair stream (stream-through shuffle writers, no
+      // aggregation state), and the dedup hash map builds POST-exchange on
+      // each partition's share. Without this, distinct's partial aggregate
+      // runs inside the explode stage, whose output is amplified ~|bucket|×
+      // relative to its input — at a 100× duplicate-heavy corpus those 32
+      // hash maps spilled 31.7 GB (max task 939 MB) while the repartitioned
+      // plan spills nothing (measured, PERF.md round 8). Cross-band pair
+      // duplication (a twin pair agrees on ALL bands) makes the raw stream
+      // ~bands× the deduped one — a few GB more shuffle for tens of GB less
+      // spill I/O, and the same single-exchange plan (the repartition
+      // satisfies distinct's clustering, so no second exchange appears).
+      .repartition(col("id_a"), col("id_b"))
       .distinct()
   }
 
