@@ -430,7 +430,7 @@ final class Engine(
         Some(spark.read.format("binaryFile").load(docxPaths: _*)
           .select(regexp_replace(col("path"), "^file:", "").as("filePath"),
             mdUdf(col("content")).as("content"),
-            sha2(encode(Ingest.utf8Lossy(col("content")), "UTF-8"), 256).as("rawHash"),
+            Ingest.utf8LossyHash(col("content")).as("rawHash"),
             titleUdf(col("content")).as("titleOverride"))
           .filter(length(col("content")) > 0))
       }
@@ -466,10 +466,11 @@ final class Engine(
             col("content"))
           // hash parity with the driver path (Ingest.sha256Hex): bytes →
           // UTF-8 string → bytes, so invalid sequences replace identically
-          // (utf8Lossy, NOT SQL decode — ANSI decode throws on the malformed
-          // sequences every PDF contains)
+          // (utf8LossyHash streams the round-trip — NOT SQL decode, which
+          // throws under ANSI on the malformed sequences every PDF contains,
+          // and no full decoded-String + re-encoded copy per file)
           .select(syncKeyUdf(col("path")).as("key"), col("path"),
-            sha2(encode(Ingest.utf8Lossy(col("content")), "UTF-8"), 256).as("hash"))
+            Ingest.utf8LossyHash(col("content")).as("hash"))
     val db = store.manifest().select(
       syncKeyUdf(col("filePath")).as("key"),
       col("filePath").as("spelling"), col("contentHash").as("hash"))

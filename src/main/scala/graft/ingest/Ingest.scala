@@ -46,6 +46,67 @@ object Ingest {
     org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
       if (b == null) null else new String(b, StandardCharsets.UTF_8))
 
+  /** SHA-256 of the utf8-lossy round-trip (`sha256(encode(utf8Lossy(b)))`)
+    * WITHOUT materializing the decoded String or the re-encoded byte array:
+    * the file bytes stream through a fixed 8 KiB decode/encode buffer pair
+    * into the digest. The round-trip is not identity — malformed sequences
+    * become U+FFFD (3 bytes) — so the transform must run, but only the
+    * source bytes stay resident (they already are: they're the column
+    * value). Byte-exact parity with `new String(b, UTF_8).getBytes(UTF_8)`
+    * is pinned by IngestSpec, including multi-byte sequences straddling the
+    * buffer boundary (the decoder's underflow state carries them over). */
+  def utf8LossyHashHex(b: Array[Byte]): String = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val enc = StandardCharsets.UTF_8.newEncoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val md = MessageDigest.getInstance("SHA-256")
+    val in = java.nio.ByteBuffer.wrap(b)
+    val chars = java.nio.CharBuffer.allocate(8192)
+    val out = java.nio.ByteBuffer.allocate(8192)
+    def drainChars(endOfInput: Boolean): Unit = {
+      chars.flip()
+      var encRes = enc.encode(chars, out, endOfInput)
+      out.flip(); md.update(out); out.clear()
+      while (encRes.isOverflow) {
+        encRes = enc.encode(chars, out, endOfInput)
+        out.flip(); md.update(out); out.clear()
+      }
+      chars.compact()
+    }
+    var decRes = dec.decode(in, chars, false)
+    drainChars(endOfInput = false)
+    while (decRes.isOverflow) {
+      decRes = dec.decode(in, chars, false)
+      drainChars(endOfInput = false)
+    }
+    decRes = dec.decode(in, chars, true)
+    drainChars(endOfInput = false)
+    while (decRes.isOverflow) {
+      decRes = dec.decode(in, chars, true)
+      drainChars(endOfInput = false)
+    }
+    dec.flush(chars)
+    drainChars(endOfInput = true)
+    var flushRes = enc.flush(out)
+    out.flip(); md.update(out); out.clear()
+    while (flushRes.isOverflow) {
+      flushRes = enc.flush(out)
+      out.flip(); md.update(out); out.clear()
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** column form of [[utf8LossyHashHex]] — drop-in for
+    * `sha2(encode(utf8Lossy(content), "UTF-8"), 256)` on the manifest /
+    * rawHash paths (Engine, PdfIngest), where only the hash is needed and
+    * the decoded text is not. */
+  val utf8LossyHash: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+      if (b == null) null else utf8LossyHashHex(b))
+
   /** Deterministic chunk id (name-based UUID over filePath+index+timestamp —
     * the reference uses randomUUID, `src/ingest/compute.ts:129`; determinism
     * is strictly better for a re-runnable batch engine). */

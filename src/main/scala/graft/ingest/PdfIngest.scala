@@ -56,7 +56,7 @@ object PdfIngest {
   def pdfMetaDF(raw: DataFrame): DataFrame = {
     val titleUdf = udf((b: Array[Byte]) => PdfTextParser.docTitle(b))
     raw.select(col("filePath"),
-      sha2(encode(Ingest.utf8Lossy(col("content")), "UTF-8"), 256).as("rawHash"),
+      Ingest.utf8LossyHash(col("content")).as("rawHash"),
       titleUdf(col("content")).as("titleOverride"))
   }
 

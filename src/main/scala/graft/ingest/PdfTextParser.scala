@@ -60,14 +60,14 @@ object PdfTextParser {
   private[ingest] case object PNullV extends PVal
 
   private[ingest] final case class PdfObj(num: Int, dict: Option[PDict],
-                                  stream: Option[Array[Byte]])
+                                  stream: Option[Array[Byte]], gen: Int = 0)
 
   /** document title from the Info dictionary's /Title (F11 "metadata"
     * provenance). The Info dict is found structurally — a /Title string in a
     * dict that is neither an outline item (/Parent) nor a typed object
     * (/Type) — because this parser does not require the trailer. */
   def docTitle(bytes: Array[Byte]): Option[String] =
-    try scanObjects(bytes).iterator
+    try loadObjects(bytes).iterator
       .flatMap(_.dict)
       .filter(d => !d.m.contains("Parent") && !d.m.contains("Type"))
       .collectFirst { case d if d.m.get("Title").exists(_.isInstanceOf[PStr]) =>
@@ -78,7 +78,7 @@ object PdfTextParser {
   /** entry point: all positioned text items of a PDF, in page order */
   def parseItems(bytes: Array[Byte]): Seq[Item] =
     try {
-      val objs = scanObjects(bytes)
+      val objs = loadObjects(bytes)
       val byNum = objs.map(o => o.num -> o).toMap
       val pages = orderedPages(objs, byNum)
       pages.zipWithIndex.flatMap { case (pageObj, idx) =>
@@ -112,8 +112,9 @@ object PdfTextParser {
         if (numEnd >= numStart && genEnd >= genStart &&
             (j < 0 || !isDigit(b(j)))) {
           val num = new String(b, numStart, numEnd - numStart + 1).toInt
+          val gen = new String(b, genStart, genEnd - genStart + 1).toInt
           val bodyStart = i + 3
-          val (obj, nextPos) = parseObject(b, num, bodyStart)
+          val (obj, nextPos) = parseObject(b, num, gen, bodyStart)
           out += obj
           // endobj is located AFTER the stream extent — binary stream data
           // can contain the "endobj" byte sequence and must not truncate
@@ -128,13 +129,13 @@ object PdfTextParser {
 
   /** parse one object's dict + stream starting at `start`; returns the
     * object and the position just past its stream data (or dict) */
-  private def parseObject(b: Array[Byte], num: Int,
+  private def parseObject(b: Array[Byte], num: Int, gen: Int,
                           start: Int): (PdfObj, Int) = {
     val lex = new Lexer(b, start, b.length)
     lex.skipWs()
     val dict = if (lex.peeks("<<")) Some(lex.dict()) else None
     lex.skipWs()
-    if (!lex.peeks("stream")) (PdfObj(num, dict, None), lex.pos)
+    if (!lex.peeks("stream")) (PdfObj(num, dict, None, gen), lex.pos)
     else {
       var dStart = lex.pos + "stream".length
       if (dStart < b.length && b(dStart) == '\r') dStart += 1
@@ -150,7 +151,74 @@ object PdfTextParser {
           if (e < 0) b.length else e
       }
       val data = java.util.Arrays.copyOfRange(b, dStart, math.max(dStart, dEnd))
-      (PdfObj(num, dict, Some(data)), dEnd)
+      (PdfObj(num, dict, Some(data), gen), dEnd)
+    }
+  }
+
+  // ---- encryption (standard security handler, PdfDecrypt) ----
+
+  /** scan + decrypt-if-encrypted: the single object-graph entry every
+    * consumer (text, title, render seam, visual detector) goes through.
+    * An /Encrypt reference is searched in `trailer` dicts AND in XRef
+    * stream dicts (xref-stream files have no trailer keyword); the LAST
+    * one wins (incremental updates). Encrypted-but-unsupported (or a file
+    * that genuinely needs a password) → Seq.empty: emit nothing. */
+  private[ingest] def loadObjects(b: Array[Byte]): Seq[PdfObj] = {
+    val objs = scanObjects(b)
+    findEncrypt(b, objs) match {
+      case None => objs
+      case Some((encAt, id0)) =>
+        val byNum = objs.map(o => o.num -> o).toMap
+        val resolved = encAt match {
+          case Left(n)  => byNum.get(n).flatMap(_.dict).map(d => (d, n))
+          case Right(d) => Some((d, -1)) // direct dict: no object to skip
+        }
+        resolved match {
+          case Some((encDict, encNum)) =>
+            PdfDecrypt.decryptObjects(objs, encDict, encNum, id0)
+              .getOrElse(Seq.empty)
+          case None => Seq.empty // /Encrypt present but unresolvable: refuse
+        }
+    }
+  }
+
+  /** locate /Encrypt (indirect ref or direct dict) and the first /ID
+    * element: every `trailer` keyword's dict, then any /Type /XRef stream
+    * dict; the LAST trailer wins (incremental updates) */
+  private[ingest] def findEncrypt(b: Array[Byte], objs: Seq[PdfObj])
+      : Option[(Either[Int, PDict], Option[Array[Byte]])] = {
+    def fromDict(d: PDict): Option[(Either[Int, PDict], Option[Array[Byte]])] =
+      d.m.get("Encrypt").map { e =>
+        val id0 = d.m.get("ID").collect {
+          case PArr(items) => items.headOption.collect { case PStr(s) => s }
+        }.flatten
+        e match {
+          case PRef(n)   => (Left(n), id0)
+          case pd: PDict => (Right(pd), id0)
+          // any other shape still means "this file is encrypted" — carry a
+          // never-resolvable ref so loadObjects refuses instead of garbling
+          case _         => (Left(Int.MinValue), id0)
+        }
+      }
+    val fromTrailers = {
+      var found: Option[(Either[Int, PDict], Option[Array[Byte]])] = None
+      var i = indexOf(b, "trailer", 0)
+      while (i >= 0) {
+        val lex = new Lexer(b, i + "trailer".length, b.length)
+        lex.skipWs()
+        if (lex.peeks("<<"))
+          try fromDict(lex.dict()).foreach(f => found = Some(f))
+          catch { case scala.util.control.NonFatal(_) => () }
+        i = indexOf(b, "trailer", i + 1)
+      }
+      found
+    }
+    fromTrailers.orElse {
+      objs.reverseIterator.flatMap { o =>
+        if (o.dict.exists(_.m.get("Type").contains(PName("XRef"))))
+          o.dict.flatMap(fromDict)
+        else None
+      }.nextOption()
     }
   }
 
@@ -190,7 +258,7 @@ object PdfTextParser {
     * the F20 render seam's input (VisualCaption.renderPage) */
   private[ingest] def pageContentBytes(bytes: Array[Byte], page: Int): Array[Byte] =
     try {
-      val objs = scanObjects(bytes)
+      val objs = loadObjects(bytes)
       val byNum = objs.map(o => o.num -> o).toMap
       orderedPages(objs, byNum).lift(page - 1)
         .flatMap(contentBytes(_, byNum)).getOrElse(Array.emptyByteArray)

@@ -86,7 +86,7 @@ object VisualDetector {
     * bytes don't parse (same tolerance contract as [[PdfTextParser.parseItems]]) */
   def detect(bytes: Array[Byte]): Seq[PageResult] =
     try {
-      val objs = scanObjects(bytes)
+      val objs = loadObjects(bytes)
       val byNum = objs.map(o => o.num -> o).toMap
       orderedPages(objs, byNum).zipWithIndex.map { case (page, idx) =>
         decidePage(page, byNum, idx + 1)

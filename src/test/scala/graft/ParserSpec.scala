@@ -66,4 +66,35 @@ class ParserSpec extends AnyFunSuite {
   test("batch of one never defers") {
     assert(BatchPlanner.planBatch(Seq(99999)) === ((Seq(0), Seq())))
   }
+
+  // ---- streaming utf8-lossy hash (manifest/rawHash path) ----
+
+  test("utf8LossyHashHex: byte-exact parity with the materialized round-trip") {
+    import graft.ingest.Ingest
+    def reference(b: Array[Byte]): String =
+      Ingest.sha256Hex(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    val fixed: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      "plain ascii".getBytes("UTF-8"),
+      "héllo wörld — ✓ 漢字 🚀".getBytes("UTF-8"),
+      Array[Byte](0x41, 0xC3.toByte),                  // truncated 2-byte seq at EOF
+      Array[Byte](0xC3.toByte, 0x28, 0x42),            // malformed continuation
+      Array[Byte](0xF0.toByte, 0x9F.toByte, 0x92.toByte), // truncated 4-byte seq
+      Array[Byte](0xED.toByte, 0xA0.toByte, 0x80.toByte), // CESU surrogate half
+      Array.fill[Byte](3)(0xFF.toByte) ++ "tail".getBytes("UTF-8"))
+    fixed.foreach(b => assert(Ingest.utf8LossyHashHex(b) === reference(b)))
+    // buffer-boundary sweep: a 4-byte emoji repeated so sequences straddle
+    // every offset of the 8 KiB decode buffer, plus malformed bytes mixed in
+    val rocket = "🚀".getBytes("UTF-8")
+    (0 until 4).foreach { pad =>
+      val b = Array.fill[Byte](pad)('x'.toByte) ++
+        Array.fill(3000)(rocket).flatten ++ Array[Byte](0xC3.toByte)
+      assert(Ingest.utf8LossyHashHex(b) === reference(b))
+    }
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val b = Array.fill[Byte](rnd.nextInt(40000))(rnd.nextInt(256).toByte)
+      assert(Ingest.utf8LossyHashHex(b) === reference(b))
+    }
+  }
 }
