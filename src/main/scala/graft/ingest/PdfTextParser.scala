@@ -15,29 +15,38 @@ import scala.collection.mutable
   * Supported subset (the overwhelmingly common case for text documents):
   *  - classic object syntax (`N G obj … endobj`); xref is NOT required —
   *    objects are discovered by scanning, so damaged/linearized files parse
+  *  - /ObjStm object streams (PDF 1.5+ — the modern-producer default that
+  *    hides the catalog/page-tree/font dicts from a top-level scan) are
+  *    expanded after the scan (and after decryption), children spliced in
+  *    document order so last-wins keeps incremental-update semantics
   *  - page ordering via the Catalog → /Pages → /Kids tree (cycle-guarded),
   *    falling back to /Type /Page objects in byte order
   *  - /Contents as a single stream or an array of streams
-  *  - FlateDecode (java.util.zip) and LZWDecode (ISO 32000 §7.4.4.2,
-  *    variable 9–12 bit codes, /EarlyChange) plus unfiltered content
-  *    streams, including /DecodeParms predictors (PNG row filters 10–15,
-  *    TIFF 2); predictor input that is not a whole number of rows is
-  *    refused, not partially decoded
+  *  - FlateDecode (java.util.zip), LZWDecode (ISO 32000 §7.4.4.2,
+  *    variable 9–12 bit codes, /EarlyChange), ASCIIHexDecode,
+  *    ASCII85Decode, RunLengthDecode, filter CHAINS (`/Filter [...]`
+  *    applied in array order with a parallel /DecodeParms array) plus
+  *    unfiltered content streams, including /DecodeParms predictors (PNG
+  *    row filters 10–15, TIFF 2); predictor input that is not a whole
+  *    number of rows is refused, not partially decoded
   *  - text operators: BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, ', ", TJ (with
   *    kerning-gap → space), literal strings (escapes, octal, nesting),
   *    hex strings, UTF-16BE (BOM) and Latin-1/PDFDoc byte decoding
-  *  - /ToUnicode CMaps with a 1-byte OR 2-byte codespace (bfchar +
-  *    bfrange, incrementing or array form), selected per show via Tf's
-  *    font operand; /Resources inherited through the /Pages chain. The
-  *    2-byte case is what CID-keyed subset-embedded fonts (most CJK and
-  *    modern-toolchain PDFs) emit: show strings are 2-byte codes looked
-  *    up as units, unmapped codes dropped rather than byte-garbled
+  *  - /ToUnicode CMaps with a 1-byte, 2-byte, or MIXED 1+2 codespace
+  *    (bfchar + bfrange, incrementing or array form), selected per show
+  *    via Tf's font operand; /Resources inherited through the /Pages
+  *    chain. The 2-byte case is what CID-keyed subset-embedded fonts
+  *    (most CJK and modern-toolchain PDFs) emit: show strings are 2-byte
+  *    codes looked up as units, unmapped codes dropped rather than
+  *    byte-garbled. The mixed case is the Shift-JIS/legacy-CJK shape:
+  *    each show position is consumed at the declared width whose
+  *    codespace range contains it (ISO 32000 §9.7.6.3)
   *
   * Not supported (emit nothing rather than garbage): DCT/CCITT/JBIG2/JPX
-  * filters, mixed-width CMap codespaces, CID fonts carrying NO usable
-  * /ToUnicode (glyph-id shows are undecodable without embedded font
-  * tables), encrypted files. These are the cases the reference delegates
-  * to mupdf's font machinery; the boundary is documented in SURVEY §7.
+  * filters, CMap codespaces with bounds wider than 2 bytes, CID fonts
+  * carrying NO usable /ToUnicode (glyph-id shows are undecodable without
+  * embedded font tables). These are the cases the reference delegates to mupdf's font
+  * machinery; the boundary is documented in SURVEY §7.
   *
   * Scale shape: [[parseItems]] is a pure per-document function — the corpus
   * path runs it inside a `flatMap` over a `binaryFile` scan (one pass, no
@@ -165,7 +174,7 @@ object PdfTextParser {
     * that genuinely needs a password) → Seq.empty: emit nothing. */
   private[ingest] def loadObjects(b: Array[Byte]): Seq[PdfObj] = {
     val objs = scanObjects(b)
-    findEncrypt(b, objs) match {
+    val decrypted = findEncrypt(b, objs) match {
       case None => objs
       case Some((encAt, id0)) =>
         val byNum = objs.map(o => o.num -> o).toMap
@@ -179,6 +188,61 @@ object PdfTextParser {
               .getOrElse(Seq.empty)
           case None => Seq.empty // /Encrypt present but unresolvable: refuse
         }
+    }
+    expandObjStms(decrypted)
+  }
+
+  // ---- object streams (PDF 1.5+ compressed objects) ----
+
+  /** Expand /Type /ObjStm object streams (ISO 32000 §7.5.7). Modern
+    * toolchains store most non-stream objects — the catalog, the page
+    * tree, font dicts — inside ONE compressed stream object, so a scan of
+    * top-level `N G obj` spans alone sees a page-less document; this is
+    * the default output shape of every major producer since PDF 1.5. The
+    * stream's first /First bytes hold /N whitespace-separated
+    * `objnum offset` integer pairs; each embedded object is one direct
+    * value at `First + offset` (streams cannot nest, generation is always
+    * 0). Children are spliced in document order right after their
+    * container, so the consumers' by-number last-wins map keeps
+    * incremental-update semantics without an xref table. A container that
+    * fails to decode or has a malformed header expands to nothing
+    * (emit-nothing posture). Encrypted files decrypt BEFORE expansion —
+    * per §7.5.7 strings inside an ObjStm are never individually
+    * encrypted. Non-dict children (rare indirect arrays/numbers) keep the
+    * same `dict = None` degradation top-level non-dict objects get. */
+  private[ingest] def expandObjStms(objs: Seq[PdfObj]): Seq[PdfObj] =
+    objs.flatMap { o =>
+      if (!o.dict.exists(_.m.get("Type").contains(PName("ObjStm")))) Seq(o)
+      else o +: (for {
+        d <- o.dict.toSeq
+        n <- d.m.get("N").collect { case PNum(v) if v >= 0 => v.toInt }.toSeq
+        first <- d.m.get("First").collect { case PNum(v) if v >= 0 => v.toInt }.toSeq
+        data <- o.stream.flatMap(decode(_, o.dict)).toSeq
+        kid <- objStmChildren(data, n, first)
+      } yield kid)
+    }
+
+  private def objStmChildren(data: Array[Byte], n: Int,
+                             first: Int): Seq[PdfObj] = {
+    if (first > data.length) return Seq.empty
+    val head = new Lexer(data, 0, first)
+    val pairs = mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < n) {
+      (head.token(), head.token()) match {
+        case (PNum(num), PNum(off)) if num >= 0 && off >= 0 =>
+          pairs += ((num.toInt, off.toInt)); i += 1
+        case _ => return Seq.empty // malformed header: refuse whole
+      }
+    }
+    pairs.toSeq.flatMap { case (num, off) =>
+      val at = first.toLong + off
+      if (at >= data.length) None
+      else new Lexer(data, at.toInt, data.length).token() match {
+        case d: PDict => Some(PdfObj(num, Some(d), None, 0))
+        case null | _: Op => None
+        case _ => Some(PdfObj(num, None, None, 0)) // non-dict: resolvable num
+      }
     }
   }
 
@@ -281,34 +345,151 @@ object PdfTextParser {
 
   private def decode(data: Array[Byte], dict: Option[PDict]): Option[Array[Byte]] = {
     val m = dict.map(_.m).getOrElse(Map.empty)
-    // /DecodeParms (or its /DP alias) as a direct dict, or a 1-element
-    // array parallel to a 1-element /Filter array; an indirect-ref parms
-    // we cannot resolve here → emit nothing rather than mis-predict
-    val parms = m.get("DecodeParms").orElse(m.get("DP")) match {
-      case Some(d: PDict) => Right(Some(d))
-      case Some(PArr(Vector(d: PDict))) => Right(Some(d))
-      case Some(PNullV) | Some(PArr(Vector(PNullV))) | None => Right(None)
-      case Some(_) => Left(())
+    // /Filter as a single name or a chain array (applied in array order,
+    // ISO 32000 §7.3.8.2 — e.g. [/ASCII85Decode /FlateDecode] from
+    // PostScript-derived toolchains); a non-name member → out of subset
+    val filters: Option[Seq[String]] = m.get("Filter") match {
+      case Some(PName(f)) => Some(Seq(f))
+      case Some(PArr(fs)) =>
+        val names = fs.collect { case PName(f) => f }
+        if (names.length == fs.length) Some(names) else None
+      case None => Some(Nil)
+      case _ => None
     }
+    // /DecodeParms (or /DP): a direct dict (paired with a 1-filter chain),
+    // or an array parallel to the filter array with null/absent slots; an
+    // indirect-ref parms we cannot resolve here → emit nothing rather
+    // than mis-predict
+    def parmsFor(n: Int): Option[Seq[Option[PDict]]] =
+      m.get("DecodeParms").orElse(m.get("DP")) match {
+        case Some(d: PDict) if n == 1 => Some(Seq(Some(d)))
+        case Some(PArr(ps)) if ps.length <= n =>
+          val slots = ps.map {
+            case d: PDict => Right(Some(d)): Either[Unit, Option[PDict]]
+            case PNullV => Right(None)
+            case _ => Left(())
+          }
+          if (slots.exists(_.isLeft)) None
+          else Some(slots.map(_.toOption.get).padTo(n, None))
+        case None => Some(Seq.fill(n)(None))
+        case Some(PNullV) => Some(Seq.fill(n)(None))
+        case _ => None
+      }
     def earlyChange(p: Option[PDict]): Int =
       p.flatMap(_.m.get("EarlyChange")) match {
         case Some(PNum(n)) => n.toInt
         case _ => 1
       }
-    val filter = m.get("Filter") match {
-      case Some(PName(f)) => Some(f)
-      case Some(PArr(Vector(PName(f)))) => Some(f)
-      case None => Some("")
-      case _ => None // filter chains / non-name filters: out of subset
+    filters match {
+      case Some(Nil) => Some(data)
+      case Some(fs) =>
+        parmsFor(fs.length).flatMap { ps =>
+          fs.zip(ps).foldLeft(Option(data)) { case (acc, (f, p)) =>
+            acc.flatMap { bytes =>
+              f match {
+                case "FlateDecode" | "Fl" =>
+                  inflate(bytes).flatMap(applyPredictor(_, p))
+                case "LZWDecode" | "LZW" =>
+                  lzwDecode(bytes, earlyChange(p)).flatMap(applyPredictor(_, p))
+                case "ASCIIHexDecode" | "AHx" => asciiHexDecode(bytes)
+                case "ASCII85Decode" | "A85" => ascii85Decode(bytes)
+                case "RunLengthDecode" | "RL" => runLengthDecode(bytes)
+                case _ => None // DCT/CCITT/JBIG2/JPX/Crypt: emit nothing
+              }
+            }
+          }
+        }
+      case None => None
     }
-    (filter, parms) match {
-      case (Some(""), _) => Some(data)
-      case (Some("FlateDecode"), Right(p)) =>
-        inflate(data).flatMap(applyPredictor(_, p))
-      case (Some("LZWDecode"), Right(p)) =>
-        lzwDecode(data, earlyChange(p)).flatMap(applyPredictor(_, p))
-      case _ => None // unsupported filter/parms: emit nothing, not garbage
+  }
+
+  /** ASCIIHexDecode (ISO 32000 §7.4.2): hex digit pairs, whitespace
+    * ignored, `>` EOD (an odd trailing digit reads as if followed by 0).
+    * Any other character means corrupt input → refuse whole. */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i)
+      val d = if (c >= '0' && c <= '9') c - '0'
+              else if (c >= 'A' && c <= 'F') c - 'A' + 10
+              else if (c >= 'a' && c <= 'f') c - 'a' + 10
+              else -1
+      if (d >= 0) {
+        if (hi < 0) hi = d
+        else { out.write((hi << 4) | d); hi = -1 }
+      } else if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        return Some(out.toByteArray)
+      } else if (!isWs(c)) return None
+      i += 1
     }
+    if (hi >= 0) out.write(hi << 4) // EOD marker optional at end-of-stream
+    Some(out.toByteArray)
+  }
+
+  /** ASCII85Decode (ISO 32000 §7.4.3): 5 chars in `!`..`u` → 4 bytes
+    * (base-85 big-endian), `z` a whole zero group, whitespace ignored,
+    * `~>` EOD; a final partial group of n chars pads with `u` and emits
+    * n−1 bytes. Group overflow (> 2^32−1), a 1-char final group, `z`
+    * inside a group, or any other character → refuse whole. A leading
+    * `<~` (the PostScript framing some producers emit) is skipped. */
+  private[graft] def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    def flush(chars: Int): Boolean = { // chars ∈ 2..5; emits chars-1 bytes
+      var v = 0L
+      var i = 0
+      while (i < 5) { v = v * 85 + (if (i < chars) grp(i) else 84); i += 1 }
+      if (v > 0xFFFFFFFFL) return false
+      var b = 3
+      while (b >= 4 - (chars - 1)) { out.write(((v >> (b * 8)) & 0xFF).toInt); b -= 1 }
+      true
+    }
+    var i = if (data.length >= 2 && data(0) == '<' && data(1) == '~') 2 else 0
+    while (i < data.length) {
+      val c = data(i)
+      if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'; n += 1
+        if (n == 5) { if (!flush(5)) return None; n = 0 }
+      } else if (c == 'z') {
+        if (n != 0) return None
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (c == '~') {
+        if (n == 1) return None
+        if (n >= 2 && !flush(n)) return None
+        return Some(out.toByteArray)
+      } else if (!isWs(c)) return None
+      i += 1
+    }
+    if (n == 1) return None
+    if (n >= 2 && !flush(n)) return None
+    Some(out.toByteArray) // EOD marker optional at end-of-stream
+  }
+
+  /** RunLengthDecode (ISO 32000 §7.4.5): length byte L — 0..127 copies the
+    * next L+1 bytes literally, 129..255 repeats the next byte 257−L times,
+    * 128 is EOD. A run truncated mid-stream → refuse whole. */
+  private[graft] def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xFF
+      if (l == 128) return Some(out.toByteArray)
+      else if (l < 128) {
+        if (i + 1 + l + 1 > data.length) return None
+        out.write(data, i + 1, l + 1); i += l + 2
+      } else {
+        if (i + 1 >= data.length) return None
+        val b = data(i + 1) & 0xFF
+        var k = 257 - l
+        while (k > 0) { out.write(b); k -= 1 }
+        i += 2
+      }
+    }
+    Some(out.toByteArray) // EOD marker optional at end-of-stream
   }
 
   /** undo a /Predictor on flate output: PNG row filters 10–15 (None/Sub/Up/
@@ -447,20 +628,35 @@ object PdfTextParser {
       Some(out.toByteArray)
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  // ---- /ToUnicode CMaps (uniform 1- or 2-byte codespace subset) ----
+  // ---- /ToUnicode CMaps (1-byte, 2-byte, or MIXED 1+2 codespaces) ----
 
-  /** A parsed /ToUnicode map: `width` bytes per source code (1 or 2), code →
-    * unicode string. Shows under a width-2 font are consumed two bytes at a
-    * time (the CID-keyed subset-embedded-font shape). */
-  private[graft] final case class CMap(width: Int, m: Map[Int, String]) {
+  /** A parsed /ToUnicode map. `widths` are the distinct code byte-counts
+    * the codespace declares (ascending, ⊆ {1, 2}); `ranges` are the
+    * declared codespace ranges `(nbytes, lo, hi)`; `m` maps
+    * `(nbytes, code)` → unicode. Show strings segment against the
+    * codespace (shortest matching width first, ISO 32000 §9.7.6.3 /
+    * Adobe CMap spec §7.2): a byte sequence is consumed at the width
+    * whose range contains it, so a Shift-JIS-shaped mixed codespace
+    * (`<00><80>` + `<8140><FFFC>`) reads 1- and 2-byte codes off one
+    * string correctly. */
+  private[graft] final case class CMap(widths: List[Int],
+                                       ranges: Vector[(Int, Int, Int)],
+                                       m: Map[(Int, Int), String]) {
     def isEmpty: Boolean = m.isEmpty
+    /** uniform code width, or 0 when the codespace mixes widths */
+    def width: Int = widths match { case w :: Nil => w; case _ => 0 }
+    def inRange(w: Int, code: Int): Boolean =
+      ranges.exists(r => r._1 == w && code >= r._2 && code <= r._3)
   }
 
   /** Parse a /ToUnicode CMap stream: bfchar pairs, bfrange with an
-    * incrementing base or an explicit destination array. The code width
-    * comes from `begincodespacerange` (falling back to the hex width of the
-    * source codes themselves); a mixed-width or >2-byte codespace is out of
-    * subset and yields an empty map (shows fall back per the caller). */
+    * incrementing base or an explicit destination array. Code widths come
+    * from `begincodespacerange` — 1-byte, 2-byte, and mixed 1+2 spaces
+    * are supported; any bound wider than 2 bytes is out of subset and
+    * yields an empty map (shows fall back per the caller). Without a
+    * codespacerange the single width is inferred from the mapping source
+    * codes (ambiguous if they mix — empty map). Mapping entries whose
+    * source width matches no codespace width are dropped. */
   private[graft] def parseCMap(bytes: Array[Byte]): CMap = {
     val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     def hexStr(h: String): String = { // UTF-16BE code units, 4 digits each
@@ -475,32 +671,41 @@ object PdfTextParser {
       ("(?s)<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*" +
        "(?:<([0-9A-Fa-f]+)>|\\[(.*?)\\])").r
     val dstHex = "<([0-9A-Fa-f]+)>".r
-    // code width: every codespacerange bound and every bfchar/bfrange
-    // source code must agree on ONE width of 1 or 2 bytes
     val csBlock = "(?s)begincodespacerange(.*?)endcodespacerange".r
-    val csWidths = (for {
+    val none = CMap(Nil, Vector.empty, Map.empty)
+    val csBounds = (for {
       blk <- csBlock.findAllMatchIn(text)
       p <- pair.findAllMatchIn(blk.group(1))
-      g <- Seq(p.group(1), p.group(2))
-    } yield g.length).toSet
-    val srcWidths =
-      (for (blk <- charBlock.findAllMatchIn(text);
-            p <- pair.findAllMatchIn(blk.group(1))) yield p.group(1).length).toSet ++
-      (for (blk <- rangeBlock.findAllMatchIn(text);
-            t <- triple.findAllMatchIn(blk.group(1));
-            g <- Seq(t.group(1), t.group(2))) yield g.length).toSet
-    val hexW = if (csWidths.nonEmpty) csWidths else srcWidths
-    if (hexW.size != 1 || (hexW.head != 2 && hexW.head != 4))
-      return CMap(0, Map.empty)
-    val width = hexW.head / 2
-    val wOk = (s: String) => s.length == width * 2
-    val m = mutable.Map.empty[Int, String]
+    } yield (p.group(1), p.group(2))).toVector
+    if (csBounds.exists { case (a, b) =>
+          a.length != b.length || (a.length != 2 && a.length != 4) })
+      return none // >2-byte or lo/hi-width-mismatched codespace
+    var ranges = csBounds.map { case (a, b) =>
+      (a.length / 2, Integer.parseInt(a, 16), Integer.parseInt(b, 16)) }
+    if (ranges.isEmpty) {
+      val srcWidths =
+        (for (blk <- charBlock.findAllMatchIn(text);
+              p <- pair.findAllMatchIn(blk.group(1))) yield p.group(1).length).toSet ++
+        (for (blk <- rangeBlock.findAllMatchIn(text);
+              t <- triple.findAllMatchIn(blk.group(1));
+              g <- Seq(t.group(1), t.group(2))) yield g.length).toSet
+      if (srcWidths.size != 1 || (srcWidths.head != 2 && srcWidths.head != 4))
+        return none
+      val w = srcWidths.head / 2
+      ranges = Vector((w, 0, (1 << (8 * w)) - 1))
+    }
+    val widths = ranges.map(_._1).distinct.sorted.toList
+    def widthOf(hex: String): Option[Int] =
+      Some(hex.length / 2).filter(w => hex.length % 2 == 0 && widths.contains(w))
+    val m = mutable.Map.empty[(Int, Int), String]
     for (blk <- charBlock.findAllMatchIn(text);
-         p <- pair.findAllMatchIn(blk.group(1)) if wOk(p.group(1)))
-      m(Integer.parseInt(p.group(1), 16)) = hexStr(p.group(2))
+         p <- pair.findAllMatchIn(blk.group(1));
+         w <- widthOf(p.group(1)))
+      m((w, Integer.parseInt(p.group(1), 16))) = hexStr(p.group(2))
     for (blk <- rangeBlock.findAllMatchIn(text);
          t <- triple.findAllMatchIn(blk.group(1))
-         if wOk(t.group(1)) && wOk(t.group(2))) {
+         if t.group(1).length == t.group(2).length;
+         w <- widthOf(t.group(1))) {
       val lo = Integer.parseInt(t.group(1), 16)
       val hi = Integer.parseInt(t.group(2), 16)
       if (t.group(3) != null && t.group(3).length >= 4) {
@@ -509,13 +714,14 @@ object PdfTextParser {
         val prefix = hexStr(base.dropRight(4))
         val last = Integer.parseInt(base.takeRight(4), 16)
         var c = lo
-        while (c <= hi) { m(c) = prefix + (last + (c - lo)).toChar; c += 1 }
+        while (c <= hi) { m((w, c)) = prefix + (last + (c - lo)).toChar; c += 1 }
       } else if (t.group(4) != null) {
         dstHex.findAllMatchIn(t.group(4)).map(_.group(1)).zipWithIndex
-          .foreach { case (d, i) => if (lo + i <= hi) m(lo + i) = hexStr(d) }
+          .foreach { case (d, i) =>
+            if (lo + i <= hi) m((w, lo + i)) = hexStr(d) }
       }
     }
-    CMap(width, m.toMap)
+    CMap(widths, ranges, m.toMap)
   }
 
   /** inheritable page-tree attribute: the page's own dict, else the
@@ -581,21 +787,42 @@ object PdfTextParser {
     // fall back per byte. Width 2: bytes are CID-font codes with no byte-
     // level meaning — consumed pairwise, unmapped codes (and a trailing odd
     // byte) dropped rather than garbled, and no BOM exception (0xFEFF is
-    // just another code in a 2-byte codespace).
+    // just another code in a 2-byte codespace). Mixed 1+2 codespace: each
+    // position is consumed at the shortest declared width whose range
+    // contains the code (ISO 32000 §9.7.6.3); a byte outside every range
+    // resyncs by one, and unmapped in-range codes drop (CID semantics —
+    // the bytes carry no character meaning of their own).
     def decodeShown(sb: Array[Byte]): String = curCMap match {
       case Some(cm) if cm.width == 2 =>
         val out = new StringBuilder
         var i = 0
         while (i + 1 < sb.length) {
           val code = ((sb(i) & 0xFF) << 8) | (sb(i + 1) & 0xFF)
-          cm.m.get(code).foreach(out ++= _)
+          cm.m.get((2, code)).foreach(out ++= _)
           i += 2
         }
         out.toString
-      case Some(cm) if !(sb.length >= 2 && (sb(0) & 0xFF) == 0xFE &&
-                         (sb(1) & 0xFF) == 0xFF) =>
-        sb.iterator.map(b =>
-          cm.m.getOrElse(b & 0xFF, (b & 0xFF).toChar.toString)).mkString
+      case Some(cm) if cm.width == 1 =>
+        if (sb.length >= 2 && (sb(0) & 0xFF) == 0xFE && (sb(1) & 0xFF) == 0xFF)
+          decodeText(sb)
+        else
+          sb.iterator.map(b =>
+            cm.m.getOrElse((1, b & 0xFF), (b & 0xFF).toChar.toString)).mkString
+      case Some(cm) => // mixed 1+2 codespace
+        val out = new StringBuilder
+        var i = 0
+        while (i < sb.length) {
+          val b1 = sb(i) & 0xFF
+          if (cm.inRange(1, b1)) {
+            cm.m.get((1, b1)).foreach(out ++= _)
+            i += 1
+          } else if (i + 1 < sb.length &&
+                     cm.inRange(2, (b1 << 8) | (sb(i + 1) & 0xFF))) {
+            cm.m.get((2, (b1 << 8) | (sb(i + 1) & 0xFF))).foreach(out ++= _)
+            i += 2
+          } else i += 1 // outside every declared range: drop a byte, resync
+        }
+        out.toString
       case _ => decodeText(sb)
     }
     def show(s: String): Unit = if (s.nonEmpty) {

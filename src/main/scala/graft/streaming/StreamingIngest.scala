@@ -61,7 +61,7 @@ object StreamingIngest {
     * runs the same plan with a micro-batch trigger and append mode. */
   def hourlyRollupAvailableNow(spark: org.apache.spark.sql.SparkSession,
                                eventsPath: String): DataFrame = {
-    val schema = spark.read.parquet(eventsPath).schema // ts = long (nanosAsLong)
+    val schema = spark.read.parquet(eventsPath).schema
     // FileStreamSource insists its basePath be a directory (it treats the
     // monitored path as the partition-discovery root), so a single flat
     // parquet file can't be streamed directly — stage a symlink to it in a
@@ -78,8 +78,14 @@ object StreamingIngest {
         java.nio.file.Files.copy(target, staged)
     }
     val raw = spark.readStream.schema(schema).parquet(stageDir.toString)
-    val ev = raw.withColumn("ts",
-      timestamp_micros(expr("ts DIV 1000"))) // same ns→µs cast as Tables.load
+    // same conditional ns→µs cast as Tables.load: a TIMESTAMP(NANOS) file
+    // surfaces ts as a raw nanos long (nanosAsLong) needing the DIV-1000
+    // conversion; a µs-typed file is already a usable timestamp
+    val ev =
+      if (schema.exists(f => f.name == "ts" &&
+            f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
     val agg = ev
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

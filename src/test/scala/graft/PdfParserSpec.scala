@@ -155,6 +155,111 @@ class PdfParserSpec extends AnyFunSuite {
     assert(items(1).y < items(0).y) // the Td state carried across streams
   }
 
+  // ---- ASCII/RLE filters and filter chains ----
+
+  /** one-page PDF whose content stream carries pre-encoded `data` with an
+    * explicit `/Filter …` (and optional extra dict entries) */
+  private def filteredPdf(data: Array[Byte], filterSpec: String): Array[Byte] = {
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.4\n"
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    sb ++= s"4 0 obj\n<< /Length ${data.length} $filterSpec >>\nstream\n"
+    sb ++= new String(data, StandardCharsets.ISO_8859_1)
+    sb ++= "\nendstream\nendobj\n%%EOF\n"
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** reference ASCII85 encoder (ISO 32000 §7.4.3, including the `z`
+    * shorthand and partial-group padding) for round-trip fixtures */
+  private def a85(raw: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      val n = math.min(4, raw.length - i)
+      var v = 0L
+      (0 until 4).foreach(j =>
+        v = (v << 8) | (if (i + j < raw.length) raw(i + j) & 0xFF else 0))
+      if (n == 4 && v == 0) sb += 'z'
+      else {
+        val cs = new Array[Char](5)
+        var x = v
+        (4 to 0 by -1).foreach { j => cs(j) = ('!' + (x % 85).toInt).toChar; x /= 85 }
+        sb ++= new String(cs, 0, n + 1)
+      }
+      i += n
+    }
+    sb.toString
+  }
+
+  test("ASCIIHexDecode: pairs, whitespace, EOD, odd-digit pad; bad char refused") {
+    def hex(s: String) = PdfTextParser.asciiHexDecode(
+      s.getBytes(StandardCharsets.ISO_8859_1)).map(_.toSeq)
+    assert(hex("48 65 6C\n6c6F>") === Some("Hello".getBytes.toSeq))
+    assert(hex("48656") === Some(Seq[Byte](0x48, 0x65, 0x60))) // odd pads 0
+    assert(hex("4865>trailing ignored") === Some(Seq[Byte](0x48, 0x65)))
+    assert(hex("48!65>") === None) // corrupt: refuse whole
+  }
+
+  test("ASCII85Decode: round-trips arbitrary bytes incl. z groups and partials") {
+    val rnd = new scala.util.Random(7)
+    (0 until 40).foreach { k =>
+      val raw = new Array[Byte](k)
+      rnd.nextBytes(raw)
+      if (k >= 8) java.util.Arrays.fill(raw, 2, 6, 0.toByte) // force a z group
+      val enc = (a85(raw) + "~>").getBytes(StandardCharsets.ISO_8859_1)
+      assert(PdfTextParser.ascii85Decode(enc).map(_.toSeq) === Some(raw.toSeq),
+        s"len $k")
+    }
+    // leading <~ framing, embedded whitespace, missing EOD all tolerated
+    val enc2 = ("<~" + a85("graft".getBytes).grouped(3).mkString("\n"))
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfTextParser.ascii85Decode(enc2).map(_.toSeq) ===
+      Some("graft".getBytes.toSeq))
+    // corrupt: group overflow, 1-char final group, z inside a group
+    assert(PdfTextParser.ascii85Decode("uuuuu".getBytes) === None)
+    assert(PdfTextParser.ascii85Decode("!!!!!#".getBytes) === None)
+    assert(PdfTextParser.ascii85Decode("!!z!!".getBytes) === None)
+  }
+
+  test("RunLengthDecode: literal + repeat runs, EOD; truncated run refused") {
+    val enc = Array[Byte](2, 'a', 'b', 'c', (257 - 4).toByte, 'd', 0, 'e', 128.toByte, 99)
+    assert(PdfTextParser.runLengthDecode(enc).map(new String(_)) ===
+      Some("abcdddde")) // the 99 after EOD never decodes
+    assert(PdfTextParser.runLengthDecode(Array[Byte](5, 'a', 'b')) === None)
+    assert(PdfTextParser.runLengthDecode(Array[Byte](200.toByte)) === None)
+  }
+
+  test("filter chains apply in array order with a parallel DecodeParms array") {
+    val content = "BT /F1 12 Tf 10 700 Td (chained and fine) Tj ET"
+    // [/ASCII85Decode /FlateDecode]: the PostScript-derived double wrap
+    val wrapped = (a85(deflate(content.getBytes(StandardCharsets.ISO_8859_1)))
+      + "~>").getBytes(StandardCharsets.ISO_8859_1)
+    val pdf = filteredPdf(wrapped, "/Filter [/ASCII85Decode /FlateDecode]")
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("chained and fine"))
+    // RunLength alone, via the abbreviated name
+    def rle(raw: Array[Byte]): Array[Byte] = { // literal-only encoding
+      val out = new ByteArrayOutputStream()
+      raw.grouped(128).foreach { g => out.write(g.length - 1); out.write(g) }
+      out.write(128); out.toByteArray
+    }
+    val pdf2 = filteredPdf(rle(content.getBytes(StandardCharsets.ISO_8859_1)),
+      "/Filter /RL")
+    assert(PdfTextParser.parseItems(pdf2).map(_.text) === Seq("chained and fine"))
+    // a chain member we cannot decode still refuses the whole stream
+    val pdf3 = filteredPdf(wrapped, "/Filter [/ASCII85Decode /DCTDecode]")
+    assert(PdfTextParser.parseItems(pdf3) === Seq.empty)
+    // hex-wrapped flate with the predictor parms in the PARALLEL slot
+    val raw = "BT /F1 12 Tf 10 700 Td (hex flate) Tj ET"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val hexed = (deflate(raw).map("%02X".format(_)).mkString + ">")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val pdf4 = filteredPdf(hexed,
+      "/Filter [/ASCIIHexDecode /FlateDecode] /DecodeParms [null null]")
+    assert(PdfTextParser.parseItems(pdf4).map(_.text) === Seq("hex flate"))
+  }
+
   // ---- flate predictors (/DecodeParms) ----
 
   /** PNG-predictor-encode `raw` (Colors=1, 8 bpc): each row prefixed by a
@@ -339,6 +444,94 @@ class PdfParserSpec extends AnyFunSuite {
         s"lzw line $i with some repeating repeating text"))
   }
 
+  // ---- /ObjStm object streams (PDF 1.5+ compressed objects) ----
+
+  /** assemble an /ObjStm whose children are the given (num, body) direct
+    * values, flate-compressed like every real producer emits them */
+  private def objStm(num: Int, kids: Seq[(Int, String)]): String = {
+    val bodies = kids.map(_._2)
+    val offsets = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = kids.zip(offsets)
+      .map { case ((n, _), off) => s"$n $off" }.mkString(" ")
+    val payload = (header + "\n" + bodies.mkString("\n"))
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val first = header.length + 1
+    val data = deflate(payload)
+    s"$num 0 obj\n<< /Type /ObjStm /N ${kids.length} /First $first " +
+      s"/Length ${data.length} /Filter /FlateDecode >>\nstream\n" +
+      new String(data, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+  }
+
+  test("ObjStm: catalog, page tree, and font dicts inside an object stream") {
+    // the modern-producer layout: ONLY the content and CMap streams are
+    // top-level objects; everything structural lives compressed in 10 0 obj
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.5\n"
+    sb ++= objStm(10, Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>"),
+      5 -> "<< /Type /Font /Subtype /Type1 /ToUnicode 6 0 R >>"))
+    sb ++= streamObj(4, "BT /F1 12 Tf 72 720 Td <0102> Tj ET", compress = false)
+    sb ++= streamObj(6, testCMap, compress = true)
+    sb ++= "%%EOF\n"
+    val items = PdfTextParser.parseItems(
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+    assert(items.map(_.text) === Seq("Hi")) // page tree AND ToUnicode found
+  }
+
+  test("ObjStm: a child redefining a top-level object wins by document order") {
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.5\n"
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    sb ++= streamObj(4, "BT /F1 12 Tf 72 720 Td (old text) Tj ET",
+      compress = false)
+    // incremental update appended as an ObjStm: page 3 now points at 7
+    sb ++= objStm(10, Seq(
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>"))
+    sb ++= streamObj(7, "BT /F1 12 Tf 72 720 Td (new text) Tj ET",
+      compress = false)
+    sb ++= "%%EOF\n"
+    val items = PdfTextParser.parseItems(
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+    assert(items.map(_.text) === Seq("new text"))
+  }
+
+  test("ObjStm: malformed headers and truncated offsets refuse, never garble") {
+    // header claims 3 pairs but holds 2 → whole container refused, and the
+    // file still parses via its top-level fallback page
+    def file(stm: String): Array[Byte] = {
+      val sb = new StringBuilder
+      sb ++= "%PDF-1.5\n"
+      sb ++= stm
+      sb ++= obj(3, "<< /Type /Page /Contents 4 0 R >>")
+      sb ++= streamObj(4, "BT /F1 12 Tf 72 720 Td (fallback) Tj ET",
+        compress = false)
+      sb ++= "%%EOF\n"
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    }
+    val short = {
+      val data = deflate("1 0 5 8\n<< >>\n<< >>"
+        .getBytes(StandardCharsets.ISO_8859_1))
+      s"10 0 obj\n<< /Type /ObjStm /N 3 /First 8 /Length ${data.length} " +
+        "/Filter /FlateDecode >>\nstream\n" +
+        new String(data, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+    }
+    assert(PdfTextParser.parseItems(file(short)).map(_.text) === Seq("fallback"))
+    // an offset past the decoded data drops that child only
+    val far = {
+      val data = deflate("8 99999\n<< /X 1 >>"
+        .getBytes(StandardCharsets.ISO_8859_1))
+      s"11 0 obj\n<< /Type /ObjStm /N 1 /First 8 /Length ${data.length} " +
+        "/Filter /FlateDecode >>\nstream\n" +
+        new String(data, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+    }
+    assert(PdfTextParser.parseItems(file(far)).map(_.text) === Seq("fallback"))
+  }
+
   // ---- /ToUnicode CMaps (single-byte) ----
 
   private def cmapPdf(content: String, cmap: String): Array[Byte] = {
@@ -400,7 +593,7 @@ class PdfParserSpec extends AnyFunSuite {
         .getBytes(StandardCharsets.ISO_8859_1))
     // base "ffl": the LAST UTF-16 unit increments across the range
     assert(cm.width === 1)
-    assert(cm.m(0x05) === "ffl" && cm.m(0x06) === "ffm")
+    assert(cm.m((1, 0x05)) === "ffl" && cm.m((1, 0x06)) === "ffm")
   }
 
   // ---- /ToUnicode CMaps (2-byte codespace: CID-keyed subset fonts) ----
@@ -439,13 +632,14 @@ class PdfParserSpec extends AnyFunSuite {
     assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("Hi"))
   }
 
-  test("mixed-width or >2-byte codespaces are refused (byte-decode fallback)") {
-    // codespace says 1 byte but the bfchar codes are 2-byte → no usable map
-    val mixed = PdfTextParser.parseCMap(
+  test("width-mismatched entries and >2-byte codespaces are refused") {
+    // codespace says 1 byte but the bfchar codes are 2-byte → entry dropped,
+    // no usable map
+    val conflict = PdfTextParser.parseCMap(
       ("1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
         "1 beginbfchar\n<0003> <0048>\nendbfchar")
         .getBytes(StandardCharsets.ISO_8859_1))
-    assert(mixed.isEmpty)
+    assert(conflict.isEmpty)
     val wide = PdfTextParser.parseCMap(
       ("1 begincodespacerange\n<000000> <FFFFFF>\nendcodespacerange\n" +
         "1 beginbfchar\n<000003> <0048>\nendbfchar")
@@ -455,6 +649,51 @@ class PdfParserSpec extends AnyFunSuite {
     val pdf = cmapPdf("BT /F1 12 Tf 72 720 Td (Plain) Tj ET",
       "1 begincodespacerange\n<000000> <FFFFFF>\nendcodespacerange")
     assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("Plain"))
+  }
+
+  // ---- mixed 1+2-byte codespaces (Shift-JIS-shaped legacy CJK CMaps) ----
+
+  private val testCMapMixed =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |2 begincodespacerange
+      |<00> <80>
+      |<8140> <FFFC>
+      |endcodespacerange
+      |3 beginbfchar
+      |<41> <0041>
+      |<8160> <301C>
+      |<8276> <0057>
+      |endbfchar
+      |1 beginbfrange
+      |<8250> <8259> <FF10>
+      |endbfrange
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end
+      |end""".stripMargin
+
+  test("mixed 1+2 codespaces segment shows at the in-range width") {
+    val cm = PdfTextParser.parseCMap(
+      testCMapMixed.getBytes(StandardCharsets.ISO_8859_1))
+    assert(cm.widths === List(1, 2) && cm.width === 0)
+    // <41> is a 1-byte code (range <00><80>); <8160>/<8276>/<8250..> are
+    // 2-byte codes (range <8140><FFFC>): one string mixes both widths
+    val pdf = cmapPdf(
+      "BT /F1 12 Tf 72 720 Td <41 8160 8250 8251 8276 41> Tj ET",
+      testCMapMixed)
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("A〜０１WA"))
+  }
+
+  test("mixed codespaces drop unmapped and out-of-range bytes, never garble") {
+    // <42>: in the 1-byte range but unmapped → dropped; <9041>: 0x90 is no
+    // 1-byte code, the pair IS in <8140><FFFC> but unmapped → dropped as a
+    // pair (so the following <8160> stays aligned and decodes); trailing
+    // <FD>: outside the 1-byte range with no byte to pair → resync drop
+    val pdf = cmapPdf(
+      "BT /F1 12 Tf 72 720 Td <41 42 9041 8160 FD> Tj ET", testCMapMixed)
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("A〜"))
   }
 
   test("fonts inherit /Resources from ancestor Pages nodes") {
