@@ -175,6 +175,50 @@ class PdfDecryptSpec extends AnyFunSuite {
 
   // ---- refuse-don't-garble ----
 
+  test("encrypted ObjStm: structural dicts decrypt, THEN expand (ordering)") {
+    // the common modern shape: AES-128 file whose catalog/page-tree dicts
+    // live inside an encrypted+flated object stream. Decryption must run
+    // before ObjStm expansion (§7.5.7: strings inside an ObjStm are never
+    // individually encrypted — the container stream carries the crypto).
+    val key = PdfDecrypt.fileKeyR234(oEntry, pPerm, fileId, 16, 4,
+      encryptMetadata = true)
+    val u = PdfDecrypt.userValueR234(key, 4, fileId)
+    def encStream(num: Int, d: Array[Byte]): Array[Byte] =
+      aesEnc(objKey(key, num, 0, aes = true), Array.fill[Byte](16)(0x5A), d)
+    val kids = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    val bodies = kids.map(_._2)
+    val offsets = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+    val header = kids.zip(offsets).map { case ((n, _), o) => s"$n $o" }
+      .mkString(" ")
+    val payload = (header + "\n" + bodies.mkString("\n"))
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val stmData = encStream(10, deflate(payload))
+    val content = encStream(4, deflate(
+      s"BT /F1 12 Tf 72 720 Td ($pageText) Tj ET"
+        .getBytes(StandardCharsets.ISO_8859_1)))
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.6\n"
+    sb ++= s"10 0 obj\n<< /Type /ObjStm /N ${kids.length} " +
+      s"/First ${header.length + 1} /Length ${stmData.length} " +
+      "/Filter /FlateDecode >>\nstream\n" +
+      new String(stmData, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= s"4 0 obj\n<< /Length ${content.length} /Filter /FlateDecode >>\n" +
+      "stream\n" + new String(content, StandardCharsets.ISO_8859_1) +
+      "\nendstream\nendobj\n"
+    sb ++= "8 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+      "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+      s"/StmF /StdCF /StrF /StdCF /O <${hex(oEntry)}> /U <${hex(u)}> " +
+      s"/P $pPerm >>\nendobj\n"
+    sb ++= "trailer\n<< /Root 1 0 R /Size 11 /Encrypt 8 0 R " +
+      s"/ID [<${hex(fileId)}> <${hex(fileId)}>] >>\n%%EOF\n"
+    val items = PdfTextParser.parseItems(
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+    assert(items.map(_.text) === Seq(pageText))
+  }
+
   test("a real user password (U mismatch) refuses: nothing, never garbage") {
     // flip one /U byte in the R=3 fixture — exactly what a file whose user
     // password is NOT empty looks like to the empty-password check
