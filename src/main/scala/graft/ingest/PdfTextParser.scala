@@ -42,10 +42,20 @@ import scala.collection.mutable
   *    each show position is consumed at the declared width whose
   *    codespace range contains it (ISO 32000 §9.7.6.3)
   *
+  *  - CID-keyed fonts with NO /ToUnicode: glyph→unicode recovered by
+  *    inverting the embedded TrueType font's own 'cmap' table
+  *    ([[TrueTypeCmap]]; /Identity-H CIDFontType2 + /FontFile2, with
+  *    /CIDToGIDMap stream or Identity) — subset fonts routinely retain
+  *    'cmap', which is the same fallback mupdf leans on
+  *  - simple-font /Encoding /Differences arrays: byte code → glyph name
+  *    → unicode ([[GlyphNames]], AGL subset + uniXXXX) — the pdftex/
+  *    LaTeX shape that re-seats ligatures, curly quotes, and accents
+  *
   * Not supported (emit nothing rather than garbage): DCT/CCITT/JBIG2/JPX
   * filters, CMap codespaces with bounds wider than 2 bytes, CID fonts
-  * carrying NO usable /ToUnicode (glyph-id shows are undecodable without
-  * embedded font tables). These are the cases the reference delegates to mupdf's font
+  * whose embedded font is CFF (FontFile3) or has a stripped 'cmap' —
+  * their glyph-id shows are consumed pairwise and DROPPED (not
+  * byte-garbled). These are the cases the reference delegates to mupdf's font
   * machinery; the boundary is documented in SURVEY §7.
   *
   * Scale shape: [[parseItems]] is a pure per-document function — the corpus
@@ -740,8 +750,14 @@ object PdfTextParser {
 
   /** per-page font-name → ToUnicode [[CMap]], from the page's (inheritable,
     * per §7.7.3.4 — intermediate /Pages nodes commonly hold it) /Resources
-    * → /Font dict (direct or one indirect hop); fonts without a parseable
-    * map are simply absent (shows fall back to byte decoding) */
+    * → /Font dict (direct or one indirect hop). Resolution order per font:
+    * (1) a usable /ToUnicode CMap; (2) for Type0 (CID-keyed) fonts
+    * without one, glyph→unicode recovered from the embedded TrueType
+    * 'cmap' table ([[cidFontCMap]]); (3) a Type0 font with NEITHER still
+    * maps — to an EMPTY width-2 CMap, so its glyph-id shows are consumed
+    * pairwise and dropped (byte-decoding them would garble; this is the
+    * "emit nothing rather than garbage" posture applied to fonts). Only
+    * simple fonts with no map at all fall back to byte decoding. */
   private[ingest] def pageFontCMaps(page: PdfObj, byNum: Map[Int, PdfObj])
       : Map[String, CMap] = {
     def asDict(v: PVal): Option[PDict] = v match {
@@ -754,16 +770,108 @@ object PdfTextParser {
       fd <- res.m.get("Font").flatMap(asDict)
     } yield fd.m
     fonts.getOrElse(Map.empty).flatMap { case (fname, fv) =>
-      val cmap = for {
-        fd <- asDict(fv)
+      val fdOpt = asDict(fv)
+      val viaToUnicode = for {
+        fd <- fdOpt
         tu <- fd.m.get("ToUnicode")
         num <- tu match { case PRef(n) => Some(n); case _ => None }
         obj <- byNum.get(num)
         s <- obj.stream
         dec <- decode(s, obj.dict)
       } yield parseCMap(dec)
-      cmap.filter(!_.isEmpty).map(fname -> _)
+      val isType0 = fdOpt.exists(_.m.get("Subtype").contains(PName("Type0")))
+      viaToUnicode.filter(!_.isEmpty)
+        .orElse(fdOpt.flatMap(cidFontCMap(_, byNum)))
+        .orElse(if (isType0)
+          Some(CMap(List(2), Vector((2, 0, 0xFFFF)), Map.empty)) else None)
+        .orElse(fdOpt.flatMap(differencesCMap(_, byNum)))
+        .map(fname -> _)
     }
+  }
+
+  /** Simple-font /Encoding /Differences (§9.6.6): byte code → glyph NAME
+    * → unicode via [[GlyphNames]]. pdftex/LaTeX output re-seats
+    * ligatures, curly quotes, and accented letters this way, so the plain
+    * byte fallback garbles them. Codes the array doesn't cover (or whose
+    * glyph name is unknown) keep the byte-decode fallback through the
+    * width-1 CMap's per-byte getOrElse; a name that RESOLVES to empty
+    * (.notdef) maps to "" and drops. */
+  private def differencesCMap(fd: PDict, byNum: Map[Int, PdfObj]): Option[CMap] = {
+    def asDict(v: PVal): Option[PDict] = v match {
+      case d: PDict => Some(d)
+      case PRef(n) => byNum.get(n).flatMap(_.dict)
+      case _ => None
+    }
+    val cm = for {
+      encDict <- fd.m.get("Encoding").flatMap(asDict)
+      diffs <- encDict.m.get("Differences").collect { case PArr(items) => items }
+    } yield {
+      val m = Map.newBuilder[(Int, Int), String]
+      var code = -1
+      diffs.foreach {
+        case PNum(n) => code = n.toInt
+        case PName(g) =>
+          if (code >= 0 && code <= 255)
+            GlyphNames.toUnicode(g).foreach(u => m += ((1, code)) -> u)
+          code += 1
+        case _ => () // malformed member: skip, keep consuming
+      }
+      CMap(List(1), Vector((1, 0, 255)), m.result())
+    }
+    cm.filter(!_.isEmpty)
+  }
+
+  /** CID-keyed fonts carrying NO usable /ToUnicode: recover glyph→unicode
+    * from the embedded TrueType font's own 'cmap' table
+    * ([[TrueTypeCmap]]) — the route the reference's mupdf backend takes.
+    * Supported shape (the overwhelmingly common embedded-CJK case):
+    * /Subtype /Type0, /Encoding /Identity-H or /Identity-V (show codes
+    * ARE CIDs), one CIDFontType2 descendant whose /FontDescriptor carries
+    * /FontFile2, and /CIDToGIDMap either /Identity (default) or a 2-byte
+    * big-endian stream. CFF descendants (CIDFontType0 / FontFile3) and
+    * non-identity /Encoding CMaps stay out of subset — the caller maps
+    * the font to an empty width-2 CMap and its shows drop. */
+  private def cidFontCMap(fd: PDict, byNum: Map[Int, PdfObj]): Option[CMap] = {
+    def asDict(v: PVal): Option[PDict] = v match {
+      case d: PDict => Some(d)
+      case PRef(n) => byNum.get(n).flatMap(_.dict)
+      case _ => None
+    }
+    def streamOf(v: PVal): Option[Array[Byte]] = v match {
+      case PRef(n) =>
+        byNum.get(n).flatMap(o => o.stream.flatMap(decode(_, o.dict)))
+      case _ => None
+    }
+    val cm = for {
+      _ <- fd.m.get("Subtype").collect { case PName("Type0") => () }
+      _ <- fd.m.get("Encoding").collect {
+             case PName("Identity-H") | PName("Identity-V") => () }
+      desc <- fd.m.get("DescendantFonts") match {
+        case Some(PArr(Vector(one))) => asDict(one)
+        case _ => None
+      }
+      _ <- desc.m.get("Subtype").collect { case PName("CIDFontType2") => () }
+      fdesc <- desc.m.get("FontDescriptor").flatMap(asDict)
+      fontBytes <- fdesc.m.get("FontFile2").flatMap(streamOf)
+      g2u = TrueTypeCmap.glyphToUnicode(fontBytes)
+      if g2u.nonEmpty
+    } yield {
+      val m: Map[(Int, Int), String] = desc.m.get("CIDToGIDMap") match {
+        case Some(PName("Identity")) | None =>
+          g2u.map { case (gid, u) => (2, gid) -> u }
+        case Some(v) =>
+          streamOf(v) match {
+            case Some(bytes) =>
+              (0 until bytes.length / 2).flatMap { cid =>
+                val gid = ((bytes(2 * cid) & 0xFF) << 8) | (bytes(2 * cid + 1) & 0xFF)
+                g2u.get(gid).map(u => (2, cid) -> u)
+              }.toMap
+            case None => Map.empty // unresolvable map: refuse, shows drop
+          }
+      }
+      CMap(List(2), Vector((2, 0, 0xFFFF)), m)
+    }
+    cm.filter(!_.isEmpty)
   }
 
   // ---- content-stream interpreter (text operators only) ----

@@ -696,6 +696,161 @@ class PdfParserSpec extends AnyFunSuite {
     assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("A〜"))
   }
 
+  // ---- CID fonts with NO /ToUnicode: embedded TrueType 'cmap' recovery ----
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  /** minimal sfnt holding ONE (3,1) format-4 'cmap' subtable: each
+    * (unicode → gid) pair is its own single-code segment (idRangeOffset
+    * 0, idDelta = gid − code), plus the mandatory 0xFFFF terminator */
+  private def ttfWithCmap4(pairs: Seq[(Int, Int)]): Array[Byte] = {
+    val segs = pairs.sortBy(_._1) :+ (0xFFFF -> 0)
+    val n = segs.length
+    val sub = new ByteArrayOutputStream()
+    sub.write(be16(4)); sub.write(be16(16 + 8 * n)); sub.write(be16(0))
+    sub.write(be16(2 * n)); sub.write(be16(2)); sub.write(be16(1)); sub.write(be16(0))
+    segs.foreach { case (c, _) => sub.write(be16(c)) }       // endCodes
+    sub.write(be16(0))                                       // reservedPad
+    segs.foreach { case (c, _) => sub.write(be16(c)) }       // startCodes
+    segs.foreach { case (c, g) =>                            // idDelta
+      sub.write(be16(if (c == 0xFFFF) 1 else (g - c) & 0xFFFF)) }
+    segs.foreach(_ => sub.write(be16(0)))                    // idRangeOffset
+    val cmap = new ByteArrayOutputStream()
+    cmap.write(be16(0)); cmap.write(be16(1))                 // version, 1 record
+    cmap.write(be16(3)); cmap.write(be16(1)); cmap.write(be32(12))
+    cmap.write(sub.toByteArray)
+    val body = cmap.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write(be32(0x00010000L)); out.write(be16(1))         // sfnt, 1 table
+    out.write(be16(16)); out.write(be16(0)); out.write(be16(0))
+    out.write("cmap".getBytes(StandardCharsets.ISO_8859_1))
+    out.write(be32(0)); out.write(be32(28)); out.write(be32(body.length))
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** one-page PDF with a Type0/Identity-H/CIDFontType2 font embedding
+    * `ttf` as /FontFile2, NO /ToUnicode; optional /CIDToGIDMap stream */
+  private def cidFontPdf(content: String, ttf: Array[Byte],
+                         cidToGid: Option[Array[Byte]] = None,
+                         fontFileKey: String = "FontFile2"): Array[Byte] = {
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.6\n"
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>")
+    sb ++= streamObj(4, content, compress = false)
+    val c2g = cidToGid.map(_ => " /CIDToGIDMap 8 0 R").getOrElse("")
+    sb ++= obj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H " +
+      "/Encoding /Identity-H /DescendantFonts [6 0 R] >>")
+    sb ++= obj(6, "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake " +
+      s"/FontDescriptor 7 0 R$c2g >>")
+    sb ++= obj(7, s"<< /Type /FontDescriptor /FontName /Fake /$fontFileKey 9 0 R >>")
+    cidToGid.foreach { m =>
+      sb ++= s"8 0 obj\n<< /Length ${m.length} >>\nstream\n" +
+        new String(m, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+    }
+    sb ++= s"9 0 obj\n<< /Length ${ttf.length} >>\nstream\n" +
+      new String(ttf, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  test("TrueTypeCmap: format-4 parse and smallest-codepoint inversion") {
+    import graft.ingest.TrueTypeCmap
+    val ttf = ttfWithCmap4(Seq('H'.toInt -> 3, 'i'.toInt -> 4,
+      0x3042 -> 5, 0x00A0 -> 6, ' '.toInt -> 6)) // gid 6 shared: space + nbsp
+    val u2g = TrueTypeCmap.unicodeToGlyph(ttf)
+    assert(u2g === Map('H'.toInt -> 3, 'i'.toInt -> 4, 0x3042 -> 5,
+      0x00A0 -> 6, ' '.toInt -> 6))
+    val g2u = TrueTypeCmap.glyphToUnicode(ttf)
+    assert(g2u(3) === "H" && g2u(5) === "あ")
+    assert(g2u(6) === " ") // smallest codepoint wins for the shared glyph
+    assert(TrueTypeCmap.unicodeToGlyph("nonsense".getBytes) === Map.empty)
+  }
+
+  test("CID font with no ToUnicode: text recovered from the font's cmap") {
+    val ttf = ttfWithCmap4(Seq('H'.toInt -> 3, 'i'.toInt -> 4, 0x3042 -> 5))
+    // Identity CIDToGIDMap (absent → default): show codes ARE glyph ids
+    val pdf = cidFontPdf(
+      "BT /F1 12 Tf 72 720 Td <0003 0004 0005 0999> Tj ET", ttf)
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("Hiあ"))
+  }
+
+  test("CID font: CIDToGIDMap stream remaps show codes before the cmap") {
+    val ttf = ttfWithCmap4(Seq('H'.toInt -> 3, 'i'.toInt -> 4))
+    // cid 1 → gid 3 ('H'), cid 2 → gid 4 ('i'); cid 0/3 → gid 0 (missing)
+    val map = Array[Byte](0, 0, 0, 3, 0, 4, 0, 0)
+    val pdf = cidFontPdf(
+      "BT /F1 12 Tf 72 720 Td <0001 0002 0003> Tj ET", ttf, Some(map))
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("Hi"))
+  }
+
+  test("undecodable Type0 shows DROP (empty map), never byte-garble") {
+    // CFF descendant (FontFile3): out of subset — glyph-id shows must not
+    // fall back to Latin-1 byte decoding (that garbles)
+    val ttf = ttfWithCmap4(Seq('H'.toInt -> 3))
+    val pdf = cidFontPdf("BT /F1 12 Tf 72 720 Td <00480069> Tj ET", ttf,
+      fontFileKey = "FontFile3")
+    assert(PdfTextParser.parseItems(pdf) === Seq.empty)
+  }
+
+  // ---- simple-font /Encoding /Differences (the pdftex/LaTeX shape) ----
+
+  test("Differences arrays re-seat codes to named glyphs; gaps byte-decode") {
+    // the classic pdftex T1 re-seating: 12→fi 13→fl, quotes at 16/17,
+    // 123→endash, a uniXXXX name, and .notdef explicitly dropping a code
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.4\n"
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>")
+    sb ++= streamObj(4,
+      "BT /F1 12 Tf 72 720 Td <0C0D 10 41 2D 11 7B 1D 1E> Tj ET",
+      compress = false)
+    sb ++= obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /CMR10 " +
+      "/Encoding << /Type /Encoding /Differences " +
+      "[12 /fi /fl 16 /quoteleft /quoteright 123 /endash " +
+      "29 /uni2020 /.notdef] >> >>")
+    sb ++= "%%EOF\n"
+    val items = PdfTextParser.parseItems(
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+    // 0C→ﬁ 0D→ﬂ 10→‘ 41→'A' (gap: byte fallback) 2D→'-' 11→’ 7B→–
+    // 1D→† (uni2020) 1E→.notdef dropped
+    assert(items.map(_.text) === Seq("ﬁﬂ‘A-’–†"))
+  }
+
+  test("a ToUnicode map still wins over a Differences array") {
+    // font carries BOTH: ToUnicode says 01→H 02→i, Differences says
+    // 1→A 2→B — §9.10.2 prefers /ToUnicode for text extraction
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.4\n"
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>")
+    sb ++= streamObj(4, "BT /F1 12 Tf 72 720 Td <0102> Tj ET",
+      compress = false)
+    sb ++= obj(5, "<< /Type /Font /Subtype /Type1 /ToUnicode 6 0 R " +
+      "/Encoding << /Differences [1 /A /B] >> >>")
+    sb ++= streamObj(6, testCMap, compress = true)
+    sb ++= "%%EOF\n"
+    assert(PdfTextParser.parseItems(
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1)).map(_.text) ===
+      Seq("Hi"))
+    import graft.ingest.GlyphNames
+    assert(GlyphNames.toUnicode("adieresis") === Some("ä"))
+    assert(GlyphNames.toUnicode("uni00E4") === Some("ä"))
+    assert(GlyphNames.toUnicode("u1F600") === Some("😀"))
+    assert(GlyphNames.toUnicode("nosuchglyph") === None)
+  }
+
   test("fonts inherit /Resources from ancestor Pages nodes") {
     // /Resources lives on the Pages node; the page itself has none — the
     // /Parent walk must still find /F1's ToUnicode (ISO 32000 §7.7.3.4)
