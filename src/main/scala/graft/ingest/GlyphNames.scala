@@ -119,3 +119,57 @@ private[graft] object GlyphNames {
     "sfthyphen" -> "­", "middot" -> "·",
     "apple" -> "", ".notdef" -> "")
 }
+
+/** Byte → unicode tables for the two named simple-font base encodings
+  * whose upper ranges DIVERGE from Latin-1 (ISO 32000 Annex D). Only the
+  * diverging codes are tabulated — everything absent falls back to the
+  * Latin-1 byte decode, which is already correct for it. Codes Annex D
+  * leaves undefined map to "" (drop, never garble); so do the legacy Mac
+  * math-symbol slots Annex D's text encoding omits. */
+private[graft] object BaseEncodings {
+
+  /** WinAnsiEncoding = cp1252: only 0x80–0x9F differs from Latin-1 */
+  val winAnsi: Map[Int, String] = Map(
+    0x80 -> "€", 0x81 -> "", 0x82 -> "‚", 0x83 -> "ƒ", 0x84 -> "„",
+    0x85 -> "…", 0x86 -> "†", 0x87 -> "‡", 0x88 -> "ˆ", 0x89 -> "‰",
+    0x8A -> "Š", 0x8B -> "‹", 0x8C -> "Œ", 0x8D -> "", 0x8E -> "Ž",
+    0x8F -> "", 0x90 -> "", 0x91 -> "‘", 0x92 -> "’", 0x93 -> "“",
+    0x94 -> "”", 0x95 -> "•", 0x96 -> "–", 0x97 -> "—", 0x98 -> "˜",
+    0x99 -> "™", 0x9A -> "š", 0x9B -> "›", 0x9C -> "œ", 0x9D -> "",
+    0x9E -> "ž", 0x9F -> "Ÿ")
+
+  /** MacRomanEncoding: the entire 0x80–0xFF half is its own layout */
+  val macRoman: Map[Int, String] = Map(
+    0x80 -> "Ä", 0x81 -> "Å", 0x82 -> "Ç", 0x83 -> "É", 0x84 -> "Ñ",
+    0x85 -> "Ö", 0x86 -> "Ü", 0x87 -> "á", 0x88 -> "à", 0x89 -> "â",
+    0x8A -> "ä", 0x8B -> "ã", 0x8C -> "å", 0x8D -> "ç", 0x8E -> "é",
+    0x8F -> "è", 0x90 -> "ê", 0x91 -> "ë", 0x92 -> "í", 0x93 -> "ì",
+    0x94 -> "î", 0x95 -> "ï", 0x96 -> "ñ", 0x97 -> "ó", 0x98 -> "ò",
+    0x99 -> "ô", 0x9A -> "ö", 0x9B -> "õ", 0x9C -> "ú", 0x9D -> "ù",
+    0x9E -> "û", 0x9F -> "ü", 0xA0 -> "†", 0xA1 -> "°", 0xA2 -> "¢",
+    0xA3 -> "£", 0xA4 -> "§", 0xA5 -> "•", 0xA6 -> "¶", 0xA7 -> "ß",
+    0xA8 -> "®", 0xA9 -> "©", 0xAA -> "™", 0xAB -> "´", 0xAC -> "¨",
+    0xAD -> "", 0xAE -> "Æ", 0xAF -> "Ø", 0xB0 -> "", 0xB1 -> "±",
+    0xB2 -> "", 0xB3 -> "", 0xB4 -> "¥", 0xB5 -> "µ", 0xB6 -> "",
+    0xB7 -> "", 0xB8 -> "", 0xB9 -> "", 0xBA -> "", 0xBB -> "ª",
+    0xBC -> "º", 0xBD -> "", 0xBE -> "æ", 0xBF -> "ø", 0xC0 -> "¿",
+    0xC1 -> "¡", 0xC2 -> "¬", 0xC3 -> "", 0xC4 -> "ƒ", 0xC5 -> "",
+    0xC6 -> "", 0xC7 -> "«", 0xC8 -> "»", 0xC9 -> "…", 0xCA -> " ",
+    0xCB -> "À", 0xCC -> "Ã", 0xCD -> "Õ", 0xCE -> "Œ", 0xCF -> "œ",
+    0xD0 -> "–", 0xD1 -> "—", 0xD2 -> "“", 0xD3 -> "”", 0xD4 -> "‘",
+    0xD5 -> "’", 0xD6 -> "÷", 0xD7 -> "", 0xD8 -> "ÿ", 0xD9 -> "Ÿ",
+    0xDA -> "⁄", 0xDB -> "¤", 0xDC -> "‹", 0xDD -> "›", 0xDE -> "ﬁ",
+    0xDF -> "ﬂ", 0xE0 -> "‡", 0xE1 -> "·", 0xE2 -> "‚", 0xE3 -> "„",
+    0xE4 -> "‰", 0xE5 -> "Â", 0xE6 -> "Ê", 0xE7 -> "Á", 0xE8 -> "Ë",
+    0xE9 -> "È", 0xEA -> "Í", 0xEB -> "Î", 0xEC -> "Ï", 0xED -> "Ì",
+    0xEE -> "Ó", 0xEF -> "Ô", 0xF0 -> "", 0xF1 -> "Ò", 0xF2 -> "Ú",
+    0xF3 -> "Û", 0xF4 -> "Ù", 0xF5 -> "ı", 0xF6 -> "ˆ", 0xF7 -> "˜",
+    0xF8 -> "¯", 0xF9 -> "˘", 0xFA -> "˙", 0xFB -> "˚", 0xFC -> "¸",
+    0xFD -> "˝", 0xFE -> "˛", 0xFF -> "ˇ")
+
+  def forName(name: String): Option[Map[Int, String]] = name match {
+    case "WinAnsiEncoding"  => Some(winAnsi)
+    case "MacRomanEncoding" => Some(macRoman)
+    case _ => None
+  }
+}

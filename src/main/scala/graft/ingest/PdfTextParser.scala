@@ -789,36 +789,46 @@ object PdfTextParser {
     }
   }
 
-  /** Simple-font /Encoding /Differences (§9.6.6): byte code → glyph NAME
-    * → unicode via [[GlyphNames]]. pdftex/LaTeX output re-seats
-    * ligatures, curly quotes, and accented letters this way, so the plain
-    * byte fallback garbles them. Codes the array doesn't cover (or whose
-    * glyph name is unknown) keep the byte-decode fallback through the
-    * width-1 CMap's per-byte getOrElse; a name that RESOLVES to empty
-    * (.notdef) maps to "" and drops. */
+  /** Simple-font /Encoding (§9.6.6): a named base encoding
+    * ([[BaseEncodings]] — WinAnsi's 0x80–0x9F and MacRoman's whole upper
+    * half diverge from the Latin-1 byte fallback) overlaid with a
+    * /Differences array mapping byte codes → glyph NAMES → unicode via
+    * [[GlyphNames]] (the pdftex/LaTeX re-seating of ligatures, curly
+    * quotes, and accents). Codes neither covers (or whose glyph name is
+    * unknown) keep the byte-decode fallback through the width-1 CMap's
+    * per-byte getOrElse; a name or slot that RESOLVES to empty (.notdef,
+    * Annex-D-undefined codes) maps to "" and drops. */
   private def differencesCMap(fd: PDict, byNum: Map[Int, PdfObj]): Option[CMap] = {
     def asDict(v: PVal): Option[PDict] = v match {
       case d: PDict => Some(d)
       case PRef(n) => byNum.get(n).flatMap(_.dict)
       case _ => None
     }
-    val cm = for {
-      encDict <- fd.m.get("Encoding").flatMap(asDict)
-      diffs <- encDict.m.get("Differences").collect { case PArr(items) => items }
-    } yield {
-      val m = Map.newBuilder[(Int, Int), String]
-      var code = -1
-      diffs.foreach {
-        case PNum(n) => code = n.toInt
-        case PName(g) =>
-          if (code >= 0 && code <= 255)
-            GlyphNames.toUnicode(g).foreach(u => m += ((1, code)) -> u)
-          code += 1
-        case _ => () // malformed member: skip, keep consuming
+    val enc = fd.m.get("Encoding")
+    val base: Map[Int, String] = {
+      val name = enc match {
+        case Some(PName(n)) => Some(n)
+        case _ => enc.flatMap(asDict).flatMap(
+          _.m.get("BaseEncoding").collect { case PName(n) => n })
       }
-      CMap(List(1), Vector((1, 0, 255)), m.result())
+      name.flatMap(BaseEncodings.forName).getOrElse(Map.empty)
     }
-    cm.filter(!_.isEmpty)
+    val diffs = enc.flatMap(asDict).flatMap(
+      _.m.get("Differences").collect { case PArr(items) => items })
+      .getOrElse(Vector.empty)
+    val m = mutable.Map.empty[(Int, Int), String]
+    base.foreach { case (c, u) => m((1, c)) = u }
+    var code = -1
+    diffs.foreach {
+      case PNum(n) => code = n.toInt
+      case PName(g) =>
+        if (code >= 0 && code <= 255)
+          GlyphNames.toUnicode(g).foreach(u => m((1, code)) = u)
+        code += 1
+      case _ => () // malformed member: skip, keep consuming
+    }
+    if (m.isEmpty) None
+    else Some(CMap(List(1), Vector((1, 0, 255)), m.toMap))
   }
 
   /** CID-keyed fonts carrying NO usable /ToUnicode: recover glyph→unicode

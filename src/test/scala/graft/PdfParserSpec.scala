@@ -826,6 +826,34 @@ class PdfParserSpec extends AnyFunSuite {
     assert(items.map(_.text) === Seq("ﬁﬂ‘A-’–†"))
   }
 
+  test("WinAnsi and MacRoman base encodings re-map the upper byte range") {
+    def onePage(fontBody: String, hexShow: String): Array[Byte] = {
+      val sb = new StringBuilder
+      sb ++= "%PDF-1.4\n"
+      sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+      sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>")
+      sb ++= streamObj(4, s"BT /F1 12 Tf 72 720 Td <$hexShow> Tj ET",
+        compress = false)
+      sb ++= obj(5, fontBody)
+      sb ++= "%%EOF\n"
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    }
+    // cp1252: 93/94 curly quotes, 96 endash, 80 euro; 41='A' unchanged;
+    // 8D is undefined in Annex D → dropped
+    val win = onePage("<< /Type /Font /Subtype /TrueType /BaseFont /Arial " +
+      "/Encoding /WinAnsiEncoding >>", "93 41 94 20 96 80 8D")
+    assert(PdfTextParser.parseItems(win).map(_.text) === Seq("“A” –€"))
+    // MacRoman: 8A=ä D0=– DE=ﬁ A5=•; ASCII unchanged; as /BaseEncoding
+    // inside an /Encoding dict with a Differences overlay on top (C7→/fl
+    // overrides «)
+    val mac = onePage("<< /Type /Font /Subtype /Type1 /BaseFont /Times " +
+      "/Encoding << /BaseEncoding /MacRomanEncoding " +
+      "/Differences [199 /fl] >> >>", "8A 42 D0 DE A5 C7")
+    assert(PdfTextParser.parseItems(mac).map(_.text) === Seq("äB–ﬁ•ﬂ"))
+  }
+
   test("a ToUnicode map still wins over a Differences array") {
     // font carries BOTH: ToUnicode says 01→H 02→i, Differences says
     // 1→A 2→B — §9.10.2 prefers /ToUnicode for text extraction
