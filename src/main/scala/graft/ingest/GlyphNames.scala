@@ -167,9 +167,38 @@ private[graft] object BaseEncodings {
     0xF8 -> "¯", 0xF9 -> "˘", 0xFA -> "˙", 0xFB -> "˚", 0xFC -> "¸",
     0xFD -> "˝", 0xFE -> "˛", 0xFF -> "ˇ")
 
+  /** StandardEncoding (the PostScript-era Annex D column): ASCII except
+    * 0x27/0x60 are the CURLY quotes, and the upper half is its own
+    * sparse layout (ligatures, accents as spacing glyphs, old-style
+    * punctuation slots). Undefined slots → "" (drop). */
+  val standard: Map[Int, String] = Map(
+    0x27 -> "’", 0x60 -> "‘",
+    0xA1 -> "¡", 0xA2 -> "¢", 0xA3 -> "£", 0xA4 -> "⁄", 0xA5 -> "¥",
+    0xA6 -> "ƒ", 0xA7 -> "§", 0xA8 -> "¤", 0xA9 -> "'", 0xAA -> "“",
+    0xAB -> "«", 0xAC -> "‹", 0xAD -> "›", 0xAE -> "ﬁ", 0xAF -> "ﬂ",
+    0xB0 -> "", 0xB1 -> "–", 0xB2 -> "†", 0xB3 -> "‡", 0xB4 -> "·",
+    0xB5 -> "", 0xB6 -> "¶", 0xB7 -> "•", 0xB8 -> "‚", 0xB9 -> "„",
+    0xBA -> "”", 0xBB -> "»", 0xBC -> "…", 0xBD -> "‰", 0xBE -> "",
+    0xBF -> "¿", 0xC0 -> "", 0xC1 -> "`", 0xC2 -> "´", 0xC3 -> "ˆ",
+    0xC4 -> "˜", 0xC5 -> "¯", 0xC6 -> "˘", 0xC7 -> "˙", 0xC8 -> "¨",
+    0xC9 -> "", 0xCA -> "˚", 0xCB -> "¸", 0xCC -> "", 0xCD -> "˝",
+    0xCE -> "˛", 0xCF -> "ˇ", 0xD0 -> "—",
+    0xE1 -> "Æ", 0xE3 -> "ª", 0xE8 -> "Ł", 0xE9 -> "Ø", 0xEA -> "Œ",
+    0xEB -> "º", 0xF1 -> "æ", 0xF5 -> "ı", 0xF8 -> "ł", 0xF9 -> "ø",
+    0xFA -> "œ", 0xFB -> "ß") ++
+    // every remaining 0x80–0xFF slot is undefined in this column: drop
+    (0x80 to 0xFF).filterNot(c => Set(
+      0xA1, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xAB,
+      0xAC, 0xAD, 0xAE, 0xAF, 0xB1, 0xB2, 0xB3, 0xB4, 0xB6, 0xB7, 0xB8,
+      0xB9, 0xBA, 0xBB, 0xBC, 0xBD, 0xBF, 0xC1, 0xC2, 0xC3, 0xC4, 0xC5,
+      0xC6, 0xC7, 0xC8, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xD0, 0xE1, 0xE3,
+      0xE8, 0xE9, 0xEA, 0xEB, 0xF1, 0xF5, 0xF8, 0xF9, 0xFA, 0xFB)
+      .contains(c)).map(_ -> "").toMap
+
   def forName(name: String): Option[Map[Int, String]] = name match {
     case "WinAnsiEncoding"  => Some(winAnsi)
     case "MacRomanEncoding" => Some(macRoman)
+    case "StandardEncoding" => Some(standard)
     case _ => None
   }
 }

@@ -854,6 +854,33 @@ class PdfParserSpec extends AnyFunSuite {
     assert(PdfTextParser.parseItems(mac).map(_.text) === Seq("äB–ﬁ•ﬂ"))
   }
 
+  test("StandardEncoding curly quotes; Type3 fonts route through Differences") {
+    def onePage(fontBody: String, show: String): Array[Byte] = {
+      val sb = new StringBuilder
+      sb ++= "%PDF-1.4\n"
+      sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+      sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>")
+      sb ++= streamObj(4, s"BT /F1 12 Tf 72 720 Td $show Tj ET",
+        compress = false)
+      sb ++= obj(5, fontBody)
+      sb ++= "%%EOF\n"
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    }
+    // StandardEncoding: 0x27/0x60 are CURLY quotes, 0xAE the fi ligature,
+    // 0xD5 undefined (dropped); ASCII letters unchanged
+    val std = onePage("<< /Type /Font /Subtype /Type1 /BaseFont /Courier " +
+      "/Encoding /StandardEncoding >>", "<60 41 27 AE D5>")
+    assert(PdfTextParser.parseItems(std).map(_.text) === Seq("‘A’ﬁ"))
+    // a Type3 font's REQUIRED /Encoding /Differences decodes the same way
+    val t3 = onePage("<< /Type /Font /Subtype /Type3 " +
+      "/FontBBox [0 0 10 10] /FontMatrix [0.01 0 0 0.01 0 0] " +
+      "/CharProcs << >> /Encoding << /Differences [65 /dagger /bullet] >> >>",
+      "<4142>")
+    assert(PdfTextParser.parseItems(t3).map(_.text) === Seq("†•"))
+  }
+
   test("a ToUnicode map still wins over a Differences array") {
     // font carries BOTH: ToUnicode says 01→H 02→i, Differences says
     // 1→A 2→B — §9.10.2 prefers /ToUnicode for text extraction
