@@ -704,10 +704,30 @@ class PdfParserSpec extends AnyFunSuite {
     Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
       ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
 
-  /** minimal sfnt holding ONE (3,1) format-4 'cmap' subtable: each
-    * (unicode → gid) pair is its own single-code segment (idRangeOffset
-    * 0, idDelta = gid − code), plus the mandatory 0xFFFF terminator */
-  private def ttfWithCmap4(pairs: Seq[(Int, Int)]): Array[Byte] = {
+  /** minimal sfnt whose only table is a 'cmap' holding the given
+    * (platformID, encodingID, subtable-bytes) records */
+  private def sfntWithCmap(records: Seq[(Int, Int, Array[Byte])]): Array[Byte] = {
+    val cmap = new ByteArrayOutputStream()
+    cmap.write(be16(0)); cmap.write(be16(records.length))
+    var off = 4 + 8 * records.length
+    records.foreach { case (p, e, sub) =>
+      cmap.write(be16(p)); cmap.write(be16(e)); cmap.write(be32(off))
+      off += sub.length
+    }
+    records.foreach { case (_, _, sub) => cmap.write(sub) }
+    val body = cmap.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write(be32(0x00010000L)); out.write(be16(1))         // sfnt, 1 table
+    out.write(be16(16)); out.write(be16(0)); out.write(be16(0))
+    out.write("cmap".getBytes(StandardCharsets.ISO_8859_1))
+    out.write(be32(0)); out.write(be32(28)); out.write(be32(body.length))
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** format-4 subtable via the idDelta path: each (unicode → gid) pair is
+    * its own single-code segment, plus the mandatory 0xFFFF terminator */
+  private def cmap4Subtable(pairs: Seq[(Int, Int)]): Array[Byte] = {
     val segs = pairs.sortBy(_._1) :+ (0xFFFF -> 0)
     val n = segs.length
     val sub = new ByteArrayOutputStream()
@@ -719,18 +739,38 @@ class PdfParserSpec extends AnyFunSuite {
     segs.foreach { case (c, g) =>                            // idDelta
       sub.write(be16(if (c == 0xFFFF) 1 else (g - c) & 0xFFFF)) }
     segs.foreach(_ => sub.write(be16(0)))                    // idRangeOffset
-    val cmap = new ByteArrayOutputStream()
-    cmap.write(be16(0)); cmap.write(be16(1))                 // version, 1 record
-    cmap.write(be16(3)); cmap.write(be16(1)); cmap.write(be32(12))
-    cmap.write(sub.toByteArray)
-    val body = cmap.toByteArray
-    val out = new ByteArrayOutputStream()
-    out.write(be32(0x00010000L)); out.write(be16(1))         // sfnt, 1 table
-    out.write(be16(16)); out.write(be16(0)); out.write(be16(0))
-    out.write("cmap".getBytes(StandardCharsets.ISO_8859_1))
-    out.write(be32(0)); out.write(be32(28)); out.write(be32(body.length))
-    out.write(body)
-    out.toByteArray
+    sub.toByteArray
+  }
+
+  private def ttfWithCmap4(pairs: Seq[(Int, Int)]): Array[Byte] =
+    sfntWithCmap(Seq((3, 1, cmap4Subtable(pairs))))
+
+  /** format-4 subtable exercising the idRangeOffset → glyphIdArray path:
+    * one segment [start, start+gids.length−1] whose glyphs come from the
+    * trailing array (idDelta 0), plus the terminator */
+  private def cmap4RangeSubtable(start: Int, gids: Seq[Int]): Array[Byte] = {
+    val sub = new ByteArrayOutputStream()
+    sub.write(be16(4)); sub.write(be16(16 + 16 + 2 * gids.length)); sub.write(be16(0))
+    sub.write(be16(4)); sub.write(be16(2)); sub.write(be16(1)); sub.write(be16(0))
+    sub.write(be16(start + gids.length - 1)); sub.write(be16(0xFFFF)) // endCodes
+    sub.write(be16(0))                                                // pad
+    sub.write(be16(start)); sub.write(be16(0xFFFF))                   // startCodes
+    sub.write(be16(0)); sub.write(be16(1))                            // idDelta
+    // seg 0's offset word sits 4 bytes before the glyphIdArray
+    sub.write(be16(4)); sub.write(be16(0))                            // idRangeOffset
+    gids.foreach(g => sub.write(be16(g)))                             // glyphIdArray
+    sub.toByteArray
+  }
+
+  /** format-12 subtable: sequential-gid groups (start, end, startGid) */
+  private def cmap12Subtable(groups: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val sub = new ByteArrayOutputStream()
+    sub.write(be16(12)); sub.write(be16(0))
+    sub.write(be32(16 + 12 * groups.length)); sub.write(be32(0))
+    sub.write(be32(groups.length))
+    groups.foreach { case (s, e, g) =>
+      sub.write(be32(s)); sub.write(be32(e)); sub.write(be32(g)) }
+    sub.toByteArray
   }
 
   /** one-page PDF with a Type0/Identity-H/CIDFontType2 font embedding
@@ -772,6 +812,26 @@ class PdfParserSpec extends AnyFunSuite {
     assert(g2u(3) === "H" && g2u(5) === "あ")
     assert(g2u(6) === " ") // smallest codepoint wins for the shared glyph
     assert(TrueTypeCmap.unicodeToGlyph("nonsense".getBytes) === Map.empty)
+  }
+
+  test("TrueTypeCmap: idRangeOffset glyph arrays, format 12, preference") {
+    import graft.ingest.TrueTypeCmap
+    // format 4 via the glyphIdArray path (non-contiguous gids force it)
+    val range = sfntWithCmap(Seq((3, 1,
+      cmap4RangeSubtable('a'.toInt, Seq(7, 0, 9))))) // 'b' → gid 0: absent
+    assert(TrueTypeCmap.unicodeToGlyph(range) ===
+      Map('a'.toInt -> 7, 'c'.toInt -> 9))
+    // format 12 carries supplementary-plane codes; surrogate-paired back
+    val f12 = sfntWithCmap(Seq((3, 10,
+      cmap12Subtable(Seq((0x41, 0x43, 10), (0x1F600, 0x1F601, 20))))))
+    assert(TrueTypeCmap.unicodeToGlyph(f12) ===
+      Map(0x41 -> 10, 0x42 -> 11, 0x43 -> 12, 0x1F600 -> 20, 0x1F601 -> 21))
+    assert(TrueTypeCmap.glyphToUnicode(f12)(20) === "😀")
+    // a font carrying BOTH picks the (3,10) format-12 subtable
+    val both = sfntWithCmap(Seq(
+      (3, 1, cmap4Subtable(Seq('X'.toInt -> 99))),
+      (3, 10, cmap12Subtable(Seq((0x41, 0x41, 5))))))
+    assert(TrueTypeCmap.unicodeToGlyph(both) === Map(0x41 -> 5))
   }
 
   test("CID font with no ToUnicode: text recovered from the font's cmap") {
