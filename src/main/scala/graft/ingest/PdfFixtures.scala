@@ -82,3 +82,131 @@ object PdfFixtures {
     sb.toString.getBytes(StandardCharsets.ISO_8859_1)
   }
 }
+
+/** S6 registry fixture: one-page PDFs carrying the given pre-split text
+  * lines as BOM'd UTF-16BE hex shows (exact round-trip for any string),
+  * with the FILE STRUCTURE varying by `doc_id % 6` while the text stays
+  * invariant — so one closed-form oracle (the lines themselves) pins the
+  * whole decode subsystem under the driver's harness on every run:
+  *
+  *  - mode 0: plain uncompressed content stream
+  *  - mode 1: FlateDecode
+  *  - mode 2: `[/ASCIIHexDecode /FlateDecode]` filter chain
+  *  - mode 3: RunLengthDecode
+  *  - mode 4: /ObjStm layout (catalog/page tree inside a flated object
+  *    stream — the modern-producer default)
+  *  - mode 5: RC4 R=3 standard-security-handler encryption (empty user
+  *    password) over a flated stream
+  *
+  * Any decoder regression changes the extracted text for one-sixth of the
+  * corpus and breaks the hash compare. */
+object PdfTextFixtures {
+  import java.nio.charset.StandardCharsets.ISO_8859_1
+
+  def textPdf(docId: Long, lines: Seq[String]): Array[Byte] = {
+    val shows = lines.zipWithIndex.filter(_._1.nonEmpty).map { case (l, i) =>
+      val hex = ("\uFEFF" + l).map(c => f"${c.toInt}%04X").mkString
+      s"1 0 0 1 72 ${720 - 24 * i} Tm <$hex> Tj"
+    }.mkString(" ")
+    val raw = s"BT /F1 12 Tf $shows ET".getBytes(ISO_8859_1)
+    (docId % 6) match {
+      case 0 => classic(raw, "")
+      case 1 => classic(deflate(raw), " /Filter /FlateDecode")
+      case 2 => classic(hexEnc(deflate(raw)),
+        " /Filter [/ASCIIHexDecode /FlateDecode]")
+      case 3 => classic(rle(raw), " /Filter /RunLengthDecode")
+      case 4 => objStmLayout(deflate(raw))
+      case _ => encrypted(deflate(raw))
+    }
+  }
+
+  private val structural = Seq(
+    1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+    2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+    3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+
+  private def obj(num: Int, body: String): String =
+    s"$num 0 obj\n$body\nendobj\n"
+  private def streamObj(num: Int, data: Array[Byte], filter: String): String =
+    s"$num 0 obj\n<< /Length ${data.length}$filter >>\nstream\n" +
+      new String(data, ISO_8859_1) + "\nendstream\nendobj\n"
+
+  private def classic(data: Array[Byte], filter: String): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-1.4\n")
+    structural.foreach { case (n, b) => sb ++= obj(n, b) }
+    sb ++= streamObj(4, data, filter)
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  private def objStmLayout(content: Array[Byte]): Array[Byte] = {
+    val bodies = structural.map(_._2)
+    val offsets = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+    val header = structural.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ")
+    val payload = (header + "\n" + bodies.mkString("\n")).getBytes(ISO_8859_1)
+    val stm = deflate(payload)
+    val sb = new StringBuilder("%PDF-1.5\n")
+    sb ++= s"10 0 obj\n<< /Type /ObjStm /N ${structural.length} " +
+      s"/First ${header.length + 1} /Length ${stm.length} " +
+      "/Filter /FlateDecode >>\nstream\n" +
+      new String(stm, ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= streamObj(4, content, " /Filter /FlateDecode")
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  // RC4 R=3 empty-user-password fixture constants (forward algorithms
+  // shared with PdfDecrypt — the decrypt leg is independently pinned by
+  // PdfDecryptSpec's own forward twins)
+  private val oEntry = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
+  private val fileId = Array.tabulate[Byte](16)(i => (i * 11 + 5).toByte)
+  private val pPerm = -44
+  private lazy val fileKey =
+    PdfDecrypt.fileKeyR234(oEntry, pPerm, fileId, 16, 3, encryptMetadata = true)
+  private lazy val uEntry = PdfDecrypt.userValueR234(fileKey, 3, fileId)
+
+  /** §7.6.2 Algorithm 1 per-object key (num, gen 0) */
+  private def objKey(num: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(fileKey)
+    md.update(Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+      ((num >> 16) & 0xFF).toByte, 0, 0))
+    md.digest().take(math.min(fileKey.length + 5, 16))
+  }
+
+  private def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+
+  private def encrypted(content: Array[Byte]): Array[Byte] = {
+    val enc = PdfDecrypt.rc4(objKey(4), content)
+    val sb = new StringBuilder("%PDF-1.4\n")
+    structural.foreach { case (n, b) => sb ++= obj(n, b) }
+    sb ++= streamObj(4, enc, " /Filter /FlateDecode")
+    sb ++= obj(8, "<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+      s"/O <${hex(oEntry)}> /U <${hex(uEntry)}> /P $pPerm >>")
+    sb ++= s"trailer\n<< /Root 1 0 R /Size 9 /Encrypt 8 0 R " +
+      s"/ID [<${hex(fileId)}> <${hex(fileId)}>] >>\n%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def hexEnc(raw: Array[Byte]): Array[Byte] =
+    (raw.map("%02X".format(_)).mkString + ">").getBytes(ISO_8859_1)
+
+  /** literal-only RunLength encoding (runs ≤ 128 + EOD) */
+  private def rle(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    raw.grouped(128).foreach { g => out.write(g.length - 1); out.write(g) }
+    out.write(128)
+    out.toByteArray
+  }
+}

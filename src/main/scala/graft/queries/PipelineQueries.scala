@@ -204,6 +204,36 @@ object PipelineQueries {
       Some(s"""$SyncCte
               |SELECT action, count(*) AS cnt FROM plan GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- S6 end-to-end: byte-level TEXT extraction over genuine
+    // assembled PDFs whose STRUCTURE varies by doc_id % 6 (plain, Flate,
+    // ASCIIHex+Flate chain, RunLength, /ObjStm layout, RC4-encrypted —
+    // ingest/PdfTextFixtures) while the text is invariant: the oracle
+    // recomputes the expected lines directly from the documents table, so
+    // any filter/ObjStm/decryption regression breaks the hash for a sixth
+    // of the corpus. Lines are split with SQL substr on BOTH sides (char
+    // semantics parity); empty lines are never shown and never expected. -----
+    Q("s6_pdf_text_extract",
+      (s, d) => {
+        val mk = udf((id: Long, l0: String, l1: String, l2: String) =>
+          graft.ingest.PdfTextFixtures.textPdf(id, Seq(l0, l1, l2)))
+        val parse = udf((b: Array[Byte]) =>
+          graft.ingest.PdfTextParser.parseItems(b).map(it => (it.y, it.text)))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            mk(col("doc_id"), expr("substr(text, 1, 36)"),
+              expr("substr(text, 24, 36)"), expr("substr(text, 47, 36)"))
+              .as("content"))
+          .select(col("doc_id"), explode(parse(col("content"))).as("it"))
+          .select(col("doc_id"), col("it._1").cast("long").as("ry"),
+            col("it._2").as("line"))
+          .orderBy(col("doc_id"), col("ry").desc)
+      },
+      Some("""WITH ln AS (SELECT doc_id, t.i,
+             |    substr(text, 1 + t.i * 23, 36) AS line
+             |  FROM documents, (SELECT unnest(range(0, 3)) AS i) t)
+             |SELECT doc_id, CAST(720 - 24 * i AS BIGINT) AS ry, line
+             |FROM ln WHERE line <> '' ORDER BY doc_id, ry DESC""".stripMargin)),
+
     // ----- F16 stage 1: block-attribute header/footer hints (center-page
     // sample → median font → small-font items in extreme Y bands), the pure
     // relational half of the reference's 2-stage boundary filter -----
