@@ -50,6 +50,12 @@ import scala.collection.mutable
   *  - simple-font /Encoding /Differences arrays: byte code → glyph name
   *    → unicode ([[GlyphNames]], AGL subset + uniXXXX) — the pdftex/
   *    LaTeX shape that re-seats ligatures, curly quotes, and accents
+  *  - /Form XObjects (letterheads, stamps, figure text): Do recurses
+  *    into the form's content with its own /Resources (fonts inherited
+  *    when absent), items placed by the diag+translate part of
+  *    CTM ∘ /Matrix (q/Q/cm tracked), cycle-safe via a depth guard
+  *  - inline images (BI…ID…EI): binary payload skipped whole, so image
+  *    bytes can never lex into spurious text operators
   *
   * Not supported (emit nothing rather than garbage): DCT/CCITT/JBIG2/JPX
   * filters, CMap codespaces with bounds wider than 2 bytes, CID fonts
@@ -103,7 +109,9 @@ object PdfTextParser {
       pages.zipWithIndex.flatMap { case (pageObj, idx) =>
         contentBytes(pageObj, byNum) match {
           case Some(data) =>
-            interpret(data, idx + 1, pageFontCMaps(pageObj, byNum))
+            val res = pageResources(pageObj, byNum)
+            val fonts = fontsFromResources(res, byNum)
+            interpret(data, idx + 1, fonts, formResolver(res, fonts, byNum, 0))
           case None => Seq.empty
         }
       }
@@ -759,15 +767,28 @@ object PdfTextParser {
     * "emit nothing rather than garbage" posture applied to fonts). Only
     * simple fonts with no map at all fall back to byte decoding. */
   private[ingest] def pageFontCMaps(page: PdfObj, byNum: Map[Int, PdfObj])
-      : Map[String, CMap] = {
-    def asDict(v: PVal): Option[PDict] = v match {
+      : Map[String, CMap] =
+    fontsFromResources(pageResources(page, byNum), byNum)
+
+  /** the page's (inheritable) /Resources dict, one indirect hop resolved */
+  private[ingest] def pageResources(page: PdfObj,
+                                    byNum: Map[Int, PdfObj]): Option[PDict] =
+    inheritedAttr(page, byNum, "Resources").flatMap(refDict(_, byNum))
+
+  private def refDict(v: PVal, byNum: Map[Int, PdfObj]): Option[PDict] =
+    v match {
       case d: PDict => Some(d)
       case PRef(n) => byNum.get(n).flatMap(_.dict)
       case _ => None
     }
+
+  private[ingest] def fontsFromResources(res: Option[PDict],
+                                         byNum: Map[Int, PdfObj])
+      : Map[String, CMap] = {
+    def asDict(v: PVal): Option[PDict] = refDict(v, byNum)
     val fonts = for {
-      res <- inheritedAttr(page, byNum, "Resources").flatMap(asDict)
-      fd <- res.m.get("Font").flatMap(asDict)
+      r <- res
+      fd <- r.m.get("Font").flatMap(asDict)
     } yield fd.m
     fonts.getOrElse(Map.empty).flatMap { case (fname, fv) =>
       val fdOpt = asDict(fv)
@@ -884,10 +905,53 @@ object PdfTextParser {
     cm.filter(!_.isEmpty)
   }
 
+  // ---- Form XObjects (§8.10: reusable content referenced via Do) ----
+
+  /** a resolved /Subtype /Form environment: decoded content, fonts and a
+    * nested-form resolver scoped to ITS /Resources (inheriting the
+    * caller's when the form carries none, per §8.10.2's resource-lookup
+    * fallback), and the diag+translate part of its /Matrix */
+  private final case class FormEnv(content: Array[Byte],
+                                   fonts: Map[String, CMap],
+                                   forms: String => Option[FormEnv],
+                                   mtx: (Double, Double, Double, Double))
+
+  /** name → [[FormEnv]] through `res`'s /XObject dict; images resolve to
+    * None (their Do is a no-op for text), and a depth guard terminates
+    * self- or deeply-nested-referencing form chains */
+  private def formResolver(res: Option[PDict], fonts: Map[String, CMap],
+                           byNum: Map[Int, PdfObj], depth: Int)
+      : String => Option[FormEnv] = name =>
+    if (depth > 4) None
+    else for {
+      r <- res
+      xo <- r.m.get("XObject").flatMap(refDict(_, byNum))
+      num <- xo.m.get(name).collect { case PRef(n) => n }
+      o <- byNum.get(num)
+      d <- o.dict
+      if d.m.get("Subtype").contains(PName("Form"))
+      s <- o.stream
+      dec <- decode(s, o.dict)
+    } yield {
+      val formRes = d.m.get("Resources").flatMap(refDict(_, byNum)).orElse(res)
+      val fFonts = fontsFromResources(formRes, byNum) match {
+        case m if m.nonEmpty => m
+        case _ => fonts
+      }
+      val mtx = d.m.get("Matrix") match {
+        case Some(PArr(Vector(PNum(a), PNum(_), PNum(_), PNum(dd),
+                              PNum(e), PNum(f)))) => (a, dd, e, f)
+        case _ => (1.0, 1.0, 0.0, 0.0)
+      }
+      FormEnv(dec, fFonts, formResolver(formRes, fFonts, byNum, depth + 1), mtx)
+    }
+
   // ---- content-stream interpreter (text operators only) ----
 
   private def interpret(content: Array[Byte], page: Int,
-                        fonts: Map[String, CMap] = Map.empty): Seq[Item] = {
+                        fonts: Map[String, CMap] = Map.empty,
+                        forms: String => Option[FormEnv] = _ => None)
+      : Seq[Item] = {
     val items = mutable.ArrayBuffer.empty[Item]
     val lex = new Lexer(content, 0, content.length)
     val stack = mutable.ArrayBuffer.empty[PVal] // operand stack
@@ -897,6 +961,11 @@ object PdfTextParser {
     var lineX = 0.0; var lineY = 0.0   // start-of-line position
     var curX = 0.0; var curY = 0.0     // current show position
     var curCMap: Option[CMap] = None // active font's ToUnicode
+    // graphics CTM, diag+translate subset (a, d, e, f): tracked only to
+    // place Form-XObject text — this level's own items stay in Tm space
+    // (the established contract of this parser's coordinate subset)
+    var ctm = (1.0, 1.0, 0.0, 0.0)
+    val ctmStack = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
 
     def num(v: PVal): Double = v match { case PNum(n) => n; case _ => 0.0 }
     def newline(): Unit = { lineY -= leading; curX = lineX; curY = lineY }
@@ -1004,6 +1073,54 @@ object PdfTextParser {
             }
             stack.clear()
           case "ET" => stack.clear()
+          case "q" => ctmStack += ctm; stack.clear()
+          case "Q" =>
+            if (ctmStack.nonEmpty) { ctm = ctmStack.last; ctmStack.remove(ctmStack.length - 1) }
+            stack.clear()
+          case "cm" =>
+            // concatenate the diag+translate part (rotation/skew terms are
+            // outside the coordinate subset, same as Tm)
+            if (stack.length >= 6) {
+              val a = num(stack(stack.length - 6))
+              val d = num(stack(stack.length - 3))
+              val e = num(stack(stack.length - 2))
+              val f = num(stack(stack.length - 1))
+              ctm = (ctm._1 * a, ctm._2 * d,
+                ctm._1 * e + ctm._3, ctm._2 * f + ctm._4)
+            }
+            stack.clear()
+          case "Do" =>
+            // a /Form XObject's text, transformed by CTM ∘ form /Matrix;
+            // an /Image Do resolves to None and is a no-op
+            stack.collectFirst { case PName(n) => n }.flatMap(forms).foreach { env =>
+              val a = ctm._1 * env.mtx._1
+              val d = ctm._2 * env.mtx._2
+              val e = ctm._1 * env.mtx._3 + ctm._3
+              val f = ctm._2 * env.mtx._4 + ctm._4
+              interpret(env.content, page, env.fonts, env.forms).foreach { it =>
+                items += it.copy(x = a * it.x + e, y = d * it.y + f,
+                  fontSize = it.fontSize * math.abs(d))
+              }
+            }
+            stack.clear()
+          case "BI" =>
+            // inline image (§8.9.7): key/value tokens to ID, then RAW
+            // BINARY to a whitespace-delimited EI. The binary must not
+            // reach the lexer — bytes that happen to form "(...) Tj"
+            // would emit garbage text (and an unbalanced "(" would
+            // swallow the rest of the stream).
+            var t2 = lex.token()
+            while (t2 != null && t2 != Op("ID")) t2 = lex.token()
+            if (t2 != null) {
+              var i = lex.pos + 1 // one ws byte separates ID from data
+              while (i + 1 < content.length &&
+                     !(content(i) == 'E' && content(i + 1) == 'I' &&
+                       isWs(content(i - 1)) &&
+                       (i + 2 >= content.length || isDelim(content(i + 2)))))
+                i += 1
+              lex.pos = math.min(content.length, i + 2)
+            }
+            stack.clear()
           case _ => stack.clear() // any other operator consumes its operands
         }
         case v => stack += v

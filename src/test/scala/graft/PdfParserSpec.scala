@@ -532,6 +532,69 @@ class PdfParserSpec extends AnyFunSuite {
     assert(PdfTextParser.parseItems(file(far)).map(_.text) === Seq("fallback"))
   }
 
+  // ---- inline images and Form XObjects ----
+
+  test("inline image binary is skipped whole, never lexed into text") {
+    // the payload contains "(fake) Tj" and an unbalanced "(" — either
+    // would corrupt the stream if the bytes reached the lexer
+    val payload = "(fake) Tj ( ÿ "
+    val content = "BT /F1 12 Tf 72 720 Td (before) Tj ET " +
+      s"BI /W 2 /H 2 /CS /G /BPC 8 ID $payload\nEI " +
+      "BT /F1 12 Tf 72 700 Td (after) Tj ET"
+    val pdf = filteredPdf(content.getBytes(StandardCharsets.ISO_8859_1), "")
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("before", "after"))
+  }
+
+  test("Form XObjects: Do recurses with the form's fonts, CTM-placed") {
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.4\n"
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Fx1 7 0 R >> /Font << /F1 5 0 R >> >> >>")
+    // page text + a translated form invocation (q/Q isolates the cm)
+    sb ++= streamObj(4,
+      "BT /F1 12 Tf 72 720 Td (page text) Tj ET " +
+        "q 1 0 0 1 100 500 cm /Fx1 Do Q " +
+        "BT /F1 12 Tf 72 600 Td (more page) Tj ET", compress = false)
+    sb ++= obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    // the form has its OWN font resource with a ToUnicode (01 02 → Hi)
+    sb ++= obj(7, {
+      val body = "BT /G1 10 Tf 1 0 0 1 10 20 Tm <0102> Tj ET"
+      s"<< /Type /XObject /Subtype /Form /BBox [0 0 200 100] " +
+        s"/Resources << /Font << /G1 8 0 R >> >> /Length ${body.length} >>" +
+        s"\nstream\n$body\nendstream"
+    })
+    sb ++= obj(8, "<< /Type /Font /Subtype /Type1 /ToUnicode 9 0 R >>")
+    sb ++= streamObj(9, testCMap, compress = true)
+    sb ++= "%%EOF\n"
+    val items = PdfTextParser.parseItems(
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+    assert(items.map(_.text) === Seq("page text", "Hi", "more page"))
+    val hi = items.find(_.text == "Hi").get
+    assert(hi.x === 110.0 && hi.y === 520.0) // form Tm (10,20) + cm (100,500)
+  }
+
+  test("self-referencing forms terminate via the depth guard") {
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.4\n"
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Fx1 7 0 R >> >> >>")
+    sb ++= streamObj(4, "/Fx1 Do BT /F1 9 Tf 5 5 Td (alive) Tj ET",
+      compress = false)
+    val loop = "BT /F1 8 Tf 1 1 Td (inner) Tj ET /Fx1 Do"
+    sb ++= s"7 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 9 9] " +
+      s"/Length ${loop.length} >>\nstream\n$loop\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    val items = PdfTextParser.parseItems(
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+    // depth 0..4 of recursion → 5 "inner" items, then the guard cuts off
+    assert(items.count(_.text == "inner") === 5)
+    assert(items.exists(_.text == "alive"))
+  }
+
   // ---- /ToUnicode CMaps (single-byte) ----
 
   private def cmapPdf(content: String, cmap: String): Array[Byte] = {
