@@ -14,15 +14,23 @@ package graft.ingest
 private[graft] object GlyphNames {
 
   def toUnicode(name: String): Option[String] = {
-    if (name.startsWith("uni") && name.length >= 7) {
-      val hex = name.substring(3, 7)
-      if (hex.forall(isHex)) return Some(Integer.parseInt(hex, 16).toChar.toString)
+    // AGL `uni` form: ONE OR MORE 4-hex BMP groups concatenated
+    // (uni00660069 = "fi"); surrogate values are invalid in the form
+    if (name.startsWith("uni") && name.length > 3 &&
+        (name.length - 3) % 4 == 0) {
+      val hex = name.substring(3)
+      if (hex.forall(isHex)) {
+        val units = hex.grouped(4).map(Integer.parseInt(_, 16)).toSeq
+        if (units.forall(u => u < 0xD800 || u > 0xDFFF))
+          return Some(units.map(_.toChar).mkString)
+      }
     }
+    // AGL `u` form: exactly 4–6 hex digits, one codepoint
     if (name.startsWith("u") && name.length >= 5 && name.length <= 7) {
       val hex = name.substring(1)
       if (hex.forall(isHex)) {
         val cp = Integer.parseInt(hex, 16)
-        if (cp >= 0 && cp <= 0x10FFFF)
+        if ((cp < 0xD800 || cp > 0xDFFF) && cp <= 0x10FFFF)
           return Some(new String(Character.toChars(cp)))
       }
     }

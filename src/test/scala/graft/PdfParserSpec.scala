@@ -1025,8 +1025,11 @@ class PdfParserSpec extends AnyFunSuite {
     import graft.ingest.GlyphNames
     assert(GlyphNames.toUnicode("adieresis") === Some("ä"))
     assert(GlyphNames.toUnicode("uni00E4") === Some("ä"))
+    assert(GlyphNames.toUnicode("uni00660069") === Some("fi")) // multi-group
     assert(GlyphNames.toUnicode("u1F600") === Some("😀"))
     assert(GlyphNames.toUnicode("nosuchglyph") === None)
+    assert(GlyphNames.toUnicode("uniD800") === None) // surrogate: invalid
+    assert(GlyphNames.toUnicode("union") === None)   // not a hex form
   }
 
   test("fonts inherit /Resources from ancestor Pages nodes") {
