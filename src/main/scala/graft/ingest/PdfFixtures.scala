@@ -98,8 +98,15 @@ object PdfFixtures {
   *  - mode 5: RC4 R=3 standard-security-handler encryption (empty user
   *    password) over a flated stream
   *
-  * Any decoder regression changes the extracted text for one-sixth of the
-  * corpus and breaks the hash compare. */
+  *  - mode 6: an embedded Type1C (CFF) font whose BUILT-IN encoding
+  *    re-seats every distinct character to an arbitrary byte code
+  *    (glyph names in uniXXXX form through the CFF String INDEX) \u2014 the
+  *    dvips/dvipdfmx shape; byte-fallback decoding would emit re-seated
+  *    garbage, so only a correct [[CffFont]] Encoding \u2218 Charset walk
+  *    reproduces the text
+  *
+  * Any decoder regression changes the extracted text for one-seventh of
+  * the corpus and breaks the hash compare. */
 object PdfTextFixtures {
   import java.nio.charset.StandardCharsets.ISO_8859_1
 
@@ -109,15 +116,89 @@ object PdfTextFixtures {
       s"1 0 0 1 72 ${720 - 24 * i} Tm <$hex> Tj"
     }.mkString(" ")
     val raw = s"BT /F1 12 Tf $shows ET".getBytes(ISO_8859_1)
-    (docId % 6) match {
+    (docId % 7) match {
       case 0 => classic(raw, "")
       case 1 => classic(deflate(raw), " /Filter /FlateDecode")
       case 2 => classic(hexEnc(deflate(raw)),
         " /Filter [/ASCIIHexDecode /FlateDecode]")
       case 3 => classic(rle(raw), " /Filter /RunLengthDecode")
       case 4 => objStmLayout(deflate(raw))
-      case _ => encrypted(deflate(raw))
+      case 5 => encrypted(deflate(raw))
+      case _ => type1cBuiltin(lines.filter(_.nonEmpty), raw)
     }
+  }
+
+  /** mode 6: every distinct character across the lines gets a fresh
+    * 1-byte code (1-based, first-appearance order); the CFF's built-in
+    * encoding maps code \u2192 GID and the charset maps GID \u2192 a String-INDEX
+    * SID whose name is the character's uniXXXX form. Falls back to the
+    * Flate shape when the text needs more than 255 codes or leaves the
+    * BMP (the 1-byte/uni-form domain) \u2014 the extracted text is identical
+    * either way, so the oracle is unaffected. */
+  private def type1cBuiltin(text: Seq[String], rawUtf16: Array[Byte]): Array[Byte] = {
+    val chars = text.flatten.distinct
+    if (chars.length > 255 || chars.exists(_.isSurrogate))
+      return classic(deflate(rawUtf16), " /Filter /FlateDecode")
+    val code = chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    val shows = text.zipWithIndex.map { case (l, i) =>
+      val hex = l.map(c => f"${code(c)}%02X").mkString
+      s"1 0 0 1 72 ${720 - 24 * i} Tm <$hex> Tj"
+    }.mkString(" ")
+    val content = s"BT /F1 12 Tf $shows ET".getBytes(ISO_8859_1)
+    val font = cffWithBuiltin(chars.map(c => f"uni${c.toInt}%04X"))
+    val sb = new StringBuilder("%PDF-1.5\n")
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>")
+    sb ++= streamObj(4, content, "")
+    sb ++= obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Seated " +
+      "/FontDescriptor 6 0 R >>")
+    sb ++= obj(6, "<< /Type /FontDescriptor /FontName /Seated /FontFile3 7 0 R >>")
+    sb ++= s"7 0 obj\n<< /Length ${font.length} /Subtype /Type1C >>\nstream\n" +
+      new String(font, ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  /** minimal Type1C program (TN #5176): GID i+1 carries `names(i)` via a
+    * format-0 charset of String-INDEX SIDs (391+i) and a format-0
+    * built-in encoding assigning code i+1 \u2192 GID i+1. Offsets are written
+    * as fixed-width 4-byte DICT ints so the Top DICT length is
+    * independent of their values. */
+  private def cffWithBuiltin(names: Seq[String]): Array[Byte] = {
+    def index2(entries: Seq[Array[Byte]]): Array[Byte] = {
+      // offSize 2 keeps the writer valid for any corpus-sized name set
+      if (entries.isEmpty) return Array[Byte](0, 0)
+      val offs = entries.scanLeft(1)((a, e) => a + e.length)
+      Array[Byte]((entries.size >> 8).toByte, (entries.size & 0xFF).toByte, 2) ++
+        offs.flatMap(o => Seq((o >> 8).toByte, (o & 0xFF).toByte)).toArray ++
+        entries.flatten.toArray
+    }
+    def dictInt(v: Int, op: Int): Array[Byte] =
+      Array[Byte](29, (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte,
+        v.toByte, op.toByte)
+    val n = names.length
+    val header = Array[Byte](1, 0, 4, 1)
+    val nameIdx = index2(Seq("SeatedFont".getBytes(ISO_8859_1)))
+    def topDict(encOff: Int, csOff: Int, cstrOff: Int): Array[Byte] =
+      dictInt(csOff, 15) ++ dictInt(encOff, 16) ++ dictInt(cstrOff, 17)
+    val topIdxLen = index2(Seq(topDict(0, 0, 0))).length
+    val stringIdx = index2(names.map(_.getBytes(ISO_8859_1)))
+    val base = header.length + nameIdx.length + topIdxLen + stringIdx.length
+    val encoding = Array[Byte](0, n.toByte) ++
+      (1 to n).map(_.toByte).toArray // format 0: code i \u2192 GID i
+    val charset = Array[Byte](0) ++
+      (0 until n).flatMap { i =>
+        val sid = 391 + i
+        Seq((sid >> 8).toByte, (sid & 0xFF).toByte)
+      }.toArray
+    val encOff = base
+    val csOff = encOff + encoding.length
+    val cstrOff = csOff + charset.length
+    header ++ nameIdx ++ index2(Seq(topDict(encOff, csOff, cstrOff))) ++
+      stringIdx ++ encoding ++ charset ++
+      index2(Seq.fill(n + 1)(Array[Byte](14))) // endchar charstrings
   }
 
   private val structural = Seq(

@@ -50,6 +50,11 @@ import scala.collection.mutable
   *  - simple-font /Encoding /Differences arrays: byte code → glyph name
   *    → unicode ([[GlyphNames]], AGL subset + uniXXXX) — the pdftex/
   *    LaTeX shape that re-seats ligatures, curly quotes, and accents
+  *  - simple fonts naming NO base encoding: the embedded font program's
+  *    BUILT-IN encoding (§9.6.6), from /FontFile3 /Type1C CFF tables
+  *    ([[CffFont]]: Encoding ∘ Charset → glyph names → AGL) or a
+  *    /FontFile Type1 cleartext `dup code /name put` array
+  *    ([[Type1Font]]) — the dvips/dvipdfmx class
   *  - /Form XObjects (letterheads, stamps, figure text): Do recurses
   *    into the form's content with its own /Resources (fonts inherited
   *    when absent), items placed by the diag+translate part of
@@ -59,7 +64,8 @@ import scala.collection.mutable
   *
   * Not supported (emit nothing rather than garbage): DCT/CCITT/JBIG2/JPX
   * filters, CMap codespaces with bounds wider than 2 bytes, CID fonts
-  * whose embedded font is CFF (FontFile3) or has a stripped 'cmap' —
+  * whose embedded font is CFF (CIDFontType0C — its charset maps glyphs
+  * to CIDs, not names) or has a stripped 'cmap' —
   * their glyph-id shows are consumed pairwise and DROPPED (not
   * byte-garbled). These are the cases the reference delegates to mupdf's font
   * machinery; the boundary is documented in SURVEY §7.
@@ -818,7 +824,15 @@ object PdfTextParser {
     * quotes, and accents). Codes neither covers (or whose glyph name is
     * unknown) keep the byte-decode fallback through the width-1 CMap's
     * per-byte getOrElse; a name or slot that RESOLVES to empty (.notdef,
-    * Annex-D-undefined codes) maps to "" and drops. */
+    * Annex-D-undefined codes) maps to "" and drops.
+    *
+    * When the font dict names NO base encoding, §9.6.6 falls back to the
+    * embedded font program's BUILT-IN encoding — recovered here for
+    * /FontFile3 /Type1C ([[CffFont]]: Encoding ∘ Charset → glyph names)
+    * and /FontFile Type1 programs ([[Type1Font]]: the cleartext
+    * `dup code /name put` array). The dvips/dvipdfmx class of PDFs
+    * carries neither /ToUnicode nor /Differences and is unreadable
+    * without this step. */
   private def differencesCMap(fd: PDict, byNum: Map[Int, PdfObj]): Option[CMap] = {
     def asDict(v: PVal): Option[PDict] = v match {
       case d: PDict => Some(d)
@@ -832,7 +846,9 @@ object PdfTextParser {
         case _ => enc.flatMap(asDict).flatMap(
           _.m.get("BaseEncoding").collect { case PName(n) => n })
       }
-      name.flatMap(BaseEncodings.forName).getOrElse(Map.empty)
+      name.flatMap(BaseEncodings.forName)
+        .orElse(if (name.isEmpty) builtinBase(fd, byNum) else None)
+        .getOrElse(Map.empty)
     }
     val diffs = enc.flatMap(asDict).flatMap(
       _.m.get("Differences").collect { case PArr(items) => items })
@@ -850,6 +866,35 @@ object PdfTextParser {
     }
     if (m.isEmpty) None
     else Some(CMap(List(1), Vector((1, 0, 255)), m.toMap))
+  }
+
+  /** built-in encoding of the embedded simple-font program (§9.6.6's
+    * base when the font dict names none). /FontFile3 must declare
+    * /Subtype /Type1C — CIDFontType0C has no code→name encoding and
+    * OpenType is an SFNT wrapper, not bare CFF (both refuse). Glyph
+    * names resolve through [[GlyphNames]]; unknown names keep the byte
+    * fallback, exactly like /Differences entries. */
+  private def builtinBase(fd: PDict, byNum: Map[Int, PdfObj])
+      : Option[Map[Int, String]] = {
+    def fontStream(key: String): Option[(Array[Byte], Option[PDict])] =
+      for {
+        fdesc <- fd.m.get("FontDescriptor").flatMap(refDict(_, byNum))
+        num <- fdesc.m.get(key).collect { case PRef(n) => n }
+        o <- byNum.get(num)
+        s <- o.stream
+        dec <- decode(s, o.dict)
+      } yield (dec, o.dict)
+    val builtin =
+      fontStream("FontFile3").filter { case (_, d) =>
+        d.exists(_.m.get("Subtype").contains(PName("Type1C")))
+      }.flatMap { case (b, _) => CffFont.builtinEncoding(b) }
+        .orElse(fontStream("FontFile").flatMap { case (b, _) =>
+          Type1Font.builtinEncoding(b) })
+    builtin.map {
+      case CffFont.StandardBuiltin => BaseEncodings.standard
+      case CffFont.NamesBuiltin(names) =>
+        names.flatMap { case (c, n) => GlyphNames.toUnicode(n).map(c -> _) }
+    }
   }
 
   /** CID-keyed fonts carrying NO usable /ToUnicode: recover glyph→unicode

@@ -1050,6 +1050,193 @@ class PdfParserSpec extends AnyFunSuite {
     assert(items.map(_.text) === Seq("Hi"))
   }
 
+  // ---- built-in encodings from embedded font programs (§9.6.6) ----
+
+  /** minimal Type1C CFF assembler (TN #5176 structures, offSize 1).
+    * Offsets are written as fixed-width 4-byte DICT ints so the Top
+    * DICT's length is independent of their values. */
+  private def cffIndex(entries: Seq[Array[Byte]]): Array[Byte] = {
+    if (entries.isEmpty) return Array[Byte](0, 0)
+    val offs = entries.scanLeft(1)((a, e) => a + e.length)
+    Array[Byte]((entries.size >> 8).toByte, (entries.size & 0xFF).toByte, 1) ++
+      offs.map(_.toByte).toArray ++ entries.flatten.toArray
+  }
+
+  private def dictInt(v: Int, op: Int): Array[Byte] =
+    Array[Byte](29, (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte,
+      v.toByte, op.toByte)
+
+  /** `charset` = raw charset table bytes (or None = predefined ISOAdobe,
+    * offset 0); `encoding` = raw encoding table bytes (or None =
+    * predefined Standard, offset 0); `extraStrings` become SIDs 391+;
+    * `extraTop` prepends extra Top DICT tokens (e.g. a ROS). */
+  private def mkCffRaw(charset: Option[Array[Byte]], nGlyphs: Int,
+                       encoding: Option[Array[Byte]],
+                       extraStrings: Seq[String] = Nil,
+                       extraTop: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val header = Array[Byte](1, 0, 4, 1)
+    val nameIdx = cffIndex(Seq("TestFont".getBytes("US-ASCII")))
+    def topDict(encOff: Int, csOff: Int, cstrOff: Int): Array[Byte] =
+      extraTop ++ dictInt(csOff, 15) ++ dictInt(encOff, 16) ++ dictInt(cstrOff, 17)
+    val topIdxLen = cffIndex(Seq(topDict(0, 0, 0))).length
+    val stringIdx = cffIndex(extraStrings.map(_.getBytes("US-ASCII")))
+    val base = header.length + nameIdx.length + topIdxLen + stringIdx.length
+    val encOff = if (encoding.isDefined) base else 0
+    val csOff =
+      if (charset.isDefined) base + encoding.map(_.length).getOrElse(0) else 0
+    val cstrOff = base + encoding.map(_.length).getOrElse(0) +
+      charset.map(_.length).getOrElse(0)
+    header ++ nameIdx ++ cffIndex(Seq(topDict(encOff, csOff, cstrOff))) ++
+      stringIdx ++ encoding.getOrElse(Array.emptyByteArray) ++
+      charset.getOrElse(Array.emptyByteArray) ++
+      cffIndex(Seq.fill(nGlyphs)(Array[Byte](14))) // endchar charstrings
+  }
+
+  /** format-0 charset (explicit SIDs for GID 1..n) convenience */
+  private def mkCff(sids: Seq[Int], encoding: Option[Array[Byte]],
+                    extraStrings: Seq[String] = Nil): Array[Byte] =
+    mkCffRaw(
+      Some(Array[Byte](0) ++
+        sids.flatMap(s => Seq((s >> 8).toByte, (s & 0xFF).toByte)).toArray),
+      sids.length + 1, encoding, extraStrings)
+
+  /** one-page PDF with a simple font whose program is embedded via
+    * `fontFileKey`; the font dict itself names no /Encoding unless
+    * `encodingEntry` adds one */
+  private def embeddedFontPdf(content: String, font: Array[Byte],
+                              fontFileKey: String = "FontFile3",
+                              streamSubtype: String = " /Subtype /Type1C",
+                              encodingEntry: String = ""): Array[Byte] = {
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.5\n"
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>")
+    sb ++= streamObj(4, content, compress = false)
+    sb ++= obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Test" +
+      s"$encodingEntry /FontDescriptor 6 0 R >>")
+    sb ++= obj(6, s"<< /Type /FontDescriptor /FontName /Test /$fontFileKey 7 0 R >>")
+    sb ++= s"7 0 obj\n<< /Length ${font.length}$streamSubtype >>\nstream\n" +
+      new String(font, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  test("Type1C builtin encoding: CFF Encoding∘Charset names decode shows") {
+    // GID1=quoteright(SID 8) GID2=fi(SID 109) GID3=A(SID 34)
+    // GID4=uni2603(SID 391, via the String INDEX); 0x42 has no slot →
+    // byte fallback
+    val enc = Array[Byte](0, 4, 0x01, 0x02, 0x41, 0x05)
+    val cff = mkCff(Seq(8, 109, 34, 391), Some(enc), Seq("uni2603"))
+    val pdf = embeddedFontPdf("BT /F1 12 Tf 72 720 Td <01 02 41 05 42> Tj ET", cff)
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("’ﬁA☃B"))
+  }
+
+  test("Type1C predefined Standard encoding routes through Annex D") {
+    val cff = mkCff(Seq(8, 109, 34), encoding = None)
+    val pdf = embeddedFontPdf("BT /F1 12 Tf 72 720 Td <60 41 27> Tj ET", cff)
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("‘A’"))
+  }
+
+  test("a /Differences overlay wins over the builtin base") {
+    val enc = Array[Byte](0, 1, 0x41) // builtin: 0x41 → GID1 = A
+    val cff = mkCff(Seq(34), Some(enc))
+    val pdf = embeddedFontPdf("BT /F1 12 Tf 72 720 Td <41 42> Tj ET", cff,
+      encodingEntry = " /Encoding << /Differences [65 /bullet] >>")
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("•B"))
+  }
+
+  test("CFF charset/encoding range formats, supplements, predefined charset") {
+    // charset format 1: GIDs 1..3 ← one range starting at SID 34 (A,B,C);
+    // encoding format 1 + supplement bit: codes 10..12 → GIDs 1..3,
+    // supplement maps 0x20 → SID 1 (space) directly
+    val cs1 = Array[Byte](1, 0, 34, 2)
+    val enc1 = Array[Byte](0x81.toByte, 1, 10, 2, 1, 0x20, 0, 1)
+    assert(graft.ingest.CffFont.builtinEncoding(mkCffRaw(Some(cs1), 4, Some(enc1)))
+      === Some(graft.ingest.CffFont.NamesBuiltin(
+        Map(10 -> "A", 11 -> "B", 12 -> "C", 0x20 -> "space"))))
+    // charset format 2 (16-bit nLeft), same range semantics
+    val cs2 = Array[Byte](2, 0, 34, 0, 2)
+    assert(graft.ingest.CffFont.builtinEncoding(mkCffRaw(Some(cs2), 4, Some(enc1)))
+      === Some(graft.ingest.CffFont.NamesBuiltin(
+        Map(10 -> "A", 11 -> "B", 12 -> "C", 0x20 -> "space"))))
+    // predefined ISOAdobe charset (offset 0): GID i → SID i
+    val encA = Array[Byte](0, 2, 0x30, 0x31) // codes '0','1' → GIDs 1,2
+    assert(graft.ingest.CffFont.builtinEncoding(mkCffRaw(None, 3, Some(encA)))
+      === Some(graft.ingest.CffFont.NamesBuiltin(
+        Map(0x30 -> "space", 0x31 -> "exclam"))))
+  }
+
+  test("CID-keyed (ROS) and malformed CFF refuse; non-Type1C FontFile3 ignored") {
+    val enc = Array[Byte](0, 1, 0x41)
+    // ROS = registry/ordering/supplement operands then the (12 30) op
+    val rosTop = Array[Byte](29, 0, 0, 1, 0x87.toByte, 29, 0, 0, 1, 0x88.toByte,
+      29, 0, 0, 0, 0, 12, 30)
+    assert(graft.ingest.CffFont.builtinEncoding(
+      mkCffRaw(Some(Array[Byte](0, 0, 34)), 2, Some(enc), Nil, rosTop)).isEmpty)
+    assert(graft.ingest.CffFont.builtinEncoding(Array[Byte](1, 0)).isEmpty)
+    assert(graft.ingest.CffFont.builtinEncoding(
+      "OTTO not a bare cff".getBytes(StandardCharsets.US_ASCII)).isEmpty)
+    // a FontFile3 stream NOT tagged /Type1C (e.g. OpenType) is never
+    // parsed: shows keep the plain byte decode
+    val cff = mkCff(Seq(34), Some(enc))
+    val pdf = embeddedFontPdf("BT /F1 12 Tf 72 720 Td <41> Tj ET", cff,
+      streamSubtype = " /Subtype /OpenType")
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("A"))
+  }
+
+  test("CFF standard strings: ASCII block cross-validates against Annex D") {
+    // StandardEncoding assigns codes 32..126 to SIDs 1..95 in order, so
+    // the table's ASCII block must reproduce Annex D exactly (including
+    // the curly-quote seats at 0x27/0x60)
+    for (code <- 32 to 126) {
+      val name = graft.ingest.CffFont.StdStrings(code - 31)
+      val expect = graft.ingest.BaseEncodings.standard
+        .getOrElse(code, code.toChar.toString)
+      assert(graft.ingest.GlyphNames.toUnicode(name) === Some(expect),
+        s"code $code → $name")
+    }
+    assert(graft.ingest.CffFont.StdStrings.length === 229)
+  }
+
+  test("Type1 /FontFile cleartext: dup-put array and StandardEncoding form") {
+    val dupProg =
+      "%!PS-AdobeFont-1.0: Test 001.001\n/FontName /Test def\n" +
+        "/Encoding 256 array\n0 1 255 {1 index exch /.notdef put} for\n" +
+        "dup 34 /fi put\ndup 65 /emdash put\nreadonly def\n" +
+        "/Private 2 dict dup begin end def\ncurrentfile eexec\n" +
+        "BINARYBINARYBINARY"
+    val pdf = embeddedFontPdf("BT /F1 12 Tf 72 720 Td <22 41 42> Tj ET",
+      dupProg.getBytes(StandardCharsets.ISO_8859_1),
+      fontFileKey = "FontFile", streamSubtype = "")
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("ﬁ—B"))
+
+    val stdProg = "%!PS\n/Encoding StandardEncoding def\ncurrentfile eexec\nXX"
+    val pdf2 = embeddedFontPdf("BT /F1 12 Tf 72 720 Td <60 41 27> Tj ET",
+      stdProg.getBytes(StandardCharsets.ISO_8859_1),
+      fontFileKey = "FontFile", streamSubtype = "")
+    assert(PdfTextParser.parseItems(pdf2).map(_.text) === Seq("‘A’"))
+  }
+
+  test("Type1 PFB segments; puts beyond the encoding block never leak in") {
+    def pfbSeg(kind: Int, data: Array[Byte]): Array[Byte] =
+      Array[Byte](0x80.toByte, kind.toByte, (data.length & 0xFF).toByte,
+        ((data.length >> 8) & 0xFF).toByte, ((data.length >> 16) & 0xFF).toByte,
+        ((data.length >> 24) & 0xFF).toByte) ++ data
+    val ascii = ("/FontName /Test def /Encoding 256 array " +
+      "dup 65 /bullet put readonly def " +
+      // a LATER array also using dup-put must not contaminate codes
+      "/OtherArray 4 array dup 66 /dagger put def").getBytes(StandardCharsets.US_ASCII)
+    val pfb = pfbSeg(1, ascii) ++ pfbSeg(2, Array[Byte](1, 2, 3)) ++
+      pfbSeg(3, Array.emptyByteArray)
+    assert(graft.ingest.Type1Font.builtinEncoding(pfb) ===
+      Some(graft.ingest.CffFont.NamesBuiltin(Map(65 -> "bullet"))))
+    // no /Encoding at all → None (byte fallback preserved)
+    assert(graft.ingest.Type1Font.builtinEncoding(
+      "%!PS nothing here".getBytes(StandardCharsets.US_ASCII)).isEmpty)
+  }
+
   // ---- the Spark extraction pipeline ----
 
   test("pdfDocsDF: extracted text in page order; rawHash matches the sync manifest") {
