@@ -720,6 +720,76 @@ object TextQueries {
              |FROM r JOIN q ON q.lang = r.lang WHERE r.rk <= q.quota
              |ORDER BY r.lang, r.rk""".stripMargin)),
 
+    // ----- DSIR data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every pool
+    // document (source <> 'src0') by the log importance weight of its
+    // hashed-bigram counts under target-vs-pool bucket unigram models
+    // (target = src0), keep the top 100. The feature space is a FIXED
+    // B=512 bucket vocabulary, so both distribution models and the
+    // log-ratio table are tiny broadcast dims at ANY corpus size; the
+    // only corpus-sized shuffle is the per-(doc, bucket) count, and the
+    // final top-k is a TakeOrdered, never a full sort. Buckets come from
+    // an md5 prefix (the hash60 idiom) so DuckDB reproduces them; the
+    // per-bucket log ratio is rounded to 6 decimals (libm parity, as
+    // t_tfidf) and then SCALED TO A 1e-6 INTEGER, so the per-doc sum is
+    // exact integer arithmetic — float sums are order-dependent in the
+    // last ulp, and a doc whose true score sits on a rounding boundary
+    // would hash-differ between engines (observed at build time). -----
+    Q("t_dsir_select",
+      (s, d) => {
+        val B = 512
+        val alpha = 0.5
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            graft.ops.Dedup.wordsArray("text").as("ws"))
+          .select(col("doc_id"), col("source"),
+            explode(expr("CASE WHEN size(ws) >= 2 THEN " +
+              "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1])) " +
+              "ELSE CAST(array() AS array<string>) END")).as("g"))
+          .withColumn("b",
+            conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % B)
+        val isTarget = col("source") === "src0"
+        val stats = grams.groupBy("b").agg(
+          sum(when(isTarget, 1L).otherwise(0L)).as("tcnt"),
+          sum(when(isTarget, 0L).otherwise(1L)).as("rcnt"))
+        val tot = stats.agg(sum("tcnt").as("ttot"), sum("rcnt").as("rtot"))
+        val lw = stats.crossJoin(broadcast(tot)).select(col("b"),
+          round(round(log((col("tcnt") + alpha) / (col("ttot") + alpha * B)) -
+                      log((col("rcnt") + alpha) / (col("rtot") + alpha * B)), 6)
+            * 1e6).cast("long").as("lwi"))
+        grams.filter(!isTarget)
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(lw), "b")
+          .groupBy("doc_id")
+          .agg(round(sum(col("cnt") * col("lwi")) / 1e6, 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(100)
+      },
+      Some("""WITH w AS (SELECT doc_id, source,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+             |g AS (SELECT doc_id, source,
+             |    unnest(list_transform(range(1, len(ws)),
+             |      i -> ws[i] || ' ' || ws[i+1])) AS g FROM w),
+             |bk AS (SELECT doc_id, source,
+             |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 512 AS b
+             |  FROM g),
+             |st AS (SELECT b,
+             |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS tcnt,
+             |    CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS rcnt
+             |  FROM bk GROUP BY 1),
+             |tot AS (SELECT CAST(sum(tcnt) AS BIGINT) AS ttot,
+             |               CAST(sum(rcnt) AS BIGINT) AS rtot FROM st),
+             |lw AS (SELECT b, CAST(round(round(
+             |      ln((tcnt + 0.5) / (ttot + 0.5 * 512)) -
+             |      ln((rcnt + 0.5) / (rtot + 0.5 * 512)), 6) * 1e6) AS BIGINT) AS lwi
+             |  FROM st CROSS JOIN tot),
+             |pd AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt FROM bk
+             |  WHERE source <> 'src0' GROUP BY 1, 2),
+             |sc AS (SELECT doc_id,
+             |    round(CAST(sum(cnt * lwi) AS BIGINT) / 1e6, 4) AS score
+             |  FROM pd JOIN lw USING (b) GROUP BY 1)
+             |SELECT doc_id, score FROM sc
+             |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
+
     // ----- TF-IDF top terms per document — the classic relevance weighting
     // over (term, doc) counts. The per-doc window sorts only each doc's own
     // term set (bounded by document length, not corpus size), after the
