@@ -180,6 +180,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir: bucket models broadcast, top-k is TakeOrdered, no cartesian") {
+    // the B=512 log-ratio table must reach the corpus-sized (doc, bucket)
+    // counts as a BROADCAST hash join (it is a fixed-size dim at any
+    // corpus scale), the 1-row totals as a broadcast nested loop, and the
+    // final top-100 as TakeOrderedAndProject — a global sort or a
+    // shuffled join here would not survive a 100x corpus.
+    val p = plan("t_dsir_select")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("subquery shapes decorrelate: semi/anti joins, no correlated re-execution") {
     // q18's IN-subquery and q22's NOT EXISTS must become JOINS against the
     // aggregated/filtered subquery — a correlated per-row probe would be
