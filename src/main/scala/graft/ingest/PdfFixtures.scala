@@ -104,9 +104,19 @@ object PdfFixtures {
   *    dvips/dvipdfmx shape; byte-fallback decoding would emit re-seated
   *    garbage, so only a correct [[CffFont]] Encoding \u2218 Charset walk
   *    reproduces the text
+  *  - mode 7: AES-128-CBC crypt filters (V=4/R=4 /StdCF /AESV2) over a
+  *    flated stream
+  *  - mode 8: a 2-byte /ToUnicode CMap (the CID-keyed composite-font
+  *    show shape: codes consumed pairwise through bfchar entries)
+  *  - mode 9: LZWDecode (clear-table-per-code stream \u2014 valid LZW that
+  *    pins the decoder's reset/width machinery)
+  *  - mode 10: FlateDecode with a /DecodeParms PNG Up predictor
+  *  - mode 11: the text behind a /Form XObject Do under an identity CTM
+  *  - mode 12: a simple-font /Encoding /Differences array of uniXXXX
+  *    names re-seating every character (the pdftex/LaTeX shape)
   *
-  * Any decoder regression changes the extracted text for one-seventh of
-  * the corpus and breaks the hash compare. */
+  * Any decoder regression changes the extracted text for one-thirteenth
+  * of the corpus and breaks the hash compare. */
 object PdfTextFixtures {
   import java.nio.charset.StandardCharsets.ISO_8859_1
 
@@ -116,7 +126,7 @@ object PdfTextFixtures {
       s"1 0 0 1 72 ${720 - 24 * i} Tm <$hex> Tj"
     }.mkString(" ")
     val raw = s"BT /F1 12 Tf $shows ET".getBytes(ISO_8859_1)
-    (docId % 7) match {
+    (docId % 13) match {
       case 0 => classic(raw, "")
       case 1 => classic(deflate(raw), " /Filter /FlateDecode")
       case 2 => classic(hexEnc(deflate(raw)),
@@ -124,7 +134,14 @@ object PdfTextFixtures {
       case 3 => classic(rle(raw), " /Filter /RunLengthDecode")
       case 4 => objStmLayout(deflate(raw))
       case 5 => encrypted(deflate(raw))
-      case _ => type1cBuiltin(lines.filter(_.nonEmpty), raw)
+      case 6 => type1cBuiltin(lines.filter(_.nonEmpty), raw)
+      case 7 => aesV2Encrypted(deflate(raw))
+      case 8 => twoByteCMapPdf(lines.filter(_.nonEmpty), raw)
+      case 9 => classic(lzwEnc(raw), " /Filter /LZWDecode")
+      case 10 => classic(deflate(pngUp(raw, 48)),
+        " /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 48 >>")
+      case 11 => formXObjectPdf(raw)
+      case _ => differencesPdf(lines.filter(_.nonEmpty), raw)
     }
   }
 
@@ -199,6 +216,152 @@ object PdfTextFixtures {
     header ++ nameIdx ++ index2(Seq(topDict(encOff, csOff, cstrOff))) ++
       stringIdx ++ encoding ++ charset ++
       index2(Seq.fill(n + 1)(Array[Byte](14))) // endchar charstrings
+  }
+
+  // ---- mode 7: AES-128-CBC crypt filters (V=4/R=4 /StdCF /AESV2) ----
+
+  /** §7.6.2 Algorithm 1 per-object key with the AES "sAlT" suffix —
+    * forward twin of Decryptor.objKey, re-derived from the spec text */
+  private def aesObjKey(fileKey: Array[Byte], num: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(fileKey)
+    md.update(Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+      ((num >> 16) & 0xFF).toByte, 0, 0))
+    md.update(Array[Byte](0x73, 0x41, 0x6C, 0x54))
+    md.digest().take(math.min(fileKey.length + 5, 16))
+  }
+
+  private def aesV2Encrypted(content: Array[Byte]): Array[Byte] = {
+    val key = PdfDecrypt.fileKeyR234(oEntry, pPerm, fileId, 16, 4,
+      encryptMetadata = true)
+    val u = PdfDecrypt.userValueR234(key, 4, fileId)
+    val enc = PdfDecrypt.aesCbcEncrypt(aesObjKey(key, 4),
+      Array.fill[Byte](16)(0x5A), content)
+    val sb = new StringBuilder("%PDF-1.6\n")
+    structural.foreach { case (n, b) => sb ++= obj(n, b) }
+    sb ++= streamObj(4, enc, " /Filter /FlateDecode")
+    sb ++= obj(8, "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+      "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+      s"/StmF /StdCF /StrF /StdCF /O <${hex(oEntry)}> /U <${hex(u)}> " +
+      s"/P $pPerm >>")
+    sb ++= s"trailer\n<< /Root 1 0 R /Size 9 /Encrypt 8 0 R " +
+      s"/ID [<${hex(fileId)}> <${hex(fileId)}>] >>\n%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  // ---- mode 8: 2-byte /ToUnicode CMap (the CID-keyed composite shape) ----
+
+  /** every distinct char gets a 2-byte code (1-based); shows are 4-hex-digit
+    * code strings decoded pairwise through a bfchar CMap. Non-BMP text
+    * falls back to the Flate shape (same text either way). */
+  private def twoByteCMapPdf(text: Seq[String], rawUtf16: Array[Byte]): Array[Byte] = {
+    val chars = text.flatten.distinct
+    if (chars.length > 0xFFFE || chars.exists(_.isSurrogate))
+      return classic(deflate(rawUtf16), " /Filter /FlateDecode")
+    val code = chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    val shows = text.zipWithIndex.map { case (l, i) =>
+      val hx = l.map(c => f"${code(c)}%04X").mkString
+      s"1 0 0 1 72 ${720 - 24 * i} Tm <$hx> Tj"
+    }.mkString(" ")
+    val content = s"BT /F1 12 Tf $shows ET".getBytes(ISO_8859_1)
+    val bfchars = chars.grouped(100).map { grp =>
+      s"${grp.length} beginbfchar\n" + grp.map(c =>
+        f"<${code(c)}%04X> <${c.toInt}%04X>").mkString("\n") + "\nendbfchar"
+    }.mkString("\n")
+    val cmap = ("/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+      "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      bfchars + "\nendcmap\nend").getBytes(ISO_8859_1)
+    val sb = new StringBuilder("%PDF-1.6\n")
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>")
+    sb ++= streamObj(4, content, "")
+    sb ++= obj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Fixture " +
+      "/Encoding /Identity-H /ToUnicode 9 0 R >>")
+    sb ++= streamObj(9, cmap, "")
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  // ---- mode 9: LZWDecode ----
+
+  /** valid (if maximally naive) LZW: a ClearTable before every literal
+    * code keeps the table empty and the width at 9 bits — exercises the
+    * decoder's reset/width machinery without re-implementing compression */
+  private def lzwEnc(raw: Array[Byte]): Array[Byte] = {
+    val codes = raw.flatMap(b => Seq(256, b & 0xFF)) :+ 257
+    val out = new java.io.ByteArrayOutputStream
+    var acc = 0L; var nb = 0
+    codes.foreach { c =>
+      acc = (acc << 9) | c; nb += 9
+      while (nb >= 8) { out.write(((acc >> (nb - 8)) & 0xFF).toInt); nb -= 8 }
+    }
+    if (nb > 0) out.write(((acc << (8 - nb)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  // ---- mode 10: PNG Up predictor under Flate ----
+
+  /** forward PNG Up filter (tag 2 per row): diff against the prior row;
+    * content is space-padded to a whole row count (trailing spaces are
+    * lexically inert), matching the decoder's whole-rows-only contract */
+  private def pngUp(raw: Array[Byte], cols: Int): Array[Byte] = {
+    val padded = raw ++ Array.fill((cols - raw.length % cols) % cols)(' '.toByte)
+    val out = new java.io.ByteArrayOutputStream
+    var prior = new Array[Byte](cols)
+    padded.grouped(cols).foreach { r =>
+      out.write(2)
+      r.indices.foreach(i => out.write((r(i) - prior(i)) & 0xFF))
+      prior = r
+    }
+    out.toByteArray
+  }
+
+  // ---- mode 11: /Form XObject indirection ----
+
+  /** the text lives in a /Subtype /Form stream reached via Do under an
+    * identity CTM — pins the recursion and its coordinate placement */
+  private def formXObjectPdf(raw: Array[Byte]): Array[Byte] = {
+    val pageContent = "q 1 0 0 1 0 0 cm /Fx Do Q".getBytes(ISO_8859_1)
+    val sb = new StringBuilder("%PDF-1.4\n")
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Fx 6 0 R >> >> >>")
+    sb ++= streamObj(4, pageContent, "")
+    sb ++= s"6 0 obj\n<< /Subtype /Form /Length ${raw.length} >>\nstream\n" +
+      new String(raw, ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  // ---- mode 12: simple-font /Encoding /Differences re-seating ----
+
+  /** every distinct char re-seated to a 1-byte code via a /Differences
+    * array of uniXXXX glyph names — the pdftex/LaTeX shape; byte-fallback
+    * decoding would garble every show */
+  private def differencesPdf(text: Seq[String], rawUtf16: Array[Byte]): Array[Byte] = {
+    val chars = text.flatten.distinct
+    if (chars.length > 255 || chars.exists(_.isSurrogate))
+      return classic(deflate(rawUtf16), " /Filter /FlateDecode")
+    val code = chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    val shows = text.zipWithIndex.map { case (l, i) =>
+      val hx = l.map(c => f"${code(c)}%02X").mkString
+      s"1 0 0 1 72 ${720 - 24 * i} Tm <$hx> Tj"
+    }.mkString(" ")
+    val content = s"BT /F1 12 Tf $shows ET".getBytes(ISO_8859_1)
+    val diffs = chars.map(c => f"/uni${c.toInt}%04X").mkString(" ")
+    val sb = new StringBuilder("%PDF-1.4\n")
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>")
+    sb ++= streamObj(4, content, "")
+    sb ++= obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Seated " +
+      s"/Encoding << /Type /Encoding /Differences [1 $diffs] >> >>")
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
   }
 
   private val structural = Seq(
