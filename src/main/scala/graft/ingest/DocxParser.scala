@@ -61,10 +61,64 @@ object DocxParser {
     } finally zin.close()
   }
 
-  /** document body → markdown; empty string when the bytes are not a DOCX */
+  /** document body → markdown; empty string when the bytes are not a DOCX.
+    * Footnote and endnote CONTENT follows the body as one line per note —
+    * mammoth's `convertToHtml` default includes both as trailing lists and
+    * the reference's block emitter flattens list items to bare lines
+    * (`src/parser/index.ts:496`, `docx-parser.ts:78-119`), so dropping
+    * them would lose indexed text the reference retains. */
   def toMarkdown(bytes: Array[Byte]): String =
-    try zipEntry(bytes, "word/document.xml").map(bodyMarkdown).getOrElse("")
-    catch { case scala.util.control.NonFatal(_) => "" }
+    try {
+      val body = zipEntry(bytes, "word/document.xml").map(bodyMarkdown).getOrElse("")
+      val notes =
+        Seq("word/footnotes.xml" -> "footnote", "word/endnotes.xml" -> "endnote")
+          .flatMap { case (path, tag) =>
+            zipEntry(bytes, path).toSeq.flatMap(noteLines(_, tag))
+          }
+      (Seq(body).filter(_.nonEmpty) ++
+        (if (notes.nonEmpty) Seq(notes.mkString("\n")) else Nil)).mkString("\n\n")
+    } catch { case scala.util.control.NonFatal(_) => "" }
+
+  /** one trimmed line per real note in document order; the separator /
+    * continuation pseudo-notes (`w:type`) carry no content and are
+    * skipped, as is any note that renders to whitespace */
+  private def noteLines(xml: Array[Byte], tag: String): Seq[String] = {
+    val r = reader(xml)
+    val out = mutable.ArrayBuffer.empty[String]
+    var cur: StringBuilder = null
+    var inText = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case `tag` =>
+              val noteType = (0 until r.getAttributeCount)
+                .find(i => r.getAttributeLocalName(i) == "type")
+                .map(r.getAttributeValue)
+              // absent or "normal" = a real note; separator /
+              // continuationSeparator / continuationNotice are chrome
+              cur = if (noteType.forall(_ == "normal")) new StringBuilder else null
+            case "t" => inText = true
+            case "tab" | "br" if cur != null => cur += ' '
+            case "p" if cur != null && cur.nonEmpty => cur += ' '
+            case _ => ()
+          }
+          case XMLStreamConstants.CHARACTERS if inText && cur != null =>
+            cur ++= r.getText
+          case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+            case "t" => inText = false
+            case `tag` if cur != null =>
+              val text = cur.toString.replaceAll("\\s+", " ").trim
+              if (text.nonEmpty) out += text
+              cur = null
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    out.toSeq
+  }
 
   /** Dublin Core title from docProps/core.xml, when present and non-empty */
   def docTitle(bytes: Array[Byte]): Option[String] =

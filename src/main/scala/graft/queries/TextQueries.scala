@@ -788,7 +788,8 @@ object TextQueries {
              |    round(CAST(sum(cnt * lwi) AS BIGINT) / 1e6, 4) AS score
              |  FROM pd JOIN lw USING (b) GROUP BY 1)
              |SELECT doc_id, score FROM sc
-             |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
+             |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin),
+      bench = true),
 
     // ----- TF-IDF top terms per document — the classic relevance weighting
     // over (term, doc) counts. The per-doc window sorts only each doc's own

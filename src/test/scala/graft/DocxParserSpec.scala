@@ -18,7 +18,8 @@ class DocxParserSpec extends AnyFunSuite {
   private val W =
     """xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main""""
 
-  private def docx(bodyXml: String, coreTitle: Option[String] = None): Array[Byte] = {
+  private def docx(bodyXml: String, coreTitle: Option[String] = None,
+                   extraEntries: Seq[(String, String)] = Nil): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val zip = new ZipOutputStream(bos)
     def entry(name: String, content: String): Unit = {
@@ -37,6 +38,7 @@ class DocxParserSpec extends AnyFunSuite {
            |<dc:title>$t</dc:title><dc:creator>spec</dc:creator>
            |</cp:coreProperties>""".stripMargin)
     }
+    extraEntries.foreach { case (name, content) => entry(name, content) }
     zip.close()
     bos.toByteArray
   }
@@ -121,5 +123,35 @@ class DocxParserSpec extends AnyFunSuite {
     val parsed = TableBlockParser.parse(md)
     assert(parsed.ranges.size === 1)
     assert(parsed.content.contains("outer inner: a"))
+  }
+
+  test("footnote and endnote content follows the body; separators skipped") {
+    // mammoth's convertToHtml default includes both note streams as
+    // trailing lists; the reference flattens list items to bare lines
+    // (index.ts:496, docx-parser.ts:78-119) — so must we
+    val fn =
+      s"""<?xml version="1.0"?><w:footnotes $W>
+         |<w:footnote w:type="separator" w:id="-1"><w:p><w:r><w:t>___</w:t></w:r></w:p></w:footnote>
+         |<w:footnote w:type="continuationSeparator" w:id="0"><w:p/></w:footnote>
+         |<w:footnote w:id="1"><w:p><w:r><w:t>First note.</w:t></w:r></w:p>
+         |<w:p><w:r><w:t>Second paragraph.</w:t></w:r></w:p></w:footnote>
+         |<w:footnote w:type="normal" w:id="2"><w:p><w:r><w:t>Typed normal note.</w:t></w:r></w:p></w:footnote>
+         |</w:footnotes>""".stripMargin
+    val en =
+      s"""<?xml version="1.0"?><w:endnotes $W>
+         |<w:endnote w:type="separator" w:id="-1"><w:p/></w:endnote>
+         |<w:endnote w:id="1"><w:p><w:r><w:t>The endnote.</w:t></w:r></w:p></w:endnote>
+         |</w:endnotes>""".stripMargin
+    val md = DocxParser.toMarkdown(docx(p("Body paragraph."),
+      extraEntries = Seq("word/footnotes.xml" -> fn, "word/endnotes.xml" -> en)))
+    assert(md ===
+      "Body paragraph.\n\nFirst note. Second paragraph.\nTyped normal note.\nThe endnote.")
+    // a document with only separator notes is unchanged
+    val sepOnly =
+      s"""<?xml version="1.0"?><w:footnotes $W>
+         |<w:footnote w:type="separator" w:id="-1"><w:p><w:r><w:t>___</w:t></w:r></w:p></w:footnote>
+         |</w:footnotes>""".stripMargin
+    assert(DocxParser.toMarkdown(docx(p("Only body."),
+      extraEntries = Seq("word/footnotes.xml" -> sepOnly))) === "Only body.")
   }
 }

@@ -1186,6 +1186,31 @@ class PdfParserSpec extends AnyFunSuite {
     assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("A"))
   }
 
+  test("CFF format equivalence: charset 0/1/2 and encoding 0/1 agree") {
+    // one font, four spellings: explicit-SID charset vs range charsets,
+    // code-list encoding vs range encoding — the parsed builtin map must
+    // be identical (consecutive SIDs 200..204 = aacute..aring at codes
+    // 40..44, where both the range and list forms can express it)
+    val sids = Seq(200, 201, 202, 203, 204)
+    val cs0 = Array[Byte](0) ++ sids.flatMap(s =>
+      Seq((s >> 8).toByte, (s & 0xFF).toByte)).toArray
+    val cs1 = Array[Byte](1, 0, 200.toByte, 4)
+    val cs2 = Array[Byte](2, 0, 200.toByte, 0, 4)
+    val enc0 = Array[Byte](0, 5, 40, 41, 42, 43, 44)
+    val enc1 = Array[Byte](1, 1, 40, 4)
+    val expected = graft.ingest.CffFont.builtinEncoding(
+      mkCffRaw(Some(cs0), 6, Some(enc0)))
+    assert(expected.exists {
+      case graft.ingest.CffFont.NamesBuiltin(m) =>
+        m === Map(40 -> "aacute", 41 -> "acircumflex", 42 -> "adieresis",
+          43 -> "agrave", 44 -> "aring")
+      case _ => false
+    })
+    for (cs <- Seq(cs1, cs2); enc <- Seq(enc0, enc1))
+      assert(graft.ingest.CffFont.builtinEncoding(
+        mkCffRaw(Some(cs), 6, Some(enc))) === expected, s"cs=${cs.toSeq}")
+  }
+
   test("CFF standard strings: ASCII block cross-validates against Annex D") {
     // StandardEncoding assigns codes 32..126 to SIDs 1..95 in order, so
     // the table's ASCII block must reproduce Annex D exactly (including
