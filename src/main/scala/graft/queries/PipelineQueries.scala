@@ -235,6 +235,54 @@ object PipelineQueries {
              |SELECT doc_id, CAST(720 - 24 * i AS BIGINT) AS ry, line
              |FROM ln WHERE line <> '' ORDER BY doc_id, ry DESC""".stripMargin)),
 
+    // ----- S8 end-to-end: HTML main-content extraction over assembled
+    // pages wrapping the documents text in an <article> surrounded by
+    // Readability-class NOISE (nav, unlikely-class sidebar, footer,
+    // head/script) — the extractor must keep exactly the heading + text
+    // blocks and drop every noise line, so the closed-form oracle breaks
+    // if boilerplate removal, main-content selection, entity decoding,
+    // or block rendering regress. -----
+    Q("s8_html_extract",
+      (s, d) => {
+        val mk = udf((id: Long, l0: String, l1: String, l2: String) => {
+          def esc(x: String) = x.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          // substr windows can start/end mid-gap: rendering trims block
+          // edges, so the oracle compares trimmed lines (inner spacing is
+          // single in this corpus — pinned by the PDF twin's exact match)
+          val art = Seq(l0, l1, l2).filter(_.trim.nonEmpty)
+            .map(l => s"<p>${esc(l)}</p>").mkString("\n")
+          s"""<html><head><title>Doc $id</title><script>track()</script></head>
+             |<body><nav><a href="/">Home</a><a href="/d">Docs</a></nav>
+             |<div class="sidebar"><a href="/x">Related link</a></div>
+             |<article><h1>Heading $id</h1>
+             |$art</article>
+             |<footer>Copyright line.</footer></body></html>""".stripMargin
+        })
+        val parse = udf((h: String) => graft.ingest.HtmlParser.toMarkdown(h))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            mk(col("doc_id"), expr("substr(text, 1, 36)"),
+              expr("substr(text, 24, 36)"), expr("substr(text, 47, 36)"))
+              .as("html"))
+          .select(col("doc_id"),
+            posexplode(split(parse(col("html")), "\n\n")).as(Seq("pos", "blk")))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH ln AS (SELECT doc_id, t.i,
+             |    substr(text, 1 + t.i * 23, 36) AS line
+             |  FROM documents, (SELECT unnest(range(0, 3)) AS i) t),
+             |ne AS (SELECT doc_id, trim(line) AS line,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+             |  FROM ln WHERE trim(line) <> ''),
+             |blocks AS (
+             |  SELECT doc_id, 0 AS pos, '# Heading ' || doc_id AS blk
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, rn AS pos, line AS blk FROM ne)
+             |SELECT doc_id, CAST(pos AS INT) AS pos, blk
+             |FROM blocks ORDER BY doc_id, pos""".stripMargin)),
+
     // ----- F16 stage 1: block-attribute header/footer hints (center-page
     // sample → median font → small-font items in extreme Y bands), the pure
     // relational half of the reference's 2-stage boundary filter -----

@@ -30,6 +30,44 @@ class ParserSpec extends AnyFunSuite {
     assert(HtmlParser.extractTitle(html) === Some("Page & Title"))
   }
 
+  test("html: boilerplate containers drop; article main content wins") {
+    // Readability semantics: nav/footer/aside and unlikely-candidate
+    // class containers are noise; the <article> region replaces the body
+    val html =
+      """<html><body>
+        |<nav><a href="/">Home</a><a href="/docs">Docs</a><a href="/blog">Blog</a></nav>
+        |<div class="sidebar"><a href="/x">Related link</a><a href="/y">Другая</a></div>
+        |<article>
+        |<h1>Shuffle Tuning</h1>
+        |<p>Partition counts should track the data volume so that each task
+        |processes a cache-friendly slice of the shuffled stream without spilling.</p>
+        |</article>
+        |<footer>Copyright corp. All rights reserved.</footer>
+        |</body></html>""".stripMargin
+    val md = HtmlParser.toMarkdown(html)
+    assert(md.contains("# Shuffle Tuning"))
+    assert(md.contains("cache-friendly slice"))
+    assert(!md.contains("Home"))       // nav dropped
+    assert(!md.contains("Related"))    // unlikely class dropped
+    assert(!md.contains("Copyright"))  // footer dropped
+    // body fallback: no article → body text (minus noise) is kept
+    val plain = HtmlParser.toMarkdown(
+      "<body><nav>menu</nav><p>Just a paragraph of text.</p></body>")
+    assert(plain === "Just a paragraph of text.")
+    assert(!plain.contains("menu"))
+    // a content-marked class is NOT noise even if it also says sidebar
+    val both = HtmlParser.toMarkdown(
+      """<body><div class="sidebar content"><p>Kept text.</p></div></body>""")
+    assert(both.contains("Kept text."))
+  }
+
+  test("html: table cells keep word boundaries; numeric entities decode") {
+    val md = HtmlParser.toMarkdown(
+      "<table><tr><td>alpha</td><td>beta</td></tr></table><p>&#8212;&#x2014;</p>")
+    assert(md.contains("alpha beta"))
+    assert(md.contains("——"))
+  }
+
   test("html: malformed input degrades to text, never throws") {
     assert(HtmlParser.toMarkdown("<h1>unclosed <div <<<") !== null)
     assert(HtmlParser.toMarkdown("") === "")
