@@ -283,6 +283,48 @@ object PipelineQueries {
              |SELECT doc_id, CAST(pos AS INT) AS pos, blk
              |FROM blocks ORDER BY doc_id, pos""".stripMargin)),
 
+    // ----- S7 end-to-end: DOCX byte extraction over assembled real ZIP
+    // containers (ingest/DocxFixtures) — heading style, body paragraphs,
+    // a uniform pipe table, and a footnote stream per document, so the
+    // ZIP walk, StAX parse, table rendering, and note extraction are all
+    // pinned by the closed-form oracle on every run. -----
+    Q("s7_docx_extract",
+      (s, d) => {
+        val mk = udf((id: Long, l0: String, l1: String, l2: String) =>
+          graft.ingest.DocxFixtures.textDocx(id, Seq(l0, l1, l2)))
+        val parse = udf((b: Array[Byte]) => graft.ingest.DocxParser.toMarkdown(b))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            mk(col("doc_id"), expr("substr(text, 1, 36)"),
+              expr("substr(text, 24, 36)"), expr("substr(text, 47, 36)"))
+              .as("bytes"))
+          .select(col("doc_id"),
+            posexplode(split(parse(col("bytes")), "\n\n")).as(Seq("pos", "blk")))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH ln AS (SELECT doc_id, t.i,
+             |    substr(text, 1 + t.i * 23, 36) AS line
+             |  FROM documents, (SELECT unnest(range(0, 3)) AS i) t),
+             |ne AS (SELECT doc_id, trim(line) AS line,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM ln WHERE trim(line) <> ''),
+             |blocks AS (
+             |  SELECT doc_id, 0 AS pos, '# Heading ' || doc_id AS blk
+             |  FROM documents
+             |  UNION ALL SELECT doc_id, rn, line FROM ne
+             |  UNION ALL SELECT doc_id,
+             |    coalesce((SELECT max(n) FROM ne WHERE ne.doc_id = documents.doc_id), 0) + 1,
+             |    '| K | V |' || chr(10) || '| --- | --- |' || chr(10) ||
+             |      '| Doc | ' || doc_id || ' |'
+             |  FROM documents
+             |  UNION ALL SELECT doc_id,
+             |    coalesce((SELECT max(n) FROM ne WHERE ne.doc_id = documents.doc_id), 0) + 2,
+             |    'Note ' || doc_id || '.'
+             |  FROM documents)
+             |SELECT doc_id, CAST(pos AS INT) AS pos, blk
+             |FROM blocks ORDER BY doc_id, pos""".stripMargin)),
+
     // ----- F16 stage 1: block-attribute header/footer hints (center-page
     // sample → median font → small-font items in extreme Y bands), the pure
     // relational half of the reference's 2-stage boundary filter -----
