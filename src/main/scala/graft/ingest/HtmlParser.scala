@@ -119,7 +119,12 @@ object HtmlParser {
                 el.children += Text(html.substring(i, stop))
                 i = if (close < 0) n
                     else math.max(close, html.indexOf('>', close)) + 1
-              } else if (!selfClose && !VoidTags(name)) stack += el
+              } else if (!selfClose && !VoidTags(name) && stack.length < 256)
+                // depth cap: pathological nesting flattens into siblings,
+                // bounding the later recursive passes (prune/score/render
+                // recurse on tree depth; a StackOverflowError is an Error
+                // the graceful-degrade catch would NOT absorb)
+                stack += el
             }
           }
         }

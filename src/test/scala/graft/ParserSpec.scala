@@ -68,6 +68,20 @@ class ParserSpec extends AnyFunSuite {
     assert(md.contains("——"))
   }
 
+  test("html: pathological nesting and fuzz inputs never throw") {
+    // 50k-deep nesting would overflow the recursive passes without the
+    // parser's depth cap (StackOverflowError is NOT a catchable Exception)
+    val deep = "<div>" * 50000 + "core text" + "</div>" * 50000
+    assert(HtmlParser.toMarkdown(deep).contains("core text"))
+    val rnd = new scala.util.Random(7)
+    val alphabet = "<>/ab \"'=!-&#;x"
+    for (_ <- 0 until 200) {
+      val junk = Seq.fill(rnd.nextInt(400))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(HtmlParser.toMarkdown(junk) !== null) // must not throw
+    }
+  }
+
   test("html: malformed input degrades to text, never throws") {
     assert(HtmlParser.toMarkdown("<h1>unclosed <div <<<") !== null)
     assert(HtmlParser.toMarkdown("") === "")
