@@ -680,6 +680,46 @@ object TextQueries {
       },
       None),
 
+    // ----- WordPiece vocabulary training (ops/WordPiece): the BERT-family
+    // tokenizer — BPE's delta loop with a likelihood-ratio argmax
+    // (count(pair)/(count(l)·count(r))), which needs a SECOND
+    // delta-maintained table (symbol marginals). Iterative argmax chain →
+    // no SQL oracle; WordPieceSpec pins the distributed learner
+    // merge-for-merge against the sequential reference at K=1 and K=8. -----
+    Q("t_wordpiece_train",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.WordPiece.learn(Tables.documents(s, d), "text",
+          numMerges = 40, minCount = 2)
+          .toDF()
+          // lhs/rhs/merge_rank: `left`/`right`/`rank` are reserved words
+          // in DuckDB and would break the harness's ORDER-BY-ALL readback
+          .select(col("rank").as("merge_rank"), col("left").as("lhs"),
+            col("right").as("rhs"), col("merged"),
+            col("pairCount").as("pair_count"),
+            round(col("score"), 9).as("score"))
+          .orderBy("merge_rank")
+      },
+      None),
+
+    // ----- WordPiece applied at corpus scale: greedy LONGEST-MATCH-FIRST
+    // segmentation against the learned vocabulary (BERT's
+    // WordpieceTokenizer — vocabulary lookup, not merge replay), map-side
+    // with the vocab riding the closure. -----
+    Q("t_wordpiece_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.ops.WordPiece.learn(docs, "text",
+          numMerges = 40, minCount = 2)
+        val vocab = graft.ops.WordPiece.vocabulary(docs, "text", merges)
+        graft.ops.WordPiece.encode(docs, "text", vocab)
+          .select(col("doc_id"),
+            size(col("tokens")).cast("long").as("n_tokens"),
+            md5(array_join(col("tokens"), " ")).as("tokens_md5"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // ----- temperature-based mixture quotas: sampling weights COMPUTED
     // from per-language counts (w_d ∝ cnt_d^(1/2) — the standard
     // temperature rebalance that upsamples low-resource slices), unlike
