@@ -62,6 +62,7 @@ object HtmlParser {
     """([a-zA-Z][a-zA-Z0-9_-]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+)))?""".r
 
   private def parse(html: String): Elem = {
+    val lower = html.toLowerCase // once — per-script lowering is O(n²)
     val root = Elem("#root", Map.empty, mutable.ArrayBuffer.empty)
     val stack = mutable.ArrayBuffer[Elem](root)
     def top = stack.last
@@ -114,7 +115,7 @@ object HtmlParser {
               i = end + 1
               if (RawTextTags(name)) {
                 // consume raw text to the matching close tag
-                val close = html.toLowerCase.indexOf(s"</$name", i)
+                val close = lower.indexOf(s"</$name", i)
                 val stop = if (close < 0) n else close
                 el.children += Text(html.substring(i, stop))
                 i = if (close < 0) n

@@ -517,6 +517,227 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---------------------------------------------------------------- PNG --
+
+  /** PNG Paeth predictor (RFC 2083 §6.6) — shared by the fixture encoder
+    * and the decoder's recon pass */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Deterministic PNG fixture for `docId` — same pixel-rule family as
+    * [[encodeBmp]] on different dims: REAL zlib IDAT over filtered
+    * scanlines where row y uses filter `y % 5`, so all five PNG filter
+    * types (None/Sub/Up/Average/Paeth) are encode-applied and must be
+    * decode-reversed; odd docIds split the IDAT across two chunks, making
+    * the chunk walk + concatenation load-bearing. CRC32 per chunk
+    * (decoder-verified). */
+  private[graft] def encodePng(docId: Long): Array[Byte] = {
+    val did = (docId % 256).toInt
+    val w = (5 + docId % 4).toInt
+    val h = (4 + docId % 3).toInt
+    def chan(x: Int, y: Int, c: Int): Int =
+      if (y < 0 || x < 0) 0
+      else c match {
+        case 0 => (did + x * y) % 256
+        case 1 => (2 * did + 3 * x + 5 * y) % 256
+        case _ => (did + 7 * x + 13 * y) % 256
+      }
+    val stride = 3 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (1 + stride)
+      val ft = y % 5
+      raw(rowOff) = ft.toByte
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          val cur = chan(x, y, c)
+          val left = chan(x - 1, y, c)
+          val up = chan(x, y - 1, c)
+          val ul = chan(x - 1, y - 1, c)
+          val f = ft match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case _ => cur - paeth(left, up, ul)
+          }
+          raw(rowOff + 1 + x * 3 + c) = (f & 0xFF).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val defl = {
+      val d = new java.util.zip.Deflater() // default = zlib wrapper
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len, 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr)
+    if (docId % 2 == 1 && defl.length >= 2) {
+      chunk("IDAT", defl.take(defl.length / 2))
+      chunk("IDAT", defl.drop(defl.length / 2))
+    } else chunk("IDAT", defl)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  final case class PngFeatures(width: Int, height: Int, nPx: Long,
+                               sumLuma: Long, probeLuma: Long)
+
+  /** Parse an 8-bit RGB non-interlaced PNG (RFC 2083): signature, chunk
+    * walk with CRC verification (IDAT chunks concatenated, ancillary
+    * chunks skipped), zlib inflate, and the per-row filter recon pass
+    * (all five filter types, bpp = 3). Same exact integer statistics as
+    * [[decodeBmp]]; probe pixel (1,2) catches filter/row-order bugs the
+    * permutation-invariant sum would hide. */
+  private[graft] def decodePng(bytes: Array[Byte]): PngFeatures = {
+    require(bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 &&
+      bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte,
+      "not a PNG payload")
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+        ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+    var i = 8
+    var w = 0; var h = 0
+    var seenIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var end = false
+    while (!end && i + 12 <= bytes.length) {
+      val len = be32(i)
+      require(len >= 0 && i + 12 + len <= bytes.length, "truncated chunk")
+      val typ = new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, i + 4, 4 + len)
+      require(crc.getValue.toInt == be32(i + 8 + len), s"$typ crc mismatch")
+      typ match {
+        case "IHDR" =>
+          w = be32(i + 8); h = be32(i + 12)
+          require(bytes(i + 16) == 8 && bytes(i + 17) == 2 && bytes(i + 20) == 0,
+            "unsupported PNG (8-bit RGB non-interlaced only)")
+          seenIhdr = true
+        case "IDAT" => idat.write(bytes, i + 8, len)
+        case "IEND" => end = true
+        case _ => () // ancillary chunk: skipped
+      }
+      i += 12 + len
+    }
+    require(seenIhdr && w > 0 && h > 0, "missing IHDR")
+    val raw = {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) throw new IllegalArgumentException("bad IDAT")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      out.toByteArray
+    }
+    val stride = 3 * w
+    require(raw.length == h * (1 + stride), "decompressed size mismatch")
+    val recon = new Array[Int](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xFF
+      require(ft <= 4, s"bad filter type $ft")
+      var k = 0
+      while (k < stride) {
+        val filt = raw(y * (1 + stride) + 1 + k) & 0xFF
+        val left = if (k >= 3) recon(y * stride + k - 3) else 0
+        val up = if (y > 0) recon((y - 1) * stride + k) else 0
+        val ul = if (y > 0 && k >= 3) recon((y - 1) * stride + k - 3) else 0
+        val v = ft match {
+          case 0 => filt
+          case 1 => filt + left
+          case 2 => filt + up
+          case 3 => filt + (left + up) / 2
+          case _ => filt + paeth(left, up, ul)
+        }
+        recon(y * stride + k) = v & 0xFF
+        k += 1
+      }
+      y += 1
+    }
+    val probeX = math.min(1, w - 1)
+    val probeY = math.min(2, h - 1)
+    var sum = 0L
+    var probe = 0L
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = y * stride + 3 * x
+        val luma = (299 * recon(o) + 587 * recon(o + 1) + 114 * recon(o + 2)) / 1000
+        sum += luma
+        if (x == probeX && y == probeY) probe = luma
+        x += 1
+      }
+      y += 1
+    }
+    PngFeatures(w, h, w.toLong * h, sum, probe)
+  }
+
+  /** media table of REAL PNG payloads (fixture rule above) */
+  def pngFromDocuments(docs: DataFrame, idCol: String): DataFrame = {
+    val enc = udf((id: Long) => encodePng(id))
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("image").as("modality"),
+      enc(col(idCol).cast("long")).as("payload"),
+      struct(lit("png-fixture").as("source"),
+        length(enc(col(idCol).cast("long"))).cast("long").as("bytes"),
+        lit("png/rgb8").as("codec")).as("meta"))
+  }
+
+  /** REAL PNG decode via mapPartitions (the [[decodeBmpFeatures]] shape) */
+  def decodePngFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("sum_luma", LongType, nullable = false),
+      StructField("probe_luma", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val f = decodePng(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), f.width, f.height, f.nPx, f.sumLuma, f.probeLuma)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** frame sampling: split payload into `n` contiguous byte ranges (last
     * frame takes the remainder); per-row generator, no shuffle */
   def frameSample(media: DataFrame, n: Int): DataFrame =

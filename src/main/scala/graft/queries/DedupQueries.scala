@@ -1378,6 +1378,38 @@ object DedupQueries {
              |  max(CASE WHEN x = 1 AND y = 2 THEN luma END) AS probe_luma
              |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin)),
 
+    // ----- multimodal: REAL PNG decode — the compressed-image twin of
+    // m_decode_bmp, the dominant web-corpus image format. Payloads are
+    // genuine PNGs (zlib IDAT over filtered scanlines, row y filtered
+    // with type y % 5 so all five PNG filters are decode-reversed, IDAT
+    // split across chunks on odd ids, CRC-verified chunk walk); the
+    // oracle recomputes the statistics from the (x, y) pixel rule without
+    // touching bytes, so a filter-recon, inflate, or chunk-walk bug
+    // breaks the hash. probe = pixel (1,2). -----
+    Q("m_decode_png",
+      (s, d) => Multimodal.decodePngFeatures(
+          Multimodal.pngFromDocuments(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_px"),
+          col("sum_luma"), col("probe_luma"))
+        .orderBy("media_id"),
+      Some("""WITH dims AS (SELECT doc_id, doc_id % 256 AS did,
+             |    5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h FROM documents),
+             |px AS (SELECT doc_id, w, h, xs.x, ys.y,
+             |    (did + xs.x * ys.y) % 256 AS r,
+             |    (2 * did + 3 * xs.x + 5 * ys.y) % 256 AS g,
+             |    (did + 7 * xs.x + 13 * ys.y) % 256 AS b
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 9)) AS x) xs,
+             |    (SELECT unnest(range(0, 7)) AS y) ys
+             |  WHERE xs.x < w AND ys.y < h),
+             |lum AS (SELECT doc_id, w, h, x, y,
+             |    (299 * r + 587 * g + 114 * b) // 1000 AS luma FROM px)
+             |SELECT doc_id AS media_id, w AS width, h AS height,
+             |  count(*) AS n_px, CAST(sum(luma) AS BIGINT) AS sum_luma,
+             |  max(CASE WHEN x = 1 AND y = 2 THEN luma END) AS probe_luma
+             |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin)),
+
     // ----- multimodal: REAL video decode — the AVI twin completing the
     // modality set. Payloads are genuine RIFF('AVI ') containers (nested
     // hdrl/strl LISTs, avih main header, per-frame '00db' chunks of raw

@@ -189,6 +189,55 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG encoder produces real PNGs: javax.imageio decodes them pixel-for-pixel") {
+    // independent decoder: the JDK's built-in PNG reader. Wrong CRCs,
+    // zlib framing, or filter application would make ImageIO fail or
+    // disagree; docIds cover every (w, h, filter-rotation, IDAT-split)
+    // combination class.
+    for (docId <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 11L, 255L, 256L, 1000L)) {
+      val bytes = Multimodal.encodePng(docId)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO could not read PNG for docId=$docId")
+      val did = (docId % 256).toInt
+      val w = (5 + docId % 4).toInt
+      val h = (4 + docId % 3).toInt
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) === (did + x * y) % 256, s"R at ($x,$y) id=$docId")
+        assert(((rgb >> 8) & 0xff) === (2 * did + 3 * x + 5 * y) % 256, s"G at ($x,$y) id=$docId")
+        assert((rgb & 0xff) === (did + 7 * x + 13 * y) % 256, s"B at ($x,$y) id=$docId")
+      }
+    }
+  }
+
+  test("PNG decoder: closed-form stats, crc/structure rejection") {
+    for (docId <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 99L, 255L, 511L)) {
+      val f = Multimodal.decodePng(Multimodal.encodePng(docId))
+      val did = (docId % 256).toInt
+      val w = (5 + docId % 4).toInt
+      val h = (4 + docId % 3).toInt
+      val lumas = for (y <- 0 until h; x <- 0 until w) yield {
+        val r = (did + x * y) % 256
+        val g = (2 * did + 3 * x + 5 * y) % 256
+        val b = (did + 7 * x + 13 * y) % 256
+        (299 * r + 587 * g + 114 * b) / 1000
+      }
+      assert(f.width === w && f.height === h && f.nPx === w.toLong * h)
+      assert(f.sumLuma === lumas.map(_.toLong).sum)
+      assert(f.probeLuma === lumas(2 * w + 1)) // pixel (x=1, y=2)
+    }
+    // corrupting any IDAT byte breaks the chunk CRC → rejected whole
+    val png = Multimodal.encodePng(9L)
+    val corrupt = png.clone()
+    corrupt(45) = (corrupt(45) ^ 0x5A).toByte
+    intercept[IllegalArgumentException] { Multimodal.decodePng(corrupt) }
+    intercept[IllegalArgumentException] { Multimodal.decodePng("junk".getBytes) }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng(png.take(30)) // truncated mid-chunk
+    }
+  }
+
   test("BMP decoder: closed-form stats, top-down variant, malformed rejection") {
     // round-trip equals the closed form the SQL oracle computes
     for (docId <- Seq(0L, 1L, 2L, 3L, 4L, 99L, 255L, 511L)) {
