@@ -1410,6 +1410,35 @@ object DedupQueries {
              |  max(CASE WHEN x = 1 AND y = 2 THEN luma END) AS probe_luma
              |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin)),
 
+    // ----- multimodal: REAL GIF decode — palette-indexed with GIF's
+    // LSB-first LZW (a different bit discipline from the PDF layer's
+    // MSB-first LZW), extension-block skipping, sub-block reassembly, and
+    // a GENERAL variable-width decompressor. Palette entries and pixel
+    // indices are both closed-form, so the oracle recomputes luma stats
+    // through the palette without touching bytes. -----
+    Q("m_decode_gif",
+      (s, d) => Multimodal.decodeGifFeatures(
+          Multimodal.gifFromDocuments(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_px"),
+          col("sum_luma"), col("probe_luma"))
+        .orderBy("media_id"),
+      Some("""WITH dims AS (SELECT doc_id, doc_id % 256 AS did,
+             |    6 + doc_id % 3 AS w, 5 + doc_id % 2 AS h FROM documents),
+             |px AS (SELECT doc_id, w, h, xs.x, ys.y,
+             |    (xs.x + 3 * ys.y + did) % 256 AS ix, did
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 9)) AS x) xs,
+             |    (SELECT unnest(range(0, 6)) AS y) ys
+             |  WHERE xs.x < w AND ys.y < h),
+             |lum AS (SELECT doc_id, w, h, x, y,
+             |    (299 * ((did + ix) % 256) + 587 * ((2 * did + 3 * ix) % 256) +
+             |     114 * ((did + 7 * ix) % 256)) // 1000 AS luma FROM px)
+             |SELECT doc_id AS media_id, w AS width, h AS height,
+             |  count(*) AS n_px, CAST(sum(luma) AS BIGINT) AS sum_luma,
+             |  max(CASE WHEN x = 1 AND y = 2 THEN luma END) AS probe_luma
+             |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin)),
+
     // ----- multimodal: REAL video decode — the AVI twin completing the
     // modality set. Payloads are genuine RIFF('AVI ') containers (nested
     // hdrl/strl LISTs, avih main header, per-frame '00db' chunks of raw

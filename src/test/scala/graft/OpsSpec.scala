@@ -238,6 +238,58 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF encoder produces real GIFs: javax.imageio decodes them pixel-for-pixel") {
+    // ImageIO's GIF reader is a fully independent LZW implementation: a
+    // bit-packing, width-growth, or sub-block bug would make it fail or
+    // disagree with the palette rule.
+    for (docId <- Seq(0L, 1L, 2L, 3L, 5L, 255L, 256L, 1000L)) {
+      val bytes = Multimodal.encodeGif(docId)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO could not read GIF for docId=$docId")
+      val did = (docId % 256).toInt
+      val w = (6 + docId % 3).toInt
+      val h = (5 + docId % 2).toInt
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val ix = (x + 3 * y + did) % 256
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) === (did + ix) % 256, s"R at ($x,$y) id=$docId")
+        assert(((rgb >> 8) & 0xff) === (2 * did + 3 * ix) % 256, s"G at ($x,$y) id=$docId")
+        assert((rgb & 0xff) === (did + 7 * ix) % 256, s"B at ($x,$y) id=$docId")
+      }
+    }
+  }
+
+  test("GIF decoder: closed-form stats, general LZW, malformed rejection") {
+    for (docId <- Seq(0L, 1L, 2L, 3L, 5L, 99L, 255L, 511L)) {
+      val f = Multimodal.decodeGif(Multimodal.encodeGif(docId))
+      val did = (docId % 256).toInt
+      val w = (6 + docId % 3).toInt
+      val h = (5 + docId % 2).toInt
+      val lumas = for (y <- 0 until h; x <- 0 until w) yield {
+        val ix = (x + 3 * y + did) % 256
+        (299 * ((did + ix) % 256) + 587 * ((2 * did + 3 * ix) % 256) +
+          114 * ((did + 7 * ix) % 256)) / 1000
+      }
+      assert(f.width === w && f.height === h && f.nPx === w.toLong * h)
+      assert(f.sumLuma === lumas.map(_.toLong).sum)
+      assert(f.probeLuma === lumas(2 * w + 1))
+    }
+    // the decoder's LZW is GENERAL, not just the fixture's clear-heavy
+    // stream: a normally-compressed GIF (ImageIO-written, real dictionary
+    // growth + KwKwK sequences) must decode to the same stats
+    val src = Multimodal.encodeGif(42L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val re = Multimodal.decodeGif(bos.toByteArray)
+    val ours = Multimodal.decodeGif(src)
+    assert((re.width, re.height, re.sumLuma, re.probeLuma) ===
+      ((ours.width, ours.height, ours.sumLuma, ours.probeLuma)))
+    intercept[IllegalArgumentException] { Multimodal.decodeGif("nope".getBytes) }
+    intercept[Exception] { Multimodal.decodeGif(src.take(20)) }
+  }
+
   test("BMP decoder: closed-form stats, top-down variant, malformed rejection") {
     // round-trip equals the closed form the SQL oracle computes
     for (docId <- Seq(0L, 1L, 2L, 3L, 4L, 99L, 255L, 511L)) {
