@@ -283,6 +283,55 @@ object PipelineQueries {
              |SELECT doc_id, CAST(pos AS INT) AS pos, blk
              |FROM blocks ORDER BY doc_id, pos""".stripMargin)),
 
+    // ----- WARC source end-to-end: the container format web-scale
+    // corpora actually arrive in (Common Crawl). Each doc becomes a real
+    // WARC file (warcinfo + HTTP request + HTTP response records;
+    // whole-file gzip on odd ids) whose response wraps the SAME
+    // noise-wrapped page as s8_html_extract — so the record walk, HTTP
+    // header strip, gzip path, and request/warcinfo skipping are pinned
+    // by the identical closed-form block oracle. -----
+    Q("s_warc_extract",
+      (s, d) => {
+        val mk = udf((id: Long, l0: String, l1: String, l2: String) => {
+          def esc(x: String) = x.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val art = Seq(l0, l1, l2).filter(_.trim.nonEmpty)
+            .map(l => s"<p>${esc(l)}</p>").mkString("\n")
+          val html =
+            s"""<html><head><title>Doc $id</title><script>track()</script></head>
+               |<body><nav><a href="/">Home</a><a href="/d">Docs</a></nav>
+               |<article><h1>Heading $id</h1>
+               |$art</article>
+               |<footer>Copyright line.</footer></body></html>""".stripMargin
+          graft.ingest.WarcSource.fixture(id,
+            Seq(s"https://fixture.test/doc/$id" -> html))
+        })
+        val parse = udf((b: Array[Byte]) =>
+          graft.ingest.WarcSource.htmlDocs(b).map(_._2))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            mk(col("doc_id"), expr("substr(text, 1, 36)"),
+              expr("substr(text, 24, 36)"), expr("substr(text, 47, 36)"))
+              .as("warc"))
+          .select(col("doc_id"), explode(parse(col("warc"))).as("md"))
+          .select(col("doc_id"),
+            posexplode(split(col("md"), "\n\n")).as(Seq("pos", "blk")))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH ln AS (SELECT doc_id, t.i,
+             |    substr(text, 1 + t.i * 23, 36) AS line
+             |  FROM documents, (SELECT unnest(range(0, 3)) AS i) t),
+             |ne AS (SELECT doc_id, trim(line) AS line,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+             |  FROM ln WHERE trim(line) <> ''),
+             |blocks AS (
+             |  SELECT doc_id, 0 AS pos, '# Heading ' || doc_id AS blk
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, rn AS pos, line AS blk FROM ne)
+             |SELECT doc_id, CAST(pos AS INT) AS pos, blk
+             |FROM blocks ORDER BY doc_id, pos""".stripMargin)),
+
     // ----- S7 end-to-end: DOCX byte extraction over assembled real ZIP
     // containers (ingest/DocxFixtures) — heading style, body paragraphs,
     // a uniform pipe table, and a footnote stream per document, so the

@@ -82,6 +82,37 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  // ---- WARC source (the Common Crawl container shape) ----
+
+  test("warc: record walk, http strip, gzip, truncated tail, type filter") {
+    import graft.ingest.WarcSource
+    val page = "<html><body><p>Crawled paragraph text.</p></body></html>"
+    val plain = WarcSource.fixture(2L, // even → plain
+      Seq("https://a.test/x" -> page, "https://a.test/y" -> page))
+    val recs = WarcSource.records(plain)
+    // warcinfo + (request + response) × 2
+    assert(recs.map(_.warcType) ===
+      Seq("warcinfo", "request", "response", "request", "response"))
+    assert(recs(2).targetUri === "https://a.test/x")
+    // the HTTP header block is stripped from response payloads
+    assert(new String(recs(2).httpBody, "UTF-8") === page)
+    // gzip-wrapped files (odd ids) parse identically
+    val gz = WarcSource.fixture(3L, Seq("https://a.test/x" -> page))
+    assert(gz.take(2).map(_ & 0xFF).toSeq === Seq(0x1F, 0x8B))
+    assert(WarcSource.records(gz).map(_.warcType) ===
+      Seq("warcinfo", "request", "response"))
+    // truncated tail: the good prefix survives, the partial record drops
+    val cut = plain.take(plain.length - (page.length / 2))
+    val partial = WarcSource.records(cut)
+    assert(partial.length === 4 && partial.map(_.warcType).count(_ == "response") === 1)
+    // extraction keeps only response records and drops parse-empty pages
+    val docs = WarcSource.htmlDocs(plain)
+    assert(docs.map(_._1) === Seq("https://a.test/x", "https://a.test/y"))
+    docs.foreach { case (_, md) => assert(md === "Crawled paragraph text.") }
+    // garbage is refused whole, never throws
+    assert(WarcSource.records("not a warc at all".getBytes) === Seq.empty)
+  }
+
   test("html: malformed input degrades to text, never throws") {
     assert(HtmlParser.toMarkdown("<h1>unclosed <div <<<") !== null)
     assert(HtmlParser.toMarkdown("") === "")
