@@ -249,6 +249,32 @@ final class Engine(
     }
   }
 
+  /** Ingest every HTTP response page of a WARC container (the Common
+    * Crawl arrival format): each page runs the same main-content
+    * extraction as `ingestData(format = "html")` and indexes as its own
+    * document keyed by its WARC-Target-URI (title from the page's
+    * `<title>`, URI fallback). Parse-empty pages and zero-chunk pages
+    * are skipped, truncated tails are refused at the last good record
+    * ([[graft.ingest.WarcSource]] semantics). This is the driver-side
+    * single-container tool call; the corpus-scale path is the
+    * `s_warc_extract`-shaped flatMap over a binaryFile scan feeding the
+    * batch upsert. */
+  def ingestWarc(path: String): Seq[IngestResult] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    graft.ingest.WarcSource.records(bytes)
+      .filter(_.warcType == "response").flatMap { r =>
+        val html = new String(r.httpBody, StandardCharsets.UTF_8)
+        val md = graft.ingest.HtmlParser.toMarkdown(html)
+        if (md.isEmpty) None
+        else {
+          val title = graft.ingest.HtmlParser.extractTitle(html)
+            .getOrElse(r.targetUri)
+          try Some(ingestData(md, title, r.targetUri, format = "md"))
+          catch { case _: Ingest.NoChunksError => None }
+        }
+      }
+  }
+
   /** a path is inside the configured roots both lexically AND canonically —
     * a request reaching outside through a symlinked ancestor is refused
     * (reference `isRequestedPathContained`, sync.ts:386-398) */

@@ -160,6 +160,31 @@ class EngineSpec extends AnyFunSuite {
     assert(!hit.getAs[String]("text").contains("track()")) // script never indexed
   }
 
+  test("ingest_warc: every response page indexed under its target URI") {
+    val (engine, _) = mkEngine()
+    def page(topic: String, body: String) =
+      s"""<html><head><title>$topic</title></head>
+         |<body><nav><a href="/">Home</a></nav>
+         |<article><h1>$topic</h1><p>$body</p></article></body></html>""".stripMargin
+    val warc = graft.ingest.WarcSource.fixture(1L, Seq( // odd id → gzipped
+      "https://crawl.test/volcano" -> page("Volcanoes",
+        "Magma chambers build pressure beneath stratovolcanoes until eruption."),
+      "https://crawl.test/pasta" -> page("Pasta",
+        "Slow simmered tomato sauce coats fresh pasta evenly and richly.")))
+    val f = Files.createTempFile("fixture", ".warc.gz")
+    Files.write(f, warc)
+    val results = engine.ingestWarc(f.toString)
+    assert(results.length === 2)
+    assert(results.forall(_.chunkCount >= 1))
+    // each page is its own queryable document titled from its <title>
+    val hit = engine.queryDocuments("magma eruption pressure", limit = 2)
+      .collect().head
+    assert(hit.getAs[String]("fileTitle") === "Volcanoes")
+    // nav boilerplate from the pages was never indexed
+    assert(engine.queryDocuments("Home", limit = 3).collect()
+      .forall(r => !r.getAs[String]("text").contains("Home")))
+  }
+
   test("sync_start/sync_status: async job with mutation guard, single retained job") {
     val (engine, _) = mkEngine()
     val jobId = engine.syncStart()
