@@ -944,6 +944,39 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // --------------------------------------------------------------- JPEG --
+
+  /** media table of REAL baseline JPEG payloads ([[Jpeg.encodeJpeg]]) */
+  def jpegFromDocuments(docs: DataFrame, idCol: String): DataFrame = {
+    val enc = udf((id: Long) => Jpeg.encodeJpeg(id))
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("image").as("modality"),
+      enc(col(idCol).cast("long")).as("payload"),
+      struct(lit("jpeg-fixture").as("source"),
+        length(enc(col(idCol).cast("long"))).cast("long").as("bytes"),
+        lit("jpeg/baseline").as("codec")).as("meta"))
+  }
+
+  /** REAL JPEG decode via mapPartitions (the [[decodeBmpFeatures]] shape) */
+  def decodeJpegFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("sum_luma", LongType, nullable = false),
+      StructField("probe_luma", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val f = Jpeg.decodeJpeg(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), f.width, f.height, f.nPx, f.sumLuma, f.probeLuma)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** frame sampling: split payload into `n` contiguous byte ranges (last
     * frame takes the remainder); per-row generator, no shuffle */
   def frameSample(media: DataFrame, n: Int): DataFrame =

@@ -1410,6 +1410,35 @@ object DedupQueries {
              |  max(CASE WHEN x = 1 AND y = 2 THEN luma END) AS probe_luma
              |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin)),
 
+    // ----- multimodal: REAL baseline JPEG decode (ops/Jpeg) — general
+    // marker/DHT/DQT/SOF0/SOS machinery, Huffman entropy decode, dequant,
+    // IDCT. Fixtures are DC-exact (block-constant even Y, flat quant 16),
+    // the one shape where lossy JPEG round-trips losslessly — so the
+    // closed-form oracle pins the whole chain; the general AC paths are
+    // OpsSpec-gated against ImageIO-encoded streams. probe = Y(1,2). -----
+    Q("m_decode_jpeg",
+      (s, d) => Multimodal.decodeJpegFeatures(
+          Multimodal.jpegFromDocuments(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_px"),
+          col("sum_luma"), col("probe_luma"))
+        .orderBy("media_id"),
+      Some("""WITH dims AS (SELECT doc_id, doc_id % 256 AS did,
+             |    24 + (doc_id % 2) * 8 AS w, 16 + (doc_id % 3) * 8 AS h
+             |  FROM documents),
+             |blk AS (SELECT doc_id, w, h, bx.b AS bx, by.b AS by,
+             |    2 * ((did + 5 * bx.b + 7 * by.b) % 100) + 16 AS y
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 4)) AS b) bx,
+             |    (SELECT unnest(range(0, 5)) AS b) by
+             |  WHERE bx.b < w // 8 AND by.b < h // 8)
+             |SELECT doc_id AS media_id, w AS width, h AS height,
+             |  CAST(w * h AS BIGINT) AS n_px,
+             |  CAST(sum(64 * y) AS BIGINT) AS sum_luma,
+             |  CAST(max(CASE WHEN bx = 0 AND by = 0 THEN y END) AS BIGINT)
+             |    AS probe_luma
+             |FROM blk GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin)),
+
     // ----- multimodal: REAL GIF decode — palette-indexed with GIF's
     // LSB-first LZW (a different bit discipline from the PDF layer's
     // MSB-first LZW), extension-block skipping, sub-block reassembly, and

@@ -290,6 +290,71 @@ class OpsSpec extends AnyFunSuite {
     intercept[Exception] { Multimodal.decodeGif(src.take(20)) }
   }
 
+  test("JPEG fixtures round-trip exactly; ImageIO agrees within IDCT rounding") {
+    import graft.ops.Jpeg
+    for (docId <- Seq(0L, 1L, 2L, 3L, 5L, 99L, 255L, 511L)) {
+      val f = Jpeg.decodeJpeg(Jpeg.encodeJpeg(docId))
+      val did = (docId % 256).toInt
+      val w = (24 + (docId % 2) * 8).toInt
+      val h = (16 + (docId % 3) * 8).toInt
+      val ys = for (by <- 0 until h / 8; bx <- 0 until w / 8)
+        yield Jpeg.blockY(did, bx, by).toLong
+      assert(f.width === w && f.height === h && f.nPx === w.toLong * h)
+      assert(f.sumLuma === ys.map(_ * 64).sum) // DC-exact: lossless
+      assert(f.probeLuma === Jpeg.blockY(did, 0, 0))
+      // an independent decoder (ImageIO/libjpeg) agrees on every pixel
+      // within integer-IDCT rounding; flat chroma ⇒ gray RGB
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Jpeg.encodeJpeg(docId)))
+      assert(img != null, s"ImageIO could not read fixture docId=$docId")
+      for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+        val want = Jpeg.blockY(did, bx, by)
+        val got = (img.getRGB(bx * 8 + 3, by * 8 + 3) >> 8) & 0xFF
+        assert(math.abs(got - want) <= 1, s"($bx,$by) id=$docId: $got vs $want")
+      }
+    }
+  }
+
+  test("JPEG decoder handles general AC streams (ImageIO-encoded gradients)") {
+    import graft.ops.Jpeg
+    // a real compressed image: full standard Huffman tables, nonzero AC
+    // coefficients, magnitude/run-length codes — none of which the
+    // DC-only fixtures exercise
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (37 + 5 * x + 3 * y + ((x * y) % 23)) % 256
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val ours = Jpeg.decodeJpeg(bytes)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var refSum = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      refSum += ref.getRaster.getSample(x, y, 0)
+    assert(ours.width === w && ours.height === h)
+    // the two IDCTs may differ by ±1 per pixel on a lossy stream
+    assert(math.abs(ours.sumLuma - refSum) <= w.toLong * h,
+      s"ours=${ours.sumLuma} ref=$refSum")
+    val refProbe = ref.getRaster.getSample(1, 2, 0)
+    assert(math.abs(ours.probeLuma - refProbe) <= 1)
+  }
+
+  test("JPEG malformed rejection: garbage, truncation, progressive refusal") {
+    import graft.ops.Jpeg
+    intercept[IllegalArgumentException] { Jpeg.decodeJpeg("garbage".getBytes) }
+    intercept[Exception] { Jpeg.decodeJpeg(Jpeg.encodeJpeg(7L).take(40)) }
+    // flipping SOF0 to SOF2 (progressive) must refuse, not garble
+    val j = Jpeg.encodeJpeg(7L)
+    val sof = j.indices.find(i => (j(i) & 0xFF) == 0xFF &&
+      i + 1 < j.length && (j(i + 1) & 0xFF) == 0xC0).get
+    val prog = j.clone(); prog(sof + 1) = 0xC2.toByte
+    intercept[IllegalArgumentException] { Jpeg.decodeJpeg(prog) }
+  }
+
   test("BMP decoder: closed-form stats, top-down variant, malformed rejection") {
     // round-trip equals the closed form the SQL oracle computes
     for (docId <- Seq(0L, 1L, 2L, 3L, 4L, 99L, 255L, 511L)) {
