@@ -944,6 +944,170 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // --------------------------------------------------------------- TIFF --
+
+  /** Deterministic baseline TIFF fixture for `docId` (TIFF 6.0): 8-bit
+    * RGB, uncompressed, one strip, little-endian ("II") for even ids and
+    * BIG-endian ("MM") for odd — so the decoder's byte-order handling is
+    * load-bearing. Same closed-form pixel-rule family as the other image
+    * fixtures. */
+  private[graft] def encodeTiff(docId: Long): Array[Byte] = {
+    val did = (docId % 256).toInt
+    val w = (7 + docId % 3).toInt
+    val h = (5 + docId % 4).toInt
+    val big = docId % 2 == 1
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        px(o) = ((did + x * y) % 256).toByte           // R
+        px(o + 1) = ((2 * did + 3 * x + 5 * y) % 256).toByte // G
+        px(o + 2) = ((did + 7 * x + 13 * y) % 256).toByte    // B
+        x += 1
+      }
+      y += 1
+    }
+    val nTags = 9
+    // layout: header(8) | pixels | bitsPerSample(6) | IFD
+    val pxOff = 8
+    val bpsOff = pxOff + px.length
+    val ifdOff = bpsOff + 6
+    val total = ifdOff + 2 + nTags * 12 + 4
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(if (big) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put((if (big) "MM" else "II").getBytes("US-ASCII"))
+    buf.putShort(42)
+    buf.putInt(ifdOff)
+    buf.put(px)
+    buf.putShort(8).putShort(8).putShort(8) // BitsPerSample array
+    buf.putShort(nTags.toShort)
+    def tagShort(id: Int, v: Int): Unit = {
+      buf.putShort(id.toShort).putShort(3).putInt(1)
+      buf.putShort(v.toShort)
+      buf.putShort(0) // value field pads to 4 bytes
+    }
+    def tagLong(id: Int, v: Int): Unit = {
+      buf.putShort(id.toShort).putShort(4).putInt(1).putInt(v)
+    }
+    tagLong(256, w)          // ImageWidth
+    tagLong(257, h)          // ImageLength
+    buf.putShort(258).putShort(3).putInt(3).putInt(bpsOff) // BitsPerSample →
+    tagShort(259, 1)         // Compression = none
+    tagShort(262, 2)         // Photometric = RGB
+    tagLong(273, pxOff)      // StripOffsets
+    tagShort(277, 3)         // SamplesPerPixel
+    tagLong(278, h)          // RowsPerStrip
+    tagLong(279, px.length)  // StripByteCounts
+    buf.putInt(0) // next IFD
+    buf.array()
+  }
+
+  final case class TiffFeatures(width: Int, height: Int, nPx: Long,
+                                sumLuma: Long, probeLuma: Long)
+
+  /** Parse a baseline TIFF 6.0: both byte orders, IFD tag walk with
+    * SHORT/LONG value types (inline or offset-stored), multi-strip
+    * gather; uncompressed 8-bit RGB only (compressed/planar/paletted
+    * variants are refused, never garbled). */
+  private[graft] def decodeTiff(bytes: Array[Byte]): TiffFeatures = {
+    require(bytes.length >= 8, "not a TIFF payload")
+    val order = new String(bytes, 0, 2, java.nio.charset.StandardCharsets.US_ASCII) match {
+      case "II" => java.nio.ByteOrder.LITTLE_ENDIAN
+      case "MM" => java.nio.ByteOrder.BIG_ENDIAN
+      case _ => throw new IllegalArgumentException("not a TIFF payload")
+    }
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
+    require(bb.getShort(2) == 42, "bad TIFF magic")
+    val ifd = bb.getInt(4)
+    val n = bb.getShort(ifd) & 0xFFFF
+    // tag id → every value as Long (SHORT/LONG, inline when it fits)
+    val tags = mutable.Map.empty[Int, IndexedSeq[Long]]
+    for (k <- 0 until n) {
+      val off = ifd + 2 + k * 12
+      val id = bb.getShort(off) & 0xFFFF
+      val typ = bb.getShort(off + 2) & 0xFFFF
+      val count = bb.getInt(off + 4)
+      val size = typ match { case 3 => 2; case 4 => 4; case 1 => 1; case _ => -1 }
+      if (size > 0) {
+        val inline = size * count <= 4
+        val base = if (inline) off + 8 else bb.getInt(off + 8)
+        tags(id) = (0 until count).map { i =>
+          typ match {
+            case 3 => (bb.getShort(base + 2 * i) & 0xFFFF).toLong
+            case 4 => bb.getInt(base + 4 * i).toLong & 0xFFFFFFFFL
+            case _ => (bytes(base + i) & 0xFF).toLong
+          }
+        }
+      } // other types (RATIONAL etc.) are metadata: ignored
+    }
+    def one(id: Int): Long = tags.get(id).flatMap(_.headOption)
+      .getOrElse(throw new IllegalArgumentException(s"missing tag $id"))
+    val w = one(256).toInt; val h = one(257).toInt
+    require(one(259) == 1, "compressed TIFFs unsupported")
+    require(one(262) == 2, "non-RGB photometric unsupported")
+    require(one(277) == 3 && tags(258).forall(_ == 8), "8-bit RGB only")
+    require(!tags.get(284).exists(_.headOption.contains(2L)), "planar unsupported")
+    val offs = tags(273); val counts = tags(279)
+    require(offs.length == counts.length, "strip tables disagree")
+    val px = new java.io.ByteArrayOutputStream()
+    offs.zip(counts).foreach { case (o, c) =>
+      require(o + c <= bytes.length, "truncated strip")
+      px.write(bytes, o.toInt, c.toInt)
+    }
+    val data = px.toByteArray
+    require(data.length >= w * h * 3, "short pixel data")
+    val probeX = math.min(1, w - 1); val probeY = math.min(2, h - 1)
+    var sum = 0L; var probe = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        val luma = (299 * (data(o) & 0xFF) + 587 * (data(o + 1) & 0xFF) +
+          114 * (data(o + 2) & 0xFF)) / 1000
+        sum += luma
+        if (x == probeX && y == probeY) probe = luma
+        x += 1
+      }
+      y += 1
+    }
+    TiffFeatures(w, h, w.toLong * h, sum, probe)
+  }
+
+  /** media table of REAL TIFF payloads (fixture rule above) */
+  def tiffFromDocuments(docs: DataFrame, idCol: String): DataFrame = {
+    val enc = udf((id: Long) => encodeTiff(id))
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("image").as("modality"),
+      enc(col(idCol).cast("long")).as("payload"),
+      struct(lit("tiff-fixture").as("source"),
+        length(enc(col(idCol).cast("long"))).cast("long").as("bytes"),
+        lit("tiff/rgb8").as("codec")).as("meta"))
+  }
+
+  /** REAL TIFF decode via mapPartitions (the [[decodeBmpFeatures]] shape) */
+  def decodeTiffFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("sum_luma", LongType, nullable = false),
+      StructField("probe_luma", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val f = decodeTiff(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), f.width, f.height, f.nPx, f.sumLuma, f.probeLuma)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   // --------------------------------------------------------------- JPEG --
 
   /** media table of REAL baseline JPEG payloads ([[Jpeg.encodeJpeg]]) */

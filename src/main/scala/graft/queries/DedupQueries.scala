@@ -1410,6 +1410,35 @@ object DedupQueries {
              |  max(CASE WHEN x = 1 AND y = 2 THEN luma END) AS probe_luma
              |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin)),
 
+    // ----- multimodal: REAL TIFF decode — the scanned-document corpus
+    // format. Genuine TIFF 6.0 containers, little-endian for even ids
+    // and BIG-endian for odd (the byte-order branch is load-bearing),
+    // IFD tag walk with SHORT/LONG and inline/offset values, strip
+    // gather; oracle = the closed-form pixel rule. -----
+    Q("m_decode_tiff",
+      (s, d) => Multimodal.decodeTiffFeatures(
+          Multimodal.tiffFromDocuments(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_px"),
+          col("sum_luma"), col("probe_luma"))
+        .orderBy("media_id"),
+      Some("""WITH dims AS (SELECT doc_id, doc_id % 256 AS did,
+             |    7 + doc_id % 3 AS w, 5 + doc_id % 4 AS h FROM documents),
+             |px AS (SELECT doc_id, w, h, xs.x, ys.y,
+             |    (did + xs.x * ys.y) % 256 AS r,
+             |    (2 * did + 3 * xs.x + 5 * ys.y) % 256 AS g,
+             |    (did + 7 * xs.x + 13 * ys.y) % 256 AS b
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 10)) AS x) xs,
+             |    (SELECT unnest(range(0, 9)) AS y) ys
+             |  WHERE xs.x < w AND ys.y < h),
+             |lum AS (SELECT doc_id, w, h, x, y,
+             |    (299 * r + 587 * g + 114 * b) // 1000 AS luma FROM px)
+             |SELECT doc_id AS media_id, w AS width, h AS height,
+             |  count(*) AS n_px, CAST(sum(luma) AS BIGINT) AS sum_luma,
+             |  max(CASE WHEN x = 1 AND y = 2 THEN luma END) AS probe_luma
+             |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin)),
+
     // ----- multimodal: REAL baseline JPEG decode (ops/Jpeg) — general
     // marker/DHT/DQT/SOF0/SOS machinery, Huffman entropy decode, dequant,
     // IDCT. Fixtures are DC-exact (block-constant even Y, flat quant 16),

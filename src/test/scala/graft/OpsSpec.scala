@@ -290,6 +290,42 @@ class OpsSpec extends AnyFunSuite {
     intercept[Exception] { Multimodal.decodeGif(src.take(20)) }
   }
 
+  test("TIFF: both byte orders round-trip; ImageIO agrees; malformed refused") {
+    import graft.ops.Multimodal
+    for (docId <- Seq(0L, 1L, 2L, 3L, 5L, 255L, 511L)) { // even=II, odd=MM
+      val bytes = Multimodal.encodeTiff(docId)
+      val f = Multimodal.decodeTiff(bytes)
+      val did = (docId % 256).toInt
+      val w = (7 + docId % 3).toInt
+      val h = (5 + docId % 4).toInt
+      val lumas = for (y <- 0 until h; x <- 0 until w) yield {
+        val r = (did + x * y) % 256
+        val g = (2 * did + 3 * x + 5 * y) % 256
+        val b = (did + 7 * x + 13 * y) % 256
+        (299 * r + 587 * g + 114 * b) / 1000
+      }
+      assert(f.width === w && f.height === h && f.nPx === w.toLong * h)
+      assert(f.sumLuma === lumas.map(_.toLong).sum)
+      assert(f.probeLuma === lumas(2 * w + 1))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO could not read TIFF for docId=$docId")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) === (did + x * y) % 256, s"R($x,$y) id=$docId")
+      }
+    }
+    intercept[IllegalArgumentException] { Multimodal.decodeTiff("junk".getBytes) }
+    // flipping the compression tag to LZW must refuse, not garble
+    val t = Multimodal.encodeTiff(2L) // little-endian
+    val bb = java.nio.ByteBuffer.wrap(t).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getInt(4)
+    val n = bb.getShort(ifd) & 0xFFFF
+    val comp = (0 until n).map(k => ifd + 2 + k * 12)
+      .find(o => (bb.getShort(o) & 0xFFFF) == 259).get
+    bb.putShort(comp + 8, 5) // LZW
+    intercept[IllegalArgumentException] { Multimodal.decodeTiff(t) }
+  }
+
   test("JPEG fixtures round-trip exactly; ImageIO agrees within IDCT rounding") {
     import graft.ops.Jpeg
     for (docId <- Seq(0L, 1L, 2L, 3L, 5L, 99L, 255L, 511L)) {
