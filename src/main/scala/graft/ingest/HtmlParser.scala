@@ -202,7 +202,8 @@ object HtmlParser {
 
   private def render(n: Node, sb: StringBuilder, inPre: Boolean): Unit = n match {
     case Text(s) =>
-      sb ++= (if (inPre) s else decodeEntities(s))
+      // entities decode everywhere — inside <pre> only TAGS are literal
+      sb ++= decodeEntities(s)
     case e: Elem => e.name match {
       case h if h.length == 2 && h(0) == 'h' && h(1).isDigit && h(1) != '0' =>
         sb ++= "\n\n" + ("#" * (h(1) - '0')) + " "

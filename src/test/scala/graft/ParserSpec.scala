@@ -66,6 +66,8 @@ class ParserSpec extends AnyFunSuite {
       "<table><tr><td>alpha</td><td>beta</td></tr></table><p>&#8212;&#x2014;</p>")
     assert(md.contains("alpha beta"))
     assert(md.contains("——"))
+    // entities decode inside <pre> too — only TAGS are literal there
+    assert(HtmlParser.toMarkdown("<pre>a &lt; b</pre>").contains("a < b"))
   }
 
   test("html: pathological nesting and fuzz inputs never throw") {
