@@ -104,7 +104,7 @@ object WarcSource {
     -1
   }
 
-  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+  private[ingest] def gunzip(bytes: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val out = new java.io.ByteArrayOutputStream()

@@ -332,6 +332,36 @@ object PipelineQueries {
              |SELECT doc_id, CAST(pos AS INT) AS pos, blk
              |FROM blocks ORDER BY doc_id, pos""".stripMargin)),
 
+    // ----- TAR source end-to-end: the other container text corpora ship
+    // in (dataset dumps as .tar.gz of loose documents). Real ustar
+    // archives per doc — checksummed headers, a directory entry and a
+    // binary member extraction must skip, gzip on odd ids — with the
+    // text members carrying the documents lines. -----
+    Q("s_tar_extract",
+      (s, d) => {
+        val mk = udf((id: Long, l0: String, l1: String, l2: String) =>
+          graft.ingest.TarSource.fixture(id,
+            Seq(l0, l1, l2).map(_.trim).filter(_.nonEmpty).zipWithIndex
+              .map { case (l, k) => s"part$k.md" -> l }))
+        val parse = udf((b: Array[Byte]) => graft.ingest.TarSource.textDocs(b))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            mk(col("doc_id"), expr("substr(text, 1, 36)"),
+              expr("substr(text, 24, 36)"), expr("substr(text, 47, 36)"))
+              .as("tar"))
+          .select(col("doc_id"), explode(parse(col("tar"))).as("m"))
+          .select(col("doc_id"), col("m._1").as("member"), col("m._2").as("body"))
+          .orderBy("doc_id", "member")
+      },
+      Some("""WITH ln AS (SELECT doc_id, t.i,
+             |    substr(text, 1 + t.i * 23, 36) AS line
+             |  FROM documents, (SELECT unnest(range(0, 3)) AS i) t),
+             |ne AS (SELECT doc_id, trim(line) AS line,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS k
+             |  FROM ln WHERE trim(line) <> '')
+             |SELECT doc_id, 'part' || k || '.md' AS member, line AS body
+             |FROM ne ORDER BY doc_id, member""".stripMargin)),
+
     // ----- S7 end-to-end: DOCX byte extraction over assembled real ZIP
     // containers (ingest/DocxFixtures) — heading style, body paragraphs,
     // a uniform pipe table, and a footnote stream per document, so the

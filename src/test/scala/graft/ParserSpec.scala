@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.embed.BatchPlanner
@@ -113,6 +115,37 @@ class ParserSpec extends AnyFunSuite {
     docs.foreach { case (_, md) => assert(md === "Crawled paragraph text.") }
     // garbage is refused whole, never throws
     assert(WarcSource.records("not a warc at all".getBytes) === Seq.empty)
+  }
+
+  test("tar: ustar walk, type/extension filters, gzip, checksum gate") {
+    import graft.ingest.TarSource
+    val docs = Seq("a.md" -> "Alpha doc text.", "b.txt" -> "Beta doc text.",
+      "c.md" -> "Gamma doc text.")
+    val plain = TarSource.fixture(2L, docs) // even → plain
+    // directory + .bin members are skipped; text members extracted in order
+    assert(TarSource.textDocs(plain) === docs)
+    assert(TarSource.entries(plain).map(_.name) ===
+      Seq("a.md", "b.txt", "c.md", "assets/blob.bin"))
+    // gzip variant parses identically
+    val gz = TarSource.fixture(3L, docs)
+    assert(gz.take(2).map(_ & 0xFF).toSeq === Seq(0x1F, 0x8B))
+    assert(TarSource.textDocs(gz) === docs)
+    // the system tar agrees on the member list (independent validation)
+    val f = Files.createTempFile("fixture", ".tar")
+    Files.write(f, plain)
+    val pb = new ProcessBuilder("tar", "-tf", f.toString)
+    try {
+      val proc = pb.start()
+      val listed = scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().toList
+      assert(proc.waitFor() === 0)
+      assert(listed === Seq("corpus2/", "a.md", "b.txt", "c.md", "assets/blob.bin"))
+    } catch { case _: java.io.IOException => () } // no tar binary: skip
+    // a corrupted header byte fails the checksum → walk stops there
+    val bad = plain.clone()
+    bad(0) = 'X'.toByte
+    assert(TarSource.entries(bad) === Seq.empty)
+    assert(TarSource.entries("short".getBytes) === Seq.empty)
   }
 
   test("html: malformed input degrades to text, never throws") {
