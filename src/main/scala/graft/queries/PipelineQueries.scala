@@ -362,6 +362,35 @@ object PipelineQueries {
              |SELECT doc_id, 'part' || k || '.md' AS member, line AS body
              |FROM ne ORDER BY doc_id, member""".stripMargin)),
 
+    // ----- ZIP source end-to-end, completing the archive triad
+    // (WARC/TAR/ZIP): stream-walked local headers, STORED entries on
+    // even ids and DEFLATED on odd so both decompression paths are
+    // load-bearing; same member rules and oracle as s_tar_extract. -----
+    Q("s_zip_extract",
+      (s, d) => {
+        val mk = udf((id: Long, l0: String, l1: String, l2: String) =>
+          graft.ingest.ZipSource.fixture(id,
+            Seq(l0, l1, l2).map(_.trim).filter(_.nonEmpty).zipWithIndex
+              .map { case (l, k) => s"part$k.md" -> l }))
+        val parse = udf((b: Array[Byte]) => graft.ingest.ZipSource.textDocs(b))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            mk(col("doc_id"), expr("substr(text, 1, 36)"),
+              expr("substr(text, 24, 36)"), expr("substr(text, 47, 36)"))
+              .as("zip"))
+          .select(col("doc_id"), explode(parse(col("zip"))).as("m"))
+          .select(col("doc_id"), col("m._1").as("member"), col("m._2").as("body"))
+          .orderBy("doc_id", "member")
+      },
+      Some("""WITH ln AS (SELECT doc_id, t.i,
+             |    substr(text, 1 + t.i * 23, 36) AS line
+             |  FROM documents, (SELECT unnest(range(0, 3)) AS i) t),
+             |ne AS (SELECT doc_id, trim(line) AS line,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS k
+             |  FROM ln WHERE trim(line) <> '')
+             |SELECT doc_id, 'part' || k || '.md' AS member, line AS body
+             |FROM ne ORDER BY doc_id, member""".stripMargin)),
+
     // ----- S7 end-to-end: DOCX byte extraction over assembled real ZIP
     // containers (ingest/DocxFixtures) — heading style, body paragraphs,
     // a uniform pipe table, and a footnote stream per document, so the

@@ -148,6 +148,28 @@ class ParserSpec extends AnyFunSuite {
     assert(TarSource.entries("short".getBytes) === Seq.empty)
   }
 
+  test("zip: stored and deflated members, filters, truncated tail") {
+    import graft.ingest.ZipSource
+    val docs = Seq("a.md" -> "Alpha zip text.", "b.txt" -> "Beta zip text.")
+    val stored = ZipSource.fixture(2L, docs)
+    val deflated = ZipSource.fixture(3L, docs)
+    assert(ZipSource.textDocs(stored) === docs)
+    assert(ZipSource.textDocs(deflated) === docs)
+    // the system unzip agrees with our member view of the STORED archive
+    val f = Files.createTempFile("fixture", ".zip")
+    Files.write(f, stored)
+    try {
+      val proc = new ProcessBuilder("unzip", "-l", f.toString).start()
+      val listing = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+      assert(proc.waitFor() === 0)
+      docs.foreach { case (n, _) => assert(listing.contains(n)) }
+    } catch { case _: java.io.IOException => () } // no unzip binary: skip
+    // truncation keeps the good prefix, never throws
+    val cut = ZipSource.textDocs(deflated.take(deflated.length / 2))
+    assert(cut.length <= docs.length)
+    assert(ZipSource.entries("PK garbage".getBytes) === Seq.empty)
+  }
+
   test("html: malformed input degrades to text, never throws") {
     assert(HtmlParser.toMarkdown("<h1>unclosed <div <<<") !== null)
     assert(HtmlParser.toMarkdown("") === "")
