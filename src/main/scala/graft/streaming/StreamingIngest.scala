@@ -28,6 +28,40 @@ object StreamingIngest {
                   timestamp: String): Dataset[ChunkRow] =
     Ingest.buildChunks(docs, mkEmbedder, timestamp) // one code path, two triggers
 
+  /** Streaming WARC ingestion: a `binaryFile` readStream over a drop
+    * directory of .warc(.gz) containers, each micro-batch exploding its
+    * files' HTTP response pages through the SAME WarcSource → HtmlParser →
+    * chunk/embed stages as the batch path (per-page documents keyed by
+    * target URI), run AvailableNow to a memory sink. This is the
+    * continuous-crawl deployment shape: Common Crawl segments land in a
+    * bucket, and the pipeline indexes them incrementally — each file is
+    * read once, all parsing is map-side inside the batch. */
+  def warcIngestAvailableNow(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, mkEmbedder: () => Embedder,
+                             timestamp: String): DataFrame = {
+    import spark.implicits._
+    val pages = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(bytes => graft.ingest.WarcSource.htmlDocs(bytes).map {
+        case (uri, md) => Ingest.Doc(uri, md, None, None)
+      })
+    val chunks = chunkStream(pages, mkEmbedder, timestamp).toDF()
+    runToMemorySink(spark, chunks, OutputMode.Append(), "graft_warc_ingest")(
+      identity)
+  }
+
   /** event-time windowed counts with a watermark — late data beyond the
     * watermark is dropped, state is bounded */
   def windowedCounts(events: DataFrame, watermark: String = "30 minutes",

@@ -457,4 +457,38 @@ class StreamingSpec extends AnyFunSuite {
         .as[(String, String, String, String)].collect().sorted.toSeq
     assert(key(result) === key(batch))
   }
+
+  test("streaming WARC ingest equals the batch extraction path") {
+    // two WARC containers (one gzipped) land in a drop directory; the
+    // streaming job must produce EXACTLY the chunks the batch path
+    // builds from the same pages — one code path, two triggers
+    import graft.ingest.WarcSource
+    def page(t: String, body: String) =
+      s"""<html><head><title>$t</title></head><body><article><h1>$t</h1>
+         |<p>$body</p></article></body></html>""".stripMargin
+    val w1 = WarcSource.fixture(2L, Seq(
+      "https://crawl.test/a" -> page("Alpha",
+        "Structured streaming drains the backlog with the available now trigger.")))
+    val w2 = WarcSource.fixture(3L, Seq(
+      "https://crawl.test/b" -> page("Beta",
+        "Watermarks bound state for unbounded inputs across long pipelines."),
+      "https://crawl.test/c" -> page("Gamma",
+        "Broadcast joins keep small dimension tables on every executor.")))
+    val dir = Files.createTempDirectory("warc-drop")
+    Files.write(dir.resolve("seg-00001.warc"), w1)
+    Files.write(dir.resolve("seg-00002.warc.gz"), w2)
+    val ts = "2026-01-01T00:00:00Z"
+    val streamed = StreamingIngest.warcIngestAvailableNow(
+      spark, dir.toString, () => new HashedEmbedder(32), ts)
+    val batchDocs = (WarcSource.htmlDocs(w1) ++ WarcSource.htmlDocs(w2))
+      .map { case (uri, md) => Ingest.Doc(uri, md) }
+    val batch = Ingest.buildChunks(
+      spark.createDataset(batchDocs), () => new HashedEmbedder(32), ts).toDF()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("filePath"), col("chunkIndex"), col("text"),
+        col("vector").cast("string"))
+        .as[(String, Int, String, String)].collect().sorted.toSeq
+    assert(key(streamed).nonEmpty)
+    assert(key(streamed) === key(batch))
+  }
 }
