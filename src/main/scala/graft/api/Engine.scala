@@ -275,6 +275,22 @@ final class Engine(
       }
   }
 
+  /** Ingest every text member (.md/.txt) of a TAR or ZIP container —
+    * the dataset-dump arrival shape, dispatched on the archive's own
+    * magic bytes. Each member indexes as its own document keyed by
+    * `container-path!member-name`; zero-chunk members are skipped. */
+  def ingestArchive(path: String): Seq[IngestResult] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val isZip = bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == 'K'.toByte
+    val docs =
+      if (isZip) graft.ingest.ZipSource.textDocs(bytes)
+      else graft.ingest.TarSource.textDocs(bytes)
+    docs.flatMap { case (name, text) =>
+      try Some(ingestData(text, name, s"$path!$name", format = "md"))
+      catch { case _: Ingest.NoChunksError => None }
+    }
+  }
+
   /** a path is inside the configured roots both lexically AND canonically —
     * a request reaching outside through a symlinked ancestor is refused
     * (reference `isRequestedPathContained`, sync.ts:386-398) */

@@ -185,6 +185,26 @@ class EngineSpec extends AnyFunSuite {
       .forall(r => !r.getAs[String]("text").contains("Home")))
   }
 
+  test("ingest_archive: tar and zip text members index as documents") {
+    val (engine, _) = mkEngine()
+    val docs = Seq(
+      "notes/shuffle.md" -> "Partition counts should track shuffled data volume for healthy tasks.",
+      "notes/joins.txt" -> "Broadcast the small dimension side to avoid shuffling the fact table.")
+    val tarF = Files.createTempFile("fixture", ".tar.gz")
+    Files.write(tarF, graft.ingest.TarSource.fixture(3L, docs)) // gzipped
+    val tarRes = engine.ingestArchive(tarF.toString)
+    assert(tarRes.length === 2 && tarRes.forall(_.chunkCount >= 1))
+    val zipF = Files.createTempFile("fixture", ".zip")
+    Files.write(zipF, graft.ingest.ZipSource.fixture(2L, Seq(
+      "recipes/pasta.md" -> "Simmer tomato sauce slowly so it thickens and coats the pasta.")))
+    assert(engine.ingestArchive(zipF.toString).length === 1)
+    // each member is its own retrievable document
+    val hit = engine.queryDocuments("broadcast small dimension join", limit = 2)
+      .collect().head
+    assert(hit.getAs[String]("text").contains("Broadcast the small dimension"))
+    assert(tarRes.map(_.filePath).contains(hit.getAs[String]("filePath")))
+  }
+
   test("sync_start/sync_status: async job with mutation guard, single retained job") {
     val (engine, _) = mkEngine()
     val jobId = engine.syncStart()
