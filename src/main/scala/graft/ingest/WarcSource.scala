@@ -94,6 +94,14 @@ object WarcSource {
       if (md.isEmpty) None else Some(r.targetUri -> md)
     }
 
+  /** WET files (Common Crawl's pre-extracted text distribution) are the
+    * same container with `conversion` records carrying plain text — no
+    * HTTP layer, no HTML parse */
+  def wetDocs(bytes: Array[Byte]): Seq[(String, String)] =
+    records(bytes).filter(_.warcType == "conversion")
+      .map(r => r.targetUri -> new String(r.body, StandardCharsets.UTF_8).trim)
+      .filter(_._2.nonEmpty)
+
   private def indexOfDoubleCrlf(data: Array[Byte], from: Int = 0): Int = {
     var i = from
     while (i + 3 < data.length) {

@@ -115,6 +115,13 @@ class ParserSpec extends AnyFunSuite {
     docs.foreach { case (_, md) => assert(md === "Crawled paragraph text.") }
     // garbage is refused whole, never throws
     assert(WarcSource.records("not a warc at all".getBytes) === Seq.empty)
+    // WET shape: conversion records ARE the text (no HTTP, no HTML)
+    val wetBody = "Pre-extracted text of the page.\nSecond line."
+    val wet = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://a.test/x\r\nContent-Type: text/plain\r\n" +
+      s"Content-Length: ${wetBody.length}\r\n\r\n$wetBody\r\n\r\n").getBytes
+    assert(WarcSource.wetDocs(wet) === Seq("https://a.test/x" -> wetBody))
+    assert(WarcSource.wetDocs(plain) === Seq.empty) // responses ≠ conversions
   }
 
   test("tar: ustar walk, type/extension filters, gzip, checksum gate") {
