@@ -112,14 +112,19 @@ object WarcSource {
     -1
   }
 
+  /** gunzip keeping whatever decompressed cleanly — a corrupt or
+    * truncated member yields its good prefix (the caller's record walk
+    * then stops at the last whole record), never an exception */
   private[ingest] def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
     val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+    } catch { case _: java.io.IOException => () }
     out.toByteArray
   }
 

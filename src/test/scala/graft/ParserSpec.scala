@@ -115,6 +115,10 @@ class ParserSpec extends AnyFunSuite {
     docs.foreach { case (_, md) => assert(md === "Crawled paragraph text.") }
     // garbage is refused whole, never throws
     assert(WarcSource.records("not a warc at all".getBytes) === Seq.empty)
+    // a truncated gzip container yields its good prefix, never throws
+    val gzCut = WarcSource.records(gz.take(gz.length * 2 / 3))
+    assert(gzCut.length <= 3)
+    assert(WarcSource.records(Array[Byte](0x1F, 0x8B.toByte, 1, 2)) === Seq.empty)
     // WET shape: conversion records ARE the text (no HTTP, no HTML)
     val wetBody = "Pre-extracted text of the page.\nSecond line."
     val wet = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
