@@ -319,6 +319,74 @@ object DedupQueries {
               |ORDER BY c.doc_id""".stripMargin),
       bench = true),
 
+    // ----- exact-substring SPAN dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): every word position
+    // covered by a 5-gram that occurs MORE THAN ONCE corpus-wide is cut,
+    // and the surviving words REASSEMBLE the cleaned document (not just a
+    // coverage fraction — the md5 of the reconstruction is oracle-pinned
+    // per doc). Scale shape = d_gram_coverage's gram-keyed shuffles plus
+    // one positional semi-join back; never a pair join. -----
+    Q("d_span_dedup",
+      (s, d) => {
+        val k = 5
+        val words = dupCorpus(s, d)
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+        val grams = words.select(col("doc_id"), posexplode(expr(
+          s"""CASE WHEN size(ws) >= $k
+             |THEN transform(sequence(0, size(ws) - $k),
+             |               i -> concat_ws(' ', slice(ws, i + 1, $k)))
+             |ELSE CAST(array() AS array<string>) END""".stripMargin))
+          .as(Seq("p", "g")))
+        val dupG = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1).select("g")
+        val covered = grams.join(dupG, "g")
+          .select(col("doc_id"),
+            explode(expr(s"sequence(p, p + ${k - 1})")).as("q"))
+          .distinct()
+        val pws = words
+          .select(col("doc_id"), posexplode(col("ws")).as(Seq("q", "w")))
+        val cleaned = pws.join(covered, Seq("doc_id", "q"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            expr("md5(array_join(transform(array_sort(" +
+              "collect_list(struct(q, w))), x -> x.w), ' '))").as("cleaned_md5"))
+        words.select(col("doc_id"), col("n"))
+          .join(cleaned, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n").cast("long").as("n_words"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n") - coalesce(col("n_kept"), lit(0L))).cast("long")
+              .as("n_removed"),
+            coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $DupCorpusCte,
+              |d2 AS (SELECT doc_id,
+              |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM corpus),
+              |g AS (SELECT doc_id, t.i - 1 AS p,
+              |    array_to_string(ws[t.i:t.i+4], ' ') AS g
+              |  FROM d2, unnest(range(1, greatest(len(ws) - 3, 1))) t(i)),
+              |dup AS (SELECT g FROM g GROUP BY 1 HAVING count(*) > 1),
+              |cov AS (SELECT DISTINCT doc_id, p + o.o AS q
+              |  FROM g JOIN dup USING (g), unnest(range(0, 5)) o(o)),
+              |w AS (SELECT doc_id, t.i - 1 AS q, ws[t.i] AS w
+              |  FROM d2, unnest(range(1, len(ws) + 1)) t(i)),
+              |kept AS (SELECT w.doc_id, w.q, w.w FROM w
+              |  LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.q = w.q
+              |  WHERE cov.doc_id IS NULL),
+              |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              |    md5(string_agg(w, ' ' ORDER BY q)) AS cleaned_md5
+              |  FROM kept GROUP BY 1),
+              |base AS (SELECT doc_id,
+              |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+              |  FROM corpus)
+              |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
+              |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+              |  CAST(b.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+              |  coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
+              |FROM base b LEFT JOIN agg a USING (doc_id)
+              |ORDER BY b.doc_id""".stripMargin)),
+
     // ----- n-gram Jaccard pairs via LSH blocking (the 100 TB shape and the
     // BENCHED headline): banded MinHash candidates, exact Jaccard verified
     // per-pair with array_intersect — work is O(candidates), never
