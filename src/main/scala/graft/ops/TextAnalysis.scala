@@ -313,4 +313,42 @@ object TextAnalysis {
         .groupBy("w").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= minCount)
   }
+
+  /** Crawl-frontier URL canonicalization — the normalization every web
+    * pipeline applies before URL-level dedup: lowercase scheme + host,
+    * strip default ports (http:80 / https:443), drop the fragment, drop
+    * tracking parameters (utm_*, fbclid, gclid), SORT the surviving
+    * query parameters, drop an empty query, and strip a trailing slash
+    * from non-root paths. Pure function (map-side; no shuffle until the
+    * group-by on the canonical key). */
+  def canonicalUrl(url: String): String = {
+    if (url == null) return null
+    val noFrag = url.split("#", 2)(0)
+    val (prefix, query) = noFrag.split("\\?", 2) match {
+      case Array(p, q) => (p, q)
+      case Array(p) => (p, "")
+    }
+    val schemeEnd = prefix.indexOf("://")
+    val (scheme, rest) =
+      if (schemeEnd < 0) ("http", prefix)
+      else (prefix.substring(0, schemeEnd).toLowerCase,
+        prefix.substring(schemeEnd + 3))
+    val slash = rest.indexOf('/')
+    val (hostPort, path0) =
+      if (slash < 0) (rest, "") else (rest.substring(0, slash), rest.substring(slash))
+    val host = hostPort.toLowerCase match {
+      case h if scheme == "http" && h.endsWith(":80") => h.dropRight(3)
+      case h if scheme == "https" && h.endsWith(":443") => h.dropRight(4)
+      case h => h
+    }
+    val path =
+      if (path0.length > 1 && path0.endsWith("/")) path0.dropRight(1)
+      else path0
+    val params = query.split("&").filter(_.nonEmpty).filterNot { kv =>
+      val k = kv.split("=", 2)(0).toLowerCase
+      k.startsWith("utm_") || k == "fbclid" || k == "gclid"
+    }.sorted
+    s"$scheme://$host$path" +
+      (if (params.isEmpty) "" else params.mkString("?", "&", ""))
+  }
 }

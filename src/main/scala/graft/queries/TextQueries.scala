@@ -680,6 +680,42 @@ object TextQueries {
       },
       None),
 
+    // ----- crawl-frontier URL canonicalization + URL-level dedup: four
+    // messy spellings per document (uppercase host + default port +
+    // tracking params + fragment; already-clean; https-with-:443 and
+    // swapped param order mapping to a DIFFERENT canonical; trailing
+    // slash, no params) all collapse to closed-form canonicals, so the
+    // oracle KNOWS the answer by construction and any canonicalization
+    // regression breaks the hash. dup_count groups by the canonical key
+    // — the pre-content URL dedup every web pipeline runs first. -----
+    Q("t_url_canonicalize",
+      (s, d) => {
+        val canon = udf((u: String) => TextAnalysis.canonicalUrl(u))
+        val messy = expr("""CASE CAST(doc_id % 4 AS INT)
+          |WHEN 0 THEN concat('HTTP://WWW.Example.COM:80/d/', source,
+          |  '/page?utm_source=x&b=2&a=1#frag')
+          |WHEN 1 THEN concat('http://www.example.com/d/', source, '/page?a=1&b=2')
+          |WHEN 2 THEN concat('HTTPS://Example.COM:443/d/', source, '/page?b=2&a=1&gclid=z')
+          |ELSE concat('http://www.example.com/d/', source, '/page/')
+          |END""".stripMargin)
+        val canonical = Tables.documents(s, d)
+          .select(col("doc_id"), canon(messy).as("canonical"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("canonical")
+        canonical.withColumn("dup_count", count(lit(1)).over(w).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id,
+             |    CASE CAST(doc_id % 4 AS INT)
+             |      WHEN 0 THEN 'http://www.example.com/d/' || source || '/page?a=1&b=2'
+             |      WHEN 1 THEN 'http://www.example.com/d/' || source || '/page?a=1&b=2'
+             |      WHEN 2 THEN 'https://example.com/d/' || source || '/page?a=1&b=2'
+             |      ELSE 'http://www.example.com/d/' || source || '/page'
+             |    END AS canonical
+             |  FROM documents)
+             |SELECT doc_id, canonical,
+             |  CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS dup_count
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ----- WordPiece vocabulary training (ops/WordPiece): the BERT-family
     // tokenizer — BPE's delta loop with a likelihood-ratio argmax
     // (count(pair)/(count(l)·count(r))), which needs a SECOND

@@ -30,6 +30,18 @@ class OpsSpec extends AnyFunSuite {
     assert(fp(0) === fp(1)) // case + whitespace normalized away
   }
 
+  test("url canonicalization: ports, params, tracking, fragments, slashes") {
+    import graft.ops.TextAnalysis.canonicalUrl
+    assert(canonicalUrl("HTTP://WWW.Ex.COM:80/a/b?utm_source=x&b=2&a=1#f") ===
+      "http://www.ex.com/a/b?a=1&b=2")
+    assert(canonicalUrl("HTTPS://Ex.COM:443/a/") === "https://ex.com/a")
+    assert(canonicalUrl("https://ex.com:8443/a") === "https://ex.com:8443/a")
+    assert(canonicalUrl("http://ex.com/") === "http://ex.com/") // root kept
+    assert(canonicalUrl("http://ex.com?gclid=1&fbclid=2") === "http://ex.com")
+    assert(canonicalUrl("ex.com/x?z=1&y=2") === "http://ex.com/x?y=2&z=1")
+    assert(canonicalUrl(null) === null)
+  }
+
   test("exact dedup groups duplicates under one canonical id") {
     val rows = Seq((1L, "same text"), (2L, "same  TEXT"), (3L, "different")).toDF("doc_id", "text")
     val groups = Dedup.exactDupGroups(rows, "doc_id", "text")
