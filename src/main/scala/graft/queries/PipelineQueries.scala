@@ -332,6 +332,53 @@ object PipelineQueries {
              |SELECT doc_id, CAST(pos AS INT) AS pos, blk
              |FROM blocks ORDER BY doc_id, pos""".stripMargin)),
 
+    // ----- robots.txt evaluation (RFC 9309) — the crawl-pipeline gate
+    // before any fetch. Six path/agent modes against a rule set with the
+    // RFC's tricky cases (longest-match precedence, Allow-on-tie,
+    // $ anchors, wildcard patterns, agent-specific group REPLACING *);
+    // the oracle knows each verdict by construction. -----
+    Q("s_robots_filter",
+      (s, d) => {
+        val robots =
+          """User-agent: *
+            |Disallow: /private/
+            |Allow: /private/public/
+            |Disallow: /*.pdf$
+            |User-agent: graftbot
+            |Disallow: /only-for-others/
+            |""".stripMargin
+        val rules = graft.ingest.RobotsTxt.parse(robots)
+        val eval = udf((agent: String, path: String) =>
+          rules.allowed(agent, path))
+        val mode = expr("CAST(doc_id % 6 AS INT)")
+        val agent = when(mode === 5, lit("graftbot")).otherwise(lit("webcrawler"))
+        val path = when(mode === 0, lit("/open/page"))
+          .when(mode === 1, lit("/private/x"))
+          .when(mode === 2, lit("/private/public/x"))
+          .when(mode === 3, lit("/docs/file.pdf"))
+          .when(mode === 4, lit("/docs/file.pdfx"))
+          .otherwise(lit("/private/x"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), agent.as("agent"), path.as("path"),
+            eval(agent, path).as("allowed"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 6 = 5 THEN 'graftbot' ELSE 'webcrawler' END AS agent,
+             |  CASE CAST(doc_id % 6 AS INT)
+             |    WHEN 0 THEN '/open/page' WHEN 1 THEN '/private/x'
+             |    WHEN 2 THEN '/private/public/x' WHEN 3 THEN '/docs/file.pdf'
+             |    WHEN 4 THEN '/docs/file.pdfx' ELSE '/private/x' END AS path,
+             |  CASE CAST(doc_id % 6 AS INT)
+             |    WHEN 0 THEN true  -- no rule matches
+             |    WHEN 1 THEN false -- Disallow /private/
+             |    WHEN 2 THEN true  -- longer Allow /private/public/ wins
+             |    WHEN 3 THEN false -- /*.pdf$ anchored wildcard
+             |    WHEN 4 THEN true  -- $ anchor rejects the trailing x
+             |    ELSE true         -- graftbot group replaces *, no match
+             |  END AS allowed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ----- TAR source end-to-end: the other container text corpora ship
     // in (dataset dumps as .tar.gz of loose documents). Real ustar
     // archives per doc — checksummed headers, a directory entry and a

@@ -86,6 +86,35 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("robots.txt: RFC 9309 precedence, anchors, groups, comments") {
+    import graft.ingest.RobotsTxt
+    val rules = RobotsTxt.parse(
+      """# global rules
+        |User-agent: *
+        |Disallow: /private/   # trailing comment
+        |Allow: /private/public/
+        |Disallow: /*.pdf$
+        |Disallow:
+        |
+        |User-agent: alpha
+        |User-agent: beta
+        |Disallow: /shared/
+        |Crawl-delay: 10
+        |""".stripMargin)
+    assert(rules.allowed("webcrawler", "/open"))
+    assert(!rules.allowed("webcrawler", "/private/x"))
+    assert(rules.allowed("webcrawler", "/private/public/x")) // longest wins
+    assert(!rules.allowed("webcrawler", "/a/b.pdf"))
+    assert(rules.allowed("webcrawler", "/a/b.pdfx")) // $ anchor
+    // consecutive User-agent lines share one rule group; matching a
+    // specific group REPLACES the * group entirely
+    assert(!rules.allowed("AlphaBot", "/shared/x"))
+    assert(!rules.allowed("beta", "/shared/x"))
+    assert(rules.allowed("alpha", "/private/x")) // * rules don't apply
+    // no robots at all / empty = allow
+    assert(RobotsTxt.parse("").allowed("x", "/anything"))
+  }
+
   // ---- WARC source (the Common Crawl container shape) ----
 
   test("warc: record walk, http strip, gzip, truncated tail, type filter") {
