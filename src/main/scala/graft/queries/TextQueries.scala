@@ -716,6 +716,103 @@ object TextQueries {
              |  CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS dup_count
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ----- T5-style span corruption (Raffel 2020 §3.1.4): the denoising
+    // pretraining objective builder — mask spans of the token stream,
+    // replace each MAXIMAL masked run with one numbered sentinel in the
+    // input, and emit the sentinel-prefixed spans as the target. Span
+    // starts are hash-chosen (the md5 hash60 idiom, ~10% of positions,
+    // fixed length 3, overlaps merged), so the whole construction is
+    // deterministic and the DuckDB oracle rebuilds input/target md5s
+    // exactly. One shuffle for the positional window; everything else is
+    // per-doc. -----
+    Q("t_span_corruption",
+      (s, d) => {
+        val pws = Tables.documents(s, d)
+          .withColumn("ws", graft.ops.Dedup.wordsArray("text"))
+          .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "w")))
+        val starts = pws.filter(
+          graft.ops.Dedup.hash60(concat(col("doc_id").cast("string"),
+            lit(":"), col("p").cast("string"))) % 10 === 0)
+          .select(col("doc_id"), explode(expr("sequence(p, p + 2)")).as("q"))
+          .distinct()
+        val m = pws.join(starts.withColumnRenamed("q", "p"),
+          Seq("doc_id", "p"), "left_semi").withColumn("masked", lit(true))
+          .union(pws.join(starts.withColumnRenamed("q", "p"),
+            Seq("doc_id", "p"), "left_anti").withColumn("masked", lit(false)))
+        val wMask = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id", "masked").orderBy("p")
+        val isl = m.withColumn("island",
+          when(col("masked"), col("p") - row_number().over(wMask)))
+        val islands = isl.filter(col("masked"))
+          .groupBy("doc_id", "island")
+          .agg(min("p").as("start"),
+            expr("array_join(transform(array_sort(collect_list(struct(p, w)))," +
+              " x -> x.w), ' ')").as("span"))
+        val wIsl = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("start")
+        val numbered = islands
+          .withColumn("kidx", row_number().over(wIsl) - 1)
+        val inputRows = isl.filter(!col("masked")).select(col("doc_id"), col("p"), col("w"))
+          .union(numbered.select(col("doc_id"), col("start").as("p"),
+            concat(lit("<extra_id_"), col("kidx"), lit(">")).as("w")))
+        val inp = inputRows.groupBy("doc_id")
+          .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(p, w)))," +
+            " x -> x.w), ' '))").as("input_md5"))
+        val tgt = numbered.groupBy("doc_id")
+          .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(kidx, " +
+            "concat('<extra_id_', kidx, '> ', span)))), x -> x.col2), ' '))")
+            .as("target_md5"),
+            count(lit(1)).as("n_spans"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(inp, Seq("doc_id"), "left")
+          .join(tgt, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("input_md5"), md5(lit(""))).as("input_md5"),
+            coalesce(col("target_md5"), md5(lit(""))).as("target_md5"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, t.i - 1 AS p, ws[t.i] AS w
+             |  FROM (SELECT doc_id,
+             |      regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |    FROM documents) d2,
+             |    unnest(range(1, len(ws) + 1)) t(i)),
+             |st AS (SELECT doc_id, p FROM w
+             |  WHERE CAST(concat('0x', substr(md5(doc_id || ':' || p), 1, 15)) AS BIGINT)
+             |    % 10 = 0),
+             |cov AS (SELECT DISTINCT doc_id, p + o.o AS p
+             |  FROM st, unnest(range(0, 3)) o(o)),
+             |m AS (SELECT w.doc_id, w.p, w.w, cov.p IS NOT NULL AS masked
+             |  FROM w LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.p = w.p),
+             |isl AS (SELECT *, p - row_number()
+             |    OVER (PARTITION BY doc_id, masked ORDER BY p) AS island
+             |  FROM m),
+             |islands AS (SELECT doc_id, island, min(p) AS start,
+             |    string_agg(w, ' ' ORDER BY p) AS span
+             |  FROM isl WHERE masked GROUP BY 1, 2),
+             |numbered AS (SELECT *, row_number()
+             |    OVER (PARTITION BY doc_id ORDER BY start) - 1 AS kidx
+             |  FROM islands),
+             |inrows AS (
+             |  SELECT doc_id, p, w FROM m WHERE NOT masked
+             |  UNION ALL
+             |  SELECT doc_id, start, '<extra_id_' || kidx || '>' FROM numbered),
+             |inp AS (SELECT doc_id,
+             |    md5(string_agg(w, ' ' ORDER BY p)) AS input_md5
+             |  FROM inrows GROUP BY 1),
+             |tgt AS (SELECT doc_id,
+             |    md5(string_agg('<extra_id_' || kidx || '> ' || span,
+             |      ' ' ORDER BY kidx)) AS target_md5,
+             |    CAST(count(*) AS BIGINT) AS n_spans
+             |  FROM numbered GROUP BY 1)
+             |SELECT d.doc_id,
+             |  coalesce(inp.input_md5, md5('')) AS input_md5,
+             |  coalesce(tgt.target_md5, md5('')) AS target_md5,
+             |  coalesce(tgt.n_spans, 0) AS n_spans
+             |FROM documents d LEFT JOIN inp ON inp.doc_id = d.doc_id
+             |LEFT JOIN tgt ON tgt.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ----- WordPiece vocabulary training (ops/WordPiece): the BERT-family
     // tokenizer — BPE's delta loop with a likelihood-ratio argmax
     // (count(pair)/(count(l)·count(r))), which needs a SECOND
