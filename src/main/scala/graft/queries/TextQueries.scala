@@ -813,6 +813,46 @@ object TextQueries {
              |LEFT JOIN tgt ON tgt.doc_id = d.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // ----- SFT prompt-masking layout: render a chat template around a
+    // synthesized (user, assistant) turn pair and emit the LOSS-MASK
+    // boundaries — prompt tokens (role markers + user turn) excluded
+    // from the loss, assistant tokens included, the terminator excluded
+    // — the packing-adjacent layout step every instruction-tuning
+    // pipeline runs. Token stream = the corpus word rule over the
+    // rendered text, so every count is closed-form from the two
+    // substring windows and the oracle is exact. -----
+    Q("t_sft_mask",
+      (s, d) => {
+        val u = expr("substr(text, 1, 40)")
+        val a = expr("substr(text, 41, 60)")
+        val rendered = concat(lit("<|user|> "), u,
+          lit(" <|assistant|> "), a, lit(" <|end|>"))
+        val toks = expr(
+          "regexp_extract_all(lower(concat('<|user|> ', substr(text, 1, 40), " +
+            "' <|assistant|> ', substr(text, 41, 60), ' <|end|>')), '[a-z0-9]+', 0)")
+        val nU = expr(
+          "size(regexp_extract_all(lower(substr(text, 1, 40)), '[a-z0-9]+', 0))")
+        val nA = expr(
+          "size(regexp_extract_all(lower(substr(text, 41, 60)), '[a-z0-9]+', 0))")
+        Tables.documents(s, d).select(col("doc_id"),
+            md5(rendered).as("rendered_md5"),
+            size(toks).cast("long").as("n_tokens"),
+            (nU + lit(2)).cast("long").as("loss_start"), // 'user' marker + user words + 'assistant' marker
+            nA.cast("long").as("n_loss_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5('<|user|> ' || substr(text, 1, 40) || ' <|assistant|> ' ||
+             |      substr(text, 41, 60) || ' <|end|>') AS rendered_md5,
+             |  CAST(len(regexp_extract_all(lower('<|user|> ' || substr(text, 1, 40) ||
+             |      ' <|assistant|> ' || substr(text, 41, 60) || ' <|end|>'),
+             |      '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+             |  CAST(len(regexp_extract_all(lower(substr(text, 1, 40)),
+             |      '[a-z0-9]+')) + 2 AS BIGINT) AS loss_start,
+             |  CAST(len(regexp_extract_all(lower(substr(text, 41, 60)),
+             |      '[a-z0-9]+')) AS BIGINT) AS n_loss_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ----- WordPiece vocabulary training (ops/WordPiece): the BERT-family
     // tokenizer — BPE's delta loop with a likelihood-ratio argmax
     // (count(pair)/(count(l)·count(r))), which needs a SECOND
