@@ -379,6 +379,55 @@ object PipelineQueries {
              |  END AS allowed
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- WET-file extraction: Common Crawl's pre-extracted text
+    // distribution is the SAME WARC container with `conversion` records
+    // carrying plain text (no HTTP layer, no HTML). Real WET bytes per
+    // doc (warcinfo + one conversion record per line, gzip on odd ids),
+    // pinned by the same trimmed-line oracle. -----
+    Q("s_wet_extract",
+      (s, d) => {
+        val mk = udf((id: Long, l0: String, l1: String, l2: String) => {
+          val recs = Seq(l0, l1, l2).map(_.trim).filter(_.nonEmpty).zipWithIndex
+          val sb = new java.io.ByteArrayOutputStream()
+          def rec(typ: String, uri: String, body: String): Unit = {
+            val hdr = (s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+              (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+              s"Content-Type: text/plain\r\nContent-Length: ${body.getBytes("UTF-8").length}\r\n\r\n")
+            sb.write(hdr.getBytes("ISO-8859-1"))
+            sb.write(body.getBytes("UTF-8"))
+            sb.write("\r\n\r\n".getBytes("ISO-8859-1"))
+          }
+          rec("warcinfo", "", s"software: wet-fixture $id")
+          recs.foreach { case (l, k) => rec("conversion", s"https://t.test/$id/$k", l) }
+          val plain = sb.toByteArray
+          if (id % 2 == 0) plain
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(plain); gz.close()
+            bos.toByteArray
+          }
+        })
+        val parse = udf((b: Array[Byte]) => graft.ingest.WarcSource.wetDocs(b))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            mk(col("doc_id"), expr("substr(text, 1, 36)"),
+              expr("substr(text, 24, 36)"), expr("substr(text, 47, 36)"))
+              .as("wet"))
+          .select(col("doc_id"), explode(parse(col("wet"))).as("r"))
+          .select(col("doc_id"), col("r._1").as("uri"), col("r._2").as("body"))
+          .orderBy("doc_id", "uri")
+      },
+      Some("""WITH ln AS (SELECT doc_id, t.i,
+             |    substr(text, 1 + t.i * 23, 36) AS line
+             |  FROM documents, (SELECT unnest(range(0, 3)) AS i) t),
+             |ne AS (SELECT doc_id, trim(line) AS line,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS k
+             |  FROM ln WHERE trim(line) <> '')
+             |SELECT doc_id,
+             |  'https://t.test/' || doc_id || '/' || k AS uri, line AS body
+             |FROM ne ORDER BY doc_id, uri""".stripMargin)),
+
     // ----- TAR source end-to-end: the other container text corpora ship
     // in (dataset dumps as .tar.gz of loose documents). Real ustar
     // archives per doc — checksummed headers, a directory entry and a
