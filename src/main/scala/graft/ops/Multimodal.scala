@@ -944,6 +944,114 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // -------------------------------------------------------------- μ-law --
+
+  /** G.711 μ-law WAV fixture (format tag 7, 8-bit samples at 8 kHz) —
+    * the telephony/ASR-corpus encoding; every byte is a closed-form
+    * function of (docId, i) so the oracle expands the SAME bytes through
+    * the closed-form μ-law formula */
+  private[graft] def encodeWavMulaw(docId: Long): Array[Byte] = {
+    val did = (docId % 256).toInt
+    val n = (40 + docId % 20).toInt
+    val riffLen = 4 + 24 + 8 + n
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(7)      // WAVE_FORMAT_MULAW
+    buf.putShort(1)      // mono
+    buf.putInt(8000)
+    buf.putInt(8000)     // byte rate (1 byte/sample)
+    buf.putShort(1)      // block align
+    buf.putShort(8)      // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) { buf.put(((did * 7 + i * 13) % 256).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** the table-free CCITT G.711 μ-law expansion (public spec formula) */
+  private[graft] def mulawToPcm(b: Int): Int = {
+    val c = ~b & 0xFF
+    val sign = c & 0x80
+    val exponent = (c >> 4) & 0x07
+    val mantissa = c & 0x0F
+    val mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    if (sign != 0) -mag else mag
+  }
+
+  /** Parse a μ-law WAV (format tag 7): RIFF chunk walk + per-byte G.711
+    * expansion to linear PCM16; same stats shape as [[decodeWav]] */
+  private[graft] def decodeWavMulaw(bytes: Array[Byte]): WavFeatures = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) == "RIFF" &&
+      new String(bytes, 8, 4, java.nio.charset.StandardCharsets.US_ASCII) == "WAVE",
+      "not a WAV payload")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var p = 12
+    var rate = 0; var channels = 0
+    var dataOff = -1; var dataLen = 0
+    while (p + 8 <= bytes.length) {
+      val tag = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = bb.getInt(p + 4)
+      require(len >= 0 && p + 8 + len <= bytes.length, s"truncated $tag chunk")
+      tag match {
+        case "fmt " =>
+          require(bb.getShort(p + 8) == 7, "not a mu-law WAV (format tag != 7)")
+          channels = bb.getShort(p + 10)
+          rate = bb.getInt(p + 12)
+          require(bb.getShort(p + 22) == 8, "mu-law samples are 8-bit")
+        case "data" => dataOff = p + 8; dataLen = len
+        case _ => () // LIST/INFO etc.: skipped
+      }
+      p += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(rate > 0 && dataOff >= 0, "missing fmt or data chunk")
+    var sum = 0L; var maxAbs = 0L; var probe = 0L
+    var i = 0
+    while (i < dataLen) {
+      val s = mulawToPcm(bytes(dataOff + i) & 0xFF)
+      sum += s
+      if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
+      if (i == 2) probe = s
+      i += 1
+    }
+    WavFeatures(rate, channels, dataLen.toLong, sum, probe, maxAbs)
+  }
+
+  /** media table of REAL μ-law WAV payloads */
+  def mulawFromDocuments(docs: DataFrame, idCol: String): DataFrame = {
+    val enc = udf((id: Long) => encodeWavMulaw(id))
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("audio").as("modality"),
+      enc(col(idCol).cast("long")).as("payload"),
+      struct(lit("mulaw-fixture").as("source"),
+        length(enc(col(idCol).cast("long"))).cast("long").as("bytes"),
+        lit("g711/ulaw").as("codec")).as("meta"))
+  }
+
+  /** REAL μ-law decode via mapPartitions */
+  def decodeMulawFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_samples", LongType, nullable = false),
+      StructField("probe_sample", LongType, nullable = false),
+      StructField("max_abs", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val f = decodeWavMulaw(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), f.sampleRate, f.nSamples, f.sumSamples,
+          f.probeSample, f.maxAbs)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   // --------------------------------------------------------------- TIFF --
 
   /** Deterministic baseline TIFF fixture for `docId` (TIFF 6.0): 8-bit

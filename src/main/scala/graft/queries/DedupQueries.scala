@@ -1478,6 +1478,34 @@ object DedupQueries {
              |  max(CASE WHEN x = 1 AND y = 2 THEN luma END) AS probe_luma
              |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin)),
 
+    // ----- multimodal: REAL G.711 μ-law decode — the telephony/ASR audio
+    // encoding (WAV format tag 7). The oracle expands the SAME closed-form
+    // bytes through the public μ-law formula, so the complement/exponent/
+    // mantissa arithmetic and the RIFF walk are both pinned. -----
+    Q("m_decode_mulaw",
+      (s, d) => Multimodal.decodeMulawFeatures(
+          Multimodal.mulawFromDocuments(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), col("sum_samples"), col("probe_sample"), col("max_abs"))
+        .orderBy("media_id"),
+      Some("""WITH dims AS (SELECT doc_id, doc_id % 256 AS did,
+             |    40 + doc_id % 20 AS n FROM documents),
+             |sm AS (SELECT doc_id, n, t.i,
+             |    255 - ((did * 7 + t.i * 13) % 256) AS c
+             |  FROM dims, (SELECT unnest(range(0, 60)) AS i) t WHERE t.i < n),
+             |pcm AS (SELECT doc_id, n, i,
+             |    CASE WHEN c >= 128 THEN -(((((c % 16) * 8 + 132)
+             |        * CAST(pow(2, (c // 16) % 8) AS BIGINT))) - 132)
+             |    ELSE (((c % 16) * 8 + 132)
+             |        * CAST(pow(2, (c // 16) % 8) AS BIGINT)) - 132 END AS s
+             |  FROM sm)
+             |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+             |  CAST(max(n) AS BIGINT) AS n_samples,
+             |  CAST(sum(s) AS BIGINT) AS sum_samples,
+             |  CAST(max(CASE WHEN i = 2 THEN s END) AS BIGINT) AS probe_sample,
+             |  CAST(max(abs(s)) AS BIGINT) AS max_abs
+             |FROM pcm GROUP BY 1 ORDER BY media_id""".stripMargin)),
+
     // ----- multimodal: REAL TIFF decode — the scanned-document corpus
     // format. Genuine TIFF 6.0 containers, little-endian for even ids
     // and BIG-endian for odd (the byte-order branch is load-bearing),

@@ -302,6 +302,41 @@ class OpsSpec extends AnyFunSuite {
     intercept[Exception] { Multimodal.decodeGif(src.take(20)) }
   }
 
+  test("mu-law: G.711 expansion matches javax.sound sample-for-sample") {
+    import graft.ops.Multimodal
+    for (docId <- Seq(0L, 1L, 7L, 255L, 511L)) {
+      val bytes = Multimodal.encodeWavMulaw(docId)
+      val f = Multimodal.decodeWavMulaw(bytes)
+      val did = (docId % 256).toInt
+      val n = (40 + docId % 20).toInt
+      val pcm = (0 until n).map(i => Multimodal.mulawToPcm((did * 7 + i * 13) % 256))
+      assert(f.nSamples === n.toLong && f.sampleRate === 8000)
+      assert(f.sumSamples === pcm.map(_.toLong).sum)
+      assert(f.probeSample === pcm(2))
+      assert(f.maxAbs === pcm.map(v => math.abs(v).toLong).max)
+      // independent decoder: the JDK's ULAW converter
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pcmFmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, in)
+      val raw = conv.readAllBytes()
+      assert(raw.length === 2 * n)
+      for (i <- 0 until n) {
+        val v = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort.toInt
+        assert(v === pcm(i), s"sample $i docId=$docId")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.decodeWavMulaw("RIFFxxxxWAVE".getBytes)
+    }
+    // a PCM (format tag 1) wav is refused by the mu-law decoder
+    intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.decodeWavMulaw(graft.ops.Multimodal.encodeWav(4L))
+    }
+  }
+
   test("TIFF: both byte orders round-trip; ImageIO agrees; malformed refused") {
     import graft.ops.Multimodal
     for (docId <- Seq(0L, 1L, 2L, 3L, 5L, 255L, 511L)) { // even=II, odd=MM
