@@ -193,6 +193,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("span ops: gram/positional joins are shuffles, never cartesian") {
+    // d_span_dedup joins corpus-sized gram and position streams twice
+    // (dup-gram semi-join, covered-position anti-join) and
+    // t_span_corruption runs a positional window + two joins — any of
+    // them degrading to a nested-loop product would be corpus × corpus
+    for (name <- Seq("d_span_dedup", "t_span_corruption")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(2000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n" + p.take(2000))
+    }
+  }
+
   test("subquery shapes decorrelate: semi/anti joins, no correlated re-execution") {
     // q18's IN-subquery and q22's NOT EXISTS must become JOINS against the
     // aggregated/filtered subquery — a correlated per-row probe would be
