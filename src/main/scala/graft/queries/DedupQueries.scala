@@ -385,7 +385,8 @@ object DedupQueries {
               |  CAST(b.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
               |  coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
               |FROM base b LEFT JOIN agg a USING (doc_id)
-              |ORDER BY b.doc_id""".stripMargin)),
+              |ORDER BY b.doc_id""".stripMargin),
+      bench = true),
 
     // ----- n-gram Jaccard pairs via LSH blocking (the 100 TB shape and the
     // BENCHED headline): banded MinHash candidates, exact Jaccard verified

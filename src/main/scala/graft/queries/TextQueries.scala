@@ -853,6 +853,47 @@ object TextQueries {
              |      '[a-z0-9]+')) AS BIGINT) AS n_loss_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- DPO/RLHF preference-pair layout: a shared prompt with a
+    // chosen and a rejected completion, plus the token accounting both
+    // completions need for the reference-model pass (the post-training
+    // twin of t_sft_mask — pack/sft/dpo complete the layout family).
+    // Chosen/rejected are synthesized from disjoint substring windows;
+    // pairs where the two completions COLLIDE (identical text — no
+    // preference signal) are dropped, and that filter is itself
+    // closed-form for the oracle. -----
+    Q("t_dpo_pairs",
+      (s, d) => {
+        val prompt = expr("substr(text, 1, 30)")
+        val chosen = expr("substr(text, 31, 40)")
+        val rejected = expr("substr(text, 91, 40)")
+        Tables.documents(s, d)
+          .select(col("doc_id"), prompt.as("prompt"),
+            chosen.as("chosen"), rejected.as("rejected"))
+          .filter(col("chosen") =!= col("rejected"))
+          .select(col("doc_id"),
+            md5(concat(lit("<|prompt|> "), col("prompt"),
+              lit(" <|chosen|> "), col("chosen"))).as("chosen_md5"),
+            md5(concat(lit("<|prompt|> "), col("prompt"),
+              lit(" <|rejected|> "), col("rejected"))).as("rejected_md5"),
+            expr("CAST(size(regexp_extract_all(lower(chosen), '[a-z0-9]+', 0)) AS LONG)")
+              .as("n_chosen_tokens"),
+            expr("CAST(size(regexp_extract_all(lower(rejected), '[a-z0-9]+', 0)) AS LONG)")
+              .as("n_rejected_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5('<|prompt|> ' || substr(text, 1, 30) || ' <|chosen|> ' ||
+             |      substr(text, 31, 40)) AS chosen_md5,
+             |  md5('<|prompt|> ' || substr(text, 1, 30) || ' <|rejected|> ' ||
+             |      substr(text, 91, 40)) AS rejected_md5,
+             |  CAST(len(regexp_extract_all(lower(substr(text, 31, 40)),
+             |      '[a-z0-9]+')) AS BIGINT) AS n_chosen_tokens,
+             |  CAST(len(regexp_extract_all(lower(substr(text, 91, 40)),
+             |      '[a-z0-9]+')) AS BIGINT) AS n_rejected_tokens
+             |FROM documents
+             |WHERE substr(text, 31, 40) <> substr(text, 91, 40)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ----- WordPiece vocabulary training (ops/WordPiece): the BERT-family
     // tokenizer — BPE's delta loop with a likelihood-ratio argmax
     // (count(pair)/(count(l)·count(r))), which needs a SECOND
