@@ -81,6 +81,100 @@ object Multimodal {
         concat(col("meta.codec"), lit(s"/resized-1:$factor")).as("codec")))
   }
 
+  // ------------------------------------------------------------- resize --
+
+  /** REAL bilinear image resize over uncompressed 24-bit BMP payloads —
+    * the pixel-grid resampling op [[resizeStub]] stands in for on opaque
+    * payloads. Pure integer fixed-point arithmetic (8.8 weights, round-half
+    * -up at 16.16), align-corners source mapping — so the result is exactly
+    * reproducible by a SQL oracle and bit-stable across JVMs/locales:
+    *
+    *   fx = dx * (w - 1) * 256 / (ow - 1)   (integer division; 0 when ow=1)
+    *   x0 = fx / 256, xf = fx % 256, x1 = min(x0 + 1, w - 1)
+    *   out = (Σ corner * weight + 32768) / 65536   per channel
+    *
+    * Identity property: ow = w, oh = h reproduces the source pixels exactly
+    * (all fractional weights are then zero) — spec-gated. Returns a new
+    * well-formed bottom-up 24-bit BMP, so the output feeds [[decodeBmp]]
+    * and any downstream image stage unchanged. */
+  private[graft] def resizeBmpBilinear(bytes: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
+    require(ow >= 1 && oh >= 1, "target dims must be >= 1")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      "not a BMP payload")
+    val dataOffset = bb.getInt(10)
+    val w = bb.getInt(18)
+    val hRaw = bb.getInt(22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require(bb.getShort(28) == 24, "24-bit only")
+    require(bb.getInt(30) == 0, "BI_RGB only")
+    val srcStride = ((3 * w + 3) / 4) * 4
+    require(bytes.length >= dataOffset + srcStride * h, "truncated pixel data")
+    // channel accessor in image coordinates (y = 0 is the top row)
+    def ch(x: Int, y: Int, c: Int): Int = {
+      val row = if (bottomUp) h - 1 - y else y
+      bytes(dataOffset + row * srcStride + 3 * x + c) & 0xff
+    }
+    val outStride = ((3 * ow + 3) / 4) * 4
+    val out = java.nio.ByteBuffer.allocate(54 + outStride * oh)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(54 + outStride * oh).putInt(0).putInt(54)
+    out.putInt(40).putInt(ow).putInt(oh) // positive height: bottom-up
+    out.putShort(1).putShort(24)
+    out.putInt(0).putInt(outStride * oh)
+    out.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var storedRow = 0
+    while (storedRow < oh) {
+      val dy = oh - 1 - storedRow // bottom-up writer
+      val fy = if (oh == 1) 0 else dy * (h - 1) * 256 / (oh - 1)
+      val y0 = fy / 256; val yf = fy % 256; val y1 = math.min(y0 + 1, h - 1)
+      var dx = 0
+      while (dx < ow) {
+        val fx = if (ow == 1) 0 else dx * (w - 1) * 256 / (ow - 1)
+        val x0 = fx / 256; val xf = fx % 256; val x1 = math.min(x0 + 1, w - 1)
+        var c = 0
+        while (c < 3) { // stored B, G, R order
+          val v = ((256 - xf) * (256 - yf) * ch(x0, y0, c) +
+                   xf * (256 - yf) * ch(x1, y0, c) +
+                   (256 - xf) * yf * ch(x0, y1, c) +
+                   xf * yf * ch(x1, y1, c) + 32768) / 65536
+          out.put(v.toByte)
+          c += 1
+        }
+        dx += 1
+      }
+      var pad = outStride - 3 * ow
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      storedRow += 1
+    }
+    out.array()
+  }
+
+  /** Distributed resize stage: per-row target dims derived from media_id
+    * (callers pass closed-form rules so an oracle can replay them). Pure
+    * map — no shuffle; payload in, resized payload out, meta updated. The
+    * 100 TB shape: resize cost is linear in output pixels and perfectly
+    * partition-parallel. */
+  def resizeBmp(media: DataFrame, owOf: Long => Int, ohOf: Long => Int): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val modIdx = media.schema.fieldIndex("modality")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val resized = resizeBmpBilinear(
+          r.getAs[Array[Byte]](payloadIdx), owOf(id), ohOf(id))
+        val meta = r.getStruct(metaIdx)
+        Row(id, r.getString(modIdx), resized,
+          Row(meta.getString(0), resized.length.toLong,
+            meta.getString(2) + ";bilinear"))
+      }
+    }(Encoders.row(mediaSchema))
+  }
+
   // ---------------------------------------------------------------- BMP --
 
   /** Deterministic 24-bit uncompressed BMP fixture for `docId`: dimensions

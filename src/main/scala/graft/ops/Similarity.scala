@@ -235,6 +235,66 @@ object Similarity {
       .select(col(idCol), round(col("approx_dist"), 4).as("approx_dist"))
   }
 
+  /** Cluster-balanced selection (one deterministic Lloyd round from fixed
+    * seeds, then the `perCluster` most-central members of every cluster) —
+    * the D4-style "diversify by topic cluster, keep prototypes" data-
+    * selection shape, built so a SQL oracle can replay it exactly:
+    *
+    *  - seeds = the `k` vectors with the smallest ids (at 100 TB this
+    *    would be a seeded sample; a FIXED rule keeps it oracle-replayable);
+    *  - assignment = squared-L2 argmin, distance quantized HALF_UP at 1e-6
+    *    BEFORE the argmin, first-min tie to the smaller cluster id —
+    *    quantizing kills cross-engine float-sum association drift;
+    *  - new centroid = per-dimension mean, quantized at 1e-6 (empty
+    *    cluster keeps its quantized seed);
+    *  - final pick: rank members by (quantized distance, id).
+    *
+    * Scale shape: centroids are k×dim driver-side (bounded, broadcast as
+    * literals); both assignment passes are per-row map work; the only
+    * shuffles are the k×dim-row mean aggregate and the per-cluster rank
+    * window — nothing quadratic, nothing driver-side that grows with n. */
+  def clusterSelect(df: DataFrame, idCol: String, vecColName: String,
+                    k: Int, perCluster: Int): DataFrame = {
+    def q6(x: Double): Double = // HALF_UP like Spark SQL / DuckDB round()
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seeds: Array[Array[Double]] = df.orderBy(col(idCol)).limit(k)
+      .select(vecColName).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.nonEmpty, "clusterSelect needs at least one vector")
+    def assign(cents: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
+      var best = 0; var bd = Double.MaxValue; var i = 0
+      while (i < cents.length) {
+        val c = cents(i); var s = 0.0; var j = 0
+        while (j < c.length) { val dd = v(j) - c(j); s += dd * dd; j += 1 }
+        val r = q6(s)
+        if (r < bd) { bd = r; best = i }
+        i += 1
+      }
+      (best, bd)
+    }
+    val a0 = df.withColumn("_a", assign(seeds)(col(vecColName)))
+      .select(col(idCol), col(vecColName), col("_a._1").as("cluster"))
+    val means = a0
+      .select(col("cluster"), posexplode(col(vecColName)).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos").agg(avg(col("v").cast("double")).as("m"))
+      .collect() // ≤ k × dim rows — bounded by construction
+    val c1: Array[Array[Double]] = seeds.map(_.map(q6)) // empty-cluster fallback
+    means.foreach { r =>
+      c1(r.getInt(0))(r.getInt(1)) = q6(r.getDouble(2))
+    }
+    val ranked = df.withColumn("_a", assign(c1)(col(vecColName)))
+      .select(col(idCol), col("_a._1").as("cluster"), col("_a._2").as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("dist"), col(idCol))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+    ranked
+      .withColumn("pick_rank", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .filter(col("pick_rank") <= perCluster)
+      .select(col("cluster").cast("long").as("cluster"), col("pick_rank"),
+        col(idCol), (col("dist") + 0.0).as("dist"), col("cluster_size"))
+  }
+
   /** LSH-blocked near-dup pairs: candidate pairs limited to equal SRP
     * buckets — the linear-ish scale path next to the exact quadratic pair
     * join (recall bounded by bucket collision probability; raise recall by

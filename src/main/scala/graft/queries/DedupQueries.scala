@@ -1266,6 +1266,52 @@ object DedupQueries {
     // shuffle for centroids, one broadcast-joined dot per member — at
     // 100 TB both stages are linear in the corpus and the cluster step is
     // the same persisted-bucket layout the ANN stores use. -----
+    // ----- cluster-balanced selection (D4-style): one deterministic Lloyd
+    // round from fixed seeds over the embedding corpus, then keep the 3
+    // most-central members per cluster — the "diversify by cluster, keep
+    // prototypes" selection stage of an embedding-curated training mix.
+    // FULLY oracled: distances and centroid components are quantized
+    // HALF_UP at 1e-6 on both engines before every comparison, so the
+    // SQL replay (unnest-join distances, argmin by (dist, cid), mean,
+    // re-assign, rank) hash-matches the Spark UDF path exactly. -----
+    Q("v_cluster_select",
+      (s, d) => Similarity.clusterSelect(
+          Tables.embeddings(s, d), "vec_id", "embedding", 8, 3)
+        .orderBy("cluster", "pick_rank"),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             |    embedding AS c FROM e ORDER BY vec_id LIMIT 8),
+             |ev AS (SELECT vec_id, u.i AS pos,
+             |    CAST(embedding[u.i + 1] AS DOUBLE) AS v
+             |  FROM e, (SELECT unnest(range(0, 64)) AS i) u),
+             |s0 AS (SELECT cid, u.i AS pos, CAST(c[u.i + 1] AS DOUBLE) AS v
+             |  FROM seed, (SELECT unnest(range(0, 64)) AS i) u),
+             |d0 AS (SELECT ev.vec_id, s0.cid,
+             |    round(sum((ev.v - s0.v) * (ev.v - s0.v)), 6) AS dist
+             |  FROM ev JOIN s0 ON ev.pos = s0.pos GROUP BY 1, 2),
+             |a0 AS (SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |    FROM d0) WHERE rn = 1),
+             |m1 AS (SELECT a0.cid, ev.pos, round(avg(ev.v), 6) AS v
+             |  FROM a0 JOIN ev USING (vec_id) GROUP BY 1, 2),
+             |c1 AS (SELECT s0.cid, s0.pos, coalesce(m1.v, round(s0.v, 6)) AS v
+             |  FROM s0 LEFT JOIN m1 ON s0.cid = m1.cid AND s0.pos = m1.pos),
+             |d1 AS (SELECT ev.vec_id, c1.cid,
+             |    round(sum((ev.v - c1.v) * (ev.v - c1.v)), 6) AS dist
+             |  FROM ev JOIN c1 ON ev.pos = c1.pos GROUP BY 1, 2),
+             |asg AS (SELECT vec_id, cid, dist FROM (
+             |    SELECT vec_id, cid, dist,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |    FROM d1) WHERE rn = 1),
+             |ranked AS (SELECT cid AS cluster, vec_id, dist,
+             |    row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS pick_rank,
+             |    count(*) OVER (PARTITION BY cid) AS cluster_size FROM asg)
+             |SELECT cluster, CAST(pick_rank AS INT) AS pick_rank, vec_id,
+             |  dist, cluster_size
+             |FROM ranked WHERE pick_rank <= 3
+             |ORDER BY cluster, pick_rank""".stripMargin)),
+
     Q("d_semdedup",
       (s, d) => {
         val e = Tables.embeddings(s, d)
@@ -1534,6 +1580,59 @@ object DedupQueries {
              |SELECT doc_id AS media_id, w AS width, h AS height,
              |  count(*) AS n_px, CAST(sum(luma) AS BIGINT) AS sum_luma,
              |  max(CASE WHEN x = 1 AND y = 2 THEN luma END) AS probe_luma
+             |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin)),
+
+    // ----- multimodal: REAL bilinear resize — the pixel-grid resampling
+    // stage of an image-pipeline (decode → resize → feature). Fixed-point
+    // 8.8 align-corners bilinear over the BMP gradient fixtures, then the
+    // standard decode-stats stage over the RESIZED payload — so the oracle
+    // (which replays the integer resample rule in SQL, never touching
+    // bytes) pins encode → resize → re-encode → decode end-to-end. Probe
+    // pixel (1, min(2, oh-1)) catches row-order / weight-transpose bugs a
+    // sum would hide. -----
+    Q("m_image_resize",
+      (s, d) => Multimodal.decodeBmpFeatures(
+          Multimodal.resizeBmp(
+            Multimodal.bmpFromDocuments(Tables.documents(s, d), "doc_id"),
+            id => (2 + id % 3).toInt, id => (2 + id % 2).toInt))
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_px"),
+          col("sum_luma"), col("probe_luma"))
+        .orderBy("media_id"),
+      Some("""WITH p AS (SELECT doc_id, doc_id % 256 AS did,
+             |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+             |    2 + doc_id % 3 AS ow, 2 + doc_id % 2 AS oh FROM documents),
+             |d AS (SELECT p.*, xs.dx, ys.dy FROM p,
+             |    (SELECT unnest(range(0, 4)) AS dx) xs,
+             |    (SELECT unnest(range(0, 3)) AS dy) ys
+             |  WHERE xs.dx < ow AND ys.dy < oh),
+             |c AS (SELECT doc_id, did, w, h, ow, oh, dx, dy,
+             |    (dx * (w - 1) * 256) // (ow - 1) AS fx,
+             |    (dy * (h - 1) * 256) // (oh - 1) AS fy FROM d),
+             |c2 AS (SELECT doc_id, did, ow, oh, dx, dy,
+             |    fx // 256 AS x0, fx % 256 AS xf,
+             |    least(fx // 256 + 1, w - 1) AS x1,
+             |    fy // 256 AS y0, fy % 256 AS yf,
+             |    least(fy // 256 + 1, h - 1) AS y1 FROM c),
+             |v AS (SELECT doc_id, ow, oh, dx, dy,
+             |    ((256 - xf) * (256 - yf) * ((did + x0 * y0) % 256)
+             |     + xf * (256 - yf) * ((did + x1 * y0) % 256)
+             |     + (256 - xf) * yf * ((did + x0 * y1) % 256)
+             |     + xf * yf * ((did + x1 * y1) % 256) + 32768) // 65536 AS r,
+             |    ((256 - xf) * (256 - yf) * ((2 * did + 3 * x0 + 5 * y0) % 256)
+             |     + xf * (256 - yf) * ((2 * did + 3 * x1 + 5 * y0) % 256)
+             |     + (256 - xf) * yf * ((2 * did + 3 * x0 + 5 * y1) % 256)
+             |     + xf * yf * ((2 * did + 3 * x1 + 5 * y1) % 256) + 32768) // 65536 AS g,
+             |    ((256 - xf) * (256 - yf) * ((did + 7 * x0 + 13 * y0) % 256)
+             |     + xf * (256 - yf) * ((did + 7 * x1 + 13 * y0) % 256)
+             |     + (256 - xf) * yf * ((did + 7 * x0 + 13 * y1) % 256)
+             |     + xf * yf * ((did + 7 * x1 + 13 * y1) % 256) + 32768) // 65536 AS b
+             |  FROM c2),
+             |lum AS (SELECT doc_id, ow, oh, dx, dy,
+             |    (299 * r + 587 * g + 114 * b) // 1000 AS luma FROM v)
+             |SELECT doc_id AS media_id, ow AS width, oh AS height,
+             |  count(*) AS n_px, CAST(sum(luma) AS BIGINT) AS sum_luma,
+             |  max(CASE WHEN dx = 1 AND dy = least(2, oh - 1) THEN luma END) AS probe_luma
              |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin)),
 
     // ----- multimodal: REAL baseline JPEG decode (ops/Jpeg) — general

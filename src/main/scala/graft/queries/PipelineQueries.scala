@@ -283,6 +283,47 @@ object PipelineQueries {
              |SELECT doc_id, CAST(pos AS INT) AS pos, blk
              |FROM blocks ORDER BY doc_id, pos""".stripMargin)),
 
+    // ----- EPUB source end-to-end: OCF zip container → OPF manifest/spine
+    // → XHTML chapters → markdown (EpubParser = ZipSource + StAX +
+    // HtmlParser composed). Fixtures are REAL EPUBs (stored-first mimetype
+    // per OCF §3.3, container.xml indirection, a manifest-only stylesheet
+    // that must NOT extract, entity-escaped chapter bodies); the oracle
+    // replays the chapter/paragraph layout closed-form. Spine ORDER is
+    // load-bearing: chapter 2's paragraphs must follow chapter 1's
+    // heading block. -----
+    Q("s_epub_extract",
+      (s, d) => {
+        val mk = udf((id: Long, l0: String, l1: String, l2: String) =>
+          graft.ingest.EpubParser.fixture(id, Seq(
+            (s"Chapter 1 of $id", Seq(l0).filter(_.trim.nonEmpty)),
+            (s"Chapter 2 of $id", Seq(l1, l2).filter(_.trim.nonEmpty)))))
+        val parse = udf((b: Array[Byte]) => graft.ingest.EpubParser.toMarkdown(b))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            mk(col("doc_id"), expr("substr(text, 1, 36)"),
+              expr("substr(text, 24, 36)"), expr("substr(text, 47, 36)"))
+              .as("bytes"))
+          .select(col("doc_id"),
+            posexplode(split(parse(col("bytes")), "\n\n")).as(Seq("pos", "blk")))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH ln AS (SELECT doc_id, t.i,
+             |    substr(text, 1 + t.i * 23, 36) AS line
+             |  FROM documents, (SELECT unnest(range(0, 3)) AS i) t),
+             |par AS (SELECT doc_id, i, trim(line) AS line
+             |  FROM ln WHERE trim(line) <> ''),
+             |blocks AS (
+             |  SELECT doc_id, 0 AS ord, '# Chapter 1 of ' || doc_id AS blk
+             |  FROM documents
+             |  UNION ALL SELECT doc_id, 1, line FROM par WHERE i = 0
+             |  UNION ALL SELECT doc_id, 2, '# Chapter 2 of ' || doc_id
+             |  FROM documents
+             |  UNION ALL SELECT doc_id, 3 + i, line FROM par WHERE i >= 1)
+             |SELECT doc_id,
+             |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT) AS pos,
+             |  blk
+             |FROM blocks ORDER BY doc_id, pos""".stripMargin)),
+
     // ----- WARC source end-to-end: the container format web-scale
     // corpora actually arrive in (Common Crawl). Each doc becomes a real
     // WARC file (warcinfo + HTTP request + HTTP response records;

@@ -69,6 +69,71 @@ object Relational {
              |       md5(text) AS text_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- source: CSV round-trip. The documents table staged as quoted
+    // CSV (embedded commas, quotes, and newlines in `text` force the
+    // writer's quoting + quote-doubling paths) and read back with an
+    // EXPLICIT schema and multiLine=true — required for quoted embedded
+    // newlines. Scale note: multiLine CSV is non-splittable (one task per
+    // file), so at 100 TB the writer side must keep shards bounded
+    // (maxRecordsPerFile) — parallelism then comes from file count, which
+    // this staging write produces naturally (one file per input
+    // partition). Oracle compares against the parquet source: any
+    // quoting/escape/coercion loss in either direction breaks the hash. -----
+    Q("s_csv_roundtrip",
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val stage = s"${System.getProperty("java.io.tmpdir")}/graft-csv-" +
+          d.replaceAll("[^a-zA-Z0-9._-]", "_")
+        Tables.documents(s, d).select("doc_id", "lang", "source", "text")
+          .write.mode("overwrite")
+          .option("header", "true").option("quoteAll", "true")
+          .option("escape", "\"") // RFC 4180 quote-doubling, not backslash
+          .csv(stage)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("source", StringType), StructField("text", StringType)))
+        s.read.schema(schema)
+          .option("header", "true").option("multiLine", "true")
+          .option("escape", "\"")
+          .csv(stage)
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text")).cast("long").as("text_len"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, length(text)::BIGINT AS text_len,
+             |       md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- source: XML round-trip (Spark 4 built-in XML datasource). The
+    // documents table staged as <doc> row elements and read back with an
+    // EXPLICIT schema — entity escaping (&, <, >, quotes) and control-char
+    // handling in `text` are the load-bearing paths; the oracle against
+    // the parquet source breaks on any round-trip loss. Scale note: like
+    // multiLine CSV, XML rows spanning lines make per-file tasks; shard
+    // count from the staging write is the parallelism. -----
+    Q("s_xml_roundtrip",
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val stage = s"${System.getProperty("java.io.tmpdir")}/graft-xml-" +
+          d.replaceAll("[^a-zA-Z0-9._-]", "_")
+        Tables.documents(s, d).select("doc_id", "lang", "source", "text")
+          .write.mode("overwrite")
+          .option("rowTag", "doc").option("rootTag", "docs")
+          .xml(stage)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("source", StringType), StructField("text", StringType)))
+        s.read.schema(schema).option("rowTag", "doc").xml(stage)
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text")).cast("long").as("text_len"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, length(text)::BIGINT AS text_len,
+             |       md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ----- P2: range predicate (chunkIndex BETWEEN analog) -----
     Q("p2_range_predicate",
       (s, d) => Tables.lineitem(s, d)

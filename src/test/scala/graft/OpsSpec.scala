@@ -201,6 +201,123 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterSelect: deterministic, balanced, centers and members coherent") {
+    // 3 tight blobs far apart in 4-D; ids interleaved so seed order (first
+    // k ids) does NOT align with blob membership.
+    def v(base: Double, j: Int): Seq[Float] =
+      Seq(base + 0.01 * j, base, base - 0.01 * j, base).map(_.toFloat)
+    val rows = (0 until 30).map { i =>
+      (i.toLong, v((i % 3) * 10.0, i / 3)) // blobs at 0, 10, 20
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.clusterSelect(df, "vec_id", "embedding", 3, 2)
+      .orderBy("cluster", "pick_rank")
+      .collect()
+    // k=3 seeds are ids 0,1,2 = one per blob → every blob is a cluster of 10
+    assert(out.length === 6) // 3 clusters × 2 picks
+    assert(out.map(_.getLong(4)).toSet === Set(10L))
+    // picks belong to the blob their cluster's seed came from
+    out.foreach { r =>
+      val cluster = r.getLong(0); val id = r.getLong(2)
+      assert(id % 3 === cluster, s"pick $id in wrong cluster $cluster")
+    }
+    // pick_rank 1 is strictly the most central (dist non-decreasing in rank)
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val dists = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(dists.sameElements(dists.sorted))
+    }
+    // deterministic: a second run is byte-identical
+    val again = Similarity.clusterSelect(df, "vec_id", "embedding", 3, 2)
+      .orderBy("cluster", "pick_rank").collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // k larger than distinct blobs still returns every vector once overall
+    val all = Similarity.clusterSelect(df, "vec_id", "embedding", 5, 30)
+      .collect()
+    assert(all.map(_.getLong(2)).toSet === (0L until 30L).toSet)
+  }
+
+  test("bilinear resize: identity dims reproduce the source image exactly") {
+    // at ow = w, oh = h every fractional weight is zero, so the output must
+    // be byte-identical pixels (align-corners property) — catches any
+    // weight, rounding, or row-order bug in one shot.
+    for (docId <- Seq(0L, 3L, 7L, 255L, 1000L)) {
+      val src = Multimodal.encodeBmp(docId)
+      val w = (4 + docId % 5).toInt
+      val h = (3 + docId % 4).toInt
+      val out = Multimodal.resizeBmpBilinear(src, w, h)
+      val a = Multimodal.decodeBmp(src)
+      val b = Multimodal.decodeBmp(out)
+      assert(a === b, s"identity resize changed stats for docId=$docId")
+      // stronger: independent decoder agrees pixel-for-pixel
+      val i1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+      val i2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(i1.getRGB(x, y) === i2.getRGB(x, y), s"pixel ($x,$y) id=$docId")
+    }
+  }
+
+  test("bilinear resize: constant image stays constant; outputs stay in corner hull") {
+    // constant input: every bilinear combination of equal corners is that
+    // value (weights sum to 65536 and rounding is exact).
+    val w = 6; val h = 5
+    val stride = ((3 * w + 3) / 4) * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    buf.putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (_ <- 0 until h) {
+      for (_ <- 0 until w) { buf.put(77.toByte); buf.put(77.toByte); buf.put(77.toByte) }
+      for (_ <- 0 until stride - 3 * w) buf.put(0.toByte)
+    }
+    for ((ow, oh) <- Seq((2, 2), (3, 4), (11, 9), (1, 1))) {
+      val out = Multimodal.resizeBmpBilinear(buf.array(), ow, oh)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+      assert(img.getWidth === ow && img.getHeight === oh)
+      for (y <- 0 until oh; x <- 0 until ow)
+        assert((img.getRGB(x, y) & 0xffffff) === 0x4d4d4d, s"($x,$y) $ow x $oh")
+    }
+    // gradient input: every output channel bounded by the source channel range
+    for (docId <- Seq(2L, 9L)) {
+      val src = Multimodal.encodeBmp(docId)
+      val srcImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+      val (wS, hS) = (srcImg.getWidth, srcImg.getHeight)
+      val chans = for (y <- 0 until hS; x <- 0 until wS) yield srcImg.getRGB(x, y)
+      def bound(shift: Int) = {
+        val vs = chans.map(v => (v >> shift) & 0xff); (vs.min, vs.max)
+      }
+      val bounds = Seq(bound(16), bound(8), bound(0))
+      val out = Multimodal.resizeBmpBilinear(src, 3, 2)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+      for (y <- 0 until 2; x <- 0 until 3; (sh, (lo, hi)) <- Seq(16, 8, 0).zip(bounds)) {
+        val v = (img.getRGB(x, y) >> sh) & 0xff
+        assert(v >= lo && v <= hi, s"channel@$sh out of hull at ($x,$y) id=$docId")
+      }
+    }
+  }
+
+  test("bilinear resize: 2x upscale midpoint is the exact corner average") {
+    // a 2x1 image upscaled to 3x1 puts dest x=1 at fx = 128 exactly — the
+    // midpoint — so each channel must be round((a + b) / 2) (round half up).
+    val w = 2; val h = 1; val stride = ((3 * w + 3) / 4) * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    buf.putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // pixel 0: B=10 G=20 R=30; pixel 1: B=11 G=21 R=255
+    buf.put(10.toByte).put(20.toByte).put(30.toByte)
+    buf.put(11.toByte).put(21.toByte).put(255.toByte)
+    for (_ <- 0 until stride - 6) buf.put(0.toByte)
+    val out = Multimodal.resizeBmpBilinear(buf.array(), 3, 1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(((img.getRGB(0, 0) >> 16) & 0xff) === 30)
+    assert(((img.getRGB(2, 0) >> 16) & 0xff) === 255)
+    assert((img.getRGB(1, 0) & 0xff) === 11)        // (10+11+1)/2 = 10.5 -> 11
+    assert(((img.getRGB(1, 0) >> 8) & 0xff) === 21) // 20.5 -> 21
+    assert(((img.getRGB(1, 0) >> 16) & 0xff) === 143) // (30+255+1)/2 = 142.5 -> 143
+  }
+
   test("PNG encoder produces real PNGs: javax.imageio decodes them pixel-for-pixel") {
     // independent decoder: the JDK's built-in PNG reader. Wrong CRCs,
     // zlib framing, or filter application would make ImageIO fail or

@@ -210,6 +210,38 @@ class ParserSpec extends AnyFunSuite {
     assert(ZipSource.entries("PK garbage".getBytes) === Seq.empty)
   }
 
+  test("epub: container → opf spine → xhtml chapters in order; title; tolerance") {
+    import graft.ingest.EpubParser
+    val book = EpubParser.fixture(7L, Seq(
+      ("Intro", Seq("First paragraph.", "Uses < and & chars.")),
+      ("Methods", Seq("Second chapter body."))))
+    // mimetype member is FIRST and stored uncompressed (OCF §3.3): the
+    // magic "application/epub+zip" must appear literally at offset 38 of a
+    // well-formed EPUB (30-byte local header + 8-byte name).
+    assert(new String(book.slice(38, 58), "US-ASCII") === "application/epub+zip")
+    val chapters = EpubParser.chapters(book)
+    assert(chapters.map(_.href) === Seq("ch0.xhtml", "ch1.xhtml"))
+    assert(chapters(0).markdown ===
+      "# Intro\n\nFirst paragraph.\n\nUses < and & chars.")
+    assert(chapters(1).markdown === "# Methods\n\nSecond chapter body.")
+    assert(EpubParser.toMarkdown(book) ===
+      "# Intro\n\nFirst paragraph.\n\nUses < and & chars.\n\n# Methods\n\nSecond chapter body.")
+    assert(EpubParser.title(book) === Some("Book 7"))
+    // manifest-only members (the stylesheet) never extract as chapters
+    assert(!EpubParser.toMarkdown(book).contains("margin"))
+    // refuse-don't-garble: garbage, truncation, missing container
+    assert(EpubParser.toMarkdown("not a zip".getBytes) === "")
+    assert(EpubParser.toMarkdown(book.take(60)) === "")
+    val bare = graft.ingest.ZipSource.fixture(2L, Seq("a.md" -> "x"))
+    assert(EpubParser.toMarkdown(bare) === "") // zip but no container.xml
+    // a spine idref with no manifest entry skips, rest still extracts
+    assert(EpubParser.parseOpf("<package><spine><itemref idref='ghost'/></spine></package>")
+      .spine === Seq("ghost"))
+    assert(EpubParser.resolve("OEBPS/", "../img/x.png") === "img/x.png")
+    assert(EpubParser.resolve("OEBPS/", "./ch1.xhtml") === "OEBPS/ch1.xhtml")
+    assert(EpubParser.resolve("", "ch1.xhtml") === "ch1.xhtml")
+  }
+
   test("html: malformed input degrades to text, never throws") {
     assert(HtmlParser.toMarkdown("<h1>unclosed <div <<<") !== null)
     assert(HtmlParser.toMarkdown("") === "")
