@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches — the 100 TB answer to "how many distinct
+  * documents/urls/tokens" when an exact distinct would shuffle the full key
+  * set. Two classic sketches, both built on the portable 60-bit md5 hash
+  * ([[Dedup.hash60]]) so a SQL oracle replays them EXACTLY — unlike
+  * `approx_count_distinct`, whose binary HLL++ state no second engine can
+  * reproduce:
+  *
+  *  - **HyperLogLog** (Flajolet et al. 2007): 2^b registers, register =
+  *    low b hash bits, rho = leading-zero run of the remaining 60−b bits
+  *    plus one. The register table (register, max_rho) IS the sketch:
+  *    map-side combinable (groupBy max), unionable across shards/days by
+  *    the same groupBy-max — the property that matters at scale.
+  *  - **KMV / bottom-k** (Bar-Yossef et al. 2002): the k smallest distinct
+  *    hash values; estimate (k−1)·2^60 / h_(k). Merge = union the bottom-k
+  *    sets and re-take the bottom k. TakeOrdered-shaped: no full sort.
+  *
+  * Estimator arithmetic sticks to cross-engine-stable forms: powers of two
+  * are exact doubles, sums of ≤ m dyadic terms are rounded before
+  * comparison, and every emitted float is round(…, 4).
+  */
+object Sketches {
+
+  /** HLL register table (register, max_rho) for a 2^b-register sketch over
+    * `key`. One projection + one map-side-combinable aggregate — at 100 TB
+    * this is a scan plus a 2^b-row shuffle. */
+  def hllRegisters(df: DataFrame, key: Column, b: Int): DataFrame = {
+    require(b >= 2 && b <= 16, "register bits b must be in [2, 16]")
+    val m = 1L << b
+    val maxRho = 61 - b // w has 60-b bits; rho(0) = field width + 1
+    df.select(Dedup.hash60(key).as("h"))
+      .select((col("h") % m).as("register"), expr(s"h div $m").as("w"))
+      .select(col("register"),
+        when(col("w") === 0, lit(maxRho))
+          .otherwise(lit(maxRho) - length(bin(col("w")))).cast("int").as("rho"))
+      .groupBy("register").agg(max("rho").as("max_rho"))
+  }
+
+  /** HLL estimate from a register table: raw harmonic-mean estimator with
+    * the standard small-range linear-counting correction (est ≤ 2.5 m and
+    * empty registers exist → m·ln(m/V)). Emits the sketch parameters too,
+    * so the row documents itself. */
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
+    val m = (1L << b).toDouble
+    val alpha =
+      if (b == 4) 0.673 else if (b == 5) 0.697
+      else if (b == 6) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .agg(count(lit(1)).as("present"),
+        sum(pow(lit(2.0), -col("max_rho"))).as("ssum"))
+      .select(
+        lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("present")).as("n_zero"),
+        (lit(alpha * m * m) / (col("ssum") + (lit(m) - col("present"))))
+          .as("est_raw"))
+      .select(col("m"), col("n_zero"),
+        when(col("est_raw") <= lit(2.5 * m) && col("n_zero") > 0,
+          round(lit(m) * log(lit(m) / col("n_zero")), 4))
+          .otherwise(round(col("est_raw"), 4)).as("est"),
+        when(col("est_raw") <= lit(2.5 * m) && col("n_zero") > 0,
+          lit("linear")).otherwise(lit("hll")).as("method"))
+  }
+
+  /** KMV (bottom-k) distinct estimate over `key`: k smallest distinct
+    * 60-bit hashes; (k−1)·2^60 / h_(k), exact when fewer than k distinct
+    * values exist (the sketch then holds them all). */
+  def kmvEstimate(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    df.select(Dedup.hash60(key).as("h")).distinct()
+      .orderBy("h").limit(k) // TakeOrdered: no full sort at scale
+      .agg(count(lit(1)).as("n_held"), max("h").as("kth_hash"))
+      .select(lit(k.toLong).as("k"), col("n_held"), col("kth_hash"),
+        when(col("n_held") < k, col("n_held").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * pow(lit(2.0), lit(60))
+            / col("kth_hash"), 4)).as("est"))
+  }
+}

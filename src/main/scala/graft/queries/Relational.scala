@@ -595,6 +595,59 @@ object Relational {
              |      UNION SELECT lang, source FROM documents WHERE doc_id % 3 = 0)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- cardinality sketch: HyperLogLog over the portable 60-bit hash.
+    // The register layout (low b=6 bits → register, leading-zero run of
+    // the remaining 54 bits → rho) is replayed EXACTLY by the oracle, so
+    // the harmonic estimator and linear-counting branch are pinned — not
+    // just "approximately right". exact_distinct rides along so the row
+    // documents the sketch's actual error. -----
+    Q("a_hll_distinct",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val est = graft.ops.Sketches.hllEstimate(
+          graft.ops.Sketches.hllRegisters(docs, col("text"), 6), 6)
+        est.crossJoin(
+          docs.agg(countDistinct(col("text")).as("exact_distinct")))
+      },
+      Some("""WITH h AS (SELECT CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+             |  FROM documents),
+             |r AS (SELECT h % 64 AS register, h // 64 AS w FROM h),
+             |rho AS (SELECT register,
+             |    CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho
+             |  FROM r),
+             |regs AS (SELECT register, max(rho) AS max_rho FROM rho GROUP BY 1),
+             |agg AS (SELECT count(*) AS present,
+             |    sum(power(2.0, -max_rho)) AS ssum FROM regs),
+             |est AS (SELECT CAST(64 AS BIGINT) AS m,
+             |    64 - present AS n_zero,
+             |    0.709 * 64 * 64 / (ssum + (64 - present)) AS est_raw
+             |  FROM agg)
+             |SELECT m, n_zero,
+             |  CASE WHEN est_raw <= 160.0 AND n_zero > 0
+             |       THEN round(64.0 * ln(64.0 / n_zero), 4)
+             |       ELSE round(est_raw, 4) END AS est,
+             |  CASE WHEN est_raw <= 160.0 AND n_zero > 0
+             |       THEN 'linear' ELSE 'hll' END AS method,
+             |  (SELECT count(DISTINCT text) FROM documents) AS exact_distinct
+             |FROM est""".stripMargin)),
+
+    // ----- cardinality sketch: KMV (bottom-k). The k=32 smallest distinct
+    // hashes; estimate (k−1)·2^60 / h_(k); exact when under k distinct.
+    // TakeOrdered shape — merging shards = union bottom-k sets, re-take
+    // bottom k. -----
+    Q("a_kmv_distinct",
+      (s, d) => graft.ops.Sketches.kmvEstimate(
+        Tables.documents(s, d), col("text"), 32),
+      Some("""WITH hs AS (SELECT DISTINCT
+             |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+             |  FROM documents),
+             |topk AS (SELECT h FROM hs ORDER BY h LIMIT 32),
+             |agg AS (SELECT count(*) AS n_held, max(h) AS kth_hash FROM topk)
+             |SELECT CAST(32 AS BIGINT) AS k, n_held, kth_hash,
+             |  CASE WHEN n_held < 32 THEN CAST(n_held AS DOUBLE)
+             |       ELSE round(31.0 * power(2.0, 60) / kth_hash, 4) END AS est
+             |FROM agg""".stripMargin)),
+
     // ----- U2: except -----
     Q("u2_except",
       (s, d) => Tables.lineitem(s, d).select(col("l_orderkey").as("k"))

@@ -201,6 +201,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketches: HLL/KMV estimate within theory bounds and merge exactly") {
+    import graft.ops.Sketches
+    val docs = (0 until 2000).map(i => (i.toLong, s"doc text ${i % 1200}"))
+      .toDF("doc_id", "text") // 1200 distinct values, every one duplicated
+    val regs = Sketches.hllRegisters(docs, $"text", 6)
+    // merge = union + groupBy max: two shards re-merged equal the whole
+    val h1 = Sketches.hllRegisters(docs.filter($"doc_id" < 700), $"text", 6)
+    val h2 = Sketches.hllRegisters(docs.filter($"doc_id" >= 700), $"text", 6)
+    val merged = h1.union(h2).groupBy("register")
+      .agg(max("max_rho").as("max_rho"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asMap(merged) === asMap(regs))
+    // estimator: m=64 gives ~1.04/8 = 13% typical error; gate at 3 sigma
+    val est = Sketches.hllEstimate(regs, 6).head()
+    assert(est.getAs[String]("method") === "hll")
+    assert(math.abs(est.getAs[Double]("est") - 1200.0) < 0.4 * 1200.0)
+    // linear-counting branch engages on small cardinalities and is tighter
+    val small = (0 until 300).map(i => (i.toLong, s"v${i % 20}")).toDF("doc_id", "text")
+    val se = Sketches.hllEstimate(Sketches.hllRegisters(small, $"text", 6), 6).head()
+    assert(se.getAs[String]("method") === "linear")
+    assert(math.abs(se.getAs[Double]("est") - 20.0) < 8.0)
+    // KMV: k−1 over kth-smallest; merge = union bottom-k, re-take bottom-k
+    val kw = Sketches.kmvEstimate(docs, $"text", 32).head()
+    assert(kw.getAs[Long]("n_held") === 32L)
+    assert(math.abs(kw.getAs[Double]("est") - 1200.0) < 0.5 * 1200.0)
+    val u = Sketches.kmvEstimate(
+      docs.filter($"doc_id" < 700).select("text")
+        .union(docs.filter($"doc_id" >= 700).select("text")), $"text", 32).head()
+    assert(u.getAs[Long]("kth_hash") === kw.getAs[Long]("kth_hash"))
+    // under k distinct values the sketch is exact
+    val tiny = (0 until 100).map(i => (i.toLong, s"t${i % 10}")).toDF("doc_id", "text")
+    val te = Sketches.kmvEstimate(tiny, $"text", 32).head()
+    assert(te.getAs[Long]("n_held") === 10L)
+    assert(te.getAs[Double]("est") === 10.0)
+  }
+
   test("clusterSelect: deterministic, balanced, centers and members coherent") {
     // 3 tight blobs far apart in 4-D; ids interleaved so seed order (first
     // k ids) does NOT align with blob membership.
