@@ -175,6 +175,155 @@ object Multimodal {
     }(Encoders.row(mediaSchema))
   }
 
+  /** 56-bit difference hash (dHash) — the perceptual near-dup key for
+    * images, feeding the same downstream machinery as simhash/minhash:
+    * exact-match grouping, or hamming-banded pair joins at scale. Bilinear-
+    * resize to an 8×8 luma grid ([[resizeBmpBilinear]] — integer-exact, so
+    * the hash is oracle-replayable), then bit (x, y) = 1 iff
+    * luma(x+1, y) > luma(x, y): 7 comparisons × 8 rows = 56 bits, packed
+    * as Σ 2^(y·7+x) — deliberately < 2^63 so the value is a plain BIGINT
+    * in every engine. Robust to scale/brightness-preserving re-encodes;
+    * any gradient flip alters exactly the crossing bits. */
+  private[graft] def dhash(bytes: Array[Byte]): Long = {
+    val r = resizeBmpBilinear(bytes, 8, 8)
+    // our own writer's fixed layout: offset 54, stride 24 (3·8, already
+    // 4-aligned), bottom-up rows, B-G-R
+    def luma(x: Int, y: Int): Int = {
+      val off = 54 + (7 - y) * 24 + 3 * x
+      val b = r(off) & 0xff; val g = r(off + 1) & 0xff; val rr = r(off + 2) & 0xff
+      (299 * rr + 587 * g + 114 * b) / 1000
+    }
+    var acc = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (luma(x + 1, y) > luma(x, y)) acc |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    acc
+  }
+
+  /** per-image dHash features (media_id, dhash, n_bits) via mapPartitions */
+  def dhashFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false),
+      StructField("n_bits", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val h = dhash(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), h, java.lang.Long.bitCount(h).toLong)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // ------------------------------------------------------ audio resample --
+
+  /** mono 16-bit PCM samples + rate (same tolerant RIFF chunk walk as
+    * [[decodeWav]], which stays a no-copy stats path — this one
+    * materializes the sample array because resampling needs it) */
+  private def wavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
+    require(bytes.length >= 44 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAV payload")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var rate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val len = bb.getInt(off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length, s"truncated chunk $id")
+      id match {
+        case "fmt " =>
+          require(bb.getShort(off + 8) == 1 && bb.getShort(off + 10) == 1 &&
+            bb.getShort(off + 22) == 16, "16-bit mono PCM only")
+          rate = bb.getInt(off + 12)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _      => ()
+      }
+      off += 8 + len + (len & 1)
+    }
+    require(rate > 0 && dataOff >= 0, "missing fmt/data chunk")
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getShort(dataOff + 2 * i); i += 1 }
+    (rate, out)
+  }
+
+  /** minimal canonical RIFF/PCM writer (16-bit mono) */
+  private def encodeWavPcm(samples: Array[Short], rate: Int): Array[Byte] = {
+    val dataLen = 2 * samples.length
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+    buf.putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort(_))
+    buf.array()
+  }
+
+  /** Fixed-point linear audio resample to `outRate` — the audio twin of
+    * [[resizeBmpBilinear]], same 8.8 align-corners mapping and the same
+    * oracle-exactness discipline. Output length m = max(2, n·outRate/inRate)
+    * (integer division); sample j interpolates
+    *
+    *   f = j·(n−1)·256 / (m−1);  i0 = f/256, fr = f%256
+    *   acc = s[i0]·(256−fr) + s[i1]·fr
+    *   out = (acc ± 128) / 256   (+128 when acc ≥ 0, −128 otherwise)
+    *
+    * Symmetric round-half-away-from-zero via truncating division — Java's
+    * `/` and DuckDB's integer `//` both truncate toward zero (DuckDB:
+    * -5 // 2 = -2), so negative samples round identically in both engines,
+    * and a zero-fraction tap (fr = 0) is EXACT: identity resample (m = n)
+    * is lossless, constant signals stay constant. */
+  private[graft] def resampleWavLinear(bytes: Array[Byte], outRate: Int): Array[Byte] = {
+    require(outRate > 0, "outRate must be positive")
+    val (inRate, s) = wavSamples(bytes)
+    val n = s.length
+    require(n >= 2, "need at least 2 samples to resample")
+    val m = math.max(2L, n.toLong * outRate / inRate).toInt
+    val out = new Array[Short](m)
+    var j = 0
+    while (j < m) {
+      val f = j.toLong * (n - 1) * 256 / (m - 1)
+      val i0 = (f / 256).toInt; val fr = (f % 256).toInt
+      val i1 = math.min(i0 + 1, n - 1)
+      val acc = s(i0).toLong * (256 - fr) + s(i1).toLong * fr
+      out(j) = ((acc + (if (acc >= 0) 128 else -128)) / 256).toShort
+      j += 1
+    }
+    encodeWavPcm(out, outRate)
+  }
+
+  /** distributed resample stage: payload in, resampled payload out, meta
+    * updated — pure map, no shuffle (the 100 TB shape) */
+  def resampleWav(media: DataFrame, outRate: Int): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val modIdx = media.schema.fieldIndex("modality")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val resampled = resampleWavLinear(r.getAs[Array[Byte]](payloadIdx), outRate)
+        val meta = r.getStruct(metaIdx)
+        Row(r.getLong(idIdx), r.getString(modIdx), resampled,
+          Row(meta.getString(0), resampled.length.toLong,
+            meta.getString(2) + s";lin$outRate"))
+      }
+    }(Encoders.row(mediaSchema))
+  }
+
   // ---------------------------------------------------------------- BMP --
 
   /** Deterministic 24-bit uncompressed BMP fixture for `docId`: dimensions

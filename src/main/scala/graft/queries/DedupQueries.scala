@@ -1635,6 +1635,93 @@ object DedupQueries {
              |  max(CASE WHEN dx = 1 AND dy = least(2, oh - 1) THEN luma END) AS probe_luma
              |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin)),
 
+    // ----- multimodal: perceptual image hash (dHash) — bilinear 8×8 luma
+    // grid, bit = right-neighbor brighter, 56 bits packed below 2^63. The
+    // integer resample makes the perceptual hash itself hash-pinnable by
+    // the oracle — every bit of every image's dhash is checked, not just a
+    // statistic. Downstream this is the image twin of simhash: equal or
+    // hamming-close hashes → near-dup group. -----
+    Q("m_dhash",
+      (s, d) => Multimodal.dhashFeatures(
+          Multimodal.bmpFromDocuments(Tables.documents(s, d), "doc_id"))
+        .orderBy("media_id"),
+      Some("""WITH p AS (SELECT doc_id, doc_id % 256 AS did,
+             |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+             |d AS (SELECT p.*, xs.dx, ys.dy FROM p,
+             |    (SELECT unnest(range(0, 8)) AS dx) xs,
+             |    (SELECT unnest(range(0, 8)) AS dy) ys),
+             |c AS (SELECT doc_id, did, w, h, dx, dy,
+             |    (dx * (w - 1) * 256) // 7 AS fx,
+             |    (dy * (h - 1) * 256) // 7 AS fy FROM d),
+             |c2 AS (SELECT doc_id, did, dx, dy,
+             |    fx // 256 AS x0, fx % 256 AS xf,
+             |    least(fx // 256 + 1, w - 1) AS x1,
+             |    fy // 256 AS y0, fy % 256 AS yf,
+             |    least(fy // 256 + 1, h - 1) AS y1 FROM c),
+             |v AS (SELECT doc_id, dx, dy,
+             |    ((256 - xf) * (256 - yf) * ((did + x0 * y0) % 256)
+             |     + xf * (256 - yf) * ((did + x1 * y0) % 256)
+             |     + (256 - xf) * yf * ((did + x0 * y1) % 256)
+             |     + xf * yf * ((did + x1 * y1) % 256) + 32768) // 65536 AS r,
+             |    ((256 - xf) * (256 - yf) * ((2 * did + 3 * x0 + 5 * y0) % 256)
+             |     + xf * (256 - yf) * ((2 * did + 3 * x1 + 5 * y0) % 256)
+             |     + (256 - xf) * yf * ((2 * did + 3 * x0 + 5 * y1) % 256)
+             |     + xf * yf * ((2 * did + 3 * x1 + 5 * y1) % 256) + 32768) // 65536 AS g,
+             |    ((256 - xf) * (256 - yf) * ((did + 7 * x0 + 13 * y0) % 256)
+             |     + xf * (256 - yf) * ((did + 7 * x1 + 13 * y0) % 256)
+             |     + (256 - xf) * yf * ((did + 7 * x0 + 13 * y1) % 256)
+             |     + xf * yf * ((did + 7 * x1 + 13 * y1) % 256) + 32768) // 65536 AS b
+             |  FROM c2),
+             |lum AS (SELECT doc_id, dx, dy,
+             |    (299 * r + 587 * g + 114 * b) // 1000 AS luma FROM v),
+             |bits AS (SELECT a.doc_id, a.dy AS y, a.dx AS x,
+             |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+             |  FROM lum a JOIN lum b
+             |    ON a.doc_id = b.doc_id AND a.dy = b.dy AND b.dx = a.dx + 1
+             |  WHERE a.dx < 7)
+             |SELECT doc_id AS media_id,
+             |  CAST(sum(bit * (CAST(1 AS BIGINT) << (y * 7 + x))) AS BIGINT) AS dhash,
+             |  CAST(sum(bit) AS BIGINT) AS n_bits
+             |FROM bits GROUP BY 1 ORDER BY media_id""".stripMargin)),
+
+    // ----- multimodal: REAL linear audio resample — the sample-rate
+    // conversion stage of an audio pipeline (decode → resample → feature),
+    // the audio twin of m_image_resize: 8.8 align-corners fixed point,
+    // floor rounding (matches SQL //), re-encoded as a real 6 kHz WAV and
+    // pushed through the standard decode-stats stage, so encode →
+    // resample → re-encode → decode is pinned end-to-end. -----
+    Q("m_audio_resample",
+      (s, d) => Multimodal.decodeWavFeatures(
+          Multimodal.resampleWav(
+            Multimodal.wavFromDocuments(Tables.documents(s, d), "doc_id"), 6000))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("sum_samples"), col("probe_sample"),
+          col("max_abs"))
+        .orderBy("media_id"),
+      Some("""WITH p AS (SELECT doc_id, doc_id % 256 AS did,
+             |    16 + doc_id % 17 AS n,
+             |    greatest(2, ((16 + doc_id % 17) * 6000) // 8000) AS m
+             |  FROM documents),
+             |o AS (SELECT doc_id, did, n, m, t.j,
+             |    (t.j * (n - 1) * 256) // (m - 1) AS f
+             |  FROM p, (SELECT unnest(range(0, 24)) AS j) t WHERE t.j < m),
+             |c AS (SELECT doc_id, did, n, m, j,
+             |    f // 256 AS i0, f % 256 AS fr,
+             |    least(f // 256 + 1, n - 1) AS i1 FROM o),
+             |acc AS (SELECT doc_id, m, j,
+             |    (((did * 31 + i0 * 997) % 65536) - 32768) * (256 - fr)
+             |     + (((did * 31 + i1 * 997) % 65536) - 32768) * fr AS a
+             |  FROM c),
+             |v AS (SELECT doc_id, m, j,
+             |    (a + CASE WHEN a >= 0 THEN 128 ELSE -128 END) // 256 AS s
+             |  FROM acc)
+             |SELECT doc_id AS media_id, CAST(6000 AS BIGINT) AS sample_rate,
+             |  CAST(1 AS BIGINT) AS channels, CAST(max(m) AS BIGINT) AS n_samples,
+             |  CAST(sum(s) AS BIGINT) AS sum_samples,
+             |  CAST(max(CASE WHEN j = 3 THEN s END) AS BIGINT) AS probe_sample,
+             |  CAST(max(abs(s)) AS BIGINT) AS max_abs
+             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- multimodal: REAL baseline JPEG decode (ops/Jpeg) — general
     // marker/DHT/DQT/SOF0/SOS machinery, Huffman entropy decode, dequant,
     // IDCT. Fixtures are DC-exact (block-constant even Y, flat quant 16),

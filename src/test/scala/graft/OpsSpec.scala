@@ -201,6 +201,74 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dhash: constant image hashes to 0, monotone gradient to all-ones") {
+    def bmp(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val stride = ((3 * w + 3) / 4) * 4
+      val buf = java.nio.ByteBuffer.allocate(54 + stride * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h).putInt(0).putInt(54)
+      buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      buf.putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (sr <- 0 until h) {
+        val y = h - 1 - sr
+        for (x <- 0 until w) {
+          val (r, g, b) = px(x, y)
+          buf.put(b.toByte); buf.put(g.toByte); buf.put(r.toByte)
+        }
+        for (_ <- 0 until stride - 3 * w) buf.put(0.toByte)
+      }
+      buf.array()
+    }
+    // constant: no neighbor is brighter anywhere
+    assert(Multimodal.dhash(bmp(5, 4, (_, _) => (80, 80, 80))) === 0L)
+    // luma strictly increasing in x: every right neighbor brighter → all 56
+    val grad = bmp(8, 8, (x, _) => (x * 30, x * 30, x * 30))
+    assert(Multimodal.dhash(grad) === (1L << 56) - 1)
+    // deterministic + scale-invariant for an x-only gradient: the same
+    // gradient at double width resizes to the same 8x8 comparison signs
+    val grad2 = bmp(16, 8, (x, _) => (x * 15, x * 15, x * 15))
+    assert(Multimodal.dhash(grad2) === (1L << 56) - 1)
+    // identical payloads agree (exact-dup grouping key)
+    assert(Multimodal.dhash(Multimodal.encodeBmp(9L)) ===
+      Multimodal.dhash(Multimodal.encodeBmp(9L)))
+  }
+
+  test("audio resample: identity length is lossless; constant stays constant") {
+    // identity: outRate == inRate → m == n, every fr == 0 → samples copied
+    val src = Multimodal.encodeWav(5L)
+    val same = Multimodal.resampleWavLinear(src, 8000)
+    val a = Multimodal.decodeWav(src)
+    val b = Multimodal.decodeWav(same)
+    assert(a.nSamples === b.nSamples)
+    assert(a.sumSamples === b.sumSamples)
+    assert(a.probeSample === b.probeSample)
+    assert(a.maxAbs === b.maxAbs)
+    assert(b.sampleRate === 8000)
+    // downsample: length follows the rate ratio; amplitude bounded by input
+    val down = Multimodal.decodeWav(Multimodal.resampleWavLinear(src, 6000))
+    assert(down.sampleRate === 6000)
+    assert(down.nSamples === math.max(2L, a.nSamples * 6000 / 8000))
+    assert(down.maxAbs <= a.maxAbs)
+    // constant signal: any interpolation of equal values is that value
+    val n = 20
+    val flat = {
+      val buf = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      buf.putShort(1).putShort(1).putInt(8000).putInt(16000)
+      buf.putShort(2).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(2 * n)
+      for (_ <- 0 until n) buf.putShort(-123)
+      buf.array()
+    }
+    val fr = Multimodal.decodeWav(Multimodal.resampleWavLinear(flat, 5000))
+    assert(fr.nSamples === 12L) // 20 * 5000 / 8000
+    assert(fr.sumSamples === -123L * 12)
+    assert(fr.maxAbs === 123L)
+  }
+
   test("sketches: HLL/KMV estimate within theory bounds and merge exactly") {
     import graft.ops.Sketches
     val docs = (0 until 2000).map(i => (i.toLong, s"doc text ${i % 1200}"))
