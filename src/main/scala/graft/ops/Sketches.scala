@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** HLL register table (register, max_rho) for a 2^b-register sketch over
-    * `key`. One projection + one map-side-combinable aggregate — at 100 TB
-    * this is a scan plus a 2^b-row shuffle. */
-  def hllRegisters(df: DataFrame, key: Column, b: Int): DataFrame = {
+  /** per-row (register, rho) projection — shared by the batch aggregate
+    * and the streaming register maintenance (a streaming groupBy-max over
+    * exactly these columns) */
+  def hllRho(df: DataFrame, key: Column, b: Int): DataFrame = {
     require(b >= 2 && b <= 16, "register bits b must be in [2, 16]")
     val m = 1L << b
     val maxRho = 61 - b // w has 60-b bits; rho(0) = field width + 1
@@ -37,8 +37,13 @@ object Sketches {
       .select(col("register"),
         when(col("w") === 0, lit(maxRho))
           .otherwise(lit(maxRho) - length(bin(col("w")))).cast("int").as("rho"))
-      .groupBy("register").agg(max("rho").as("max_rho"))
   }
+
+  /** HLL register table (register, max_rho) for a 2^b-register sketch over
+    * `key`. One projection + one map-side-combinable aggregate — at 100 TB
+    * this is a scan plus a 2^b-row shuffle. */
+  def hllRegisters(df: DataFrame, key: Column, b: Int): DataFrame =
+    hllRho(df, key, b).groupBy("register").agg(max("rho").as("max_rho"))
 
   /** HLL estimate from a register table: raw harmonic-mean estimator with
     * the standard small-range linear-counting correction (est ≤ 2.5 m and

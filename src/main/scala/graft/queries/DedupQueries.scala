@@ -264,6 +264,36 @@ object DedupQueries {
               |       length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_len
               |FROM corpus ORDER BY fp""".stripMargin)),
 
+    // ----- streaming HLL distinct: the register table maintained as a
+    // streaming groupBy-max over micro-batches — bounded 64-row state for
+    // an unbounded stream. max is commutative, so the final streaming
+    // sketch equals the batch sketch bit-for-bit; the oracle replays the
+    // batch register layout in SQL and hash-checks the stream's estimate
+    // row. -----
+    Q("e_stream_hll",
+      (s, d) => graft.streaming.StreamingIngest
+        .hllAvailableNow(s, Tables.documents(s, d), 6),
+      Some("""WITH h AS (SELECT CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+             |  FROM documents),
+             |r AS (SELECT h % 64 AS register, h // 64 AS w FROM h),
+             |rho AS (SELECT register,
+             |    CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho
+             |  FROM r),
+             |regs AS (SELECT register, max(rho) AS max_rho FROM rho GROUP BY 1),
+             |agg AS (SELECT count(*) AS present,
+             |    sum(power(2.0, -max_rho)) AS ssum FROM regs),
+             |est AS (SELECT CAST(64 AS BIGINT) AS m,
+             |    64 - present AS n_zero,
+             |    0.709 * 64 * 64 / (ssum + (64 - present)) AS est_raw
+             |  FROM agg)
+             |SELECT m, n_zero,
+             |  CASE WHEN est_raw <= 160.0 AND n_zero > 0
+             |       THEN round(64.0 * ln(64.0 / n_zero), 4)
+             |       ELSE round(est_raw, 4) END AS est,
+             |  CASE WHEN est_raw <= 160.0 AND n_zero > 0
+             |       THEN 'linear' ELSE 'hll' END AS method
+             |FROM est""".stripMargin)),
+
     // ----- n-gram Jaccard near-dup pairs (shingle posting join).
     // CORRECTNESS BASELINE ONLY — the posting self-join is quadratic in
     // per-shingle posting length, so it stays oracle-gated but UNBENCHED;

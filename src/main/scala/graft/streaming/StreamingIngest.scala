@@ -162,6 +162,38 @@ object StreamingIngest {
     } finally spark.catalog.dropTempView(name)
   }
 
+  /** Streaming HLL cardinality: the 2^b-row register table maintained as a
+    * streaming groupBy-max (Complete mode) over file-staged micro-batches.
+    * This is the sketch's whole point at stream scale — a running
+    * distinct-count over an unbounded arrival stream with STATE BOUNDED at
+    * 2^b rows, where exact streaming distinct would grow state with the
+    * key universe. max() is commutative/idempotent, so the final streaming
+    * state equals the batch sketch EXACTLY regardless of file arrival
+    * order — which lets the batch oracle hash-check the streaming run. */
+  def hllAvailableNow(spark: org.apache.spark.sql.SparkSession,
+                      corpus: DataFrame, b: Int = 6,
+                      numFiles: Int = 4): DataFrame = {
+    import java.nio.file.{Files => JFiles}
+    val stage = JFiles.createTempDirectory("graft_stream_hll")
+    try {
+      val src = stage.resolve("src").toString
+      corpus.select("text").repartition(math.max(1, numFiles))
+        .write.mode("overwrite").parquet(src)
+      val raw = spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1") // one staged file per micro-batch
+        .parquet(src)
+      val regs = graft.ops.Sketches.hllRho(raw, col("text"), b)
+        .groupBy("register").agg(max("rho").as("max_rho"))
+      val snapshot = runToMemorySink(spark, regs, OutputMode.Complete(),
+        "graft_stream_hll")(identity)
+      graft.ops.Sketches.hllEstimate(snapshot, b)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      JFiles.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(p => JFiles.deleteIfExists(p))
+    }
+  }
+
   final case class SessionState(count: Long, lastTs: Long)
   final case class SessionUpdate(userId: Long, events: Long, closed: Boolean)
 

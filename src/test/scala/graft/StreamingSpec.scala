@@ -210,6 +210,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats.maxStateRows === 7L, "index should hold exactly the signed docs")
   }
 
+  test("streaming HLL sketch equals the batch sketch; state stays bounded") {
+    import graft.ops.Sketches
+    val corpus = (0 until 900).map(i => (i.toLong, s"stream text ${i % 333}"))
+      .toDF("doc_id", "text")
+    val streamed = StreamingIngest.hllAvailableNow(spark, corpus, b = 6,
+      numFiles = 5).head()
+    val batch = Sketches.hllEstimate(
+      Sketches.hllRegisters(corpus, col("text"), 6), 6).head()
+    // commutative max ⇒ the streaming snapshot is bit-identical to batch
+    assert(streamed.getLong(0) === batch.getLong(0))       // m
+    assert(streamed.getLong(1) === batch.getLong(1))       // n_zero
+    assert(streamed.getDouble(2) === batch.getDouble(2))   // est
+    assert(streamed.getString(3) === batch.getString(3))   // method
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
