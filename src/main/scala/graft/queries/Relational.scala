@@ -134,6 +134,29 @@ object Relational {
              |       md5(text) AS text_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- source: ORC round-trip — the second columnar format large
+    // lakehouses actually hold (Hive-era estates are ORC). Spark-native
+    // writer/reader; splittable, predicate-pushdown-capable, so unlike the
+    // text sources above this one is a first-class 100 TB scan format.
+    // Oracle compares against the parquet source: any type-mapping or
+    // string-encoding loss across the columnar round-trip breaks the
+    // hash. -----
+    Q("s_orc_roundtrip",
+      (s, d) => {
+        val stage = s"${System.getProperty("java.io.tmpdir")}/graft-orc-" +
+          d.replaceAll("[^a-zA-Z0-9._-]", "_")
+        Tables.documents(s, d).select("doc_id", "lang", "source", "text")
+          .write.mode("overwrite").orc(stage)
+        s.read.orc(stage)
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text")).cast("long").as("text_len"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, length(text)::BIGINT AS text_len,
+             |       md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ----- P2: range predicate (chunkIndex BETWEEN analog) -----
     Q("p2_range_predicate",
       (s, d) => Tables.lineitem(s, d)
