@@ -376,6 +376,37 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Multi-band hamming LSH pairs over any integer hash column: split the
+    * `bits`-bit hash into `bands` equal slices, candidate = any shared
+    * (band index, band value), then exact hamming verify. Unlike the
+    * single-prefix block above, banding carries a RECALL GUARANTEE by
+    * pigeonhole: with maxHamming < bands, the differing bits cannot touch
+    * every band, so every qualifying pair shares at least one intact band
+    * — exact recall, candidate cost still bucket-bounded (the minhash-LSH
+    * shape applied to hamming space). Shuffle is band-keyed; no all-pairs
+    * join ever forms. */
+  def bandedHammingPairs(df: DataFrame, idCol: String, hashCol: String,
+                         bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    require(maxHamming < bands,
+      "recall guarantee needs maxHamming < bands (pigeonhole)")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val banded = df.select(col(idCol), col(hashCol),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"i -> shiftright($hashCol, i * $w) & $mask)")).as(Seq("bi", "bv")))
+    val l = banded.select(col("bi"), col("bv"),
+      col(idCol).as("id_a"), col(hashCol).as("h_a"))
+    val r = banded.select(col("bi"), col("bv"),
+      col(idCol).as("id_b"), col(hashCol).as("h_b"))
+    l.join(r, Seq("bi", "bv")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b")
+      .distinct() // a pair may collide in several bands — emit once
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Connected components over an undirected pair set — the step between
     * "near-dup pairs" and "deduplicated corpus": pairs are only locally
     * transitive (A~B, B~C need not imply the pair A~C was emitted), so

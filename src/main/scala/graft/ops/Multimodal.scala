@@ -175,6 +175,41 @@ object Multimodal {
     }(Encoders.row(mediaSchema))
   }
 
+  /** Grayscale 8×8 BMP fixture with per-image PSEUDO-RANDOM texture:
+    * v(x, y) = first byte of md5("key:x:y") — portable across engines (the
+    * same rule a SQL oracle computes with substr(md5(…), 1, 2)). Unlike
+    * [[encodeBmp]]'s fixed-direction gradient (whose dHash sign pattern is
+    * near-identical for every key — all right-neighbors brighter),
+    * independent per-pixel bytes give DIVERSE difference hashes: distinct
+    * keys land ≥ ~12 hamming apart, so a ≤ 6 threshold separates real
+    * duplicates from noise. `perturb` flips one pixel by +128 (x=2, y=4) —
+    * a controlled near-duplicate 1–2 hamming away from its unperturbed
+    * twin, exercising the verify stage's in-band distances. r = g = b ⇒
+    * integer luma = v exactly. */
+  private[graft] def encodeBmpGray(key: Long, perturb: Boolean = false): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val w = 8; val h = 8
+    val stride = 24 // 3*8, already 4-aligned
+    val buf = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    buf.putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var sr = 0
+    while (sr < h) {
+      val y = h - 1 - sr
+      var x = 0
+      while (x < w) {
+        val base = md.digest(s"$key:$x:$y".getBytes("UTF-8"))(0) & 0xff
+        val v = if (perturb && x == 2 && y == 4) (base + 128) % 256 else base
+        buf.put(v.toByte); buf.put(v.toByte); buf.put(v.toByte)
+        x += 1
+      }
+      sr += 1
+    }
+    buf.array()
+  }
+
   /** 56-bit difference hash (dHash) — the perceptual near-dup key for
     * images, feeding the same downstream machinery as simhash/minhash:
     * exact-match grouping, or hamming-banded pair joins at scale. Bilinear-

@@ -1714,6 +1714,54 @@ object DedupQueries {
              |  CAST(sum(bit) AS BIGINT) AS n_bits
              |FROM bits GROUP BY 1 ORDER BY media_id""".stripMargin)),
 
+    // ----- multimodal: IMAGE near-dup pairs — dHash + multi-band hamming
+    // LSH, closing the loop from perceptual hash to dedup operator. The
+    // corpus plants duplicates (payload keyed by doc_id % 83 → ~6 copies
+    // per image); banding 56 bits into 7×8 gives EXACT recall at
+    // hamming ≤ 6 by pigeonhole, so the oracle can enumerate the full
+    // answer: every pair, its hamming, nothing sampled. Band-keyed
+    // shuffle, no all-pairs join — the image twin of d_simhash_pairs with
+    // a recall guarantee the prefix block lacks. -----
+    Q("m_dhash_near_dup",
+      (s, d) => {
+        val enc = udf((id: Long, perturb: Boolean) =>
+          Multimodal.encodeBmpGray(id, perturb))
+        val media = Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            enc(col("doc_id") % 83, col("doc_id") % 7 === 3).as("payload"))
+        Dedup.bandedHammingPairs(
+          Multimodal.dhashFeatures(media), "media_id", "dhash",
+          bits = 56, bands = 7, maxHamming = 6)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 83 AS did FROM documents),
+             |lum AS (SELECT doc_id, xs.x, ys.y,
+             |    (CAST(concat('0x',
+             |        substr(md5(did || ':' || xs.x || ':' || ys.y), 1, 2)) AS INT)
+             |     + CASE WHEN doc_id % 7 = 3 AND xs.x = 2 AND ys.y = 4
+             |            THEN 128 ELSE 0 END) % 256 AS luma
+             |  FROM p,
+             |    (SELECT unnest(range(0, 8)) AS x) xs,
+             |    (SELECT unnest(range(0, 8)) AS y) ys),
+             |bits AS (SELECT a.doc_id, a.y, a.x,
+             |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+             |  FROM lum a JOIN lum b
+             |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+             |  WHERE a.x < 7),
+             |sig AS (SELECT doc_id AS media_id,
+             |    CAST(sum(bit * (CAST(1 AS BIGINT) << (y * 7 + x))) AS BIGINT) AS dhash
+             |  FROM bits GROUP BY 1),
+             |bnd AS (SELECT media_id, dhash, t.i AS bi,
+             |    (dhash >> (t.i * 8)) % 256 AS bv
+             |  FROM sig, (SELECT unnest(range(0, 7)) AS i) t),
+             |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             |    a.dhash AS ha, b.dhash AS hb
+             |  FROM bnd a JOIN bnd b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id)
+             |SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+             |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ----- multimodal: REAL linear audio resample — the sample-rate
     // conversion stage of an audio pipeline (decode → resample → feature),
     // the audio twin of m_image_resize: 8.8 align-corners fixed point,

@@ -201,6 +201,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bandedHammingPairs: exact recall vs brute force when maxHamming < bands") {
+    // pigeonhole guarantee: ≤6 differing bits over 7 bands leave one band
+    // intact, so banding must find EVERY qualifying pair brute force finds
+    val rng = new scala.util.Random(7)
+    // random background hashes (pairwise far apart with overwhelming odds)
+    val hashes = (0 until 60).map(i => (i.toLong, rng.nextLong() & ((1L << 56) - 1)))
+    // explicit planted near-dups: pairs (100+i, 200+i) differ in ≤ 4 bits
+    val planted = (0 until 20).flatMap { i =>
+      val h = rng.nextLong() & ((1L << 56) - 1)
+      val flips = (0 until rng.nextInt(5)).foldLeft(h)((acc, _) =>
+        acc ^ (1L << rng.nextInt(56)))
+      Seq((100L + i, h), (200L + i, flips))
+    }
+    val df = (hashes ++ planted).toDF("id", "h")
+    val banded = Dedup.bandedHammingPairs(df, "id", "h", 56, 7, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rows = (hashes ++ planted)
+    val brute = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb))).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty) // the planted pairs actually exercised the path
+  }
+
   test("dhash: constant image hashes to 0, monotone gradient to all-ones") {
     def bmp(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
       val stride = ((3 * w + 3) / 4) * 4
