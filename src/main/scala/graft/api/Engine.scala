@@ -291,6 +291,21 @@ final class Engine(
     }
   }
 
+  /** Ingest an EPUB book: OCF container → spine-ordered XHTML chapters →
+    * markdown ([[graft.ingest.EpubParser]]), each chapter indexed as its
+    * own document (chapter-level provenance mirrors the archive-member
+    * rule above); the OPF `dc:title` prefixes chapter titles the way the
+    * reference's title chain carries container context. */
+  def ingestEpub(path: String): Seq[IngestResult] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val book = graft.ingest.EpubParser.title(bytes)
+    graft.ingest.EpubParser.chapters(bytes).flatMap { ch =>
+      val title = book.map(t => s"$t — ${ch.href}").getOrElse(ch.href)
+      try Some(ingestData(ch.markdown, title, s"$path!${ch.href}", format = "md"))
+      catch { case _: Ingest.NoChunksError => None }
+    }
+  }
+
   /** a path is inside the configured roots both lexically AND canonically —
     * a request reaching outside through a symlinked ancestor is refused
     * (reference `isRequestedPathContained`, sync.ts:386-398) */

@@ -205,6 +205,25 @@ class EngineSpec extends AnyFunSuite {
     assert(tarRes.map(_.filePath).contains(hit.getAs[String]("filePath")))
   }
 
+  test("ingest_epub: spine chapters index as documents with book-titled provenance") {
+    val (engine, _) = mkEngine()
+    val book = graft.ingest.EpubParser.fixture(11L, Seq(
+      ("Orbits", Seq("Satellites trace elliptical orbits governed by gravity and momentum.")),
+      ("Tides", Seq("Lunar gravity drags the oceans into twice-daily tidal bulges."))))
+    val f = Files.createTempFile("fixture", ".epub")
+    Files.write(f, book)
+    val results = engine.ingestEpub(f.toString)
+    assert(results.length === 2)
+    assert(results.forall(_.chunkCount >= 1))
+    // each chapter is its own stored document (distinct raw-data targets)
+    assert(results.map(_.filePath).distinct.length === 2)
+    val hit = engine.queryDocuments("lunar gravity tidal oceans", limit = 2)
+      .collect().head
+    // F11 title chain prefers the chapter's own heading over the sidecar
+    assert(hit.getAs[String]("fileTitle") === "Tides")
+    assert(hit.getAs[String]("text").contains("tidal bulges"))
+  }
+
   test("sync_start/sync_status: async job with mutation guard, single retained job") {
     val (engine, _) = mkEngine()
     val jobId = engine.syncStart()
