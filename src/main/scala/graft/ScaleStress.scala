@@ -70,8 +70,8 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.GraftSession.quietNoisyLoggers()
 
-    // inflated twin of the documents table only — the four headline queries
-    // read nothing else. Written once; re-runs reuse it.
+    // inflated twins of the documents + embeddings tables — everything the
+    // stressable queries read. Written once; re-runs reuse them.
     val bigDir = s"$workDir/sf_x$factor"
     if (!new java.io.File(s"$bigDir/documents.parquet").exists()) {
       val docs = graft.core.Tables.documents(spark, baseDir)
@@ -79,6 +79,13 @@ object ScaleStress {
         docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
       }.reduce(_ union _)
       inflated.write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+    }
+    if (!new java.io.File(s"$bigDir/embeddings.parquet").exists()) {
+      val emb = graft.core.Tables.embeddings(spark, baseDir)
+      val inflated = (0 until factor).map { i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+      }.reduce(_ union _)
+      inflated.write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
     }
 
     val collector = new MetricsCollector

@@ -180,6 +180,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dhash near-dup and cluster select: band-keyed equi-joins, no cartesian") {
+    // m_dhash_near_dup's candidate stage must be an EQUI-join on
+    // (band index, band value) — the hamming verify runs on candidates
+    // only; an all-pairs (cartesian or nested-loop) formation would be
+    // corpus² at scale. v_cluster_select's assignment passes are pure map
+    // work against driver-side centroid literals: any join at all in that
+    // plan means the centroids leaked into a shuffle.
+    val pd = plan("m_dhash_near_dup")
+    assert(!pd.contains("CartesianProduct"), pd.take(2000))
+    assert(!pd.contains("BroadcastNestedLoopJoin"), pd.take(2000))
+    assert(pd.contains("SortMergeJoin") || pd.contains("ShuffledHashJoin") ||
+      pd.contains("BroadcastHashJoin"), pd.take(2000))
+    val pc = plan("v_cluster_select")
+    assert(!pc.contains("CartesianProduct"), pc.take(2000))
+    assert(!pc.contains("Join"), pc.take(2000)) // centroids are literals, not a side
+  }
+
+  test("sketches: HLL/KMV plans are scan + tiny aggregate, KMV top-k bounded") {
+    // a_hll_distinct: one scan → 64-row partial-aggregated shuffle; the
+    // only join is the 1-row exact-count ride-along (broadcast nested loop
+    // against one row is fine). a_kmv_distinct: the bottom-k must be a
+    // TakeOrdered, never a global Sort of the hash set.
+    val ph = plan("a_hll_distinct")
+    assert(!ph.contains("CartesianProduct"), ph.take(2000))
+    val pk = plan("a_kmv_distinct")
+    assert(pk.contains("TakeOrderedAndProject"), pk.take(2000))
+    assert(!pk.contains("CartesianProduct"), pk.take(2000))
+  }
+
   test("dsir: bucket models broadcast, top-k is TakeOrdered, no cartesian") {
     // the B=512 log-ratio table must reach the corpus-sized (doc, bucket)
     // counts as a BROADCAST hash join (it is a fixed-size dim at any
