@@ -61,6 +61,22 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Unicode hygiene pass every crawled corpus needs before hashing or
+    * tokenizing: NFC canonical composition (so "e"+U+0301 and "é" — the
+    * same text from different toolchains — hash identically) plus
+    * zero-width character removal (ZWSP/ZWNJ/ZWJ/BOM — invisible bytes
+    * that silently split tokens and defeat exact dedup). Per-row
+    * projection, no shuffle; ICU-free (java.text.Normalizer), mirrored by
+    * SQL nfc_normalize. */
+  def normalizeUnicode(text: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer
+        .normalize(s, java.text.Normalizer.Form.NFC)
+        .replaceAll("[\\u200B\\u200C\\u200D\\uFEFF]", ""))
+    f(text)
+  }
+
   /** word n-grams WITHOUT dedup (the counting twin of Dedup.wordShingles,
     * which distincts for set similarity) — same per-row-UDF justification:
     * lambda-inlined slicing re-evaluates per element */

@@ -1142,6 +1142,32 @@ object DedupQueries {
              |             doc_id) AS rk
              |  FROM documents) WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)),
 
+    // ----- weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    // 2006): priority key ln(u)/w with u from the portable hash, w = word
+    // count — the one-pass distributed answer to "sample k docs with
+    // probability proportional to length/quality" (uniform reservoir
+    // can't weight; sequential weighted sampling can't distribute). The
+    // top-k by key IS the weighted sample; TakeOrdered-shaped, map-side
+    // keys, zero state. Key rounded at 1e-9 on both engines so libm ln
+    // ulps can't flip a rank; doc_id tiebreak makes the order total. -----
+    Q("t_priority_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("w", greatest(lit(1), size(Dedup.wordsArray("text"))).cast("long"))
+          .withColumn("u", (Dedup.hash60(col("text")) + 1) / pow(lit(2.0), lit(60)))
+          .withColumn("priority", round(log(col("u")) / col("w"), 9))
+        docs.select(col("doc_id"), col("w"), col("priority"))
+          .orderBy(col("priority").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    greatest(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS w,
+             |    (CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) + 1)
+             |      / power(2.0, 60) AS u
+             |  FROM documents)
+             |SELECT doc_id, w, round(ln(u) / w, 9) AS priority
+             |FROM t ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin)),
+
     // ----- SimHash signatures (32-bit, per-row projection) -----
     Q("d_simhash",
       (s, d) => dupCorpus(s, d)

@@ -618,6 +618,60 @@ object Relational {
              |      UNION SELECT lang, source FROM documents WHERE doc_id % 3 = 0)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- table profiling sweep: per-column null count / distinct count /
+    // min / max in ONE scan — the data-quality pass every lakehouse runs
+    // before trusting a drop. One multi-aggregate pass then an explode-melt
+    // into (column, stats) rows; exact countDistinct per column keeps the
+    // oracle exact (at 100 TB the distinct columns switch to the HLL
+    // sketch above — same layout, approximate registers). Ints + strings
+    // only: float/timestamp rendering differs per engine, and those
+    // columns profile through typed min/max queries instead. -----
+    Q("a_profile_table",
+      (s, d) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_returnflag", "l_linestatus")
+        val li = Tables.lineitem(s, d)
+        val aggs = cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__mn"),
+          max(col(c)).cast("string").as(s"${c}__mx")))
+        val one = li.agg(aggs.head, aggs.tail: _*)
+        val melted = cols.map(c => struct(
+          lit(c).as("col_name"), col(s"${c}__nn").as("n_null"),
+          col(s"${c}__nd").as("n_distinct"), col(s"${c}__mn").as("min_v"),
+          col(s"${c}__mx").as("max_v")))
+        one.select(explode(array(melted: _*)).as("r"))
+          .select("r.*").orderBy("col_name")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'l_orderkey' AS col_name,
+             |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+             |    count(DISTINCT l_orderkey) AS n_distinct,
+             |    min(l_orderkey)::VARCHAR AS min_v, max(l_orderkey)::VARCHAR AS max_v
+             |  FROM lineitem
+             |  UNION ALL SELECT 'l_partkey',
+             |    sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             |    count(DISTINCT l_partkey),
+             |    min(l_partkey)::VARCHAR, max(l_partkey)::VARCHAR FROM lineitem
+             |  UNION ALL SELECT 'l_suppkey',
+             |    sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             |    count(DISTINCT l_suppkey),
+             |    min(l_suppkey)::VARCHAR, max(l_suppkey)::VARCHAR FROM lineitem
+             |  UNION ALL SELECT 'l_linenumber',
+             |    sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             |    count(DISTINCT l_linenumber),
+             |    min(l_linenumber)::VARCHAR, max(l_linenumber)::VARCHAR FROM lineitem
+             |  UNION ALL SELECT 'l_returnflag',
+             |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             |    count(DISTINCT l_returnflag),
+             |    min(l_returnflag), max(l_returnflag) FROM lineitem
+             |  UNION ALL SELECT 'l_linestatus',
+             |    sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             |    count(DISTINCT l_linestatus),
+             |    min(l_linestatus), max(l_linestatus) FROM lineitem)
+             |ORDER BY col_name""".stripMargin)),
+
     // ----- cardinality sketch: HyperLogLog over the portable 60-bit hash.
     // The register layout (low b=6 bits → register, leading-zero run of
     // the remaining 54 bits → rho) is replayed EXACTLY by the oracle, so

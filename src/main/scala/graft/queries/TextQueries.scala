@@ -59,6 +59,32 @@ object TextQueries {
              |  len(regexp_extract_all(lower(text), '[a-z0-9]{1,6}|[^a-z0-9\s]')) AS n_subwords
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- unicode hygiene: NFC composition + zero-width strip. The
+    // fixture wraps each doc in decomposed accents (e+U+0301, A+U+030A)
+    // and invisible bytes (ZWSP, BOM) — the exact toolchain debris that
+    // makes byte-identical text hash differently; after the pass both
+    // engines agree on length AND md5, which is the property dedup
+    // needs. -----
+    Q("t_unicode_normalize",
+      (s, d) => {
+        val messy = concat(lit("e\u0301 "), expr("substr(text, 1, 30)"),
+          lit(" \u200Bx\uFEFFA\u030A"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.normalizeUnicode(messy).as("n"))
+          .select(col("doc_id"), length(col("n")).cast("long").as("norm_len"),
+            md5(col("n")).as("norm_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |    chr(101) || chr(769) || ' ' || substr(text, 1, 30) ||
+             |    ' ' || chr(8203) || 'x' || chr(65279) || 'A' || chr(778) AS s
+             |  FROM documents),
+             |n AS (SELECT doc_id, regexp_replace(nfc_normalize(s),
+             |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g') AS n FROM m)
+             |SELECT doc_id, length(n)::BIGINT AS norm_len, md5(n) AS norm_md5
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
     // ----- language-ID heuristic (CJK + stopword-family scores) -----
     Q("t_langid",
       (s, d) => Tables.documents(s, d).select(
