@@ -70,6 +70,37 @@ object Sketches {
           lit("linear")).otherwise(lit("hll")).as("method"))
   }
 
+  /** Count-Min sketch (Cormode–Muthukrishnan 2005): depth×width counter
+    * grid over the portable hash; row r's counter for a key is
+    * hash60(r ":" key) mod width. The sketch table (r, idx, cnt) is
+    * mergeable by plain summation — per-shard/per-day sketches union into
+    * the corpus sketch — and its size is depth·width regardless of corpus
+    * or vocabulary size: frequency estimation without a vocabulary-sized
+    * shuffle. Estimates are one-sided (est ≥ true count, spec-pinned). */
+  def cmsSketch(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    df.select(key.as("_k"))
+      .select(col("_k"), explode(expr(
+        s"sequence(0, ${depth - 1})")).as("r"))
+      .select(col("r"),
+        (Dedup.hash60(concat_ws(":", col("r"), col("_k"))) % width).as("idx"))
+      .groupBy("r", "idx").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** point lookups: min over rows of the addressed counters (0 when a
+    * counter was never touched). `items` keeps its other columns. */
+  def cmsLookup(sketch: DataFrame, items: DataFrame, keyCol: String,
+                depth: Int, width: Int): DataFrame = {
+    val probes = items.select(col(keyCol))
+      .select(col(keyCol), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .select(col(keyCol), col("r"),
+        (Dedup.hash60(concat_ws(":", col("r"), col(keyCol))) % width).as("idx"))
+    val est = probes.join(broadcast(sketch), Seq("r", "idx"), "left_outer")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+    items.join(est, keyCol)
+  }
+
   /** KMV (bottom-k) distinct estimate over `key`: k smallest distinct
     * 60-bit hashes; (k−1)·2^60 / h_(k), exact when fewer than k distinct
     * values exist (the sketch then holds them all). */

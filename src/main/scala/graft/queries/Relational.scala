@@ -708,6 +708,41 @@ object Relational {
              |  (SELECT count(DISTINCT text) FROM documents) AS exact_distinct
              |FROM est""".stripMargin)),
 
+    // ----- frequency sketch: Count-Min (4×256 counters over the portable
+    // hash). The sketch is fixed-size and sum-mergeable across shards —
+    // frequency estimation with NO vocabulary-sized shuffle; estimates are
+    // one-sided (≥ exact). The query sketches the full word stream, then
+    // point-reads the 20 most frequent words next to their exact counts,
+    // so both the build and the min-over-rows lookup are hash-pinned. -----
+    Q("a_cms_freq",
+      (s, d) => {
+        import graft.ops.{Dedup, Sketches}
+        val words = Tables.documents(s, d)
+          .select(explode(Dedup.wordsArray("text")).as("w"))
+        val sketch = Sketches.cmsSketch(words, col("w"), 4, 256)
+        val top = words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("w")).limit(20)
+        Sketches.cmsLookup(sketch, top, "w", 4, 256)
+          .select(col("w").as("word"), col("exact_cnt"), col("cms_est"))
+          .orderBy(col("exact_cnt").desc, col("word"))
+      },
+      Some("""WITH wd AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             |  FROM documents),
+             |cnt AS (SELECT w, count(*) AS exact_cnt FROM wd GROUP BY 1),
+             |top AS (SELECT w, exact_cnt FROM cnt
+             |  ORDER BY exact_cnt DESC, w LIMIT 20),
+             |pairs AS (SELECT wd.w, t.r,
+             |    CAST(concat('0x', substr(md5(t.r || ':' || wd.w), 1, 15)) AS BIGINT) % 256 AS idx
+             |  FROM wd, (SELECT unnest(range(0, 4)) AS r) t),
+             |sk AS (SELECT r, idx, count(*) AS c FROM pairs GROUP BY 1, 2),
+             |look AS (SELECT top.w, top.exact_cnt, t.r,
+             |    CAST(concat('0x', substr(md5(t.r || ':' || top.w), 1, 15)) AS BIGINT) % 256 AS idx
+             |  FROM top, (SELECT unnest(range(0, 4)) AS r) t)
+             |SELECT l.w AS word, max(l.exact_cnt) AS exact_cnt,
+             |  CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS cms_est
+             |FROM look l LEFT JOIN sk ON l.r = sk.r AND l.idx = sk.idx
+             |GROUP BY 1 ORDER BY exact_cnt DESC, word""".stripMargin)),
+
     // ----- cardinality sketch: KMV (bottom-k). The k=32 smallest distinct
     // hashes; estimate (k−1)·2^60 / h_(k); exact when under k distinct.
     // TakeOrdered shape — merging shards = union bottom-k sets, re-take

@@ -225,6 +225,45 @@ object TimeQueries {
              |FROM events e JOIN f USING (user_id)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- ordered funnel conversion: view → click → purchase, each stage
+    // strictly AFTER the previous stage's first completion (min-ts chain:
+    // one pre-aggregation per stage joined on user_id — never a per-event
+    // self-join, so the shape survives event-stream scale; the per-user
+    // aggregates are tiny relative to the stream). The classic product-
+    // analytics query that sessionization/retention don't cover. -----
+    Q("e_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        val n1 = v.agg(count(lit(1)).as("users")).withColumn("stage", lit(1))
+          .withColumn("step", lit("view"))
+        val n2 = c.agg(count(lit(1)).as("users")).withColumn("stage", lit(2))
+          .withColumn("step", lit("click"))
+        val n3 = p.agg(count(lit(1)).as("users")).withColumn("stage", lit(3))
+          .withColumn("step", lit("purchase"))
+        n1.union(n2).union(n3).select("stage", "step", "users").orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |  JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |  JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+             |SELECT * FROM (
+             |  SELECT 1 AS stage, 'view' AS step, (SELECT count(*) FROM v) AS users
+             |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+             |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+             |ORDER BY stage""".stripMargin)),
+
     // ----- percent_rank / cume_dist: the remaining rank-family windows
     // (relative standing of a row within its group — the quantile-position
     // primitive corpus-quality cutoffs are phrased in) -----

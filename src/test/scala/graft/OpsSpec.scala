@@ -331,6 +331,29 @@ class OpsSpec extends AnyFunSuite {
     assert(te.getAs[Double]("est") === 10.0)
   }
 
+  test("count-min sketch: one-sided estimates; shard sketches sum-merge exactly") {
+    import graft.ops.Sketches
+    val rows = (0 until 3000).map(i => (i, s"w${i % 170}"))
+    val words = rows.toDF("i", "w")
+    val sketch = Sketches.cmsSketch(words, $"w", 4, 64) // narrow → collisions
+    val exact = words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+    val looked = Sketches.cmsLookup(sketch, exact, "w", 4, 64).collect()
+    assert(looked.length === 170)
+    // conservative: the estimate NEVER undercounts
+    looked.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"), r.toString)
+    }
+    // with 170 keys over 64 counters, collisions exist → some est > exact
+    assert(looked.exists(r => r.getAs[Long]("cms_est") > r.getAs[Long]("exact_cnt")))
+    // merge = union + re-sum: two disjoint half-corpus sketches == the whole
+    val h1 = Sketches.cmsSketch(words.filter($"i" % 2 === 0), $"w", 4, 64)
+    val h2 = Sketches.cmsSketch(words.filter($"i" % 2 === 1), $"w", 4, 64)
+    val merged = h1.union(h2).groupBy("r", "idx").agg(sum("cnt").as("cnt"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(asMap(merged) === asMap(sketch))
+  }
+
   test("clusterSelect: deterministic, balanced, centers and members coherent") {
     // 3 tight blobs far apart in 4-D; ids interleaved so seed order (first
     // k ids) does NOT align with blob membership.
