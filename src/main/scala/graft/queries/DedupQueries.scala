@@ -294,6 +294,41 @@ object DedupQueries {
              |       THEN 'linear' ELSE 'hll' END AS method
              |FROM est""".stripMargin)),
 
+    // ----- streaming Count-Min: the counter grid maintained as a
+    // streaming groupBy-sum — bounded 4×256 state for an unbounded word
+    // stream; sum's commutativity makes the final snapshot equal the
+    // batch sketch exactly, so the batch oracle (build + min-over-rows
+    // lookup vs exact top-20) hash-checks the streaming run. -----
+    Q("e_stream_cms",
+      (s, d) => {
+        import graft.ops.{Dedup, Sketches}
+        val snapshot = graft.streaming.StreamingIngest
+          .cmsAvailableNow(s, Tables.documents(s, d))
+        val words = Tables.documents(s, d)
+          .select(explode(Dedup.wordsArray("text")).as("w"))
+        val top = words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("w")).limit(20)
+        Sketches.cmsLookup(snapshot, top, "w", 4, 256)
+          .select(col("w").as("word"), col("exact_cnt"), col("cms_est"))
+          .orderBy(col("exact_cnt").desc, col("word"))
+      },
+      Some("""WITH wd AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             |  FROM documents),
+             |cnt AS (SELECT w, count(*) AS exact_cnt FROM wd GROUP BY 1),
+             |top AS (SELECT w, exact_cnt FROM cnt
+             |  ORDER BY exact_cnt DESC, w LIMIT 20),
+             |pairs AS (SELECT wd.w, t.r,
+             |    CAST(concat('0x', substr(md5(t.r || ':' || wd.w), 1, 15)) AS BIGINT) % 256 AS idx
+             |  FROM wd, (SELECT unnest(range(0, 4)) AS r) t),
+             |sk AS (SELECT r, idx, count(*) AS c FROM pairs GROUP BY 1, 2),
+             |look AS (SELECT top.w, top.exact_cnt, t.r,
+             |    CAST(concat('0x', substr(md5(t.r || ':' || top.w), 1, 15)) AS BIGINT) % 256 AS idx
+             |  FROM top, (SELECT unnest(range(0, 4)) AS r) t)
+             |SELECT l.w AS word, max(l.exact_cnt) AS exact_cnt,
+             |  CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS cms_est
+             |FROM look l LEFT JOIN sk ON l.r = sk.r AND l.idx = sk.idx
+             |GROUP BY 1 ORDER BY exact_cnt DESC, word""".stripMargin)),
+
     // ----- n-gram Jaccard near-dup pairs (shingle posting join).
     // CORRECTNESS BASELINE ONLY — the posting self-join is quadratic in
     // per-shingle posting length, so it stays oracle-gated but UNBENCHED;

@@ -194,6 +194,41 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming Count-Min: the depth×width counter grid maintained as a
+    * streaming groupBy-SUM (Complete mode) — the frequency twin of
+    * [[hllAvailableNow]], state bounded at depth·width rows for an
+    * unbounded stream. Sum is commutative/associative, so the final
+    * snapshot equals the batch sketch exactly regardless of arrival
+    * order; point estimates read the snapshot with the same batch
+    * lookup. */
+  def cmsAvailableNow(spark: org.apache.spark.sql.SparkSession,
+                      corpus: DataFrame, depth: Int = 4, width: Int = 256,
+                      numFiles: Int = 4): DataFrame = {
+    import java.nio.file.{Files => JFiles}
+    val stage = JFiles.createTempDirectory("graft_stream_cms")
+    try {
+      val src = stage.resolve("src").toString
+      corpus.select("text").repartition(math.max(1, numFiles))
+        .write.mode("overwrite").parquet(src)
+      val raw = spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val words = raw.select(explode(graft.ops.Dedup.wordsArray("text")).as("w"))
+      val terms = words
+        .select(col("w"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+        .select(col("r"),
+          (graft.ops.Dedup.hash60(concat_ws(":", col("r"), col("w"))) % width)
+            .as("idx"))
+        .groupBy("r", "idx").agg(count(lit(1)).as("cnt"))
+      runToMemorySink(spark, terms, OutputMode.Complete(),
+        "graft_stream_cms")(identity)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      JFiles.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(p => JFiles.deleteIfExists(p))
+    }
+  }
+
   final case class SessionState(count: Long, lastTs: Long)
   final case class SessionUpdate(userId: Long, events: Long, closed: Boolean)
 

@@ -225,6 +225,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.getString(3) === batch.getString(3))   // method
   }
 
+  test("streaming count-min sketch equals the batch sketch grid exactly") {
+    import graft.ops.Sketches
+    val corpus = (0 until 400).map(i => (i.toLong, s"alpha beta w${i % 57}"))
+      .toDF("doc_id", "text")
+    val streamed = StreamingIngest.cmsAvailableNow(spark, corpus,
+      depth = 4, width = 64, numFiles = 3)
+    val words = corpus.select(
+      org.apache.spark.sql.functions.explode(
+        graft.ops.Dedup.wordsArray("text")).as("w"))
+    val batch = Sketches.cmsSketch(words, col("w"), 4, 64)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(asMap(streamed) === asMap(batch))
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
