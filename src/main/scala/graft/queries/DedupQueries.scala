@@ -1821,7 +1821,8 @@ object DedupQueries {
              |    ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id)
              |SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
              |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
-             |ORDER BY id_a, id_b""".stripMargin)),
+             |ORDER BY id_a, id_b""".stripMargin),
+      bench = true),
 
     // ----- multimodal: REAL linear audio resample — the sample-rate
     // conversion stage of an audio pipeline (decode → resample → feature),

@@ -324,6 +324,36 @@ object PipelineQueries {
              |  blk
              |FROM blocks ORDER BY doc_id, pos""".stripMargin)),
 
+    // ----- RTF source end-to-end: the WordPad/Outlook-era format
+    // enterprise corpora are full of. Fixtures are real RTF (header,
+    // fonttbl/colortbl/info/\*-generator destinations that must NOT leak
+    // into text, escaped specials, \par paragraph structure); the oracle
+    // replays the paragraph layout closed-form, so a destination-skip or
+    // unescape bug surfaces as extra/garbled blocks. -----
+    Q("s_rtf_extract",
+      (s, d) => {
+        val mk = udf((id: Long, l0: String, l1: String, l2: String) =>
+          graft.ingest.RtfParser.fixture(id,
+            Seq(l0, l1, l2).filter(_.trim.nonEmpty)))
+        val parse = udf((r: String) => graft.ingest.RtfParser.toText(r))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            mk(col("doc_id"), expr("substr(text, 1, 36)"),
+              expr("substr(text, 24, 36)"), expr("substr(text, 47, 36)"))
+              .as("rtf"))
+          .select(col("doc_id"),
+            posexplode(split(parse(col("rtf")), "\n\n")).as(Seq("pos", "blk")))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH ln AS (SELECT doc_id, t.i,
+             |    substr(text, 1 + t.i * 23, 36) AS line
+             |  FROM documents, (SELECT unnest(range(0, 3)) AS i) t),
+             |ne AS (SELECT doc_id, trim(line) AS line,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+             |  FROM ln WHERE trim(line) <> '')
+             |SELECT doc_id, CAST(pos AS INT) AS pos, line AS blk
+             |FROM ne ORDER BY doc_id, pos""".stripMargin)),
+
     // ----- WARC source end-to-end: the container format web-scale
     // corpora actually arrive in (Common Crawl). Each doc becomes a real
     // WARC file (warcinfo + HTTP request + HTTP response records;

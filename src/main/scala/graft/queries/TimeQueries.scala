@@ -225,6 +225,42 @@ object TimeQueries {
              |FROM events e JOIN f USING (user_id)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- trailing-window anomaly score: hourly event volume z-scored
+    // against the PRECEDING 24 hourly buckets (rows-based window — never
+    // the current row, so a spike can't mask itself). The monitoring
+    // query a continuously-ingesting pipeline runs on its own telemetry;
+    // one pre-aggregation + one ordered window, no self-join. z rounded
+    // 1e-4 so Welford-vs-two-pass stddev ulps can't flip a value. -----
+    Q("e_hourly_anomaly",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("h").rowsBetween(-24, -1)
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("n_win", count(lit(1)).over(w))
+          .withColumn("mean", avg(col("cnt")).over(w))
+          .withColumn("sd", stddev_samp(col("cnt")).over(w))
+          .filter(col("n_win") === 24 && col("sd") > 0)
+          .select(date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+            col("cnt"),
+            (round(col("mean"), 4) + 0.0).as("mean24"),
+            (round((col("cnt") - col("mean")) / col("sd"), 4) + 0.0).as("z"))
+          .orderBy("hour")
+      },
+      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |win AS (SELECT h, cnt,
+             |    count(*) OVER w AS n_win,
+             |    avg(cnt) OVER w AS mean,
+             |    stddev_samp(cnt) OVER w AS sd
+             |  FROM hourly
+             |  WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |SELECT strftime(h, '%Y-%m-%d %H:%M') AS hour, cnt,
+             |  round(mean, 4) AS mean24,
+             |  round((cnt - mean) / sd, 4) AS z
+             |FROM win WHERE n_win = 24 AND sd > 0 ORDER BY hour""".stripMargin)),
+
     // ----- ordered funnel conversion: view → click → purchase, each stage
     // strictly AFTER the previous stage's first completion (min-ts chain:
     // one pre-aggregation per stage joined on user_id — never a per-event

@@ -242,6 +242,35 @@ class ParserSpec extends AnyFunSuite {
     assert(EpubParser.resolve("", "ch1.xhtml") === "ch1.xhtml")
   }
 
+  test("rtf: destinations skipped, escapes and charset decoded, tolerance") {
+    import graft.ingest.RtfParser
+    val doc = RtfParser.fixture(3L, Seq("First paragraph here.", "Second one."))
+    assert(RtfParser.toText(doc) === "First paragraph here.\n\nSecond one.")
+    // fonttbl/info/generator content never leaks into text
+    val t = RtfParser.toText(doc)
+    assert(!t.contains("Helvetica") && !t.contains("fixture") && !t.contains("graft"))
+    // escaped specials round-trip
+    assert(RtfParser.toText(RtfParser.fixture(1L, Seq("""a \ b { c } d"""))) ===
+      """a \ b { c } d""")
+    // cp1252 hex escapes: \'e9 = é, \'99 = ™ (the 0x80–0x9F block)
+    assert(RtfParser.toText("""{\rtf1 caf\'e9\par}""") === "café")
+    assert(RtfParser.toText("""{\rtf1 brand\'99\par}""") === "brand™")
+    // \uN with fallback skipping (\uc1 default): 916 = Δ, '?' swallowed
+    // NB: "\ u" spelled via concatenation — Scala interprets \uXXXX even
+    // inside triple quotes
+    assert(RtfParser.toText("{\\rtf1 \\" + "u916?delta\\par}") === "Δdelta")
+    assert(RtfParser.toText("{\\rtf1\\uc2 \\" + "u916??x\\par}") === "Δx")
+    // \tab and \~ are spaces; \line breaks a paragraph
+    assert(RtfParser.toText("""{\rtf1 a\tab b\~c\line d\par}""") === "a b c\n\nd")
+    // refuse-don't-garble
+    assert(RtfParser.toText("plain text, not rtf") === "")
+    assert(RtfParser.toText(null) === "")
+    // truncated input (unbalanced groups, cut mid-body) keeps the good
+    // prefix, never throws
+    assert(RtfParser.toText(doc.dropRight(8)).startsWith("First paragraph"))
+    assert(RtfParser.toText(doc.take(40)) === "") // cut inside the header
+  }
+
   test("html: malformed input degrades to text, never throws") {
     assert(HtmlParser.toMarkdown("<h1>unclosed <div <<<") !== null)
     assert(HtmlParser.toMarkdown("") === "")
