@@ -226,9 +226,12 @@ final class Engine(
                  format: String = "md"): IngestResult = {
     val normalized = normalizeSource(source)
     // HTML sources go through main-content extraction → markdown before
-    // persisting, mirroring the Readability+Turndown stage (ref S8)
+    // persisting, mirroring the Readability+Turndown stage (ref S8); RTF
+    // through the destination-skipping token parser — both arrive as the
+    // markup and persist as text, like the reference's format chain
     val persisted = format.toLowerCase match {
       case "html" => graft.ingest.HtmlParser.toMarkdown(content)
+      case "rtf"  => graft.ingest.RtfParser.toText(content)
       case _ => content
     }
     Files.createDirectories(Paths.get(rawDataDir))

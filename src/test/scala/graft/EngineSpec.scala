@@ -160,6 +160,20 @@ class EngineSpec extends AnyFunSuite {
     assert(!hit.getAs[String]("text").contains("track()")) // script never indexed
   }
 
+  test("ingest_data rtf: destination groups stripped before indexing") {
+    val (engine, _) = mkEngine()
+    val rtf = graft.ingest.RtfParser.fixture(5L, Seq(
+      "Adaptive execution replans shuffle partitions from runtime statistics " +
+        "so skewed joins split into balanced tasks automatically."))
+    val res = engine.ingestData(rtf, "AQE Notes", "file:///notes/aqe.rtf", "rtf")
+    assert(res.chunkCount >= 1)
+    val hit = engine.queryDocuments("adaptive skewed shuffle replans", limit = 3)
+      .collect().head
+    assert(hit.getAs[String]("filePath") === res.filePath)
+    assert(hit.getAs[String]("text").contains("balanced tasks"))
+    assert(!hit.getAs[String]("text").contains("Helvetica")) // fonttbl stripped
+  }
+
   test("ingest_warc: every response page indexed under its target URI") {
     val (engine, _) = mkEngine()
     def page(topic: String, body: String) =
