@@ -359,6 +359,83 @@ object Multimodal {
     }(Encoders.row(mediaSchema))
   }
 
+  // --------------------------------------------------------- features --
+
+  /** Audio feature extraction (the VAD/ASR-preprocessing basics): sample
+    * count, zero-crossing count (sign-product test, integer-exact),
+    * total energy Σv² (exact in 64 bits at 16-bit depth), and RMS
+    * (rounded 1e-4 — the only float). Per-row map over payload bytes. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (_, s) = wavSamples(r.getAs[Array[Byte]](payloadIdx))
+        var zc = 0L; var energy = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toLong
+          energy += v * v
+          if (i > 0 && s(i - 1).toLong * v < 0) zc += 1
+          i += 1
+        }
+        val rms = BigDecimal(math.sqrt(energy.toDouble / s.length))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Row(r.getLong(idIdx), s.length.toLong, zc, energy, rms)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Image statistics (exposure/contrast screening): luma min/max/sum and
+    * a 4-bin luma histogram (bin = luma/64) — all integer-exact. */
+  def imageStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("lum_min", LongType, nullable = false),
+      StructField("lum_max", LongType, nullable = false),
+      StructField("lum_sum", LongType, nullable = false),
+      StructField("h0", LongType, nullable = false),
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false),
+      StructField("h3", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val dataOffset = bb.getInt(10)
+        val w = bb.getInt(18); val h = math.abs(bb.getInt(22))
+        val stride = ((3 * w + 3) / 4) * 4
+        var mn = 255L; var mx = 0L; var sum = 0L
+        val hist = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val off = dataOffset + y * stride + 3 * x
+            val b = bytes(off) & 0xff; val g = bytes(off + 1) & 0xff
+            val rr = bytes(off + 2) & 0xff
+            val lum = (299 * rr + 587 * g + 114 * b) / 1000
+            if (lum < mn) mn = lum
+            if (lum > mx) mx = lum
+            sum += lum
+            hist(lum / 64) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getLong(idIdx), mn, mx, sum, hist(0), hist(1), hist(2), hist(3))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   // ---------------------------------------------------------------- BMP --
 
   /** Deterministic 24-bit uncompressed BMP fixture for `docId`: dimensions

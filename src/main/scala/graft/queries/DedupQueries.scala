@@ -1862,6 +1862,57 @@ object DedupQueries {
              |  CAST(max(abs(s)) AS BIGINT) AS max_abs
              |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- multimodal: audio feature extraction — zero-crossing count
+    // (the VAD primitive), exact Σv² energy, RMS. Integer sign-product
+    // test so the crossing count replays exactly in SQL. -----
+    Q("m_audio_features",
+      (s, d) => Multimodal.audioFeatures(
+          Multimodal.wavFromDocuments(Tables.documents(s, d), "doc_id"))
+        .orderBy("media_id"),
+      Some("""WITH p AS (SELECT doc_id, doc_id % 256 AS did,
+             |    16 + doc_id % 17 AS n FROM documents),
+             |sm AS (SELECT p.doc_id, p.n, t.i,
+             |    ((p.did * 31 + t.i * 997) % 65536) - 32768 AS v
+             |  FROM p, (SELECT unnest(range(0, 33)) AS i) t WHERE t.i < p.n),
+             |x AS (SELECT a.doc_id, a.n, a.v, b.v AS pv
+             |  FROM sm a LEFT JOIN sm b
+             |    ON a.doc_id = b.doc_id AND b.i = a.i - 1)
+             |SELECT doc_id AS media_id, CAST(max(n) AS BIGINT) AS n_samples,
+             |  CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+             |  CAST(sum(v * v) AS BIGINT) AS energy,
+             |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / max(n)), 4) AS rms
+             |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- multimodal: image statistics — luma min/max/sum and a 4-bin
+    // histogram; the exposure/contrast screen that drops black frames and
+    // blown-out scans before feature extraction. All integer-exact. -----
+    Q("m_image_stats",
+      (s, d) => Multimodal.imageStats(
+          Multimodal.bmpFromDocuments(Tables.documents(s, d), "doc_id"))
+        .orderBy("media_id"),
+      Some("""WITH dims AS (SELECT doc_id, doc_id % 256 AS did,
+             |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+             |px AS (SELECT doc_id, xs.x, ys.y,
+             |    (did + xs.x * ys.y) % 256 AS r,
+             |    (2 * did + 3 * xs.x + 5 * ys.y) % 256 AS g,
+             |    (did + 7 * xs.x + 13 * ys.y) % 256 AS b
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 8)) AS x) xs,
+             |    (SELECT unnest(range(0, 6)) AS y) ys
+             |  WHERE xs.x < w AND ys.y < h),
+             |lum AS (SELECT doc_id,
+             |    (299 * r + 587 * g + 114 * b) // 1000 AS luma FROM px)
+             |SELECT doc_id AS media_id,
+             |  CAST(min(luma) AS BIGINT) AS lum_min,
+             |  CAST(max(luma) AS BIGINT) AS lum_max,
+             |  CAST(sum(luma) AS BIGINT) AS lum_sum,
+             |  CAST(sum(CASE WHEN luma // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+             |  CAST(sum(CASE WHEN luma // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+             |  CAST(sum(CASE WHEN luma // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+             |  CAST(sum(CASE WHEN luma // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+             |FROM lum GROUP BY 1 ORDER BY media_id""".stripMargin)),
+
     // ----- multimodal: REAL baseline JPEG decode (ops/Jpeg) — general
     // marker/DHT/DQT/SOF0/SOS machinery, Huffman entropy decode, dequant,
     // IDCT. Fixtures are DC-exact (block-constant even Y, flat quant 16),
