@@ -934,6 +934,45 @@ object Relational {
     // iterations with dangling-mass redistribution, ALL nodes emitted
     // ordered by id (rank-ordered output would make ulp-close ranks an
     // oracle hazard); the oracle unrolls the exact same three iterations. -----
+    // ----- triangle counting (co-supply graph): suppliers are linked when
+    // they supply the same part; triangles = tightly-coupled supplier
+    // cliques. The ORIENTED wedge join (every edge stored a < b, wedges
+    // a<b<c closed by the third edge) counts each triangle exactly once
+    // and is the standard bound on wedge explosion — no undirected
+    // double-count, no cartesian. Per-node counts sum each closing role. -----
+    Q("g_triangles",
+      (s, d) => {
+        val ps = Tables.lineitem(s, d)
+          .filter(col("l_partkey") % 50 === 0)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+          .distinct()
+        val e = ps.as("x").join(ps.as("y"), Seq("p"))
+          .filter(col("x.s") < col("y.s"))
+          .select(col("x.s").as("a"), col("y.s").as("b"))
+          .distinct()
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+          .orderBy(col("n_triangles").desc, col("node"))
+          .limit(50)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+             |  FROM lineitem WHERE l_partkey % 50 = 0),
+             |e AS (SELECT DISTINCT x.s AS a, y.s AS b
+             |  FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+             |tri AS (SELECT e1.a, e1.b, e2.b AS c
+             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |roles AS (SELECT a AS node FROM tri
+             |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+             |SELECT node, count(*) AS n_triangles
+             |FROM roles GROUP BY 1
+             |ORDER BY n_triangles DESC, node LIMIT 50""".stripMargin)),
+
     Q("g_pagerank",
       (s, d) => {
         val edges = Tables.lineitem(s, d)
