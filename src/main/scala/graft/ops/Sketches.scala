@@ -95,7 +95,11 @@ object Sketches {
       .select(col(keyCol), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
       .select(col(keyCol), col("r"),
         (Dedup.hash60(concat_ws(":", col("r"), col(keyCol))) % width).as("idx"))
-    val est = probes.join(broadcast(sketch), Seq("r", "idx"), "left_outer")
+    // the grid holds ≤ depth·width rows by construction; the LIMIT makes
+    // that bound visible to the planner (maxRows), so the broadcast is
+    // provably safe at any corpus size — not a fact-table hint
+    val est = probes
+      .join(broadcast(sketch.limit(depth * width)), Seq("r", "idx"), "left_outer")
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
     items.join(est, keyCol)

@@ -55,8 +55,10 @@ class PlanSpec extends AnyFunSuite {
         // only BROADCAST pins a build side into memory; merge/shuffle hints
         // (q_bucketed_join) pick among shuffle-safe strategies and are fine
         case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
-          // allowed: plan-bounded row counts (global aggregates: maxRows=1)
-          val bounded = h.child.maxRows.exists(_ <= 1000)
+          // allowed: plan-bounded row counts — global aggregates
+          // (maxRows=1) and LIMIT-bounded sketch grids (≤ 4096 rows is a
+          // genuine broadcast dim at any corpus size)
+          val bounded = h.child.maxRows.exists(_ <= 4096)
           val outs = h.child.output.map(_.name)
           assert(bounded || outs.forall(c => c.startsWith("n_") || c.startsWith("r_")),
             s"${q.name}: forced broadcast over non-dim columns ${outs.filterNot(c => c.startsWith("n_") || c.startsWith("r_"))}")
@@ -207,6 +209,16 @@ class PlanSpec extends AnyFunSuite {
     val pk = plan("a_kmv_distinct")
     assert(pk.contains("TakeOrderedAndProject"), pk.take(2000))
     assert(!pk.contains("CartesianProduct"), pk.take(2000))
+  }
+
+  test("funnel and triangles: staged equi-joins only, no cartesian") {
+    // e_funnel: three per-user pre-aggregations chained by user_id equi-
+    // joins; g_triangles: the wedge join must close on (a, b) equality.
+    // Either degrading to CartesianProduct would be event²/edge² at scale.
+    for (name <- Seq("e_funnel", "g_triangles")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(2000))
+    }
   }
 
   test("dsir: bucket models broadcast, top-k is TakeOrdered, no cartesian") {
