@@ -1,0 +1,86 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sketches
+
+/** Persisted corpus-statistics sketches — the monitoring sibling of the
+  * other incremental stores ([[MinhashIndexStore]] dedup state,
+  * [[FtsIndexStore]] postings): a running HyperLogLog register table
+  * (distinct documents) and a Count-Min counter grid (token frequencies)
+  * that a live store maintains ACROSS mutation batches.
+  *
+  * Why it exists: "how many distinct docs / what are the hot tokens" over
+  * a continuously-ingested corpus shouldn't re-scan the corpus. Both
+  * sketches are MERGEABLE — HLL by register-wise max, CMS by counter-wise
+  * sum — so appending a batch costs |batch| map work plus a fixed-size
+  * (2^b + depth·width rows) merge, never a corpus pass. The stored state
+  * IS the fixed-size sketch, so the store's footprint is constant no
+  * matter how much data has flowed through it.
+  *
+  * Layout under `path/`: `hll/` (register, max_rho), `cms/` (r, idx, cnt),
+  * `stats/` (one row: batches, rows_seen) written LAST — readers key on
+  * stats, so they only ever see a complete pair (the FtsIndexStore
+  * discipline). All writes go through [[DirSwap]].
+  */
+final class SketchStore(spark: SparkSession, path: String,
+                        b: Int = 6, depth: Int = 4, width: Int = 256) {
+
+  private val hllPath = path + "/hll"
+  private val cmsPath = path + "/cms"
+  private val statsPath = path + "/stats"
+
+  private def fs: FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new HPath(statsPath))
+
+  /** merge a document batch into the stored sketches (builds them on the
+    * first call). `keyCol` feeds the HLL; words of `textCol` feed the CMS. */
+  def appendBatch(batch: DataFrame, keyCol: String = "text",
+                  textCol: String = "text"): Unit = {
+    val batchHll = Sketches.hllRegisters(batch, col(keyCol), b)
+    val words = batch.select(explode(graft.ops.Dedup.wordsArray(textCol)).as("w"))
+    val batchCms = Sketches.cmsSketch(words, col("w"), depth, width)
+    val (hll, cms, batches, rows) =
+      if (exists) {
+        val prevHll = spark.read.parquet(hllPath)
+        val prevCms = spark.read.parquet(cmsPath)
+        val st = spark.read.parquet(statsPath).head()
+        (prevHll.union(batchHll).groupBy("register")
+           .agg(max("max_rho").as("max_rho")),
+         prevCms.union(batchCms).groupBy("r", "idx")
+           .agg(sum("cnt").as("cnt")),
+         st.getLong(0) + 1, st.getLong(1) + batch.count())
+      } else (batchHll, batchCms, 1L, batch.count())
+    // sketches are bounded (2^b / depth·width rows): localCheckpoint cuts
+    // the union lineage BEFORE the swap replaces the parquet being read
+    val hllSnap = hll.localCheckpoint(true)
+    val cmsSnap = cms.localCheckpoint(true)
+    DirSwap.swapInto(fs, path, hllPath)(tmp =>
+      hllSnap.coalesce(1).write.mode("overwrite").parquet(tmp))
+    DirSwap.swapInto(fs, path, cmsPath)(tmp =>
+      cmsSnap.coalesce(1).write.mode("overwrite").parquet(tmp))
+    DirSwap.swapInto(fs, path, statsPath)(tmp =>
+      spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(batches, rows)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batches",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("rows_seen",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .coalesce(1).write.mode("overwrite").parquet(tmp))
+  }
+
+  /** current distinct-count estimate (HLL estimator over stored registers) */
+  def distinctEstimate(): DataFrame =
+    Sketches.hllEstimate(spark.read.parquet(hllPath), b)
+
+  /** frequency estimates for the given items (min over stored counters) */
+  def frequencyEstimates(items: DataFrame, keyCol: String): DataFrame =
+    Sketches.cmsLookup(spark.read.parquet(cmsPath), items, keyCol, depth, width)
+
+  def stats(): DataFrame = spark.read.parquet(statsPath)
+}
