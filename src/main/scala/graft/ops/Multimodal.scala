@@ -842,6 +842,81 @@ object Multimodal {
     AviFeatures(w, h, frames, sum, probe)
   }
 
+  /** per-frame luma sums (same tolerant RIFF walk as [[decodeAvi]],
+    * materializing the per-frame series because temporal ops need it) */
+  private def aviFrameLumaSums(bytes: Array[Byte]): Array[Long] = {
+    require(bytes.length >= 24 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "AVI ", "not an AVI payload")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var w = -1; var h = -1
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def walk(off0: Int, end: Int): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val len = bb.getInt(off + 4)
+        require(len >= 0 && off + 8 + len <= bytes.length, s"truncated chunk $id")
+        id match {
+          case "LIST" => walk(off + 12, off + 8 + len)
+          case "avih" => w = bb.getInt(off + 8 + 32); h = bb.getInt(off + 8 + 36)
+          case "00db" =>
+            require(w > 0 && h > 0, "movi before avih")
+            val stride = ((3 * w + 3) / 4) * 4
+            require(len >= stride * h, "truncated frame")
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = off + 8 + y * stride + 3 * x // row order irrelevant for a sum
+                s += (299 * (bytes(o + 2) & 0xff) + 587 * (bytes(o + 1) & 0xff) +
+                  114 * (bytes(o) & 0xff)) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            sums += s
+          case _ => ()
+        }
+        off += 8 + len + (len & 1)
+      }
+    }
+    walk(12, bytes.length)
+    sums.toArray
+  }
+
+  /** Scene-cut detection — THE temporal video primitive: per-frame luma
+    * sums, consecutive-frame deltas, a cut wherever |delta| exceeds the
+    * threshold. Integer-exact end to end, so the oracle replays it from
+    * the pixel rule. Per-row map work; at scale each video is one task's
+    * sequential frame walk — embarrassingly parallel across a corpus. */
+  def videoSceneCuts(media: DataFrame, threshold: Long): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_cuts", LongType, nullable = false),
+      StructField("max_abs_delta", LongType, nullable = false),
+      StructField("first_delta", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val sums = aviFrameLumaSums(r.getAs[Array[Byte]](payloadIdx))
+        var cuts = 0L; var maxAbs = 0L
+        var i = 1
+        while (i < sums.length) {
+          val d = sums(i) - sums(i - 1)
+          if (math.abs(d) > threshold) cuts += 1
+          if (math.abs(d) > maxAbs) maxAbs = math.abs(d)
+          i += 1
+        }
+        val first = if (sums.length > 1) sums(1) - sums(0) else 0L
+        Row(r.getLong(idIdx), sums.length.toLong, cuts, maxAbs, first)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** media table whose payloads are REAL AVI bytes (fixture discipline of
     * [[bmpFromDocuments]]/[[wavFromDocuments]]) */
   def aviFromDocuments(docs: DataFrame, idCol: String): DataFrame = {

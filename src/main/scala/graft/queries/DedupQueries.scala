@@ -1282,6 +1282,82 @@ object DedupQueries {
              |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin)),
 
     // ----- SRP-LSH bucketed ANN (the scale path; 8 hyperplanes) -----
+    // ----- ANN quality EVALUATION as a first-class operator: recall@10 of
+    // the SRP-bucket candidate path against brute-force ground truth, per
+    // query, in one job — the measurement loop every ANN deployment runs
+    // before trusting an index (specs gate recall today; this makes the
+    // harness itself a hash-checked query). 5 fixed queries; both ranking
+    // lists order by (rounded score, id) so the comparison is exact. -----
+    Q("v_recall_eval",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val pairs = e.crossJoin(broadcast(qs)) // 5 fixed queries — a dim
+          .withColumn("score", round(
+            graft.search.VectorSearch.dotDistance(col("embedding"), col("qv")), 4) + 0.0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("score"), col("vec_id"))
+        val gt = pairs.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10).select("query_id", "vec_id")
+        val bucketed = pairs
+          .withColumn("b", Similarity.srpBucket("embedding", 64, 6))
+          .withColumn("qb", Similarity.srpBucket("qv", 64, 6))
+          .filter(col("b") === col("qb"))
+        val cand = bucketed.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10).select("query_id", "vec_id")
+        val bucketSize = bucketed.groupBy("query_id")
+          .agg(count(lit(1)).as("n_bucket"))
+        val hits = gt.join(cand, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        qs.select("query_id")
+          .join(bucketSize, Seq("query_id"), "left_outer")
+          .join(hits, Seq("query_id"), "left_outer")
+          .select(col("query_id"),
+            coalesce(col("n_bucket"), lit(0L)).as("n_bucket"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (round(coalesce(col("n_hits"), lit(0L)) / 10.0, 2) + 0.0).as("recall_at_10"))
+          .orderBy("query_id")
+      },
+      Some("""WITH comp AS (SELECT p.p, j.j,
+             |    CASE WHEN CAST(concat('0x', substr(md5(p.p || ':' || j.j), 1, 15)) AS BIGINT) % 2 = 0
+             |         THEN 1.0 ELSE -1.0 END AS c
+             |  FROM (SELECT unnest(range(0, 6)) AS p) p,
+             |       (SELECT unnest(range(0, 64)) AS j) j),
+             |dotp AS (SELECT e.vec_id, c.p, sum(e.embedding[c.j + 1]::DOUBLE * c.c) AS sv
+             |  FROM embeddings e, comp c GROUP BY 1, 2),
+             |buck AS (SELECT vec_id,
+             |    sum(CASE WHEN sv > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+             |  FROM dotp GROUP BY 1),
+             |q AS (SELECT vec_id AS query_id, embedding AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |qb AS (SELECT q.query_id, b.bucket FROM q
+             |  JOIN buck b ON b.vec_id = q.query_id),
+             |sc AS (SELECT q.query_id, e.vec_id,
+             |    round(1.0 - sum(e.embedding[t.i]::DOUBLE * q.qv[t.i]::DOUBLE), 4) + 0.0 AS score
+             |  FROM embeddings e, q, generate_series(1, 64) t(i)
+             |  GROUP BY 1, 2),
+             |gt AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) AS rk
+             |    FROM sc) WHERE rk <= 10),
+             |bucketed AS (SELECT s.query_id, s.vec_id, s.score FROM sc s
+             |  JOIN buck b ON b.vec_id = s.vec_id
+             |  JOIN qb ON qb.query_id = s.query_id AND qb.bucket = b.bucket),
+             |cand AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) AS rk
+             |    FROM bucketed) WHERE rk <= 10),
+             |bs AS (SELECT query_id, count(*) AS n_bucket FROM bucketed GROUP BY 1),
+             |hits AS (SELECT g.query_id, count(*) AS n_hits FROM gt g
+             |  JOIN cand c ON g.query_id = c.query_id AND g.vec_id = c.vec_id
+             |  GROUP BY 1)
+             |SELECT q.query_id, coalesce(bs.n_bucket, 0) AS n_bucket,
+             |  coalesce(hits.n_hits, 0) AS n_hits,
+             |  round(coalesce(hits.n_hits, 0) / 10.0, 2) + 0.0 AS recall_at_10
+             |FROM q LEFT JOIN bs USING (query_id) LEFT JOIN hits USING (query_id)
+             |ORDER BY query_id""".stripMargin)),
+
     Q("ann_lsh_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)
@@ -1912,6 +1988,38 @@ object DedupQueries {
              |  CAST(sum(CASE WHEN luma // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
              |  CAST(sum(CASE WHEN luma // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
              |FROM lum GROUP BY 1 ORDER BY media_id""".stripMargin)),
+
+    // ----- multimodal: video scene-cut detection — per-frame luma sums,
+    // consecutive deltas, cut where |delta| > 100. The temporal primitive
+    // (frame differencing) the image/audio stages have no analog for;
+    // integer-exact, oracle replays it from the AVI pixel rule. -----
+    Q("m_scene_cuts",
+      (s, d) => Multimodal.videoSceneCuts(
+          Multimodal.aviFromDocuments(Tables.documents(s, d), "doc_id"), 100L)
+        .orderBy("media_id"),
+      Some("""WITH p AS (SELECT doc_id, doc_id % 256 AS did,
+             |    4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+             |    2 + doc_id % 3 AS nf FROM documents),
+             |px AS (SELECT doc_id, nf, fs.f, xs.x, ys.y,
+             |    (did + xs.x * ys.y + 29 * fs.f) % 256 AS r,
+             |    (2 * did + 3 * xs.x + 5 * ys.y + 11 * fs.f) % 256 AS g,
+             |    (did + 7 * xs.x + 13 * ys.y + 17 * fs.f) % 256 AS b
+             |  FROM p,
+             |    (SELECT unnest(range(0, 6)) AS x) xs,
+             |    (SELECT unnest(range(0, 4)) AS y) ys,
+             |    (SELECT unnest(range(0, 4)) AS f) fs
+             |  WHERE xs.x < w AND ys.y < h AND fs.f < nf),
+             |fsum AS (SELECT doc_id, nf, f,
+             |    sum((299 * r + 587 * g + 114 * b) // 1000) AS s
+             |  FROM px GROUP BY 1, 2, 3),
+             |delta AS (SELECT a.doc_id, a.nf, a.f, a.s - b.s AS d
+             |  FROM fsum a JOIN fsum b
+             |    ON a.doc_id = b.doc_id AND b.f = a.f - 1)
+             |SELECT doc_id AS media_id, CAST(max(nf) AS BIGINT) AS n_frames,
+             |  CAST(sum(CASE WHEN abs(d) > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+             |  CAST(max(abs(d)) AS BIGINT) AS max_abs_delta,
+             |  CAST(max(CASE WHEN f = 1 THEN d END) AS BIGINT) AS first_delta
+             |FROM delta GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ----- multimodal: REAL baseline JPEG decode (ops/Jpeg) — general
     // marker/DHT/DQT/SOF0/SOS machinery, Huffman entropy decode, dequant,
