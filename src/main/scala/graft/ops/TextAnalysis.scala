@@ -127,6 +127,41 @@ object TextAnalysis {
       .agg((round(avg(col("_nlp")), 4) + lit(0.0)).as("surprisal"))
   }
 
+  /** Interpolated bigram language-model score — the CCNet-family quality
+    * filter one order above [[unigramSurprisal]]: per-doc mean −ln p over
+    * its bigrams with p = λ·p(w₂|w₁) + (1−λ)·p(w₂), λ = 0.75 (an exact
+    * binary fraction, so both engines multiply identically). Low = fluent
+    * under the corpus's own bigram statistics; high = rare-transition
+    * soup that unigram counts miss (scrambled text scores fluent on
+    * unigrams, badly here).
+    *
+    * Scale shape: the unigram/bigram/context tables are corpus-derived
+    * dims joined by key shuffles (never broadcast — the bigram vocabulary
+    * is unbounded); the per-doc score is one aggregation. Rounded 1e-4 so
+    * float-sum association across engines cannot flip a value. */
+  def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = df.withColumn("_ws", Dedup.wordsArray(textCol))
+    val bg = ws
+      .select(col(idCol), explode(wordNgrams("_ws", 2)).as("bgram"))
+      .withColumn("w1", expr("split(bgram, ' ')[0]"))
+      .withColumn("w2", expr("split(bgram, ' ')[1]"))
+    val uni = ws.select(explode(col("_ws")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("cw"))
+    val total = uni.agg(sum("cw").as("tot"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = bgCounts.groupBy("w1").agg(sum("cb").as("cctx"))
+    bg.join(bgCounts, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(uni, Seq("w2"))
+      .crossJoin(broadcast(total)) // one row
+      .withColumn("_p",
+        lit(0.75) * col("cb").cast("double") / col("cctx") +
+        lit(0.25) * col("cw").cast("double") / col("tot"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(avg(-log(col("_p"))), 4) + 0.0).as("bigram_nll"))
+  }
+
   /** Gopher-style document quality rules (public heuristics: Rae et al.
     * 2021, "Scaling Language Models", table A1 family) as one struct of
     * per-rule measurements + the overall keep flag:

@@ -85,6 +85,37 @@ object TextQueries {
              |SELECT doc_id, length(n)::BIGINT AS norm_len, md5(n) AS norm_md5
              |FROM n ORDER BY doc_id""".stripMargin)),
 
+    // ----- interpolated bigram LM score (CCNet family, one order above
+    // t_surprisal): mean −ln(0.75·p(w2|w1) + 0.25·p(w2)) per doc under
+    // the corpus's own statistics — scrambled text passes unigram checks
+    // and fails this one. (Oracle only: the range(1,128) bigram index is
+    // DuckDB's lateral-free unnest idiom, valid while fixture docs stay
+    // under 127 words — the generator caps at 100; the Spark side has no
+    // such bound.) -----
+    Q("t_bigram_score",
+      (s, d) => graft.ops.TextAnalysis
+        .bigramScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |  FROM documents),
+             |bg AS (SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+             |  FROM w, (SELECT unnest(range(1, 128)) AS i) g(i)
+             |  WHERE g.i <= len(ws) - 1),
+             |uni AS (SELECT unnest(ws) AS w2 FROM w),
+             |uc AS (SELECT w2, count(*) AS cw FROM uni GROUP BY 1),
+             |tot AS (SELECT sum(cw) AS tot FROM uc),
+             |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+             |cx AS (SELECT w1, sum(cb) AS cctx FROM bc GROUP BY 1),
+             |p AS (SELECT bg.doc_id,
+             |    0.75 * bc.cb / cx.cctx + 0.25 * uc.cw / tot.tot AS p
+             |  FROM bg JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+             |  JOIN cx ON bg.w1 = cx.w1
+             |  JOIN uc ON bg.w2 = uc.w2, tot)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(avg(-ln(p)), 4) + 0.0 AS bigram_nll
+             |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // ----- language-ID heuristic (CJK + stopword-family scores) -----
     Q("t_langid",
       (s, d) => Tables.documents(s, d).select(
