@@ -70,6 +70,49 @@ object Sketches {
           lit("linear")).otherwise(lit("hll")).as("method"))
   }
 
+  /** Per-group HLL estimates — the form distinct-counting actually takes
+    * at scale ("distinct docs per domain/language/day"): one rho
+    * projection keyed by group, a (group, register) max aggregate (still
+    * map-side combinable; state = 2^b rows PER GROUP, not per corpus),
+    * then the estimator evaluated group-wise. Same linear-counting branch
+    * and rounding discipline as [[hllEstimate]]. */
+  def hllGroupedEstimate(df: DataFrame, groupCol: Column, key: Column,
+                         b: Int): DataFrame = {
+    val m = (1L << b).toDouble
+    val alpha =
+      if (b == 4) 0.673 else if (b == 5) 0.697
+      else if (b == 6) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    df.select(groupCol.as("grp"), key.as("_k"))
+      .select(col("grp") +: hllRhoCols(col("_k"), b): _*)
+      .groupBy("grp", "register").agg(max("rho").as("max_rho"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("present"),
+        sum(pow(lit(2.0), -col("max_rho"))).as("ssum"))
+      .select(col("grp"),
+        lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("present")).as("n_zero"),
+        (lit(alpha * m * m) / (col("ssum") + (lit(m) - col("present"))))
+          .as("est_raw"))
+      .select(col("grp"), col("m"), col("n_zero"),
+        when(col("est_raw") <= lit(2.5 * m) && col("n_zero") > 0,
+          round(lit(m) * log(lit(m) / col("n_zero")), 4))
+          .otherwise(round(col("est_raw"), 4)).as("est"),
+        when(col("est_raw") <= lit(2.5 * m) && col("n_zero") > 0,
+          lit("linear")).otherwise(lit("hll")).as("method"))
+  }
+
+  /** (register, rho) column pair for a key column — the scalar core of
+    * [[hllRho]], reusable under any grouping */
+  private def hllRhoCols(key: Column, b: Int): Seq[Column] = {
+    val m = 1L << b
+    val maxRho = 61 - b
+    val h = Dedup.hash60(key)
+    val w = shiftright(h, b) // exact h div 2^b on the non-negative hash
+    Seq((h % m).as("register"),
+      when(w === 0, lit(maxRho))
+        .otherwise(lit(maxRho) - length(bin(w))).cast("int").as("rho"))
+  }
+
   /** Count-Min sketch (Cormode–Muthukrishnan 2005): depth×width counter
     * grid over the portable hash; row r's counter for a key is
     * hash60(r ":" key) mod width. The sketch table (r, idx, cnt) is

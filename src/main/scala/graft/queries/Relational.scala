@@ -708,6 +708,48 @@ object Relational {
              |  (SELECT count(DISTINCT text) FROM documents) AS exact_distinct
              |FROM est""".stripMargin)),
 
+    // ----- per-group HLL: distinct texts PER LANGUAGE — the form
+    // distinct-counting takes in production ("distinct docs per
+    // domain/day"); sketch state is 64 rows per group, the whole grouped
+    // register table still one map-side-combinable aggregate. Exact
+    // per-group distinct rides along for error documentation. -----
+    Q("a_hll_by_group",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.Sketches
+          .hllGroupedEstimate(docs, col("lang"), col("text"), 6)
+          .withColumnRenamed("grp", "lang")
+          .join(docs.groupBy("lang")
+            .agg(countDistinct(col("text")).as("exact_distinct")), Seq("lang"))
+          .orderBy("lang")
+      },
+      Some("""WITH h AS (SELECT lang,
+             |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+             |  FROM documents),
+             |r AS (SELECT lang, h % 64 AS register, h // 64 AS w FROM h),
+             |rho AS (SELECT lang, register,
+             |    CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho
+             |  FROM r),
+             |regs AS (SELECT lang, register, max(rho) AS max_rho
+             |  FROM rho GROUP BY 1, 2),
+             |agg AS (SELECT lang, count(*) AS present,
+             |    sum(power(2.0, -max_rho)) AS ssum FROM regs GROUP BY 1),
+             |est AS (SELECT lang, CAST(64 AS BIGINT) AS m,
+             |    64 - present AS n_zero,
+             |    0.709 * 64 * 64 / (ssum + (64 - present)) AS est_raw
+             |  FROM agg),
+             |ex AS (SELECT lang, count(DISTINCT text) AS exact_distinct
+             |  FROM documents GROUP BY 1)
+             |SELECT est.lang AS lang, m, n_zero,
+             |  CASE WHEN est_raw <= 160.0 AND n_zero > 0
+             |       THEN round(64.0 * ln(64.0 / n_zero), 4)
+             |       ELSE round(est_raw, 4) END AS est,
+             |  CASE WHEN est_raw <= 160.0 AND n_zero > 0
+             |       THEN 'linear' ELSE 'hll' END AS method,
+             |  ex.exact_distinct
+             |FROM est JOIN ex ON est.lang = ex.lang
+             |ORDER BY lang""".stripMargin)),
+
     // ----- frequency sketch: Count-Min (4×256 counters over the portable
     // hash). The sketch is fixed-size and sum-mergeable across shards —
     // frequency estimation with NO vocabulary-sized shuffle; estimates are
