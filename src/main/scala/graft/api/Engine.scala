@@ -301,8 +301,8 @@ final class Engine(
     * reference's title chain carries container context. */
   def ingestEpub(path: String): Seq[IngestResult] = {
     val bytes = Files.readAllBytes(Paths.get(path))
-    val book = graft.ingest.EpubParser.title(bytes)
-    graft.ingest.EpubParser.chapters(bytes).flatMap { ch =>
+    val (book, chapters) = graft.ingest.EpubParser.book(bytes)
+    chapters.flatMap { ch =>
       val title = book.map(t => s"$t — ${ch.href}").getOrElse(ch.href)
       try Some(ingestData(ch.markdown, title, s"$path!${ch.href}", format = "md"))
       catch { case _: Ingest.NoChunksError => None }

@@ -28,29 +28,35 @@ object EpubParser {
 
   final case class Chapter(href: String, markdown: String)
 
-  /** ordered spine chapters rendered to markdown */
-  def chapters(bytes: Array[Byte]): Seq[Chapter] = {
+  /** ONE container walk: (dc:title, ordered spine chapters) — callers
+    * needing both (ingest) pay the zip inflation and OPF parse once */
+  def book(bytes: Array[Byte]): (Option[String], Seq[Chapter]) = {
     val members: Map[String, Array[Byte]] =
       ZipSource.entries(bytes).map(m => m.name -> m.body).toMap
     val opfPath = members.get("META-INF/container.xml")
       .flatMap(b => rootfilePath(new String(b, StandardCharsets.UTF_8)))
-    opfPath.toSeq.flatMap { path =>
-      members.get(path).toSeq.flatMap { opfBytes =>
-        val opf = parseOpf(new String(opfBytes, StandardCharsets.UTF_8))
-        val baseDir = path.lastIndexOf('/') match {
-          case -1 => ""
-          case i  => path.substring(0, i + 1)
-        }
-        opf.spine.flatMap { idref =>
-          for {
-            href <- opf.manifest.get(idref)
-            body <- members.get(resolve(baseDir, href))
-          } yield Chapter(href,
-            HtmlParser.toMarkdown(new String(body, StandardCharsets.UTF_8)))
-        }
+    (for {
+      path <- opfPath
+      opfBytes <- members.get(path)
+    } yield {
+      val opf = parseOpf(new String(opfBytes, StandardCharsets.UTF_8))
+      val baseDir = path.lastIndexOf('/') match {
+        case -1 => ""
+        case i  => path.substring(0, i + 1)
       }
-    }
+      val chs = opf.spine.flatMap { idref =>
+        for {
+          href <- opf.manifest.get(idref)
+          body <- members.get(resolve(baseDir, href))
+        } yield Chapter(href,
+          HtmlParser.toMarkdown(new String(body, StandardCharsets.UTF_8)))
+      }
+      (opf.title, chs)
+    }).getOrElse((None, Nil))
   }
+
+  /** ordered spine chapters rendered to markdown */
+  def chapters(bytes: Array[Byte]): Seq[Chapter] = book(bytes)._2
 
   /** whole-book markdown: non-empty chapters joined by blank lines */
   def toMarkdown(bytes: Array[Byte]): String =
@@ -58,15 +64,7 @@ object EpubParser {
 
   /** `<dc:title>` from the OPF metadata (book-level title provenance,
     * feeding the F11 title-extraction chain) */
-  def title(bytes: Array[Byte]): Option[String] = {
-    val members = ZipSource.entries(bytes).map(m => m.name -> m.body).toMap
-    for {
-      c <- members.get("META-INF/container.xml")
-      path <- rootfilePath(new String(c, StandardCharsets.UTF_8))
-      opf <- members.get(path)
-      t <- parseOpf(new String(opf, StandardCharsets.UTF_8)).title
-    } yield t
-  }
+  def title(bytes: Array[Byte]): Option[String] = book(bytes)._1
 
   // ------------------------------------------------------------ OPF/XML --
 

@@ -42,7 +42,6 @@ object RtfParser {
     val out = new StringBuilder
     val ucStack = mutable.ArrayBuffer[Int](1) // \ucN is group-scoped
     var skipDepth = 0   // > 0 → inside a skipped destination group
-    var groupDepth = 0
     var pendingSkip = 0 // fallback chars to swallow after \uN
     var i = 0
     val n = rtf.length
@@ -53,7 +52,6 @@ object RtfParser {
     while (i < n) {
       rtf.charAt(i) match {
         case '{' =>
-          groupDepth += 1
           ucStack += ucStack.last
           if (skipDepth > 0) skipDepth += 1
           else {
@@ -74,7 +72,6 @@ object RtfParser {
           }
           i += 1
         case '}' =>
-          groupDepth = math.max(0, groupDepth - 1)
           if (ucStack.length > 1) ucStack.remove(ucStack.length - 1): Unit
           if (skipDepth > 0) skipDepth -= 1
           i += 1

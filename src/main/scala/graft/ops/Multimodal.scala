@@ -128,12 +128,15 @@ object Multimodal {
     var storedRow = 0
     while (storedRow < oh) {
       val dy = oh - 1 - storedRow // bottom-up writer
-      val fy = if (oh == 1) 0 else dy * (h - 1) * 256 / (oh - 1)
-      val y0 = fy / 256; val yf = fy % 256; val y1 = math.min(y0 + 1, h - 1)
+      // Long fixed-point: dx·(w−1)·256 overflows Int around ~2900px dims
+      val fy = if (oh == 1) 0L else dy.toLong * (h - 1) * 256 / (oh - 1)
+      val y0 = (fy / 256).toInt; val yf = (fy % 256).toInt
+      val y1 = math.min(y0 + 1, h - 1)
       var dx = 0
       while (dx < ow) {
-        val fx = if (ow == 1) 0 else dx * (w - 1) * 256 / (ow - 1)
-        val x0 = fx / 256; val xf = fx % 256; val x1 = math.min(x0 + 1, w - 1)
+        val fx = if (ow == 1) 0L else dx.toLong * (w - 1) * 256 / (ow - 1)
+        val x0 = (fx / 256).toInt; val xf = (fx % 256).toInt
+        val x1 = math.min(x0 + 1, w - 1)
         var c = 0
         while (c < 3) { // stored B, G, R order
           val v = ((256 - xf) * (256 - yf) * ch(x0, y0, c) +
@@ -385,8 +388,11 @@ object Multimodal {
           if (i > 0 && s(i - 1).toLong * v < 0) zc += 1
           i += 1
         }
-        val rms = BigDecimal(math.sqrt(energy.toDouble / s.length))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // an empty (but structurally valid) data chunk yields zeros, not a
+        // NaN→BigDecimal crash that would fail the whole task
+        val rms = if (s.isEmpty) 0.0
+          else BigDecimal(math.sqrt(energy.toDouble / s.length))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
         Row(r.getLong(idIdx), s.length.toLong, zc, energy, rms)
       }
     }(Encoders.row(outSchema))

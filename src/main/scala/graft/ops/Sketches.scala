@@ -28,16 +28,8 @@ object Sketches {
   /** per-row (register, rho) projection — shared by the batch aggregate
     * and the streaming register maintenance (a streaming groupBy-max over
     * exactly these columns) */
-  def hllRho(df: DataFrame, key: Column, b: Int): DataFrame = {
-    require(b >= 2 && b <= 16, "register bits b must be in [2, 16]")
-    val m = 1L << b
-    val maxRho = 61 - b // w has 60-b bits; rho(0) = field width + 1
-    df.select(Dedup.hash60(key).as("h"))
-      .select((col("h") % m).as("register"), expr(s"h div $m").as("w"))
-      .select(col("register"),
-        when(col("w") === 0, lit(maxRho))
-          .otherwise(lit(maxRho) - length(bin(col("w")))).cast("int").as("rho"))
-  }
+  def hllRho(df: DataFrame, key: Column, b: Int): DataFrame =
+    df.select(hllRhoCols(key, b): _*)
 
   /** HLL register table (register, max_rho) for a 2^b-register sketch over
     * `key`. One projection + one map-side-combinable aggregate — at 100 TB
@@ -49,26 +41,11 @@ object Sketches {
     * the standard small-range linear-counting correction (est ≤ 2.5 m and
     * empty registers exist → m·ln(m/V)). Emits the sketch parameters too,
     * so the row documents itself. */
-  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
-    val m = (1L << b).toDouble
-    val alpha =
-      if (b == 4) 0.673 else if (b == 5) 0.697
-      else if (b == 6) 0.709 else 0.7213 / (1.0 + 1.079 / m)
-    registers
-      .agg(count(lit(1)).as("present"),
-        sum(pow(lit(2.0), -col("max_rho"))).as("ssum"))
-      .select(
-        lit(m.toLong).as("m"),
-        (lit(m.toLong) - col("present")).as("n_zero"),
-        (lit(alpha * m * m) / (col("ssum") + (lit(m) - col("present"))))
-          .as("est_raw"))
-      .select(col("m"), col("n_zero"),
-        when(col("est_raw") <= lit(2.5 * m) && col("n_zero") > 0,
-          round(lit(m) * log(lit(m) / col("n_zero")), 4))
-          .otherwise(round(col("est_raw"), 4)).as("est"),
-        when(col("est_raw") <= lit(2.5 * m) && col("n_zero") > 0,
-          lit("linear")).otherwise(lit("hll")).as("method"))
-  }
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame =
+    estimator(
+      registers.agg(count(lit(1)).as("present"),
+        sum(pow(lit(2.0), -col("max_rho"))).as("ssum")),
+      b, keyCols = Nil)
 
   /** Per-group HLL estimates — the form distinct-counting actually takes
     * at scale ("distinct docs per domain/language/day"): one rho
@@ -77,33 +54,42 @@ object Sketches {
     * then the estimator evaluated group-wise. Same linear-counting branch
     * and rounding discipline as [[hllEstimate]]. */
   def hllGroupedEstimate(df: DataFrame, groupCol: Column, key: Column,
-                         b: Int): DataFrame = {
+                         b: Int): DataFrame =
+    estimator(
+      df.select(groupCol.as("grp") +: hllRhoCols(key, b): _*)
+        .groupBy("grp", "register").agg(max("rho").as("max_rho"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("present"),
+          sum(pow(lit(2.0), -col("max_rho"))).as("ssum")),
+      b, keyCols = Seq("grp"))
+
+  /** the ONE copy of the estimator math (alpha, harmonic mean,
+    * linear-counting branch, rounding), applied to an aggregated
+    * (present, ssum) frame with optional carried key columns */
+  private def estimator(agg: DataFrame, b: Int, keyCols: Seq[String]): DataFrame = {
     val m = (1L << b).toDouble
     val alpha =
       if (b == 4) 0.673 else if (b == 5) 0.697
       else if (b == 6) 0.709 else 0.7213 / (1.0 + 1.079 / m)
-    df.select(groupCol.as("grp"), key.as("_k"))
-      .select(col("grp") +: hllRhoCols(col("_k"), b): _*)
-      .groupBy("grp", "register").agg(max("rho").as("max_rho"))
-      .groupBy("grp")
-      .agg(count(lit(1)).as("present"),
-        sum(pow(lit(2.0), -col("max_rho"))).as("ssum"))
-      .select(col("grp"),
+    val keys = keyCols.map(col)
+    agg
+      .select(keys ++ Seq(
         lit(m.toLong).as("m"),
         (lit(m.toLong) - col("present")).as("n_zero"),
         (lit(alpha * m * m) / (col("ssum") + (lit(m) - col("present"))))
-          .as("est_raw"))
-      .select(col("grp"), col("m"), col("n_zero"),
+          .as("est_raw")): _*)
+      .select(keys ++ Seq(col("m"), col("n_zero"),
         when(col("est_raw") <= lit(2.5 * m) && col("n_zero") > 0,
           round(lit(m) * log(lit(m) / col("n_zero")), 4))
           .otherwise(round(col("est_raw"), 4)).as("est"),
         when(col("est_raw") <= lit(2.5 * m) && col("n_zero") > 0,
-          lit("linear")).otherwise(lit("hll")).as("method"))
+          lit("linear")).otherwise(lit("hll")).as("method")): _*)
   }
 
   /** (register, rho) column pair for a key column — the scalar core of
     * [[hllRho]], reusable under any grouping */
   private def hllRhoCols(key: Column, b: Int): Seq[Column] = {
+    require(b >= 2 && b <= 16, "register bits b must be in [2, 16]")
     val m = 1L << b
     val maxRho = 61 - b
     val h = Dedup.hash60(key)

@@ -52,7 +52,10 @@ object Relational {
     Q("s_jsonl_roundtrip",
       (s, d) => {
         import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        // keyed by session id + dataset: concurrent drivers (Verify vs
+        // Bench, parallel CI) never overwrite each other's stage mid-read
         val stage = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-" +
+          s.sparkContext.applicationId + "-" +
           d.replaceAll("[^a-zA-Z0-9._-]", "_")
         Tables.documents(s, d).select("doc_id", "lang", "source", "text")
           .write.mode("overwrite").json(stage)
@@ -82,7 +85,10 @@ object Relational {
     Q("s_csv_roundtrip",
       (s, d) => {
         import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        // keyed by session id + dataset: concurrent drivers (Verify vs
+        // Bench, parallel CI) never overwrite each other's stage mid-read
         val stage = s"${System.getProperty("java.io.tmpdir")}/graft-csv-" +
+          s.sparkContext.applicationId + "-" +
           d.replaceAll("[^a-zA-Z0-9._-]", "_")
         Tables.documents(s, d).select("doc_id", "lang", "source", "text")
           .write.mode("overwrite")
@@ -115,7 +121,10 @@ object Relational {
     Q("s_xml_roundtrip",
       (s, d) => {
         import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        // keyed by session id + dataset: concurrent drivers (Verify vs
+        // Bench, parallel CI) never overwrite each other's stage mid-read
         val stage = s"${System.getProperty("java.io.tmpdir")}/graft-xml-" +
+          s.sparkContext.applicationId + "-" +
           d.replaceAll("[^a-zA-Z0-9._-]", "_")
         Tables.documents(s, d).select("doc_id", "lang", "source", "text")
           .write.mode("overwrite")
@@ -143,7 +152,10 @@ object Relational {
     // hash. -----
     Q("s_orc_roundtrip",
       (s, d) => {
+        // keyed by session id + dataset: concurrent drivers (Verify vs
+        // Bench, parallel CI) never overwrite each other's stage mid-read
         val stage = s"${System.getProperty("java.io.tmpdir")}/graft-orc-" +
+          s.sparkContext.applicationId + "-" +
           d.replaceAll("[^a-zA-Z0-9._-]", "_")
         Tables.documents(s, d).select("doc_id", "lang", "source", "text")
           .write.mode("overwrite").orc(stage)

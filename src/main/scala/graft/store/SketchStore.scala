@@ -41,6 +41,15 @@ final class SketchStore(spark: SparkSession, path: String,
     * first call). `keyCol` feeds the HLL; words of `textCol` feed the CMS. */
   def appendBatch(batch: DataFrame, keyCol: String = "text",
                   textCol: String = "text"): Unit = {
+    // three consumers (HLL, CMS, the row count) — cache so an expensive
+    // upstream derivation isn't recomputed per consumer
+    val cached = batch.persist()
+    try { appendCached(cached, keyCol, textCol) }
+    finally { cached.unpersist(): Unit }
+  }
+
+  private def appendCached(batch: DataFrame, keyCol: String,
+                           textCol: String): Unit = {
     val batchHll = Sketches.hllRegisters(batch, col(keyCol), b)
     val words = batch.select(explode(graft.ops.Dedup.wordsArray(textCol)).as("w"))
     val batchCms = Sketches.cmsSketch(words, col("w"), depth, width)

@@ -213,13 +213,10 @@ object StreamingIngest {
       val raw = spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
+      // the batch builder's projection+aggregate IS valid streaming SQL —
+      // one code path for both triggers (the chunkStream discipline)
       val words = raw.select(explode(graft.ops.Dedup.wordsArray("text")).as("w"))
-      val terms = words
-        .select(col("w"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
-        .select(col("r"),
-          (graft.ops.Dedup.hash60(concat_ws(":", col("r"), col("w"))) % width)
-            .as("idx"))
-        .groupBy("r", "idx").agg(count(lit(1)).as("cnt"))
+      val terms = graft.ops.Sketches.cmsSketch(words, col("w"), depth, width)
       runToMemorySink(spark, terms, OutputMode.Complete(),
         "graft_stream_cms")(identity)
     } finally {

@@ -56,9 +56,11 @@ class PlanSpec extends AnyFunSuite {
         // (q_bucketed_join) pick among shuffle-safe strategies and are fine
         case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
           // allowed: plan-bounded row counts — global aggregates
-          // (maxRows=1) and LIMIT-bounded sketch grids (≤ 4096 rows is a
-          // genuine broadcast dim at any corpus size)
-          val bounded = h.child.maxRows.exists(_ <= 4096)
+          // (maxRows=1) keep the tight bound; only NARROW LIMIT-bounded
+          // subtrees (sketch grids: ≤ 3 columns) get the wider one, so a
+          // LIMIT-4000 slice of wide fact rows still fails the net
+          val bounded = h.child.maxRows.exists(m =>
+            m <= 1000 || (m <= 4096 && h.child.output.length <= 3))
           val outs = h.child.output.map(_.name)
           assert(bounded || outs.forall(c => c.startsWith("n_") || c.startsWith("r_")),
             s"${q.name}: forced broadcast over non-dim columns ${outs.filterNot(c => c.startsWith("n_") || c.startsWith("r_"))}")
