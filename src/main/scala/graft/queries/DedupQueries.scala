@@ -1900,6 +1900,65 @@ object DedupQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
+    // ----- multimodal: image DUP GROUPS — connected components over the
+    // banded dHash pairs, completing the image-dedup chain (hash → pairs
+    // → groups → keep-one) with the same CC machinery as d_dup_groups;
+    // the oracle replays the closure via WITH RECURSIVE over the
+    // closed-form dhash pair set. -----
+    Q("m_dhash_groups",
+      (s, d) => {
+        val enc = udf((id: Long, perturb: Boolean) =>
+          Multimodal.encodeBmpGray(id, perturb))
+        val media = Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            enc(col("doc_id") % 83, col("doc_id") % 7 === 3).as("payload"))
+        val pairs = Dedup.bandedHammingPairs(
+          Multimodal.dhashFeatures(media), "media_id", "dhash",
+          bits = 56, bands = 7, maxHamming = 6)
+        val comp = Dedup.connectedComponents(pairs)
+        val sizes = comp.groupBy("comp").agg(count(lit(1)).as("group_size"))
+        comp.join(sizes, "comp")
+          .select(col("id").as("media_id"), col("comp").as("group_rep"),
+            col("group_size"))
+          .orderBy("media_id")
+      },
+      Some("""WITH RECURSIVE p AS (SELECT doc_id, doc_id % 83 AS did FROM documents),
+             |lum AS (SELECT doc_id, xs.x, ys.y,
+             |    (CAST(concat('0x',
+             |        substr(md5(did || ':' || xs.x || ':' || ys.y), 1, 2)) AS INT)
+             |     + CASE WHEN doc_id % 7 = 3 AND xs.x = 2 AND ys.y = 4
+             |            THEN 128 ELSE 0 END) % 256 AS luma
+             |  FROM p,
+             |    (SELECT unnest(range(0, 8)) AS x) xs,
+             |    (SELECT unnest(range(0, 8)) AS y) ys),
+             |bits AS (SELECT a.doc_id, a.y, a.x,
+             |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+             |  FROM lum a JOIN lum b
+             |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+             |  WHERE a.x < 7),
+             |sig AS (SELECT doc_id AS media_id,
+             |    CAST(sum(bit * (CAST(1 AS BIGINT) << (y * 7 + x))) AS BIGINT) AS dhash
+             |  FROM bits GROUP BY 1),
+             |bnd AS (SELECT media_id, dhash, t.i AS bi,
+             |    (dhash >> (t.i * 8)) % 256 AS bv
+             |  FROM sig, (SELECT unnest(range(0, 7)) AS i) t),
+             |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             |    a.dhash AS ha, b.dhash AS hb
+             |  FROM bnd a JOIN bnd b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id),
+             |verified AS (SELECT id_a, id_b FROM cand
+             |  WHERE bit_count(xor(ha, hb)) <= 6),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+             |          UNION SELECT id_b, id_a FROM verified),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+             |cc AS (SELECT id, min(r) AS group_rep FROM reach GROUP BY 1)
+             |SELECT id AS media_id, group_rep,
+             |       count(*) OVER (PARTITION BY group_rep) AS group_size
+             |FROM cc ORDER BY media_id""".stripMargin)),
+
     // ----- multimodal: REAL linear audio resample — the sample-rate
     // conversion stage of an audio pipeline (decode → resample → feature),
     // the audio twin of m_image_resize: 8.8 align-corners fixed point,

@@ -261,6 +261,27 @@ object TimeQueries {
              |  round((cnt - mean) / sd, 4) AS z
              |FROM win WHERE n_win = 24 AND sd > 0 ORDER BY hour""".stripMargin)),
 
+    // ----- streaming twin of the anomaly monitor: the hourly counts come
+    // from a Complete-mode streaming window over the staged event files;
+    // the z-score sweep runs on the drained snapshot. The aggregate is
+    // order-insensitive, so the snapshot equals the batch hourly table
+    // and the SAME oracle hash-checks the streaming feed. -----
+    Q("e_stream_anomaly",
+      (s, d) => graft.streaming.StreamingIngest
+        .hourlyAnomalyAvailableNow(s, s"$d/events.parquet"),
+      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |win AS (SELECT h, cnt,
+             |    count(*) OVER w AS n_win,
+             |    avg(cnt) OVER w AS mean,
+             |    stddev_samp(cnt) OVER w AS sd
+             |  FROM hourly
+             |  WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |SELECT strftime(h, '%Y-%m-%d %H:%M') AS hour, cnt,
+             |  round(mean, 4) AS mean24,
+             |  round((cnt - mean) / sd, 4) AS z
+             |FROM win WHERE n_win = 24 AND sd > 0 ORDER BY hour""".stripMargin)),
+
     // ----- ordered funnel conversion: view → click → purchase, each stage
     // strictly AFTER the previous stage's first completion (min-ts chain:
     // one pre-aggregation per stage joined on user_id — never a per-event

@@ -131,6 +131,52 @@ object StreamingIngest {
         col("event_type"), col("cnt"), col("sum_value")))
   }
 
+  /** Streaming feed → batch monitor: hourly TOTAL event volume maintained
+    * as a Complete-mode windowed aggregate over the staged stream, then
+    * the trailing-24-bucket z-score (the e_hourly_anomaly tail) applied to
+    * the drained snapshot — the deployment shape where ingestion runs
+    * continuously and the anomaly sweep runs on each snapshot. The
+    * windowed agg is the only streaming state (one row per hour); the
+    * z-score window needs completed history and stays batch-side. */
+  def hourlyAnomalyAvailableNow(spark: org.apache.spark.sql.SparkSession,
+                                eventsPath: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    stageDir.toFile.deleteOnExit()
+    val target = java.nio.file.Paths.get(eventsPath).toAbsolutePath
+    val staged = stageDir.resolve(target.getFileName.toString)
+    try java.nio.file.Files.createSymbolicLink(staged, target)
+    catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        java.nio.file.Files.copy(target, staged): Unit
+    }
+    val raw = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val ev =
+      if (schema.exists(f => f.name == "ts" &&
+            f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    val agg = ev
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val snapshot = runToMemorySink(spark, agg, OutputMode.Complete(),
+      "graft_stream_anomaly")(
+      _.select(col("window.start").as("h"), col("cnt")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("h").rowsBetween(-24, -1)
+    snapshot
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("mean", avg(col("cnt")).over(w))
+      .withColumn("sd", stddev_samp(col("cnt")).over(w))
+      .filter(col("n_win") === 24 && col("sd") > 0)
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("cnt"),
+        (round(col("mean"), 4) + 0.0).as("mean24"),
+        (round((col("cnt") - col("mean")) / col("sd"), 4) + 0.0).as("z"))
+      .orderBy("hour")
+  }
+
   /** Shared memory-sink discipline for the oracle-matched streaming runs:
     * AvailableNow until the backlog drains, project the sink table through
     * `shape`, materialize driver-side, then DROP the sink view in a finally
