@@ -839,6 +839,31 @@ object Relational {
              |  SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F')
              |ORDER BY k""".stripMargin)),
 
+    // ----- CUBE: the full 2^k grouping lattice — completes the grouping
+    // family next to rollup and explicit grouping sets (a cube is the
+    // shape BI layers ask the lakehouse for; Spark expands it to one
+    // Expand+aggregate, no k-pass scan) -----
+    Q("a_cube_revenue",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_cube")
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                |       coalesce(l_linestatus, 'ALL') AS status,
+                |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                |       count(*) AS n_items,
+                |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+                |FROM graft_li_cube
+                |GROUP BY CUBE (l_returnflag, l_linestatus)
+                |ORDER BY flag, status""".stripMargin)
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             |       coalesce(l_linestatus, 'ALL') AS status,
+             |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+             |       count(*) AS n_items,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY flag, status""".stripMargin)),
+
     // ----- GROUPING SETS with grouping_id (finer than rollup: the two
     // single-dimension marginals plus the grand total, no (flag,status)) -----
     Q("a_grouping_sets",
