@@ -1358,6 +1358,82 @@ object DedupQueries {
              |FROM q LEFT JOIN bs USING (query_id) LEFT JOIN hits USING (query_id)
              |ORDER BY query_id""".stripMargin)),
 
+    // ----- multi-probe twin of v_recall_eval: candidates come from the
+    // query's bucket PLUS every hamming-1 neighbor bucket (7 probes at 6
+    // planes) — the standard recall lever when a single SRP table
+    // under-recalls; same ground truth, so the two queries together
+    // measure the probes→recall tradeoff as data. -----
+    Q("v_recall_multiprobe",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val pairs = e.crossJoin(broadcast(qs))
+          .withColumn("score", round(
+            graft.search.VectorSearch.dotDistance(col("embedding"), col("qv")), 4) + 0.0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("score"), col("vec_id"))
+        val gt = pairs.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10).select("query_id", "vec_id")
+        val bucketed = pairs
+          .withColumn("b", Similarity.srpBucket("embedding", 64, 6))
+          .withColumn("qb", Similarity.srpBucket("qv", 64, 6))
+          .filter(expr("bit_count(b ^ qb) <= 1")) // bucket + 6 neighbors
+        val cand = bucketed.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10).select("query_id", "vec_id")
+        val probed = bucketed.groupBy("query_id")
+          .agg(count(lit(1)).as("n_probed"))
+        val hits = gt.join(cand, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        qs.select("query_id")
+          .join(probed, Seq("query_id"), "left_outer")
+          .join(hits, Seq("query_id"), "left_outer")
+          .select(col("query_id"),
+            coalesce(col("n_probed"), lit(0L)).as("n_probed"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (round(coalesce(col("n_hits"), lit(0L)) / 10.0, 2) + 0.0).as("recall_at_10"))
+          .orderBy("query_id")
+      },
+      Some("""WITH comp AS (SELECT p.p, j.j,
+             |    CASE WHEN CAST(concat('0x', substr(md5(p.p || ':' || j.j), 1, 15)) AS BIGINT) % 2 = 0
+             |         THEN 1.0 ELSE -1.0 END AS c
+             |  FROM (SELECT unnest(range(0, 6)) AS p) p,
+             |       (SELECT unnest(range(0, 64)) AS j) j),
+             |dotp AS (SELECT e.vec_id, c.p, sum(e.embedding[c.j + 1]::DOUBLE * c.c) AS sv
+             |  FROM embeddings e, comp c GROUP BY 1, 2),
+             |buck AS (SELECT vec_id,
+             |    sum(CASE WHEN sv > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+             |  FROM dotp GROUP BY 1),
+             |q AS (SELECT vec_id AS query_id, embedding AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |qb AS (SELECT q.query_id, b.bucket FROM q
+             |  JOIN buck b ON b.vec_id = q.query_id),
+             |sc AS (SELECT q.query_id, e.vec_id,
+             |    round(1.0 - sum(e.embedding[t.i]::DOUBLE * q.qv[t.i]::DOUBLE), 4) + 0.0 AS score
+             |  FROM embeddings e, q, generate_series(1, 64) t(i)
+             |  GROUP BY 1, 2),
+             |gt AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) AS rk
+             |    FROM sc) WHERE rk <= 10),
+             |bucketed AS (SELECT s.query_id, s.vec_id, s.score FROM sc s
+             |  JOIN buck b ON b.vec_id = s.vec_id
+             |  JOIN qb ON qb.query_id = s.query_id
+             |    AND bit_count(xor(b.bucket, qb.bucket)) <= 1),
+             |cand AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) AS rk
+             |    FROM bucketed) WHERE rk <= 10),
+             |bs AS (SELECT query_id, count(*) AS n_probed FROM bucketed GROUP BY 1),
+             |hits AS (SELECT g.query_id, count(*) AS n_hits FROM gt g
+             |  JOIN cand c ON g.query_id = c.query_id AND g.vec_id = c.vec_id
+             |  GROUP BY 1)
+             |SELECT q.query_id, coalesce(bs.n_probed, 0) AS n_probed,
+             |  coalesce(hits.n_hits, 0) AS n_hits,
+             |  round(coalesce(hits.n_hits, 0) / 10.0, 2) + 0.0 AS recall_at_10
+             |FROM q LEFT JOIN bs USING (query_id) LEFT JOIN hits USING (query_id)
+             |ORDER BY query_id""".stripMargin)),
+
     Q("ann_lsh_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)
