@@ -55,21 +55,42 @@ object Bench {
       catch { case _: Throwable => () }
       graft.core.GraftSession.releaseAllBlocks(spark)
     }
+    // Three timed passes per query, reported as the per-query MEDIAN: a
+    // single timed pass absorbs host noise (GC pauses, co-tenant I/O) as 2-6x
+    // one-off outliers that then read as regressions. The median of three is
+    // robust to one bad pass; all raw passes are kept in the JSON so a
+    // uniform-slowdown (real) vs single-outlier (noise) diagnosis stays
+    // possible from the artifact alone. SPARK_GRAFT_BENCH_PASSES overrides
+    // for local iteration (1 = old behavior).
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
     val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      // a failed query reports -1, not its time-to-crash, and is excluded
-      // from the total — a fast failure must not look like a fast query
-      val elapsed =
-        try { q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      graft.core.GraftSession.releaseAllBlocks(spark)
-      q.name -> elapsed
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        // a failed query reports -1, not its time-to-crash, and is excluded
+        // from the total — a fast failure must not look like a fast query
+        val elapsed =
+          try { q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        graft.core.GraftSession.releaseAllBlocks(spark)
+        elapsed
+      }
+      q.name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def median(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    }
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(median(ts)) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val raw = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, ts) => median(ts) }.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

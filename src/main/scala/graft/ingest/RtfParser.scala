@@ -45,10 +45,15 @@ object RtfParser {
     var pendingSkip = 0 // fallback chars to swallow after \uN
     var i = 0
     val n = rtf.length
+    // character data (plain chars, \'hh, escaped specials) consumes the
+    // \ucN fallback budget after a \uN; control-word OUTPUT (\par, \tab)
+    // is exempt — the spec's skippable data is characters and \'hh
+    // escapes, not control words
     def emit(c: Char): Unit =
       if (skipDepth == 0) {
         if (pendingSkip > 0) pendingSkip -= 1 else out += c
       }
+    def emitCtl(c: Char): Unit = if (skipDepth == 0) out += c
     while (i < n) {
       rtf.charAt(i) match {
         case '{' =>
@@ -97,9 +102,16 @@ object RtfParser {
             if (k < n && rtf.charAt(k) == ' ') k += 1 // delimiter space consumed
             val num = if (ns.isEmpty) None
               else Some((if (neg) -1 else 1) * ns.toString.toLong)
+            // Any control word ENDS a pending \uN fallback run: the spec's
+            // skippable data is characters and \'hh escapes immediately
+            // following the \u — a control word means the writer emitted
+            // fewer fallback chars than \ucN, and carrying the stale
+            // budget past it would swallow real text (consecutive \uN
+            // escapes back-to-back, or a `\par b` eating the b).
+            pendingSkip = 0
             sb.toString match {
-              case "par" | "line" | "sect" => emit('\n')
-              case "tab" => emit(' ')
+              case "par" | "line" | "sect" => emitCtl('\n')
+              case "tab" => emitCtl(' ')
               case "uc" => ucStack(ucStack.length - 1) =
                 num.getOrElse(1L).toInt.max(0)
               case "u" => num.foreach { cp =>

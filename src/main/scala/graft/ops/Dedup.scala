@@ -392,9 +392,13 @@ object Dedup {
       "recall guarantee needs maxHamming < bands (pigeonhole)")
     val w = bits / bands
     val mask = (1L << w) - 1
+    // band count is a Scala-side constant, so the band slices unroll to a
+    // literal array of Column expressions — no SQL-string interpolation of
+    // the caller's column name (which would break on names needing quoting)
+    val bandSlices = (0 until bands).map(i =>
+      shiftright(col(hashCol), i * w).bitwiseAND(lit(mask)))
     val banded = df.select(col(idCol), col(hashCol),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"i -> shiftright($hashCol, i * $w) & $mask)")).as(Seq("bi", "bv")))
+        posexplode(array(bandSlices: _*)).as(Seq("bi", "bv")))
     val l = banded.select(col("bi"), col("bv"),
       col(idCol).as("id_a"), col(hashCol).as("h_a"))
     val r = banded.select(col("bi"), col("bv"),
@@ -416,15 +420,20 @@ object Dedup {
     * Returns (id, comp) for every id appearing in `edges`, comp = the
     * minimum id reachable from it (the canonical representative).
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes min(own label, neighbors' labels); converged when no label
-    * changed. Per round this is ONE shuffle (join edges with labels on dst
-    * + groupBy src), and the round count is the graph diameter, which for
-    * dedup clusters is small (near-dup groups are dense — usually 1–3
-    * rounds). The convergence check doubles as per-round materialization,
-    * so lineage never stacks beyond one iteration. At extreme diameters the
-    * large-star/small-star variant (Kiveris et al., "Connected Components
-    * in MapReduce", SoCC'14) halves round counts; same per-round shape.
+    * Algorithm: min-label propagation WITH pointer jumping — each round
+    * every node takes min(own label, neighbors' labels), then shortcuts
+    * through its label's own label (label(label(x))). The shortcut makes
+    * each round double the propagation distance, so convergence is
+    * O(log diameter) rounds — a pathological 100-link duplicate chain
+    * (boilerplate-heavy crawl data) converges in ~8 rounds where plain
+    * propagation needs 100 and hits the iteration cap. Per round this is
+    * two equi-joins + one groupBy (edge join on dst, label self-join); the
+    * convergence check doubles as per-round materialization, so lineage
+    * never stacks beyond one iteration. This is the shortcutting half of
+    * the large-star/small-star family (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) without the edge-set
+    * rewriting — the label table shrinks the same way, the (persisted)
+    * edge set is scanned per round.
     *
     * Reference behavior twin: the reference dedups by dropping one side of
     * each verified pair (vectordb upsert keeps first-write); this operator
@@ -467,10 +476,21 @@ object Dedup {
         val nbrMin = sym
           .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), Seq("dst"))
           .groupBy("src").agg(min("nbr_comp").as("nbr_comp"))
-        val next = labels
+        val stepped = labels
           .join(nbrMin.select(col("src").as("id"), col("nbr_comp")), Seq("id"), "left")
           .select(col("id"), col("comp").as("old_comp"),
             least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        // Pointer jumping (shortcutting): additionally replace comp with
+        // label(comp). Labels are monotone non-increasing and label(x) <= x,
+        // so each round DOUBLES the propagation distance — a diameter-d
+        // chain converges in O(log d) rounds instead of O(d), removing the
+        // long-chain cliff (a 100-link boilerplate dup chain: ~8 rounds).
+        // Same per-round shape: one extra equi-join on the label table.
+        val next = stepped
+          .join(labels.select(col("id").as("comp"), col("comp").as("hop")),
+            Seq("comp"), "left")
+          .select(col("id"), col("old_comp"),
+            least(col("comp"), coalesce(col("hop"), col("comp"))).as("comp"))
           .localCheckpoint(true)
         changed = next.filter(col("comp") =!= col("old_comp")).count()
         // `next` is eagerly materialized into its own blocks, so the

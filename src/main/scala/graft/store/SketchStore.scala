@@ -20,17 +20,19 @@ import graft.ops.Sketches
   * IS the fixed-size sketch, so the store's footprint is constant no
   * matter how much data has flowed through it.
   *
-  * Layout under `path/`: `hll/` (register, max_rho), `cms/` (r, idx, cnt),
-  * `stats/` (one row: batches, rows_seen) written LAST — readers key on
-  * stats, so they only ever see a complete pair (the FtsIndexStore
-  * discipline). All writes go through [[DirSwap]].
+  * Layout under `path/`: ONE versioned `state/` directory holding `hll/`
+  * (register, max_rho), `cms/` (r, idx, cnt) and `stats/` (one row:
+  * batches, rows_seen), swapped in as a unit by a single [[DirSwap]]
+  * rename — so a crash mid-append can never leave a new HLL paired with a
+  * stale CMS: readers see the complete old state or the complete new one.
   */
 final class SketchStore(spark: SparkSession, path: String,
                         b: Int = 6, depth: Int = 4, width: Int = 256) {
 
-  private val hllPath = path + "/hll"
-  private val cmsPath = path + "/cms"
-  private val statsPath = path + "/stats"
+  private val statePath = path + "/state"
+  private val hllPath = statePath + "/hll"
+  private val cmsPath = statePath + "/cms"
+  private val statsPath = statePath + "/stats"
 
   private def fs: FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -68,11 +70,12 @@ final class SketchStore(spark: SparkSession, path: String,
     // the union lineage BEFORE the swap replaces the parquet being read
     val hllSnap = hll.localCheckpoint(true)
     val cmsSnap = cms.localCheckpoint(true)
-    DirSwap.swapInto(fs, path, hllPath)(tmp =>
-      hllSnap.coalesce(1).write.mode("overwrite").parquet(tmp))
-    DirSwap.swapInto(fs, path, cmsPath)(tmp =>
-      cmsSnap.coalesce(1).write.mode("overwrite").parquet(tmp))
-    DirSwap.swapInto(fs, path, statsPath)(tmp =>
+    // all three tables land in one tmp dir and swap in with a SINGLE
+    // rename — individually-atomic per-table swaps would still let a crash
+    // between them pair a new hll/ with a stale cms/stats
+    DirSwap.swapInto(fs, path, statePath) { tmp =>
+      hllSnap.coalesce(1).write.mode("overwrite").parquet(tmp + "/hll")
+      cmsSnap.coalesce(1).write.mode("overwrite").parquet(tmp + "/cms")
       spark.createDataFrame(java.util.Arrays.asList(
           org.apache.spark.sql.Row(batches, rows)),
         org.apache.spark.sql.types.StructType(Seq(
@@ -80,7 +83,8 @@ final class SketchStore(spark: SparkSession, path: String,
             org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("rows_seen",
             org.apache.spark.sql.types.LongType, nullable = false))))
-        .coalesce(1).write.mode("overwrite").parquet(tmp))
+        .coalesce(1).write.mode("overwrite").parquet(tmp + "/stats")
+    }
   }
 
   /** current distinct-count estimate (HLL estimator over stored registers) */

@@ -101,34 +101,61 @@ object StreamingIngest {
     // parquet file can't be streamed directly — stage a symlink to it in a
     // fresh temp dir and stream that dir. (Production corpora are
     // directories of part files anyway; this shim is test-data-shaped.)
-    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    stageDir.toFile.deleteOnExit()
-    val target = java.nio.file.Paths.get(eventsPath).toAbsolutePath
+    val stageDir = stageSource(eventsPath)
+    try {
+      val raw = spark.readStream.schema(schema).parquet(stageDir.toString)
+      // same conditional ns→µs cast as Tables.load: a TIMESTAMP(NANOS) file
+      // surfaces ts as a raw nanos long (nanosAsLong) needing the DIV-1000
+      // conversion; a µs-typed file is already a usable timestamp
+      val ev =
+        if (schema.exists(f => f.name == "ts" &&
+              f.dataType == org.apache.spark.sql.types.LongType))
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        else raw
+      val agg = ev
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 8)))
+            .cast("double").as("sum_value"))
+      runToMemorySink(spark, agg, OutputMode.Complete(), "graft_stream_rollup")(
+        _.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("cnt"), col("sum_value")))
+    } finally deleteRecursively(stageDir)
+  }
+
+  /** Stage `path` (a flat parquet file OR a directory of part files) into
+    * a fresh temp dir for FileStreamSource. Symlink when the filesystem
+    * supports it; otherwise a RECURSIVE copy — a flat `Files.copy` on a
+    * directory target would create only an empty directory and the stream
+    * would silently drain zero rows. Caller deletes the returned dir
+    * (via [[deleteRecursively]]) once the drain completes; `deleteOnExit`
+    * cannot remove a non-empty directory. */
+  private def stageSource(path: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val stageDir = Files.createTempDirectory("graft_stream_src")
+    val target = Paths.get(path).toAbsolutePath
     val staged = stageDir.resolve(target.getFileName.toString)
-    // symlink when the filesystem supports it, copy otherwise
-    try java.nio.file.Files.createSymbolicLink(staged, target)
+    try { Files.createSymbolicLink(staged, target); () }
     catch {
       case _: UnsupportedOperationException | _: java.io.IOException =>
-        java.nio.file.Files.copy(target, staged)
+        if (Files.isDirectory(target)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(target).iterator().asScala.foreach { p =>
+            val dst = staged.resolve(target.relativize(p).toString)
+            if (Files.isDirectory(p)) Files.createDirectories(dst): Unit
+            else { Files.createDirectories(dst.getParent)
+                   Files.copy(p, dst): Unit }
+          }
+        } else Files.copy(target, staged): Unit
     }
-    val raw = spark.readStream.schema(schema).parquet(stageDir.toString)
-    // same conditional ns→µs cast as Tables.load: a TIMESTAMP(NANOS) file
-    // surfaces ts as a raw nanos long (nanosAsLong) needing the DIV-1000
-    // conversion; a µs-typed file is already a usable timestamp
-    val ev =
-      if (schema.exists(f => f.name == "ts" &&
-            f.dataType == org.apache.spark.sql.types.LongType))
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
-    val agg = ev
-      .withWatermark("ts", "30 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 8)))
-          .cast("double").as("sum_value"))
-    runToMemorySink(spark, agg, OutputMode.Complete(), "graft_stream_rollup")(
-      _.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
-        col("event_type"), col("cnt"), col("sum_value")))
+    stageDir
+  }
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   /** Streaming feed → batch monitor: hourly TOTAL event volume maintained
@@ -141,28 +168,23 @@ object StreamingIngest {
   def hourlyAnomalyAvailableNow(spark: org.apache.spark.sql.SparkSession,
                                 eventsPath: String): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
-    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    stageDir.toFile.deleteOnExit()
-    val target = java.nio.file.Paths.get(eventsPath).toAbsolutePath
-    val staged = stageDir.resolve(target.getFileName.toString)
-    try java.nio.file.Files.createSymbolicLink(staged, target)
-    catch {
-      case _: UnsupportedOperationException | _: java.io.IOException =>
-        java.nio.file.Files.copy(target, staged): Unit
-    }
-    val raw = spark.readStream.schema(schema).parquet(stageDir.toString)
-    val ev =
-      if (schema.exists(f => f.name == "ts" &&
-            f.dataType == org.apache.spark.sql.types.LongType))
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
-    val agg = ev
-      .withWatermark("ts", "30 minutes")
-      .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("cnt"))
-    val snapshot = runToMemorySink(spark, agg, OutputMode.Complete(),
-      "graft_stream_anomaly")(
-      _.select(col("window.start").as("h"), col("cnt")))
+    val stageDir = stageSource(eventsPath)
+    val snapshot =
+      try {
+        val raw = spark.readStream.schema(schema).parquet(stageDir.toString)
+        val ev =
+          if (schema.exists(f => f.name == "ts" &&
+                f.dataType == org.apache.spark.sql.types.LongType))
+            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          else raw
+        val agg = ev
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("cnt"))
+        runToMemorySink(spark, agg, OutputMode.Complete(),
+          "graft_stream_anomaly")(
+          _.select(col("window.start").as("h"), col("cnt")))
+      } finally deleteRecursively(stageDir)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("h").rowsBetween(-24, -1)
     snapshot

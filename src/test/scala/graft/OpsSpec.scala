@@ -1257,12 +1257,14 @@ class OpsSpec extends AnyFunSuite {
       assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
     } finally comp.unpersist()
 
-    // a long path stresses the iteration bound (diameter = 12)
-    val path = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // a 100-link path graph (diameter 100): pointer jumping must converge
+    // in O(log d) rounds, well under the 25-round cap that plain label
+    // propagation would blow through — the boilerplate-dup-chain cliff
+    val path = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val pc = Dedup.connectedComponents(path)
     try {
       val pm = pc.as[(Long, Long)].collect().toMap
-      assert(pm.size === 13 && pm.values.forall(_ === 0L))
+      assert(pm.size === 101 && pm.values.forall(_ === 0L))
     } finally pc.unpersist()
 
     // edge direction must not matter

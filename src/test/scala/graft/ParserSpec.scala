@@ -260,6 +260,16 @@ class ParserSpec extends AnyFunSuite {
     // inside triple quotes
     assert(RtfParser.toText("{\\rtf1 \\" + "u916?delta\\par}") === "Δdelta")
     assert(RtfParser.toText("{\\rtf1\\uc2 \\" + "u916??x\\par}") === "Δx")
+    // consecutive \u with NO interleaved fallback chars (lazy writers):
+    // each new \u cancels the prior unconsumed budget — the stale budget
+    // must not swallow the following real text
+    assert(RtfParser.toText("{\\rtf1 \\" + "u26085\\" + "u26412? abc\\par}")
+      === "日本 abc")
+    // control-word output (\par, \tab) is exempt from \uc fallback
+    // counting: \u916 directly before \par still yields the break AND the
+    // following text intact
+    assert(RtfParser.toText("{\\rtf1 a\\" + "u916\\par b\\par}") === "aΔ\n\nb")
+    assert(RtfParser.toText("{\\rtf1 \\" + "u916\\tab x\\par}") === "Δ x")
     // \tab and \~ are spaces; \line breaks a paragraph
     assert(RtfParser.toText("""{\rtf1 a\tab b\~c\line d\par}""") === "a b c\n\nd")
     // refuse-don't-garble
