@@ -12,8 +12,10 @@ package graft.ingest
   * What is read (all public TN #5176 structures):
   *  - the header + Name INDEX + Top DICT INDEX + String INDEX walk
   *  - Top DICT operators: charset (15), Encoding (16), CharStrings (17);
-  *    a ROS (12 30) marks a CID-keyed font → None (its charset maps
-  *    glyphs to CIDs, not names — no built-in code→name exists)
+  *    a ROS (12 30) marks a CID-keyed font → None from
+  *    [[builtinEncoding]] (its charset maps glyphs to CIDs, not names —
+  *    no built-in code→name exists); [[cidKeyed]] reads that shape
+  *    instead (ROS strings + GID→CID charset) for the Type0 route
   *  - Charset formats 0/1/2 and the predefined ISOAdobe charset (id 0);
   *    the predefined Expert charsets (1/2) are refused
   *  - Encoding formats 0/1, each with optional supplements; predefined
@@ -41,6 +43,47 @@ private[graft] object CffFont {
   def builtinEncoding(cff: Array[Byte]): Option[Builtin] =
     try parse(cff)
     catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A CID-keyed CFF's text-relevant structures: the /ROS registry and
+    * ordering strings, the charset's GID → CID array, and an SID → string
+    * resolver (standard strings ∘ String INDEX). The caller decides
+    * whether the CIDs are name-recoverable (see PdfTextParser's
+    * cidFontCMap: Identity-ordered fonts whose CIDs are live SIDs). */
+  private[graft] final case class CidKeyed(registry: String, ordering: String,
+      gidToCid: Array[Int], sidName: Int => Option[String])
+
+  /** CID-keyed CFF (TN #5176 §18) reader, or None = not CID-keyed /
+    * structurally unsound. Requires an EXPLICIT charset (predefined
+    * charsets are invalid in CIDFonts — §18: "the charset data … must be
+    * a charset"), which for a CID font maps GID → CID. */
+  def cidKeyed(cff: Array[Byte]): Option[CidKeyed] =
+    try parseCid(cff)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseCid(d: Array[Byte]): Option[CidKeyed] = {
+    if (d.length < 4) return None
+    val hdrSize = d(2) & 0xFF
+    val (_, afterNames) = readIndex(d, hdrSize)
+    val (topDicts, afterTop) = readIndex(d, afterNames)
+    val top = topDicts.headOption.map(parseDict).getOrElse(return None)
+    val ros = top.getOrElse((12, 30), return None) // no ROS ⇒ not CID-keyed
+    val (strings, _) = readIndex(d, afterTop)
+    def sidName(sid: Int): Option[String] =
+      if (sid < 0) None
+      else if (sid < StdStrings.length) Some(StdStrings(sid))
+      else if (sid < 391) None
+      else strings.lift(sid - 391)
+        .map(b => new String(b, java.nio.charset.StandardCharsets.US_ASCII))
+    val registry = ros.lift(0).flatMap(v => sidName(v.toInt)).getOrElse(return None)
+    val ordering = ros.lift(1).flatMap(v => sidName(v.toInt)).getOrElse(return None)
+    val charStringsOff = top.get((0, 17)).flatMap(_.headOption).map(_.toInt)
+      .getOrElse(return None)
+    val nGlyphs = be16(d, charStringsOff)
+    val charsetOff = top.get((0, 15)).flatMap(_.headOption).map(_.toInt).getOrElse(0)
+    if (charsetOff <= 2) return None // predefined charset: invalid in a CIDFont
+    val cids = charsetSids(d, charsetOff, nGlyphs).getOrElse(return None)
+    Some(CidKeyed(registry, ordering, cids, sidName))
+  }
 
   private def parse(d: Array[Byte]): Option[Builtin] = {
     if (d.length < 4) return None

@@ -114,8 +114,15 @@ object PdfFixtures {
   *  - mode 11: the text behind a /Form XObject Do under an identity CTM
   *  - mode 12: a simple-font /Encoding /Differences array of uniXXXX
   *    names re-seating every character (the pdftex/LaTeX shape)
+  *  - mode 13: a CIDFontType0C composite font (Identity-H, CID-keyed CFF
+  *    in /FontFile3, NO /ToUnicode) whose Identity-ordered CIDs are
+  *    String-INDEX SIDs of uniXXXX names — the name-preserving
+  *    Type1→CID repackaging class; only the CffFont.cidKeyed charset
+  *    walk (codes = CIDs = SIDs → names → AGL) reproduces the text
+  *  - mode 14: AES-256-CBC V=5/R=6 /AESV3 encryption (empty user
+  *    password, Algorithm-2.B iterated hash, file key wrapped in /UE)
   *
-  * Any decoder regression changes the extracted text for one-thirteenth
+  * Any decoder regression changes the extracted text for one-fifteenth
   * of the corpus and breaks the hash compare. */
 object PdfTextFixtures {
   import java.nio.charset.StandardCharsets.ISO_8859_1
@@ -126,7 +133,7 @@ object PdfTextFixtures {
       s"1 0 0 1 72 ${720 - 24 * i} Tm <$hex> Tj"
     }.mkString(" ")
     val raw = s"BT /F1 12 Tf $shows ET".getBytes(ISO_8859_1)
-    (docId % 13) match {
+    (docId % 15) match {
       case 0 => classic(raw, "")
       case 1 => classic(deflate(raw), " /Filter /FlateDecode")
       case 2 => classic(hexEnc(deflate(raw)),
@@ -141,7 +148,9 @@ object PdfTextFixtures {
       case 10 => classic(deflate(pngUp(raw, 48)),
         " /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 48 >>")
       case 11 => formXObjectPdf(raw)
-      case _ => differencesPdf(lines.filter(_.nonEmpty), raw)
+      case 12 => differencesPdf(lines.filter(_.nonEmpty), raw)
+      case 13 => cidCffPdf(lines.filter(_.nonEmpty), raw)
+      case _ => aesV3Encrypted(deflate(raw))
     }
   }
 
@@ -361,6 +370,133 @@ object PdfTextFixtures {
     sb ++= obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Seated " +
       s"/Encoding << /Type /Encoding /Differences [1 $diffs] >> >>")
     sb ++= "%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  // ---- mode 13: CIDFontType0C (CID-keyed CFF, Identity-H, no /ToUnicode) ----
+
+  /** every distinct char gets GID i+1 whose charset CID is the
+    * String-INDEX SID of its uniXXXX name (SIDs 391="Adobe",
+    * 392="Identity" for the /ROS, then 393+i per glyph) — the
+    * name-preserving Type1→CID repackaging shape. Shows are 2-byte CID
+    * codes under /Identity-H. Decoding needs the full CffFont.cidKeyed
+    * walk: code = CID = SID → name → AGL; byte or pairwise-blind decoding
+    * yields nothing. Non-BMP / oversized texts fall back to Flate (text
+    * identical either way, oracle unaffected). */
+  private def cidCffPdf(text: Seq[String], rawUtf16: Array[Byte]): Array[Byte] = {
+    val chars = text.flatten.distinct
+    if (chars.length > 1000 || chars.exists(_.isSurrogate))
+      return classic(deflate(rawUtf16), " /Filter /FlateDecode")
+    val cidOf = chars.zipWithIndex.map { case (c, i) => c -> (393 + i) }.toMap
+    val shows = text.zipWithIndex.map { case (l, i) =>
+      val hx = l.map(c => f"${cidOf(c)}%04X").mkString
+      s"1 0 0 1 72 ${720 - 24 * i} Tm <$hx> Tj"
+    }.mkString(" ")
+    val content = s"BT /F1 12 Tf $shows ET".getBytes(ISO_8859_1)
+    val font = cidKeyedCff(chars.map(c => f"uni${c.toInt}%04X"))
+    val sb = new StringBuilder("%PDF-1.5\n")
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>")
+    sb ++= streamObj(4, content, "")
+    sb ++= obj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /SeatedCID " +
+      "/Encoding /Identity-H /DescendantFonts [6 0 R] >>")
+    sb ++= obj(6, "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /SeatedCID " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+      "/Supplement 0 >> /FontDescriptor 7 0 R >>")
+    sb ++= obj(7, "<< /Type /FontDescriptor /FontName /SeatedCID /FontFile3 8 0 R >>")
+    sb ++= s"8 0 obj\n<< /Length ${font.length} /Subtype /CIDFontType0C >>\nstream\n" +
+      new String(font, ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  /** minimal CID-keyed CFF (TN #5176 §18): Top DICT carries
+    * ROS(391, 392, 0), an explicit format-0 charset mapping GID i+1 →
+    * CID 393+i, endchar charstrings, and the §18-required FDArray (one
+    * empty-Private font DICT) + FDSelect (format 3, one range). The
+    * String INDEX holds "Adobe", "Identity", then the glyph names, so
+    * SID 391+k resolves them in order. Offsets are fixed-width 4-byte
+    * DICT ints so the Top DICT length is independent of their values. */
+  private def cidKeyedCff(names: Seq[String]): Array[Byte] = {
+    def index2(entries: Seq[Array[Byte]]): Array[Byte] = {
+      if (entries.isEmpty) return Array[Byte](0, 0)
+      val offs = entries.scanLeft(1)((a, e) => a + e.length)
+      Array[Byte]((entries.size >> 8).toByte, (entries.size & 0xFF).toByte, 2) ++
+        offs.flatMap(o => Seq((o >> 8).toByte, (o & 0xFF).toByte)).toArray ++
+        entries.flatten.toArray
+    }
+    def int5(v: Int): Array[Byte] =
+      Array[Byte](29, (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val n = names.length
+    val header = Array[Byte](1, 0, 4, 1)
+    val nameIdx = index2(Seq("SeatedCIDFont".getBytes(ISO_8859_1)))
+    def topDict(csOff: Int, cstrOff: Int, fdaOff: Int, fdsOff: Int): Array[Byte] =
+      int5(391) ++ int5(392) ++ int5(0) ++ Array[Byte](12, 30) ++ // ROS
+        int5(csOff) ++ Array[Byte](15) ++
+        int5(cstrOff) ++ Array[Byte](17) ++
+        int5(fdaOff) ++ Array[Byte](12, 36) ++
+        int5(fdsOff) ++ Array[Byte](12, 37)
+    val topIdxLen = index2(Seq(topDict(0, 0, 0, 0))).length
+    val stringIdx = index2(
+      (Seq("Adobe", "Identity") ++ names).map(_.getBytes(ISO_8859_1)))
+    val base = header.length + nameIdx.length + topIdxLen + stringIdx.length
+    val charset = Array[Byte](0) ++
+      (0 until n).flatMap { i =>
+        val cid = 393 + i
+        Seq((cid >> 8).toByte, (cid & 0xFF).toByte)
+      }.toArray
+    val charstrings = index2(Seq.fill(n + 1)(Array[Byte](14))) // endchar
+    // FDSelect format 3: one range covering every glyph → font DICT 0
+    val fdSelect = Array[Byte](3, 0, 1, 0, 0, 0,
+      ((n + 1) >> 8).toByte, ((n + 1) & 0xFF).toByte)
+    val csOff = base
+    val cstrOff = csOff + charset.length
+    val fdsOff = cstrOff + charstrings.length
+    val fdaOff = fdsOff + fdSelect.length
+    // FDArray: one font DICT whose Private points at a 2-byte empty dict
+    // directly after the INDEX (size 0 is tolerated by lenient readers)
+    val fdArray = index2(Seq(int5(0) ++ int5(fdaOff) ++ Array[Byte](18)))
+    header ++ nameIdx ++ index2(Seq(topDict(csOff, cstrOff, fdaOff, fdsOff))) ++
+      stringIdx ++ charset ++ charstrings ++ fdSelect ++ fdArray
+  }
+
+  // ---- mode 14: AES-256 V=5/R=6 /AESV3 crypt filters ----
+
+  // fixed salts/key make the fixture deterministic; U/UE are derived by
+  // the FORWARD halves of ISO 32000-2 §7.6.4 (Algorithm 2.B hash, file
+  // key wrapped under the intermediate key with a zero IV)
+  private val v5FileKey = Array.tabulate[Byte](32)(i => (i * 13 + 7).toByte)
+  private val v5ValSalt = Array.tabulate[Byte](8)(i => (i * 3 + 1).toByte)
+  private val v5KeySalt = Array.tabulate[Byte](8)(i => (i * 5 + 2).toByte)
+  private lazy val v5U =
+    PdfDecrypt.hash2B(Array.emptyByteArray, v5ValSalt, Array.emptyByteArray) ++
+      v5ValSalt ++ v5KeySalt
+  private lazy val v5UE = {
+    val iKey =
+      PdfDecrypt.hash2B(Array.emptyByteArray, v5KeySalt, Array.emptyByteArray)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(iKey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    c.doFinal(v5FileKey)
+  }
+
+  private def aesV3Encrypted(content: Array[Byte]): Array[Byte] = {
+    // V=5 uses ONE file key for every object (no per-object derivation)
+    val enc = PdfDecrypt.aesCbcEncrypt(v5FileKey,
+      Array.fill[Byte](16)(0x3C), content)
+    val oEntry48 = Array.tabulate[Byte](48)(i => (i * 9 + 4).toByte)
+    val sb = new StringBuilder("%PDF-2.0\n")
+    structural.foreach { case (n, b) => sb ++= obj(n, b) }
+    sb ++= streamObj(4, enc, " /Filter /FlateDecode")
+    sb ++= obj(8, "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+      s"/StmF /StdCF /StrF /StdCF /O <${hex(oEntry48)}> /U <${hex(v5U)}> " +
+      s"/UE <${hex(v5UE)}> /P -44 >>")
+    sb ++= s"trailer\n<< /Root 1 0 R /Size 9 /Encrypt 8 0 R " +
+      s"/ID [<${hex(fileId)}> <${hex(fileId)}>] >>\n%%EOF\n"
     sb.toString.getBytes(ISO_8859_1)
   }
 

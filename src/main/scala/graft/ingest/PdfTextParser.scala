@@ -46,7 +46,11 @@ import scala.collection.mutable
   *    inverting the embedded TrueType font's own 'cmap' table
   *    ([[TrueTypeCmap]]; /Identity-H CIDFontType2 + /FontFile2, with
   *    /CIDToGIDMap stream or Identity) — subset fonts routinely retain
-  *    'cmap', which is the same fallback mupdf leans on
+  *    'cmap', which is the same fallback mupdf leans on; for
+  *    CIDFontType0C (bare CID-keyed CFF in /FontFile3), Identity-ordered
+  *    name-preserving fonts decode through the CFF charset's CIDs as
+  *    SIDs → glyph names → AGL ([[CffFont.cidKeyed]], ≥80% structural
+  *    verification before any glyph is emitted)
   *  - simple-font /Encoding /Differences arrays: byte code → glyph name
   *    → unicode ([[GlyphNames]], AGL subset + uniXXXX) — the pdftex/
   *    LaTeX shape that re-seats ligatures, curly quotes, and accents
@@ -64,11 +68,12 @@ import scala.collection.mutable
   *
   * Not supported (emit nothing rather than garbage): DCT/CCITT/JBIG2/JPX
   * filters, CMap codespaces with bounds wider than 2 bytes, CID fonts
-  * whose embedded font is CFF (CIDFontType0C — its charset maps glyphs
-  * to CIDs, not names) or has a stripped 'cmap' —
-  * their glyph-id shows are consumed pairwise and DROPPED (not
-  * byte-garbled). These are the cases the reference delegates to mupdf's font
-  * machinery; the boundary is documented in SURVEY §7.
+  * with a stripped 'cmap', and registry-ordered CID-CFF collections
+  * (Adobe-Japan1 etc. — CID→unicode needs the collection's published
+  * UCS-2 tables, not shipped here) — their glyph-id shows are consumed
+  * pairwise and DROPPED (not byte-garbled). These are the cases the
+  * reference delegates to mupdf's font machinery; the boundary is
+  * documented in SURVEY §7.
   *
   * Scale shape: [[parseItems]] is a pure per-document function — the corpus
   * path runs it inside a `flatMap` over a `binaryFile` scan (one pass, no
@@ -918,7 +923,7 @@ object PdfTextParser {
         byNum.get(n).flatMap(o => o.stream.flatMap(decode(_, o.dict)))
       case _ => None
     }
-    val cm = for {
+    val descOpt = for {
       _ <- fd.m.get("Subtype").collect { case PName("Type0") => () }
       _ <- fd.m.get("Encoding").collect {
              case PName("Identity-H") | PName("Identity-V") => () }
@@ -926,6 +931,9 @@ object PdfTextParser {
         case Some(PArr(Vector(one))) => asDict(one)
         case _ => None
       }
+    } yield desc
+    val viaTrueType = for {
+      desc <- descOpt
       _ <- desc.m.get("Subtype").collect { case PName("CIDFontType2") => () }
       fdesc <- desc.m.get("FontDescriptor").flatMap(asDict)
       fontBytes <- fdesc.m.get("FontFile2").flatMap(streamOf)
@@ -947,7 +955,50 @@ object PdfTextParser {
       }
       CMap(List(2), Vector((2, 0, 0xFFFF)), m)
     }
-    cm.filter(!_.isEmpty)
+    viaTrueType.orElse(cidCffCMap(descOpt, asDict _, streamOf _))
+      .filter(!_.isEmpty)
+  }
+
+  /** CIDFontType0C (bare CID-keyed CFF in /FontFile3) without /ToUnicode:
+    * show codes under Identity-H ARE CIDs (ISO 32000 §9.7.4.2), and the
+    * CFF's own charset maps each glyph to its CID — but a CID carries
+    * unicode only through its /ROS collection. Two regimes:
+    *
+    *  - Identity-ORDERED fonts (ROS ordering "Identity"): the CID space is
+    *    producer-defined. The recoverable class is name-preserving
+    *    conversions (Type1→CID repackaging that kept glyph names in the
+    *    String INDEX and assigned each glyph's SID as its CID), verified
+    *    structurally: ≥80% of the charset's CIDs must resolve THROUGH THE
+    *    FONT'S OWN STRING INDEX (SIDs ≥ 391) to glyph names with known
+    *    unicode. Standard-strings resolution is deliberately excluded:
+    *    an opaque CID=GID subset font's small sequential CIDs would
+    *    otherwise "resolve" through the standard SID table (CID 34 →
+    *    "A") and garble — custom strings are the structural evidence
+    *    that the producer actually preserved names.
+    *  - Registry-ORDERED collections (Adobe-Japan1, -GB1, -CNS1, -Korea1):
+    *    CID→unicode needs the collection's published UCS-2 tables, which
+    *    this library does not ship → refuse; shows drop pairwise (the
+    *    DROP-pinned emit-nothing posture, tested in PdfParserSpec).
+    *
+    * /CIDToGIDMap is NOT consulted: it is defined only for CIDFontType2
+    * (§9.7.4.2); in CIDFontType0 the CFF charset is the CID↔glyph map. */
+  private def cidCffCMap(descOpt: Option[PDict],
+                         asDict: PVal => Option[PDict],
+                         streamOf: PVal => Option[Array[Byte]]): Option[CMap] = {
+    for {
+      desc <- descOpt
+      _ <- desc.m.get("Subtype").collect { case PName("CIDFontType0") => () }
+      fdesc <- desc.m.get("FontDescriptor").flatMap(asDict)
+      fontBytes <- fdesc.m.get("FontFile3").flatMap(streamOf)
+      ck <- CffFont.cidKeyed(fontBytes)
+      if ck.ordering == "Identity"
+      pairs = ck.gidToCid.iterator.drop(1).filter(_ >= 391).flatMap { cid =>
+        ck.sidName(cid).flatMap(GlyphNames.toUnicode).map(cid -> _)
+      }.toVector
+      total = math.max(1, ck.gidToCid.length - 1)
+      if pairs.size * 5 >= total * 4 // ≥80% of glyphs name-resolve
+    } yield CMap(List(2), Vector((2, 0, 0xFFFF)),
+      pairs.map { case (cid, u) => (2, cid) -> u }.toMap)
   }
 
   // ---- Form XObjects (§8.10: reusable content referenced via Do) ----

@@ -1186,6 +1186,83 @@ class PdfParserSpec extends AnyFunSuite {
     assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("A"))
   }
 
+  // ---- CIDFontType0C (CID-keyed CFF composite fonts) ----
+
+  /** DICT integer operand WITHOUT an operator (for multi-operand ops) */
+  private def opnd(v: Int): Array[Byte] =
+    Array[Byte](29, (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  /** composite-font one-pager: Type0/Identity-H → CIDFontType0 descendant
+    * → /FontFile3 tagged /CIDFontType0C, no /ToUnicode */
+  private def cidCffFontPdf(content: String, cff: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.6\n"
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>")
+    sb ++= streamObj(4, content, compress = false)
+    sb ++= obj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /T-Identity-H " +
+      "/Encoding /Identity-H /DescendantFonts [6 0 R] >>")
+    sb ++= obj(6, "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /T " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+      "/Supplement 0 >> /FontDescriptor 7 0 R >>")
+    sb ++= obj(7, "<< /Type /FontDescriptor /FontName /T /FontFile3 8 0 R >>")
+    sb ++= s"8 0 obj\n<< /Length ${cff.length} /Subtype /CIDFontType0C >>\nstream\n" +
+      new String(cff, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  test("CIDFontType0C: name-preserving Identity CIDs decode via the charset") {
+    // ROS (Adobe=391, Identity=392, 0); GIDs 1..3 carry CIDs 393..395 =
+    // the String-INDEX SIDs of uni0048/uni0069/uni2603 — show codes under
+    // Identity-H ARE those CIDs
+    val ros = opnd(391) ++ opnd(392) ++ opnd(0) ++ Array[Byte](12, 30)
+    val cs = Array[Byte](0) ++ Seq(393, 394, 395).flatMap(s =>
+      Seq((s >> 8).toByte, (s & 0xFF).toByte)).toArray
+    val strings = Seq("Adobe", "Identity", "uni0048", "uni0069", "uni2603")
+    val cff = mkCffRaw(Some(cs), 4, None, strings, ros)
+    // unit: the CID-keyed reader surfaces ROS strings + GID→CID
+    val ck = graft.ingest.CffFont.cidKeyed(cff).get
+    assert(ck.registry === "Adobe" && ck.ordering === "Identity")
+    assert(ck.gidToCid.toSeq === Seq(0, 393, 394, 395))
+    // end-to-end: 0189 018A 018B = CIDs 393/394/395 → "Hi☃"; an unmapped
+    // CID (0999) drops pairwise, never byte-garbles
+    val pdf = cidCffFontPdf(
+      "BT /F1 12 Tf 72 720 Td <0189018A018B0999> Tj ET", cff)
+    assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("Hi☃"))
+  }
+
+  test("CIDFontType0C refuse classes DROP: registry-ordered and opaque CIDs") {
+    // Adobe-Japan1 shape: ordering != Identity → CID→unicode needs the
+    // collection's UCS-2 tables (not shipped) → shows drop pairwise
+    val rosJp = opnd(391) ++ opnd(392) ++ opnd(0) ++ Array[Byte](12, 30)
+    val csNum = Array[Byte](0) ++ Seq(1200, 1201).flatMap(s =>
+      Seq((s >> 8).toByte, (s & 0xFF).toByte)).toArray
+    val jp = mkCffRaw(Some(csNum), 3, None, Seq("Adobe", "Japan1"), rosJp)
+    assert(graft.ingest.CffFont.cidKeyed(jp).get.ordering === "Japan1")
+    assert(PdfTextParser.parseItems(cidCffFontPdf(
+      "BT /F1 12 Tf 72 720 Td <04B004B1> Tj ET", jp)) === Seq.empty)
+    // opaque Identity subset (CID=GID): the small CIDs would "resolve"
+    // through the STANDARD strings (CID 34 = "A") — the String-INDEX-only
+    // rule must refuse rather than emit that false decode
+    val csSeq = Array[Byte](0, 0, 34, 0, 35) // GID1→CID34, GID2→CID35
+    val opaque = mkCffRaw(Some(csSeq), 3, None, Seq("Adobe", "Identity"), rosJp)
+    assert(graft.ingest.CffFont.cidKeyed(opaque).get.ordering === "Identity")
+    assert(PdfTextParser.parseItems(cidCffFontPdf(
+      "BT /F1 12 Tf 72 720 Td <00220023> Tj ET", opaque)) === Seq.empty)
+  }
+
+  test("fixture modes 13 (CID-CFF) and 14 (AESV3) round-trip the text") {
+    import graft.ingest.PdfTextFixtures
+    val lines = Seq("Hello CID keyed world.", "Second line here.", "")
+    for (mode <- Seq(13L, 14L)) {
+      val got = PdfTextParser.parseItems(PdfTextFixtures.textPdf(mode, lines))
+      assert(got.map(_.text) === lines.filter(_.nonEmpty), s"mode $mode")
+    }
+  }
+
   test("CFF format equivalence: charset 0/1/2 and encoding 0/1 agree") {
     // one font, four spellings: explicit-SID charset vs range charsets,
     // code-list encoding vs range encoding — the parsed builtin map must
