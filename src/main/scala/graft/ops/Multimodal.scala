@@ -13,12 +13,13 @@ import org.apache.spark.sql.types._
   * BMP, 8-bit RGB PNG (CRC-verified chunk walk, zlib IDAT, all five
   * scanline filters), palette GIF (LSB-first variable-width LZW,
   * interlace remap), RIFF/PCM WAV, and RIFF AVI (nested LISTs, raw BGR
-  * frames). Only [[decodeFeatures]]/[[resizeStub]] remain deterministic
-  * stand-ins — the seam where an external model/codec would go. Everything
-  * Spark-side is real either way: binary column schema, mapPartitions batch
-  * shape, frame-range arithmetic, and the partitioning-friendly layout
-  * (payload stays columnar, metadata is a pruned struct — a scan that only
-  * needs metadata never reads payload bytes at 100 TB).
+  * frames). The transform stages (bilinear resize, audio resample,
+  * per-image stats, scene cuts) operate on those real decodes; the only
+  * remaining external seam is the VLM forward pass (ingest/VisualCaption).
+  * Everything Spark-side is real: binary column schema, mapPartitions
+  * batch shape, frame-range arithmetic, and the partitioning-friendly
+  * layout (payload stays columnar, metadata is a pruned struct — a scan
+  * that only needs metadata never reads payload bytes at 100 TB).
   */
 object Multimodal {
 
@@ -44,42 +45,6 @@ object Multimodal {
         col(sourceCol).as("source"),
         length(col(textCol).cast("binary")).cast("long").as("bytes"),
         lit("raw/v1").as("codec")).as("meta"))
-
-  /** Decode stub via mapPartitions (the real-model seam): deterministic
-    * byte statistics stand in for decoded features. Batch shape, schema and
-    * null-safety are production-real; the `???` is the codec call. */
-  def decodeFeatures(media: DataFrame): DataFrame = {
-    val outSchema = media.schema
-      .add("feat_mean", DoubleType).add("feat_max", IntegerType)
-    val payloadIdx = media.schema.fieldIndex("payload")
-    media.mapPartitions { it =>
-      // val codec = loadCodec()   <- real decoder would initialize here, once
-      it.map { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        // STUB: real impl decodes pixels/samples; fake = byte statistics
-        val mean = if (bytes.isEmpty) 0.0
-          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-        val mx = if (bytes.isEmpty) 0 else bytes.map(_ & 0xff).max
-        Row.fromSeq(r.toSeq :+ (math.rint(mean * 100) / 100) :+ mx)
-      }
-    }(Encoders.row(outSchema))
-  }
-
-  /** Resize stub: deterministic payload downsampling (every `factor`-th
-    * byte) standing in for pixel-grid resampling. The Spark-side contract is
-    * real — binary in, smaller binary out, per-row projection, metadata
-    * updated — the byte math is the `???` a codec would replace. */
-  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
-    require(factor >= 1, "factor must be >= 1")
-    val f = udf((payload: Array[Byte]) =>
-      payload.zipWithIndex.collect { case (b, i) if i % factor == 0 => b })
-    media
-      .withColumn("payload", f(col("payload")))
-      .withColumn("meta", struct(
-        col("meta.source").as("source"),
-        length(col("payload")).cast("long").as("bytes"),
-        concat(col("meta.codec"), lit(s"/resized-1:$factor")).as("codec")))
-  }
 
   // ------------------------------------------------------------- resize --
 

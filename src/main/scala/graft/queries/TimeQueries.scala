@@ -282,6 +282,27 @@ object TimeQueries {
              |  round((cnt - mean) / sd, 4) AS z
              |FROM win WHERE n_win = 24 AND sd > 0 ORDER BY hour""".stripMargin)),
 
+    // ----- the same anomaly feed in UPDATE output mode: the watermark
+    // EVICTS window state as the event-time frontier advances (bounded
+    // state — the deployment shape for an unbounded feed), and the oracle
+    // hash-proves the evicting run still equals the batch truth. State
+    // bounds are spec-gated in StreamingSpec via StreamRunStats. -----
+    Q("e_stream_anomaly_update",
+      (s, d) => graft.streaming.StreamingIngest
+        .hourlyAnomalyUpdateMode(s, s"$d/events.parquet"),
+      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |win AS (SELECT h, cnt,
+             |    count(*) OVER w AS n_win,
+             |    avg(cnt) OVER w AS mean,
+             |    stddev_samp(cnt) OVER w AS sd
+             |  FROM hourly
+             |  WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |SELECT strftime(h, '%Y-%m-%d %H:%M') AS hour, cnt,
+             |  round(mean, 4) AS mean24,
+             |  round((cnt - mean) / sd, 4) AS z
+             |FROM win WHERE n_win = 24 AND sd > 0 ORDER BY hour""".stripMargin)),
+
     // ----- ordered funnel conversion: view → click → purchase, each stage
     // strictly AFTER the previous stage's first completion (min-ts chain:
     // one pre-aggregation per stage joined on user_id — never a per-event

@@ -152,6 +152,49 @@ object StreamingIngest {
     stageDir
   }
 
+  /** stage `df` under `src` as `numFiles` event-time-ordered parquet
+    * files — equal TIME spans, not equal row counts: one cheap min/max
+    * agg instead of a global sort, and slice filters are plain
+    * distributed scans (skewed slice sizes are fine — ordering is what
+    * matters). File mtimes are forced ascending so FileStreamSource's
+    * mtime-ordered discovery provably IS event-time order. */
+  private def stageTimeSlicesInto(df: DataFrame, tsCol: String,
+                                  stage: java.nio.file.Path,
+                                  src: java.nio.file.Path,
+                                  numFiles: Int): Unit = {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val Array(lo, hi) = df.agg(min(unix_micros(col(tsCol))),
+      max(unix_micros(col(tsCol)))).collect()(0) match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val n = math.max(1, numFiles)
+    val span = math.max(1L, (hi - lo) / n + 1)
+    (0 until n).foreach { i =>
+      val sliceLo = lo + i * span
+      val sliceHi = lo + (i + 1) * span // exclusive; last slice covers hi
+      val tmp = stage.resolve(s"slice_$i").toString
+      df.filter(unix_micros(col(tsCol)) >= sliceLo &&
+          unix_micros(col(tsCol)) < sliceHi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = JFiles.list(Paths.get(tmp)).iterator()
+      val found = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found += p }
+      val dest = src.resolve(f"events_$i%04d.parquet")
+      JFiles.move(found.head, dest, StandardCopyOption.REPLACE_EXISTING)
+      JFiles.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+    }
+  }
+
+  private def stageTimeSlices(df: DataFrame, tsCol: String,
+                              stage: java.nio.file.Path,
+                              numFiles: Int): java.nio.file.Path = {
+    val src = stage.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    stageTimeSlicesInto(df, tsCol, stage, src, numFiles)
+    src
+  }
+
   private def deleteRecursively(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
@@ -185,6 +228,12 @@ object StreamingIngest {
           "graft_stream_anomaly")(
           _.select(col("window.start").as("h"), col("cnt")))
       } finally deleteRecursively(stageDir)
+    anomalyZScoreTail(snapshot)
+  }
+
+  /** trailing-24-bucket z-score over an (h, cnt) hourly snapshot — the
+    * shared batch-side tail of both anomaly variants */
+  private def anomalyZScoreTail(snapshot: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("h").rowsBetween(-24, -1)
     snapshot
@@ -198,6 +247,58 @@ object StreamingIngest {
         (round((col("cnt") - col("mean")) / col("sd"), 4) + 0.0).as("z"))
       .orderBy("hour")
   }
+
+  /** UPDATE-mode deployment shape of [[hourlyAnomalyAvailableNow]]: the
+    * same hourly aggregate, but the 30-minute watermark now actually
+    * EVICTS window state once the event-time frontier passes it, so
+    * streaming state is bounded by the watermark horizon (a few windows),
+    * not by the feed's lifetime (every distinct hour — what Complete mode
+    * retains and re-emits forever). Events are staged as `numFiles`
+    * event-time-ordered slices drained one per micro-batch (the
+    * [[stageTimeSlices]] discipline), so the watermark advances mid-run
+    * and eviction is observable: [[StreamRunStats.maxStateRows]] records
+    * the per-batch state high-water mark. Slice boundaries are strict
+    * time splits, so no event ever arrives behind the watermark — the
+    * Update-mode result equals the Complete twin row-for-row (the
+    * registry oracle hash-checks this against batch SQL).
+    *
+    * The memory sink receives each window's per-batch updates; the final
+    * count per window is the LAST update — counts are monotone within a
+    * window, so max-per-window reassembles it without ordering metadata.
+    * The z-score tail is shared with the Complete twin. */
+  def hourlyAnomalyUpdateModeWithStats(spark: org.apache.spark.sql.SparkSession,
+                                       eventsPath: String, numFiles: Int = 12)
+      : (DataFrame, StreamRunStats) = {
+    import java.nio.file.{Files => JFiles}
+    val batch = spark.read.parquet(eventsPath)
+    val evBatch =
+      if (batch.schema.exists(f => f.name == "ts" &&
+            f.dataType == org.apache.spark.sql.types.LongType))
+        batch.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else batch
+    val stage = JFiles.createTempDirectory("graft_stream_anomaly_upd")
+    try {
+      // only the event-time column feeds the aggregate: stage just it
+      val src = stageTimeSlices(evBatch.select("ts"), "ts", stage, numFiles)
+      val raw = spark.readStream.schema(spark.read.parquet(src.toString).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+      val agg = raw
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val (updates, stats) = runToMemorySinkWithStats(spark, agg,
+        OutputMode.Update(), "graft_stream_anomaly_upd")(
+        _.select(col("window.start").as("h"), col("cnt")))
+      val byWindow = updates.groupBy("h").agg(max("cnt").as("cnt"))
+      (anomalyZScoreTail(byWindow), stats)
+    } finally deleteRecursively(stage)
+  }
+
+  /** registry shape of [[hourlyAnomalyUpdateModeWithStats]] */
+  def hourlyAnomalyUpdateMode(spark: org.apache.spark.sql.SparkSession,
+                              eventsPath: String): DataFrame =
+    hourlyAnomalyUpdateModeWithStats(spark, eventsPath)._1
 
   /** Shared memory-sink discipline for the oracle-matched streaming runs:
     * AvailableNow until the backlog drains, project the sink table through
@@ -427,32 +528,7 @@ object StreamingIngest {
     JFiles.createDirectories(src)
     try {
       val ev = events.select("user_id", "ts", "event_type")
-      // equal TIME spans, not equal row counts: one cheap min/max agg
-      // instead of a global sort, and slice filters are plain distributed
-      // scans. Skewed slice sizes are fine — ordering is what matters.
-      val Array(lo, hi) = ev.agg(min(unix_micros(col("ts"))),
-        max(unix_micros(col("ts")))).collect()(0) match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
-      val n = math.max(1, numFiles)
-      val span = math.max(1L, (hi - lo) / n + 1)
-      (0 until n).foreach { i =>
-        val sliceLo = lo + i * span
-        val sliceHi = lo + (i + 1) * span // exclusive; last slice covers hi
-        val tmp = stage.resolve(s"slice_$i").toString
-        ev.filter(unix_micros(col("ts")) >= sliceLo &&
-            unix_micros(col("ts")) < sliceHi)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = JFiles.list(Paths.get(tmp)).iterator()
-        val found = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-        while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found += p }
-        val dest = src.resolve(f"events_$i%04d.parquet")
-        JFiles.move(found.head, dest, StandardCopyOption.REPLACE_EXISTING)
-        // FileStreamSource orders unread files by mtime: make the event-time
-        // order and the discovery order provably the same thing
-        JFiles.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
-      }
+      stageTimeSlicesInto(ev, "ts", stage, src, numFiles)
       // read schema from the staged files themselves: write and read sides
       // stay coupled by construction if the events schema ever drifts
       val raw = spark.readStream.schema(spark.read.parquet(src.toString).schema)

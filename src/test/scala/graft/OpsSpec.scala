@@ -161,23 +161,15 @@ class OpsSpec extends AnyFunSuite {
       s"PQ shortlist missed too many true neighbors: ${brute.diff(shortlist)}")
   }
 
-  test("multimodal: decode stub features and frame partition arithmetic") {
+  test("multimodal: frame partition arithmetic reassembles payloads") {
     val media = Multimodal.fromDocuments(
       Seq((0L, "abcdefghij", "s0"), (1L, "xy", "s1")).toDF("doc_id", "text", "source"),
       "doc_id", "text", "source")
-    val feats = Multimodal.decodeFeatures(media)
-      .select("media_id", "feat_mean", "feat_max")
-      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(feats(0L)._2 === 'j'.toInt)
     val frames = Multimodal.frameSample(media, 4)
       .groupBy("media_id").agg(sum("frame_bytes").as("total"), count(lit(1)).as("n"))
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(frames(0L) === ((10L, 4L))) // frames reassemble the payload exactly
     assert(frames(1L) === ((2L, 4L)))  // short payload: empty middle frames
-    val resized = Multimodal.resizeStub(media, 3)
-      .select("media_id", "meta.bytes").as[(Long, Long)].collect().toMap
-    assert(resized(0L) === 4L) // ceil(10/3) bytes survive
-    assert(resized(1L) === 1L)
   }
 
   test("BMP encoder produces real BMPs: javax.imageio decodes them pixel-for-pixel") {

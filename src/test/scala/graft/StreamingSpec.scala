@@ -521,4 +521,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(key(streamed).nonEmpty)
     assert(key(streamed) === key(batch))
   }
+
+  test("Update-mode anomaly feed: watermark bounds state across a multi-day timeline, result equals Complete twin") {
+    import org.apache.spark.sql.functions._
+    val eventsPath = "/root/testdata/sf0.001/events.parquet"
+    // ~30 days of events → ~531 distinct hourly windows. Complete mode
+    // holds every one in state forever; the Update run stages 12
+    // event-time-ordered slices (~2.5 days each), so the watermark
+    // advances at every batch boundary and evicted hours leave the store.
+    val (updated, stats) = StreamingIngest.hourlyAnomalyUpdateModeWithStats(
+      spark, eventsPath, numFiles = 12)
+    val totalHours = graft.core.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(stats.batches >= 10, s"expected a real multi-batch run, got ${stats.batches}")
+    // bounded state: the high-water mark is the windows of ONE slice plus
+    // the un-evicted watermark tail — nowhere near the full timeline
+    assert(stats.maxStateRows > 0)
+    assert(stats.maxStateRows < totalHours / 2,
+      s"state peak ${stats.maxStateRows} vs $totalHours hourly windows " +
+        "suggests the watermark never evicted")
+    // and eviction lost nothing: row-for-row equal to the Complete twin
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Double, Double)].collect().sorted.toSeq
+    val complete = StreamingIngest.hourlyAnomalyAvailableNow(spark, eventsPath)
+    assert(rows(updated).nonEmpty)
+    assert(rows(updated) === rows(complete))
+  }
 }
