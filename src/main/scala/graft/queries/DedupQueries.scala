@@ -405,10 +405,15 @@ object DedupQueries {
           .as(Seq("p", "g")))
         val dupG = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") > 1).select("g")
+        // NO distinct on the covered positions: the left-anti join below
+        // is existence-only, so duplicate (doc_id, q) rows are harmless —
+        // and the distinct's partial aggregate ran inside the gram-join
+        // stage, whose output is ~5× amplified and duplicate-dense at
+        // high dup rates (measured ~19 GB spill at 100× corpus inflation;
+        // plan-bound, not memory-bound — still ~15 GB at 32 g).
         val covered = grams.join(dupG, "g")
           .select(col("doc_id"),
             explode(expr(s"sequence(p, p + ${k - 1})")).as("q"))
-          .distinct()
         val pws = words
           .select(col("doc_id"), posexplode(col("ws")).as(Seq("q", "w")))
         val cleaned = pws.join(covered, Seq("doc_id", "q"), "left_anti")

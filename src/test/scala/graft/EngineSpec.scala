@@ -631,6 +631,45 @@ class EngineSpec extends AnyFunSuite {
     assert(hit31.getAs[String]("filePath").endsWith("doc31.md"))
   }
 
+  test("engine-default IVF read path: recall@10 vs brute force at production probes") {
+    // the OpsSpec gates measure Similarity.* directly; this measures the
+    // ROUTE USERS HIT — Engine.queryDocuments with the production defaults
+    // (annLists=16, annProbes=8, i.e. half the lists probed) against the
+    // same engine forced onto the exact brute-force scan. Recall@10 is
+    // averaged over topically distinct queries; the measured value is
+    // recorded in PERF.md next to the SRP multi-probe curve.
+    val root = Files.createTempDirectory("annrec-root").toString
+    val store = Files.createTempDirectory("annrec-store").toString + "/chunks"
+    val topics = Seq("spark shuffle partitions executors", "pasta cooking tomato sauce",
+      "quantum physics particle spin", "football match winning goals",
+      "garden flowers spring bloom", "database index btree lookup",
+      "mountain climbing rope harness", "violin orchestra concert strings")
+    for (i <- 0 until 96)
+      write(s"$root/doc$i.md",
+        s"# Doc $i\n" + s"${topics(i % 8)} paragraph number $i variant ${i / 8}. " * 4)
+    val ivf = new Engine(spark, store, Seq(root), numBuckets = 4,
+      annThreshold = 1L) // production annLists=16/annProbes=8 defaults
+    assert(ivf.sync().upserted === 96)
+    assert(ivf.annBackend.exists)
+    val brute = new Engine(spark, store, Seq(root), numBuckets = 4,
+      annThreshold = Long.MaxValue)
+    val queries = Seq("spark shuffle partitions", "pasta tomato dinner",
+      "quantum particle", "football goals", "garden bloom",
+      "database lookup", "climbing harness", "orchestra strings")
+    def top10(e: Engine, q: String) =
+      e.queryDocuments(q, limit = 10)
+        .select("filePath", "chunkIndex").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+    val recalls = queries.map { q =>
+      val b = top10(brute, q)
+      if (b.isEmpty) 1.0 else top10(ivf, q).intersect(b).size.toDouble / b.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"engine-default IVF read-path recall@10 = $recall%.3f " +
+      s"(per-query: ${recalls.map(r => f"$r%.2f").mkString(", ")})")
+    assert(recall >= 0.8, s"engine read-path recall@10 $recall < 0.8")
+  }
+
   test("exportCorpus: chunk table lands in the sharded training layout") {
     val (engine, _) = mkEngine()
     engine.sync()
