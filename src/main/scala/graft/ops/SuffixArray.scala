@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array construction by prefix doubling
+  * (Manber–Myers; the distributed formulation follows Flick & Aluru,
+  * "Parallel distributed memory construction of suffix and LCP arrays",
+  * SC'15) — the real machinery behind exact-substring dedup at corpus
+  * scale (Lee et al. 2022 build suffix arrays to find ≥50-token repeats;
+  * the k-gram operators in [[Dedup]] are the fixed-length approximation).
+  *
+  * Suffixes are PER-DOCUMENT (they never compare across a document
+  * boundary), globally ranked: rank(doc, pos) = the position of suffix
+  * `text(doc)[pos..]` in the lexicographic order of ALL suffixes of ALL
+  * documents, ties between byte-identical suffixes broken by
+  * (doc_id, pos) — a total order a SQL oracle can replay exactly
+  * (`ORDER BY suffix, doc_id, pos`).
+  *
+  * Scale shape (what survives a 1000-executor corpus):
+  *  - NO suffix string is ever materialized. Round 0 ranks single
+  *    characters; round k refines by the pair (rank[i], rank[i + 2^k]),
+  *    so after ⌈log2 maxDocLen⌉ rounds ranks order full suffixes. Every
+  *    round is: one equi-join on (doc_id, pos) against the rank table
+  *    shifted by 2^k, one distinct + range-partitioned sort of the
+  *    (rank, rank2) key set, one join back — all key-partitioned
+  *    shuffles, no row ever wider than three longs.
+  *  - Dense re-ranking uses sort + zipWithIndex (range-partitioned global
+  *    sort, then per-partition offsets), NEVER a single-partition window
+  *    — `dense_rank() OVER (ORDER BY ...)` without a partition key would
+  *    serialize the corpus through one task.
+  *  - Rounds stop at the fixed point: if a refinement round creates no
+  *    new rank classes, later rounds cannot either (ranks are a function
+  *    of the previous round's ranks), so duplicate-heavy corpora
+  *    terminate without reaching full distinctness.
+  *  - Per-round `localCheckpoint` truncates lineage (the round-k plan
+  *    would otherwise nest k joins deep); superseded checkpoint blocks
+  *    are released eagerly, the [[graft.ops.Dedup.connectedComponents]]
+  *    discipline. On a cluster a reliable checkpoint replaces the local
+  *    one, same shape.
+  */
+object SuffixArray {
+
+  /** (doc_id, pos, rank) for every suffix of every document; rank is the
+    * dense 0-based global lexicographic position (ties by doc_id, pos). */
+  def build(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    // (doc_id, pos, ch): one row per character = one per suffix. The
+    // CASE guards sequence() against empty text (sequence(0, -1) is a
+    // DESCENDING range in Spark, not empty).
+    val chars = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        """CASE WHEN length(t) > 0
+          |THEN transform(sequence(1, length(t)), i -> substr(t, i, 1))
+          |ELSE CAST(array() AS array<string>) END""".stripMargin))
+        .as(Seq("pos", "ch")))
+
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("rank", LongType, nullable = false)))
+
+    // sort + zipWithIndex dense ranking: rows ordered by `by`, indexed in
+    // global sort order (range partitioning keeps this distributed)
+    def denseIndex(df: DataFrame, by: Seq[Column], out: Seq[String]): DataFrame = {
+      val sorted = df.orderBy(by: _*)
+      val schema = StructType(sorted.schema.fields.toIndexedSeq :+
+        StructField("idx", LongType, nullable = false))
+      val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i)
+      }
+      spark.createDataFrame(indexed, schema)
+        .select((out :+ "idx").map(col): _*)
+    }
+
+    // round 0: rank by first character (order-preserving is enough)
+    val charRanks = denseIndex(chars.select("ch").distinct(), Seq(col("ch")), Seq("ch"))
+      .withColumnRenamed("idx", "rank")
+    var ranks = chars.join(charRanks, "ch")
+      .select(col("doc_id"), col("pos"), col("rank"))
+      .localCheckpoint(true)
+
+    def ckRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    def distinctRanks(df: DataFrame): Long =
+      df.agg(countDistinct(col("rank"))).head().getLong(0)
+
+    val maxLen = docs.agg(max(length(col(textCol)))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    var step = 1L
+    var prevDistinct = distinctRanks(ranks)
+    var fixed = false
+    while (step < maxLen && !fixed) {
+      // rank of the suffix 2^k positions to the right (absent → -1: the
+      // shorter, prefix-equal suffix sorts first)
+      val shifted = ranks.select(col("doc_id"),
+        (col("pos") - lit(step)).cast("int").as("pos"),
+        col("rank").as("rank2"))
+      val paired = ranks.join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("rank"),
+          coalesce(col("rank2"), lit(-1L)).as("rank2"))
+      val keys = denseIndex(
+        paired.select("rank", "rank2").distinct(),
+        Seq(col("rank"), col("rank2")), Seq("rank", "rank2"))
+      val next = paired.join(keys, Seq("rank", "rank2"))
+        .select(col("doc_id"), col("pos"), col("idx").as("rank"))
+        .localCheckpoint(true)
+      val d = distinctRanks(next)
+      ckRdd(ranks).foreach(_.unpersist(blocking = true))
+      ranks = next
+      fixed = d == prevDistinct // no refinement ⇒ fixed point
+      prevDistinct = d
+      step *= 2
+    }
+
+    // final total order: identical suffix STRINGS share a rank class —
+    // break by (doc_id, pos) so the output is the oracle-replayable
+    // ORDER BY suffix, doc_id, pos
+    val out = denseIndex(ranks,
+      Seq(col("rank"), col("doc_id"), col("pos")),
+      Seq("doc_id", "pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("idx").as("rank"))
+    val result = out.localCheckpoint(true)
+    ckRdd(ranks).foreach(_.unpersist(blocking = true))
+    result
+  }
+
+  /** Longest repeated substring via the suffix array: the maximum common
+    * prefix of RANK-ADJACENT suffixes (a classic SA corollary — any
+    * repeated substring is a common prefix of two suffixes, and the two
+    * most-similar suffixes are adjacent in suffix order). `cap` bounds
+    * the per-pair comparison (and the carried prefix) so the scan stays
+    * O(n · cap) bytes — corpus-linear — instead of O(n · maxDocLen);
+    * repeats longer than `cap` report as `cap` (documented truncation,
+    * log-visible via lcp == cap).
+    *
+    * Returns (lcp, substring, doc_a, pos_a, doc_b, pos_b) for the best
+    * pair, smallest (doc_a, pos_a, doc_b, pos_b) on ties — deterministic
+    * for the oracle. */
+  def longestRepeat(docs: DataFrame, idCol: String, textCol: String,
+                    cap: Int = 256): DataFrame = {
+    val sa = build(docs, idCol, textCol)
+    val prefixes = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("t"))
+      .join(sa, "doc_id")
+      .select(col("doc_id"), col("pos"), col("rank"),
+        expr(s"substr(t, cast(pos as int) + 1, $cap)").as("pfx"))
+    val nxt = prefixes.select((col("rank") - 1).as("rank"),
+      col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("pfx").as("pfx_b"))
+    val lcpUdf = udf((a: String, b: String) => {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      i
+    })
+    prefixes.join(nxt, "rank")
+      .select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+        col("doc_b"), col("pos_b"),
+        lcpUdf(col("pfx"), col("pfx_b")).cast("long").as("lcp"),
+        col("pfx"))
+      .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"),
+        col("doc_b"), col("pos_b"))
+      .limit(1)
+      .select(col("lcp"),
+        expr("substr(pfx, 1, cast(lcp as int))").as("repeat"),
+        col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
+  }
+}

@@ -12,6 +12,51 @@ object TextQueries {
 
   val qs: Seq[Q] = Seq(
 
+    // ----- distributed suffix array (prefix doubling — Manber-Myers /
+    // Flick-Aluru): the real Lee-2022 exact-substring machinery. Every
+    // suffix of every document globally ranked lexicographically without
+    // ever materializing a suffix string — O(log maxDocLen) rounds of
+    // key-partitioned shuffles. The oracle replays the full order with
+    // one window: ORDER BY suffix, doc_id, pos. -----
+    Q("t_suffix_array",
+      (s, d) => graft.ops.SuffixArray
+        .build(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id", "pos"),
+      Some("""WITH s AS (SELECT doc_id, t.i - 1 AS pos, substr(text, t.i) AS suf
+             |  FROM documents, unnest(range(1, length(text) + 1)) t(i))
+             |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             |  CAST(row_number() OVER (ORDER BY suf, doc_id, pos) - 1 AS BIGINT) AS rank
+             |FROM s ORDER BY doc_id, pos""".stripMargin)),
+
+    // ----- longest repeated substring via the suffix array: max common
+    // prefix of rank-ADJACENT suffixes (any repeat is a common prefix of
+    // two suffixes, and the closest pair is adjacent in suffix order).
+    // lcp capped at 64 on BOTH sides (the Spark side carries only 64-byte
+    // prefixes — O(n·cap) bytes, corpus-linear) -----
+    Q("t_longest_repeat",
+      (s, d) => graft.ops.SuffixArray
+        .longestRepeat(Tables.documents(s, d), "doc_id", "text", cap = 64),
+      Some("""WITH s AS (SELECT doc_id, t.i - 1 AS pos, substr(text, t.i) AS suf
+             |  FROM documents, unnest(range(1, length(text) + 1)) t(i)),
+             |o AS (SELECT doc_id, pos, suf,
+             |    row_number() OVER (ORDER BY suf, doc_id, pos) AS rn FROM s),
+             |adj AS (SELECT a.suf AS sa, b.suf AS sb,
+             |    a.doc_id AS doc_a, a.pos AS pos_a,
+             |    b.doc_id AS doc_b, b.pos AS pos_b
+             |  FROM o a JOIN o b ON b.rn = a.rn + 1),
+             |l AS (SELECT doc_a, pos_a, doc_b, pos_b, min(sa) AS sa,
+             |    CAST(count(*) FILTER (
+             |      WHERE CAST(t.k AS INT) <= least(length(sa), length(sb), 64)
+             |        AND substr(sa, 1, CAST(t.k AS INT)) =
+             |            substr(sb, 1, CAST(t.k AS INT))) AS BIGINT) AS lcp
+             |  FROM adj CROSS JOIN range(1, 65) t(k)
+             |  GROUP BY doc_a, pos_a, doc_b, pos_b)
+             |SELECT lcp, substr(sa, 1, CAST(lcp AS INT)) AS repeat,
+             |  doc_a, CAST(pos_a AS BIGINT) AS pos_a,
+             |  doc_b, CAST(pos_b AS BIGINT) AS pos_b
+             |FROM l ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
+             |LIMIT 1""".stripMargin)),
+
     // ----- vocabulary building: top-50 word bigrams by document frequency
     // (distinct per doc → explode → count; the map-side-combined groupBy is
     // the whole-corpus shape) -----

@@ -161,6 +161,35 @@ class OpsSpec extends AnyFunSuite {
       s"PQ shortlist missed too many true neighbors: ${brute.diff(shortlist)}")
   }
 
+  test("suffix array: distributed prefix doubling equals a driver-side sort") {
+    import graft.ops.SuffixArray
+    val docs = Seq(
+      (0L, "banana"), (1L, "bandana"), (2L, "an"), (3L, "banana"), // 0 ≡ 3
+      (4L, ""), (5L, "x")).toDF("doc_id", "text")
+    val got = SuffixArray.build(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // independent reference: materialize every suffix and sort
+    val data = Map(0L -> "banana", 1L -> "bandana", 2L -> "an",
+      3L -> "banana", 4L -> "", 5L -> "x")
+    val ref = (for ((id, t) <- data.toSeq; p <- 0 until t.length)
+        yield (t.substring(p), id, p.toLong))
+      .sorted.zipWithIndex
+      .map { case ((_, id, p), r) => (id, p, r.toLong) }.sorted
+    assert(got === ref)
+    // duplicate documents hit the fixed point (ranks can never go fully
+    // distinct) — termination is the thing under test, equality above
+    // already proves the tie-break order
+
+    // longest repeat: "anana" is shared between doc 0 and doc 3 at pos 1
+    val best = SuffixArray.longestRepeat(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long, Long)].collect().head
+    assert(best === ((6L, "banana", 0L, 0L, 3L, 0L)))
+    // cap truncates: with cap=3 the same pair reports lcp 3
+    val capped = SuffixArray.longestRepeat(docs, "doc_id", "text", cap = 3)
+      .as[(Long, String, Long, Long, Long, Long)].collect().head
+    assert(capped._1 === 3L && capped._2 === "ban")
+  }
+
   test("multimodal: frame partition arithmetic reassembles payloads") {
     val media = Multimodal.fromDocuments(
       Seq((0L, "abcdefghij", "s0"), (1L, "xy", "s1")).toDF("doc_id", "text", "source"),

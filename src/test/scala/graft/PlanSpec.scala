@@ -199,6 +199,15 @@ class PlanSpec extends AnyFunSuite {
     val pc = plan("v_cluster_select")
     assert(!pc.contains("CartesianProduct"), pc.take(2000))
     assert(!pc.contains("Join"), pc.take(2000)) // centroids are literals, not a side
+
+    // the pair stream must carry NO aggregate: cross-band duplicates are
+    // removed by the first-matching-band FILTER (a per-row expression),
+    // not a distinct — the distinct's partial aggregate inside the
+    // quadratic bucket-join stage was a measured 7.5 GB single-task spill
+    // at 30× inflation (PERF.md round 9). A HashAggregate reappearing in
+    // this plan means the cliff is back.
+    assert(!pd.contains("HashAggregate"), pd.take(3000))
+    assert(!pd.contains("ObjectHashAggregate"), pd.take(3000))
   }
 
   test("sketches: HLL/KMV plans are scan + tiny aggregate, KMV top-k bounded") {
