@@ -83,7 +83,10 @@ object Bench {
       else if (ok.size % 2 == 1) ok(ok.size / 2)
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
-    def fmt(v: Double): String = f"$v%.4f"
+    // Locale.ROOT: the default-locale f interpolator prints "36,7000" on
+    // comma-decimal locales — invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(median(ts)) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, ts) =>

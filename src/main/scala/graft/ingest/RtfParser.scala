@@ -102,22 +102,33 @@ object RtfParser {
             if (k < n && rtf.charAt(k) == ' ') k += 1 // delimiter space consumed
             val num = if (ns.isEmpty) None
               else Some((if (neg) -1 else 1) * ns.toString.toLong)
-            // Any control word ENDS a pending \uN fallback run: the spec's
-            // skippable data is characters and \'hh escapes immediately
-            // following the \u — a control word means the writer emitted
-            // fewer fallback chars than \ucN, and carrying the stale
-            // budget past it would swallow real text (consecutive \uN
-            // escapes back-to-back, or a `\par b` eating the b).
-            pendingSkip = 0
+            // \ucN fallback accounting per the spec: "an RTF control word
+            // is counted as one character for skipping purposes" — so
+            // while a \uN's budget is pending, a control word consumes ONE
+            // slot and its output is suppressed (it IS the fallback, e.g.
+            // `\uc1 舲\line`). Two deliberate deviations for robust
+            // extraction of non-compliant input:
+            //  - a following \uN is never swallowed as fallback — it
+            //    RESETS the stale budget and emits (writers that set the
+            //    fallback lazily produce consecutive \u with no fallback;
+            //    skipping the second would lose real text);
+            //  - \uc applies its state change even when it lands in the
+            //    skipped slot (dropping it would corrupt all later runs).
+            val inFallback = pendingSkip > 0 && sb.toString != "u"
+            if (inFallback) pendingSkip -= 1
             sb.toString match {
-              case "par" | "line" | "sect" => emitCtl('\n')
-              case "tab" => emitCtl(' ')
+              case "par" | "line" | "sect" => if (!inFallback) emitCtl('\n')
+              case "tab" => if (!inFallback) emitCtl(' ')
               case "uc" => ucStack(ucStack.length - 1) =
                 num.getOrElse(1L).toInt.max(0)
               case "u" => num.foreach { cp =>
                 // RTF \u is a SIGNED 16-bit value
                 val v = (cp.toInt & 0xFFFF).toChar
-                if (skipDepth == 0) { out += v; pendingSkip = ucStack.last }
+                if (skipDepth == 0) {
+                  pendingSkip = 0
+                  out += v
+                  pendingSkip = ucStack.last
+                }
               }
               case _ => () // formatting word: ignored
             }

@@ -384,7 +384,14 @@ object Dedup {
     * every band, so every qualifying pair shares at least one intact band
     * — exact recall, candidate cost still bucket-bounded (the minhash-LSH
     * shape applied to hamming space). Shuffle is band-keyed; no all-pairs
-    * join ever forms. */
+    * join ever forms.
+    *
+    * PRECONDITION: one row per `idCol` (the feature-extraction stages
+    * upstream emit exactly that). Duplicate (id, hash) input rows would
+    * multiply the emitted pair rows — the pair stream is deliberately
+    * aggregate-free (see below), so dedup the INPUT
+    * (`df.dropDuplicates(idCol)`) if ids can repeat; deduping the
+    * quadratic pair stream instead is the measured scale cliff. */
   def bandedHammingPairs(df: DataFrame, idCol: String, hashCol: String,
                          bits: Int, bands: Int, maxHamming: Int): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")

@@ -48,9 +48,8 @@ object Multimodal {
 
   // ------------------------------------------------------------- resize --
 
-  /** REAL bilinear image resize over uncompressed 24-bit BMP payloads —
-    * the pixel-grid resampling op [[resizeStub]] stands in for on opaque
-    * payloads. Pure integer fixed-point arithmetic (8.8 weights, round-half
+  /** REAL bilinear image resize over uncompressed 24-bit BMP payloads.
+    * Pure integer fixed-point arithmetic (8.8 weights, round-half
     * -up at 16.16), align-corners source mapping — so the result is exactly
     * reproducible by a SQL oracle and bit-stable across JVMs/locales:
     *

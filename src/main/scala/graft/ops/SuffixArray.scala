@@ -49,32 +49,49 @@ object SuffixArray {
     import org.apache.spark.sql.types._
 
     // (doc_id, pos, ch): one row per character = one per suffix. The
-    // CASE guards sequence() against empty text (sequence(0, -1) is a
-    // DESCENDING range in Spark, not empty).
+    // exploded object is an INT sequence (4 bytes/char resident per
+    // document row) and the character is cut with substr in the same
+    // whole-stage-codegen-fused projection — exploding an array of
+    // single-char STRINGS instead would inflate a document to ~20× its
+    // size inside one task. The CASE guards sequence() against empty
+    // text (sequence(1, 0) is a DESCENDING range in Spark, not empty).
     val chars = docs.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("t"))
-      .select(col("doc_id"), posexplode(expr(
-        """CASE WHEN length(t) > 0
-          |THEN transform(sequence(1, length(t)), i -> substr(t, i, 1))
-          |ELSE CAST(array() AS array<string>) END""".stripMargin))
-        .as(Seq("pos", "ch")))
+      .select(col("doc_id"), col("t"), posexplode(expr(
+        """CASE WHEN length(t) > 0 THEN sequence(1, length(t))
+          |ELSE CAST(array() AS array<int>) END""".stripMargin))
+        .as(Seq("pos", "i")))
+      .select(col("doc_id"), col("pos"), expr("substr(t, i, 1)").as("ch"))
 
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("pos", IntegerType, nullable = false),
-      StructField("rank", LongType, nullable = false)))
+    def ckRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    def release(df: DataFrame): Unit =
+      ckRdd(df).foreach(_.unpersist(blocking = true))
 
-    // sort + zipWithIndex dense ranking: rows ordered by `by`, indexed in
-    // global sort order (range partitioning keeps this distributed)
+    // Sort + zipWithIndex dense ranking: rows ordered by `by`, indexed in
+    // global sort order (range partitioning keeps this distributed).
+    // zipWithIndex launches a per-partition-count job that EXECUTES the
+    // sort — persisting the sorted RDD first means that execution lands
+    // in the cache and the eager checkpoint below consumes it, instead of
+    // re-running every sort twice; the parent blocks drop immediately
+    // after. Returns an eagerly checkpointed frame — caller releases it
+    // (via the checkpoint RDD) when superseded.
     def denseIndex(df: DataFrame, by: Seq[Column], out: Seq[String]): DataFrame = {
       val sorted = df.orderBy(by: _*)
+      val srdd = sorted.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val schema = StructType(sorted.schema.fields.toIndexedSeq :+
         StructField("idx", LongType, nullable = false))
-      val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      val indexed = srdd.zipWithIndex().map { case (r, i) =>
         Row.fromSeq(r.toSeq :+ i)
       }
-      spark.createDataFrame(indexed, schema)
+      val result = spark.createDataFrame(indexed, schema)
         .select((out :+ "idx").map(col): _*)
+        .localCheckpoint(true)
+      srdd.unpersist(blocking = false)
+      result
     }
 
     // round 0: rank by first character (order-preserving is enough)
@@ -83,11 +100,8 @@ object SuffixArray {
     var ranks = chars.join(charRanks, "ch")
       .select(col("doc_id"), col("pos"), col("rank"))
       .localCheckpoint(true)
+    release(charRanks)
 
-    def ckRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
     def distinctRanks(df: DataFrame): Long =
       df.agg(countDistinct(col("rank"))).head().getLong(0)
 
@@ -114,7 +128,8 @@ object SuffixArray {
         .select(col("doc_id"), col("pos"), col("idx").as("rank"))
         .localCheckpoint(true)
       val d = distinctRanks(next)
-      ckRdd(ranks).foreach(_.unpersist(blocking = true))
+      release(keys)
+      release(ranks)
       ranks = next
       fixed = d == prevDistinct // no refinement ⇒ fixed point
       prevDistinct = d
@@ -129,9 +144,8 @@ object SuffixArray {
       Seq("doc_id", "pos"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("idx").as("rank"))
-    val result = out.localCheckpoint(true)
-    ckRdd(ranks).foreach(_.unpersist(blocking = true))
-    result
+    release(ranks)
+    out
   }
 
   /** Longest repeated substring via the suffix array: the maximum common

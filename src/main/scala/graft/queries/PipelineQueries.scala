@@ -212,8 +212,8 @@ object PipelineQueries {
     // ingest/PdfTextFixtures) while the
     // text is invariant: the oracle
     // recomputes the expected lines directly from the documents table, so
-    // any filter/ObjStm/decryption regression breaks the hash for a sixth
-    // of the corpus. Lines are split with SQL substr on BOTH sides (char
+    // any filter/ObjStm/decryption regression breaks the hash for a
+    // fifteenth of the corpus. Lines are split with SQL substr on BOTH sides (char
     // semantics parity); empty lines are never shown and never expected. -----
     Q("s6_pdf_text_extract",
       (s, d) => {

@@ -37,7 +37,34 @@ final class SketchStore(spark: SparkSession, path: String,
   private def fs: FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists: Boolean = fs.exists(new HPath(statsPath))
+  /** One-time migration of the pre-state/ layout (hll/, cms/, stats/ as
+    * three separately-swapped dirs directly under path/): re-written
+    * through the normal single-swap path — the sketches are KB-sized, so
+    * a copy beats a multi-rename dance that could crash half-moved —
+    * then the legacy dirs are removed. Without this, a store written by
+    * the old layout would silently read as empty and its accumulated
+    * state would be orphaned. */
+  private def migrateLegacyLayout(): Unit = {
+    val f = fs
+    if (!f.exists(new HPath(statsPath)) &&
+        f.exists(new HPath(path + "/stats"))) {
+      val hll = spark.read.parquet(path + "/hll")
+      val cms = spark.read.parquet(path + "/cms")
+      val st = spark.read.parquet(path + "/stats")
+      DirSwap.swapInto(f, path, statePath) { tmp =>
+        hll.coalesce(1).write.mode("overwrite").parquet(tmp + "/hll")
+        cms.coalesce(1).write.mode("overwrite").parquet(tmp + "/cms")
+        st.coalesce(1).write.mode("overwrite").parquet(tmp + "/stats")
+      }
+      Seq("/hll", "/cms", "/stats").foreach(s =>
+        f.delete(new HPath(path + s), true): Unit)
+    }
+  }
+
+  def exists: Boolean = {
+    migrateLegacyLayout()
+    fs.exists(new HPath(statsPath))
+  }
 
   /** merge a document batch into the stored sketches (builds them on the
     * first call). `keyCol` feeds the HLL; words of `textCol` feed the CMS. */
@@ -88,12 +115,19 @@ final class SketchStore(spark: SparkSession, path: String,
   }
 
   /** current distinct-count estimate (HLL estimator over stored registers) */
-  def distinctEstimate(): DataFrame =
+  def distinctEstimate(): DataFrame = {
+    migrateLegacyLayout()
     Sketches.hllEstimate(spark.read.parquet(hllPath), b)
+  }
 
   /** frequency estimates for the given items (min over stored counters) */
-  def frequencyEstimates(items: DataFrame, keyCol: String): DataFrame =
+  def frequencyEstimates(items: DataFrame, keyCol: String): DataFrame = {
+    migrateLegacyLayout()
     Sketches.cmsLookup(spark.read.parquet(cmsPath), items, keyCol, depth, width)
+  }
 
-  def stats(): DataFrame = spark.read.parquet(statsPath)
+  def stats(): DataFrame = {
+    migrateLegacyLayout()
+    spark.read.parquet(statsPath)
+  }
 }

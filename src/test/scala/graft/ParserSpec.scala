@@ -265,11 +265,13 @@ class ParserSpec extends AnyFunSuite {
     // must not swallow the following real text
     assert(RtfParser.toText("{\\rtf1 \\" + "u26085\\" + "u26412? abc\\par}")
       === "日本 abc")
-    // control-word output (\par, \tab) is exempt from \uc fallback
-    // counting: \u916 directly before \par still yields the break AND the
-    // following text intact
-    assert(RtfParser.toText("{\\rtf1 a\\" + "u916\\par b\\par}") === "aΔ\n\nb")
-    assert(RtfParser.toText("{\\rtf1 \\" + "u916\\tab x\\par}") === "Δ x")
+    // spec: a control word counts as ONE skippable fallback character —
+    // a \par/\line/\tab landing in the \uc budget is consumed (its output
+    // suppressed), and the text after it survives
+    assert(RtfParser.toText("{\\rtf1 a\\" + "u916\\par b\\par}") === "aΔb")
+    assert(RtfParser.toText("{\\rtf1 \\" + "u916\\tab x\\par}") === "Δx")
+    assert(RtfParser.toText("{\\rtf1\\uc1 \\" + "u916\\line delta\\par}")
+      === "Δdelta")
     // \tab and \~ are spaces; \line breaks a paragraph
     assert(RtfParser.toText("""{\rtf1 a\tab b\~c\line d\par}""") === "a b c\n\nd")
     // refuse-don't-garble

@@ -565,5 +565,26 @@ class StoreSearchSpec extends AnyFunSuite {
     store.frequencyEstimates(items, "w").collect().foreach { r =>
       assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"))
     }
+
+    // legacy-layout migration: a store written by the pre-state/ layout
+    // (hll/, cms/, stats/ directly under the root) must not read as empty
+    // — simulate one by moving state/* up a level, then reopen
+    val legacyDir = Files.createTempDirectory("sketches-legacy").toString + "/store"
+    val lp = java.nio.file.Paths.get(legacyDir)
+    java.nio.file.Files.createDirectories(lp)
+    for (sub <- Seq("hll", "cms", "stats"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/state/$sub"), lp.resolve(sub))
+    val reopened = new graft.store.SketchStore(spark, legacyDir,
+      b = 6, depth = 4, width = 64)
+    assert(reopened.exists) // triggers the migration
+    assert(!java.nio.file.Files.exists(lp.resolve("hll"))) // legacy removed
+    val mst = reopened.stats().head()
+    assert(mst.getLong(0) === 3L && mst.getLong(1) === 600L)
+    assert(reopened.distinctEstimate().head().getDouble(2)
+      === oneShot.getDouble(2))
+    // and the migrated store keeps accepting batches
+    reopened.appendBatch(all.limit(10))
+    assert(reopened.stats().head().getLong(0) === 4L)
   }
 }
