@@ -41,14 +41,11 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
-  /** (doc_id, pos, rank) for every suffix of every document; rank is the
-    * dense 0-based global lexicographic position (ties by doc_id, pos). */
+  /** (doc_id, pos, rank) for every CHARACTER suffix of every document;
+    * rank is the dense 0-based global lexicographic position (ties by
+    * doc_id, pos). */
   def build(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-
-    // (doc_id, pos, ch): one row per character = one per suffix. The
+    // (doc_id, pos, unit): one row per character = one per suffix. The
     // exploded object is an INT sequence (4 bytes/char resident per
     // document row) and the character is cut with substr in the same
     // whole-stage-codegen-fused projection — exploding an array of
@@ -61,7 +58,37 @@ object SuffixArray {
         """CASE WHEN length(t) > 0 THEN sequence(1, length(t))
           |ELSE CAST(array() AS array<int>) END""".stripMargin))
         .as(Seq("pos", "i")))
-      .select(col("doc_id"), col("pos"), expr("substr(t, i, 1)").as("ch"))
+      .select(col("doc_id"), col("pos"), expr("substr(t, i, 1)").as("unit"))
+    val maxLen = docs.agg(max(length(col(textCol)))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    rankUnits(chars, maxLen)
+  }
+
+  /** TOKEN-level suffix array — the unit Lee et al. 2022 actually dedup
+    * on (≥50-token repeats): suffixes of each document's WORD sequence
+    * ([[Dedup.wordsArray]] tokenization), globally ranked. The doubling
+    * core is unit-agnostic, so this is the same O(log maxDocTokens)
+    * machinery over a ~6× smaller row count than the char-level array. */
+  def buildTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        Dedup.wordsArray(textCol).as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "unit")))
+    val maxLen = docs.select(size(Dedup.wordsArray(textCol)).as("n"))
+      .agg(max(col("n"))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    rankUnits(toks, maxLen)
+  }
+
+  /** prefix-doubling core over any (doc_id: long, pos: int, unit: string)
+    * stream — see the object doc for the per-round shape */
+  private def rankUnits(units: DataFrame, maxLen: Int): DataFrame = {
+    val spark = units.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
 
     def ckRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collectFirst {
@@ -94,21 +121,18 @@ object SuffixArray {
       result
     }
 
-    // round 0: rank by first character (order-preserving is enough)
-    val charRanks = denseIndex(chars.select("ch").distinct(), Seq(col("ch")), Seq("ch"))
+    // round 0: rank by first unit (order-preserving is enough)
+    val unitRanks = denseIndex(units.select("unit").distinct(),
+        Seq(col("unit")), Seq("unit"))
       .withColumnRenamed("idx", "rank")
-    var ranks = chars.join(charRanks, "ch")
+    var ranks = units.join(unitRanks, "unit")
       .select(col("doc_id"), col("pos"), col("rank"))
       .localCheckpoint(true)
-    release(charRanks)
+    release(unitRanks)
 
     def distinctRanks(df: DataFrame): Long =
       df.agg(countDistinct(col("rank"))).head().getLong(0)
 
-    val maxLen = docs.agg(max(length(col(textCol)))).head() match {
-      case r if r.isNullAt(0) => 0
-      case r => r.getInt(0)
-    }
     var step = 1L
     var prevDistinct = distinctRanks(ranks)
     var fixed = false
@@ -186,6 +210,41 @@ object SuffixArray {
       .limit(1)
       .select(col("lcp"),
         expr("substr(pfx, 1, cast(lcp as int))").as("repeat"),
+        col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
+  }
+
+  /** Longest repeated TOKEN sequence — the Lee-2022 unit — via the
+    * token-level suffix array: max common WORD-prefix of rank-adjacent
+    * token suffixes. `cap` (in tokens) bounds the carried prefix arrays
+    * to O(n · cap) tokens, corpus-linear; same tie-break contract as
+    * [[longestRepeat]]. Returns (lcp, repeat, doc_a, pos_a, doc_b,
+    * pos_b) with `repeat` the words joined by single spaces. */
+  def longestTokenRepeat(docs: DataFrame, idCol: String, textCol: String,
+                         cap: Int = 64): DataFrame = {
+    val sa = buildTokens(docs, idCol, textCol)
+    val prefixes = docs.select(col(idCol).cast("long").as("doc_id"),
+        Dedup.wordsArray(textCol).as("ws"))
+      .join(sa, "doc_id")
+      .select(col("doc_id"), col("pos"), col("rank"),
+        expr(s"slice(ws, cast(pos as int) + 1, $cap)").as("pfx"))
+    val nxt = prefixes.select((col("rank") - 1).as("rank"),
+      col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("pfx").as("pfx_b"))
+    val lcpUdf = udf((a: Seq[String], b: Seq[String]) => {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      i
+    })
+    prefixes.join(nxt, "rank")
+      .select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+        col("doc_b"), col("pos_b"),
+        lcpUdf(col("pfx"), col("pfx_b")).cast("long").as("lcp"),
+        col("pfx"))
+      .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"),
+        col("doc_b"), col("pos_b"))
+      .limit(1)
+      .select(col("lcp"),
+        array_join(expr("slice(pfx, 1, cast(lcp as int))"), " ").as("repeat"),
         col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
   }
 }

@@ -57,6 +57,51 @@ object TextQueries {
              |FROM l ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
              |LIMIT 1""".stripMargin)),
 
+    // ----- TOKEN-level suffix array — the unit Lee-2022 actually dedups
+    // on: suffixes of each document's word sequence, same doubling core,
+    // ~6× fewer rows than the char-level array. The oracle orders DuckDB
+    // LISTs (elementwise varchar compare, shorter-prefix first — the same
+    // total order the rank doubling converges to). -----
+    Q("t_token_suffix_array",
+      (s, d) => graft.ops.SuffixArray
+        .buildTokens(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id", "pos"),
+      Some("""WITH w AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+             |s AS (SELECT doc_id, t.i - 1 AS pos, ws[t.i:] AS suf
+             |  FROM w, unnest(range(1, len(ws) + 1)) t(i))
+             |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             |  CAST(row_number() OVER (ORDER BY suf, doc_id, pos) - 1 AS BIGINT) AS rank
+             |FROM s ORDER BY doc_id, pos""".stripMargin)),
+
+    // ----- longest repeated TOKEN sequence via the token suffix array
+    // (max common word-prefix of rank-adjacent suffixes, cap 32 tokens on
+    // both sides) -----
+    Q("t_word_longest_repeat",
+      (s, d) => graft.ops.SuffixArray
+        .longestTokenRepeat(Tables.documents(s, d), "doc_id", "text", cap = 32),
+      Some("""WITH w AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+             |s AS (SELECT doc_id, t.i - 1 AS pos, ws[t.i:] AS suf
+             |  FROM w, unnest(range(1, len(ws) + 1)) t(i)),
+             |o AS (SELECT doc_id, pos, suf,
+             |    row_number() OVER (ORDER BY suf, doc_id, pos) AS rn FROM s),
+             |adj AS (SELECT a.suf AS sa, b.suf AS sb,
+             |    a.doc_id AS doc_a, a.pos AS pos_a,
+             |    b.doc_id AS doc_b, b.pos AS pos_b
+             |  FROM o a JOIN o b ON b.rn = a.rn + 1),
+             |l AS (SELECT doc_a, pos_a, doc_b, pos_b, min(sa) AS sa,
+             |    CAST(count(*) FILTER (
+             |      WHERE CAST(t.k AS INT) <= least(len(sa), len(sb), 32)
+             |        AND sa[1:CAST(t.k AS INT)] = sb[1:CAST(t.k AS INT)]) AS BIGINT) AS lcp
+             |  FROM adj CROSS JOIN range(1, 33) t(k)
+             |  GROUP BY doc_a, pos_a, doc_b, pos_b)
+             |SELECT lcp, array_to_string(sa[1:CAST(lcp AS INT)], ' ') AS repeat,
+             |  doc_a, CAST(pos_a AS BIGINT) AS pos_a,
+             |  doc_b, CAST(pos_b AS BIGINT) AS pos_b
+             |FROM l ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
+             |LIMIT 1""".stripMargin)),
+
     // ----- vocabulary building: top-50 word bigrams by document frequency
     // (distinct per doc → explode → count; the map-side-combined groupBy is
     // the whole-corpus shape) -----

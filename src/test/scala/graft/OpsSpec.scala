@@ -188,6 +188,26 @@ class OpsSpec extends AnyFunSuite {
     val capped = SuffixArray.longestRepeat(docs, "doc_id", "text", cap = 3)
       .as[(Long, String, Long, Long, Long, Long)].collect().head
     assert(capped._1 === 3L && capped._2 === "ban")
+
+    // token-level: same core over word sequences
+    val tdocs = Seq((0L, "the cat sat on the mat"),
+      (1L, "a cat sat on the mat today"), (2L, "dogs")).toDF("doc_id", "text")
+    val gotT = SuffixArray.buildTokens(tdocs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val tdata = Map(0L -> Seq("the", "cat", "sat", "on", "the", "mat"),
+      1L -> Seq("a", "cat", "sat", "on", "the", "mat", "today"),
+      2L -> Seq("dogs"))
+    val refT = {
+      import scala.math.Ordering.Implicits._
+      (for ((id, ws) <- tdata.toSeq; p <- ws.indices)
+          yield (ws.drop(p), id, p.toLong))
+        .sortBy(x => (x._1, x._2, x._3)).zipWithIndex
+        .map { case ((_, id, p), r) => (id, p, r.toLong) }.sorted
+    }
+    assert(gotT === refT)
+    val bestT = SuffixArray.longestTokenRepeat(tdocs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long, Long)].collect().head
+    assert(bestT === ((5L, "cat sat on the mat", 0L, 1L, 1L, 1L)))
   }
 
   test("multimodal: frame partition arithmetic reassembles payloads") {
