@@ -33,6 +33,36 @@ object DedupQueries {
       |  SELECT doc_id + 200000, text || ' extra appended words' FROM documents
       |  WHERE doc_id % 10 = 5)""".stripMargin
 
+  /** shared by d_span_dedup AND its suffix-array twin d_span_dedup_sa —
+    * one oracle, two independent Spark routes */
+  private lazy val SpanDedupOracle =
+    s"""WITH $DupCorpusCte,
+       |d2 AS (SELECT doc_id,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM corpus),
+       |g AS (SELECT doc_id, t.i - 1 AS p,
+       |    array_to_string(ws[t.i:t.i+4], ' ') AS g
+       |  FROM d2, unnest(range(1, greatest(len(ws) - 3, 1))) t(i)),
+       |dup AS (SELECT g FROM g GROUP BY 1 HAVING count(*) > 1),
+       |cov AS (SELECT DISTINCT doc_id, p + o.o AS q
+       |  FROM g JOIN dup USING (g), unnest(range(0, 5)) o(o)),
+       |w AS (SELECT doc_id, t.i - 1 AS q, ws[t.i] AS w
+       |  FROM d2, unnest(range(1, len(ws) + 1)) t(i)),
+       |kept AS (SELECT w.doc_id, w.q, w.w FROM w
+       |  LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.q = w.q
+       |  WHERE cov.doc_id IS NULL),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    md5(string_agg(w, ' ' ORDER BY q)) AS cleaned_md5
+       |  FROM kept GROUP BY 1),
+       |base AS (SELECT doc_id,
+       |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+       |  FROM corpus)
+       |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
+       |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(b.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
+       |FROM base b LEFT JOIN agg a USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
   /** shared shingle CTE over the dup corpus (word 3-shingles, distinct) */
   private val ShinglesCte =
     s"""$DupCorpusCte,
@@ -430,33 +460,62 @@ object DedupQueries {
             coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH $DupCorpusCte,
-              |d2 AS (SELECT doc_id,
-              |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM corpus),
-              |g AS (SELECT doc_id, t.i - 1 AS p,
-              |    array_to_string(ws[t.i:t.i+4], ' ') AS g
-              |  FROM d2, unnest(range(1, greatest(len(ws) - 3, 1))) t(i)),
-              |dup AS (SELECT g FROM g GROUP BY 1 HAVING count(*) > 1),
-              |cov AS (SELECT DISTINCT doc_id, p + o.o AS q
-              |  FROM g JOIN dup USING (g), unnest(range(0, 5)) o(o)),
-              |w AS (SELECT doc_id, t.i - 1 AS q, ws[t.i] AS w
-              |  FROM d2, unnest(range(1, len(ws) + 1)) t(i)),
-              |kept AS (SELECT w.doc_id, w.q, w.w FROM w
-              |  LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.q = w.q
-              |  WHERE cov.doc_id IS NULL),
-              |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-              |    md5(string_agg(w, ' ' ORDER BY q)) AS cleaned_md5
-              |  FROM kept GROUP BY 1),
-              |base AS (SELECT doc_id,
-              |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
-              |  FROM corpus)
-              |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
-              |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
-              |  CAST(b.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
-              |  coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
-              |FROM base b LEFT JOIN agg a USING (doc_id)
-              |ORDER BY b.doc_id""".stripMargin),
+      Some(SpanDedupOracle),
       bench = true),
+
+    // ----- the SAME span dedup through the TOKEN SUFFIX ARRAY instead of
+    // gram joins — a cross-validated twin: equal k-prefixes cluster
+    // contiguously in suffix order, so "this position's 5-gram occurs
+    // more than once corpus-wide" ≡ "its 5-token prefix equals a
+    // rank-ADJACENT suffix's" (prev or next). One adjacent compare per
+    // position replaces the gram groupBy + semi-join; the shuffled
+    // payload is (rank, 5 tokens) instead of every 5-token gram string
+    // through a count aggregate. Both routes hash against the SAME
+    // oracle, so either regressing breaks the driver's compare. -----
+    Q("d_span_dedup_sa",
+      (s, d) => {
+        val k = 5
+        val docs = dupCorpus(s, d)
+        val sa = graft.ops.SuffixArray.buildTokens(docs, "doc_id", "text")
+        val words = docs.select(col("doc_id").cast("long").as("doc_id"),
+            Dedup.wordsArray("text").as("ws"))
+          .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+        val pfx = words.join(sa, "doc_id")
+          .select(col("doc_id"), col("pos").cast("int").as("pos"),
+            col("rank"),
+            expr(s"slice(ws, cast(pos as int) + 1, $k)").as("pfx"),
+            (col("n") - col("pos") >= k).as("full"))
+        val nb = pfx.select(col("rank"), col("pfx"))
+        val prv = nb.select((col("rank") + 1).as("rank"),
+          col("pfx").as("pfx_prev"))
+        val nxt = nb.select((col("rank") - 1).as("rank"),
+          col("pfx").as("pfx_next"))
+        val dupStart = pfx
+          .join(prv, Seq("rank"), "left")
+          .join(nxt, Seq("rank"), "left")
+          .filter(col("full") &&
+            (coalesce(col("pfx") === col("pfx_prev"), lit(false)) ||
+             coalesce(col("pfx") === col("pfx_next"), lit(false))))
+          .select(col("doc_id"), col("pos"))
+        val covered = dupStart.select(col("doc_id"),
+          explode(expr(s"sequence(pos, pos + ${k - 1})")).as("q"))
+        val pws = words
+          .select(col("doc_id"), posexplode(col("ws")).as(Seq("q", "w")))
+        val cleaned = pws.join(covered, Seq("doc_id", "q"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            expr("md5(array_join(transform(array_sort(" +
+              "collect_list(struct(q, w))), x -> x.w), ' '))").as("cleaned_md5"))
+        words.select(col("doc_id"), col("n"))
+          .join(cleaned, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n").cast("long").as("n_words"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n") - coalesce(col("n_kept"), lit(0L))).cast("long")
+              .as("n_removed"),
+            coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+          .orderBy("doc_id")
+      },
+      Some(SpanDedupOracle)),
 
     // ----- n-gram Jaccard pairs via LSH blocking (the 100 TB shape and the
     // BENCHED headline): banded MinHash candidates, exact Jaccard verified
