@@ -376,6 +376,34 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Content-defined chunking (the rsync/FastCDC idea): a document splits
+    * at positions where a hash of the trailing `w`-char window lands in a
+    * fixed fraction of the hash space, so chunk boundaries survive
+    * insertions/deletions elsewhere in the document — the property that
+    * makes chunk-level dedup robust where fixed-size blocks shift. The
+    * boundary rule here is "top 4 bits of md5(window) are zero" (p=1/16,
+    * mean chunk ≈ w+16 chars) — md5 chosen so a SQL oracle replays the
+    * EXACT boundaries (`substr(md5(substr(text,i-w+1,w)),1,1)='0'`);
+    * production would swap in a gear/Rabin O(1) rolling hash behind the
+    * same contract (the boundary SET is the contract, not the hash).
+    * Deterministic, pure per-document — runs in a `flatMap`. */
+  def cdcChunks(text: String, w: Int = 8): Seq[String] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = w
+    while (i <= text.length) {
+      val h = md.digest(text.substring(i - w, i)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((h(0) & 0xF0) == 0) bounds += i
+      md.reset()
+      i += 1
+    }
+    val starts = 0 +: bounds.toSeq
+    val ends = bounds.toSeq :+ text.length
+    starts.zip(ends).collect { case (s, e) if e > s => text.substring(s, e) }
+  }
+
   /** Multi-band hamming LSH pairs over any integer hash column: split the
     * `bits`-bit hash into `bands` equal slices, candidate = any shared
     * (band index, band value), then exact hamming verify. Unlike the

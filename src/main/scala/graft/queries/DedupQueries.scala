@@ -517,6 +517,57 @@ object DedupQueries {
       },
       Some(SpanDedupOracle)),
 
+    // ----- content-defined chunk dedup (rsync/FastCDC shape): documents
+    // split at content-derived boundaries (Dedup.cdcChunks — boundaries
+    // survive edits elsewhere, unlike fixed blocks), chunk contents
+    // hashed, and each doc reports how much of it is byte-shared with
+    // OTHER docs. On the planted-dup corpus the verbatim twins share
+    // every chunk and the "extra appended words" variants share every
+    // chunk up to the edit — exactly the partial-overlap signal
+    // chunk-level dedup exists to expose. Oracle replays the boundary
+    // rule, the spans, and the sharing census in SQL. -----
+    Q("d_cdc_chunks",
+      (s, d) => {
+        val chunker = udf((t: String) => Dedup.cdcChunks(t))
+        val ch = dupCorpus(s, d)
+          .select(col("doc_id"), explode(chunker(col("text"))).as("chunk"))
+        val freq = ch.groupBy("chunk")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        ch.join(freq, "chunk")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"),
+            (round(sum(when(col("nd") > 1, length(col("chunk")))
+                .otherwise(lit(0))).cast("double") /
+              sum(length(col("chunk"))), 4) + 0.0).as("shared_byte_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $DupCorpusCte,
+              |d2 AS (SELECT doc_id, text, length(text) AS n FROM corpus),
+              |bpos AS (SELECT doc_id, t.i AS i FROM d2,
+              |    unnest(range(8, n + 1)) t(i)
+              |  WHERE substr(md5(substr(text, CAST(t.i AS INT) - 7, 8)), 1, 1) = '0'),
+              |aug AS (SELECT doc_id, i,
+              |    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS p
+              |  FROM bpos),
+              |chunks1 AS (SELECT a.doc_id,
+              |    substr(d.text, CAST(a.p AS INT) + 1, CAST(a.i - a.p AS INT)) AS chunk
+              |  FROM aug a JOIN d2 d USING (doc_id)),
+              |lastc AS (SELECT d.doc_id,
+              |    substr(d.text, CAST(coalesce(m.mx, 0) AS INT) + 1) AS chunk
+              |  FROM d2 d LEFT JOIN
+              |    (SELECT doc_id, max(i) AS mx FROM bpos GROUP BY 1) m USING (doc_id)
+              |  WHERE coalesce(m.mx, 0) < d.n),
+              |ch AS (SELECT * FROM chunks1 UNION ALL SELECT * FROM lastc),
+              |freq AS (SELECT chunk, count(DISTINCT doc_id) AS nd
+              |  FROM ch GROUP BY 1)
+              |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+              |  CAST(sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+              |  round(CAST(sum(CASE WHEN f.nd > 1 THEN length(c.chunk) ELSE 0 END) AS DOUBLE)
+              |    / sum(length(c.chunk)), 4) AS shared_byte_frac
+              |FROM ch c JOIN freq f USING (chunk)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- n-gram Jaccard pairs via LSH blocking (the 100 TB shape and the
     // BENCHED headline): banded MinHash candidates, exact Jaccard verified
     // per-pair with array_intersect — work is O(candidates), never

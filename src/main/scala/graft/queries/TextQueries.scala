@@ -102,6 +102,34 @@ object TextQueries {
              |FROM l ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
              |LIMIT 1""".stripMargin)),
 
+    // ----- deterministic stratified train/val/test split (80/10/10 by a
+    // stable hash of doc_id, per-language strata): the assignment every
+    // training pipeline needs to be REPRODUCIBLE across reruns and
+    // engines — no rand(), the md5-derived bucket replays exactly in SQL.
+    // Output is the per-(lang, split) doc and token census, so a drifted
+    // assignment anywhere breaks the hash. -----
+    Q("t_stratified_split",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("u", expr(
+          "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 1000"))
+        .withColumn("split", when(col("u") < 800, "train")
+          .when(col("u") < 900, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(graft.ops.Dedup.wordsArray("text"))).cast("long")
+            .as("n_tokens"))
+        .orderBy("lang", "split"),
+      Some("""WITH a AS (SELECT lang, text,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS u
+             |  FROM documents),
+             |s AS (SELECT lang, CASE WHEN u < 800 THEN 'train'
+             |    WHEN u < 900 THEN 'val' ELSE 'test' END AS split,
+             |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+             |  FROM a)
+             |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(nt) AS BIGINT) AS n_tokens
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----- vocabulary building: top-50 word bigrams by document frequency
     // (distinct per doc → explode → count; the map-side-combined groupBy is
     // the whole-corpus shape) -----

@@ -210,6 +210,54 @@ class OpsSpec extends AnyFunSuite {
     assert(bestT === ((5L, "cat sat on the mat", 0L, 1L, 1L, 1L)))
   }
 
+  test("suffix array equals a driver-side sort on random corpora (property)") {
+    import graft.ops.SuffixArray
+    import org.scalacheck.Gen
+    // small alphabet + short docs force heavy rank ties, duplicate
+    // suffixes, and multi-round refinement — the regimes where a doubling
+    // bug would hide
+    val gen = for {
+      nDocs <- Gen.chooseNum(1, 6)
+      docs <- Gen.listOfN(nDocs, Gen.chooseNum(0, 12)
+        .flatMap(len => Gen.stringOfN(len, Gen.oneOf('a', 'b', 'c'))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    var seed = org.scalacheck.rng.Seed(11L)
+    for (_ <- 0 until 8) {
+      gen.apply(Gen.Parameters.default, seed).foreach { data =>
+        val got = SuffixArray.build(data.toDF("doc_id", "text"), "doc_id", "text")
+          .as[(Long, Long, Long)].collect().toSeq.sorted
+        val ref = (for ((id, t) <- data; p <- 0 until t.length)
+            yield (t.substring(p), id, p.toLong))
+          .sorted.zipWithIndex
+          .map { case ((_, id, p), r) => (id, p, r.toLong) }.sorted
+        assert(got === ref, s"corpus=$data")
+      }
+      seed = seed.next
+    }
+  }
+
+  test("cdc chunking: reassembles exactly, boundaries survive edits elsewhere") {
+    // short/degenerate inputs
+    assert(Dedup.cdcChunks("") === Seq.empty)
+    assert(Dedup.cdcChunks("abc") === Seq("abc")) // shorter than the window
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the field while the farmer watches from the old barn"
+    val edited = "ENTIRELY NEW PREAMBLE INSERTED HERE " + base
+    val a = Dedup.cdcChunks(base)
+    val b = Dedup.cdcChunks(edited)
+    // chunks partition the document exactly
+    assert(a.mkString === base)
+    assert(b.mkString === edited)
+    assert(a.size >= 3, s"fixture too short to be meaningful: $a")
+    // CONTENT-DEFINED: boundaries depend only on the trailing window, so
+    // after the first boundary past the edit the chunk streams REALIGN —
+    // the whole shared tail dedups chunk-for-chunk (a fixed-size blocking
+    // would shift every block and share nothing)
+    val aligned = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.size
+    assert(aligned >= a.size - 2,
+      s"only $aligned/${a.size} tail chunks realigned: a=$a b=$b")
+  }
+
   test("multimodal: frame partition arithmetic reassembles payloads") {
     val media = Multimodal.fromDocuments(
       Seq((0L, "abcdefghij", "s0"), (1L, "xy", "s1")).toDF("doc_id", "text", "source"),
