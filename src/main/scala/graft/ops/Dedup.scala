@@ -498,10 +498,16 @@ object Dedup {
   def connectedComponents(edges: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b", maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // NO distinct on the symmetrized edge stream: min-label propagation is
+    // IDEMPOTENT under duplicate edges (min over neighbors is unchanged by
+    // repeats), so deduping here would spend a full shuffle + aggregate
+    // over 2|E| purely to shrink the per-round join input — at 30× pair
+    // inflation that aggregate was the stage's dominant spill. Callers
+    // that pass duplicate edges just pay proportional join cost, never a
+    // wrong answer.
     val sym = edges
       .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
       .union(edges.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
-      .distinct()
       .persist(MEMORY_AND_DISK)
     try {
       // localCheckpoint per round: labels feeds the NEXT round's plan twice

@@ -250,7 +250,7 @@ class PlanSpec extends AnyFunSuite {
     // (dup-gram semi-join, covered-position anti-join) and
     // t_span_corruption runs a positional window + two joins — any of
     // them degrading to a nested-loop product would be corpus × corpus
-    for (name <- Seq("d_span_dedup", "t_span_corruption")) {
+    for (name <- Seq("d_span_dedup", "t_span_corruption", "d_cdc_chunks")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(2000))
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n" + p.take(2000))
