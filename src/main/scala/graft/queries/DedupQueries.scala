@@ -1090,6 +1090,87 @@ object DedupQueries {
               |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
+    // ----- LSH quality as first-class data: realized recall of the
+    // production (b=4, r=4) banding against the EXACT Jaccard ground
+    // truth, per similarity bucket — the minhash twin of the ANN
+    // probes→recall evaluation. The hash functions are fixed, so the
+    // realized candidate set (and therefore every recall cell) is
+    // deterministic and the oracle replays signatures, bands, ground
+    // truth, and the bucket census exactly. The s-curve
+    // 1-(1-J^4)^4 predicts ~0.23 at J=0.5 rising to 1.0 at J=1 —
+    // the measured row set pins where the deployment actually sits. -----
+    Q("d_lsh_recall_eval",
+      (s, d) => {
+        val corpus = dupCorpus(s, d)
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .withColumn("shs", Dedup.wordShingles("ws", 5))
+          .filter(size(col("shs")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val withSig = corpus
+          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
+          .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        val cands = Dedup.lshCandidatePairs(
+            Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
+          .withColumn("caught", lit(1L))
+        val posts = corpus.select(col("doc_id"), explode(col("shs")).as("sh"))
+        val inter = posts.as("a").join(posts.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("ni"))
+        val sizes = corpus.select(col("doc_id"), size(col("shs")).cast("long").as("ns"))
+        // integer-only bucket arithmetic: (10·|∩|) DIV |∪| — no float
+        // boundary can disagree between engines
+        val truth = inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("na")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("nb")), "id_b")
+          .withColumn("nu", col("na") + col("nb") - col("ni"))
+          .filter(col("ni") * 2 >= col("nu"))
+          .withColumn("j_bucket", expr("ni * 10 DIV nu"))
+        truth.join(cands, Seq("id_a", "id_b"), "left")
+          .groupBy("j_bucket")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("caught"), lit(0L))).as("n_caught"),
+            (round(sum(coalesce(col("caught"), lit(0L))).cast("double") /
+              count(lit(1)), 4) + 0.0).as("recall"))
+          .orderBy("j_bucket")
+      },
+      Some(s"""WITH $ShinglesCte,
+              |sd AS (SELECT doc_id, shs FROM sh WHERE len(shs) > 0),
+              |hs AS (SELECT doc_id,
+              |    list_transform(shs, s ->
+              |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+              |  FROM sd),
+              |sig AS (SELECT doc_id,
+              |    [list_min(list_transform(hs, h -> ((2*i+3) * h + (7*i+1)) % 2147483647))
+              |     for i in range(0, 16)] AS sig
+              |  FROM hs),
+              |bands AS (SELECT doc_id, t.b,
+              |    md5(concat_ws(',', sig[t.b*4+1]::VARCHAR, sig[t.b*4+2]::VARCHAR,
+              |                       sig[t.b*4+3]::VARCHAR, sig[t.b*4+4]::VARCHAR)) AS band_hash
+              |  FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+              |posts AS (SELECT doc_id, unnest(shs) AS s FROM sd),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              |  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT doc_id, len(shs) AS ns FROM sd),
+              |truth AS (SELECT i.id_a, i.id_b, i.ni,
+              |    sa.ns + sb.ns - i.ni AS nu
+              |  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+              |  JOIN sizes sb ON sb.doc_id = i.id_b
+              |  WHERE i.ni * 2 >= sa.ns + sb.ns - i.ni),
+              |j AS (SELECT t.id_a, t.id_b, (t.ni * 10) // t.nu AS j_bucket,
+              |    CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS caught
+              |  FROM truth t LEFT JOIN cand c
+              |    ON c.id_a = t.id_a AND c.id_b = t.id_b)
+              |SELECT CAST(j_bucket AS BIGINT) AS j_bucket,
+              |  CAST(count(*) AS BIGINT) AS n_pairs,
+              |  CAST(sum(caught) AS BIGINT) AS n_caught,
+              |  round(CAST(sum(caught) AS DOUBLE) / count(*), 4) AS recall
+              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- end-use: clean corpus via LSH candidates → Jaccard verify →
     // keep-canonical (the dedup pipeline a training corpus actually runs) -----
     Q("d_clean_corpus",
