@@ -57,6 +57,12 @@ object RtfParser {
     while (i < n) {
       rtf.charAt(i) match {
         case '{' =>
+          // a group boundary ENDS any pending \uN fallback run: the spec
+          // forbids braces inside the skippable data, so a budget carried
+          // across would be consumed by the group's own control words and
+          // swallow real text after them (e.g. `\uc2 Δ{\b bo}ld` losing
+          // the 'b')
+          pendingSkip = 0
           ucStack += ucStack.last
           if (skipDepth > 0) skipDepth += 1
           else {
@@ -77,6 +83,7 @@ object RtfParser {
           }
           i += 1
         case '}' =>
+          pendingSkip = 0 // group close ends a fallback run, same as open
           if (ucStack.length > 1) ucStack.remove(ucStack.length - 1): Unit
           if (skipDepth > 0) skipDepth -= 1
           i += 1
@@ -122,10 +129,11 @@ object RtfParser {
               case "uc" => ucStack(ucStack.length - 1) =
                 num.getOrElse(1L).toInt.max(0)
               case "u" => num.foreach { cp =>
-                // RTF \u is a SIGNED 16-bit value
+                // RTF \u is a SIGNED 16-bit value; emitting directly (not
+                // via emit()) is what cancels any stale budget — the new
+                // ucStack.last assignment below starts this \u's own run
                 val v = (cp.toInt & 0xFFFF).toChar
                 if (skipDepth == 0) {
-                  pendingSkip = 0
                   out += v
                   pendingSkip = ucStack.last
                 }

@@ -389,19 +389,27 @@ object Dedup {
     * Deterministic, pure per-document — runs in a `flatMap`. */
   def cdcChunks(text: String, w: Int = 8): Seq[String] = {
     if (text == null || text.isEmpty) return Seq.empty
+    // CODE-POINT indexing, not UTF-16 units: SQL substr counts code
+    // points, so windowing by Java chars would split surrogate pairs on
+    // non-BMP text and the two boundary sets would diverge (the UTF-8
+    // encoding of a lone surrogate is a replacement sequence, changing
+    // the window's md5)
+    val cps = text.codePoints().toArray
+    def cpString(from: Int, until: Int): String =
+      new String(cps, from, until - from)
     val md = java.security.MessageDigest.getInstance("MD5")
     val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = w
-    while (i <= text.length) {
-      val h = md.digest(text.substring(i - w, i)
+    while (i <= cps.length) {
+      val h = md.digest(cpString(i - w, i)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if ((h(0) & 0xF0) == 0) bounds += i
       md.reset()
       i += 1
     }
     val starts = 0 +: bounds.toSeq
-    val ends = bounds.toSeq :+ text.length
-    starts.zip(ends).collect { case (s, e) if e > s => text.substring(s, e) }
+    val ends = bounds.toSeq :+ cps.length
+    starts.zip(ends).collect { case (s, e) if e > s => cpString(s, e) }
   }
 
   /** Multi-band hamming LSH pairs over any integer hash column: split the

@@ -107,8 +107,12 @@ object SuffixArray {
     // (via the checkpoint RDD) when superseded.
     def denseIndex(df: DataFrame, by: Seq[Column], out: Seq[String]): DataFrame = {
       val sorted = df.orderBy(by: _*)
+      // SERIALIZED storage: this RDD holds deserialized Row objects whose
+      // JVM overhead is ~5-10× the data (three longs per row) — at tens of
+      // millions of suffixes the deserialized cache alone OOMs an 8 g
+      // heap, while the serialized form spills gracefully
       val srdd = sorted.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val schema = StructType(sorted.schema.fields.toIndexedSeq :+
         StructField("idx", LongType, nullable = false))
       val indexed = srdd.zipWithIndex().map { case (r, i) =>

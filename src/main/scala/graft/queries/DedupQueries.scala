@@ -1109,8 +1109,13 @@ object DedupQueries {
         val withSig = corpus
           .withColumn("hs", Dedup.shingleBaseHashes("shs"))
           .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        // UNCAPPED candidates: the eval measures the BANDING's recall, so
+        // the hot-bucket cap must not enter (and the oracle models no
+        // cap — a capped run on a hotter corpus would silently diverge);
+        // the cap's own effect is audited separately via oversizedBuckets
         val cands = Dedup.lshCandidatePairs(
-            Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
+            Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id",
+            maxBucketSize = Int.MaxValue)
           .withColumn("caught", lit(1L))
         val posts = corpus.select(col("doc_id"), explode(col("shs")).as("sh"))
         val inter = posts.as("a").join(posts.as("b"),

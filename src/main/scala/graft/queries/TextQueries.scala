@@ -270,6 +270,49 @@ object TextQueries {
              |  , 4) AS quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- per-language percentile quality cut: drop each language's
+    // bottom 10% by quality score — the relative-threshold filtering
+    // stage (absolute thresholds over-prune low-resource strata; a
+    // percentile adapts per stratum). Ranks use the deterministic
+    // (quality, doc_id) total order and INTEGER cut arithmetic
+    // (r > n DIV 10), so the realized cut — including the minimum
+    // retained score per language — replays exactly in SQL. The
+    // per-stratum window sort is the scale shape: one range-partitioned
+    // sort per language, never a global collect. -----
+    Q("t_percentile_filter",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("q", "doc_id")
+        val wl = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("q"))
+          .withColumn("r", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wl))
+          .withColumn("keep", col("r") > expr("n DIV 10"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            (min(when(col("keep"), col("q"))) + 0.0).as("min_kept_quality"))
+          .orderBy("lang")
+      },
+      Some("""WITH s AS (SELECT lang, doc_id, round(
+             |    (len(regexp_extract_all(text, '[a-zA-Z0-9]')) * 1.0
+             |       / greatest(length(text) * 1.0, 1.0)) * 0.25
+             |  + least(length(text) * 1.0 / 500.0, 1.0) * 0.25
+             |  + least((len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|a|in)\b')) * 1.0
+             |       / greatest(len(regexp_extract_all(text, '\S+')) * 1.0, 1.0)) * 5.0, 1.0) * 0.25
+             |  + (len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) * 1.0
+             |       / greatest(len(regexp_extract_all(text, '\S+')) * 1.0, 1.0)) * 0.25
+             |  , 4) AS q FROM documents),
+             |r AS (SELECT lang, doc_id, q,
+             |    row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS r,
+             |    count(*) OVER (PARTITION BY lang) AS n FROM s)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+             |  CAST(sum(CASE WHEN r > n // 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  min(CASE WHEN r > n // 10 THEN q END) AS min_kept_quality
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- Gopher-style quality rules (Rae et al. 2021 heuristic family):
     // per-rule measurements + keep flag, all scan-speed column expressions -----
     Q("t_gopher_rules",

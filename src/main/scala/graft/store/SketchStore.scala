@@ -44,7 +44,14 @@ final class SketchStore(spark: SparkSession, path: String,
     * then the legacy dirs are removed. Without this, a store written by
     * the old layout would silently read as empty and its accumulated
     * state would be orphaned. */
+  // the migration can fire at most once per path (single-writer store);
+  // memoizing saves the two filesystem existence checks every accessor
+  // would otherwise pay forever after
+  @volatile private var migrationChecked = false
+
   private def migrateLegacyLayout(): Unit = {
+    if (migrationChecked) return
+    migrationChecked = true
     val f = fs
     if (!f.exists(new HPath(statsPath)) &&
         f.exists(new HPath(path + "/stats"))) {

@@ -256,6 +256,10 @@ class OpsSpec extends AnyFunSuite {
     val aligned = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.size
     assert(aligned >= a.size - 2,
       s"only $aligned/${a.size} tail chunks realigned: a=$a b=$b")
+    // non-BMP text: windows count CODE POINTS (SQL substr parity), so a
+    // surrogate pair is never split and chunks still reassemble exactly
+    val emoji = "abc😀defghij klmnopqrs tuvwxyz et cetera 1234"
+    assert(Dedup.cdcChunks(emoji).mkString === emoji)
   }
 
   test("multimodal: frame partition arithmetic reassembles payloads") {

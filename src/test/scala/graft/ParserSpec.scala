@@ -272,6 +272,11 @@ class ParserSpec extends AnyFunSuite {
     assert(RtfParser.toText("{\\rtf1 \\" + "u916\\tab x\\par}") === "Δx")
     assert(RtfParser.toText("{\\rtf1\\uc1 \\" + "u916\\line delta\\par}")
       === "Δdelta")
+    // a group boundary ends the fallback run: with \uc2 and no fallback
+    // chars before the group, the budget must NOT leak into it and
+    // swallow the group's first text char
+    assert(RtfParser.toText("{\\rtf1\\uc2 \\" + "u916{\\b bo}ld\\par}")
+      === "Δbold")
     // \tab and \~ are spaces; \line breaks a paragraph
     assert(RtfParser.toText("""{\rtf1 a\tab b\~c\line d\par}""") === "a b c\n\nd")
     // refuse-don't-garble
