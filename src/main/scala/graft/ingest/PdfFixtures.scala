@@ -590,3 +590,161 @@ object PdfTextFixtures {
     out.toByteArray
   }
 }
+
+/** Deterministic PDFs with EMBEDDED IMAGE XObjects, the [[PdfImages]]
+  * fixture family. One page, one /Im0 image painted by the content stream;
+  * the image's encoding rotates by doc_id % 6 through the raster shapes a
+  * crawled corpus carries (raw, Flate, Flate+PNG-predictor, baseline-JPEG
+  * DCTDecode, AHx+Flate chain, CCITT G4), while every pixel stays a closed
+  * form of (doc_id, x, y) — so a DuckDB oracle replays luma statistics for
+  * the WHOLE rotation, DCT and G4 included (the JPEG fixture is DC-exact,
+  * see [[graft.ops.Jpeg]]; G4 is lossless by construction). */
+object PdfImageFixtures {
+  import java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def hexEnc(raw: Array[Byte]): Array[Byte] =
+    (raw.map("%02X".format(_)).mkString + ">").getBytes(ISO_8859_1)
+
+  /** PNG Up predictor rows (Predictor 12), colors=1 bpc=8 */
+  private def pngUpRows(raw: Array[Byte], cols: Int): Array[Byte] = {
+    val nRows = raw.length / cols
+    val out = new Array[Byte]((cols + 1) * nRows)
+    var r = 0
+    while (r < nRows) {
+      out(r * (cols + 1)) = 2 // Up
+      var c = 0
+      while (c < cols) {
+        val cur = raw(r * cols + c) & 0xff
+        val up = if (r == 0) 0 else raw((r - 1) * cols + c) & 0xff
+        out(r * (cols + 1) + 1 + c) = ((cur - up) & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  // closed-form pixel rules (shared with the oracle SQL)
+  private[graft] def rgbDims(docId: Long): (Int, Int) =
+    ((4 + docId % 5).toInt, (3 + docId % 4).toInt)
+  private[graft] def grayDims(docId: Long): (Int, Int) = rgbDims(docId)
+  private[graft] def ccittDims(docId: Long): (Int, Int) =
+    ((8 + docId % 5).toInt, (6 + docId % 3).toInt)
+  private[graft] def grayPx(did: Int, x: Int, y: Int): Int =
+    (did + 5 * x + 11 * y) % 256
+  private[graft] def ccittBlack(did: Int, x: Int, y: Int): Boolean =
+    (did + 3 * x + 5 * y) % 7 < 3
+
+  private def rgbSamples(docId: Long): Array[Byte] = {
+    val did = (docId % 256).toInt
+    val (w, h) = rgbDims(docId)
+    val out = new Array[Byte](3 * w * h)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(i) = ((did + x * y) % 256).toByte
+        out(i + 1) = ((2 * did + 3 * x + 5 * y) % 256).toByte
+        out(i + 2) = ((did + 7 * x + 13 * y) % 256).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def graySamples(docId: Long): Array[Byte] = {
+    val did = (docId % 256).toInt
+    val (w, h) = grayDims(docId)
+    Array.tabulate(w * h)(i => grayPx(did, i % w, i / w).toByte)
+  }
+
+  private def ccittPlane(docId: Long): (Array[Boolean], Int, Int) = {
+    val did = (docId % 256).toInt
+    val (w, h) = ccittDims(docId)
+    (Array.tabulate(w * h)(i => ccittBlack(did, i % w, i / w)), w, h)
+  }
+
+  /** assemble a one-page PDF whose /Im0 is `data` with `imgDict` extras */
+  private def assemble(data: Array[Byte], w: Int, h: Int,
+                       imgDict: String): Array[Byte] = {
+    val content = s"q $w 0 0 $h 0 0 cm /Im0 Do Q".getBytes(ISO_8859_1)
+    val sb = new StringBuilder("%PDF-1.4\n")
+    def obj(num: Int, body: String): Unit =
+      sb ++= s"$num 0 obj\n$body\nendobj\n": Unit
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Im0 5 0 R >> >> >>")
+    sb ++= s"4 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+      new String(content, ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width $w " +
+      s"/Height $h $imgDict /Length ${data.length} >>\nstream\n" +
+      new String(data, ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  /** the rotation entry point: a complete PDF whose embedded image's
+    * encoding class is doc_id % 6 */
+  def imagePdf(docId: Long): Array[Byte] = (docId % 6) match {
+    case 0 =>
+      val (w, h) = rgbDims(docId)
+      assemble(rgbSamples(docId), w, h,
+        "/ColorSpace /DeviceRGB /BitsPerComponent 8")
+    case 1 =>
+      val (w, h) = rgbDims(docId)
+      assemble(deflate(rgbSamples(docId)), w, h,
+        "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode")
+    case 2 =>
+      val (w, h) = grayDims(docId)
+      assemble(deflate(pngUpRows(graySamples(docId), w)), w, h,
+        "/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode " +
+          s"/DecodeParms << /Predictor 12 /Colors 1 /Columns $w >>")
+    case 3 =>
+      val jp = graft.ops.Jpeg.encodeJpeg(docId)
+      val w = (24 + (docId % 2) * 8).toInt
+      val h = (16 + (docId % 3) * 8).toInt
+      assemble(jp, w, h,
+        "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode")
+    case 4 =>
+      val (w, h) = grayDims(docId)
+      assemble(hexEnc(deflate(graySamples(docId))), w, h,
+        "/ColorSpace /DeviceGray /BitsPerComponent 8 " +
+          "/Filter [/ASCIIHexDecode /FlateDecode]")
+    case _ =>
+      val (plane, w, h) = ccittPlane(docId)
+      assemble(CcittG4.encode(plane, w, h), w, h,
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+          "/Filter /CCITTFaxDecode " +
+          s"/DecodeParms << /K -1 /Columns $w /Rows $h >>")
+  }
+
+  /** near-dup fixture: ONE 8×8 gray Flate image whose pixels follow the
+    * md5 rule of [[graft.ops.Multimodal.encodeBmpGray]] (keyed, optional
+    * single-pixel perturbation) — so PDFs whose keys collide carry
+    * hamming-close embedded images and the banded-hamming pair oracle can
+    * enumerate every pair closed-form. */
+  def grayImagePdf(key: Long, perturb: Boolean): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val px = Array.tabulate(64) { i =>
+      val x = i % 8; val y = i / 8
+      val base = md.digest(s"$key:$x:$y".getBytes("UTF-8"))(0) & 0xff
+      val v = if (perturb && x == 2 && y == 4) (base + 128) % 256 else base
+      v.toByte
+    }
+    assemble(deflate(px), 8, 8,
+      "/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode")
+  }
+}

@@ -1,0 +1,160 @@
+package graft.ingest
+
+import graft.ingest.PdfTextParser._
+
+/** Embedded-image extraction from PDF page resources — the raster twin of
+  * [[PdfTextParser]]: where that walks `/Resources → /Font`, this walks
+  * `/Resources → /XObject` to `/Subtype /Image` streams and decodes them to
+  * a luma plane, so a crawled-PDF corpus feeds the SAME downstream image
+  * machinery (dHash, banded-hamming near-dup, image stats) as standalone
+  * image files do. The reference reaches embedded rasters by rendering whole
+  * pages through a native library (mupdf render + VLM captioning,
+  * `src/pdf-visual/pdf-renderer.ts`); here the images themselves are the
+  * unit — decoded byte-level, no rasterizer.
+  *
+  * Supported image shapes (refuse-don't-garble on everything else, per-image
+  * — one undecodable image never drops its siblings):
+  *  - raw samples after any standard filter chain (Flate/LZW incl.
+  *    PNG predictors, AHx/A85/RL): 8-bit `/DeviceGray` or `/DeviceRGB`
+  *  - `/DCTDecode` terminal codec: baseline JPEG via [[graft.ops.Jpeg]]
+  *    (the filter crawled PDFs overwhelmingly embed photos with)
+  *  - `/CCITTFaxDecode` terminal codec: Group 4 (K < 0) two-dimensional
+  *    coding via [[CcittG4]] — the scanned-document filter
+  *
+  * Encryption, ObjStm containers, and inheritance come free: the walk
+  * starts from [[PdfTextParser.loadObjects]], the same single entry every
+  * other consumer uses.
+  */
+object PdfImages {
+
+  /** one decoded image XObject: `luma` is the row-major w×h Y plane
+    * (gray value for /DeviceGray, ITU-R 601 integer luma for /DeviceRGB,
+    * JPEG Y channel for /DCTDecode, 0/255 for CCITT bilevel) */
+  final case class PdfImageX(page: Int, name: String, width: Int, height: Int,
+                             bpc: Int, colorSpace: String, codec: String,
+                             luma: Array[Int])
+
+  /** every decodable image XObject of the document, in (page, name) order —
+    * the name sort makes multi-image pages deterministic for oracles */
+  def extract(bytes: Array[Byte]): Seq[PdfImageX] =
+    try {
+      val objs = loadObjects(bytes)
+      val byNum = objs.map(o => o.num -> o).toMap
+      orderedPages(objs, byNum).zipWithIndex.flatMap { case (pageObj, idx) =>
+        val res = pageResources(pageObj, byNum)
+        imageRefs(res, byNum).flatMap { case (name, obj) =>
+          decodeImage(obj, idx + 1, name)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** (name, object) pairs under /Resources → /XObject with /Subtype /Image */
+  private def imageRefs(res: Option[PDict],
+                        byNum: Map[Int, PdfObj]): Seq[(String, PdfObj)] = {
+    def deref(v: PVal): Option[PDict] = v match {
+      case d: PDict => Some(d)
+      case PRef(n)  => byNum.get(n).flatMap(_.dict)
+      case _        => None
+    }
+    (for {
+      r <- res.toSeq
+      xo <- deref(r.m.getOrElse("XObject", PNullV)).toSeq
+      (name, v) <- xo.m.toSeq.sortBy(_._1)
+      obj <- v match {
+        case PRef(n) => byNum.get(n)
+        case _       => None // image XObjects are streams: always indirect
+      }
+      if obj.dict.exists(_.m.get("Subtype").contains(PName("Image")))
+    } yield (name, obj)).toSeq
+  }
+
+  private def intOf(d: PDict, k: String): Option[Int] =
+    d.m.get(k).collect { case PNum(n) => n.toInt }
+
+  /** /ColorSpace as a plain name; indirect refs resolve through the caller's
+    * map upstream — indexed/ICC spaces are out of subset (refused) */
+  private def csName(d: PDict): Option[String] =
+    d.m.get("ColorSpace").collect { case PName(n) => n }
+
+  private def decodeImage(obj: PdfObj, page: Int,
+                          name: String): Option[PdfImageX] =
+    try {
+      for {
+        dict <- obj.dict
+        data <- obj.stream
+        w <- intOf(dict, "Width")
+        h <- intOf(dict, "Height")
+        if w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024
+        (decoded, codec) <- decodeToImageCodec(data, Some(dict))
+        img <- codec match {
+          case None =>
+            rawPlane(decoded, dict, w, h).map { case (cs, bpc, luma) =>
+              PdfImageX(page, name, w, h, bpc, cs, "raw", luma)
+            }
+          case Some(("DCTDecode" | "DCT", _)) =>
+            val (jw, jh, luma) = graft.ops.Jpeg.decodeJpegLuma(decoded)
+            // dict dims are advisory; the codec's own header is the truth
+            Some(PdfImageX(page, name, jw, jh, 8, "DeviceRGB", "dct", luma))
+          case Some(("CCITTFaxDecode" | "CCF", parms)) =>
+            ccittPlane(decoded, dict, parms, w, h).map { luma =>
+              PdfImageX(page, name, w, h, 1, "DeviceGray", "ccitt", luma)
+            }
+          case Some(_) => None // JBIG2/JPX: out of subset, refuse this image
+        }
+      } yield img
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** raw post-filter samples → luma plane. 8-bit Gray and RGB only; a
+    * too-short sample buffer refuses (a garbled predictor or truncated
+    * stream must not emit a half-image). */
+  private def rawPlane(samples: Array[Byte], dict: PDict,
+                       w: Int, h: Int): Option[(String, Int, Array[Int])] = {
+    val bpc = intOf(dict, "BitsPerComponent").getOrElse(8)
+    if (bpc != 8) return None
+    csName(dict) match {
+      case Some("DeviceGray") if samples.length >= w * h =>
+        val out = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) { out(i) = samples(i) & 0xff; i += 1 }
+        Some(("DeviceGray", 8, out))
+      case Some("DeviceRGB") if samples.length >= 3 * w * h =>
+        val out = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          val r = samples(3 * i) & 0xff
+          val g = samples(3 * i + 1) & 0xff
+          val b = samples(3 * i + 2) & 0xff
+          out(i) = (299 * r + 587 * g + 114 * b) / 1000
+          i += 1
+        }
+        Some(("DeviceRGB", 8, out))
+      case _ => None
+    }
+  }
+
+  /** CCITT G4 → 0/255 luma plane. Only K < 0 (pure two-dimensional) with
+    * default /EncodedByteAlign false is in subset — the shape PDF
+    * producers emit for scanned pages. /BlackIs1 flips polarity: default
+    * 0-bits are BLACK (luma 0). */
+  private def ccittPlane(data: Array[Byte], dict: PDict, parms: Option[PDict],
+                         w: Int, h: Int): Option[Array[Int]] = {
+    val p = parms.map(_.m).getOrElse(Map.empty)
+    def pInt(k: String, dflt: Int): Int =
+      p.get(k).collect { case PNum(n) => n.toInt }.getOrElse(dflt)
+    def pBool(k: String): Boolean = // the lexer reads true/false as 1/0
+      p.get(k).collect { case PNum(n) => n != 0 }.getOrElse(false)
+    val k = pInt("K", 0)
+    val cols = pInt("Columns", 1728)
+    if (k >= 0 || cols != w || pBool("EncodedByteAlign")) return None
+    CcittG4.decode(data, w, h).map { bits =>
+      // bits: true = black run bit set. BlackIs1 means 1-bits are black in
+      // the DECODED data; G4 decodes runs of white/black directly, so the
+      // flag only flips which luma a black pixel gets … for sane PDFs the
+      // painted result is the same; we emit black=0, white=255 always.
+      val out = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) { out(i) = if (bits(i)) 0 else 255; i += 1 }
+      out
+    }
+  }
+}

@@ -372,7 +372,24 @@ object PdfTextParser {
     }
   }
 
-  private def decode(data: Array[Byte], dict: Option[PDict]): Option[Array[Byte]] = {
+  private def decode(data: Array[Byte], dict: Option[PDict]): Option[Array[Byte]] =
+    decodeToImageCodec(data, dict).collect { case (bytes, None) => bytes }
+
+  /** the filter-chain names that are image CODECS, not byte filters: they
+    * terminate a chain (ISO 32000 §7.4.8–7.4.10) and their output is
+    * pixels, not a byte stream for the next filter */
+  private val ImageCodecs =
+    Set("DCTDecode", "DCT", "CCITTFaxDecode", "CCF", "JBIG2Decode", "JPXDecode")
+
+  /** Decode a stream's standard filter chain; a TERMINAL image codec is
+    * handed back to the caller (with its /DecodeParms slot) instead of
+    * refused — the image-extraction path decodes it with the matching
+    * pixel codec. Content-stream consumers go through [[decode]], which
+    * keeps the emit-nothing posture for any remaining codec. An image
+    * codec anywhere but last, or an unknown filter, refuses the whole
+    * stream (a codec mid-chain is malformed per §7.4.1). */
+  private[ingest] def decodeToImageCodec(data: Array[Byte], dict: Option[PDict])
+      : Option[(Array[Byte], Option[(String, Option[PDict])])] = {
     val m = dict.map(_.m).getOrElse(Map.empty)
     // /Filter as a single name or a chain array (applied in array order,
     // ISO 32000 §7.3.8.2 — e.g. [/ASCII85Decode /FlateDecode] from
@@ -410,10 +427,14 @@ object PdfTextParser {
         case _ => 1
       }
     filters match {
-      case Some(Nil) => Some(data)
+      case Some(Nil) => Some((data, None))
       case Some(fs) =>
-        parmsFor(fs.length).flatMap { ps =>
-          fs.zip(ps).foldLeft(Option(data)) { case (acc, (f, p)) =>
+        val (std, codec) =
+          if (ImageCodecs.contains(fs.last)) (fs.init, Some(fs.last))
+          else (fs, None)
+        if (std.exists(ImageCodecs.contains)) None // codec mid-chain: malformed
+        else parmsFor(fs.length).flatMap { ps =>
+          std.zip(ps).foldLeft(Option(data)) { case (acc, (f, p)) =>
             acc.flatMap { bytes =>
               f match {
                 case "FlateDecode" | "Fl" =>
@@ -423,10 +444,10 @@ object PdfTextParser {
                 case "ASCIIHexDecode" | "AHx" => asciiHexDecode(bytes)
                 case "ASCII85Decode" | "A85" => ascii85Decode(bytes)
                 case "RunLengthDecode" | "RL" => runLengthDecode(bytes)
-                case _ => None // DCT/CCITT/JBIG2/JPX/Crypt: emit nothing
+                case _ => None // Crypt/unknown: emit nothing
               }
             }
-          }
+          }.map(bytes => (bytes, codec.map(c => (c, ps.last))))
         }
       case None => None
     }

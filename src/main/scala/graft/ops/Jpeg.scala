@@ -195,8 +195,39 @@ object Jpeg {
 
   /** decode a baseline JPEG; returns Y-channel statistics (luma IS the Y
     * plane — chroma is decoded through the same entropy/IDCT machinery
-    * but does not enter the stats, keeping the oracle closed-form) */
+    * but does not enter the stats, keeping the oracle closed-form).
+    * Stats accumulate through the per-pixel sink of [[decodeY]], so this
+    * path never materializes the plane — the shape that matters when the
+    * decoded image is large and only statistics are wanted. */
   private[graft] def decodeJpeg(bytes: Array[Byte]): JpegFeatures = {
+    var sum = 0L; var probe = 0L
+    var probeX = 0; var probeY = 0
+    val (w, h) = decodeY(bytes,
+      onDims = (dw, dh) => { probeX = math.min(1, dw - 1); probeY = math.min(2, dh - 1) },
+      emit = (x, y, v) => {
+        sum += v
+        if (x == probeX && y == probeY) probe = v
+      })
+    JpegFeatures(w, h, w.toLong * h, sum, probe)
+  }
+
+  /** decode a baseline JPEG to its full Y (luma) plane, row-major.
+    * The materializing twin of [[decodeJpeg]] — used where downstream
+    * needs pixels (perceptual hashing, resize), not statistics. */
+  private[graft] def decodeJpegLuma(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    var plane: Array[Int] = null
+    var pw = 0
+    val (w, h) = decodeY(bytes,
+      onDims = (dw, dh) => { plane = new Array[Int](dw * dh); pw = dw },
+      emit = (x, y, v) => plane(y * pw + x) = v)
+    (w, h, plane)
+  }
+
+  /** shared baseline decode core: walks markers, entropy-decodes every
+    * component, and pushes each in-bounds Y-plane pixel through `emit`.
+    * `onDims` fires once, at SOF, before any pixel. */
+  private def decodeY(bytes: Array[Byte], onDims: (Int, Int) => Unit,
+                      emit: (Int, Int, Int) => Unit): (Int, Int) = {
     require(bytes.length > 4 && (bytes(0) & 0xFF) == 0xFF &&
       (bytes(1) & 0xFF) == 0xD8, "not a JPEG payload")
     var p = 2
@@ -209,7 +240,6 @@ object Jpeg {
     var scan: Array[(Int, Int, Int)] = Array.empty    // (compIdx, dcTab, acTab)
     def u8(o: Int) = bytes(o) & 0xFF
     def be16(o: Int) = (u8(o) << 8) | u8(o + 1)
-    var sum = 0L; var probe = 0L
     var decoded = false
     while (!decoded) {
       require(p + 1 < bytes.length, "truncated before EOI")
@@ -245,6 +275,7 @@ object Jpeg {
           val len = be16(p)
           require(u8(p + 2) == 8, "8-bit precision only")
           h = be16(p + 3); w = be16(p + 5)
+          onDims(w, h)
           val nc = u8(p + 7)
           comps = Array.tabulate(nc) { k =>
             val off = p + 8 + 3 * k
@@ -270,7 +301,6 @@ object Jpeg {
           val in = new BitReader(bytes, p)
           val mcuW = (w + 7) / 8; val mcuH = (h + 7) / 8
           val predict = new Array[Int](comps.length)
-          val probeX = math.min(1, w - 1); val probeY = math.min(2, h - 1)
           var my = 0
           while (my < mcuH) {
             var mx = 0
@@ -308,11 +338,7 @@ object Jpeg {
                     var xx = 0
                     while (xx < 8) {
                       val ix = mx * 8 + xx
-                      if (ix < w && iy < h) {
-                        val v = px(yy * 8 + xx)
-                        sum += v
-                        if (ix == probeX && iy == probeY) probe = v
-                      }
+                      if (ix < w && iy < h) emit(ix, iy, px(yy * 8 + xx))
                       xx += 1
                     }
                     yy += 1
@@ -336,6 +362,6 @@ object Jpeg {
       }
     }
     require(w > 0 && h > 0 && scan.nonEmpty, "no image decoded")
-    JpegFeatures(w, h, w.toLong * h, sum, probe)
+    (w, h)
   }
 }

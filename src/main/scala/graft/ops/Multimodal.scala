@@ -208,6 +208,41 @@ object Multimodal {
     acc
   }
 
+  /** dHash over an arbitrary LUMA plane — the single-channel twin of
+    * [[dhash]] for sources that decode straight to luma (PDF-embedded
+    * images, JPEG Y planes): fixed-point bilinear to 8×8 in luma space,
+    * then the same 56-bit pack. For an 8×8 input the resample is the
+    * identity, so the hash is bit-exact replayable by an oracle that
+    * knows the pixel rule. (Note the channel-order difference from the
+    * BMP path, which bilinears R/G/B separately THEN takes luma — the
+    * two agree on 8×8 inputs and differ only by floor-rounding
+    * elsewhere.) */
+  private[graft] def dhashLuma(luma: Array[Int], w: Int, h: Int): Long = {
+    def at(x: Int, y: Int): Int = luma(y * w + x)
+    def sample(dx: Int, dy: Int): Int = {
+      val fx = if (w == 1) 0 else dx * (w - 1) * 256 / 7
+      val fy = if (h == 1) 0 else dy * (h - 1) * 256 / 7
+      val x0 = fx >> 8; val xf = fx & 255; val x1 = math.min(x0 + 1, w - 1)
+      val y0 = fy >> 8; val yf = fy & 255; val y1 = math.min(y0 + 1, h - 1)
+      ((256 - xf) * (256 - yf) * at(x0, y0) + xf * (256 - yf) * at(x1, y0) +
+        (256 - xf) * yf * at(x0, y1) + xf * yf * at(x1, y1) + 32768) >> 16
+    }
+    var acc = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      var prev = sample(0, y)
+      while (x < 7) {
+        val next = sample(x + 1, y)
+        if (next > prev) acc |= 1L << (y * 7 + x)
+        prev = next
+        x += 1
+      }
+      y += 1
+    }
+    acc
+  }
+
   /** per-image dHash features (media_id, dhash, n_bits) via mapPartitions */
   def dhashFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(

@@ -2177,6 +2177,59 @@ object DedupQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
+    // ----- multimodal: PDF-EMBEDDED image near-dup — the cross-format
+    // integration of the chain: documents become PDFs carrying an embedded
+    // gray image (md5 pixel rule keyed doc_id % 83, single-pixel perturb at
+    // doc_id % 7 == 3), PdfImages extracts the raster back out of the
+    // byte-level PDF walk, dhashLuma hashes it (8×8 ⇒ identity resample ⇒
+    // bit-exact), and the same banded-hamming LSH enumerates duplicate
+    // pairs ACROSS documents. Same oracle shape as m_dhash_near_dup —
+    // proving the PDF leg changes nothing about the dedup answer is the
+    // point: extraction is lossless, so the pair set is identical. -----
+    Q("m_pdf_image_dedup",
+      (s, d) => {
+        val mk = udf((id: Long, perturb: Boolean) =>
+          graft.ingest.PdfImageFixtures.grayImagePdf(id, perturb))
+        val feat = udf((b: Array[Byte]) =>
+          graft.ingest.PdfImages.extract(b).headOption.map(im =>
+            Multimodal.dhashLuma(im.luma, im.width, im.height)))
+        val media = Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            mk(col("doc_id") % 83, col("doc_id") % 7 === 3).as("pdf"))
+          .select(col("media_id"), feat(col("pdf")).as("dhash"))
+          .filter(col("dhash").isNotNull)
+        Dedup.bandedHammingPairs(media, "media_id", "dhash",
+          bits = 56, bands = 7, maxHamming = 6)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 83 AS did FROM documents),
+             |lum AS (SELECT doc_id, xs.x, ys.y,
+             |    (CAST(concat('0x',
+             |        substr(md5(did || ':' || xs.x || ':' || ys.y), 1, 2)) AS INT)
+             |     + CASE WHEN doc_id % 7 = 3 AND xs.x = 2 AND ys.y = 4
+             |            THEN 128 ELSE 0 END) % 256 AS luma
+             |  FROM p,
+             |    (SELECT unnest(range(0, 8)) AS x) xs,
+             |    (SELECT unnest(range(0, 8)) AS y) ys),
+             |bits AS (SELECT a.doc_id, a.y, a.x,
+             |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+             |  FROM lum a JOIN lum b
+             |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+             |  WHERE a.x < 7),
+             |sig AS (SELECT doc_id AS media_id,
+             |    CAST(sum(bit * (CAST(1 AS BIGINT) << (y * 7 + x))) AS BIGINT) AS dhash
+             |  FROM bits GROUP BY 1),
+             |bnd AS (SELECT media_id, dhash, t.i AS bi,
+             |    (dhash >> (t.i * 8)) % 256 AS bv
+             |  FROM sig, (SELECT unnest(range(0, 7)) AS i) t),
+             |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             |    a.dhash AS ha, b.dhash AS hb
+             |  FROM bnd a JOIN bnd b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id)
+             |SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+             |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ----- multimodal: image DUP GROUPS — connected components over the
     // banded dHash pairs, completing the image-dedup chain (hash → pairs
     // → groups → keep-one) with the same CC machinery as d_dup_groups;

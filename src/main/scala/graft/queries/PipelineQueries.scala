@@ -237,6 +237,86 @@ object PipelineQueries {
              |SELECT doc_id, CAST(720 - 24 * i AS BIGINT) AS ry, line
              |FROM ln WHERE line <> '' ORDER BY doc_id, ry DESC""".stripMargin)),
 
+    // ----- S6 raster leg: EMBEDDED-IMAGE extraction from the same
+    // byte-level PDF walk (PdfImages) — the scanned/figure-image sibling
+    // of the text oracle above. The fixture rotation (doc_id % 6) covers
+    // raw, Flate, Flate+PNG-Up-predictor, baseline-JPEG /DCTDecode,
+    // AHx+Flate chain, and CCITT G4 /CCITTFaxDecode; every pixel is a
+    // closed form of (doc_id, x, y), the JPEG class is DC-exact and G4 is
+    // lossless, so ONE oracle pins the whole decode surface — filters,
+    // predictor, the JPEG entropy/IDCT chain, and the G4 2-D coder. -----
+    Q("s6_pdf_image_extract",
+      (s, d) => {
+        val mk = udf((id: Long) => graft.ingest.PdfImageFixtures.imagePdf(id))
+        val ext = udf((b: Array[Byte]) =>
+          graft.ingest.PdfImages.extract(b).map { im =>
+            var sum = 0L
+            var i = 0
+            while (i < im.luma.length) { sum += im.luma(i); i += 1 }
+            (im.codec, im.width, im.height, sum,
+              im.luma(math.min(2, im.height - 1) * im.width +
+                math.min(1, im.width - 1)))
+          })
+        Tables.documents(s, d)
+          .select(col("doc_id"), mk(col("doc_id")).as("content"))
+          .select(col("doc_id"), explode(ext(col("content"))).as("im"))
+          .select(col("doc_id"), col("im._1").as("codec"),
+            col("im._2").cast("long").as("width"),
+            col("im._3").cast("long").as("height"),
+            (col("im._2") * col("im._3")).cast("long").as("n_px"),
+            col("im._4").as("sum_luma"),
+            col("im._5").cast("long").as("probe_luma"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, doc_id % 256 AS did,
+             |    doc_id % 6 AS c FROM documents),
+             |dims AS (SELECT *,
+             |    CASE WHEN c = 3 THEN 24 + (doc_id % 2) * 8
+             |         WHEN c = 5 THEN 8 + doc_id % 5
+             |         ELSE 4 + doc_id % 5 END AS w,
+             |    CASE WHEN c = 3 THEN 16 + (doc_id % 3) * 8
+             |         WHEN c = 5 THEN 6 + doc_id % 3
+             |         ELSE 3 + doc_id % 4 END AS h FROM base),
+             |px AS (SELECT doc_id, did, c, w, h, xs.x, ys.y,
+             |    CASE WHEN c IN (0, 1) THEN
+             |        (299 * ((did + xs.x * ys.y) % 256)
+             |       + 587 * ((2 * did + 3 * xs.x + 5 * ys.y) % 256)
+             |       + 114 * ((did + 7 * xs.x + 13 * ys.y) % 256)) // 1000
+             |      WHEN c IN (2, 4) THEN (did + 5 * xs.x + 11 * ys.y) % 256
+             |      ELSE CASE WHEN (did + 3 * xs.x + 5 * ys.y) % 7 < 3
+             |                THEN 0 ELSE 255 END
+             |      END AS luma
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 12)) AS x) xs,
+             |    (SELECT unnest(range(0, 9)) AS y) ys
+             |  WHERE c <> 3 AND xs.x < w AND ys.y < h),
+             |blk AS (SELECT doc_id, did, w, h, bx.b AS bx, by.b AS by,
+             |    2 * ((did + 5 * bx.b + 7 * by.b) % 100) + 16 AS yv
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 4)) AS b) bx,
+             |    (SELECT unnest(range(0, 4)) AS b) by
+             |  WHERE c = 3 AND bx.b < w // 8 AND by.b < h // 8),
+             |nond AS (SELECT doc_id,
+             |    max(CASE WHEN c = 5 THEN 'ccitt' ELSE 'raw' END) AS codec,
+             |    max(w) AS w, max(h) AS h, count(*) AS n_px,
+             |    CAST(sum(luma) AS BIGINT) AS sum_luma,
+             |    CAST(max(CASE WHEN x = 1 AND y = 2 THEN luma END)
+             |      AS BIGINT) AS probe_luma
+             |  FROM px GROUP BY doc_id),
+             |dct AS (SELECT doc_id, 'dct' AS codec, max(w) AS w,
+             |    max(h) AS h, CAST(max(w) * max(h) AS BIGINT) AS n_px,
+             |    CAST(sum(64 * yv) AS BIGINT) AS sum_luma,
+             |    CAST(max(CASE WHEN bx = 0 AND by = 0 THEN yv END)
+             |      AS BIGINT) AS probe_luma
+             |  FROM blk GROUP BY doc_id)
+             |SELECT doc_id, codec, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height, n_px, sum_luma, probe_luma
+             |FROM nond
+             |UNION ALL
+             |SELECT doc_id, codec, CAST(w AS BIGINT), CAST(h AS BIGINT),
+             |  n_px, sum_luma, probe_luma FROM dct
+             |ORDER BY doc_id""".stripMargin)),
+
     // ----- S8 end-to-end: HTML main-content extraction over assembled
     // pages wrapping the documents text in an <article> surrounded by
     // Readability-class NOISE (nav, unlikely-class sidebar, footer,

@@ -1,0 +1,210 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.{CcittG4, PdfImageFixtures, PdfImages}
+import graft.ops.{Jpeg, Multimodal}
+
+/** Embedded-image extraction (`ingest/PdfImages.scala`) and the CCITT G4
+  * codec (`ingest/CcittG4.scala`). The G4 leg is validated three ways:
+  * a structural table audit (prefix-free, complete run coverage), an
+  * encode→decode round-trip over adversarial planes, and — independently —
+  * the JDK's own TIFF G4 decoder reading this encoder's output. */
+class PdfImagesSpec extends AnyFunSuite {
+
+  // ---------------------------------------------------------- G4 tables --
+
+  test("G4 run tables are prefix-free and cover every legal run") {
+    for ((table, name) <- Seq((CcittG4.whiteTable, "white"),
+                              (CcittG4.blackTable, "black"))) {
+      val codes = table.map { case (c, l, _) =>
+        String.format("%" + l + "s", Integer.toBinaryString(c))
+          .replace(' ', '0')
+      }
+      assert(codes.distinct.length === codes.length, s"$name: duplicate code")
+      for (a <- codes; b <- codes if a != b)
+        assert(!b.startsWith(a), s"$name: $a is a prefix of $b")
+      val runs = table.map(_._3).toSet
+      for (r <- 0 to 63)
+        assert(runs.contains(r), s"$name: missing terminating run $r")
+      for (r <- 64 to 2560 by 64)
+        assert(runs.contains(r), s"$name: missing make-up run $r")
+      // mode codes must not collide with any run-code prefix ambiguity:
+      // they are consumed in a separate state, so no audit needed there
+    }
+  }
+
+  test("G4 round-trips adversarial planes exactly") {
+    val rnd = new scala.util.Random(42)
+    val shapes = Seq((1, 1), (8, 6), (13, 7), (64, 20), (130, 3))
+    for ((w, h) <- shapes; density <- Seq(0.05, 0.5, 0.95)) {
+      val plane = Array.fill(w * h)(rnd.nextDouble() < density)
+      val enc = CcittG4.encode(plane, w, h)
+      val dec = CcittG4.decode(enc, w, h)
+      assert(dec.isDefined, s"decode failed at ${w}x$h d=$density")
+      assert(dec.get.toSeq === plane.toSeq, s"mismatch at ${w}x$h d=$density")
+    }
+    // degenerate planes: all-white, all-black, stripes, lone pixel
+    for ((w, h) <- Seq((16, 4), (5, 5))) {
+      val cases = Seq(
+        Array.fill(w * h)(false),
+        Array.fill(w * h)(true),
+        Array.tabulate(w * h)(i => i % 2 == 0),
+        Array.tabulate(w * h)(i => i == w + 1))
+      for (plane <- cases) {
+        val dec = CcittG4.decode(CcittG4.encode(plane, w, h), w, h)
+        assert(dec.exists(_.toSeq == plane.toSeq))
+      }
+    }
+    // long runs force make-up codes (>64) through horizontal mode: a
+    // 2000-wide line whose single black run starts mid-row
+    val w = 2000
+    val plane = Array.tabulate(w * 2)(i => (i % w) >= 300 && (i % w) < 1900)
+    val dec = CcittG4.decode(CcittG4.encode(plane, w, 2), w, 2)
+    assert(dec.exists(_.toSeq == plane.toSeq))
+  }
+
+  test("G4 encoder agrees with the JDK's independent TIFF G4 decoder") {
+    // wrap raw G4 bytes in a minimal big-endian TIFF (Compression=4) and
+    // let javax.imageio decode it — an implementation this codec shares
+    // no code with. Validates the encoder directly and, through the
+    // round-trip test above, the decoder transitively.
+    def tiffG4(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(122 + data.length)
+      out.put('M'.toByte).put('M'.toByte).putShort(42)
+      out.putInt(8) // IFD offset
+      out.putShort(9) // entry count
+      def entry(tag: Int, typ: Int, value: Int): Unit = {
+        out.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+        if (typ == 3) { out.putShort(value.toShort); out.putShort(0) }
+        else out.putInt(value)
+      }
+      entry(256, 4, w) // ImageWidth
+      entry(257, 4, h) // ImageLength
+      entry(258, 3, 1) // BitsPerSample
+      entry(259, 3, 4) // Compression: CCITT T.6
+      entry(262, 3, 0) // Photometric: WhiteIsZero
+      entry(273, 4, 122) // StripOffsets
+      entry(277, 3, 1) // SamplesPerPixel
+      entry(278, 4, h) // RowsPerStrip
+      entry(279, 4, data.length) // StripByteCounts
+      out.putInt(0) // next IFD
+      out.put(data)
+      out.array()
+    }
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((40, 12), (17, 9), (64, 64))) {
+      val plane = Array.fill(w * h)(rnd.nextInt(3) == 0)
+      val tiff = tiffG4(CcittG4.encode(plane, w, h), w, h)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tiff))
+      assume(img != null, "JDK TIFF reader unavailable — skipping cross-check")
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val black = (img.getRGB(x, y) & 0xFFFFFF) == 0
+        assert(black === plane(y * w + x), s"pixel ($x,$y) of ${w}x$h")
+      }
+    }
+  }
+
+  // ----------------------------------------------- JPEG luma-plane twin --
+
+  test("decodeJpegLuma agrees with the stats path on fixtures and ImageIO output") {
+    for (id <- Seq(0L, 1L, 5L, 77L)) {
+      val bytes = Jpeg.encodeJpeg(id)
+      val f = Jpeg.decodeJpeg(bytes)
+      val (w, h, plane) = Jpeg.decodeJpegLuma(bytes)
+      assert((w, h) === (f.width, f.height))
+      assert(plane.map(_.toLong).sum === f.sumLuma)
+      assert(plane(math.min(2, h - 1) * w + math.min(1, w - 1)).toLong === f.probeLuma)
+    }
+    // a real AC-coefficient stream (ImageIO encoder; grayscale — the JDK
+    // writes RGB JPEGs 4:2:0-subsampled, outside this decoder's subset)
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val v = (x * 10 + y * 5) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jb = bos.toByteArray
+    val f = Jpeg.decodeJpeg(jb)
+    val (w, h, plane) = Jpeg.decodeJpegLuma(jb)
+    assert((w, h) === (f.width, f.height))
+    assert(plane.map(_.toLong).sum === f.sumLuma)
+  }
+
+  // ----------------------------------------------- extraction fixtures --
+
+  test("every fixture class extracts with closed-form luma stats") {
+    def expected(docId: Long): (String, Int, Int, Long, Long) = {
+      val did = (docId % 256).toInt
+      (docId % 6) match {
+        case 0L | 1L =>
+          val (w, h) = PdfImageFixtures.rgbDims(docId)
+          def lum(x: Int, y: Int) =
+            (299 * ((did + x * y) % 256) + 587 * ((2 * did + 3 * x + 5 * y) % 256)
+              + 114 * ((did + 7 * x + 13 * y) % 256)) / 1000
+          val sum = (for (y <- 0 until h; x <- 0 until w) yield lum(x, y).toLong).sum
+          ("raw", w, h, sum, lum(1, 2).toLong)
+        case 2L | 4L =>
+          val (w, h) = PdfImageFixtures.grayDims(docId)
+          val sum = (for (y <- 0 until h; x <- 0 until w)
+            yield PdfImageFixtures.grayPx(did, x, y).toLong).sum
+          ("raw", w, h, sum, PdfImageFixtures.grayPx(did, 1, 2).toLong)
+        case 3L =>
+          val w = (24 + (docId % 2) * 8).toInt
+          val h = (16 + (docId % 3) * 8).toInt
+          val sum = (for (by <- 0 until h / 8; bx <- 0 until w / 8)
+            yield 64L * Jpeg.blockY(did, bx, by)).sum
+          ("dct", w, h, sum, Jpeg.blockY(did, 0, 0).toLong)
+        case _ =>
+          val (w, h) = PdfImageFixtures.ccittDims(docId)
+          def lum(x: Int, y: Int) =
+            if (PdfImageFixtures.ccittBlack(did, x, y)) 0L else 255L
+          val sum = (for (y <- 0 until h; x <- 0 until w) yield lum(x, y)).sum
+          ("ccitt", w, h, sum, lum(1, 2))
+      }
+    }
+    for (docId <- 0L until 24L) {
+      val ims = PdfImages.extract(PdfImageFixtures.imagePdf(docId))
+      assert(ims.length === 1, s"doc $docId: expected one image")
+      val im = ims.head
+      val (codec, w, h, sum, probe) = expected(docId)
+      assert(im.codec === codec, s"doc $docId")
+      assert((im.width, im.height) === (w, h), s"doc $docId")
+      assert(im.luma.map(_.toLong).sum === sum, s"doc $docId sum")
+      assert(im.luma(2 * im.width + 1).toLong === probe, s"doc $docId probe")
+    }
+  }
+
+  test("PDF-embedded gray image dhash equals the BMP-path dhash") {
+    for (key <- 0L until 10L; perturb <- Seq(false, true)) {
+      val pdfIm = PdfImages.extract(
+        PdfImageFixtures.grayImagePdf(key, perturb)).head
+      val viaPdf = Multimodal.dhashLuma(pdfIm.luma, pdfIm.width, pdfIm.height)
+      val viaBmp = Multimodal.dhash(Multimodal.encodeBmpGray(key, perturb))
+      assert(viaPdf === viaBmp, s"key=$key perturb=$perturb")
+    }
+  }
+
+  test("undecodable sibling images never drop the decodable ones") {
+    // a PDF with a JBIG2 image would extract nothing for that image but
+    // must keep the page's other images; simulate via a corrupt G4 stream
+    val good = PdfImageFixtures.imagePdf(0L) // class 0, raw RGB
+    assert(PdfImages.extract(good).nonEmpty)
+    // truncated/garbage CCITT payload refuses that image only
+    val bad = PdfImageFixtures.imagePdf(5L) // class 5, ccitt
+    val tampered = bad.clone()
+    // find the stream of object 5 and flip bytes mid-stream
+    val marker = "5 0 obj".getBytes("ISO-8859-1")
+    val at = tampered.indexOfSlice(marker)
+    assert(at > 0)
+    val streamAt = tampered.indexOfSlice("stream\n".getBytes("ISO-8859-1"), at)
+    var i = streamAt + 10
+    while (i < math.min(streamAt + 30, tampered.length)) {
+      tampered(i) = 0x55.toByte; i += 1
+    }
+    assert(PdfImages.extract(tampered).isEmpty) // refused, not garbled
+  }
+}
