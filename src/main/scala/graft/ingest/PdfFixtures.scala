@@ -593,9 +593,10 @@ object PdfTextFixtures {
 
 /** Deterministic PDFs with EMBEDDED IMAGE XObjects, the [[PdfImages]]
   * fixture family. One page, one /Im0 image painted by the content stream;
-  * the image's encoding rotates by doc_id % 6 through the raster shapes a
+  * the image's encoding rotates by doc_id % 7 through the raster shapes a
   * crawled corpus carries (raw, Flate, Flate+PNG-predictor, baseline-JPEG
-  * DCTDecode, AHx+Flate chain, CCITT G4), while every pixel stays a closed
+  * DCTDecode, AHx+Flate chain, CCITT G4, inline BI…ID…EI), while every
+  * pixel stays a closed
   * form of (doc_id, x, y) — so a DuckDB oracle replays luma statistics for
   * the WHOLE rotation, DCT and G4 included (the JPEG fixture is DC-exact,
   * see [[graft.ops.Jpeg]]; G4 is lossless by construction). */
@@ -696,9 +697,29 @@ object PdfImageFixtures {
     sb.toString.getBytes(ISO_8859_1)
   }
 
+  /** inline-image page: the raster lives INSIDE the content stream
+    * (§8.9.7 BI…ID…EI with abbreviated keys), raw gray samples */
+  private def assembleInline(docId: Long): Array[Byte] = {
+    val (w, h) = grayDims(docId)
+    val pre = s"q $w 0 0 $h 0 0 cm BI /W $w /H $h /BPC 8 /CS /G ID "
+      .getBytes(ISO_8859_1)
+    val post = " EI Q".getBytes(ISO_8859_1)
+    val content = pre ++ graySamples(docId) ++ post
+    val sb = new StringBuilder("%PDF-1.4\n")
+    def obj(num: Int, body: String): Unit =
+      sb ++= s"$num 0 obj\n$body\nendobj\n": Unit
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    sb ++= s"4 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+      new String(content, ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
   /** the rotation entry point: a complete PDF whose embedded image's
-    * encoding class is doc_id % 6 */
-  def imagePdf(docId: Long): Array[Byte] = (docId % 6) match {
+    * encoding class is doc_id % 7 */
+  def imagePdf(docId: Long): Array[Byte] = (docId % 7) match {
     case 0 =>
       val (w, h) = rgbDims(docId)
       assemble(rgbSamples(docId), w, h,
@@ -723,12 +744,13 @@ object PdfImageFixtures {
       assemble(hexEnc(deflate(graySamples(docId))), w, h,
         "/ColorSpace /DeviceGray /BitsPerComponent 8 " +
           "/Filter [/ASCIIHexDecode /FlateDecode]")
-    case _ =>
+    case 5 =>
       val (plane, w, h) = ccittPlane(docId)
       assemble(CcittG4.encode(plane, w, h), w, h,
         "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
           "/Filter /CCITTFaxDecode " +
           s"/DecodeParms << /K -1 /Columns $w /Rows $h >>")
+    case _ => assembleInline(docId)
   }
 
   /** near-dup fixture: ONE 8×8 gray Flate image whose pixels follow the

@@ -34,19 +34,133 @@ object PdfImages {
                              bpc: Int, colorSpace: String, codec: String,
                              luma: Array[Int])
 
-  /** every decodable image XObject of the document, in (page, name) order —
-    * the name sort makes multi-image pages deterministic for oracles */
+  /** every decodable image of the document — XObject images in (page,
+    * name) order, then the page's INLINE images (§8.9.7 BI…ID…EI, the
+    * shape producers use for small masks/logos) in stream order. The name
+    * sort makes multi-image pages deterministic for oracles. */
   def extract(bytes: Array[Byte]): Seq[PdfImageX] =
     try {
       val objs = loadObjects(bytes)
       val byNum = objs.map(o => o.num -> o).toMap
       orderedPages(objs, byNum).zipWithIndex.flatMap { case (pageObj, idx) =>
         val res = pageResources(pageObj, byNum)
-        imageRefs(res, byNum).flatMap { case (name, obj) =>
+        val xobj = imageRefs(res, byNum).flatMap { case (name, obj) =>
           decodeImage(obj, idx + 1, name)
         }
+        val inline = contentBytes(pageObj, byNum)
+          .map(inlineImages(_, idx + 1)).getOrElse(Seq.empty)
+        xobj ++ inline
       }
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** inline images of one decoded content stream. Abbreviated keys per
+    * §8.9.7 Table 91 (W/H/BPC/CS/F, long forms accepted); /G and /RGB
+    * color spaces at 8 bpc; raw, /Fl (Flate, end found by the inflater's
+    * consumed-byte count — never by searching the binary for "EI") or
+    * /AHx (end at the hex EOD '>') data. A BI whose dict or data doesn't
+    * parse is skipped whole — same refuse-don't-garble posture, and the
+    * text interpreter's own EI-skip already guarantees image bytes can't
+    * lex as operators. */
+  private[graft] def inlineImages(content: Array[Byte],
+                                   page: Int): Seq[PdfImageX] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[PdfImageX]
+    var i = 0
+    var n = 0
+    while (i + 1 < content.length) {
+      if (content(i) == 'B' && content(i + 1) == 'I' &&
+          (i == 0 || isWs(content(i - 1))) &&
+          (i + 2 >= content.length || isWs(content(i + 2)))) {
+        decodeInline(content, i + 2, page, s"BI$n") match {
+          case Some((img, end)) =>
+            out += img; n += 1; i = end
+          case None => i += 2
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  private def decodeInline(content: Array[Byte], from: Int, page: Int,
+                           name: String): Option[(PdfImageX, Int)] =
+    try {
+      val lex = new Lexer(content, from, content.length)
+      val kv = scala.collection.mutable.Map.empty[String, PVal]
+      var key: String = null
+      var t = lex.token()
+      while (t != null && t != Op("ID")) {
+        t match {
+          case PName(k) if key == null => key = k
+          case v if key != null        => kv(key) = v; key = null
+          case _                       => return None
+        }
+        t = lex.token()
+      }
+      if (t == null || key != null) return None
+      def num(short: String, long: String): Option[Int] =
+        kv.get(short).orElse(kv.get(long)).collect { case PNum(v) => v.toInt }
+      val w = num("W", "Width").getOrElse(return None)
+      val h = num("H", "Height").getOrElse(return None)
+      if (w <= 0 || h <= 0 || w.toLong * h > 16L * 1024 * 1024) return None
+      if (num("BPC", "BitsPerComponent").getOrElse(8) != 8) return None
+      val cs = kv.get("CS").orElse(kv.get("ColorSpace")).collect {
+        case PName(v) => v
+      }
+      val comps = cs match {
+        case Some("G" | "DeviceGray")  => 1
+        case Some("RGB" | "DeviceRGB") => 3
+        case _                         => return None // masks/indexed: skip
+      }
+      val filter = kv.get("F").orElse(kv.get("Filter")).collect {
+        case PName(v) => v
+      }
+      val dStart = lex.pos + 1 // one ws byte separates ID from data
+      val (samples, dEnd) = filter match {
+        case None =>
+          val nBytes = comps * w * h
+          if (dStart + nBytes > content.length) return None
+          (java.util.Arrays.copyOfRange(content, dStart, dStart + nBytes),
+            dStart + nBytes)
+        case Some("Fl" | "FlateDecode") =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(content, dStart, content.length - dStart)
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!inf.finished() && !inf.needsInput())
+            buf.write(tmp, 0, inf.inflate(tmp))
+          if (!inf.finished()) { inf.end(); return None }
+          val consumed = inf.getBytesRead.toInt
+          inf.end()
+          (buf.toByteArray, dStart + consumed)
+        case Some("AHx" | "ASCIIHexDecode") =>
+          val eod = content.indexOf('>'.toByte, dStart)
+          if (eod < 0) return None
+          val dec = asciiHexDecode(
+            java.util.Arrays.copyOfRange(content, dStart, eod + 1))
+            .getOrElse(return None)
+          (dec, eod + 1)
+        case _ => return None // DCT/CCITT inline: out of subset
+      }
+      // whitespace then EI must close the object
+      var e = dEnd
+      while (e < content.length && isWs(content(e))) e += 1
+      if (e + 1 >= content.length ||
+          content(e) != 'E' || content(e + 1) != 'I') return None
+      if (samples.length < comps * w * h) return None
+      val luma = new Array[Int](w * h)
+      var p = 0
+      while (p < w * h) {
+        if (comps == 1) luma(p) = samples(p) & 0xff
+        else {
+          val r = samples(3 * p) & 0xff
+          val g = samples(3 * p + 1) & 0xff
+          val b = samples(3 * p + 2) & 0xff
+          luma(p) = (299 * r + 587 * g + 114 * b) / 1000
+        }
+        p += 1
+      }
+      val csName = if (comps == 1) "DeviceGray" else "DeviceRGB"
+      Some((PdfImageX(page, name, w, h, 8, csName, "inline", luma), e + 2))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** (name, object) pairs under /Resources → /XObject with /Subtype /Image */
   private def imageRefs(res: Option[PDict],

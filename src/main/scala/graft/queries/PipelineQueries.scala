@@ -239,8 +239,8 @@ object PipelineQueries {
 
     // ----- S6 raster leg: EMBEDDED-IMAGE extraction from the same
     // byte-level PDF walk (PdfImages) — the scanned/figure-image sibling
-    // of the text oracle above. The fixture rotation (doc_id % 6) covers
-    // raw, Flate, Flate+PNG-Up-predictor, baseline-JPEG /DCTDecode,
+    // of the text oracle above. The fixture rotation (doc_id % 7) covers
+    // raw, Flate, Flate+PNG-Up-predictor, baseline-JPEG /DCTDecode, inline
     // AHx+Flate chain, and CCITT G4 /CCITTFaxDecode; every pixel is a
     // closed form of (doc_id, x, y), the JPEG class is DC-exact and G4 is
     // lossless, so ONE oracle pins the whole decode surface — filters,
@@ -269,7 +269,7 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some("""WITH base AS (SELECT doc_id, doc_id % 256 AS did,
-             |    doc_id % 6 AS c FROM documents),
+             |    doc_id % 7 AS c FROM documents),
              |dims AS (SELECT *,
              |    CASE WHEN c = 3 THEN 24 + (doc_id % 2) * 8
              |         WHEN c = 5 THEN 8 + doc_id % 5
@@ -282,7 +282,7 @@ object PipelineQueries {
              |        (299 * ((did + xs.x * ys.y) % 256)
              |       + 587 * ((2 * did + 3 * xs.x + 5 * ys.y) % 256)
              |       + 114 * ((did + 7 * xs.x + 13 * ys.y) % 256)) // 1000
-             |      WHEN c IN (2, 4) THEN (did + 5 * xs.x + 11 * ys.y) % 256
+             |      WHEN c IN (2, 4, 6) THEN (did + 5 * xs.x + 11 * ys.y) % 256
              |      ELSE CASE WHEN (did + 3 * xs.x + 5 * ys.y) % 7 < 3
              |                THEN 0 ELSE 255 END
              |      END AS luma
@@ -297,7 +297,8 @@ object PipelineQueries {
              |    (SELECT unnest(range(0, 4)) AS b) by
              |  WHERE c = 3 AND bx.b < w // 8 AND by.b < h // 8),
              |nond AS (SELECT doc_id,
-             |    max(CASE WHEN c = 5 THEN 'ccitt' ELSE 'raw' END) AS codec,
+             |    max(CASE WHEN c = 5 THEN 'ccitt' WHEN c = 6 THEN 'inline'
+             |        ELSE 'raw' END) AS codec,
              |    max(w) AS w, max(h) AS h, count(*) AS n_px,
              |    CAST(sum(luma) AS BIGINT) AS sum_luma,
              |    CAST(max(CASE WHEN x = 1 AND y = 2 THEN luma END)

@@ -139,7 +139,7 @@ class PdfImagesSpec extends AnyFunSuite {
   test("every fixture class extracts with closed-form luma stats") {
     def expected(docId: Long): (String, Int, Int, Long, Long) = {
       val did = (docId % 256).toInt
-      (docId % 6) match {
+      (docId % 7) match {
         case 0L | 1L =>
           val (w, h) = PdfImageFixtures.rgbDims(docId)
           def lum(x: Int, y: Int) =
@@ -158,15 +158,20 @@ class PdfImagesSpec extends AnyFunSuite {
           val sum = (for (by <- 0 until h / 8; bx <- 0 until w / 8)
             yield 64L * Jpeg.blockY(did, bx, by)).sum
           ("dct", w, h, sum, Jpeg.blockY(did, 0, 0).toLong)
-        case _ =>
+        case 5L =>
           val (w, h) = PdfImageFixtures.ccittDims(docId)
           def lum(x: Int, y: Int) =
             if (PdfImageFixtures.ccittBlack(did, x, y)) 0L else 255L
           val sum = (for (y <- 0 until h; x <- 0 until w) yield lum(x, y)).sum
           ("ccitt", w, h, sum, lum(1, 2))
+        case _ =>
+          val (w, h) = PdfImageFixtures.grayDims(docId)
+          val sum = (for (y <- 0 until h; x <- 0 until w)
+            yield PdfImageFixtures.grayPx(did, x, y).toLong).sum
+          ("inline", w, h, sum, PdfImageFixtures.grayPx(did, 1, 2).toLong)
       }
     }
-    for (docId <- 0L until 24L) {
+    for (docId <- 0L until 28L) {
       val ims = PdfImages.extract(PdfImageFixtures.imagePdf(docId))
       assert(ims.length === 1, s"doc $docId: expected one image")
       val im = ims.head
@@ -186,6 +191,41 @@ class PdfImagesSpec extends AnyFunSuite {
       val viaBmp = Multimodal.dhash(Multimodal.encodeBmpGray(key, perturb))
       assert(viaPdf === viaBmp, s"key=$key perturb=$perturb")
     }
+  }
+
+  test("inline images decode through Flate and AHx payloads too") {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val px = Array.tabulate[Byte](12)(i => (i * 17 + 3).toByte) // 4×3 gray
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val flate = "BI /W 4 /H 3 /BPC 8 /CS /G /F /Fl ID ".getBytes(iso) ++
+      deflate(px) ++ " EI".getBytes(iso)
+    val ahx = ("BI /W 4 /H 3 /BPC 8 /CS /G /F /AHx ID " +
+      px.map("%02X".format(_)).mkString + "> EI").getBytes(iso)
+    // two inline images in one stream, with a decoy operator between
+    val content = flate ++ " 1 0 0 1 0 0 cm ".getBytes(iso) ++ ahx
+    val ims = PdfImages.inlineImages(content, 1)
+    assert(ims.length === 2)
+    for (im <- ims) {
+      assert((im.width, im.height, im.codec) === (4, 3, "inline"))
+      assert(im.luma.toSeq === px.map(_ & 0xff).toSeq)
+    }
+    // RGB inline: luma is the ITU-601 integer combination
+    val rgb = Array.tabulate[Byte](36)(i => (i * 5).toByte)
+    val rgbIm = PdfImages.inlineImages(
+      "BI /W 4 /H 3 /BPC 8 /CS /RGB ID ".getBytes(iso) ++ rgb ++
+        " EI".getBytes(iso), 1)
+    assert(rgbIm.length === 1)
+    assert(rgbIm.head.luma(0) ===
+      (299 * (rgb(0) & 0xff) + 587 * (rgb(1) & 0xff) + 114 * (rgb(2) & 0xff)) / 1000)
+    // a garbled BI (no ID) is skipped without swallowing the stream
+    assert(PdfImages.inlineImages("BI /W 4 garbage".getBytes(iso), 1).isEmpty)
   }
 
   test("undecodable sibling images never drop the decodable ones") {
