@@ -620,6 +620,61 @@ object DedupQueries {
               |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
+    // ----- near-dup verification by EDIT similarity (the MassiveText /
+    // Gopher verify flavor): same banded-LSH candidate generation, but the
+    // exact check is levenshtein over the raw texts — 1 − dist/max(len),
+    // keep ≥ 0.8. Jaccard-on-shingles (above) misses reorderings that edit
+    // distance catches and vice versa; a production pipeline picks per
+    // corpus, so both verifiers are first-class here. Cost shape: the
+    // O(len²) DP runs ONLY on candidate pairs (≪ all pairs), joined via a
+    // broadcast of the candidate list — never a text self-join. -----
+    Q("d_edit_verify",
+      (s, d) => {
+        val corpus = dupCorpus(s, d)
+          .withColumn("ws", Dedup.wordsArray("text"))
+          .withColumn("shs", Dedup.wordShingles("ws", 5))
+        val withSig = corpus.filter(size(col("shs")) > 0)
+          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
+          .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        val candidates = Dedup.lshCandidatePairs(
+          Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
+        val l = corpus.select(col("doc_id").as("id_a"), col("text").as("ta"))
+        val r = corpus.select(col("doc_id").as("id_b"), col("text").as("tb"))
+        l.join(broadcast(candidates.select("id_a", "id_b")), Seq("id_a"))
+          .join(r, Seq("id_b"))
+          .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+          .withColumn("sim", round(lit(1.0) - col("lev").cast("double") /
+            greatest(length(col("ta")), length(col("tb"))), 4))
+          .filter(col("sim") >= 0.8)
+          .select("id_a", "id_b", "lev", "sim")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $ShinglesCte,
+              |hs AS (SELECT doc_id,
+              |    list_transform(shs, s ->
+              |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+              |  FROM sh WHERE len(shs) > 0),
+              |sig AS (SELECT doc_id,
+              |    [list_min(list_transform(hs, h -> ((2*i+3) * h + (7*i+1)) % 2147483647))
+              |     for i in range(0, 16)] AS sig
+              |  FROM hs),
+              |bands AS (SELECT doc_id, t.b,
+              |    md5(concat_ws(',', sig[t.b*4+1]::VARCHAR, sig[t.b*4+2]::VARCHAR,
+              |                       sig[t.b*4+3]::VARCHAR, sig[t.b*4+4]::VARCHAR)) AS band_hash
+              |  FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+              |v AS (SELECT c.id_a, c.id_b,
+              |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+              |    round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+              |      / greatest(length(ta.text), length(tb.text)), 4) AS sim
+              |  FROM cand c
+              |  JOIN corpus ta ON ta.doc_id = c.id_a
+              |  JOIN corpus tb ON tb.doc_id = c.id_b)
+              |SELECT id_a, id_b, lev, sim FROM v WHERE sim >= 0.8
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // ----- STREAMING incremental near-dup dedup, oracle-matched e2e: the
     // dup corpus arrives as 4 doc-id-ordered micro-batches; each batch
     // finds its pairs against the persisted MinHash index built so far
