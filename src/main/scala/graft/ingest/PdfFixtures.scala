@@ -641,10 +641,14 @@ object PdfImageFixtures {
   private[graft] def grayDims(docId: Long): (Int, Int) = rgbDims(docId)
   private[graft] def ccittDims(docId: Long): (Int, Int) =
     ((8 + docId % 5).toInt, (6 + docId % 3).toInt)
+  private[graft] def jbig2Dims(docId: Long): (Int, Int) =
+    ((8 + docId % 6).toInt, (5 + docId % 4).toInt)
   private[graft] def grayPx(did: Int, x: Int, y: Int): Int =
     (did + 5 * x + 11 * y) % 256
   private[graft] def ccittBlack(did: Int, x: Int, y: Int): Boolean =
     (did + 3 * x + 5 * y) % 7 < 3
+  private[graft] def jbig2Black(did: Int, x: Int, y: Int): Boolean =
+    (did + 5 * x + 3 * y) % 11 < 4
 
   private def rgbSamples(docId: Long): Array[Byte] = {
     val did = (docId % 256).toInt
@@ -718,8 +722,8 @@ object PdfImageFixtures {
   }
 
   /** the rotation entry point: a complete PDF whose embedded image's
-    * encoding class is doc_id % 7 */
-  def imagePdf(docId: Long): Array[Byte] = (docId % 7) match {
+    * encoding class is doc_id % 8 */
+  def imagePdf(docId: Long): Array[Byte] = (docId % 8) match {
     case 0 =>
       val (w, h) = rgbDims(docId)
       assemble(rgbSamples(docId), w, h,
@@ -750,7 +754,18 @@ object PdfImageFixtures {
         "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
           "/Filter /CCITTFaxDecode " +
           s"/DecodeParms << /K -1 /Columns $w /Rows $h >>")
-    case _ => assembleInline(docId)
+    case 6 => assembleInline(docId)
+    case _ =>
+      val did = (docId % 256).toInt
+      val (w, h) = jbig2Dims(docId)
+      val plane = Array.tabulate(w * h)(i => jbig2Black(did, i % w, i / w))
+      // alternate the region coder across the corpus: arithmetic template 0
+      // (with TPGDON on half of those) and MMR — all lossless, one oracle
+      val mmr = (docId / 8) % 2 == 0
+      val tpgdon = (docId / 8) % 4 == 1
+      assemble(Jbig2.encodeEmbedded(plane, w, h, mmr = mmr, tpgdon = tpgdon),
+        w, h,
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode")
   }
 
   /** near-dup fixture: ONE 8×8 gray Flate image whose pixels follow the

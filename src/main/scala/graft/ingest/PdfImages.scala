@@ -213,7 +213,14 @@ object PdfImages {
             ccittPlane(decoded, dict, parms, w, h).map { luma =>
               PdfImageX(page, name, w, h, 1, "DeviceGray", "ccitt", luma)
             }
-          case Some(_) => None // JBIG2/JPX: out of subset, refuse this image
+          case Some(("JBIG2Decode", parms)) =>
+            // /JBIG2Globals (shared symbol dictionaries) out of subset
+            if (parms.exists(_.m.contains("JBIG2Globals"))) None
+            else Jbig2.decodeEmbedded(decoded, w, h).map { bits =>
+              PdfImageX(page, name, w, h, 1, "DeviceGray", "jbig2",
+                bits.map(b => if (b) 0 else 255))
+            }
+          case Some(_) => None // JPX: out of subset, refuse this image
         }
       } yield img
     } catch { case scala.util.control.NonFatal(_) => None }

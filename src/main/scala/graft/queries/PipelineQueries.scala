@@ -269,13 +269,15 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some("""WITH base AS (SELECT doc_id, doc_id % 256 AS did,
-             |    doc_id % 7 AS c FROM documents),
+             |    doc_id % 8 AS c FROM documents),
              |dims AS (SELECT *,
              |    CASE WHEN c = 3 THEN 24 + (doc_id % 2) * 8
              |         WHEN c = 5 THEN 8 + doc_id % 5
+             |         WHEN c = 7 THEN 8 + doc_id % 6
              |         ELSE 4 + doc_id % 5 END AS w,
              |    CASE WHEN c = 3 THEN 16 + (doc_id % 3) * 8
              |         WHEN c = 5 THEN 6 + doc_id % 3
+             |         WHEN c = 7 THEN 5 + doc_id % 4
              |         ELSE 3 + doc_id % 4 END AS h FROM base),
              |px AS (SELECT doc_id, did, c, w, h, xs.x, ys.y,
              |    CASE WHEN c IN (0, 1) THEN
@@ -283,11 +285,14 @@ object PipelineQueries {
              |       + 587 * ((2 * did + 3 * xs.x + 5 * ys.y) % 256)
              |       + 114 * ((did + 7 * xs.x + 13 * ys.y) % 256)) // 1000
              |      WHEN c IN (2, 4, 6) THEN (did + 5 * xs.x + 11 * ys.y) % 256
-             |      ELSE CASE WHEN (did + 3 * xs.x + 5 * ys.y) % 7 < 3
+             |      WHEN c = 5 THEN
+             |        CASE WHEN (did + 3 * xs.x + 5 * ys.y) % 7 < 3
+             |             THEN 0 ELSE 255 END
+             |      ELSE CASE WHEN (did + 5 * xs.x + 3 * ys.y) % 11 < 4
              |                THEN 0 ELSE 255 END
              |      END AS luma
              |  FROM dims,
-             |    (SELECT unnest(range(0, 12)) AS x) xs,
+             |    (SELECT unnest(range(0, 14)) AS x) xs,
              |    (SELECT unnest(range(0, 9)) AS y) ys
              |  WHERE c <> 3 AND xs.x < w AND ys.y < h),
              |blk AS (SELECT doc_id, did, w, h, bx.b AS bx, by.b AS by,
@@ -298,7 +303,7 @@ object PipelineQueries {
              |  WHERE c = 3 AND bx.b < w // 8 AND by.b < h // 8),
              |nond AS (SELECT doc_id,
              |    max(CASE WHEN c = 5 THEN 'ccitt' WHEN c = 6 THEN 'inline'
-             |        ELSE 'raw' END) AS codec,
+             |        WHEN c = 7 THEN 'jbig2' ELSE 'raw' END) AS codec,
              |    max(w) AS w, max(h) AS h, count(*) AS n_px,
              |    CAST(sum(luma) AS BIGINT) AS sum_luma,
              |    CAST(max(CASE WHEN x = 1 AND y = 2 THEN luma END)

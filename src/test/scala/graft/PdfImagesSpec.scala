@@ -106,6 +106,61 @@ class PdfImagesSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- JBIG2 --
+
+  test("JBIG2 MQ coder round-trips adversarial bit sequences") {
+    import graft.ingest.Jbig2
+    val rnd = new scala.util.Random(11)
+    // mixed-context streams exercise state machines, stuffing, and carries
+    for (trial <- 0 until 20) {
+      val n = 50 + rnd.nextInt(4000)
+      val ctxs = Array.fill(n)(rnd.nextInt(1 << 16))
+      val bits = trial match {
+        case 0 => Array.fill(n)(0)            // all-MPS fast path
+        case 1 => Array.fill(n)(1)            // forced LPS→switch chains
+        case 2 => Array.tabulate(n)(i => i & 1) // alternation (carry stress)
+        case _ => Array.fill(n)(if (rnd.nextDouble() < 0.2) 1 else 0)
+      }
+      val enc = new Jbig2.MqEncoder
+      for (i <- 0 until n) enc.encode(ctxs(i), bits(i))
+      val dec = new Jbig2.MqDecoder(enc.flush())
+      for (i <- 0 until n)
+        assert(dec.decode(ctxs(i)) === bits(i), s"trial $trial bit $i")
+    }
+  }
+
+  test("JBIG2 generic region and embedded stream round-trip; MMR leg matches G4") {
+    import graft.ingest.Jbig2
+    val rnd = new scala.util.Random(5)
+    for ((w, h) <- Seq((8, 6), (31, 17), (64, 64));
+         density <- Seq(0.1, 0.5);
+         tpgdon <- Seq(false, true)) {
+      val plane = Array.fill(w * h)(rnd.nextDouble() < density)
+      val arith = Jbig2.encodeGenericArith(plane, w, h, tpgdon = tpgdon)
+      val back = Jbig2.decodeGenericArith(arith, w, h,
+        Array((3, -1), (-3, -1), (2, -2), (-2, -2)), tpgdon)
+      assert(back.toSeq === plane.toSeq, s"arith ${w}x$h d=$density tp=$tpgdon")
+    }
+    // TPGDON compresses repeated rows (the reason it exists)
+    val w = 64
+    val stripes = Array.tabulate(w * 32)(i => (i / (w * 8)) % 2 == 0)
+    val plainSz = Jbig2.encodeGenericArith(stripes, w, 32).length
+    val tpSz = Jbig2.encodeGenericArith(stripes, w, 32, tpgdon = true).length
+    assert(tpSz < plainSz, s"tpgdon $tpSz !< plain $plainSz")
+    // embedded stream: both coders, page-composed
+    for (mmr <- Seq(false, true)) {
+      val plane = Array.fill(20 * 9)(rnd.nextBoolean())
+      val stream = Jbig2.encodeEmbedded(plane, 20, 9, mmr = mmr)
+      val out = Jbig2.decodeEmbedded(stream, 20, 9)
+      assert(out.exists(_.toSeq == plane.toSeq), s"embedded mmr=$mmr")
+    }
+    // refusals: dict/page mismatch and truncated stream
+    val pl = Array.fill(12)(true)
+    val st = Jbig2.encodeEmbedded(pl, 4, 3, mmr = false)
+    assert(Jbig2.decodeEmbedded(st, 5, 3).isEmpty)
+    assert(Jbig2.decodeEmbedded(st.take(st.length / 2), 4, 3).isEmpty)
+  }
+
   // ----------------------------------------------- JPEG luma-plane twin --
 
   test("decodeJpegLuma agrees with the stats path on fixtures and ImageIO output") {
@@ -139,7 +194,7 @@ class PdfImagesSpec extends AnyFunSuite {
   test("every fixture class extracts with closed-form luma stats") {
     def expected(docId: Long): (String, Int, Int, Long, Long) = {
       val did = (docId % 256).toInt
-      (docId % 7) match {
+      (docId % 8) match {
         case 0L | 1L =>
           val (w, h) = PdfImageFixtures.rgbDims(docId)
           def lum(x: Int, y: Int) =
@@ -164,14 +219,22 @@ class PdfImagesSpec extends AnyFunSuite {
             if (PdfImageFixtures.ccittBlack(did, x, y)) 0L else 255L
           val sum = (for (y <- 0 until h; x <- 0 until w) yield lum(x, y)).sum
           ("ccitt", w, h, sum, lum(1, 2))
-        case _ =>
+        case 6L =>
           val (w, h) = PdfImageFixtures.grayDims(docId)
           val sum = (for (y <- 0 until h; x <- 0 until w)
             yield PdfImageFixtures.grayPx(did, x, y).toLong).sum
           ("inline", w, h, sum, PdfImageFixtures.grayPx(did, 1, 2).toLong)
+        case _ =>
+          val (w, h) = PdfImageFixtures.jbig2Dims(docId)
+          def lum(x: Int, y: Int) =
+            if (PdfImageFixtures.jbig2Black(did, x, y)) 0L else 255L
+          val sum = (for (y <- 0 until h; x <- 0 until w) yield lum(x, y)).sum
+          ("jbig2", w, h, sum, lum(1, 2))
       }
     }
-    for (docId <- 0L until 28L) {
+    // 48 ids = 6 full rotations, covering the mmr/tpgdon/arith alternation
+    // inside the JBIG2 class (docId/8 parities) twice over
+    for (docId <- 0L until 48L) {
       val ims = PdfImages.extract(PdfImageFixtures.imagePdf(docId))
       assert(ims.length === 1, s"doc $docId: expected one image")
       val im = ims.head
