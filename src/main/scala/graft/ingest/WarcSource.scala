@@ -134,8 +134,9 @@ object WarcSource {
     * warcinfo record and an HTTP `request` record that extraction must
     * skip); whole-file-gzipped for odd docIds — Common Crawl's layout */
   def fixture(docId: Long, pages: Seq[(String, String)]): Array[Byte] = {
-    val sb = new java.io.ByteArrayOutputStream()
-    def rec(typ: String, uri: String, ctype: String, body: Array[Byte]): Unit = {
+    def rec(typ: String, uri: String, ctype: String,
+            body: Array[Byte]): Array[Byte] = {
+      val sb = new java.io.ByteArrayOutputStream()
       val hdr = (s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
         (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
         s"Content-Type: $ctype\r\nContent-Length: ${body.length}\r\n\r\n")
@@ -143,23 +144,34 @@ object WarcSource {
       sb.write(hdr, 0, hdr.length)
       sb.write(body, 0, body.length)
       sb.write('\r'); sb.write('\n'); sb.write('\r'); sb.write('\n')
+      sb.toByteArray
     }
-    rec("warcinfo", "", "application/warc-fields",
-      s"software: graft-fixture\nrun: $docId\n".getBytes(StandardCharsets.ISO_8859_1))
+    val recs = scala.collection.mutable.ArrayBuffer(
+      rec("warcinfo", "", "application/warc-fields",
+        s"software: graft-fixture\nrun: $docId\n"
+          .getBytes(StandardCharsets.ISO_8859_1)))
     pages.zipWithIndex.foreach { case ((uri, html), k) =>
-      rec("request", uri, "application/http; msgtype=request",
-        s"GET /$k HTTP/1.1\r\nHost: fixture\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+      recs += rec("request", uri, "application/http; msgtype=request",
+        s"GET /$k HTTP/1.1\r\nHost: fixture\r\n\r\n"
+          .getBytes(StandardCharsets.ISO_8859_1))
       val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
         .getBytes(StandardCharsets.UTF_8)
-      rec("response", uri, "application/http; msgtype=response", http)
+      recs += rec("response", uri, "application/http; msgtype=response", http)
     }
-    val plain = sb.toByteArray
-    if (docId % 2 == 0) plain
-    else {
+    def gz(data: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      val gz = new java.util.zip.GZIPOutputStream(bos)
-      gz.write(plain); gz.close()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(data); g.close()
       bos.toByteArray
+    }
+    (docId % 4) match {
+      case 0 | 2 => recs.toArray.flatten // plain
+      case 1     => gz(recs.toArray.flatten) // whole-file gzip
+      case _     =>
+        // ONE GZIP MEMBER PER RECORD, concatenated — Common Crawl's actual
+        // .warc.gz layout (records are individually seekable); the reader's
+        // multi-member gunzip must reassemble the full stream
+        recs.toArray.flatMap(gz)
     }
   }
 }
