@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -160,6 +160,79 @@ object Relational {
         Tables.documents(s, d).select("doc_id", "lang", "source", "text")
           .write.mode("overwrite").orc(stage)
         s.read.orc(stage)
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text")).cast("long").as("text_len"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, length(text)::BIGINT AS text_len,
+             |       md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- source: Avro round-trip at the RECORD-CODEC level (the avro
+    // core library; no connector needed): each partition serializes its
+    // rows into one Avro object-container blob (deflate codec, schema
+    // embedded) and a second distributed stage decodes the blobs back.
+    // This is the Kafka/ingest interchange shape — records arrive as Avro
+    // payloads, not as files a DataSource can claim. The oracle is the
+    // same identity as the ORC round-trip: any schema-mapping or
+    // string-encoding loss breaks the hash. Scale shape: both stages are
+    // mapPartitions (no driver bytes, no shuffle beyond the final sort). -----
+    Q("s_avro_roundtrip",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "text")
+        val schemaJson =
+          """{"type":"record","name":"Doc","namespace":"graft","fields":[
+            |{"name":"doc_id","type":"long"},{"name":"lang","type":"string"},
+            |{"name":"source","type":"string"},{"name":"text","type":"string"}]}"""
+            .stripMargin
+        val blobSchema = StructType(Seq(StructField("blob", BinaryType, nullable = false)))
+        val blobs = docs.mapPartitions { it =>
+          if (it.isEmpty) Iterator.empty
+          else {
+            val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+            val fw = new org.apache.avro.file.DataFileWriter(
+              new GenericDatumWriter[GenericRecord](schema))
+            fw.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+            val bos = new java.io.ByteArrayOutputStream()
+            fw.create(schema, bos)
+            it.foreach { r =>
+              val rec = new GenericData.Record(schema)
+              rec.put("doc_id", r.getLong(0))
+              rec.put("lang", r.getString(1))
+              rec.put("source", r.getString(2))
+              rec.put("text", r.getString(3))
+              fw.append(rec)
+            }
+            fw.close()
+            Iterator.single(Row(bos.toByteArray))
+          }
+        }(Encoders.row(blobSchema))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("lang", StringType, nullable = false),
+          StructField("source", StringType, nullable = false),
+          StructField("text", StringType, nullable = false)))
+        blobs.mapPartitions { it =>
+          it.flatMap { row =>
+            val fr = new org.apache.avro.file.DataFileReader(
+              new org.apache.avro.file.SeekableByteArrayInput(row.getAs[Array[Byte]](0)),
+              new GenericDatumReader[GenericRecord]())
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            while (fr.hasNext) {
+              val rec = fr.next()
+              out += Row(rec.get("doc_id").asInstanceOf[Long],
+                rec.get("lang").toString, rec.get("source").toString,
+                rec.get("text").toString)
+            }
+            fr.close()
+            out.iterator
+          }
+        }(Encoders.row(outSchema))
+          // hash/length through Spark's own functions (not Scala's UTF-16
+          // String ops) so the character semantics match the oracle's
           .select(col("doc_id"), col("lang"), col("source"),
             length(col("text")).cast("long").as("text_len"),
             md5(col("text")).as("text_md5"))
