@@ -412,6 +412,37 @@ object TimeQueries {
              |FROM sn GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin),
       bench = true),
 
+    // ----- custom-state sessionization as a REAL Structured Streaming job:
+    // flatMapGroupsWithState with event-time timeouts, run AvailableNow over
+    // event-time-ordered staged files (sentinel-flushed), hash-compared
+    // against the same gaps-and-islands SQL that oracles w_session_window —
+    // three independent routes (lag+cumsum batch, session_window native,
+    // stateful streaming) pinned to one answer. Session start AND end are
+    // emitted so a state-merge defect can't hide behind matching counts. -----
+    Q("e_stream_sessionize",
+      (s, d) => StreamingIngest.sessionizeAvailableNow(s, Tables.events(s, d))
+        .select(col("userId").as("user_id"),
+          date_format(timestamp_millis(col("startTs")), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(timestamp_millis(col("endTs")), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("events").as("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH o AS (SELECT user_id, ts, event_id,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+             |m AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 1800 THEN 1 ELSE 0 END AS new_s
+             |  FROM o),
+             |sn AS (SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m)
+             |SELECT user_id,
+             |  strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS session_end,
+             |  count(*) AS n_events
+             |FROM sn GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
     // ----- §2.10: the hourly rollup as a REAL Structured Streaming job
     // (readStream → watermark → windowed agg → AvailableNow → final state);
     // the oracle checks the stream's complete-mode result equals the batch

@@ -176,14 +176,23 @@ object StreamingIngest {
       df.filter(unix_micros(col(tsCol)) >= sliceLo &&
           unix_micros(col(tsCol)) < sliceHi)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = JFiles.list(Paths.get(tmp)).iterator()
-      val found = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found += p }
-      val dest = src.resolve(f"events_$i%04d.parquet")
-      JFiles.move(found.head, dest, StandardCopyOption.REPLACE_EXISTING)
-      JFiles.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+      moveSinglePartInto(Paths.get(tmp), src.resolve(f"events_$i%04d.parquet"),
+        1_000_000_000_000L + i * 60_000L)
     }
+  }
+
+  /** Move the single parquet part file out of a coalesce(1) write dir to
+    * `dest` and pin its mtime (file order = micro-batch arrival order). */
+  private def moveSinglePartInto(tmp: java.nio.file.Path,
+                                 dest: java.nio.file.Path,
+                                 mtimeMs: Long): Unit = {
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    val part = JFiles.list(tmp).iterator()
+    val found = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found += p }
+    JFiles.move(found.head, dest, StandardCopyOption.REPLACE_EXISTING)
+    JFiles.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
   }
 
   private def stageTimeSlices(df: DataFrame, tsCol: String,
@@ -416,21 +425,33 @@ object StreamingIngest {
       }
   }
 
-  final case class SessionWindowState(count: Long, startTs: Long, lastTs: Long)
+  /** startUs/lastUs are epoch MICROS: the gap comparison must run at the
+    * event-time resolution of the source (parquet timestamps are µs), or a
+    * gap within 1 ms of the boundary lands on the wrong side of it. */
+  final case class SessionWindowState(count: Long, startUs: Long, lastUs: Long)
   final case class ClosedSession(userId: Long, events: Long,
                                  startTs: Long, endTs: Long)
 
+  private def epochMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** Event-time sessionization with BOUNDED state — the production variant:
-    * a per-user session accumulates silently while events arrive; when the
-    * event-time watermark passes `lastTs + gapMs` the state TIMES OUT, the
-    * closed session is emitted, and the state row is removed. State size is
-    * one row per currently-active user — it never grows with history, which
-    * is the difference between surviving a 100 TB replay and OOMing the
-    * state store. Timestamps are epoch millis in the emitted session. */
+    * a per-user session accumulates while events arrive; a session CLOSES
+    * either (a) in-handler, when a later event for the same user arrives
+    * ≥ gap after the session's last event — required for correctness, since
+    * a gap shorter than the watermark delay + gap arrives BEFORE the
+    * timeout can fire and would otherwise merge two distinct sessions — or
+    * (b) by event-time TIMEOUT once the watermark passes `lastTs + gap`,
+    * which removes the state row. State size is one row per currently-
+    * active user — it never grows with history, which is the difference
+    * between surviving a 100 TB replay and OOMing the state store.
+    * Timestamps are epoch millis in the emitted session (formatting is
+    * per-second downstream; the µs-sensitive comparison is internal). */
   def sessionizeWithTimeout(events: Dataset[(Long, java.sql.Timestamp)],
                             gapMs: Long = 30L * 60 * 1000,
                             watermark: String = "30 minutes"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events.toDF("user_id", "ts")
       .withWatermark("ts", watermark)
       .as[(Long, java.sql.Timestamp)]
@@ -438,27 +459,104 @@ object StreamingIngest {
       .flatMapGroupsWithState[SessionWindowState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[SessionWindowState]) =>
+          def close(s: SessionWindowState) =
+            ClosedSession(userId, s.count, s.startUs / 1000L, s.lastUs / 1000L)
           if (state.hasTimedOut) {
             val st = state.get
             state.remove() // the bound: idle users leave the state store
-            Iterator.single(ClosedSession(userId, st.count, st.startTs, st.lastTs))
+            Iterator.single(close(st))
           } else {
-            val ts = rows.map(_._2.getTime).toSeq
-            val prev = state.getOption
-            val st = SessionWindowState(
-              prev.map(_.count).getOrElse(0L) + ts.size,
-              math.min(prev.map(_.startTs).getOrElse(Long.MaxValue), ts.min),
-              math.max(prev.map(_.lastTs).getOrElse(Long.MinValue), ts.max))
+            // event-time order within the batch; arrival across batches is
+            // assumed watermark-correct (later batches only bring rows the
+            // watermark still admits)
+            val incoming = rows.map(r => epochMicros(r._2)).toArray.sorted
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            incoming.foreach { u =>
+              cur match {
+                case Some(s) if u - s.lastUs >= gapUs =>
+                  closed += close(s) // gap reached: the previous session is final
+                  cur = Some(SessionWindowState(1L, u, u))
+                case Some(s) =>
+                  cur = Some(SessionWindowState(s.count + 1L,
+                    math.min(s.startUs, u), math.max(s.lastUs, u)))
+                case None => cur = Some(SessionWindowState(1L, u, u))
+              }
+            }
+            val st = cur.get
             state.update(st)
             // a timeout must sit beyond the current watermark: an event that
             // arrived just inside the allowed lateness could otherwise ask
-            // for a timestamp the watermark already passed
+            // for a timestamp the watermark already passed; µs→ms rounds UP
+            // so the timeout never fires a hair before the gap elapses
             state.setTimeoutTimestamp(
-              math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+              math.max((st.lastUs + 999L) / 1000L + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            closed.result().iterator
           }
       }
   }
+
+  /** Oracle-matched AvailableNow run of [[sessionizeWithTimeout]] over a
+    * batch events table, driven as a REAL multi-batch stream (same staging
+    * discipline as [[attributionAvailableNowWithStats]]): events are staged
+    * as `numFiles` event-time-ordered parquet files read one per trigger,
+    * so per-user session state lives ACROSS micro-batches and the watermark
+    * both admits in-order arrivals and times out idle sessions batch-by-
+    * batch. Two SENTINEL files (user_id = −1, event time past every real
+    * session's `lastTs + gap + delay`) are appended after the slices: the
+    * first advances the watermark past every real timeout, the second
+    * triggers a batch in which those timeouts FIRE — so the run emits every
+    * session the batch gaps-and-islands query derives, without relying on
+    * trailing no-data micro-batches. Sentinel rows are filtered out of the
+    * result; emission is complete-and-exact vs the batch oracle because
+    * arrival is event-time-ordered (order is load-bearing, as in the
+    * attribution run). */
+  def sessionizeAvailableNowWithStats(spark: org.apache.spark.sql.SparkSession,
+                                      events: DataFrame,
+                                      gapMs: Long = 30L * 60 * 1000,
+                                      watermarkDelayMs: Long = 30L * 60 * 1000,
+                                      numFiles: Int = 6): (DataFrame, StreamRunStats) = {
+    import java.nio.file.{Files => JFiles}
+    val stage = JFiles.createTempDirectory("graft_stream_sess")
+    val src = stage.resolve("src")
+    JFiles.createDirectories(src)
+    try {
+      val ev = events.select("user_id", "ts")
+      stageTimeSlicesInto(ev, "ts", stage, src, numFiles)
+      val hiUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      (1 to 2).foreach { i =>
+        val sentinelUs = hiUs + (gapMs + watermarkDelayMs) * 1000L + i * 60_000_000L
+        val tmp = stage.resolve(s"sentinel_$i").toString
+        spark.sql(
+            s"SELECT CAST(-1 AS BIGINT) AS user_id, timestamp_micros(${sentinelUs}L) AS ts")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        moveSinglePartInto(java.nio.file.Paths.get(tmp),
+          src.resolve(f"events_${numFiles + i}%04d.parquet"),
+          1_000_000_000_000L + (numFiles + i) * 60_000L)
+      }
+      val raw = spark.readStream.schema(spark.read.parquet(src.toString).schema)
+        .option("maxFilesPerTrigger", "1") // ONE staged file per micro-batch
+        .parquet(src.toString)
+      import spark.implicits._
+      val sessions = sessionizeWithTimeout(
+          raw.select(col("user_id"), col("ts"))
+            .as[(Long, java.sql.Timestamp)],
+          gapMs, s"$watermarkDelayMs milliseconds")
+        .filter(_.userId >= 0L) // drop the watermark-advancing sentinels
+      runToMemorySinkWithStats(spark, sessions.toDF(), OutputMode.Append(),
+        "graft_stream_sess")(identity)
+    } finally deleteRecursively(stage)
+  }
+
+  /** [[sessionizeAvailableNowWithStats]] without the run stats. */
+  def sessionizeAvailableNow(spark: org.apache.spark.sql.SparkSession,
+                             events: DataFrame,
+                             gapMs: Long = 30L * 60 * 1000,
+                             watermarkDelayMs: Long = 30L * 60 * 1000,
+                             numFiles: Int = 6): DataFrame =
+    sessionizeAvailableNowWithStats(spark, events, gapMs, watermarkDelayMs,
+      numFiles)._1
 
   /** Watermarked stream-stream inner join — the streaming twin of the batch
     * as-of/attribution join (`ops/TimeJoins`): each `click` joins follow-up

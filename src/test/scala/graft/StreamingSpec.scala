@@ -299,6 +299,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization splits gap-separated sessions that arrive before the timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Long) = new Timestamp((60 + min) * 60000L)
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = StreamingIngest.sessionizeWithTimeout(mem.toDS(),
+        gapMs = 10L * 60000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("split_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two gap-separated sessions in ONE batch: (0,3) then (20)
+      mem.addData((1L, t(0)), (1L, t(3)), (1L, t(20)))
+      q.processAllAvailable()
+      // a third session arriving in a LATER batch, 11 min after t(20):
+      // the watermark (at t(20)) has NOT passed t(20)+gap yet, so without
+      // the in-handler gap check these would merge into one session
+      mem.addData((1L, t(31)))
+      q.processAllAvailable()
+      val closed = spark.table("split_sessions")
+        .as[StreamingIngest.ClosedSession].collect().sortBy(_.startTs)
+      assert(closed.map(s => (s.startTs, s.endTs, s.events)).toSeq ===
+        Seq((t(0).getTime, t(3).getTime, 2L), (t(20).getTime, t(20).getTime, 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize AvailableNow equals the batch gaps-and-islands result with bounded state") {
+    // synthetic multi-user timeline: 3 users, sessions separated by > gap
+    val base = 1_700_000_000_000L
+    val rows = for {
+      u <- 1L to 3L; s <- 0 until 4; e <- 0 until 3
+    } yield (u, new Timestamp(base + u * 17_000L + s * 3_600_000L + e * 60_000L))
+    val ev = rows.toDF("user_id", "ts")
+    val (out, stats) = StreamingIngest.sessionizeAvailableNowWithStats(
+      spark, ev, gapMs = 30L * 60000L, watermarkDelayMs = 30L * 60000L, numFiles = 5)
+    val got = out.as[StreamingIngest.ClosedSession].collect()
+      .map(s => (s.userId, s.startTs, s.endTs, s.events)).sorted
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      es.map(_._2.getTime).sorted.grouped(3).map(g => (u, g.head, g.last, g.size.toLong))
+    }.sorted
+    assert(got.toSeq === want)
+    assert(stats.batches > 1)             // state genuinely crossed batches
+    assert(stats.maxStateRows <= 4)       // ≤ one row per active user + sentinel
+  }
+
   test("foreachBatch commits micro-batches into the versioned store") {
     implicit val sqlCtx = spark.sqlContext
     val store = new graft.store.VersionedStore(spark,
