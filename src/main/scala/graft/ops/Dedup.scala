@@ -325,18 +325,54 @@ object Dedup {
         col("n_grams").cast("long").as("n_grams"))
   }
 
+  /** Candidate-pair count above which the verify stage stops forcing a
+    * broadcast of the pair list. The per-bucket cap in [[lshCandidatePairs]]
+    * bounds any ONE bucket's pairs, not their global sum — a boilerplate-
+    * heavy crawl emits a candidate stream proportional to (dup groups ×
+    * group²/2), which at the adversarial regime is GBs: forcing that
+    * through a broadcast trips the 8 GB broadcast hard limit or OOMs the
+    * driver. 4M pairs ≈ 64 MB of key data (a few hundred MB as a hashed
+    * relation) — comfortably broadcastable; above it the pair list joins by
+    * shuffle instead (the same size-routing discipline Engine.sync applies
+    * to manifests). */
+  val MaxBroadcastPairs: Long = 4000000L
+
+  /** Join a candidate (id_a, id_b) pair list against two per-id payload
+    * sides, routing the physical strategy by the MEASURED pair count:
+    * broadcast the pair list when it is small (big sides never shuffle),
+    * shuffle-hash join on the pair keys when it is not (the payload shuffle
+    * is linear and affordable; an oversized forced broadcast is a hard
+    * failure). The pair list is persisted so the count does not recompute
+    * candidate generation — blocks live until the caller's session releases
+    * them (same caveat as [[jaccardPairs]]'s postings). `l` must carry
+    * `id_a` (+ payload), `r` must carry `id_b` (+ payload). */
+  def routedPairJoin(pairs: DataFrame, l: DataFrame, r: DataFrame,
+                     maxBroadcastPairs: Long = MaxBroadcastPairs): DataFrame = {
+    val p = pairs.select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = p.count()
+    if (n <= maxBroadcastPairs)
+      l.join(broadcast(p), Seq("id_a")).join(r, Seq("id_b"))
+    else
+      // shuffle_hash on the pair side: both joins repartition by their key
+      // and hash-build the (smaller) pair partitions — no sort of the
+      // payload side, no size-estimate gamble on a broadcast.
+      l.join(p.hint("shuffle_hash"), Seq("id_a"))
+        .join(r, Seq("id_b"))
+  }
+
   /** exact Jaccard evaluated ONLY on given (id_a, id_b) pairs — the verify
     * stage after LSH blocking. Per pair this is one array_intersect over the
     * two (distinct) shingle arrays: no posting self-join, no quadratic
-    * blowup. The pair set is broadcast against the corpus scan, so the big
-    * side never shuffles; the joined pair rows are then small by
-    * construction (|candidates|). */
+    * blowup. The pair list joins via [[routedPairJoin]]: broadcast below
+    * [[MaxBroadcastPairs]] candidates, shuffle join above. */
   def jaccardOnPairs(pairs: DataFrame, df: DataFrame, idCol: String,
-                     shinglesCol: String): DataFrame = {
+                     shinglesCol: String,
+                     maxBroadcastPairs: Long = MaxBroadcastPairs): DataFrame = {
     val l = df.select(col(idCol).cast("long").as("id_a"), col(shinglesCol).as("_shs_a"))
     val r = df.select(col(idCol).cast("long").as("id_b"), col(shinglesCol).as("_shs_b"))
-    l.join(broadcast(pairs.select("id_a", "id_b")), Seq("id_a"))
-      .join(r, Seq("id_b"))
+    routedPairJoin(pairs, l, r, maxBroadcastPairs)
       .withColumn("_inter", size(array_intersect(col("_shs_a"), col("_shs_b"))))
       .withColumn("jaccard", round(col("_inter") /
         (size(col("_shs_a")) + size(col("_shs_b")) - col("_inter")), 4))
@@ -422,14 +458,19 @@ object Dedup {
     * shape applied to hamming space). Shuffle is band-keyed; no all-pairs
     * join ever forms.
     *
-    * PRECONDITION: one row per `idCol` (the feature-extraction stages
-    * upstream emit exactly that). Duplicate (id, hash) input rows would
-    * multiply the emitted pair rows — the pair stream is deliberately
-    * aggregate-free (see below), so dedup the INPUT
-    * (`df.dropDuplicates(idCol)`) if ids can repeat; deduping the
-    * quadratic pair stream instead is the measured scale cliff. */
+    * The pair stream is deliberately aggregate-free (see below); it
+    * requires one row per `idCol` — duplicate (id, hash) input rows would
+    * multiply the emitted pair rows. `dedupInput` (default ON) enforces
+    * that with a `dropDuplicates(idCol, hashCol)` on the PRE-explode
+    * input — linear and tiny relative to the pair stream, the safe
+    * default for arbitrary callers. Callers whose input is unique per id
+    * by construction (the feature-extraction stages emit exactly that)
+    * pass `dedupInput = false` to keep the benched aggregate-free plan;
+    * deduping the quadratic pair stream instead is the measured scale
+    * cliff. */
   def bandedHammingPairs(df: DataFrame, idCol: String, hashCol: String,
-                         bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+                         bits: Int, bands: Int, maxHamming: Int,
+                         dedupInput: Boolean = true): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")
     require(maxHamming < bands,
       "recall guarantee needs maxHamming < bands (pigeonhole)")
@@ -440,7 +481,8 @@ object Dedup {
     // the caller's column name (which would break on names needing quoting)
     val bandSlices = (0 until bands).map(i =>
       shiftright(col(hashCol), i * w).bitwiseAND(lit(mask)))
-    val banded = df.select(col(idCol), col(hashCol),
+    val in = if (dedupInput) df.dropDuplicates(idCol, hashCol) else df
+    val banded = in.select(col(idCol), col(hashCol),
         posexplode(array(bandSlices: _*)).as(Seq("bi", "bv")))
     val l = banded.select(col("bi"), col("bv"),
       col(idCol).as("id_a"), col(hashCol).as("h_a"))

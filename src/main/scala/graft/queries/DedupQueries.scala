@@ -638,10 +638,9 @@ object DedupQueries {
           .withColumn("sig", Dedup.minhashSignature("hs", 16))
         val candidates = Dedup.lshCandidatePairs(
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
-        val l = corpus.select(col("doc_id").as("id_a"), col("text").as("ta"))
-        val r = corpus.select(col("doc_id").as("id_b"), col("text").as("tb"))
-        l.join(broadcast(candidates.select("id_a", "id_b")), Seq("id_a"))
-          .join(r, Seq("id_b"))
+        val l = corpus.select(col("doc_id").cast("long").as("id_a"), col("text").as("ta"))
+        val r = corpus.select(col("doc_id").cast("long").as("id_b"), col("text").as("tb"))
+        Dedup.routedPairJoin(candidates, l, r)
           .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
           .withColumn("sim", round(lit(1.0) - col("lev").cast("double") /
             greatest(length(col("ta")), length(col("tb"))), 4))
@@ -738,8 +737,7 @@ object DedupQueries {
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
         val l = corpus.select(col("doc_id").cast("long").as("id_a"), col("shs").as("_a"))
         val r = corpus.select(col("doc_id").cast("long").as("id_b"), col("shs").as("_b"))
-        l.join(broadcast(cand.select("id_a", "id_b")), Seq("id_a"))
-          .join(r, Seq("id_b"))
+        Dedup.routedPairJoin(cand, l, r)
           .withColumn("_inter", size(array_intersect(col("_a"), col("_b"))))
           .select(col("id_a"), col("id_b"),
             round(col("_inter") / size(col("_a")), 4).as("c_ab"),
@@ -2200,7 +2198,8 @@ object DedupQueries {
             enc(col("doc_id") % 83, col("doc_id") % 7 === 3).as("payload"))
         Dedup.bandedHammingPairs(
           Multimodal.dhashFeatures(media), "media_id", "dhash",
-          bits = 56, bands = 7, maxHamming = 6)
+          bits = 56, bands = 7, maxHamming = 6,
+          dedupInput = false) // media_id = doc_id, unique by construction
           .orderBy("id_a", "id_b")
       },
       Some("""WITH p AS (SELECT doc_id, doc_id % 83 AS did FROM documents),
@@ -2254,7 +2253,8 @@ object DedupQueries {
           .select(col("media_id"), feat(col("pdf")).as("dhash"))
           .filter(col("dhash").isNotNull)
         Dedup.bandedHammingPairs(media, "media_id", "dhash",
-          bits = 56, bands = 7, maxHamming = 6)
+          bits = 56, bands = 7, maxHamming = 6,
+          dedupInput = false) // media_id = doc_id, unique by construction
           .orderBy("id_a", "id_b")
       },
       Some("""WITH p AS (SELECT doc_id, doc_id % 83 AS did FROM documents),
@@ -2299,7 +2299,8 @@ object DedupQueries {
             enc(col("doc_id") % 83, col("doc_id") % 7 === 3).as("payload"))
         val pairs = Dedup.bandedHammingPairs(
           Multimodal.dhashFeatures(media), "media_id", "dhash",
-          bits = 56, bands = 7, maxHamming = 6)
+          bits = 56, bands = 7, maxHamming = 6,
+          dedupInput = false) // media_id = doc_id, unique by construction
         val comp = Dedup.connectedComponents(pairs)
         val sizes = comp.groupBy("comp").agg(count(lit(1)).as("group_size"))
         comp.join(sizes, "comp")

@@ -319,6 +319,41 @@ class OpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // the planted pairs actually exercised the path
   }
 
+  test("bandedHammingPairs: duplicate (id, hash) input rows collapse by default") {
+    // the aggregate-free pair stream multiplies pair rows under repeated
+    // input ids; the default dedupInput guard restores one-row-per-pair
+    // semantics by collapsing the (linear, pre-explode) input instead of
+    // the quadratic pair stream. Opting out reproduces the raw behavior.
+    val base = Seq((1L, 0L), (2L, 1L)) // hamming 1 — one qualifying pair
+    val dup = base ++ base ++ Seq((1L, 0L)) // id 1 thrice, id 2 twice
+    val clean = Dedup.bandedHammingPairs(base.toDF("id", "h"), "id", "h", 56, 7, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(clean === Seq((1L, 2L)))
+    val guarded = Dedup.bandedHammingPairs(dup.toDF("id", "h"), "id", "h", 56, 7, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(guarded === Seq((1L, 2L))) // default guard: same single pair
+    val raw = Dedup.bandedHammingPairs(dup.toDF("id", "h"), "id", "h", 56, 7, 6,
+      dedupInput = false).collect()
+    assert(raw.length === 6) // 3 copies of id 1 × 2 of id 2 — the documented hazard
+  }
+
+  test("routedPairJoin: shuffle route matches broadcast route exactly") {
+    // the verify-stage size routing must be a physical-strategy choice only:
+    // identical pairs in, identical verified rows out on both routes
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 12).map(j => s"sh_${(i % 5)}_$j") :+ s"own_$i"))
+      .toDF("doc_id", "shs")
+    val pairs = (for (a <- 0 until 40; b <- a + 1 until 40; if a % 5 == b % 5)
+      yield (a.toLong, b.toLong)).toDF("id_a", "id_b")
+    val viaBroadcast = Dedup.jaccardOnPairs(pairs, docs, "doc_id", "shs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaShuffle = Dedup.jaccardOnPairs(pairs, docs, "doc_id", "shs",
+      maxBroadcastPairs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaBroadcast === viaShuffle)
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("dhash: constant image hashes to 0, monotone gradient to all-ones") {
     def bmp(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
       val stride = ((3 * w + 3) / 4) * 4

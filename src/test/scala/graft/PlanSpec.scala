@@ -283,6 +283,38 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("LSH verify stage routes the pair list by measured count, never an unbounded forced broadcast") {
+    // ops/Dedup.routedPairJoin: below the threshold the pair list is a
+    // forced broadcast (big sides never shuffle); above it the SAME join
+    // must run as a shuffle join on the pair keys — an oversized forced
+    // broadcast trips the 8 GB hard limit / driver OOM at crawl scale.
+    // autoBroadcast is disabled so the above-threshold plan can't quietly
+    // re-broadcast from size estimates at toy scale.
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      keys.foreach(conf.set(_, "-1"))
+      import spark.implicits._
+      val docs = (0 until 30).map(i => (i.toLong, Seq(s"a$i", s"b${i % 3}")))
+        .toDF("doc_id", "shs")
+      val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+      val below = Dedup.jaccardOnPairs(pairs, docs, "doc_id", "shs")
+        .queryExecution.executedPlan.toString
+      assert(below.contains("BroadcastHashJoin"), below.take(2000))
+      val above = Dedup.jaccardOnPairs(pairs, docs, "doc_id", "shs",
+          maxBroadcastPairs = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!above.contains("BroadcastExchange"), above.take(2000))
+      assert(above.contains("ShuffledHashJoin"), above.take(2000))
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(s) => conf.set(k, s); case None => conf.unset(k) }
+    }
+  }
+
   test("AQE splits a skewed shuffle partition at runtime") {
     // the adaptive counterpart to static salting: with one key carrying 95%
     // of the fact side, the map-output stats must trigger OptimizeSkewedJoin
