@@ -11,14 +11,21 @@ import scala.collection.mutable
   *  - generic region decoding (§6.2), template 0 with programmable AT
   *    pixels and TPGDON typical-prediction rows; MMR=1 regions delegate to
   *    [[CcittG4]] (T.6 and JBIG2-MMR share the coding)
+  *  - the integer arithmetic decoding procedures (Annex A: IAx context
+  *    trees, IAID fixed-length tree), both directions
+  *  - SYMBOL DICTIONARY segments (§6.5: arithmetic, template 0, height
+  *    classes, export runs) and TEXT REGION segments (§6.4: arithmetic,
+  *    strip decoding, all reference corners, non-transposed) — the page
+  *    shape jbig2enc-class toolchains emit for scanned TEXT pages
   *  - the PDF EMBEDDED segment stream (§7.2 headers without file header):
-  *    page information (type 48) + immediate (lossless) generic regions
-  *    (types 36/38/39), end-of-page/file tolerated
+  *    page information (type 48), immediate (lossless) generic regions
+  *    (types 36/38/39), symbol dictionaries (type 0), text regions
+  *    (types 4/6/7), end-of-page/file tolerated
   *
-  * Subset honesty (refuse-don't-garble): templates 1–3, refinement,
-  * symbol/text/halftone segments, /JBIG2Globals, and EXTTEMPLATE are
-  * refused — the generic-region path implemented here is what scanner
-  * toolchains (jbig2enc and kin) emit for plain scanned pages.
+  * Subset honesty (refuse-don't-garble): templates 1–3, refinement/
+  * aggregation (SDREFAGG), Huffman-coded dictionaries and text regions
+  * (SDHUFF/SBHUFF), transposed text, halftone segments, /JBIG2Globals,
+  * and EXTTEMPLATE are refused.
   *
   * Validation posture: the MQ coder and region coders are pinned by
   * encode→decode round-trips over adversarial planes (a carry or
@@ -51,9 +58,14 @@ object Jbig2 {
 
   // ---------------------------------------------------------- MQ decoder --
 
+  /** caller-owned per-context state array: index into Qe table (low 7
+    * bits) | MPS (bit 7). The symbol/text decoding procedures interleave
+    * SEVERAL context families (generic GB, the IAx integer procedures,
+    * IAID) on ONE arithmetic decoder, so contexts belong to the procedure,
+    * not the coder. */
+  private[graft] def newCx(n: Int): Array[Byte] = new Array[Byte](n)
+
   private[graft] final class MqDecoder(data: Array[Byte]) {
-    // per-context state: index into Qe table (low 7 bits) | MPS (bit 7)
-    private val cx = new Array[Byte](1 << 16)
     private var bp = 0
     private var c = 0L
     private var a = 0L
@@ -76,7 +88,7 @@ object Jbig2 {
       c <<= 7; ct -= 7; a = 0x8000L
     }
 
-    def decode(ctx: Int): Int = {
+    def decode(cx: Array[Byte], ctx: Int): Int = {
       val s = cx(ctx) & 0x7F
       val mps = (cx(ctx) >> 7) & 1
       val qe = Qe(s).toLong
@@ -113,7 +125,6 @@ object Jbig2 {
   // ---------------------------------------------------------- MQ encoder --
 
   private[graft] final class MqEncoder {
-    private val cx = new Array[Byte](1 << 16)
     private val out = mutable.ArrayBuffer.empty[Byte]
     private var a = 0x8000L
     private var c = 0L
@@ -142,7 +153,7 @@ object Jbig2 {
       } while ((a & 0x8000L) == 0)
     }
 
-    def encode(ctx: Int, bit: Int): Unit = {
+    def encode(cx: Array[Byte], ctx: Int, bit: Int): Unit = {
       val s = cx(ctx) & 0x7F
       val mps = (cx(ctx) >> 7) & 1
       val qe = Qe(s).toLong
@@ -207,16 +218,24 @@ object Jbig2 {
   /** decode an arithmetic generic region (template 0) into a fresh plane */
   private[graft] def decodeGenericArith(data: Array[Byte], w: Int, h: Int,
                                          at: Array[(Int, Int)],
-                                         tpgdon: Boolean): Array[Boolean] = {
+                                         tpgdon: Boolean): Array[Boolean] =
+    decodeGenericWith(new MqDecoder(data), newCx(1 << 16), w, h, at, tpgdon)
+
+  /** generic-region decode on a SHARED decoder + GB context — the form the
+    * symbol dictionary uses: every symbol bitmap continues the same
+    * arithmetic stream and adapts the same generic contexts (§6.5.5). */
+  private[graft] def decodeGenericWith(dec: MqDecoder, cx: Array[Byte],
+                                        w: Int, h: Int,
+                                        at: Array[(Int, Int)],
+                                        tpgdon: Boolean): Array[Boolean] = {
     val plane = new Array[Boolean](w * h)
     def px(x: Int, y: Int): Int =
       if (x < 0 || x >= w || y < 0) 0 else if (plane(y * w + x)) 1 else 0
-    val dec = new MqDecoder(data)
     var ltp = false
     var y = 0
     while (y < h) {
       if (tpgdon) {
-        val sltp = dec.decode(Tpgdon0Ctx)
+        val sltp = dec.decode(cx, Tpgdon0Ctx)
         if (sltp == 1) ltp = !ltp
       }
       if (ltp) {
@@ -226,7 +245,7 @@ object Jbig2 {
       } else {
         var x = 0
         while (x < w) {
-          val bit = dec.decode(ctx0(px, x, y, at))
+          val bit = dec.decode(cx, ctx0(px, x, y, at))
           plane(y * w + x) = bit == 1
           x += 1
         }
@@ -240,25 +259,284 @@ object Jbig2 {
   private[graft] def encodeGenericArith(plane: Array[Boolean], w: Int, h: Int,
                                          at: Array[(Int, Int)] = NominalAt,
                                          tpgdon: Boolean = false): Array[Byte] = {
+    val enc = new MqEncoder
+    encodeGenericWith(enc, newCx(1 << 16), plane, w, h, at, tpgdon)
+    enc.flush()
+  }
+
+  /** generic-region encode on a shared encoder + GB context (no flush) */
+  private[graft] def encodeGenericWith(enc: MqEncoder, cx: Array[Byte],
+                                        plane: Array[Boolean], w: Int, h: Int,
+                                        at: Array[(Int, Int)],
+                                        tpgdon: Boolean): Unit = {
     def px(x: Int, y: Int): Int =
       if (x < 0 || x >= w || y < 0 || y >= h) 0 else if (plane(y * w + x)) 1 else 0
-    val enc = new MqEncoder
     var ltp = false
     var y = 0
     while (y < h) {
       if (tpgdon) {
         val typical = y > 0 && (0 until w).forall(x => px(x, y) == px(x, y - 1))
         val sltp = if (typical != ltp) 1 else 0
-        enc.encode(Tpgdon0Ctx, sltp)
+        enc.encode(cx, Tpgdon0Ctx, sltp)
         if (sltp == 1) ltp = !ltp
       }
       if (!(tpgdon && ltp)) {
         var x = 0
-        while (x < w) { enc.encode(ctx0(px, x, y, at), px(x, y)); x += 1 }
+        while (x < w) { enc.encode(cx, ctx0(px, x, y, at), px(x, y)); x += 1 }
       }
       y += 1
     }
-    enc.flush()
+  }
+
+  // ----------------------- integer arithmetic decoding (Annex A) + IAID --
+
+  /** out-of-band marker for the IAx procedures (sign=1, value=0) */
+  private[graft] val OOB = Int.MinValue
+
+  /** Annex A.2 IAx integer decode on a 512-context state array. The PREV
+    * context tree follows the decoded bits: full 9-bit prefix below 256,
+    * then the sliding 8-bit window with bit 8 pinned. */
+  private[graft] def decodeInt(dec: MqDecoder, cx: Array[Byte]): Int = {
+    var prev = 1
+    def bit(): Int = {
+      val b = dec.decode(cx, prev)
+      prev =
+        if (prev < 256) (prev << 1) | b
+        else ((((prev << 1) | b) & 511) | 256)
+      b
+    }
+    val s = bit()
+    var n = 0
+    var offset = 0
+    if (bit() == 0) { n = 2; offset = 0 }
+    else if (bit() == 0) { n = 4; offset = 4 }
+    else if (bit() == 0) { n = 6; offset = 20 }
+    else if (bit() == 0) { n = 8; offset = 84 }
+    else if (bit() == 0) { n = 12; offset = 340 }
+    else { n = 32; offset = 4436 }
+    var v = 0
+    var i = 0
+    while (i < n) { v = (v << 1) | bit(); i += 1 }
+    v += offset
+    if (s == 1 && v == 0) OOB else if (s == 1) -v else v
+  }
+
+  /** Annex A.2 mirror: encode `value` (or [[OOB]]) with the same context
+    * tree, so [[decodeInt]] replays it exactly. */
+  private[graft] def encodeInt(enc: MqEncoder, cx: Array[Byte], value: Int): Unit = {
+    var prev = 1
+    def bit(b: Int): Unit = {
+      enc.encode(cx, prev, b)
+      prev =
+        if (prev < 256) (prev << 1) | b
+        else ((((prev << 1) | b) & 511) | 256)
+    }
+    val (s, v) =
+      if (value == OOB) (1, 0)
+      else if (value < 0) (1, -value)
+      else (0, value)
+    bit(s)
+    val (prefix, n, offset) =
+      if (v <= 3) (Seq(0), 2, 0)
+      else if (v <= 19) (Seq(1, 0), 4, 4)
+      else if (v <= 83) (Seq(1, 1, 0), 6, 20)
+      else if (v <= 339) (Seq(1, 1, 1, 0), 8, 84)
+      else if (v <= 4435) (Seq(1, 1, 1, 1, 0), 12, 340)
+      else (Seq(1, 1, 1, 1, 1), 32, 4436)
+    prefix.foreach(bit)
+    val m = v - offset
+    var i = n - 1
+    while (i >= 0) { bit((m >> i) & 1); i -= 1 }
+  }
+
+  /** A.3 IAID: `codeLen` fixed bits down a context tree of size
+    * 2^(codeLen+1) */
+  private[graft] def decodeIaid(dec: MqDecoder, cx: Array[Byte],
+                                codeLen: Int): Int = {
+    var prev = 1
+    var i = 0
+    while (i < codeLen) { prev = (prev << 1) | dec.decode(cx, prev); i += 1 }
+    prev - (1 << codeLen)
+  }
+
+  private[graft] def encodeIaid(enc: MqEncoder, cx: Array[Byte],
+                                codeLen: Int, value: Int): Unit = {
+    var prev = 1
+    var i = codeLen - 1
+    while (i >= 0) {
+      val b = (value >> i) & 1
+      enc.encode(cx, prev, b)
+      prev = (prev << 1) | b
+      i -= 1
+    }
+  }
+
+  /** symbol-ID code length for arithmetic text regions: max(1, ⌈log₂ n⌉)
+    * (the form interoperable decoders use; 1 symbol still spends one bit) */
+  private[graft] def symCodeLen(nSyms: Int): Int = {
+    var n = 1
+    while (nSyms > (1 << n)) n += 1
+    n
+  }
+
+  // ----------------------------- symbol dictionary + text region (§6.5/§6.4) --
+
+  /** one dictionary symbol: a w×h bilevel glyph */
+  private[graft] final case class Glyph(w: Int, h: Int, bits: Array[Boolean])
+
+  /** Decode a symbol dictionary segment body (§6.5, §7.4.3) to its EXPORTED
+    * symbol list. Arithmetic coding only, template 0, no refinement/
+    * aggregation (SDHUFF/SDREFAGG refused) — the jbig2enc-class scanned-text
+    * shape. `inputSyms` = concatenated exports of the referred-to
+    * dictionaries, in referred order. */
+  private[graft] def decodeSymbolDict(body: Array[Byte],
+                                      inputSyms: Seq[Glyph]): Option[Seq[Glyph]] = {
+    if (body.length < 2 + 8 + 8) return None
+    val flags = ((body(0) & 0xFF) << 8) | (body(1) & 0xFF)
+    val sdhuff = (flags & 1) != 0
+    val sdrefagg = (flags & 2) != 0
+    val template = (flags >> 10) & 3
+    if (sdhuff || sdrefagg || template != 0) return None
+    val at = Array.tabulate(4)(i => (body(2 + 2 * i).toInt, body(3 + 2 * i).toInt))
+    def be32(o: Int): Long = (((body(o) & 0xFFL) << 24) |
+      ((body(o + 1) & 0xFF) << 16) | ((body(o + 2) & 0xFF) << 8) |
+      (body(o + 3) & 0xFF)) & 0xFFFFFFFFL
+    val numEx = be32(10)
+    val numNew = be32(14)
+    if (numNew > 65536 || numEx > inputSyms.size + numNew) return None
+    val dec = new MqDecoder(java.util.Arrays.copyOfRange(body, 18, body.length))
+    val gbCx = newCx(1 << 16)
+    val iadh = newCx(512); val iadw = newCx(512); val iaex = newCx(512)
+    val newSyms = mutable.ArrayBuffer.empty[Glyph]
+    var hcHeight = 0
+    while (newSyms.size < numNew) {
+      val dh = decodeInt(dec, iadh)
+      if (dh == OOB) return None
+      hcHeight += dh
+      if (hcHeight <= 0 || hcHeight > 4096) return None
+      var symWidth = 0
+      var classDone = false
+      while (!classDone) {
+        val dw = decodeInt(dec, iadw)
+        if (dw == OOB) classDone = true
+        else {
+          symWidth += dw
+          if (symWidth <= 0 || symWidth > 4096 || newSyms.size >= numNew)
+            return None
+          val bits = decodeGenericWith(dec, gbCx, symWidth, hcHeight, at,
+            tpgdon = false)
+          newSyms += Glyph(symWidth, hcHeight, bits)
+        }
+      }
+    }
+    // export flags (§6.5.10): alternating not-exported/exported runs over
+    // input ++ new symbols, starting not-exported
+    val all = inputSyms ++ newSyms
+    val exported = mutable.ArrayBuffer.empty[Glyph]
+    var i = 0
+    var cur = false
+    while (i < all.size) {
+      val run = decodeInt(dec, iaex)
+      if (run == OOB || run < 0 || i + run > all.size) return None
+      if (cur) exported ++= all.slice(i, i + run)
+      i += run
+      cur = !cur
+    }
+    if (exported.size != numEx) return None
+    Some(exported.toSeq)
+  }
+
+  /** Decode an arithmetic text region body AFTER the region-info bytes
+    * (§6.4, §7.4.4): `body` starts at the text-region flags. Subset:
+    * SBHUFF=0, REFINE=0, TRANSPOSED=0, SBCOMBOP=OR, SBDEFPIXEL=0 —
+    * anything else refuses. Returns the composed region plane. */
+  private[graft] def decodeTextRegion(body: Array[Byte], syms: IndexedSeq[Glyph],
+                                      rw: Int, rh: Int): Option[Array[Boolean]] = {
+    if (body.length < 6 || syms.isEmpty) return None
+    val flags = ((body(0) & 0xFF) << 8) | (body(1) & 0xFF)
+    val sbhuff = (flags & 1) != 0
+    val refine = (flags & 2) != 0
+    val logStrips = (flags >> 2) & 3
+    val refCorner = (flags >> 4) & 3
+    val transposed = (flags & 0x40) != 0
+    val combOp = (flags >> 7) & 3
+    val defPixel = (flags & 0x200) != 0
+    var dsOffset = (flags >> 10) & 0x1F
+    if (dsOffset > 15) dsOffset -= 32 // signed 5-bit
+    if (sbhuff || refine || transposed || combOp != 0 || defPixel) return None
+    def be32(o: Int): Long = (((body(o) & 0xFFL) << 24) |
+      ((body(o + 1) & 0xFF) << 16) | ((body(o + 2) & 0xFF) << 8) |
+      (body(o + 3) & 0xFF)) & 0xFFFFFFFFL
+    val numInstances = be32(2)
+    if (numInstances > 1000000) return None
+    val sbStrips = 1 << logStrips
+    val codeLen = symCodeLen(syms.size)
+    val dec = new MqDecoder(java.util.Arrays.copyOfRange(body, 6, body.length))
+    val iadt = newCx(512); val iafs = newCx(512)
+    val iads = newCx(512); val iait = newCx(512)
+    val iaid = newCx(1 << (codeLen + 1))
+    val plane = new Array[Boolean](rw * rh)
+    val dt0 = decodeInt(dec, iadt)
+    if (dt0 == OOB) return None
+    var stripT = -dt0 * sbStrips
+    var firstS = 0
+    var inst = 0L
+    while (inst < numInstances) {
+      val dt = decodeInt(dec, iadt)
+      if (dt == OOB) return None
+      stripT += dt * sbStrips
+      val dfs = decodeInt(dec, iafs)
+      if (dfs == OOB) return None
+      firstS += dfs
+      var curS = firstS
+      var first = true
+      var stripDone = false
+      while (!stripDone && inst < numInstances) {
+        if (!first) {
+          val ids = decodeInt(dec, iads)
+          if (ids == OOB) stripDone = true else curS += ids + dsOffset
+        }
+        if (!stripDone) {
+          val curT = if (sbStrips == 1) 0
+            else {
+              val t = decodeInt(dec, iait)
+              if (t == OOB) return None
+              t
+            }
+          val t = stripT + curT
+          val id = decodeIaid(dec, iaid, codeLen)
+          if (id < 0 || id >= syms.size) return None
+          val g = syms(id)
+          // draw with OR; S is the left edge (non-transposed), the corner
+          // picks top vs bottom row alignment
+          val y0 = if (refCorner == 0 || refCorner == 2) t - g.h + 1 else t
+          var yy = 0
+          while (yy < g.h) {
+            val py = y0 + yy
+            if (py >= 0 && py < rh) {
+              var xx = 0
+              while (xx < g.w) {
+                val px = curS + xx
+                if (px >= 0 && px < rw && g.bits(yy * g.w + xx))
+                  plane(py * rw + px) = true
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          inst += 1
+          first = false
+          curS += g.w - 1
+        }
+      }
+      // drain the final strip's OOB terminator when the instance budget
+      // ended the inner loop exactly at a strip boundary
+      if (!stripDone && inst >= numInstances) {
+        val ids = decodeInt(dec, iads)
+        if (ids != OOB) return None
+      }
+    }
+    Some(plane)
   }
 
   // ------------------------------------- embedded segment stream (PDF leg) --
@@ -272,6 +550,9 @@ object Jbig2 {
       if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
       val plane = new Array[Boolean](w * h)
       var sawRegion = false
+      // exported symbols by symbol-dictionary segment number — text regions
+      // assemble their SBSYMS from their referred-to dictionaries in order
+      val dicts = mutable.Map.empty[Long, Seq[Glyph]]
       var p = 0
       def u8(): Int = { val v = data(p) & 0xFF; p += 1; v }
       def u16(): Int = (u8() << 8) | u8()
@@ -293,6 +574,14 @@ object Jbig2 {
         // referred segment numbers: width keyed to THIS segment's number
         // (§7.2.5: ≤256 → 1 byte, ≤65536 → 2, else 4)
         val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
+        if (count > 64 || p + count.toLong * refSize > data.length) return None
+        val referred = (0 until count).map { i =>
+          val o = p + i * refSize
+          var v = 0L
+          var j = 0
+          while (j < refSize) { v = (v << 8) | (data(o + j) & 0xFFL); j += 1 }
+          v
+        }
         p += count * refSize
         if (pageAssoc4) p += 4 else p += 1
         val dataLen = u32()
@@ -300,14 +589,48 @@ object Jbig2 {
         val segStart = p
         val segEnd = segStart + dataLen.toInt
         if (segEnd > data.length) return None
+        // every read below is bounded by the segment's own dataLen — a
+        // short segment refuses cleanly instead of reading the next
+        // segment's header bytes as its body
+        def need(n: Int): Boolean = dataLen >= n
         segType match {
           case 48 => // page info: sanity-check dims when bounded
+            if (!need(4)) return None
             val pw = ((data(segStart) & 0xFF) << 24) |
               ((data(segStart + 1) & 0xFF) << 16) |
               ((data(segStart + 2) & 0xFF) << 8) | (data(segStart + 3) & 0xFF)
             if (pw != 0 && pw != w) return None
+          case 0 => // symbol dictionary
+            val inputSyms = referred.flatMap(r => dicts.getOrElse(r, Seq.empty))
+            val body = java.util.Arrays.copyOfRange(data, segStart, segEnd)
+            dicts(segNum) = decodeSymbolDict(body, inputSyms)
+              .getOrElse(return None)
+          case 4 | 6 | 7 => // text region (immediate / lossless)
+            if (!need(17 + 6)) return None
+            def be32(o: Int): Int = ((data(o) & 0xFF) << 24) |
+              ((data(o + 1) & 0xFF) << 16) | ((data(o + 2) & 0xFF) << 8) |
+              (data(o + 3) & 0xFF)
+            val rw = be32(segStart); val rh = be32(segStart + 4)
+            val rx = be32(segStart + 8); val ry = be32(segStart + 12)
+            if (rx < 0 || ry < 0 || rw <= 0 || rh <= 0 ||
+                rx.toLong + rw > w || ry.toLong + rh > h) return None
+            val syms = referred.flatMap(r => dicts.getOrElse(r, Seq.empty))
+            val body = java.util.Arrays.copyOfRange(data, segStart + 17, segEnd)
+            val region = decodeTextRegion(body, syms.toIndexedSeq, rw, rh)
+              .getOrElse(return None)
+            var yy = 0
+            while (yy < rh) {
+              var xx = 0
+              while (xx < rw) {
+                if (region(yy * rw + xx)) plane((ry + yy) * w + rx + xx) = true
+                xx += 1
+              }
+              yy += 1
+            }
+            sawRegion = true
           case 36 | 38 | 39 => // generic region (immediate / lossless)
             // region segment info (§7.4.1): w, h, x, y (4 bytes each), flags
+            if (!need(18)) return None
             def be32(o: Int): Int = ((data(o) & 0xFF) << 24) |
               ((data(o + 1) & 0xFF) << 16) | ((data(o + 2) & 0xFF) << 8) |
               (data(o + 3) & 0xFF)
@@ -321,6 +644,7 @@ object Jbig2 {
             if ((gFlags & 0x10) != 0) return None // EXTTEMPLATE
             var q = segStart + 18
             val at = if (!mmr && template == 0) {
+              if (!need(26)) return None
               val arr = Array.tabulate(4) { i =>
                 val r = (data(q + 2 * i).toInt, data(q + 2 * i + 1).toInt)
                 r
@@ -346,7 +670,7 @@ object Jbig2 {
             }
             sawRegion = true
           case 49 | 50 | 51 | 62 => () // end-of-page/stripe/file, extension: skip
-          case _ => return None // symbol/text/halftone/refinement: refuse
+          case _ => return None // halftone/refinement/huffman-table: refuse
         }
         p = segEnd
       }
@@ -381,6 +705,97 @@ object Jbig2 {
     u8((if (tpgdon) 8 else 0) | (if (mmr) 1 else 0)) // flags: template 0
     if (!mmr) NominalAt.foreach { case (ax, ay) => u8(ax); u8(ay) }
     out.write(body)
+    out.toByteArray
+  }
+
+  /** Build a PDF-embeddable SYMBOL-CODED JBIG2 stream — the page shape
+    * jbig2enc-class scanner toolchains emit for text pages: a symbol
+    * dictionary (type 0, arithmetic, template 0) holding `glyphs`, plus an
+    * immediate text region (type 6) placing them at `places` =
+    * (glyphIndex, x, y) with TOPLEFT reference corners, one-row strips.
+    * Glyphs must be sorted by nondecreasing height (the dictionary's
+    * height-class decode order IS the text region's symbol-ID order);
+    * places must be sorted by (y, x) and instances on one y must not
+    * regress in x. */
+  def encodeEmbeddedSymbols(glyphs: IndexedSeq[Glyph],
+                            places: Seq[(Int, Int, Int)],
+                            w: Int, h: Int): Array[Byte] = {
+    require(glyphs.nonEmpty && places.nonEmpty, "need glyphs and placements")
+    require((1 until glyphs.size).forall(i => glyphs(i - 1).h <= glyphs(i).h),
+      "glyphs must be sorted by height")
+    // ---- symbol dictionary body ----
+    val sdEnc = new MqEncoder
+    val gbCx = newCx(1 << 16)
+    val iadh = newCx(512); val iadw = newCx(512); val iaex = newCx(512)
+    var hcHeight = 0
+    var gi = 0
+    while (gi < glyphs.size) {
+      val ch = glyphs(gi).h
+      encodeInt(sdEnc, iadh, ch - hcHeight)
+      hcHeight = ch
+      var symWidth = 0
+      while (gi < glyphs.size && glyphs(gi).h == ch) {
+        val g = glyphs(gi)
+        encodeInt(sdEnc, iadw, g.w - symWidth)
+        symWidth = g.w
+        encodeGenericWith(sdEnc, gbCx, g.bits, g.w, g.h, NominalAt,
+          tpgdon = false)
+        gi += 1
+      }
+      encodeInt(sdEnc, iadw, OOB)
+    }
+    encodeInt(sdEnc, iaex, 0) // zero-length not-exported run
+    encodeInt(sdEnc, iaex, glyphs.size) // export everything
+    val sdBody = sdEnc.flush()
+    // ---- text region body ----
+    val codeLen = symCodeLen(glyphs.size)
+    val trEnc = new MqEncoder
+    val iadt = newCx(512); val iafs = newCx(512); val iads = newCx(512)
+    val iaid = newCx(1 << (codeLen + 1))
+    encodeInt(trEnc, iadt, 0) // STRIPT starts at 0
+    var stripT = 0
+    var firstS = 0
+    places.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (y, ps) =>
+      encodeInt(trEnc, iadt, y - stripT)
+      stripT = y
+      val sorted = ps.sortBy(_._2)
+      encodeInt(trEnc, iafs, sorted.head._2 - firstS)
+      firstS = sorted.head._2
+      var curS = firstS
+      var first = true
+      sorted.foreach { case (si, x, _) =>
+        if (!first) encodeInt(trEnc, iads, x - curS) // IDS (SBDSOFFSET = 0)
+        encodeIaid(trEnc, iaid, codeLen, si)
+        curS = x + glyphs(si).w - 1
+        first = false
+      }
+      encodeInt(trEnc, iads, OOB) // strip terminator
+    }
+    val trBody = trEnc.flush()
+    // ---- segment stream ----
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Int): Unit = { u16(v >>> 16); u16(v) }
+    def header(num: Int, segType: Int, refs: Seq[Int], dataLen: Int): Unit = {
+      u32(num); u8(segType)
+      u8(refs.size << 5) // short-form count, retain bits 0
+      refs.foreach(u8) // 1-byte referred numbers (segNum ≤ 256)
+      u8(1) // page 1
+      u32(dataLen)
+    }
+    header(0, 48, Nil, 19) // page info
+    u32(w); u32(h); u32(0); u32(0); u8(0); u16(0)
+    header(1, 0, Nil, 18 + sdBody.length) // symbol dictionary
+    u16(0) // flags: arithmetic, template 0, no refinement
+    NominalAt.foreach { case (ax, ay) => u8(ax); u8(ay) }
+    u32(glyphs.size); u32(glyphs.size) // numEx, numNew
+    out.write(sdBody)
+    header(2, 6, Seq(1), 17 + 6 + trBody.length) // immediate text region
+    u32(w); u32(h); u32(0); u32(0); u8(0) // region info, external op OR
+    u16(1 << 4) // flags: arith, 1-row strips, TOPLEFT, OR, dsOffset 0
+    u32(places.size) // SBNUMINSTANCES
+    out.write(trBody)
     out.toByteArray
   }
 }

@@ -592,14 +592,16 @@ object PdfTextFixtures {
 }
 
 /** Deterministic PDFs with EMBEDDED IMAGE XObjects, the [[PdfImages]]
-  * fixture family. One page, one /Im0 image painted by the content stream;
-  * the image's encoding rotates by doc_id % 7 through the raster shapes a
-  * crawled corpus carries (raw, Flate, Flate+PNG-predictor, baseline-JPEG
-  * DCTDecode, AHx+Flate chain, CCITT G4, inline BI…ID…EI), while every
-  * pixel stays a closed
-  * form of (doc_id, x, y) — so a DuckDB oracle replays luma statistics for
-  * the WHOLE rotation, DCT and G4 included (the JPEG fixture is DC-exact,
-  * see [[graft.ops.Jpeg]]; G4 is lossless by construction). */
+  * fixture family. One page painted by the content stream; the image's
+  * encoding rotates by doc_id % 10 through the raster shapes a crawled
+  * corpus carries (raw RGB, Flate, Flate+PNG-predictor, baseline-JPEG
+  * DCTDecode, AHx+Flate chain, CCITT G4 — half with /Decode [1 0] over the
+  * inverted plane, inline BI…ID…EI, generic-region JBIG2, SYMBOL-CODED
+  * JBIG2, and a refused-JPX + decodable-sibling page), while every pixel
+  * stays a closed form of (doc_id, x, y) — so a DuckDB oracle replays luma
+  * statistics for the WHOLE rotation, DCT and G4 included (the JPEG
+  * fixture is DC-exact, see [[graft.ops.Jpeg]]; G4 and JBIG2 are lossless
+  * by construction). */
 object PdfImageFixtures {
   import java.nio.charset.StandardCharsets.ISO_8859_1
 
@@ -643,12 +645,22 @@ object PdfImageFixtures {
     ((8 + docId % 5).toInt, (6 + docId % 3).toInt)
   private[graft] def jbig2Dims(docId: Long): (Int, Int) =
     ((8 + docId % 6).toInt, (5 + docId % 4).toInt)
+  /** symbol-coded class: (glyph width, page width = 4 glyphs, height) */
+  private[graft] def symDims(docId: Long): (Int, Int, Int) = {
+    val gw = (2 + docId % 3).toInt
+    (gw, 4 * gw, (5 + docId % 4).toInt)
+  }
   private[graft] def grayPx(did: Int, x: Int, y: Int): Int =
     (did + 5 * x + 11 * y) % 256
   private[graft] def ccittBlack(did: Int, x: Int, y: Int): Boolean =
     (did + 3 * x + 5 * y) % 7 < 3
   private[graft] def jbig2Black(did: Int, x: Int, y: Int): Boolean =
     (did + 5 * x + 3 * y) % 11 < 4
+  /** period-2·gw pattern: glyph k covers columns [k·gw, (k+1)·gw), so four
+    * placed instances of the two glyphs tile the page and the COMPOSED
+    * raster is this closed form of page coordinates */
+  private[graft] def symBlack(did: Int, gw: Int, x: Int, y: Int): Boolean =
+    (did + 5 * (x % (2 * gw)) + 3 * y) % 11 < 4
 
   private def rgbSamples(docId: Long): Array[Byte] = {
     val did = (docId % 256).toInt
@@ -721,9 +733,40 @@ object PdfImageFixtures {
     sb.toString.getBytes(ISO_8859_1)
   }
 
+  /** two-image page: /Im0 is a REFUSED /JPXDecode member (deliberate —
+    * JPX stays out of subset), /Im1 the decodable raw-gray sibling. Pins
+    * refusal semantics: the JPX image is skipped, its sibling decodes,
+    * page text machinery untouched — a regression that turns refusal into
+    * garbling (or drops siblings) breaks the oracle's row count. */
+  private def assembleJpxSibling(docId: Long): Array[Byte] = {
+    val (w, h) = grayDims(docId)
+    val jpx = Array.tabulate(24)(i => ((docId + 7 * i) % 256).toByte)
+    val content = s"q $w 0 0 $h 0 0 cm /Im0 Do /Im1 Do Q".getBytes(ISO_8859_1)
+    val gray = deflate(graySamples(docId))
+    val sb = new StringBuilder("%PDF-1.4\n")
+    def obj(num: Int, body: String): Unit =
+      sb ++= s"$num 0 obj\n$body\nendobj\n": Unit
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Im0 5 0 R /Im1 6 0 R >> >> >>")
+    sb ++= s"4 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+      new String(content, ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width $w " +
+      s"/Height $h /ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+      s"/Filter /JPXDecode /Length ${jpx.length} >>\nstream\n" +
+      new String(jpx, ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= s"6 0 obj\n<< /Type /XObject /Subtype /Image /Width $w " +
+      s"/Height $h /ColorSpace /DeviceGray /BitsPerComponent 8 " +
+      s"/Filter /FlateDecode /Length ${gray.length} >>\nstream\n" +
+      new String(gray, ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
   /** the rotation entry point: a complete PDF whose embedded image's
-    * encoding class is doc_id % 8 */
-  def imagePdf(docId: Long): Array[Byte] = (docId % 8) match {
+    * encoding class is doc_id % 10 */
+  def imagePdf(docId: Long): Array[Byte] = (docId % 10) match {
     case 0 =>
       val (w, h) = rgbDims(docId)
       assemble(rgbSamples(docId), w, h,
@@ -750,22 +793,43 @@ object PdfImageFixtures {
           "/Filter [/ASCIIHexDecode /FlateDecode]")
     case 5 =>
       val (plane, w, h) = ccittPlane(docId)
-      assemble(CcittG4.encode(plane, w, h), w, h,
+      // half the class carries /Decode [1 0] over the INVERTED plane —
+      // the two inversions cancel, so the same oracle pins that the
+      // /Decode array is actually applied (a decoder ignoring it emits
+      // inverted luma and breaks the hash for this half)
+      val inverted = (docId / 10) % 2 == 1
+      val enc = if (inverted) plane.map(!_) else plane
+      assemble(CcittG4.encode(enc, w, h), w, h,
         "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
           "/Filter /CCITTFaxDecode " +
-          s"/DecodeParms << /K -1 /Columns $w /Rows $h >>")
+          s"/DecodeParms << /K -1 /Columns $w /Rows $h >>" +
+          (if (inverted) " /Decode [1 0]" else ""))
     case 6 => assembleInline(docId)
-    case _ =>
+    case 7 =>
       val did = (docId % 256).toInt
       val (w, h) = jbig2Dims(docId)
       val plane = Array.tabulate(w * h)(i => jbig2Black(did, i % w, i / w))
       // alternate the region coder across the corpus: arithmetic template 0
       // (with TPGDON on half of those) and MMR — all lossless, one oracle
-      val mmr = (docId / 8) % 2 == 0
-      val tpgdon = (docId / 8) % 4 == 1
+      val mmr = (docId / 10) % 2 == 0
+      val tpgdon = (docId / 10) % 4 == 1
       assemble(Jbig2.encodeEmbedded(plane, w, h, mmr = mmr, tpgdon = tpgdon),
         w, h,
         "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode")
+    case 8 =>
+      // SYMBOL-CODED JBIG2 (the jbig2enc scanned-text shape): a 2-glyph
+      // dictionary + text region tiling the page with 4 instances — the
+      // composed raster is the closed form symBlack over page coords
+      val did = (docId % 256).toInt
+      val (gw, w, h) = symDims(docId)
+      val glyphs = IndexedSeq(0, 1).map { k =>
+        Jbig2.Glyph(gw, h, Array.tabulate(gw * h)(i =>
+          symBlack(did, gw, i % gw + k * gw, i / gw)))
+      }
+      val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
+      assemble(Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h), w, h,
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode")
+    case _ => assembleJpxSibling(docId)
   }
 
   /** near-dup fixture: ONE 8×8 gray Flate image whose pixels follow the

@@ -102,6 +102,8 @@ object PdfImages {
       val h = num("H", "Height").getOrElse(return None)
       if (w <= 0 || h <= 0 || w.toLong * h > 16L * 1024 * 1024) return None
       if (num("BPC", "BitsPerComponent").getOrElse(8) != 8) return None
+      // non-default /Decode or /ImageMask: refuse rather than mis-map
+      if (Seq("D", "Decode", "IM", "ImageMask").exists(kv.contains)) return None
       val cs = kv.get("CS").orElse(kv.get("ColorSpace")).collect {
         case PName(v) => v
       }
@@ -190,6 +192,29 @@ object PdfImages {
   private def csName(d: PDict): Option[String] =
     d.m.get("ColorSpace").collect { case PName(n) => n }
 
+  /** /Decode handling for `comps` components: Some(false) = identity
+    * (absent or the default array), Some(true) = single-component
+    * inversion ([1 0], the scanned-bilevel producers' shape), None =
+    * refuse (any other mapping — emitting wrongly-mapped luma would
+    * garble instead of refusing). /ImageMask images are refused outright:
+    * they are stencil paint operations, not sample rasters. */
+  private def decodeInversion(dict: PDict, comps: Int): Option[Boolean] = {
+    val isMask = dict.m.get("ImageMask")
+      .collect { case PNum(n) => n != 0 }.getOrElse(false)
+    if (isMask) return None
+    dict.m.get("Decode") match {
+      case None => Some(false)
+      case Some(PArr(items)) =>
+        val nums = items.collect { case PNum(v) => v }
+        if (nums.size != 2 * comps) None
+        else if ((0 until comps).forall(i =>
+          nums(2 * i) == 0.0 && nums(2 * i + 1) == 1.0)) Some(false)
+        else if (comps == 1 && nums(0) == 1.0 && nums(1) == 0.0) Some(true)
+        else None
+      case _ => None
+    }
+  }
+
   private def decodeImage(obj: PdfObj, page: Int,
                           name: String): Option[PdfImageX] =
     try {
@@ -206,19 +231,27 @@ object PdfImages {
               PdfImageX(page, name, w, h, bpc, cs, "raw", luma)
             }
           case Some(("DCTDecode" | "DCT", _)) =>
-            val (jw, jh, luma) = graft.ops.Jpeg.decodeJpegLuma(decoded)
-            // dict dims are advisory; the codec's own header is the truth
-            Some(PdfImageX(page, name, jw, jh, 8, "DeviceRGB", "dct", luma))
+            // only the identity /Decode is in subset for 3-component JPEG
+            decodeInversion(dict, 3).filter(!_).map { _ =>
+              val (jw, jh, luma) = graft.ops.Jpeg.decodeJpegLuma(decoded)
+              // dict dims are advisory; the codec's own header is the truth
+              PdfImageX(page, name, jw, jh, 8, "DeviceRGB", "dct", luma)
+            }
           case Some(("CCITTFaxDecode" | "CCF", parms)) =>
-            ccittPlane(decoded, dict, parms, w, h).map { luma =>
-              PdfImageX(page, name, w, h, 1, "DeviceGray", "ccitt", luma)
+            decodeInversion(dict, 1).flatMap { inv =>
+              ccittPlane(decoded, dict, parms, w, h, inv).map { luma =>
+                PdfImageX(page, name, w, h, 1, "DeviceGray", "ccitt", luma)
+              }
             }
           case Some(("JBIG2Decode", parms)) =>
             // /JBIG2Globals (shared symbol dictionaries) out of subset
             if (parms.exists(_.m.contains("JBIG2Globals"))) None
-            else Jbig2.decodeEmbedded(decoded, w, h).map { bits =>
-              PdfImageX(page, name, w, h, 1, "DeviceGray", "jbig2",
-                bits.map(b => if (b) 0 else 255))
+            else decodeInversion(dict, 1).flatMap { inv =>
+              Jbig2.decodeEmbedded(decoded, w, h).map { bits =>
+                // JBIG2 1-bits are black; /Decode [1 0] flips the mapping
+                PdfImageX(page, name, w, h, 1, "DeviceGray", "jbig2",
+                  bits.map(b => if (b != inv) 0 else 255))
+              }
             }
           case Some(_) => None // JPX: out of subset, refuse this image
         }
@@ -234,11 +267,17 @@ object PdfImages {
     if (bpc != 8) return None
     csName(dict) match {
       case Some("DeviceGray") if samples.length >= w * h =>
+        val inv = decodeInversion(dict, 1).getOrElse(return None)
         val out = new Array[Int](w * h)
         var i = 0
-        while (i < w * h) { out(i) = samples(i) & 0xff; i += 1 }
+        while (i < w * h) {
+          val v = samples(i) & 0xff
+          out(i) = if (inv) 255 - v else v
+          i += 1
+        }
         Some(("DeviceGray", 8, out))
       case Some("DeviceRGB") if samples.length >= 3 * w * h =>
+        if (decodeInversion(dict, 3).getOrElse(return None)) return None
         val out = new Array[Int](w * h)
         var i = 0
         while (i < w * h) {
@@ -255,10 +294,16 @@ object PdfImages {
 
   /** CCITT G4 → 0/255 luma plane. Only K < 0 (pure two-dimensional) with
     * default /EncodedByteAlign false is in subset — the shape PDF
-    * producers emit for scanned pages. /BlackIs1 flips polarity: default
-    * 0-bits are BLACK (luma 0). */
+    * producers emit for scanned pages. /Rows, when present, must agree
+    * with the dict /Height (a disagreeing stream refuses explicitly
+    * rather than decoding against the wrong row count). Sample mapping is
+    * faithful: a black-run pixel's sample is 1 under /BlackIs1 else 0,
+    * and `inv` (/Decode [1 0]) flips the sample→gray map — so
+    * BlackIs1+Decode[1 0] (the common producer pairing) renders black as
+    * luma 0, and a bare BlackIs1 renders the inversion the stream
+    * actually specifies instead of silently normalizing it. */
   private def ccittPlane(data: Array[Byte], dict: PDict, parms: Option[PDict],
-                         w: Int, h: Int): Option[Array[Int]] = {
+                         w: Int, h: Int, inv: Boolean): Option[Array[Int]] = {
     val p = parms.map(_.m).getOrElse(Map.empty)
     def pInt(k: String, dflt: Int): Int =
       p.get(k).collect { case PNum(n) => n.toInt }.getOrElse(dflt)
@@ -267,14 +312,18 @@ object PdfImages {
     val k = pInt("K", 0)
     val cols = pInt("Columns", 1728)
     if (k >= 0 || cols != w || pBool("EncodedByteAlign")) return None
+    if (pInt("Rows", h) != h) return None
+    val blackIs1 = pBool("BlackIs1")
     CcittG4.decode(data, w, h).map { bits =>
-      // bits: true = black run bit set. BlackIs1 means 1-bits are black in
-      // the DECODED data; G4 decodes runs of white/black directly, so the
-      // flag only flips which luma a black pixel gets … for sane PDFs the
-      // painted result is the same; we emit black=0, white=255 always.
+      // bits: true = member of a black run. sample = blackIs1 ? bit : !bit
+      // (default: 0 bits are black); gray = inv ? 1-sample : sample.
+      val blackLuma = if (inv != blackIs1) 255 else 0
       val out = new Array[Int](w * h)
       var i = 0
-      while (i < w * h) { out(i) = if (bits(i)) 0 else 255; i += 1 }
+      while (i < w * h) {
+        out(i) = if (bits(i)) blackLuma else 255 - blackLuma
+        i += 1
+      }
       out
     }
   }

@@ -345,14 +345,24 @@ object Dedup {
     * failure). The pair list is persisted so the count does not recompute
     * candidate generation — blocks live until the caller's session releases
     * them (same caveat as [[jaccardPairs]]'s postings). `l` must carry
-    * `id_a` (+ payload), `r` must carry `id_b` (+ payload). */
+    * `id_a` (+ payload), `r` must carry `id_b` (+ payload).
+    *
+    * `maxBroadcastPairs < 0` (the default) reads the session conf
+    * `spark.graft.dedup.maxBroadcastPairs` (falling back to
+    * [[MaxBroadcastPairs]]) — deployments size the broadcast budget to
+    * their driver/executor memory without touching pipeline code. */
   def routedPairJoin(pairs: DataFrame, l: DataFrame, r: DataFrame,
-                     maxBroadcastPairs: Long = MaxBroadcastPairs): DataFrame = {
+                     maxBroadcastPairs: Long = -1L): DataFrame = {
+    val limit =
+      if (maxBroadcastPairs >= 0) maxBroadcastPairs
+      else pairs.sparkSession.conf
+        .get("spark.graft.dedup.maxBroadcastPairs", MaxBroadcastPairs.toString)
+        .toLong
     val p = pairs.select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = p.count()
-    if (n <= maxBroadcastPairs)
+    if (n <= limit)
       l.join(broadcast(p), Seq("id_a")).join(r, Seq("id_b"))
     else
       // shuffle_hash on the pair side: both joins repartition by their key
@@ -369,7 +379,7 @@ object Dedup {
     * [[MaxBroadcastPairs]] candidates, shuffle join above. */
   def jaccardOnPairs(pairs: DataFrame, df: DataFrame, idCol: String,
                      shinglesCol: String,
-                     maxBroadcastPairs: Long = MaxBroadcastPairs): DataFrame = {
+                     maxBroadcastPairs: Long = -1L): DataFrame = {
     val l = df.select(col(idCol).cast("long").as("id_a"), col(shinglesCol).as("_shs_a"))
     val r = df.select(col(idCol).cast("long").as("id_b"), col(shinglesCol).as("_shs_b"))
     routedPairJoin(pairs, l, r, maxBroadcastPairs)

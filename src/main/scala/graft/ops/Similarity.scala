@@ -253,26 +253,37 @@ object Similarity {
     * literals); both assignment passes are per-row map work; the only
     * shuffles are the k×dim-row mean aggregate and the per-cluster rank
     * window — nothing quadratic, nothing driver-side that grows with n. */
-  def clusterSelect(df: DataFrame, idCol: String, vecColName: String,
-                    k: Int, perCluster: Int): DataFrame = {
-    def q6(x: Double): Double = // HALF_UP like Spark SQL / DuckDB round()
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def q6(x: Double): Double = // HALF_UP like Spark SQL / DuckDB round()
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** squared-L2 argmin against fixed centroids, distance quantized HALF_UP
+    * at 1e-6 BEFORE the argmin (kills cross-engine float-sum association
+    * drift), first-min tie to the smaller centroid id — the shared
+    * assignment rule of every oracle-replayable clustering path here */
+  private def assignQ6(cents: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
+    var best = 0; var bd = Double.MaxValue; var i = 0
+    while (i < cents.length) {
+      val c = cents(i); var s = 0.0; var j = 0
+      while (j < c.length) { val dd = v(j) - c(j); s += dd * dd; j += 1 }
+      val r = q6(s)
+      if (r < bd) { bd = r; best = i }
+      i += 1
+    }
+    (best, bd)
+  }
+
+  /** One deterministic Lloyd round from fixed seeds (the `k` smallest-id
+    * vectors), centroid components quantized at 1e-6, empty clusters
+    * keeping their quantized seed — the SQL-replayable quantizer shared by
+    * [[clusterSelect]] and the seeded IVF/PQ twins. */
+  private[graft] def lloydRoundCentroids(df: DataFrame, idCol: String,
+                                         vecColName: String,
+                                         k: Int): Array[Array[Double]] = {
     val seeds: Array[Array[Double]] = df.orderBy(col(idCol)).limit(k)
       .select(vecColName).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(seeds.nonEmpty, "clusterSelect needs at least one vector")
-    def assign(cents: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
-      var best = 0; var bd = Double.MaxValue; var i = 0
-      while (i < cents.length) {
-        val c = cents(i); var s = 0.0; var j = 0
-        while (j < c.length) { val dd = v(j) - c(j); s += dd * dd; j += 1 }
-        val r = q6(s)
-        if (r < bd) { bd = r; best = i }
-        i += 1
-      }
-      (best, bd)
-    }
-    val a0 = df.withColumn("_a", assign(seeds)(col(vecColName)))
+    require(seeds.nonEmpty, "need at least one vector to seed centroids")
+    val a0 = df.withColumn("_a", assignQ6(seeds)(col(vecColName)))
       .select(col(idCol), col(vecColName), col("_a._1").as("cluster"))
     val means = a0
       .select(col("cluster"), posexplode(col(vecColName)).as(Seq("pos", "v")))
@@ -282,7 +293,13 @@ object Similarity {
     means.foreach { r =>
       c1(r.getInt(0))(r.getInt(1)) = q6(r.getDouble(2))
     }
-    val ranked = df.withColumn("_a", assign(c1)(col(vecColName)))
+    c1
+  }
+
+  def clusterSelect(df: DataFrame, idCol: String, vecColName: String,
+                    k: Int, perCluster: Int): DataFrame = {
+    val c1 = lloydRoundCentroids(df, idCol, vecColName, k)
+    val ranked = df.withColumn("_a", assignQ6(c1)(col(vecColName)))
       .select(col(idCol), col("_a._1").as("cluster"), col("_a._2").as("dist"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster").orderBy(col("dist"), col(idCol))
@@ -293,6 +310,115 @@ object Similarity {
       .filter(col("pick_rank") <= perCluster)
       .select(col("cluster").cast("long").as("cluster"), col("pick_rank"),
         col(idCol), (col("dist") + 0.0).as("dist"), col("cluster_size"))
+  }
+
+  /** Deterministic (oracle-replayable) IVF twin of [[buildIvf]]: fixed
+    * smallest-id seeds + one quantized Lloyd round ([[lloydRoundCentroids]]),
+    * assignment by the shared q6 argmin. The MLlib-trained builder remains
+    * the production quantizer (recall-gated in specs); this twin exists so
+    * the assign→probe CHAIN is pinned by a SQL hash, not just a recall
+    * floor. Returns (assignments with `list_id`, centroids). */
+  def buildIvfSeeded(df: DataFrame, idCol: String, vecColName: String,
+                     nLists: Int): (DataFrame, Array[Array[Double]]) = {
+    val c1 = lloydRoundCentroids(df, idCol, vecColName, nLists)
+    val assigned = df.withColumn("_a", assignQ6(c1)(col(vecColName)))
+      .select(col(idCol), col(vecColName), col("_a._1").as("list_id"))
+    (assigned, c1)
+  }
+
+  /** probe of the seeded index: centroids ranked by q6-quantized squared
+    * L2 to the query (ties to the smaller list id), the nearest `nProbe`
+    * lists brute-force reranked by dot distance — same probe shape as
+    * [[ivfTopK]], every comparison SQL-replayable */
+  def ivfTopKSeeded(assignments: DataFrame, centroids: Array[Array[Double]],
+                    idCol: String, vecColName: String,
+                    queryVec: Array[Float], nProbe: Int, k: Int): DataFrame = {
+    def dist2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = queryVec(i) - c(i); s += d * d; i += 1 }
+      q6(s)
+    }
+    val probeLists = centroids.zipWithIndex
+      .sortBy { case (c, i) => (dist2(c), i) }.take(nProbe).map(_._2)
+    val qv = typedLit(queryVec.toSeq)
+    assignments
+      .filter(col("list_id").isin(probeLists.map(Integer.valueOf): _*))
+      .withColumn("score", VectorSearch.dotDistance(col(vecColName), qv))
+      .orderBy(col("score"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  /** seeded PQ index: per-block codebooks from one quantized Lloyd round */
+  final case class PqSeeded(codes: DataFrame,
+                            codebooks: Array[Array[Array[Double]]], // m × k × sub
+                            m: Int, dim: Int)
+
+  /** Deterministic PQ twin of [[buildPq]]: per block, seeds = the k
+    * smallest-id SUBVECTORS, one q6-quantized Lloyd round, codes by the
+    * q6 argmin — the whole codebook-assignment phase SQL-replayable. */
+  def buildPqSeeded(df: DataFrame, idCol: String, vecColName: String,
+                    dim: Int, m: Int, k: Int): PqSeeded = {
+    require(dim % m == 0, "dim must divide into m blocks")
+    val sub = dim / m
+    val seedRows = df.orderBy(col(idCol)).limit(k)
+      .select(vecColName).collect().map(_.getSeq[Float](0).toArray)
+    require(seedRows.nonEmpty, "need at least one vector to seed codebooks")
+    val seeds: Array[Array[Array[Double]]] =
+      Array.tabulate(m, seedRows.length, sub)((b, c, j) =>
+        seedRows(c)(b * sub + j).toDouble)
+    def assignAll(cb: Array[Array[Array[Double]]]) = udf { (v: Seq[Float]) =>
+      Array.tabulate(m) { b =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cb(b).length) {
+          var s = 0.0; var j = 0
+          while (j < sub) { val d = v(b * sub + j) - cb(b)(c)(j); s += d * d; j += 1 }
+          val r = q6(s)
+          if (r < bd) { bd = r; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    val a0 = df.withColumn("_c0", assignAll(seeds)(col(vecColName)))
+    val means = a0
+      .select(col("_c0"), posexplode(col(vecColName)).as(Seq("gpos", "v")))
+      .withColumn("b", (col("gpos") / sub).cast("int"))
+      .withColumn("cid", element_at(col("_c0"), col("b") + 1))
+      .groupBy(col("b"), col("cid"), (col("gpos") % sub).as("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .collect() // ≤ m × k × sub rows — bounded by construction
+    val c1 = seeds.map(_.map(_.map(q6)))
+    means.foreach { r =>
+      c1(r.getInt(0))(r.getInt(1))(r.getInt(2)) = q6(r.getDouble(3))
+    }
+    val codes = df.withColumn("_c", assignAll(c1)(col(vecColName)))
+      .select(col(idCol), col("_c").as("pq_code"))
+    PqSeeded(codes, c1, m, dim)
+  }
+
+  /** asymmetric-distance top-k over the seeded codes: per-block q6 lookup
+    * table, sum-of-lookups re-quantized at 1e-6 so both engines order the
+    * exact same values (each term is a 1e-6 multiple; the rounded sum is
+    * therefore exact) */
+  def pqTopKSeeded(idx: PqSeeded, idCol: String, queryVec: Array[Float],
+                   kTop: Int): DataFrame = {
+    val sub = idx.dim / idx.m
+    val table: Array[Array[Double]] = Array.tabulate(idx.m) { b =>
+      idx.codebooks(b).map { c =>
+        var s = 0.0; var j = 0
+        while (j < sub) { val d = queryVec(b * sub + j) - c(j); s += d * d; j += 1 }
+        q6(s)
+      }
+    }
+    val raw = (0 until idx.m).map { b =>
+      element_at(typedLit(table(b).toSeq), col("pq_code").getItem(b) + 1)
+    }.reduce(_ + _)
+    idx.codes.withColumn("approx_dist", round(raw, 6))
+      .orderBy(col("approx_dist"), col(idCol))
+      .limit(kTop)
+      .select(col(idCol),
+        (round(col("approx_dist"), 4) + 0.0).as("approx_dist"))
   }
 
   /** LSH-blocked near-dup pairs: candidate pairs limited to equal SRP

@@ -1861,17 +1861,67 @@ object DedupQueries {
              |       n_members, round(s, 4) + 0.0 AS kept_sim
              |FROM r WHERE rn = 1 ORDER BY bucket""".stripMargin)),
 
-    // ----- IVF ANN (k-means coarse quantizer; not SQL-expressible) -----
+    // ----- IVF ANN, fully oracled: the coarse quantizer is the SEEDED
+    // deterministic twin (smallest-id seeds + one q6-quantized Lloyd round,
+    // the v_cluster_select discipline), so the ENTIRE assign→probe→rerank
+    // chain is replayed by SQL — centroid training, list assignment, probe
+    // selection (4 of 16 lists by quantized distance), and the in-list dot
+    // rerank all hash-checked. The MLlib-trained quantizer stays the
+    // production path (ann_ivf_store_probe, recall-gated); this pins the
+    // CHAIN's semantics, with the recall gates as the quality floor. -----
     Q("ann_ivf_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val qv = e.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toArray
-        val idx = Similarity.buildIvf(e, "vec_id", "embedding", nLists = 16)
-        Similarity.ivfTopK(idx, "vec_id", "embedding", qv, nProbe = 4, k = 10)
+        val (assigned, cents) =
+          Similarity.buildIvfSeeded(e, "vec_id", "embedding", nLists = 16)
+        Similarity.ivfTopKSeeded(assigned, cents, "vec_id", "embedding",
+            qv, nProbe = 4, k = 10)
           .select(col("vec_id"), (round(col("score"), 4) + 0.0).as("score"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             |    embedding AS c FROM e ORDER BY vec_id LIMIT 16),
+             |ev AS (SELECT vec_id, u.i AS pos,
+             |    CAST(embedding[u.i + 1] AS DOUBLE) AS v
+             |  FROM e, (SELECT unnest(range(0, 64)) AS i) u),
+             |s0 AS (SELECT cid, u.i AS pos, CAST(c[u.i + 1] AS DOUBLE) AS v
+             |  FROM seed, (SELECT unnest(range(0, 64)) AS i) u),
+             |d0 AS (SELECT ev.vec_id, s0.cid,
+             |    round(sum((ev.v - s0.v) * (ev.v - s0.v)), 6) AS dist
+             |  FROM ev JOIN s0 ON ev.pos = s0.pos GROUP BY 1, 2),
+             |a0 AS (SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |    FROM d0) WHERE rn = 1),
+             |m1 AS (SELECT a0.cid, ev.pos, round(avg(ev.v), 6) AS v
+             |  FROM a0 JOIN ev USING (vec_id) GROUP BY 1, 2),
+             |c1 AS (SELECT s0.cid, s0.pos, coalesce(m1.v, round(s0.v, 6)) AS v
+             |  FROM s0 LEFT JOIN m1 ON s0.cid = m1.cid AND s0.pos = m1.pos),
+             |d1 AS (SELECT ev.vec_id, c1.cid,
+             |    round(sum((ev.v - c1.v) * (ev.v - c1.v)), 6) AS dist
+             |  FROM ev JOIN c1 ON ev.pos = c1.pos GROUP BY 1, 2),
+             |asg AS (SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |    FROM d1) WHERE rn = 1),
+             |qe AS (SELECT u.i AS pos, CAST(embedding[u.i + 1] AS DOUBLE) AS v
+             |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) u
+             |  WHERE vec_id = 0),
+             |cd AS (SELECT c1.cid,
+             |    round(sum((qe.v - c1.v) * (qe.v - c1.v)), 6) AS dist
+             |  FROM qe JOIN c1 ON qe.pos = c1.pos GROUP BY 1),
+             |probes AS (SELECT cid FROM cd ORDER BY dist, cid LIMIT 4),
+             |cand AS (SELECT vec_id FROM asg
+             |  WHERE cid IN (SELECT cid FROM probes)),
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |sc AS (SELECT e2.vec_id,
+             |    1.0 - sum(e2.embedding[t.i]::DOUBLE * q.qv[t.i]::DOUBLE) AS raw
+             |  FROM embeddings e2, q, generate_series(1, 64) t(i)
+             |  WHERE e2.vec_id IN (SELECT vec_id FROM cand) GROUP BY 1)
+             |SELECT vec_id, round(raw, 4) + 0.0 AS score FROM sc
+             |ORDER BY raw, vec_id LIMIT 10""".stripMargin)),
 
     // ----- persisted IVF probe (the Engine's flagship ANN read path): the
     // index is BUILT ONCE into a list_id-partitioned parquet store, and the
@@ -1893,17 +1943,67 @@ object DedupQueries {
       },
       None, bench = true),
 
-    // ----- PQ ANN (product-quantized codes, asymmetric distance; KMeans
-    // codebooks are not SQL-expressible → rows-only, recall-tested in specs) -----
+    // ----- PQ ANN, fully oracled: per-block codebooks from the SAME
+    // seeded-Lloyd discipline (per block, seeds = the 16 smallest-id
+    // SUBVECTORS, one q6-quantized round), so encoding AND the asymmetric-
+    // distance query (per-block q6 lookup table, re-quantized sum — each
+    // term a 1e-6 multiple, so the rounded sum is exact on both engines)
+    // replay in SQL. MLlib-trained codebooks remain spec-recall-gated. -----
     Q("ann_pq_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val qv = e.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toArray
-        val idx = Similarity.buildPq(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
-        Similarity.pqTopK(idx, "vec_id", qv, kTop = 10)
+        val idx = Similarity.buildPqSeeded(e, "vec_id", "embedding",
+          dim = 64, m = 8, k = 16)
+        Similarity.pqTopKSeeded(idx, "vec_id", qv, kTop = 10)
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |blocks AS (SELECT unnest(range(0, 8)) AS b),
+             |ps AS (SELECT unnest(range(0, 8)) AS p),
+             |ev AS (SELECT vec_id, bl.b, ps.p,
+             |    CAST(embedding[bl.b * 8 + ps.p + 1] AS DOUBLE) AS v
+             |  FROM e, blocks bl, ps),
+             |seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             |    embedding AS c FROM e ORDER BY vec_id LIMIT 16),
+             |s0 AS (SELECT cid, bl.b, ps.p,
+             |    CAST(c[bl.b * 8 + ps.p + 1] AS DOUBLE) AS v
+             |  FROM seed, blocks bl, ps),
+             |d0 AS (SELECT ev.vec_id, ev.b, s0.cid,
+             |    round(sum((ev.v - s0.v) * (ev.v - s0.v)), 6) AS dist
+             |  FROM ev JOIN s0 ON ev.b = s0.b AND ev.p = s0.p
+             |  GROUP BY 1, 2, 3),
+             |a0 AS (SELECT vec_id, b, cid FROM (
+             |    SELECT vec_id, b, cid, row_number()
+             |      OVER (PARTITION BY vec_id, b ORDER BY dist, cid) AS rn
+             |    FROM d0) WHERE rn = 1),
+             |m1 AS (SELECT a0.b, a0.cid, ev.p, round(avg(ev.v), 6) AS v
+             |  FROM a0 JOIN ev ON ev.vec_id = a0.vec_id AND ev.b = a0.b
+             |  GROUP BY 1, 2, 3),
+             |c1 AS (SELECT s0.b, s0.cid, s0.p,
+             |    coalesce(m1.v, round(s0.v, 6)) AS v
+             |  FROM s0 LEFT JOIN m1
+             |    ON s0.b = m1.b AND s0.cid = m1.cid AND s0.p = m1.p),
+             |d1 AS (SELECT ev.vec_id, ev.b, c1.cid,
+             |    round(sum((ev.v - c1.v) * (ev.v - c1.v)), 6) AS dist
+             |  FROM ev JOIN c1 ON ev.b = c1.b AND ev.p = c1.p
+             |  GROUP BY 1, 2, 3),
+             |code AS (SELECT vec_id, b, cid FROM (
+             |    SELECT vec_id, b, cid, row_number()
+             |      OVER (PARTITION BY vec_id, b ORDER BY dist, cid) AS rn
+             |    FROM d1) WHERE rn = 1),
+             |qe AS (SELECT bl.b, ps.p,
+             |    CAST(embedding[bl.b * 8 + ps.p + 1] AS DOUBLE) AS v
+             |  FROM e, blocks bl, ps WHERE vec_id = 0),
+             |qd AS (SELECT c1.b, c1.cid,
+             |    round(sum((qe.v - c1.v) * (qe.v - c1.v)), 6) AS dist
+             |  FROM qe JOIN c1 ON qe.b = c1.b AND qe.p = c1.p
+             |  GROUP BY 1, 2),
+             |approx AS (SELECT code.vec_id, round(sum(qd.dist), 6) AS ad
+             |  FROM code JOIN qd ON qd.b = code.b AND qd.cid = code.cid
+             |  GROUP BY 1)
+             |SELECT vec_id, round(ad, 4) + 0.0 AS approx_dist FROM approx
+             |ORDER BY ad, vec_id LIMIT 10""".stripMargin)),
 
     // ----- multimodal: binary payload + typed metadata projection -----
     Q("m_binary_meta",

@@ -455,6 +455,21 @@ object TimeQueries {
              |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- the rollup's UPDATE-mode deployment twin: same aggregate, but
+    // the watermark EVICTS window state as the event-time frontier passes
+    // (state bounded by horizon × event-type arity, not feed lifetime —
+    // the only viable posture for an unbounded feed); staged event-time
+    // slices drain one per micro-batch so eviction is observable, and the
+    // oracle hash-proves the evicting run still equals the batch truth.
+    // State bounds are spec-gated in StreamingSpec via StreamRunStats. -----
+    Q("e_stream_rollup_update",
+      (s, d) => StreamingIngest.hourlyRollupUpdateMode(s, s"$d/events.parquet")
+        .orderBy("hour", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----- REAL stream-stream join, oracle-matched: clicks attribute
     // non-click follow-ups within 10 minutes via the watermarked
     // range-bounded join, run AvailableNow over the events table and

@@ -187,9 +187,18 @@ object StreamingIngest {
                                  dest: java.nio.file.Path,
                                  mtimeMs: Long): Unit = {
     import java.nio.file.{Files => JFiles, StandardCopyOption}
-    val part = JFiles.list(tmp).iterator()
-    val found = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-    while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found += p }
+    // Files.list requires close (else a directory handle leaks per slice)
+    val listing = JFiles.list(tmp)
+    val found =
+      try {
+        val part = listing.iterator()
+        val acc = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.toString.endsWith(".parquet")) acc += p
+        }
+        acc
+      } finally listing.close()
     JFiles.move(found.head, dest, StandardCopyOption.REPLACE_EXISTING)
     JFiles.setLastModifiedTime(dest,
       java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
@@ -308,6 +317,62 @@ object StreamingIngest {
   def hourlyAnomalyUpdateMode(spark: org.apache.spark.sql.SparkSession,
                               eventsPath: String): DataFrame =
     hourlyAnomalyUpdateModeWithStats(spark, eventsPath)._1
+
+  /** UPDATE-mode deployment shape of [[hourlyRollupAvailableNow]] — the
+    * (window, event_type) rollup with the watermark actually EVICTING
+    * window state once the event-time frontier passes it, completing the
+    * Update-mode family next to [[hourlyAnomalyUpdateModeWithStats]].
+    * State is bounded by the watermark horizon × event-type arity, not
+    * the feed lifetime (what Complete mode retains and re-emits forever).
+    * Events drain as strict event-time slices (one per micro-batch), so
+    * nothing arrives behind the watermark and the Update result equals
+    * the batch truth row-for-row — the registry oracle hash-checks it
+    * against the SAME batch SQL as the Complete twin.
+    *
+    * Reassembly: the sink holds each key's per-batch updates; a key's
+    * final row is its LAST update, identified WITHOUT ordering metadata
+    * because cnt strictly increases across a window's updates (each
+    * update exists only when new rows arrived) — max(cnt) picks it and
+    * max_by(sum_value, cnt) carries the matching sum. */
+  def hourlyRollupUpdateModeWithStats(spark: org.apache.spark.sql.SparkSession,
+                                      eventsPath: String, numFiles: Int = 12)
+      : (DataFrame, StreamRunStats) = {
+    import java.nio.file.{Files => JFiles}
+    val batch = spark.read.parquet(eventsPath)
+    val evBatch =
+      if (batch.schema.exists(f => f.name == "ts" &&
+            f.dataType == org.apache.spark.sql.types.LongType))
+        batch.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else batch
+    val stage = JFiles.createTempDirectory("graft_stream_rollup_upd")
+    try {
+      val src = stageTimeSlices(evBatch.select("ts", "event_type", "value"),
+        "ts", stage, numFiles)
+      val raw = spark.readStream.schema(spark.read.parquet(src.toString).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+      val agg = raw
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 8)))
+            .cast("double").as("sum_value"))
+      val (updates, stats) = runToMemorySinkWithStats(spark, agg,
+        OutputMode.Update(), "graft_stream_rollup_upd")(
+        _.select(col("window.start").as("h"), col("event_type"),
+          col("cnt"), col("sum_value")))
+      val last = updates.groupBy("h", "event_type")
+        .agg(max("cnt").as("cnt"),
+          expr("max_by(sum_value, cnt)").as("sum_value"))
+      (last.select(date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("cnt"), col("sum_value")), stats)
+    } finally deleteRecursively(stage)
+  }
+
+  /** registry shape of [[hourlyRollupUpdateModeWithStats]] */
+  def hourlyRollupUpdateMode(spark: org.apache.spark.sql.SparkSession,
+                             eventsPath: String): DataFrame =
+    hourlyRollupUpdateModeWithStats(spark, eventsPath)._1
 
   /** Shared memory-sink discipline for the oracle-matched streaming runs:
     * AvailableNow until the backlog drains, project the sink table through

@@ -122,10 +122,61 @@ class PdfImagesSpec extends AnyFunSuite {
         case _ => Array.fill(n)(if (rnd.nextDouble() < 0.2) 1 else 0)
       }
       val enc = new Jbig2.MqEncoder
-      for (i <- 0 until n) enc.encode(ctxs(i), bits(i))
+      val ecx = Jbig2.newCx(1 << 16)
+      for (i <- 0 until n) enc.encode(ecx, ctxs(i), bits(i))
       val dec = new Jbig2.MqDecoder(enc.flush())
+      val dcx = Jbig2.newCx(1 << 16)
       for (i <- 0 until n)
-        assert(dec.decode(ctxs(i)) === bits(i), s"trial $trial bit $i")
+        assert(dec.decode(dcx, ctxs(i)) === bits(i), s"trial $trial bit $i")
+    }
+  }
+
+  test("JBIG2 integer arithmetic procedures (Annex A) round-trip, OOB included") {
+    import graft.ingest.Jbig2
+    val rnd = new scala.util.Random(23)
+    val values = Seq(0, 1, -1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+      100000, -100000, Jbig2.OOB) ++
+      Seq.fill(200)(rnd.nextInt(200001) - 100000)
+    val enc = new Jbig2.MqEncoder
+    val ecx = Jbig2.newCx(512)
+    values.foreach(v => Jbig2.encodeInt(enc, ecx, v))
+    val dec = new Jbig2.MqDecoder(enc.flush())
+    val dcx = Jbig2.newCx(512)
+    values.foreach(v => assert(Jbig2.decodeInt(dec, dcx) === v, s"value $v"))
+    // IAID fixed-length tree
+    for (codeLen <- Seq(1, 3, 6)) {
+      val ids = Seq.fill(50)(rnd.nextInt(1 << codeLen))
+      val e2 = new Jbig2.MqEncoder
+      val c2 = Jbig2.newCx(1 << (codeLen + 1))
+      ids.foreach(id => Jbig2.encodeIaid(e2, c2, codeLen, id))
+      val d2 = new Jbig2.MqDecoder(e2.flush())
+      val c3 = Jbig2.newCx(1 << (codeLen + 1))
+      ids.foreach(id => assert(Jbig2.decodeIaid(d2, c3, codeLen) === id))
+    }
+  }
+
+  test("JBIG2 symbol dictionary + text region round-trip composes the page") {
+    import graft.ingest.Jbig2
+    val rnd = new scala.util.Random(31)
+    // mixed-height glyph set (two height classes), instances across strips
+    // and with symbol re-use — the full §6.5/§6.4 arithmetic chain
+    for (trial <- 0 until 4) {
+      val g1 = Jbig2.Glyph(3, 4, Array.fill(12)(rnd.nextBoolean()))
+      val g2 = Jbig2.Glyph(5, 4, Array.fill(20)(rnd.nextBoolean()))
+      val g3 = Jbig2.Glyph(4, 6, Array.fill(24)(rnd.nextBoolean()))
+      val glyphs = IndexedSeq(g1, g2, g3)
+      val places = Seq((0, 0, 0), (1, 4, 0), (2, 10, 0), (0, 2, 7), (2, 8, 7))
+      val (w, h) = (16, 14)
+      val stream = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.nonEmpty, s"trial $trial: symbol-coded page refused")
+      val expected = new Array[Boolean](w * h)
+      places.foreach { case (si, x, y) =>
+        val g = glyphs(si)
+        for (yy <- 0 until g.h; xx <- 0 until g.w)
+          if (g.bits(yy * g.w + xx)) expected((y + yy) * w + (x + xx)) = true
+      }
+      assert(out.get.toSeq === expected.toSeq, s"trial $trial")
     }
   }
 
@@ -194,7 +245,7 @@ class PdfImagesSpec extends AnyFunSuite {
   test("every fixture class extracts with closed-form luma stats") {
     def expected(docId: Long): (String, Int, Int, Long, Long) = {
       val did = (docId % 256).toInt
-      (docId % 8) match {
+      (docId % 10) match {
         case 0L | 1L =>
           val (w, h) = PdfImageFixtures.rgbDims(docId)
           def lum(x: Int, y: Int) =
@@ -224,19 +275,32 @@ class PdfImagesSpec extends AnyFunSuite {
           val sum = (for (y <- 0 until h; x <- 0 until w)
             yield PdfImageFixtures.grayPx(did, x, y).toLong).sum
           ("inline", w, h, sum, PdfImageFixtures.grayPx(did, 1, 2).toLong)
-        case _ =>
+        case 7L =>
           val (w, h) = PdfImageFixtures.jbig2Dims(docId)
           def lum(x: Int, y: Int) =
             if (PdfImageFixtures.jbig2Black(did, x, y)) 0L else 255L
           val sum = (for (y <- 0 until h; x <- 0 until w) yield lum(x, y)).sum
           ("jbig2", w, h, sum, lum(1, 2))
+        case 8L =>
+          val (gw, w, h) = PdfImageFixtures.symDims(docId)
+          def lum(x: Int, y: Int) =
+            if (PdfImageFixtures.symBlack(did, gw, x, y)) 0L else 255L
+          val sum = (for (y <- 0 until h; x <- 0 until w) yield lum(x, y)).sum
+          ("jbig2", w, h, sum, lum(1, 2))
+        case _ => // 9: JPX refused, the raw-gray sibling survives
+          val (w, h) = PdfImageFixtures.grayDims(docId)
+          val sum = (for (y <- 0 until h; x <- 0 until w)
+            yield PdfImageFixtures.grayPx(did, x, y).toLong).sum
+          ("raw", w, h, sum, PdfImageFixtures.grayPx(did, 1, 2).toLong)
       }
     }
-    // 48 ids = 6 full rotations, covering the mmr/tpgdon/arith alternation
-    // inside the JBIG2 class (docId/8 parities) twice over
-    for (docId <- 0L until 48L) {
+    // 80 ids = 8 full rotations, covering the mmr/tpgdon/arith alternation
+    // inside the JBIG2 class and the /Decode [1 0] CCITT sub-class
+    // (docId/10 parities) several times over
+    for (docId <- 0L until 80L) {
       val ims = PdfImages.extract(PdfImageFixtures.imagePdf(docId))
-      assert(ims.length === 1, s"doc $docId: expected one image")
+      assert(ims.length === 1, s"doc $docId: expected exactly one image " +
+        "(the JPX-class sibling must survive its refused neighbor)")
       val im = ims.head
       val (codec, w, h, sum, probe) = expected(docId)
       assert(im.codec === codec, s"doc $docId")

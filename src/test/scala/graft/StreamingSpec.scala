@@ -591,4 +591,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(updated).nonEmpty)
     assert(rows(updated) === rows(complete))
   }
+
+  test("Update-mode hourly rollup: watermark bounds state, result equals the Complete twin") {
+    import org.apache.spark.sql.functions._
+    val eventsPath = "/root/testdata/sf0.001/events.parquet"
+    // the rollup keys state on (window, event_type): Complete mode holds
+    // every pair of the ~30-day timeline forever; the Update run drains 12
+    // strict event-time slices, so evicted windows leave the store and the
+    // high-water mark stays near one slice's pairs + the watermark tail
+    val (updated, stats) = StreamingIngest.hourlyRollupUpdateModeWithStats(
+      spark, eventsPath, numFiles = 12)
+    val totalGroups = graft.core.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .select(date_trunc("hour", col("ts")), col("event_type"))
+      .distinct().count()
+    assert(stats.batches >= 10, s"expected a real multi-batch run, got ${stats.batches}")
+    assert(stats.maxStateRows > 0)
+    assert(stats.maxStateRows < totalGroups / 2,
+      s"state peak ${stats.maxStateRows} vs $totalGroups (hour, type) groups " +
+        "suggests the watermark never evicted")
+    // and eviction lost nothing: row-for-row equal to the Complete twin
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long, Double)].collect().sorted.toSeq
+    val complete = StreamingIngest.hourlyRollupAvailableNow(spark, eventsPath)
+      .select(col("hour"), col("event_type"), col("cnt"), col("sum_value"))
+    assert(rows(updated).nonEmpty)
+    assert(rows(updated) === rows(complete))
+  }
 }
