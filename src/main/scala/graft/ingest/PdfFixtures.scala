@@ -121,8 +121,13 @@ object PdfFixtures {
   *    walk (codes = CIDs = SIDs → names → AGL) reproduces the text
   *  - mode 14: AES-256-CBC V=5/R=6 /AESV3 encryption (empty user
   *    password, Algorithm-2.B iterated hash, file key wrapped in /UE)
+  *  - mode 15: a MIXED 1+3-byte /ToUnicode codespace (the GB18030/
+  *    UTF-8-shaped multi-width class): ASCII shows as 1-byte codes in
+  *    <00><7F>, everything else as 3-byte codes in <800000><FFFFFF> —
+  *    each show position must be consumed at the shortest declared
+  *    width whose range contains it
   *
-  * Any decoder regression changes the extracted text for one-fifteenth
+  * Any decoder regression changes the extracted text for one-sixteenth
   * of the corpus and breaks the hash compare. */
 object PdfTextFixtures {
   import java.nio.charset.StandardCharsets.ISO_8859_1
@@ -133,7 +138,7 @@ object PdfTextFixtures {
       s"1 0 0 1 72 ${720 - 24 * i} Tm <$hex> Tj"
     }.mkString(" ")
     val raw = s"BT /F1 12 Tf $shows ET".getBytes(ISO_8859_1)
-    (docId % 15) match {
+    (docId % 16) match {
       case 0 => classic(raw, "")
       case 1 => classic(deflate(raw), " /Filter /FlateDecode")
       case 2 => classic(hexEnc(deflate(raw)),
@@ -150,7 +155,8 @@ object PdfTextFixtures {
       case 11 => formXObjectPdf(raw)
       case 12 => differencesPdf(lines.filter(_.nonEmpty), raw)
       case 13 => cidCffPdf(lines.filter(_.nonEmpty), raw)
-      case _ => aesV3Encrypted(deflate(raw))
+      case 14 => aesV3Encrypted(deflate(raw))
+      case _ => threeByteCMapPdf(lines.filter(_.nonEmpty), raw)
     }
   }
 
@@ -280,6 +286,50 @@ object PdfTextFixtures {
     val cmap = ("/CIDInit /ProcSet findresource begin\nbegincmap\n" +
       "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
       bfchars + "\nendcmap\nend").getBytes(ISO_8859_1)
+    val sb = new StringBuilder("%PDF-1.6\n")
+    sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    sb ++= obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>")
+    sb ++= streamObj(4, content, "")
+    sb ++= obj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Fixture " +
+      "/Encoding /Identity-H /ToUnicode 9 0 R >>")
+    sb ++= streamObj(9, cmap, "")
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  // ---- mode 15: mixed 1+3-byte /ToUnicode codespace (GB18030-shaped) ----
+
+  /** ASCII characters show as 1-byte codes in <00><7F> (identity), all
+    * others as 3-byte codes in <800000><FFFFFF> — the multi-width CMap
+    * segmentation class: a decoder that consumes at a fixed width (or
+    * ignores the 3-byte space) garbles every line containing both. Text
+    * outside the (surrogate-free, ≤0xFFFE wide chars) domain falls back
+    * to the Flate shape — the extracted text is identical either way, so
+    * the oracle is unaffected. */
+  private def threeByteCMapPdf(text: Seq[String], rawUtf16: Array[Byte]): Array[Byte] = {
+    val chars = text.flatten.distinct
+    val wide = chars.filter(_ >= 0x80)
+    if (wide.length > 0xFFFE || chars.exists(_.isSurrogate))
+      return classic(deflate(rawUtf16), " /Filter /FlateDecode")
+    val code3 = wide.zipWithIndex.map { case (c, i) => c -> (0x800000 + i) }.toMap
+    def hexOf(c: Char): String =
+      if (c < 0x80) f"${c.toInt}%02X" else f"${code3(c)}%06X"
+    val shows = text.zipWithIndex.map { case (l, i) =>
+      s"1 0 0 1 72 ${720 - 24 * i} Tm <${l.map(hexOf).mkString}> Tj"
+    }.mkString(" ")
+    val content = s"BT /F1 12 Tf $shows ET".getBytes(ISO_8859_1)
+    def bfBlock(grp: Seq[Char], codeHex: Char => String): String =
+      s"${grp.length} beginbfchar\n" + grp.map(c =>
+        s"<${codeHex(c)}> <${f"${c.toInt}%04X"}>").mkString("\n") + "\nendbfchar"
+    val ascii = chars.filter(_ < 0x80)
+    val blocks =
+      ascii.grouped(100).map(g => bfBlock(g, c => f"${c.toInt}%02X")).toSeq ++
+      wide.grouped(100).map(g => bfBlock(g, c => f"${code3(c)}%06X")).toSeq
+    val cmap = ("/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+      "2 begincodespacerange\n<00> <7F>\n<800000> <FFFFFF>\nendcodespacerange\n" +
+      blocks.mkString("\n") + "\nendcmap\nend").getBytes(ISO_8859_1)
     val sb = new StringBuilder("%PDF-1.6\n")
     sb ++= obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
     sb ++= obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")

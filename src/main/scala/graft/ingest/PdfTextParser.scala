@@ -32,15 +32,17 @@ import scala.collection.mutable
   *  - text operators: BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, ', ", TJ (with
   *    kerning-gap → space), literal strings (escapes, octal, nesting),
   *    hex strings, UTF-16BE (BOM) and Latin-1/PDFDoc byte decoding
-  *  - /ToUnicode CMaps with a 1-byte, 2-byte, or MIXED 1+2 codespace
-  *    (bfchar + bfrange, incrementing or array form), selected per show
-  *    via Tf's font operand; /Resources inherited through the /Pages
+  *  - /ToUnicode CMaps with 1-, 2-, 3-, or 4-byte codespaces, uniform or
+  *    MIXED (bfchar + bfrange, incrementing or array form), selected per
+  *    show via Tf's font operand; /Resources inherited through the /Pages
   *    chain. The 2-byte case is what CID-keyed subset-embedded fonts
   *    (most CJK and modern-toolchain PDFs) emit: show strings are 2-byte
   *    codes looked up as units, unmapped codes dropped rather than
   *    byte-garbled. The mixed case is the Shift-JIS/legacy-CJK shape:
-  *    each show position is consumed at the declared width whose
-  *    codespace range contains it (ISO 32000 §9.7.6.3)
+  *    each show position is consumed at the shortest declared width whose
+  *    codespace range contains it (ISO 32000 §9.7.6.3); 3/4-byte spaces
+  *    are the UTF-8/UTF-32-shaped encodings of GB18030-class CMaps
+  *    (4-byte bounds above 0x7FFFFFFF stay out of subset)
   *
   *  - CID-keyed fonts with NO /ToUnicode: glyph→unicode recovered by
   *    inverting the embedded TrueType font's own 'cmap' table
@@ -67,7 +69,7 @@ import scala.collection.mutable
   *    bytes can never lex into spurious text operators
   *
   * Not supported (emit nothing rather than garbage): DCT/CCITT/JBIG2/JPX
-  * filters, CMap codespaces with bounds wider than 2 bytes, CID fonts
+  * filters, 4-byte codespaces with bounds above 0x7FFFFFFF, CID fonts
   * with a stripped 'cmap', and registry-ordered CID-CFF collections
   * (Adobe-Japan1 etc. — CID→unicode needs the collection's published
   * UCS-2 tables, not shipped here) — their glyph-id shows are consumed
@@ -678,17 +680,19 @@ object PdfTextParser {
       Some(out.toByteArray)
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  // ---- /ToUnicode CMaps (1-byte, 2-byte, or MIXED 1+2 codespaces) ----
+  // ---- /ToUnicode CMaps (1- to 4-byte codespaces, uniform or mixed) ----
 
   /** A parsed /ToUnicode map. `widths` are the distinct code byte-counts
-    * the codespace declares (ascending, ⊆ {1, 2}); `ranges` are the
+    * the codespace declares (ascending, ⊆ {1, 2, 3, 4}); `ranges` are the
     * declared codespace ranges `(nbytes, lo, hi)`; `m` maps
     * `(nbytes, code)` → unicode. Show strings segment against the
     * codespace (shortest matching width first, ISO 32000 §9.7.6.3 /
     * Adobe CMap spec §7.2): a byte sequence is consumed at the width
     * whose range contains it, so a Shift-JIS-shaped mixed codespace
     * (`<00><80>` + `<8140><FFFC>`) reads 1- and 2-byte codes off one
-    * string correctly. */
+    * string correctly; 3/4-byte spaces cover the GB18030/UTF-32-shaped
+    * CMaps (4-byte codes capped at Int.MaxValue — above that is out of
+    * subset, far beyond any Unicode-shaped space). */
   private[graft] final case class CMap(widths: List[Int],
                                        ranges: Vector[(Int, Int, Int)],
                                        m: Map[(Int, Int), String]) {
@@ -701,12 +705,13 @@ object PdfTextParser {
 
   /** Parse a /ToUnicode CMap stream: bfchar pairs, bfrange with an
     * incrementing base or an explicit destination array. Code widths come
-    * from `begincodespacerange` — 1-byte, 2-byte, and mixed 1+2 spaces
-    * are supported; any bound wider than 2 bytes is out of subset and
-    * yields an empty map (shows fall back per the caller). Without a
-    * codespacerange the single width is inferred from the mapping source
-    * codes (ambiguous if they mix — empty map). Mapping entries whose
-    * source width matches no codespace width are dropped. */
+    * from `begincodespacerange` — 1- to 4-byte spaces, uniform or mixed,
+    * are supported; bounds wider than 4 bytes (or a 4-byte hi above
+    * Int.MaxValue) are out of subset and yield an empty map (shows fall
+    * back per the caller). Without a codespacerange the single width is
+    * inferred from the mapping source codes (ambiguous if they mix —
+    * empty map). Mapping entries whose source width matches no codespace
+    * width are dropped. */
   private[graft] def parseCMap(bytes: Array[Byte]): CMap = {
     val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     def hexStr(h: String): String = { // UTF-16BE code units, 4 digits each
@@ -728,10 +733,18 @@ object PdfTextParser {
       p <- pair.findAllMatchIn(blk.group(1))
     } yield (p.group(1), p.group(2))).toVector
     if (csBounds.exists { case (a, b) =>
-          a.length != b.length || (a.length != 2 && a.length != 4) })
-      return none // >2-byte or lo/hi-width-mismatched codespace
-    var ranges = csBounds.map { case (a, b) =>
-      (a.length / 2, Integer.parseInt(a, 16), Integer.parseInt(b, 16)) }
+          a.length != b.length || a.length % 2 != 0 ||
+          a.length < 2 || a.length > 8 })
+      return none // >4-byte or lo/hi-width-mismatched codespace
+    val parsedBounds = csBounds.map { case (a, b) =>
+      (a.length / 2, java.lang.Long.parseLong(a, 16),
+        java.lang.Long.parseLong(b, 16)) }
+    // 4-byte spaces beyond 0x7FFFFFFF are out of subset (Unicode-shaped
+    // spaces top out at 0010FFFF; keeping codes in Int keeps every map
+    // site simple)
+    if (parsedBounds.exists(_._3 > Int.MaxValue)) return none
+    var ranges = parsedBounds.map { case (w, lo, hi) =>
+      (w, lo.toInt, hi.toInt) }
     if (ranges.isEmpty) {
       val srcWidths =
         (for (blk <- charBlock.findAllMatchIn(text);
@@ -739,25 +752,28 @@ object PdfTextParser {
         (for (blk <- rangeBlock.findAllMatchIn(text);
               t <- triple.findAllMatchIn(blk.group(1));
               g <- Seq(t.group(1), t.group(2))) yield g.length).toSet
-      if (srcWidths.size != 1 || (srcWidths.head != 2 && srcWidths.head != 4))
+      if (srcWidths.size != 1 || !Set(2, 4, 6, 8).contains(srcWidths.head))
         return none
       val w = srcWidths.head / 2
-      ranges = Vector((w, 0, (1 << (8 * w)) - 1))
+      ranges = Vector((w, 0, if (w == 4) Int.MaxValue else (1 << (8 * w)) - 1))
     }
     val widths = ranges.map(_._1).distinct.sorted.toList
     def widthOf(hex: String): Option[Int] =
       Some(hex.length / 2).filter(w => hex.length % 2 == 0 && widths.contains(w))
+    def codeOf(hex: String): Option[Int] = {
+      val v = java.lang.Long.parseLong(hex, 16)
+      if (v <= Int.MaxValue) Some(v.toInt) else None
+    }
     val m = mutable.Map.empty[(Int, Int), String]
     for (blk <- charBlock.findAllMatchIn(text);
          p <- pair.findAllMatchIn(blk.group(1));
-         w <- widthOf(p.group(1)))
-      m((w, Integer.parseInt(p.group(1), 16))) = hexStr(p.group(2))
+         w <- widthOf(p.group(1)); c <- codeOf(p.group(1)))
+      m((w, c)) = hexStr(p.group(2))
     for (blk <- rangeBlock.findAllMatchIn(text);
          t <- triple.findAllMatchIn(blk.group(1))
          if t.group(1).length == t.group(2).length;
-         w <- widthOf(t.group(1))) {
-      val lo = Integer.parseInt(t.group(1), 16)
-      val hi = Integer.parseInt(t.group(2), 16)
+         w <- widthOf(t.group(1));
+         lo <- codeOf(t.group(1)); hi <- codeOf(t.group(2))) {
       if (t.group(3) != null && t.group(3).length >= 4) {
         // incrementing base: the final UTF-16 unit carries the offset
         val base = t.group(3)
@@ -1096,14 +1112,25 @@ object PdfTextParser {
     // contains the code (ISO 32000 §9.7.6.3); a byte outside every range
     // resyncs by one, and unmapped in-range codes drop (CID semantics —
     // the bytes carry no character meaning of their own).
+    def codeAt(sb: Array[Byte], i: Int, w: Int): Long = {
+      var code = 0L
+      var j = 0
+      while (j < w) { code = (code << 8) | (sb(i + j) & 0xFF); j += 1 }
+      code
+    }
     def decodeShown(sb: Array[Byte]): String = curCMap match {
-      case Some(cm) if cm.width == 2 =>
+      case Some(cm) if cm.width >= 2 =>
+        // uniform multi-byte codespace (2-, 3-, or 4-byte CID codes):
+        // consumed at the declared width, unmapped codes (and a trailing
+        // short tail) dropped rather than garbled. Codes above
+        // Int.MaxValue are outside the parsed subset by construction.
+        val w = cm.width
         val out = new StringBuilder
         var i = 0
-        while (i + 1 < sb.length) {
-          val code = ((sb(i) & 0xFF) << 8) | (sb(i + 1) & 0xFF)
-          cm.m.get((2, code)).foreach(out ++= _)
-          i += 2
+        while (i + w <= sb.length) {
+          val code = codeAt(sb, i, w)
+          if (code <= Int.MaxValue) cm.m.get((w, code.toInt)).foreach(out ++= _)
+          i += w
         }
         out.toString
       case Some(cm) if cm.width == 1 =>
@@ -1112,19 +1139,24 @@ object PdfTextParser {
         else
           sb.iterator.map(b =>
             cm.m.getOrElse((1, b & 0xFF), (b & 0xFF).toChar.toString)).mkString
-      case Some(cm) => // mixed 1+2 codespace
+      case Some(cm) => // mixed codespace: shortest matching width consumes
         val out = new StringBuilder
         var i = 0
         while (i < sb.length) {
-          val b1 = sb(i) & 0xFF
-          if (cm.inRange(1, b1)) {
-            cm.m.get((1, b1)).foreach(out ++= _)
-            i += 1
-          } else if (i + 1 < sb.length &&
-                     cm.inRange(2, (b1 << 8) | (sb(i + 1) & 0xFF))) {
-            cm.m.get((2, (b1 << 8) | (sb(i + 1) & 0xFF))).foreach(out ++= _)
-            i += 2
-          } else i += 1 // outside every declared range: drop a byte, resync
+          var consumed = false
+          val it = cm.widths.iterator
+          while (!consumed && it.hasNext) {
+            val w = it.next()
+            if (i + w <= sb.length) {
+              val code = codeAt(sb, i, w)
+              if (code <= Int.MaxValue && cm.inRange(w, code.toInt)) {
+                cm.m.get((w, code.toInt)).foreach(out ++= _)
+                i += w
+                consumed = true
+              }
+            }
+          }
+          if (!consumed) i += 1 // outside every range: drop a byte, resync
         }
         out.toString
       case _ => decodeText(sb)

@@ -59,11 +59,14 @@ object SuffixArray {
           |ELSE CAST(array() AS array<int>) END""".stripMargin))
         .as(Seq("pos", "i")))
       .select(col("doc_id"), col("pos"), expr("substr(t, i, 1)").as("unit"))
-    val maxLen = docs.agg(max(length(col(textCol)))).head() match {
-      case r if r.isNullAt(0) => 0
-      case r => r.getInt(0)
+    // one docs pass buys BOTH round count (max) and the cache-level
+    // decision (sum = exact suffix count)
+    val (maxLen, total) = docs
+      .agg(max(length(col(textCol))), sum(length(col(textCol)))).head() match {
+      case r if r.isNullAt(0) => (0, 0L)
+      case r => (r.getInt(0), r.getLong(1))
     }
-    rankUnits(chars, maxLen)
+    rankUnits(chars, maxLen, total)
   }
 
   /** TOKEN-level suffix array — the unit Lee et al. 2022 actually dedup
@@ -75,17 +78,34 @@ object SuffixArray {
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         Dedup.wordsArray(textCol).as("ws"))
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "unit")))
-    val maxLen = docs.select(size(Dedup.wordsArray(textCol)).as("n"))
-      .agg(max(col("n"))).head() match {
-      case r if r.isNullAt(0) => 0
-      case r => r.getInt(0)
+    val (maxLen, total) = docs
+      .select(size(Dedup.wordsArray(textCol)).cast("long").as("n"))
+      .agg(max(col("n")), sum(col("n"))).head() match {
+      case r if r.isNullAt(0) => (0, 0L)
+      case r => (r.getLong(0).toInt, r.getLong(1))
     }
-    rankUnits(toks, maxLen)
+    rankUnits(toks, maxLen, total)
   }
 
+  /** Suffix count above which the per-round sort caches store SERIALIZED
+    * rows. Below it, deserialized object caching skips the per-row deser
+    * on the zipWithIndex read-back — a measured ~60% of small-corpus wall
+    * (the common case pays nothing for the big-corpus posture). Above it,
+    * the deserialized Row overhead (~5-10× the three-long payload) is the
+    * difference between graceful spill and an executor OOM — measured at
+    * 30× corpus inflation (44.7M suffixes, PERF.md round 9). */
+  val SerializeCacheAbove: Long = 4000000L
+
   /** prefix-doubling core over any (doc_id: long, pos: int, unit: string)
-    * stream — see the object doc for the per-round shape */
-  private def rankUnits(units: DataFrame, maxLen: Int): DataFrame = {
+    * stream — see the object doc for the per-round shape. `totalUnits`
+    * (exact, from the callers' ride-along agg) picks the round-cache
+    * storage level via [[SerializeCacheAbove]]. */
+  private def rankUnits(units: DataFrame, maxLen: Int,
+                        totalUnits: Long): DataFrame = {
+    val cacheLevel =
+      if (totalUnits > SerializeCacheAbove)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = units.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -107,12 +127,12 @@ object SuffixArray {
     // (via the checkpoint RDD) when superseded.
     def denseIndex(df: DataFrame, by: Seq[Column], out: Seq[String]): DataFrame = {
       val sorted = df.orderBy(by: _*)
-      // SERIALIZED storage: this RDD holds deserialized Row objects whose
-      // JVM overhead is ~5-10× the data (three longs per row) — at tens of
-      // millions of suffixes the deserialized cache alone OOMs an 8 g
-      // heap, while the serialized form spills gracefully
-      val srdd = sorted.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // ADAPTIVE storage (see SerializeCacheAbove): serialized above the
+      // threshold — at tens of millions of suffixes the deserialized Row
+      // cache alone OOMs an 8 g heap, while the serialized form spills
+      // gracefully; deserialized below it — the small-corpus case reads
+      // its rows back without paying per-row deserialization
+      val srdd = sorted.rdd.persist(cacheLevel)
       val schema = StructType(sorted.schema.fields.toIndexedSeq :+
         StructField("idx", LongType, nullable = false))
       val indexed = srdd.zipWithIndex().map { case (r, i) =>

@@ -205,15 +205,15 @@ object PipelineQueries {
               |SELECT action, count(*) AS cnt FROM plan GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ----- S6 end-to-end: byte-level TEXT extraction over genuine
-    // assembled PDFs whose STRUCTURE varies by doc_id % 15 (plain, Flate,
+    // assembled PDFs whose STRUCTURE varies by doc_id % 16 (plain, Flate,
     // ASCIIHex+Flate chain, RunLength, /ObjStm layout, RC4-encrypted,
     // builtin-encoded Type1C font, AESV2, 2-byte CMap, LZW, PNG-predictor
-    // Flate, Form XObject, /Differences, CID-keyed CFF, AESV3 —
-    // ingest/PdfTextFixtures) while the
+    // Flate, Form XObject, /Differences, CID-keyed CFF, AESV3, mixed
+    // 1+3-byte CMap codespace — ingest/PdfTextFixtures) while the
     // text is invariant: the oracle
     // recomputes the expected lines directly from the documents table, so
     // any filter/ObjStm/decryption regression breaks the hash for a
-    // fifteenth of the corpus. Lines are split with SQL substr on BOTH sides (char
+    // sixteenth of the corpus. Lines are split with SQL substr on BOTH sides (char
     // semantics parity); empty lines are never shown and never expected. -----
     Q("s6_pdf_text_extract",
       (s, d) => {

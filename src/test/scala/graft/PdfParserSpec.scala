@@ -695,7 +695,7 @@ class PdfParserSpec extends AnyFunSuite {
     assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("Hi"))
   }
 
-  test("width-mismatched entries and >2-byte codespaces are refused") {
+  test("width-mismatched entries and >4-byte codespaces are refused") {
     // codespace says 1 byte but the bfchar codes are 2-byte → entry dropped,
     // no usable map
     val conflict = PdfTextParser.parseCMap(
@@ -703,14 +703,21 @@ class PdfParserSpec extends AnyFunSuite {
         "1 beginbfchar\n<0003> <0048>\nendbfchar")
         .getBytes(StandardCharsets.ISO_8859_1))
     assert(conflict.isEmpty)
+    // 3-byte codespaces are IN subset now (round 10) — the mapping parses
     val wide = PdfTextParser.parseCMap(
       ("1 begincodespacerange\n<000000> <FFFFFF>\nendcodespacerange\n" +
         "1 beginbfchar\n<000003> <0048>\nendbfchar")
         .getBytes(StandardCharsets.ISO_8859_1))
-    assert(wide.isEmpty)
-    // a font whose CMap is unusable falls back to byte decoding
+    assert(wide.m((3, 3)) === "H")
+    // 5-byte bounds stay refused
+    val tooWide = PdfTextParser.parseCMap(
+      ("1 begincodespacerange\n<0000000000> <FFFFFFFFFF>\nendcodespacerange\n" +
+        "1 beginbfchar\n<0000000003> <0048>\nendbfchar")
+        .getBytes(StandardCharsets.ISO_8859_1))
+    assert(tooWide.isEmpty)
+    // a font whose CMap has no usable mappings falls back to byte decoding
     val pdf = cmapPdf("BT /F1 12 Tf 72 720 Td (Plain) Tj ET",
-      "1 begincodespacerange\n<000000> <FFFFFF>\nendcodespacerange")
+      "1 begincodespacerange\n<0000000000> <FFFFFFFFFF>\nendcodespacerange")
     assert(PdfTextParser.parseItems(pdf).map(_.text) === Seq("Plain"))
   }
 
@@ -1254,13 +1261,42 @@ class PdfParserSpec extends AnyFunSuite {
       "BT /F1 12 Tf 72 720 Td <00220023> Tj ET", opaque)) === Seq.empty)
   }
 
-  test("fixture modes 13 (CID-CFF) and 14 (AESV3) round-trip the text") {
+  test("fixture modes 13 (CID-CFF), 14 (AESV3), 15 (mixed 1+3 CMap) round-trip the text") {
     import graft.ingest.PdfTextFixtures
     val lines = Seq("Hello CID keyed world.", "Second line here.", "")
-    for (mode <- Seq(13L, 14L)) {
+    for (mode <- Seq(13L, 14L, 15L)) {
       val got = PdfTextParser.parseItems(PdfTextFixtures.textPdf(mode, lines))
       assert(got.map(_.text) === lines.filter(_.nonEmpty), s"mode $mode")
     }
+    // the mixed-width class with genuinely wide characters: ASCII rides
+    // the 1-byte range, é/“/” take 3-byte codes in <800000><FFFFFF> —
+    // a fixed-width consumer garbles this line
+    val wide = Seq("café “quoted” text", "", "")
+    val got = PdfTextParser.parseItems(PdfTextFixtures.textPdf(15L, wide))
+    assert(got.map(_.text) === wide.filter(_.nonEmpty))
+  }
+
+  test("3- and 4-byte uniform /ToUnicode codespaces decode; oversized bounds refuse") {
+    import graft.ingest.PdfTextParser.parseCMap
+    val cm3 = parseCMap(("begincmap\n1 begincodespacerange\n" +
+      "<000000> <FFFFFF>\nendcodespacerange\n" +
+      "2 beginbfchar\n<800001> <0041>\n<800002> <0042>\nendbfchar\n" +
+      "endcmap").getBytes("ISO-8859-1"))
+    assert(cm3.widths === List(3))
+    assert(cm3.m((3, 0x800001)) === "A" && cm3.m((3, 0x800002)) === "B")
+    val cm4 = parseCMap(("begincmap\n1 begincodespacerange\n" +
+      "<00000000> <0010FFFF>\nendcodespacerange\n" +
+      "1 beginbfrange\n<00000100> <00000102> <0061>\nendbfrange\n" +
+      "endcmap").getBytes("ISO-8859-1"))
+    assert(cm4.widths === List(4))
+    assert(cm4.m((4, 0x100)) === "a" && cm4.m((4, 0x102)) === "c")
+    // a 4-byte hi above Int.MaxValue, and a 5-byte bound: both refuse
+    assert(parseCMap(("begincmap\n1 begincodespacerange\n" +
+      "<00000000> <FFFFFFFF>\nendcodespacerange\nendcmap")
+      .getBytes("ISO-8859-1")).isEmpty)
+    assert(parseCMap(("begincmap\n1 begincodespacerange\n" +
+      "<0000000000> <FFFFFFFFFF>\nendcodespacerange\nendcmap")
+      .getBytes("ISO-8859-1")).isEmpty)
   }
 
   test("CFF format equivalence: charset 0/1/2 and encoding 0/1 agree") {
