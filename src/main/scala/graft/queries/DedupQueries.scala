@@ -626,8 +626,17 @@ object DedupQueries {
     // keep ≥ 0.8. Jaccard-on-shingles (above) misses reorderings that edit
     // distance catches and vice versa; a production pipeline picks per
     // corpus, so both verifiers are first-class here. Cost shape: the
-    // O(len²) DP runs ONLY on candidate pairs (≪ all pairs), joined via a
-    // broadcast of the candidate list — never a text self-join. -----
+    // O(len²) DP runs ONLY on candidate pairs (≪ all pairs), joined via
+    // the size-routed pair join — never a text self-join — and two
+    // semantics-preserving shortcuts keep the DP off pairs that don't
+    // need it (the measured 100× bottleneck is pure DP compute):
+    //  - LENGTH-GAP prune: lev ≥ |len_a − len_b|, so sim ≤
+    //    round(1 − gap/max, 4); if even that bound is < 0.8 the pair
+    //    cannot pass — dropped BEFORE the DP, with the exact rounding
+    //    rule of the final filter, so no borderline pair is lost;
+    //  - EQUAL-TEXT shortcut: lev(t, t) = 0 by definition — an O(len)
+    //    comparison replaces the O(len²) DP for exact twins, the
+    //    DOMINANT candidate class of a duplicate-heavy crawl. -----
     Q("d_edit_verify",
       (s, d) => {
         val corpus = dupCorpus(s, d)
@@ -641,7 +650,11 @@ object DedupQueries {
         val l = corpus.select(col("doc_id").cast("long").as("id_a"), col("text").as("ta"))
         val r = corpus.select(col("doc_id").cast("long").as("id_b"), col("text").as("tb"))
         Dedup.routedPairJoin(candidates, l, r)
-          .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+          .filter(round(lit(1.0) -
+            abs(length(col("ta")) - length(col("tb"))).cast("double") /
+            greatest(length(col("ta")), length(col("tb"))), 4) >= 0.8)
+          .withColumn("lev", when(col("ta") === col("tb"), lit(0L))
+            .otherwise(levenshtein(col("ta"), col("tb")).cast("long")))
           .withColumn("sim", round(lit(1.0) - col("lev").cast("double") /
             greatest(length(col("ta")), length(col("tb"))), 4))
           .filter(col("sim") >= 0.8)
