@@ -712,14 +712,22 @@ object Jbig2 {
     * jbig2enc-class scanner toolchains emit for text pages: a symbol
     * dictionary (type 0, arithmetic, template 0) holding `glyphs`, plus an
     * immediate text region (type 6) placing them at `places` =
-    * (glyphIndex, x, y) with TOPLEFT reference corners, one-row strips.
-    * Glyphs must be sorted by nondecreasing height (the dictionary's
-    * height-class decode order IS the text region's symbol-ID order);
-    * places must be sorted by (y, x) and instances on one y must not
-    * regress in x. */
+    * (glyphIndex, x, y) where y is the glyph's TOP row. Glyphs must be
+    * sorted by nondecreasing height (the dictionary's height-class decode
+    * order IS the text region's symbol-ID order); places must be sorted
+    * by (y, x) and instances on one y must not regress in x.
+    *
+    * `bottomLeft` switches the reference corner to BOTTOMLEFT (T = the
+    * glyph's bottom row), and `logStrips` > 0 encodes SBSTRIPS = 2^log
+    * strips with per-instance CURT (IAIT) offsets — together they cover
+    * the §6.4.5 placement variants beyond the plain one-row-strip
+    * TOPLEFT shape. The composed page raster is identical for any
+    * setting; only the coded representation differs. */
   def encodeEmbeddedSymbols(glyphs: IndexedSeq[Glyph],
                             places: Seq[(Int, Int, Int)],
-                            w: Int, h: Int): Array[Byte] = {
+                            w: Int, h: Int,
+                            bottomLeft: Boolean = false,
+                            logStrips: Int = 0): Array[Byte] = {
     require(glyphs.nonEmpty && places.nonEmpty, "need glyphs and placements")
     require((1 until glyphs.size).forall(i => glyphs(i - 1).h <= glyphs(i).h),
       "glyphs must be sorted by height")
@@ -748,23 +756,31 @@ object Jbig2 {
     encodeInt(sdEnc, iaex, glyphs.size) // export everything
     val sdBody = sdEnc.flush()
     // ---- text region body ----
+    val sbStrips = 1 << logStrips
     val codeLen = symCodeLen(glyphs.size)
     val trEnc = new MqEncoder
     val iadt = newCx(512); val iafs = newCx(512); val iads = newCx(512)
-    val iaid = newCx(1 << (codeLen + 1))
+    val iait = newCx(512); val iaid = newCx(1 << (codeLen + 1))
+    // instance T per the reference corner: top row (TOPLEFT) or bottom
+    // row (BOTTOMLEFT); strips cover [k·SBSTRIPS, (k+1)·SBSTRIPS) in T,
+    // CURT = the in-strip offset (encoded via IAIT when SBSTRIPS > 1)
+    val inst = places.map { case (si, x, y) =>
+      (si, x, if (bottomLeft) y + glyphs(si).h - 1 else y)
+    }
     encodeInt(trEnc, iadt, 0) // STRIPT starts at 0
     var stripT = 0
     var firstS = 0
-    places.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (y, ps) =>
-      encodeInt(trEnc, iadt, y - stripT)
-      stripT = y
+    inst.groupBy(_._3 / sbStrips).toSeq.sortBy(_._1).foreach { case (sk, ps) =>
+      encodeInt(trEnc, iadt, (sk * sbStrips - stripT) / sbStrips)
+      stripT = sk * sbStrips
       val sorted = ps.sortBy(_._2)
       encodeInt(trEnc, iafs, sorted.head._2 - firstS)
       firstS = sorted.head._2
       var curS = firstS
       var first = true
-      sorted.foreach { case (si, x, _) =>
+      sorted.foreach { case (si, x, t) =>
         if (!first) encodeInt(trEnc, iads, x - curS) // IDS (SBDSOFFSET = 0)
+        if (sbStrips > 1) encodeInt(trEnc, iait, t - stripT)
         encodeIaid(trEnc, iaid, codeLen, si)
         curS = x + glyphs(si).w - 1
         first = false
@@ -793,7 +809,9 @@ object Jbig2 {
     out.write(sdBody)
     header(2, 6, Seq(1), 17 + 6 + trBody.length) // immediate text region
     u32(w); u32(h); u32(0); u32(0); u8(0) // region info, external op OR
-    u16(1 << 4) // flags: arith, 1-row strips, TOPLEFT, OR, dsOffset 0
+    // flags: arith, LOGSBSTRIPS, refcorner (0 = BOTTOMLEFT, 1 = TOPLEFT),
+    // OR, defpixel 0, dsOffset 0
+    u16((logStrips << 2) | ((if (bottomLeft) 0 else 1) << 4))
     u32(places.size) // SBNUMINSTANCES
     out.write(trBody)
     out.toByteArray

@@ -877,7 +877,14 @@ object PdfImageFixtures {
           symBlack(did, gw, i % gw + k * gw, i / gw)))
       }
       val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
-      assemble(Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h), w, h,
+      // rotate the §6.4.5 placement variants across the corpus: plain
+      // TOPLEFT one-row strips, BOTTOMLEFT corners, and multi-strip
+      // (SBSTRIPS=4 with per-instance IAIT offsets) — the composed raster
+      // is identical, so ONE oracle pins all three coded shapes
+      val variant = (docId / 10) % 3
+      assemble(Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+          bottomLeft = variant == 1,
+          logStrips = if (variant == 2) 2 else 0), w, h,
         "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode")
     case _ => assembleJpxSibling(docId)
   }

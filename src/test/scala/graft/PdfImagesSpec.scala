@@ -160,23 +160,30 @@ class PdfImagesSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(31)
     // mixed-height glyph set (two height classes), instances across strips
     // and with symbol re-use — the full §6.5/§6.4 arithmetic chain
-    for (trial <- 0 until 4) {
+    for (trial <- 0 until 4;
+         bottomLeft <- Seq(false, true);
+         logStrips <- Seq(0, 2)) {
       val g1 = Jbig2.Glyph(3, 4, Array.fill(12)(rnd.nextBoolean()))
       val g2 = Jbig2.Glyph(5, 4, Array.fill(20)(rnd.nextBoolean()))
       val g3 = Jbig2.Glyph(4, 6, Array.fill(24)(rnd.nextBoolean()))
       val glyphs = IndexedSeq(g1, g2, g3)
-      val places = Seq((0, 0, 0), (1, 4, 0), (2, 10, 0), (0, 2, 7), (2, 8, 7))
+      // mixed heights on one row: with SBSTRIPS=4 and BOTTOMLEFT corners
+      // these land in different strips with nonzero CURT offsets
+      val places = Seq((0, 0, 0), (1, 4, 1), (2, 10, 0), (0, 2, 7), (2, 8, 7))
       val (w, h) = (16, 14)
-      val stream = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h)
+      val stream = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+        bottomLeft = bottomLeft, logStrips = logStrips)
       val out = Jbig2.decodeEmbedded(stream, w, h)
-      assert(out.nonEmpty, s"trial $trial: symbol-coded page refused")
+      assert(out.nonEmpty,
+        s"trial $trial bl=$bottomLeft ls=$logStrips: symbol-coded page refused")
       val expected = new Array[Boolean](w * h)
       places.foreach { case (si, x, y) =>
         val g = glyphs(si)
         for (yy <- 0 until g.h; xx <- 0 until g.w)
           if (g.bits(yy * g.w + xx)) expected((y + yy) * w + (x + xx)) = true
       }
-      assert(out.get.toSeq === expected.toSeq, s"trial $trial")
+      assert(out.get.toSeq === expected.toSeq,
+        s"trial $trial bl=$bottomLeft ls=$logStrips")
     }
   }
 
