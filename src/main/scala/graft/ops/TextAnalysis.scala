@@ -162,6 +162,49 @@ object TextAnalysis {
         (round(avg(-log(col("_p"))), 4) + 0.0).as("bigram_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram NLL per document (Kneser & Ney 1995;
+    * Chen & Goodman 1998 §2.7 — public): the LM-quality scorer one rung
+    * above the interpolated-count model in [[bigramScore]]. Absolute
+    * discount D = 0.75 on corpus bigram counts; the discount mass backs
+    * off to the CONTINUATION distribution (how many distinct left
+    * contexts a word follows), which fixes the "San Francisco problem":
+    * words frequent only inside one collocation stop inflating backoff
+    * mass.
+    *
+    *   p(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *            + (D · N₁₊(w₁·)/c(w₁·)) · N₁₊(·w₂)/|bigram types|
+    *
+    * Every quantity is a corpus count, so the whole scorer replays in
+    * SQL. Scale shape mirrors [[bigramScore]]: bigram-keyed count
+    * shuffles, one broadcast scalar (the type count), one per-doc
+    * aggregate — nothing quadratic, nothing driver-side. Scored
+    * bigrams always exist in the count tables (the counts come from the
+    * same corpus), so c ≥ 1 and p > 0 without smoothing epsilons. */
+  def knBigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val D = 0.75
+    val ws = df.withColumn("_ws", Dedup.wordsArray(textCol))
+    val bg = ws
+      .select(col(idCol), explode(wordNgrams("_ws", 2)).as("bgram"))
+      .withColumn("w1", expr("split(bgram, ' ')[0]"))
+      .withColumn("w2", expr("split(bgram, ' ')[1]"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = bgCounts.groupBy("w1")
+      .agg(sum("cb").as("cctx"), count(lit(1)).as("n1p_fwd"))
+    val cont = bgCounts.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
+    val types = bgCounts.agg(count(lit(1)).as("ntypes"))
+    bg.join(bgCounts, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types)) // one row
+      .withColumn("_p",
+        greatest(col("cb").cast("double") - lit(D), lit(0.0)) / col("cctx") +
+        (lit(D) * col("n1p_fwd").cast("double") / col("cctx")) *
+          (col("n1p_bwd").cast("double") / col("ntypes")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(avg(-log(col("_p"))), 4) + 0.0).as("kn_nll"))
+  }
+
   /** Gopher-style document quality rules (public heuristics: Rae et al.
     * 2021, "Scaling Language Models", table A1 family) as one struct of
     * per-rule measurements + the overall keep flag:

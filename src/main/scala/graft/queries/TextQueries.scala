@@ -234,6 +234,37 @@ object TextQueries {
              |  round(avg(-ln(p)), 4) + 0.0 AS bigram_nll
              |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // ----- interpolated Kneser–Ney bigram NLL (Chen & Goodman §2.7):
+    // absolute discount D=0.75, discount mass backing off to the
+    // CONTINUATION distribution — the LM scorer a filtering pipeline
+    // would actually train, one rung above the interpolated-count model;
+    // every quantity is a corpus count, so the whole scorer (discounts,
+    // continuation counts, type total) replays in SQL and hash-checks. -----
+    Q("t_kn_bigram",
+      (s, d) => graft.ops.TextAnalysis
+        .knBigramScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |  FROM documents),
+             |bg AS (SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+             |  FROM w, (SELECT unnest(range(1, 128)) AS i) g(i)
+             |  WHERE g.i <= len(ws) - 1),
+             |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+             |cx AS (SELECT w1, sum(cb) AS cctx, count(*) AS n1p_fwd
+             |  FROM bc GROUP BY 1),
+             |ct AS (SELECT w2, count(*) AS n1p_bwd FROM bc GROUP BY 1),
+             |ty AS (SELECT count(*) AS ntypes FROM bc),
+             |p AS (SELECT bg.doc_id,
+             |    greatest(bc.cb - 0.75, 0.0) / cx.cctx
+             |    + (0.75 * cx.n1p_fwd / cx.cctx) * (ct.n1p_bwd * 1.0 / ty.ntypes) AS p
+             |  FROM bg JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+             |  JOIN cx ON bg.w1 = cx.w1
+             |  JOIN ct ON bg.w2 = ct.w2, ty)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(avg(-ln(p)), 4) + 0.0 AS kn_nll
+             |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // ----- language-ID heuristic (CJK + stopword-family scores) -----
     Q("t_langid",
       (s, d) => Tables.documents(s, d).select(

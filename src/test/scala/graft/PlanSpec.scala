@@ -283,6 +283,20 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("seeded IVF/PQ ANN: no cartesian, bounded top-k, assignment is map work") {
+    // ann_ivf_topk: the probe is an isin filter + dot rerank — the final
+    // top-k must be TakeOrdered (never a global sort) and the centroid
+    // assignment must stay per-row UDF work against driver-side literals
+    // (a join would mean the k×dim centroids leaked into a shuffle).
+    // ann_pq_topk: the asymmetric distance is per-row table lookups; same
+    // bounds apply.
+    for (name <- Seq("ann_ivf_topk", "ann_pq_topk")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(2000))
+      assert(p.contains("TakeOrderedAndProject"), s"$name:\n" + p.take(2000))
+    }
+  }
+
   test("LSH verify stage routes the pair list by measured count, never an unbounded forced broadcast") {
     // ops/Dedup.routedPairJoin: below the threshold the pair list is a
     // forced broadcast (big sides never shuffle); above it the SAME join
