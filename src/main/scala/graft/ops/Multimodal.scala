@@ -259,6 +259,78 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ------------------------------------------------- audio fingerprint --
+
+  /** 56-bit audio DIFFERENCE fingerprint — the dHash idea in the time
+    * domain (the chromaprint/echoprint family radically simplified to
+    * stay integer-exact): frame energies e(f) = Σ v² over `frame`-sample
+    * windows, bit f set iff e(f) > e(f+1). Energy is a sum of squared
+    * 16-bit ints (≤ ~4.3e9 per 4-sample frame — exact BIGINT both
+    * engines), so every bit of every fingerprint is oracle-replayable.
+    * Same downstream contract as [[dhash]]: exact-match grouping or
+    * banded-hamming pair joins ([[graft.ops.Dedup.bandedHammingPairs]]),
+    * 56 bits packed below 2^63. */
+  private[graft] def audioFingerprint(bytes: Array[Byte], frame: Int = 4,
+                                      bits: Int = 56): Long = {
+    val (_, s) = wavSamples(bytes)
+    val nf = bits + 1
+    require(s.length >= frame * nf,
+      s"audio too short for a $bits-bit fingerprint (${s.length} samples)")
+    val e = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var acc = 0L
+      var j = 0
+      while (j < frame) { val v = s(f * frame + j).toLong; acc += v * v; j += 1 }
+      e(f) = acc
+      f += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) { if (e(b) > e(b + 1)) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  /** per-clip fingerprint features (media_id, afp, n_bits) via
+    * mapPartitions — the audio twin of [[dhashFeatures]] */
+  def audioFingerprintFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("afp", LongType, nullable = false),
+      StructField("n_bits", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val fp = audioFingerprint(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), fp, java.lang.Long.bitCount(fp).toLong)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Keyed near-dup WAV fixture — the audio twin of [[encodeBmpGray]]:
+    * 228 samples (57 4-sample frames) whose 16-bit values follow the md5
+    * rule sample(key, i) = hex16(md5("key:i")) − 32768, so colliding
+    * keys carry IDENTICAL audio and the oracle recomputes every
+    * fingerprint bit. `perturb` shifts sample 5 by +8192 (mod 2^16) — a
+    * controlled near-duplicate whose fingerprint differs only in frame
+    * 1's two comparisons (hamming ≤ 2). */
+  private[graft] def encodeWavKeyed(key: Long, perturb: Boolean): Array[Byte] = {
+    val n = 228
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(s"$key:$i".getBytes("UTF-8"))
+      var v = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      if (perturb && i == 5) v = (v + 8192) % 65536
+      samples(i) = (v - 32768).toShort
+      md.reset()
+      i += 1
+    }
+    encodeWavPcm(samples, 8000)
+  }
+
   // ------------------------------------------------------ audio resample --
 
   /** mono 16-bit PCM samples + rate (same tolerant RIFF chunk walk as

@@ -2344,6 +2344,85 @@ object DedupQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
+    // ----- multimodal: AUDIO fingerprint — the time-domain dHash
+    // (chromaprint-family simplified to integer-exact): 4-sample frame
+    // energies (Σv², exact BIGINT), bit f = e(f) > e(f+1), 56 bits. The
+    // md5-keyed sample rule lets the oracle recompute EVERY bit of every
+    // clip's fingerprint — the perceptual hash itself is hash-pinned, the
+    // audio twin of m_dhash. -----
+    Q("m_audio_fingerprint",
+      (s, d) => {
+        val enc = udf((id: Long, perturb: Boolean) =>
+          Multimodal.encodeWavKeyed(id, perturb))
+        val media = Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            enc(col("doc_id") % 83, col("doc_id") % 7 === 3).as("payload"))
+        Multimodal.audioFingerprintFeatures(media).orderBy("media_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 83 AS did FROM documents),
+             |sm AS (SELECT doc_id, t.i,
+             |    (CAST(concat('0x',
+             |        substr(md5(did || ':' || t.i), 1, 4)) AS BIGINT)
+             |     + CASE WHEN doc_id % 7 = 3 AND t.i = 5
+             |            THEN 8192 ELSE 0 END) % 65536 - 32768 AS s
+             |  FROM p, (SELECT unnest(range(0, 228)) AS i) t),
+             |e AS (SELECT doc_id, i // 4 AS f, sum(s * s) AS e
+             |  FROM sm GROUP BY 1, 2),
+             |bits AS (SELECT a.doc_id, a.f AS b,
+             |    CASE WHEN a.e > c.e THEN 1 ELSE 0 END AS bit
+             |  FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.f = a.f + 1
+             |  WHERE a.f < 56)
+             |SELECT doc_id AS media_id,
+             |  CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS afp,
+             |  CAST(sum(bit) AS BIGINT) AS n_bits
+             |FROM bits GROUP BY 1 ORDER BY media_id""".stripMargin)),
+
+    // ----- multimodal: AUDIO near-dup pairs — fingerprint + the same
+    // 7×8 banded-hamming LSH as the image family (exact recall ≤ 6 by
+    // pigeonhole). Planted duplicates (payload keyed doc_id % 83, one
+    // perturbed sample at doc_id % 7 == 3 ⇒ hamming ≤ 2 twins), so the
+    // oracle enumerates the COMPLETE pair answer. Audio dedup as a
+    // first-class corpus operator, not a spec demo. -----
+    Q("m_audio_near_dup",
+      (s, d) => {
+        val enc = udf((id: Long, perturb: Boolean) =>
+          Multimodal.encodeWavKeyed(id, perturb))
+        val media = Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            enc(col("doc_id") % 83, col("doc_id") % 7 === 3).as("payload"))
+        Dedup.bandedHammingPairs(
+          Multimodal.audioFingerprintFeatures(media), "media_id", "afp",
+          bits = 56, bands = 7, maxHamming = 6,
+          dedupInput = false) // media_id = doc_id, unique by construction
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 83 AS did FROM documents),
+             |sm AS (SELECT doc_id, t.i,
+             |    (CAST(concat('0x',
+             |        substr(md5(did || ':' || t.i), 1, 4)) AS BIGINT)
+             |     + CASE WHEN doc_id % 7 = 3 AND t.i = 5
+             |            THEN 8192 ELSE 0 END) % 65536 - 32768 AS s
+             |  FROM p, (SELECT unnest(range(0, 228)) AS i) t),
+             |e AS (SELECT doc_id, i // 4 AS f, sum(s * s) AS e
+             |  FROM sm GROUP BY 1, 2),
+             |bits AS (SELECT a.doc_id, a.f AS b,
+             |    CASE WHEN a.e > c.e THEN 1 ELSE 0 END AS bit
+             |  FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.f = a.f + 1
+             |  WHERE a.f < 56),
+             |sig AS (SELECT doc_id AS media_id,
+             |    CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS afp
+             |  FROM bits GROUP BY 1),
+             |bnd AS (SELECT media_id, afp, t.i AS bi,
+             |    (afp >> (t.i * 8)) % 256 AS bv
+             |  FROM sig, (SELECT unnest(range(0, 7)) AS i) t),
+             |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             |    a.afp AS ha, b.afp AS hb
+             |  FROM bnd a JOIN bnd b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id)
+             |SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+             |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ----- multimodal: PDF-EMBEDDED image near-dup — the cross-format
     // integration of the chain: documents become PDFs carrying an embedded
     // gray image (md5 pixel rule keyed doc_id % 83, single-pixel perturb at
