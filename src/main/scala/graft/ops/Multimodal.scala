@@ -783,14 +783,39 @@ object Multimodal {
     * statistics without parsing bytes. */
   private[graft] def encodeAvi(docId: Long): Array[Byte] = {
     val did = (docId % 256).toInt
-    val w = (4 + docId % 3).toInt
-    val h = (3 + docId % 2).toInt
-    val frames = (2 + docId % 3).toInt
+    buildAvi((4 + docId % 3).toInt, (3 + docId % 2).toInt,
+      (2 + docId % 3).toInt,
+      pxR = (x, y, f) => (did + x * y + 29 * f) % 256,
+      pxG = (x, y, f) => (2 * did + 3 * x + 5 * y + 11 * f) % 256,
+      pxB = (x, y, f) => (did + 7 * x + 13 * y + 17 * f) % 256)
+  }
+
+  /** Keyed near-dup AVI fixture — the video twin of [[encodeWavKeyed]]:
+    * 57 constant-gray frames whose level follows the md5 rule
+    * v(key, f) = byte0(md5("key:f")), so colliding keys carry IDENTICAL
+    * video and the frame-sum profile replays closed-form. `perturb`
+    * shifts frame 5's level by +64 (mod 256) — a temporal-fingerprint
+    * near-duplicate touching only that frame's two comparisons. */
+  private[graft] def encodeAviKeyed(key: Long, perturb: Boolean): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val levels = Array.tabulate(57) { f =>
+      val base = md.digest(s"$key:$f".getBytes("UTF-8"))(0) & 0xff
+      md.reset()
+      if (perturb && f == 5) (base + 64) % 256 else base
+    }
+    buildAvi(4, 3, 57,
+      pxR = (_, _, f) => levels(f),
+      pxG = (_, _, f) => levels(f),
+      pxB = (_, _, f) => levels(f))
+  }
+
+  /** canonical uncompressed-AVI writer shared by the fixtures */
+  private def buildAvi(w: Int, h: Int, frames: Int,
+                       pxR: (Int, Int, Int) => Int,
+                       pxG: (Int, Int, Int) => Int,
+                       pxB: (Int, Int, Int) => Int): Array[Byte] = {
     val stride = ((3 * w + 3) / 4) * 4
     val frameBytes = stride * h
-    def pxB(x: Int, y: Int, f: Int) = (did + 7 * x + 13 * y + 17 * f) % 256
-    def pxG(x: Int, y: Int, f: Int) = (2 * did + 3 * x + 5 * y + 11 * f) % 256
-    def pxR(x: Int, y: Int, f: Int) = (did + x * y + 29 * f) % 256
     // 'hdrl' payload: subtype + avih chunk + LIST('strl') chunk
     val strlLen = 4 + (8 + 56) + (8 + 40)
     val hdrlSize = 4 + (8 + 56) + (8 + strlLen)
@@ -990,6 +1015,39 @@ object Multimodal {
         }
         val first = if (sums.length > 1) sums(1) - sums(0) else 0L
         Row(r.getLong(idIdx), sums.length.toLong, cuts, maxAbs, first)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** 56-bit TEMPORAL video fingerprint — ordinal-signature video copy
+    * detection (Hampapur et al.'s ordinal measures family, reduced to
+    * the pairwise-order core): bit f set iff frame f's luma sum exceeds
+    * frame f+1's, over the first 57 frames. Integer-exact (the sums are
+    * exact longs), so every bit replays in SQL; same downstream contract
+    * as [[dhash]]/[[audioFingerprint]] — banded-hamming near-dup with the
+    * pigeonhole recall guarantee. */
+  private[graft] def videoFingerprint(bytes: Array[Byte], bits: Int = 56): Long = {
+    val sums = aviFrameLumaSums(bytes)
+    require(sums.length >= bits + 1,
+      s"video too short for a $bits-bit fingerprint (${sums.length} frames)")
+    var fp = 0L
+    var b = 0
+    while (b < bits) { if (sums(b) > sums(b + 1)) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  /** per-video fingerprint features (media_id, vfp, n_bits) */
+  def videoFingerprintFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("vfp", LongType, nullable = false),
+      StructField("n_bits", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val fp = videoFingerprint(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), fp, java.lang.Long.bitCount(fp).toLong)
       }
     }(Encoders.row(outSchema))
   }

@@ -2423,6 +2423,81 @@ object DedupQueries {
              |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ----- multimodal: VIDEO temporal fingerprint — ordinal-signature
+    // copy detection (the Hampapur ordinal-measure family's pairwise
+    // core): bit f = lumasum(f) > lumasum(f+1) over 57 frames, exact
+    // integer sums through the REAL AVI container walk. Keyed
+    // constant-gray frames (luma of a constant-v frame is exactly v, so
+    // the oracle compares md5 levels directly) — every bit of every
+    // video's fingerprint hash-pinned. -----
+    Q("m_video_fingerprint",
+      (s, d) => {
+        val enc = udf((id: Long, perturb: Boolean) =>
+          Multimodal.encodeAviKeyed(id, perturb))
+        val media = Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            enc(col("doc_id") % 83, col("doc_id") % 7 === 3).as("payload"))
+        Multimodal.videoFingerprintFeatures(media).orderBy("media_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 83 AS did FROM documents),
+             |lv AS (SELECT doc_id, t.f,
+             |    (CAST(concat('0x',
+             |        substr(md5(did || ':' || t.f), 1, 2)) AS INT)
+             |     + CASE WHEN doc_id % 7 = 3 AND t.f = 5
+             |            THEN 64 ELSE 0 END) % 256 AS v
+             |  FROM p, (SELECT unnest(range(0, 57)) AS f) t),
+             |bits AS (SELECT a.doc_id, a.f AS b,
+             |    CASE WHEN a.v > c.v THEN 1 ELSE 0 END AS bit
+             |  FROM lv a JOIN lv c ON a.doc_id = c.doc_id AND c.f = a.f + 1
+             |  WHERE a.f < 56)
+             |SELECT doc_id AS media_id,
+             |  CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS vfp,
+             |  CAST(sum(bit) AS BIGINT) AS n_bits
+             |FROM bits GROUP BY 1 ORDER BY media_id""".stripMargin)),
+
+    // ----- multimodal: VIDEO near-dup pairs — the temporal fingerprint
+    // through the same 7×8 banded-hamming LSH (exact recall ≤ 6 by
+    // pigeonhole; planted duplicate videos via colliding keys, one
+    // level-shifted frame ⇒ hamming ≤ 2 twins). Image, audio, and video
+    // dedup now share one verified LSH machine and one oracle shape. -----
+    Q("m_video_near_dup",
+      (s, d) => {
+        val enc = udf((id: Long, perturb: Boolean) =>
+          Multimodal.encodeAviKeyed(id, perturb))
+        val media = Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            enc(col("doc_id") % 83, col("doc_id") % 7 === 3).as("payload"))
+        Dedup.bandedHammingPairs(
+          Multimodal.videoFingerprintFeatures(media), "media_id", "vfp",
+          bits = 56, bands = 7, maxHamming = 6,
+          dedupInput = false) // media_id = doc_id, unique by construction
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 83 AS did FROM documents),
+             |lv AS (SELECT doc_id, t.f,
+             |    (CAST(concat('0x',
+             |        substr(md5(did || ':' || t.f), 1, 2)) AS INT)
+             |     + CASE WHEN doc_id % 7 = 3 AND t.f = 5
+             |            THEN 64 ELSE 0 END) % 256 AS v
+             |  FROM p, (SELECT unnest(range(0, 57)) AS f) t),
+             |bits AS (SELECT a.doc_id, a.f AS b,
+             |    CASE WHEN a.v > c.v THEN 1 ELSE 0 END AS bit
+             |  FROM lv a JOIN lv c ON a.doc_id = c.doc_id AND c.f = a.f + 1
+             |  WHERE a.f < 56),
+             |sig AS (SELECT doc_id AS media_id,
+             |    CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS vfp
+             |  FROM bits GROUP BY 1),
+             |bnd AS (SELECT media_id, vfp, t.i AS bi,
+             |    (vfp >> (t.i * 8)) % 256 AS bv
+             |  FROM sig, (SELECT unnest(range(0, 7)) AS i) t),
+             |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             |    a.vfp AS ha, b.vfp AS hb
+             |  FROM bnd a JOIN bnd b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id)
+             |SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+             |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ----- multimodal: PDF-EMBEDDED image near-dup — the cross-format
     // integration of the chain: documents become PDFs carrying an embedded
     // gray image (md5 pixel rule keyed doc_id % 83, single-pixel perturb at
