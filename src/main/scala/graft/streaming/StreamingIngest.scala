@@ -753,9 +753,12 @@ object StreamingIngest {
         val tmp = stage.resolve(s"slice_$i").toString
         ev.filter(col("doc_id") >= lo + i * span && col("doc_id") < lo + (i + 1) * span)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = JFiles.list(Paths.get(tmp)).iterator()
+        val listing = JFiles.list(Paths.get(tmp)) // requires close (handle leak)
         val found = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-        while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found += p }
+        try {
+          val part = listing.iterator()
+          while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found += p }
+        } finally listing.close()
         val dest = src.resolve(f"docs_$i%04d.parquet")
         JFiles.move(found.head, dest, StandardCopyOption.REPLACE_EXISTING)
         // mtime order = event-time order, so FileStreamSource discovery
@@ -832,9 +835,12 @@ object StreamingIngest {
         val tmp = stage.resolve(s"slice_$i").toString
         ev.filter(col("doc_id") >= lo + i * span && col("doc_id") < lo + (i + 1) * span)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = JFiles.list(Paths.get(tmp)).iterator()
+        val listing = JFiles.list(Paths.get(tmp)) // requires close (handle leak)
         val found = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-        while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found += p }
+        try {
+          val part = listing.iterator()
+          while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found += p }
+        } finally listing.close()
         val dest = src.resolve(f"docs_$i%04d.parquet")
         JFiles.move(found.head, dest, StandardCopyOption.REPLACE_EXISTING)
         JFiles.setLastModifiedTime(dest,
