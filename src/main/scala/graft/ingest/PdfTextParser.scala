@@ -1349,6 +1349,10 @@ object PdfTextParser {
         // bare keyword / operator (Tj, BT, true, R handled in numberOrRef…)
         val s = pos
         while (pos < end && !isDelim(b(pos))) pos += 1
+        // a lone unpaired delimiter (stray ')' or '>' in a damaged file)
+        // consumes zero bytes above — swallow it as a junk op, or the
+        // dict/array token loops spin forever on a non-advancing position
+        if (pos == s) pos += 1
         val w = new String(b, s, pos - s)
         w match {
           case "true" | "false" => PNum(if (w == "true") 1 else 0)
