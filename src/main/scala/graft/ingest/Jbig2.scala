@@ -288,6 +288,101 @@ object Jbig2 {
     }
   }
 
+  // ------------------------------- generic refinement region (§6.3) --
+
+  /** nominal refinement adaptive pixels (GRAT), §6.3.5.3 */
+  private[graft] val NominalGrAt: Array[(Int, Int)] = Array((-1, -1), (-1, -1))
+
+  /** §6.3.5.3 refinement context templates. GRTEMPLATE 0 = 3 coding
+    * neighbours + A1 and 8 reference neighbours + A2 (13 bits);
+    * GRTEMPLATE 1 = 4 coding + 6 reference (10 bits). The context is
+    * assembled coding-plane-first, MSB-first, in the figures' raster
+    * order — the layout interoperable decoders share. Coding offsets are
+    * relative to the current pixel; reference offsets relative to the
+    * reference-aligned pixel (x − GRREFERENCEDX, y − GRREFERENCEDY). */
+  private def grTemplates(template: Int, at: Array[(Int, Int)])
+      : (Array[(Int, Int)], Array[(Int, Int)]) =
+    if (template == 0)
+      (Array((0, -1), (1, -1), (-1, 0), at(0)),
+       Array((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
+             (-1, 1), (0, 1), (1, 1), at(1)))
+    else
+      (Array((-1, -1), (0, -1), (1, -1), (-1, 0)),
+       Array((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)))
+
+  /** decode a w×h refinement region against `ref` (refW×refH) at offset
+    * (dx, dy) on a SHARED decoder + GR context array (the form both the
+    * REFAGG symbol dictionary and the refining text region use —
+    * §6.5.8.2.1 keeps ONE GR context across all of a dictionary's
+    * refinements). TPGRON out of subset (callers refuse it upstream). */
+  private[graft] def decodeRefinementWith(dec: MqDecoder, cx: Array[Byte],
+      w: Int, h: Int, ref: Array[Boolean], refW: Int, refH: Int,
+      dx: Int, dy: Int, template: Int,
+      at: Array[(Int, Int)]): Array[Boolean] = {
+    val (ct, rt) = grTemplates(template, at)
+    val plane = new Array[Boolean](w * h)
+    def cur(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0) 0 else if (plane(y * w + x)) 1 else 0
+    def rp(x: Int, y: Int): Int = {
+      val rx = x - dx; val ry = y - dy
+      if (rx < 0 || rx >= refW || ry < 0 || ry >= refH) 0
+      else if (ref(ry * refW + rx)) 1 else 0
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        var i = 0
+        while (i < ct.length) {
+          c = (c << 1) | cur(x + ct(i)._1, y + ct(i)._2); i += 1
+        }
+        i = 0
+        while (i < rt.length) {
+          c = (c << 1) | rp(x + rt(i)._1, y + rt(i)._2); i += 1
+        }
+        plane(y * w + x) = dec.decode(cx, c) == 1
+        x += 1
+      }
+      y += 1
+    }
+    plane
+  }
+
+  /** refinement encode, symmetric to [[decodeRefinementWith]] (no flush) */
+  private[graft] def encodeRefinementWith(enc: MqEncoder, cx: Array[Byte],
+      target: Array[Boolean], w: Int, h: Int,
+      ref: Array[Boolean], refW: Int, refH: Int,
+      dx: Int, dy: Int, template: Int, at: Array[(Int, Int)]): Unit = {
+    val (ct, rt) = grTemplates(template, at)
+    def cur(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0 || y >= h) 0
+      else if (target(y * w + x)) 1 else 0
+    def rp(x: Int, y: Int): Int = {
+      val rx = x - dx; val ry = y - dy
+      if (rx < 0 || rx >= refW || ry < 0 || ry >= refH) 0
+      else if (ref(ry * refW + rx)) 1 else 0
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        var i = 0
+        while (i < ct.length) {
+          c = (c << 1) | cur(x + ct(i)._1, y + ct(i)._2); i += 1
+        }
+        i = 0
+        while (i < rt.length) {
+          c = (c << 1) | rp(x + rt(i)._1, y + rt(i)._2); i += 1
+        }
+        enc.encode(cx, c, cur(x, y))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   // ----------------------- integer arithmetic decoding (Annex A) + IAID --
 
   /** out-of-band marker for the IAx procedures (sign=1, value=0) */
@@ -385,9 +480,11 @@ object Jbig2 {
   private[graft] final case class Glyph(w: Int, h: Int, bits: Array[Boolean])
 
   /** Decode a symbol dictionary segment body (§6.5, §7.4.3) to its EXPORTED
-    * symbol list. Arithmetic coding only, template 0, no refinement/
-    * aggregation (SDHUFF/SDREFAGG refused) — the jbig2enc-class scanned-text
-    * shape. `inputSyms` = concatenated exports of the referred-to
+    * symbol list. Arithmetic coding only, template 0. SDREFAGG=1 is
+    * supported for the single-instance aggregate case (each new symbol a
+    * refinement of an already-decoded one, §6.5.8.2 — the shape refining
+    * encoders emit); REFAGGNINST>1 (text-region recursion) and SDHUFF
+    * refuse. `inputSyms` = concatenated exports of the referred-to
     * dictionaries, in referred order. */
   private[graft] def decodeSymbolDict(body: Array[Byte],
                                       inputSyms: Seq[Glyph]): Option[Seq[Glyph]] = {
@@ -396,17 +493,36 @@ object Jbig2 {
     val sdhuff = (flags & 1) != 0
     val sdrefagg = (flags & 2) != 0
     val template = (flags >> 10) & 3
-    if (sdhuff || sdrefagg || template != 0) return None
+    val rTemplate = (flags >> 12) & 1
+    if (sdhuff || template != 0) return None
     val at = Array.tabulate(4)(i => (body(2 + 2 * i).toInt, body(3 + 2 * i).toInt))
+    // §7.4.3.1.2 field order: GB AT (template 0), then — when SDREFAGG=1
+    // and SDRTEMPLATE=0 — the 2-pair refinement AT, then numEx/numNew
+    var off = 10
+    val rAt =
+      if (sdrefagg && rTemplate == 0) {
+        if (body.length < off + 4 + 8) return None
+        val a = Array.tabulate(2)(i =>
+          (body(off + 2 * i).toInt, body(off + 2 * i + 1).toInt))
+        off += 4; a
+      } else NominalGrAt
     def be32(o: Int): Long = (((body(o) & 0xFFL) << 24) |
       ((body(o + 1) & 0xFF) << 16) | ((body(o + 2) & 0xFF) << 8) |
       (body(o + 3) & 0xFF)) & 0xFFFFFFFFL
-    val numEx = be32(10)
-    val numNew = be32(14)
+    val numEx = be32(off)
+    val numNew = be32(off + 4)
     if (numNew > 65536 || numEx > inputSyms.size + numNew) return None
-    val dec = new MqDecoder(java.util.Arrays.copyOfRange(body, 18, body.length))
+    val dec = new MqDecoder(
+      java.util.Arrays.copyOfRange(body, off + 8, body.length))
     val gbCx = newCx(1 << 16)
     val iadh = newCx(512); val iadw = newCx(512); val iaex = newCx(512)
+    // REFAGG machinery (§6.5.8.2): instance count, reference-symbol id over
+    // input ∪ new (code length over the FULL eventual symbol count), offset
+    // IAx contexts, and ONE refinement context shared across all symbols
+    val iaai = newCx(512); val iardx = newCx(512); val iardy = newCx(512)
+    val aggCodeLen = symCodeLen(inputSyms.size + numNew.toInt)
+    val iaidAgg = newCx(1 << (aggCodeLen + 1))
+    val grCx = newCx(1 << 13)
     val newSyms = mutable.ArrayBuffer.empty[Glyph]
     var hcHeight = 0
     while (newSyms.size < numNew) {
@@ -423,8 +539,27 @@ object Jbig2 {
           symWidth += dw
           if (symWidth <= 0 || symWidth > 4096 || newSyms.size >= numNew)
             return None
-          val bits = decodeGenericWith(dec, gbCx, symWidth, hcHeight, at,
-            tpgdon = false)
+          val bits =
+            if (!sdrefagg)
+              decodeGenericWith(dec, gbCx, symWidth, hcHeight, at,
+                tpgdon = false)
+            else {
+              // aggregate path: exactly ONE refinement instance per symbol
+              // (REFAGGNINST > 1 would recurse into a full text region —
+              // out of subset, refuse)
+              val nInst = decodeInt(dec, iaai)
+              if (nInst != 1) return None
+              val id = decodeIaid(dec, iaidAgg, aggCodeLen)
+              val pool = inputSyms.size + newSyms.size
+              if (id < 0 || id >= pool) return None
+              val rdx = decodeInt(dec, iardx)
+              val rdy = decodeInt(dec, iardy)
+              if (rdx == OOB || rdy == OOB) return None
+              val g = if (id < inputSyms.size) inputSyms(id)
+                      else newSyms(id - inputSyms.size)
+              decodeRefinementWith(dec, grCx, symWidth, hcHeight,
+                g.bits, g.w, g.h, rdx, rdy, rTemplate, rAt)
+            }
           newSyms += Glyph(symWidth, hcHeight, bits)
         }
       }
@@ -448,8 +583,10 @@ object Jbig2 {
 
   /** Decode an arithmetic text region body AFTER the region-info bytes
     * (§6.4, §7.4.4): `body` starts at the text-region flags. Subset:
-    * SBHUFF=0, REFINE=0, TRANSPOSED=0, SBCOMBOP=OR, SBDEFPIXEL=0 —
-    * anything else refuses. Returns the composed region plane. */
+    * SBHUFF=0, TRANSPOSED=0, SBCOMBOP=OR, SBDEFPIXEL=0; REFINE=1 is
+    * supported (per-instance IARI refinement of the placed symbol,
+    * §6.4.11) — anything else refuses. Returns the composed region
+    * plane. */
   private[graft] def decodeTextRegion(body: Array[Byte], syms: IndexedSeq[Glyph],
                                       rw: Int, rh: Int): Option[Array[Boolean]] = {
     if (body.length < 6 || syms.isEmpty) return None
@@ -461,20 +598,35 @@ object Jbig2 {
     val transposed = (flags & 0x40) != 0
     val combOp = (flags >> 7) & 3
     val defPixel = (flags & 0x200) != 0
+    val rTemplate = (flags >> 15) & 1
     var dsOffset = (flags >> 10) & 0x1F
     if (dsOffset > 15) dsOffset -= 32 // signed 5-bit
-    if (sbhuff || refine || transposed || combOp != 0 || defPixel) return None
+    if (sbhuff || transposed || combOp != 0 || defPixel) return None
+    // §7.4.4.1 field order: flags, then — when REFINE=1 and SBRTEMPLATE=0 —
+    // the 2-pair refinement AT, then SBNUMINSTANCES
+    var off = 2
+    val rAt =
+      if (refine && rTemplate == 0) {
+        if (body.length < off + 4 + 4) return None
+        val a = Array.tabulate(2)(i =>
+          (body(off + 2 * i).toInt, body(off + 2 * i + 1).toInt))
+        off += 4; a
+      } else NominalGrAt
     def be32(o: Int): Long = (((body(o) & 0xFFL) << 24) |
       ((body(o + 1) & 0xFF) << 16) | ((body(o + 2) & 0xFF) << 8) |
       (body(o + 3) & 0xFF)) & 0xFFFFFFFFL
-    val numInstances = be32(2)
+    val numInstances = be32(off)
     if (numInstances > 1000000) return None
     val sbStrips = 1 << logStrips
     val codeLen = symCodeLen(syms.size)
-    val dec = new MqDecoder(java.util.Arrays.copyOfRange(body, 6, body.length))
+    val dec = new MqDecoder(
+      java.util.Arrays.copyOfRange(body, off + 4, body.length))
     val iadt = newCx(512); val iafs = newCx(512)
     val iads = newCx(512); val iait = newCx(512)
     val iaid = newCx(1 << (codeLen + 1))
+    val iari = newCx(512); val iardw = newCx(512); val iardh = newCx(512)
+    val iardx = newCx(512); val iardy = newCx(512)
+    val grCx = newCx(1 << 13)
     val plane = new Array[Boolean](rw * rh)
     val dt0 = decodeInt(dec, iadt)
     if (dt0 == OOB) return None
@@ -506,7 +658,32 @@ object Jbig2 {
           val t = stripT + curT
           val id = decodeIaid(dec, iaid, codeLen)
           if (id < 0 || id >= syms.size) return None
-          val g = syms(id)
+          val base = syms(id)
+          // REFINE=1: per-instance IARI — a nonzero RI replaces the
+          // dictionary symbol with a refinement of it sized (w+RDW, h+RDH)
+          // at reference offset (⌊RDW/2⌋+RDX, ⌊RDH/2⌋+RDY) (§6.4.11)
+          val g =
+            if (!refine) base
+            else {
+              val ri = decodeInt(dec, iari)
+              if (ri == OOB) return None
+              if (ri == 0) base
+              else {
+                val rdw = decodeInt(dec, iardw)
+                val rdh = decodeInt(dec, iardh)
+                val rdx = decodeInt(dec, iardx)
+                val rdy = decodeInt(dec, iardy)
+                if (rdw == OOB || rdh == OOB || rdx == OOB || rdy == OOB)
+                  return None
+                val wo = base.w + rdw; val ho = base.h + rdh
+                if (wo <= 0 || wo > 4096 || ho <= 0 || ho > 4096) return None
+                val bits = decodeRefinementWith(dec, grCx, wo, ho,
+                  base.bits, base.w, base.h,
+                  Math.floorDiv(rdw, 2) + rdx, Math.floorDiv(rdh, 2) + rdy,
+                  rTemplate, rAt)
+                Glyph(wo, ho, bits)
+              }
+            }
           // draw with OR; S is the left edge (non-transposed), the corner
           // picks top vs bottom row alignment
           val y0 = if (refCorner == 0 || refCorner == 2) t - g.h + 1 else t
@@ -813,6 +990,176 @@ object Jbig2 {
     // OR, defpixel 0, dsOffset 0
     u16((logStrips << 2) | ((if (bottomLeft) 0 else 1) << 4))
     u32(places.size) // SBNUMINSTANCES
+    out.write(trBody)
+    out.toByteArray
+  }
+
+  /** Build a PDF-embeddable REFINING JBIG2 stream exercising BOTH §6.3
+    * refinement consumers — the shape refinement-capable encoders emit
+    * for text pages whose glyph instances differ slightly from the
+    * dictionary prototype:
+    *
+    *  - dictionary A (segment 1): plain arithmetic template-0 dictionary
+    *    exporting `baseGlyphs` (sorted by nondecreasing height);
+    *  - dictionary B (segment 2, SDREFAGG=1, refers to A): each entry of
+    *    `refined` = (index into baseGlyphs, target glyph) is coded as a
+    *    single-instance aggregate refinement of that base glyph
+    *    (REFAGGNINST=1, RDX=RDY=0) — sorted by nondecreasing height;
+    *  - immediate text region (segment 3, REFINE=1, refers to A then B):
+    *    `places` = (symIndex into A.exports ++ B.exports, x, y,
+    *    optional inline target with the SAME dims) placed TOPLEFT on
+    *    one-row strips; a Some target is coded per-instance with IARI=1
+    *    and RDW=RDH=RDX=RDY=0 (§6.4.11).
+    *
+    * Refinement coding is lossless, so the composed page is exactly the
+    * OR of the placed targets/glyphs — the closed form the oracle
+    * recomputes. `rTemplate` selects GRTEMPLATE 0 (nominal AT written)
+    * or 1. */
+  def encodeEmbeddedRefined(baseGlyphs: IndexedSeq[Glyph],
+                            refined: Seq[(Int, Glyph)],
+                            places: Seq[(Int, Int, Int, Option[Array[Boolean]])],
+                            w: Int, h: Int,
+                            rTemplate: Int = 0): Array[Byte] = {
+    require(baseGlyphs.nonEmpty && places.nonEmpty, "need glyphs and places")
+    require((1 until baseGlyphs.size).forall(i =>
+      baseGlyphs(i - 1).h <= baseGlyphs(i).h), "base glyphs sorted by height")
+    require((1 until refined.size).forall(i =>
+      refined(i - 1)._2.h <= refined(i)._2.h), "refined glyphs sorted by height")
+    val rAt = NominalGrAt
+    // ---- dictionary A body: the plain shape encodeEmbeddedSymbols uses ----
+    def plainDictBody(glyphs: IndexedSeq[Glyph]): Array[Byte] = {
+      val enc = new MqEncoder
+      val gbCx = newCx(1 << 16)
+      val iadh = newCx(512); val iadw = newCx(512); val iaex = newCx(512)
+      var hcHeight = 0
+      var gi = 0
+      while (gi < glyphs.size) {
+        val ch = glyphs(gi).h
+        encodeInt(enc, iadh, ch - hcHeight)
+        hcHeight = ch
+        var symWidth = 0
+        while (gi < glyphs.size && glyphs(gi).h == ch) {
+          val g = glyphs(gi)
+          encodeInt(enc, iadw, g.w - symWidth)
+          symWidth = g.w
+          encodeGenericWith(enc, gbCx, g.bits, g.w, g.h, NominalAt,
+            tpgdon = false)
+          gi += 1
+        }
+        encodeInt(enc, iadw, OOB)
+      }
+      encodeInt(enc, iaex, 0)
+      encodeInt(enc, iaex, glyphs.size)
+      enc.flush()
+    }
+    val sdABody = plainDictBody(baseGlyphs)
+    // ---- dictionary B body: SDREFAGG single-instance refinements ----
+    val sdBEnc = new MqEncoder
+    val aggCodeLen = symCodeLen(baseGlyphs.size + refined.size)
+    locally {
+      val iadh = newCx(512); val iadw = newCx(512); val iaex = newCx(512)
+      val iaai = newCx(512); val iardx = newCx(512); val iardy = newCx(512)
+      val iaidAgg = newCx(1 << (aggCodeLen + 1))
+      val grCx = newCx(1 << 13)
+      var hcHeight = 0
+      var gi = 0
+      while (gi < refined.size) {
+        val ch = refined(gi)._2.h
+        encodeInt(sdBEnc, iadh, ch - hcHeight)
+        hcHeight = ch
+        var symWidth = 0
+        while (gi < refined.size && refined(gi)._2.h == ch) {
+          val (refIdx, tgt) = refined(gi)
+          encodeInt(sdBEnc, iadw, tgt.w - symWidth)
+          symWidth = tgt.w
+          encodeInt(sdBEnc, iaai, 1) // REFAGGNINST = 1
+          encodeIaid(sdBEnc, iaidAgg, aggCodeLen, refIdx)
+          encodeInt(sdBEnc, iardx, 0)
+          encodeInt(sdBEnc, iardy, 0)
+          val ref = baseGlyphs(refIdx)
+          encodeRefinementWith(sdBEnc, grCx, tgt.bits, tgt.w, tgt.h,
+            ref.bits, ref.w, ref.h, 0, 0, rTemplate, rAt)
+          gi += 1
+        }
+        encodeInt(sdBEnc, iadw, OOB)
+      }
+      encodeInt(sdBEnc, iaex, baseGlyphs.size) // input symbols: not exported
+      encodeInt(sdBEnc, iaex, refined.size)    // new symbols: exported
+    }
+    val sdBBody = sdBEnc.flush()
+    // ---- text region body (TOPLEFT, one-row strips, REFINE=1) ----
+    val allGlyphs = baseGlyphs ++ refined.map(_._2)
+    val codeLen = symCodeLen(allGlyphs.size)
+    val trEnc = new MqEncoder
+    locally {
+      val iadt = newCx(512); val iafs = newCx(512); val iads = newCx(512)
+      val iaid = newCx(1 << (codeLen + 1))
+      val iari = newCx(512); val iardw = newCx(512); val iardh = newCx(512)
+      val iardx = newCx(512); val iardy = newCx(512)
+      val grCx = newCx(1 << 13)
+      encodeInt(trEnc, iadt, 0)
+      var stripT = 0
+      var firstS = 0
+      places.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (t, ps) =>
+        encodeInt(trEnc, iadt, t - stripT)
+        stripT = t
+        val sorted = ps.sortBy(_._2)
+        encodeInt(trEnc, iafs, sorted.head._2 - firstS)
+        firstS = sorted.head._2
+        var curS = firstS
+        var first = true
+        sorted.foreach { case (si, x, _, inline) =>
+          if (!first) encodeInt(trEnc, iads, x - curS)
+          encodeIaid(trEnc, iaid, codeLen, si)
+          val g = allGlyphs(si)
+          inline match {
+            case None => encodeInt(trEnc, iari, 0)
+            case Some(tgt) =>
+              require(tgt.length == g.w * g.h, "inline target dims mismatch")
+              encodeInt(trEnc, iari, 1)
+              encodeInt(trEnc, iardw, 0); encodeInt(trEnc, iardh, 0)
+              encodeInt(trEnc, iardx, 0); encodeInt(trEnc, iardy, 0)
+              encodeRefinementWith(trEnc, grCx, tgt, g.w, g.h,
+                g.bits, g.w, g.h, 0, 0, rTemplate, rAt)
+          }
+          curS = x + g.w - 1
+          first = false
+        }
+        encodeInt(trEnc, iads, OOB)
+      }
+    }
+    val trBody = trEnc.flush()
+    // ---- segment stream ----
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Int): Unit = { u16(v >>> 16); u16(v) }
+    def header(num: Int, segType: Int, refs: Seq[Int], dataLen: Int): Unit = {
+      u32(num); u8(segType)
+      u8(refs.size << 5)
+      refs.foreach(u8)
+      u8(1)
+      u32(dataLen)
+    }
+    header(0, 48, Nil, 19)
+    u32(w); u32(h); u32(0); u32(0); u8(0); u16(0)
+    header(1, 0, Nil, 18 + sdABody.length) // dictionary A: plain
+    u16(0)
+    NominalAt.foreach { case (ax, ay) => u8(ax); u8(ay) }
+    u32(baseGlyphs.size); u32(baseGlyphs.size)
+    out.write(sdABody)
+    val grAtLen = if (rTemplate == 0) 4 else 0
+    header(2, 0, Seq(1), 18 + grAtLen + sdBBody.length) // dictionary B: REFAGG
+    u16(2 | (rTemplate << 12)) // SDREFAGG=1, SDTEMPLATE=0, SDRTEMPLATE
+    NominalAt.foreach { case (ax, ay) => u8(ax); u8(ay) }
+    if (rTemplate == 0) rAt.foreach { case (ax, ay) => u8(ax); u8(ay) }
+    u32(refined.size); u32(refined.size)
+    out.write(sdBBody)
+    header(3, 6, Seq(1, 2), 17 + 6 + grAtLen + trBody.length) // text region
+    u32(w); u32(h); u32(0); u32(0); u8(0)
+    u16(2 | (1 << 4) | (rTemplate << 15)) // REFINE=1, TOPLEFT, strips=1
+    if (rTemplate == 0) rAt.foreach { case (ax, ay) => u8(ax); u8(ay) }
+    u32(places.size)
     out.write(trBody)
     out.toByteArray
   }

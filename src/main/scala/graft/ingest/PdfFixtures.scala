@@ -712,6 +712,26 @@ object PdfImageFixtures {
   private[graft] def symBlack(did: Int, gw: Int, x: Int, y: Int): Boolean =
     (did + 5 * (x % (2 * gw)) + 3 * y) % 11 < 4
 
+  /** refined-JBIG2 class (c = 10): glyph gw × h, page = 3 glyphs wide */
+  private[graft] def refDims(docId: Long): (Int, Int, Int) = {
+    val gw = (3 + docId % 3).toInt
+    (gw, 3 * gw, (5 + docId % 4).toInt)
+  }
+  /** page closed form for the refined class: third k of the page holds
+    * the base glyph (k=0), the REFAGG-refined dictionary symbol
+    * (k=1: base ⊕ ((x+y)%5=0)) or the per-instance IARI refinement
+    * (k=2: base ⊕ ((x·y)%7=0)); refinement coding is lossless so the
+    * composed raster IS this form */
+  private[graft] def refBlack(did: Int, gw: Int, x: Int, y: Int): Boolean = {
+    val lx = x % gw
+    val base = jbig2Black(did, lx, y)
+    (x / gw) match {
+      case 0 => base
+      case 1 => base != ((lx + y) % 5 == 0)
+      case _ => base != ((lx * y) % 7 == 0)
+    }
+  }
+
   private def rgbSamples(docId: Long): Array[Byte] = {
     val did = (docId % 256).toInt
     val (w, h) = rgbDims(docId)
@@ -815,8 +835,8 @@ object PdfImageFixtures {
   }
 
   /** the rotation entry point: a complete PDF whose embedded image's
-    * encoding class is doc_id % 10 */
-  def imagePdf(docId: Long): Array[Byte] = (docId % 10) match {
+    * encoding class is doc_id % 11 */
+  def imagePdf(docId: Long): Array[Byte] = (docId % 11) match {
     case 0 =>
       val (w, h) = rgbDims(docId)
       assemble(rgbSamples(docId), w, h,
@@ -885,6 +905,23 @@ object PdfImageFixtures {
       assemble(Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
           bottomLeft = variant == 1,
           logStrips = if (variant == 2) 2 else 0), w, h,
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode")
+    case 10 =>
+      // REFINED JBIG2 (§6.3): dictionary A's prototype, a REFAGG-refined
+      // dictionary symbol (dictionary B, single-instance aggregate), and a
+      // per-instance IARI refinement placed side by side — the three
+      // thirds of the page follow the refBlack closed form, template
+      // rotated across the corpus
+      val did = (docId % 256).toInt
+      val (gw, w, h) = refDims(docId)
+      def bits(third: Int): Array[Boolean] =
+        Array.tabulate(gw * h)(i => refBlack(did, gw, third * gw + i % gw, i / gw))
+      val g0 = Jbig2.Glyph(gw, h, bits(0))
+      val g1 = Jbig2.Glyph(gw, h, bits(1))
+      val stream = Jbig2.encodeEmbeddedRefined(IndexedSeq(g0), Seq((0, g1)),
+        Seq((0, 0, 0, None), (1, gw, 0, None), (0, 2 * gw, 0, Some(bits(2)))),
+        w, h, rTemplate = ((docId / 11) % 2).toInt)
+      assemble(stream, w, h,
         "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode")
     case _ => assembleJpxSibling(docId)
   }

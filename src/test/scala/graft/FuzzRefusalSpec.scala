@@ -77,10 +77,10 @@ class FuzzRefusalSpec extends AnyFunSpec {
   }
 
   describe("PDF image encoding classes under truncation and byte flips") {
-    // imagePdf rotates 10 raster classes by docId % 10 (raw gray/RGB,
+    // imagePdf rotates 11 raster classes by docId % 11 (raw gray/RGB,
     // Flate, DCT, CCITT G4, inline BI..EI, JBIG2 generic, JBIG2 symbol,
-    // refused JPX + decodable sibling, predictor'd Flate)
-    for (mode <- 0 until 10) {
+    // refused JPX + decodable sibling, predictor'd Flate, refined JBIG2)
+    for (mode <- 0 until 11) {
       it(s"imagePdf mode $mode refuses cleanly when mangled") {
         val base = PdfImageFixtures.imagePdf(mode.toLong)
         (truncations(base, 3000L + mode) ++ flips(base, 4000L + mode))

@@ -187,6 +187,69 @@ class PdfImagesSpec extends AnyFunSuite {
     }
   }
 
+  test("JBIG2 refinement coder round-trips against shifted references, both templates") {
+    import graft.ingest.Jbig2
+    val rnd = new scala.util.Random(47)
+    for (trial <- 0 until 4; template <- Seq(0, 1);
+         (dx, dy) <- Seq((0, 0), (1, -1), (-2, 3))) {
+      val (rw, rh) = (7, 5)
+      val ref = Array.fill(rw * rh)(rnd.nextBoolean())
+      // target near the reference (the regime refinement coding exists
+      // for) plus a fringe the reference doesn't cover
+      val (w, h) = (9, 6)
+      val tgt = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val rx = x - dx; val ry = y - dy
+        val base = rx >= 0 && rx < rw && ry >= 0 && ry < rh && ref(ry * rw + rx)
+        if (rnd.nextInt(8) == 0) !base else base
+      }
+      val enc = new Jbig2.MqEncoder
+      val ecx = Jbig2.newCx(1 << 13)
+      Jbig2.encodeRefinementWith(enc, ecx, tgt, w, h, ref, rw, rh,
+        dx, dy, template, Jbig2.NominalGrAt)
+      val dec = new Jbig2.MqDecoder(enc.flush())
+      val dcx = Jbig2.newCx(1 << 13)
+      val out = Jbig2.decodeRefinementWith(dec, dcx, w, h, ref, rw, rh,
+        dx, dy, template, Jbig2.NominalGrAt)
+      assert(out.toSeq === tgt.toSeq, s"trial $trial t=$template d=($dx,$dy)")
+    }
+  }
+
+  test("JBIG2 REFAGG dictionary + refining text region compose the refined page") {
+    import graft.ingest.Jbig2
+    val rnd = new scala.util.Random(53)
+    for (trial <- 0 until 3; rTemplate <- Seq(0, 1)) {
+      val base0 = Jbig2.Glyph(4, 5, Array.fill(20)(rnd.nextBoolean()))
+      val base1 = Jbig2.Glyph(6, 5, Array.fill(30)(rnd.nextBoolean()))
+      // dictionary-B symbols: refinements of the bases with a few pixels
+      // flipped (dims match the reference; RDX=RDY=0)
+      def near(g: Jbig2.Glyph): Jbig2.Glyph =
+        Jbig2.Glyph(g.w, g.h, g.bits.map(b =>
+          if (rnd.nextInt(6) == 0) !b else b))
+      val r0 = near(base0); val r1 = near(base1)
+      // per-instance inline refinement target of symbol 2 (= r0)
+      val inline = r0.bits.map(b => if (rnd.nextInt(5) == 0) !b else b)
+      val glyphs = IndexedSeq(base0, base1, r0, r1)
+      val places = Seq(
+        (0, 0, 0, None), (2, 5, 0, None), (3, 12, 0, None),
+        (1, 0, 6, None), (2, 7, 6, Some(inline)))
+      val (w, h) = (19, 12)
+      val stream = Jbig2.encodeEmbeddedRefined(
+        IndexedSeq(base0, base1), Seq((0, r0), (1, r1)), places, w, h,
+        rTemplate = rTemplate)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.nonEmpty, s"trial $trial rt=$rTemplate: refined page refused")
+      val expected = new Array[Boolean](w * h)
+      places.foreach { case (si, x, y, inl) =>
+        val g = glyphs(si)
+        val bits = inl.getOrElse(g.bits)
+        for (yy <- 0 until g.h; xx <- 0 until g.w)
+          if (bits(yy * g.w + xx)) expected((y + yy) * w + (x + xx)) = true
+      }
+      assert(out.get.toSeq === expected.toSeq, s"trial $trial rt=$rTemplate")
+    }
+  }
+
   test("JBIG2 generic region and embedded stream round-trip; MMR leg matches G4") {
     import graft.ingest.Jbig2
     val rnd = new scala.util.Random(5)
@@ -252,7 +315,7 @@ class PdfImagesSpec extends AnyFunSuite {
   test("every fixture class extracts with closed-form luma stats") {
     def expected(docId: Long): (String, Int, Int, Long, Long) = {
       val did = (docId % 256).toInt
-      (docId % 10) match {
+      (docId % 11) match {
         case 0L | 1L =>
           val (w, h) = PdfImageFixtures.rgbDims(docId)
           def lum(x: Int, y: Int) =
@@ -294,17 +357,23 @@ class PdfImagesSpec extends AnyFunSuite {
             if (PdfImageFixtures.symBlack(did, gw, x, y)) 0L else 255L
           val sum = (for (y <- 0 until h; x <- 0 until w) yield lum(x, y)).sum
           ("jbig2", w, h, sum, lum(1, 2))
-        case _ => // 9: JPX refused, the raw-gray sibling survives
+        case 9L => // JPX refused, the raw-gray sibling survives
           val (w, h) = PdfImageFixtures.grayDims(docId)
           val sum = (for (y <- 0 until h; x <- 0 until w)
             yield PdfImageFixtures.grayPx(did, x, y).toLong).sum
           ("raw", w, h, sum, PdfImageFixtures.grayPx(did, 1, 2).toLong)
+        case _ => // 10: refined JBIG2 (REFAGG dict + IARI text region)
+          val (gw, w, h) = PdfImageFixtures.refDims(docId)
+          def lum(x: Int, y: Int) =
+            if (PdfImageFixtures.refBlack(did, gw, x, y)) 0L else 255L
+          val sum = (for (y <- 0 until h; x <- 0 until w) yield lum(x, y)).sum
+          ("jbig2", w, h, sum, lum(1, 2))
       }
     }
-    // 80 ids = 8 full rotations, covering the mmr/tpgdon/arith alternation
-    // inside the JBIG2 class and the /Decode [1 0] CCITT sub-class
-    // (docId/10 parities) several times over
-    for (docId <- 0L until 80L) {
+    // 88 ids = 8 full rotations, covering the mmr/tpgdon/arith alternation
+    // inside the JBIG2 class, the /Decode [1 0] CCITT sub-class, and both
+    // refinement GRTEMPLATEs several times over
+    for (docId <- 0L until 88L) {
       val ims = PdfImages.extract(PdfImageFixtures.imagePdf(docId))
       assert(ims.length === 1, s"doc $docId: expected exactly one image " +
         "(the JPX-class sibling must survive its refused neighbor)")
