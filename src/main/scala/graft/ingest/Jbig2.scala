@@ -174,9 +174,14 @@ object Jbig2 {
     }
 
     def flush(): Array[Byte] = {
-      // SETBITS
-      val tempC = (c + a - 1) & 0xFFFF0000L
-      c = if (tempC < c) tempC + 0x8000L else tempC
+      // SETBITS (§E.3.8): largest all-ones tail INSIDE the final interval
+      // [C, C+A). (Zeroing the tail instead — pick the 0x10000 multiple ≤
+      // C+A−1 — can land BELOW C when the interval straddles no boundary
+      // and C's low offset exceeds 0x8000, corrupting the last decisions
+      // for interval-alignment-dependent content.)
+      val tempC = c + a
+      c |= 0xFFFFL
+      if (c >= tempC) c -= 0x8000L
       c <<= ct; byteOut()
       c <<= ct; byteOut()
       emit()
@@ -525,11 +530,19 @@ object Jbig2 {
     val grCx = newCx(1 << 13)
     val newSyms = mutable.ArrayBuffer.empty[Glyph]
     var hcHeight = 0
+    // adversarial-stream progress guards (terminates-promptly contract):
+    // an MQ tail converging to zero-valued decodes could otherwise spin
+    // forever on empty height classes (dh=0, immediate OOB dw), and
+    // per-symbol 4096×4096 × numNew is an unbounded CPU/memory
+    // amplification from a tiny input — cap cumulative decoded area at
+    // the same 64 Mpx bound decodeEmbedded puts on the page
+    var totalArea = 0L
     while (newSyms.size < numNew) {
       val dh = decodeInt(dec, iadh)
       if (dh == OOB) return None
       hcHeight += dh
       if (hcHeight <= 0 || hcHeight > 4096) return None
+      val classStart = newSyms.size
       var symWidth = 0
       var classDone = false
       while (!classDone) {
@@ -539,6 +552,8 @@ object Jbig2 {
           symWidth += dw
           if (symWidth <= 0 || symWidth > 4096 || newSyms.size >= numNew)
             return None
+          totalArea += symWidth.toLong * hcHeight
+          if (totalArea > 64L * 1024 * 1024) return None
           val bits =
             if (!sdrefagg)
               decodeGenericWith(dec, gbCx, symWidth, hcHeight, at,
@@ -563,14 +578,22 @@ object Jbig2 {
           newSyms += Glyph(symWidth, hcHeight, bits)
         }
       }
+      // §6.5.5: every height class carries at least one symbol — an empty
+      // class on a legal stream is impossible, and accepting it lets a
+      // zero-converging MQ tail spin this loop forever
+      if (newSyms.size == classStart) return None
     }
     // export flags (§6.5.10): alternating not-exported/exported runs over
-    // input ++ new symbols, starting not-exported
+    // input ++ new symbols, starting not-exported; bound the iterations
+    // (run=0 makes no progress) so a zero-converging tail can't spin
     val all = inputSyms ++ newSyms
     val exported = mutable.ArrayBuffer.empty[Glyph]
     var i = 0
     var cur = false
+    var exIters = 0
     while (i < all.size) {
+      exIters += 1
+      if (exIters > 2 * all.size + 2) return None
       val run = decodeInt(dec, iaex)
       if (run == OOB || run < 0 || i + run > all.size) return None
       if (cur) exported ++= all.slice(i, i + run)

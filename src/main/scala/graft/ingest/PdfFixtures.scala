@@ -643,11 +643,12 @@ object PdfTextFixtures {
 
 /** Deterministic PDFs with EMBEDDED IMAGE XObjects, the [[PdfImages]]
   * fixture family. One page painted by the content stream; the image's
-  * encoding rotates by doc_id % 10 through the raster shapes a crawled
-  * corpus carries (raw RGB, Flate, Flate+PNG-predictor, baseline-JPEG
-  * DCTDecode, AHx+Flate chain, CCITT G4 — half with /Decode [1 0] over the
-  * inverted plane, inline BI…ID…EI, generic-region JBIG2, SYMBOL-CODED
-  * JBIG2, and a refused-JPX + decodable-sibling page), while every pixel
+  * encoding rotates by doc_id % 11 through the raster shapes a crawled
+  * corpus carries (0 raw RGB, 1 Flate, 2 Flate+PNG-predictor, 3
+  * baseline-JPEG DCTDecode, 4 AHx+Flate chain, 5 CCITT G4 — half with
+  * /Decode [1 0] over the inverted plane, 6 inline BI…ID…EI, 7
+  * generic-region JBIG2, 8 SYMBOL-CODED JBIG2, 9 a refused-JPX +
+  * decodable-sibling page, 10 REFINED JBIG2), while every pixel
   * stays a closed form of (doc_id, x, y) — so a DuckDB oracle replays luma
   * statistics for the WHOLE rotation, DCT and G4 included (the JPEG
   * fixture is DC-exact, see [[graft.ops.Jpeg]]; G4 and JBIG2 are lossless

@@ -372,6 +372,28 @@ object Dedup {
         .join(r, Seq("id_b"))
   }
 
+  /** Semi-join a payload side down to the ids a candidate pair list
+    * touches, routing by the MEASURED distinct-id count — the same
+    * discipline as [[routedPairJoin]], applied to the id projection. The
+    * id set is bounded by 2×|pairs| rows of ONE long each (half a pair
+    * row), so the broadcast budget is `2 × maxBroadcastPairs`; above it
+    * the semi-join shuffles on `idCol` instead of forcing an unbounded
+    * broadcast ("small by construction" is not a bound — a boilerplate
+    * crawl's candidate explosion reaches the id set too). `ids` is
+    * persisted for the count; caller's session releases the blocks. */
+  def routedSemiJoin(payload: DataFrame, ids: DataFrame, idCol: String,
+                     maxBroadcastPairs: Long = -1L): DataFrame = {
+    val limit = 2 * (
+      if (maxBroadcastPairs >= 0) maxBroadcastPairs
+      else ids.sparkSession.conf
+        .get("spark.graft.dedup.maxBroadcastPairs", MaxBroadcastPairs.toString)
+        .toLong)
+    val p = ids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = p.count()
+    if (n <= limit) payload.join(broadcast(p), Seq(idCol), "left_semi")
+    else payload.join(p.hint("shuffle_hash"), Seq(idCol), "left_semi")
+  }
+
   /** exact Jaccard evaluated ONLY on given (id_a, id_b) pairs — the verify
     * stage after LSH blocking. Per pair this is one array_intersect over the
     * two (distinct) shingle arrays: no posting self-join, no quadratic

@@ -923,12 +923,14 @@ object DedupQueries {
         if (!st.exists || st.rowCount() != stored.count()) st.rebuild(stored)
         val cands = st.deltaCandidates(batch)
         // exact-verify shingles ONLY the docs appearing in candidate pairs
-        // (broadcast semi-join before the shingle projection): verify cost
-        // follows |candidates|, not corpus size — at 100 TB these are
-        // data-skipped point reads, not a corpus scan
+        // (semi-join before the shingle projection): verify cost follows
+        // |candidates|, not corpus size — at 100 TB these are data-skipped
+        // point reads, not a corpus scan. The id set routes by measured
+        // count like the pair join itself: broadcast when bounded,
+        // shuffle-semi when a candidate explosion reaches the id set too.
         val candIds = cands.select(col("id_a").as("doc_id"))
           .union(cands.select(col("id_b").as("doc_id"))).distinct()
-        val needed = dupCorpus(s, d).join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        val needed = Dedup.routedSemiJoin(dupCorpus(s, d), candIds, "doc_id")
           .withColumn("ws", Dedup.wordsArray("text"))
           .withColumn("shs", Dedup.wordShingles("ws", 5))
         Dedup.jaccardOnPairs(cands, needed, "doc_id", "shs")

@@ -818,7 +818,6 @@ object StreamingIngest {
                                             threshold: Double = 0.5,
                                             numFiles: Int = 4): (DataFrame, StreamRunStats) = {
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
-    import org.apache.spark.sql.functions.{broadcast => bcast}
     val stage = JFiles.createTempDirectory("graft_stream_delta")
     val src = stage.resolve("src")
     JFiles.createDirectories(src)
@@ -890,7 +889,10 @@ object StreamingIngest {
                       batch.select("doc_id", "text")
                         .unionByName(spark.read.parquet(docsDir).select("doc_id", "text"))
                     else batch.select("doc_id", "text")
-                  val needed = lookup.join(bcast(candIds), Seq("doc_id"), "left_semi")
+                  // count-and-route like the batch twin: broadcast only a
+                  // measured-bounded id set, shuffle-semi otherwise
+                  val needed = graft.ops.Dedup
+                    .routedSemiJoin(lookup, candIds, "doc_id")
                     .withColumn("ws", graft.ops.Dedup.wordsArray("text"))
                     .withColumn("shs", graft.ops.Dedup.wordShingles("ws", 5))
                   graft.ops.Dedup.jaccardOnPairs(cands, needed, "doc_id", "shs")
