@@ -21,11 +21,17 @@ import scala.collection.mutable
   *    page information (type 48), immediate (lossless) generic regions
   *    (types 36/38/39), symbol dictionaries (type 0), text regions
   *    (types 4/6/7), end-of-page/file tolerated
+  *  - refinement regions (§6.3, GRTEMPLATE 0/1) as both consumers:
+  *    SDREFAGG=1 single-instance aggregate dictionary symbols (§6.5.8.2)
+  *    and per-instance IARI text-region refinement (§6.4.11)
+  *  - HUFFMAN-CODED symbol dictionaries (SDHUFF=1 with the standard
+  *    Annex-B tables B.1–B.5: per-class collective bitmaps, §6.5.9,
+  *    uncompressed or MMR) — the shape legacy scanned-text encoders emit
   *
-  * Subset honesty (refuse-don't-garble): templates 1–3, refinement/
-  * aggregation (SDREFAGG), Huffman-coded dictionaries and text regions
-  * (SDHUFF/SBHUFF), transposed text, halftone segments, /JBIG2Globals,
-  * and EXTTEMPLATE are refused.
+  * Subset honesty (refuse-don't-garble): generic templates 1–3,
+  * REFAGGNINST>1 aggregation, SDHUFF+SDREFAGG, custom Huffman tables,
+  * Huffman-coded TEXT regions (SBHUFF), transposed text, halftone
+  * segments, /JBIG2Globals, and EXTTEMPLATE are refused.
   *
   * Validation posture: the MQ coder and region coders are pinned by
   * encode→decode round-trips over adversarial planes (a carry or
@@ -479,18 +485,176 @@ object Jbig2 {
     n
   }
 
+  // ------------------- Huffman tables (Annex B) + bit-level I/O (§B.4) --
+
+  /** MSB-first bit reader over a byte array — the reading procedure
+    * Huffman-coded symbol dictionaries use (§B.4). Throws past the end,
+    * so every decode loop over it terminates promptly on truncated or
+    * adversarial input (the caller's NonFatal catch turns that into a
+    * refusal). */
+  private[graft] final class BitReader(val data: Array[Byte]) {
+    private var pos = 0 // absolute bit position
+    def bit(): Int = {
+      if (pos >= (data.length << 3))
+        throw new IndexOutOfBoundsException("bit read past stream end")
+      val b = (data(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1
+      b
+    }
+    def bits(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** skip to the next byte boundary (§6.5.9 collective-bitmap entry) */
+    def align(): Unit = pos = (pos + 7) & ~7
+    /** current byte offset; only meaningful when aligned */
+    def bytePos: Int = { align(); pos >> 3 }
+    def skipBytes(n: Int): Unit = { align(); pos += n << 3 }
+  }
+
+  /** MSB-first bit writer, the encoder mirror of [[BitReader]] */
+  private[graft] final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var n = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); n += 1
+      if (n == 8) { out.write(cur); cur = 0; n = 0 }
+    }
+    def bits(v: Long, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { bit(((v >> i) & 1).toInt); i -= 1 }
+    }
+    /** zero-pad to the next byte boundary */
+    def align(): Unit = while (n != 0) bit(0)
+    /** write whole bytes; caller must be aligned */
+    def bytes(b: Array[Byte]): Unit = { require(n == 0, "unaligned"); out.write(b) }
+    def result(): Array[Byte] = { align(); out.toByteArray }
+  }
+
+  /** OOB sentinel for [[HuffTable]] decodes (value space is Long, so the
+    * Int [[OOB]] marker can't collide) */
+  private[graft] val HuffOob = Long.MinValue
+
+  /** one line of an Annex-B Huffman table: a `prefLen`-bit prefix code
+    * followed by `rangeLen` delta bits coding `rangeLow + delta` — or, for
+    * the `lower` line, `rangeLow - delta` (the open low range). A 32-bit
+    * `rangeLen` is the open high range. */
+  private[graft] final case class HuffLine(prefLen: Int, rangeLen: Int,
+                                           rangeLow: Long, lower: Boolean = false)
+
+  /** A standard Annex-B table: `lines` in the spec's printed order plus
+    * the OOB prefix length (0 = table has no OOB, §B.1 HTOOB). Prefix
+    * codes are assigned by the §B.3 canonical procedure — increasing
+    * code length, table order within a length — which reproduces the code
+    * column printed in the standard (pinned by PdfImagesSpec). */
+  private[graft] final class HuffTable(val lines: IndexedSeq[HuffLine],
+                                       oobPrefLen: Int) {
+    // canonical assignment over lines ++ the OOB pseudo-line (printed last
+    // among its length's codes in every standard table that has one)
+    private val prefLens: Array[Int] =
+      (lines.map(_.prefLen) ++ (if (oobPrefLen > 0) Seq(oobPrefLen) else Nil)).toArray
+    private[graft] val codes: Array[Int] = {
+      val assigned = new Array[Int](prefLens.length)
+      val maxLen = prefLens.max
+      var curCode = 0
+      var len = 1
+      while (len <= maxLen) {
+        var i = 0
+        while (i < prefLens.length) {
+          if (prefLens(i) == len) { assigned(i) = curCode; curCode += 1 }
+          i += 1
+        }
+        curCode <<= 1
+        len += 1
+      }
+      assigned
+    }
+    private val maxLen = prefLens.max
+
+    /** read one value (or [[HuffOob]]) off the bit stream */
+    def decode(r: BitReader): Long = {
+      var len = 0
+      var code = 0
+      while (len < maxLen) {
+        code = (code << 1) | r.bit()
+        len += 1
+        var i = 0
+        while (i < prefLens.length) {
+          if (prefLens(i) == len && codes(i) == code) {
+            if (i == lines.length) return HuffOob // the OOB pseudo-line
+            val l = lines(i)
+            val delta = r.bits(l.rangeLen)
+            return if (l.lower) l.rangeLow - delta else l.rangeLow + delta
+          }
+          i += 1
+        }
+      }
+      throw new IllegalArgumentException("no Huffman code matches")
+    }
+
+    /** write `v` (or [[HuffOob]]) with the first line whose range holds it */
+    def encode(w: BitWriter, v: Long): Unit = {
+      if (v == HuffOob) {
+        require(oobPrefLen > 0, "table has no OOB")
+        w.bits(codes(lines.length).toLong, oobPrefLen)
+        return
+      }
+      var i = 0
+      while (i < lines.length) {
+        val l = lines(i)
+        val hit =
+          if (l.lower) v <= l.rangeLow
+          else if (l.rangeLen == 32) v >= l.rangeLow
+          else v >= l.rangeLow && v < l.rangeLow + (1L << l.rangeLen)
+        if (hit) {
+          w.bits(codes(i).toLong, l.prefLen)
+          w.bits(if (l.lower) l.rangeLow - v else v - l.rangeLow, l.rangeLen)
+          return
+        }
+        i += 1
+      }
+      throw new IllegalArgumentException(s"value $v outside table range")
+    }
+  }
+
+  /** Table B.1 — BMSIZE / EXRUNLENGTH (and AGGINST, out of subset) */
+  private[graft] val TableB1 = new HuffTable(IndexedSeq(
+    HuffLine(1, 4, 0), HuffLine(2, 8, 16), HuffLine(3, 16, 272),
+    HuffLine(3, 32, 65808)), 0)
+  /** Table B.2 — SDHUFFDW selection 0 (DW ≥ 0, OOB ends the class) */
+  private[graft] val TableB2 = new HuffTable(IndexedSeq(
+    HuffLine(1, 0, 0), HuffLine(2, 0, 1), HuffLine(3, 0, 2),
+    HuffLine(4, 3, 3), HuffLine(5, 6, 11), HuffLine(6, 32, 75)), 6)
+  /** Table B.3 — SDHUFFDW selection 1 (signed DW, OOB) */
+  private[graft] val TableB3 = new HuffTable(IndexedSeq(
+    HuffLine(8, 8, -256), HuffLine(1, 0, 0), HuffLine(2, 0, 1),
+    HuffLine(3, 0, 2), HuffLine(4, 3, 3), HuffLine(5, 6, 11),
+    HuffLine(8, 32, -257, lower = true), HuffLine(7, 32, 75)), 6)
+  /** Table B.4 — SDHUFFDH selection 0 (DH ≥ 1) */
+  private[graft] val TableB4 = new HuffTable(IndexedSeq(
+    HuffLine(1, 0, 1), HuffLine(2, 0, 2), HuffLine(3, 0, 3),
+    HuffLine(4, 3, 4), HuffLine(5, 6, 12), HuffLine(5, 32, 76)), 0)
+  /** Table B.5 — SDHUFFDH selection 1 (signed DH) */
+  private[graft] val TableB5 = new HuffTable(IndexedSeq(
+    HuffLine(7, 8, -255), HuffLine(1, 0, 1), HuffLine(2, 0, 2),
+    HuffLine(3, 0, 3), HuffLine(4, 3, 4), HuffLine(5, 6, 12),
+    HuffLine(7, 32, -256, lower = true), HuffLine(6, 32, 76)), 0)
+
   // ----------------------------- symbol dictionary + text region (§6.5/§6.4) --
 
   /** one dictionary symbol: a w×h bilevel glyph */
   private[graft] final case class Glyph(w: Int, h: Int, bits: Array[Boolean])
 
   /** Decode a symbol dictionary segment body (§6.5, §7.4.3) to its EXPORTED
-    * symbol list. Arithmetic coding only, template 0. SDREFAGG=1 is
-    * supported for the single-instance aggregate case (each new symbol a
-    * refinement of an already-decoded one, §6.5.8.2 — the shape refining
-    * encoders emit); REFAGGNINST>1 (text-region recursion) and SDHUFF
-    * refuse. `inputSyms` = concatenated exports of the referred-to
-    * dictionaries, in referred order. */
+    * symbol list. Arithmetic coding (template 0) and Huffman coding with
+    * the standard Annex-B tables are supported. SDREFAGG=1 is supported
+    * for the single-instance aggregate case (each new symbol a refinement
+    * of an already-decoded one, §6.5.8.2 — the shape refining encoders
+    * emit); REFAGGNINST>1 (text-region recursion), custom Huffman tables,
+    * and SDHUFF+SDREFAGG refuse. `inputSyms` = concatenated exports of the
+    * referred-to dictionaries, in referred order. */
   private[graft] def decodeSymbolDict(body: Array[Byte],
                                       inputSyms: Seq[Glyph]): Option[Seq[Glyph]] = {
     if (body.length < 2 + 8 + 8) return None
@@ -499,7 +663,8 @@ object Jbig2 {
     val sdrefagg = (flags & 2) != 0
     val template = (flags >> 10) & 3
     val rTemplate = (flags >> 12) & 1
-    if (sdhuff || template != 0) return None
+    if (sdhuff) return decodeSymbolDictHuff(body, flags, inputSyms)
+    if (template != 0) return None
     val at = Array.tabulate(4)(i => (body(2 + 2 * i).toInt, body(3 + 2 * i).toInt))
     // §7.4.3.1.2 field order: GB AT (template 0), then — when SDREFAGG=1
     // and SDRTEMPLATE=0 — the 2-pair refinement AT, then numEx/numNew
@@ -603,6 +768,121 @@ object Jbig2 {
     if (exported.size != numEx) return None
     Some(exported.toSeq)
   }
+
+  /** §6.5 with SDHUFF=1, SDREFAGG=0 — the Huffman-coded dictionary shape
+    * legacy scanned-text encoders emit: per height class, DH via Table
+    * B.4/B.5 and the widths via B.2/B.3 (OOB-terminated), then ONE
+    * COLLECTIVE BITMAP for the whole class (§6.5.9: BMSIZE via Table B.1;
+    * 0 = stored uncompressed with byte-aligned rows, else MMR-coded over
+    * exactly BMSIZE bytes — [[CcittG4]], the same delegation MMR generic
+    * regions use) from which the symbols are cut by width. Export runs via
+    * B.1. Custom tables (selection 3 / the custom-BMSIZE flag), reserved
+    * selections, retained contexts, and SDHUFF+SDREFAGG refuse. */
+  private def decodeSymbolDictHuff(body: Array[Byte], flags: Int,
+                                   inputSyms: Seq[Glyph]): Option[Seq[Glyph]] =
+    try {
+      if ((flags & 2) != 0) return None // SDHUFF+SDREFAGG out of subset
+      if (((flags >> 6) & 3) != 0) return None // custom BMSIZE/AGGINST tables
+      if (((flags >> 8) & 3) != 0) return None // contexts used/retained: arith-only
+      val tDH = ((flags >> 2) & 3) match {
+        case 0 => TableB4; case 1 => TableB5; case _ => return None
+      }
+      val tDW = ((flags >> 4) & 3) match {
+        case 0 => TableB2; case 1 => TableB3; case _ => return None
+      }
+      // SDHUFF=1 headers carry no AT pixels: numEx/numNew follow the flags
+      def be32(o: Int): Long = (((body(o) & 0xFFL) << 24) |
+        ((body(o + 1) & 0xFF) << 16) | ((body(o + 2) & 0xFF) << 8) |
+        (body(o + 3) & 0xFF)) & 0xFFFFFFFFL
+      val numEx = be32(2)
+      val numNew = be32(6)
+      if (numNew > 65536 || numEx > inputSyms.size + numNew) return None
+      val r = new BitReader(java.util.Arrays.copyOfRange(body, 10, body.length))
+      val newSyms = mutable.ArrayBuffer.empty[Glyph]
+      var hcHeight = 0
+      var totalArea = 0L
+      while (newSyms.size < numNew) {
+        val dh = tDH.decode(r)
+        if (dh == HuffOob) return None
+        hcHeight += dh.toInt
+        if (hcHeight <= 0 || hcHeight > 4096) return None
+        // widths first (no per-symbol bitmaps in this mode), then the
+        // class's collective bitmap
+        val widths = mutable.ArrayBuffer.empty[Int]
+        var symWidth = 0
+        var totWidth = 0
+        var classDone = false
+        while (!classDone) {
+          val dw = tDW.decode(r)
+          if (dw == HuffOob) classDone = true
+          else {
+            symWidth += dw.toInt
+            if (symWidth <= 0 || symWidth > 4096 ||
+                newSyms.size + widths.size >= numNew) return None
+            totalArea += symWidth.toLong * hcHeight
+            if (totalArea > 64L * 1024 * 1024) return None
+            widths += symWidth
+            totWidth += symWidth
+          }
+        }
+        if (widths.isEmpty) return None // §6.5.5: no empty height classes
+        val bmSize = TableB1.decode(r)
+        if (bmSize < 0 || bmSize > r.data.length) return None
+        val coll: Array[Boolean] =
+          if (bmSize == 0L) {
+            // uncompressed: one bit per pixel, rows padded to byte bounds
+            val plane = new Array[Boolean](totWidth * hcHeight)
+            r.align()
+            val pad = ((totWidth + 7) & ~7) - totWidth
+            var y = 0
+            while (y < hcHeight) {
+              var x = 0
+              while (x < totWidth) { plane(y * totWidth + x) = r.bit() == 1; x += 1 }
+              if (pad > 0) { r.bits(pad); () }
+              y += 1
+            }
+            plane
+          } else {
+            val start = r.bytePos
+            if (start + bmSize > r.data.length) return None
+            val slice = java.util.Arrays.copyOfRange(r.data, start,
+              start + bmSize.toInt)
+            r.skipBytes(bmSize.toInt)
+            CcittG4.decode(slice, totWidth, hcHeight).getOrElse(return None)
+          }
+        var x0 = 0
+        widths.foreach { wi =>
+          val bits = new Array[Boolean](wi * hcHeight)
+          var y = 0
+          while (y < hcHeight) {
+            var x = 0
+            while (x < wi) { bits(y * wi + x) = coll(y * totWidth + x0 + x); x += 1 }
+            y += 1
+          }
+          newSyms += Glyph(wi, hcHeight, bits)
+          x0 += wi
+        }
+      }
+      // export flags (§6.5.10): EXRUNLENGTH via Table B.1, same alternating
+      // runs as the arithmetic path; the BitReader throws at stream end, so
+      // a zero-converging tail can't spin this loop
+      val all = inputSyms ++ newSyms
+      val exported = mutable.ArrayBuffer.empty[Glyph]
+      var i = 0
+      var cur = false
+      var exIters = 0
+      while (i < all.size) {
+        exIters += 1
+        if (exIters > 2 * all.size + 2) return None
+        val run = TableB1.decode(r)
+        if (run == HuffOob || run < 0 || i + run > all.size) return None
+        if (cur) exported ++= all.slice(i, i + run.toInt)
+        i += run.toInt
+        cur = !cur
+      }
+      if (exported.size != numEx) return None
+      Some(exported.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode an arithmetic text region body AFTER the region-info bytes
     * (§6.4, §7.4.4): `body` starts at the text-region flags. Subset:
@@ -922,39 +1202,103 @@ object Jbig2 {
     * strips with per-instance CURT (IAIT) offsets — together they cover
     * the §6.4.5 placement variants beyond the plain one-row-strip
     * TOPLEFT shape. The composed page raster is identical for any
-    * setting; only the coded representation differs. */
+    * setting; only the coded representation differs.
+    *
+    * `huffDict` switches the DICTIONARY to Huffman coding (SDHUFF=1 with
+    * the standard Annex-B tables — DH via B.4, DW via B.2, BMSIZE and the
+    * export runs via B.1): 0 stores each height class's collective bitmap
+    * uncompressed (§6.5.9 BMSIZE=0), 1 codes it with MMR; -1 keeps the
+    * arithmetic dictionary. The text region stays arithmetic either way
+    * (the modes are per-segment — mixing is the legal shape that pins
+    * both coders against ONE oracle). Huffman mode requires widths
+    * nondecreasing within each height class (DW ≥ 0, Table B.2's range). */
   def encodeEmbeddedSymbols(glyphs: IndexedSeq[Glyph],
                             places: Seq[(Int, Int, Int)],
                             w: Int, h: Int,
                             bottomLeft: Boolean = false,
-                            logStrips: Int = 0): Array[Byte] = {
+                            logStrips: Int = 0,
+                            huffDict: Int = -1): Array[Byte] = {
     require(glyphs.nonEmpty && places.nonEmpty, "need glyphs and placements")
     require((1 until glyphs.size).forall(i => glyphs(i - 1).h <= glyphs(i).h),
       "glyphs must be sorted by height")
     // ---- symbol dictionary body ----
-    val sdEnc = new MqEncoder
-    val gbCx = newCx(1 << 16)
-    val iadh = newCx(512); val iadw = newCx(512); val iaex = newCx(512)
-    var hcHeight = 0
-    var gi = 0
-    while (gi < glyphs.size) {
-      val ch = glyphs(gi).h
-      encodeInt(sdEnc, iadh, ch - hcHeight)
-      hcHeight = ch
-      var symWidth = 0
-      while (gi < glyphs.size && glyphs(gi).h == ch) {
-        val g = glyphs(gi)
-        encodeInt(sdEnc, iadw, g.w - symWidth)
-        symWidth = g.w
-        encodeGenericWith(sdEnc, gbCx, g.bits, g.w, g.h, NominalAt,
-          tpgdon = false)
-        gi += 1
+    val sdBody: Array[Byte] = if (huffDict < 0) {
+      val sdEnc = new MqEncoder
+      val gbCx = newCx(1 << 16)
+      val iadh = newCx(512); val iadw = newCx(512); val iaex = newCx(512)
+      var hcHeight = 0
+      var gi = 0
+      while (gi < glyphs.size) {
+        val ch = glyphs(gi).h
+        encodeInt(sdEnc, iadh, ch - hcHeight)
+        hcHeight = ch
+        var symWidth = 0
+        while (gi < glyphs.size && glyphs(gi).h == ch) {
+          val g = glyphs(gi)
+          encodeInt(sdEnc, iadw, g.w - symWidth)
+          symWidth = g.w
+          encodeGenericWith(sdEnc, gbCx, g.bits, g.w, g.h, NominalAt,
+            tpgdon = false)
+          gi += 1
+        }
+        encodeInt(sdEnc, iadw, OOB)
       }
-      encodeInt(sdEnc, iadw, OOB)
+      encodeInt(sdEnc, iaex, 0) // zero-length not-exported run
+      encodeInt(sdEnc, iaex, glyphs.size) // export everything
+      sdEnc.flush()
+    } else {
+      val wtr = new BitWriter
+      var hcHeight = 0
+      var gi = 0
+      while (gi < glyphs.size) {
+        val ch = glyphs(gi).h
+        TableB4.encode(wtr, ch - hcHeight)
+        hcHeight = ch
+        val cls = mutable.ArrayBuffer.empty[Glyph]
+        var symWidth = 0
+        while (gi < glyphs.size && glyphs(gi).h == ch) {
+          val g = glyphs(gi)
+          require(g.w >= symWidth, "huffDict needs nondecreasing widths in a class")
+          TableB2.encode(wtr, g.w - symWidth)
+          symWidth = g.w
+          cls += g
+          gi += 1
+        }
+        TableB2.encode(wtr, HuffOob)
+        // the class's collective bitmap: glyphs side by side
+        val totWidth = cls.map(_.w).sum
+        val coll = new Array[Boolean](totWidth * ch)
+        var x0 = 0
+        cls.foreach { g =>
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < g.w) { coll(y * totWidth + x0 + x) = g.bits(y * g.w + x); x += 1 }
+            y += 1
+          }
+          x0 += g.w
+        }
+        if (huffDict == 0) {
+          TableB1.encode(wtr, 0) // BMSIZE=0: uncompressed, byte-padded rows
+          wtr.align()
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < totWidth) { wtr.bit(if (coll(y * totWidth + x)) 1 else 0); x += 1 }
+            wtr.align()
+            y += 1
+          }
+        } else {
+          val mmr = CcittG4.encode(coll, totWidth, ch)
+          TableB1.encode(wtr, mmr.length)
+          wtr.align()
+          wtr.bytes(mmr)
+        }
+      }
+      TableB1.encode(wtr, 0) // zero-length not-exported run
+      TableB1.encode(wtr, glyphs.size)
+      wtr.result()
     }
-    encodeInt(sdEnc, iaex, 0) // zero-length not-exported run
-    encodeInt(sdEnc, iaex, glyphs.size) // export everything
-    val sdBody = sdEnc.flush()
     // ---- text region body ----
     val sbStrips = 1 << logStrips
     val codeLen = symCodeLen(glyphs.size)
@@ -1002,9 +1346,15 @@ object Jbig2 {
     }
     header(0, 48, Nil, 19) // page info
     u32(w); u32(h); u32(0); u32(0); u8(0); u16(0)
-    header(1, 0, Nil, 18 + sdBody.length) // symbol dictionary
-    u16(0) // flags: arithmetic, template 0, no refinement
-    NominalAt.foreach { case (ax, ay) => u8(ax); u8(ay) }
+    if (huffDict < 0) {
+      header(1, 0, Nil, 18 + sdBody.length) // symbol dictionary, arithmetic
+      u16(0) // flags: arithmetic, template 0, no refinement
+      NominalAt.foreach { case (ax, ay) => u8(ax); u8(ay) }
+    } else {
+      // SDHUFF=1 (standard-table selections all 0): no AT pixels in header
+      header(1, 0, Nil, 10 + sdBody.length)
+      u16(1)
+    }
     u32(glyphs.size); u32(glyphs.size) // numEx, numNew
     out.write(sdBody)
     header(2, 6, Seq(1), 17 + 6 + trBody.length) // immediate text region

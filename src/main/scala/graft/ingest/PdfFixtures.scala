@@ -643,12 +643,13 @@ object PdfTextFixtures {
 
 /** Deterministic PDFs with EMBEDDED IMAGE XObjects, the [[PdfImages]]
   * fixture family. One page painted by the content stream; the image's
-  * encoding rotates by doc_id % 11 through the raster shapes a crawled
+  * encoding rotates by doc_id % 12 through the raster shapes a crawled
   * corpus carries (0 raw RGB, 1 Flate, 2 Flate+PNG-predictor, 3
   * baseline-JPEG DCTDecode, 4 AHx+Flate chain, 5 CCITT G4 — half with
   * /Decode [1 0] over the inverted plane, 6 inline BI…ID…EI, 7
   * generic-region JBIG2, 8 SYMBOL-CODED JBIG2, 9 a refused-JPX +
-  * decodable-sibling page, 10 REFINED JBIG2), while every pixel
+  * decodable-sibling page, 10 REFINED JBIG2, 11 HUFFMAN-dictionary
+  * JBIG2 — collective bitmaps uncompressed or MMR), while every pixel
   * stays a closed form of (doc_id, x, y) — so a DuckDB oracle replays luma
   * statistics for the WHOLE rotation, DCT and G4 included (the JPEG
   * fixture is DC-exact, see [[graft.ops.Jpeg]]; G4 and JBIG2 are lossless
@@ -836,8 +837,8 @@ object PdfImageFixtures {
   }
 
   /** the rotation entry point: a complete PDF whose embedded image's
-    * encoding class is doc_id % 11 */
-  def imagePdf(docId: Long): Array[Byte] = (docId % 11) match {
+    * encoding class is doc_id % 12 */
+  def imagePdf(docId: Long): Array[Byte] = (docId % 12) match {
     case 0 =>
       val (w, h) = rgbDims(docId)
       assemble(rgbSamples(docId), w, h,
@@ -923,6 +924,23 @@ object PdfImageFixtures {
         Seq((0, 0, 0, None), (1, gw, 0, None), (0, 2 * gw, 0, Some(bits(2)))),
         w, h, rTemplate = ((docId / 11) % 2).toInt)
       assemble(stream, w, h,
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode")
+    case 11 =>
+      // HUFFMAN-DICTIONARY JBIG2 (§6.5 SDHUFF=1, standard Annex-B tables):
+      // the class-8 glyph/placement shape with the dictionary coded via
+      // height-class COLLECTIVE BITMAPS (§6.5.9) — uncompressed for half
+      // the corpus, MMR for the other half — and the text region still
+      // arithmetic; the composed raster follows the same symBlack form,
+      // so ONE oracle pins both collective-bitmap codings
+      val did = (docId % 256).toInt
+      val (gw, w, h) = symDims(docId)
+      val glyphs = IndexedSeq(0, 1).map { k =>
+        Jbig2.Glyph(gw, h, Array.tabulate(gw * h)(i =>
+          symBlack(did, gw, i % gw + k * gw, i / gw)))
+      }
+      val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
+      assemble(Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+          huffDict = ((docId / 12) % 2).toInt), w, h,
         "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode")
     case _ => assembleJpxSibling(docId)
   }

@@ -239,20 +239,22 @@ object PipelineQueries {
 
     // ----- S6 raster leg: EMBEDDED-IMAGE extraction from the same
     // byte-level PDF walk (PdfImages) — the scanned/figure-image sibling
-    // of the text oracle above. The fixture rotation (doc_id % 11) covers
+    // of the text oracle above. The fixture rotation (doc_id % 12) covers
     // raw, Flate, Flate+PNG-Up-predictor, baseline-JPEG /DCTDecode, inline
     // AHx+Flate chain, CCITT G4 /CCITTFaxDecode (half with /Decode [1 0]
     // over the inverted plane — the cancelling inversions pin that the
     // Decode array is APPLIED), generic-region JBIG2, SYMBOL-CODED JBIG2
     // (dictionary + text region, the jbig2enc scanned-text shape), a
-    // refused-JPX page whose decodable sibling must survive, and REFINED
+    // refused-JPX page whose decodable sibling must survive, REFINED
     // JBIG2 (§6.3: REFAGG single-instance dictionary + per-instance IARI
-    // text-region refinement, GRTEMPLATE rotated); every pixel is a
+    // text-region refinement, GRTEMPLATE rotated), and HUFFMAN-dictionary
+    // JBIG2 (SDHUFF=1, standard Annex-B tables, §6.5.9 collective bitmaps
+    // uncompressed or MMR by corpus half); every pixel is a
     // closed form of (doc_id, x, y), the JPEG class is DC-exact and
     // G4/JBIG2 are lossless, so ONE oracle pins the whole decode surface —
     // filters, predictor, the JPEG entropy/IDCT chain, the G4 2-D coder,
-    // the JBIG2 MQ/generic/symbol/text/refinement coders, and refusal
-    // semantics. -----
+    // the JBIG2 MQ/generic/symbol/text/refinement/Huffman coders, and
+    // refusal semantics. -----
     Q("s6_pdf_image_extract",
       (s, d) => {
         val mk = udf((id: Long) => graft.ingest.PdfImageFixtures.imagePdf(id))
@@ -277,17 +279,17 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some("""WITH base AS (SELECT doc_id, doc_id % 256 AS did,
-             |    doc_id % 11 AS c FROM documents),
+             |    doc_id % 12 AS c FROM documents),
              |dims AS (SELECT *,
              |    CASE WHEN c = 3 THEN 24 + (doc_id % 2) * 8
              |         WHEN c = 5 THEN 8 + doc_id % 5
              |         WHEN c = 7 THEN 8 + doc_id % 6
-             |         WHEN c = 8 THEN 4 * (2 + doc_id % 3)
+             |         WHEN c IN (8, 11) THEN 4 * (2 + doc_id % 3)
              |         WHEN c = 10 THEN 3 * (3 + doc_id % 3)
              |         ELSE 4 + doc_id % 5 END AS w,
              |    CASE WHEN c = 3 THEN 16 + (doc_id % 3) * 8
              |         WHEN c = 5 THEN 6 + doc_id % 3
-             |         WHEN c IN (7, 8, 10) THEN 5 + doc_id % 4
+             |         WHEN c IN (7, 8, 10, 11) THEN 5 + doc_id % 4
              |         ELSE 3 + doc_id % 4 END AS h FROM base),
              |px AS (SELECT doc_id, did, c, w, h, xs.x, ys.y,
              |    CASE WHEN c IN (0, 1) THEN
@@ -298,7 +300,7 @@ object PipelineQueries {
              |      WHEN c = 5 THEN
              |        CASE WHEN (did + 3 * xs.x + 5 * ys.y) % 7 < 3
              |             THEN 0 ELSE 255 END
-             |      WHEN c = 8 THEN
+             |      WHEN c IN (8, 11) THEN
              |        CASE WHEN (did + 5 * (xs.x % (w // 2)) + 3 * ys.y) % 11 < 4
              |             THEN 0 ELSE 255 END
              |      WHEN c = 10 THEN
@@ -327,7 +329,7 @@ object PipelineQueries {
              |  WHERE c = 3 AND bx.b < w // 8 AND by.b < h // 8),
              |nond AS (SELECT doc_id,
              |    max(CASE WHEN c = 5 THEN 'ccitt' WHEN c = 6 THEN 'inline'
-             |        WHEN c IN (7, 8, 10) THEN 'jbig2' ELSE 'raw' END) AS codec,
+             |        WHEN c IN (7, 8, 10, 11) THEN 'jbig2' ELSE 'raw' END) AS codec,
              |    max(w) AS w, max(h) AS h, count(*) AS n_px,
              |    CAST(sum(luma) AS BIGINT) AS sum_luma,
              |    CAST(max(CASE WHEN x = 1 AND y = 2 THEN luma END)

@@ -654,7 +654,8 @@ object StreamingIngest {
     * on both — batches > 1 proves state crossed batch boundaries, peak <
     * input rows proves the watermark actually evicted instead of buffering
     * the whole corpus. */
-  final case class StreamRunStats(batches: Long, maxStateRows: Long)
+  final case class StreamRunStats(batches: Long, maxStateRows: Long,
+                                  maxBatchWallSec: Double = 0.0)
 
   /** Oracle-matched AvailableNow run of [[clickAttributionJoin]] over a
     * batch events table, driven as a REAL multi-batch stream: events are
@@ -864,10 +865,14 @@ object StreamingIngest {
       val raw = spark.readStream.schema(spark.read.parquet(src.toString).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src.toString)
+      // per-batch wall clock on the record: the scale claim for this path
+      // is "cost follows the batch", and the stress run reads these lines
+      var maxBatchWall = 0.0
       val q = raw.writeStream
         .foreachBatch { (batchDF: DataFrame, batchId: Long) =>
           val marker = markerDir.resolve(f"batch-$batchId%08d")
           val batch = batchDF.persist()
+          val tBatch0 = System.nanoTime()
           try {
             if (!JFiles.exists(marker) && batch.take(1).nonEmpty) {
               batchesWithRows += 1
@@ -904,6 +909,10 @@ object StreamingIngest {
                 .parquet(s"$docsDir/batch=$batchId")
               st.appendBatch(batch): Unit
               JFiles.createFile(marker): Unit
+              val wall = (System.nanoTime() - tBatch0) / 1e9
+              if (wall > maxBatchWall) maxBatchWall = wall
+              System.err.println(
+                f"[stream-delta] batch=$batchId rows=${batch.count()} wall=$wall%.2fs")
             }
           } finally batch.unpersist(): Unit
         }
@@ -925,7 +934,8 @@ object StreamingIngest {
           spark.createDataFrame(java.util.Arrays.asList(p.collect(): _*), pairSchema)
         } else spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), pairSchema)
-      (out, StreamRunStats(batches = batchesWithRows, maxStateRows = st.rowCount()))
+      (out, StreamRunStats(batches = batchesWithRows, maxStateRows = st.rowCount(),
+        maxBatchWallSec = maxBatchWall))
     } finally {
       import scala.jdk.CollectionConverters._
       JFiles.walk(stage).iterator().asScala.toSeq.reverse

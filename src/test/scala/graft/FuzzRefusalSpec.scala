@@ -77,10 +77,11 @@ class FuzzRefusalSpec extends AnyFunSpec {
   }
 
   describe("PDF image encoding classes under truncation and byte flips") {
-    // imagePdf rotates 11 raster classes by docId % 11 (raw gray/RGB,
+    // imagePdf rotates 12 raster classes by docId % 12 (raw gray/RGB,
     // Flate, DCT, CCITT G4, inline BI..EI, JBIG2 generic, JBIG2 symbol,
-    // refused JPX + decodable sibling, predictor'd Flate, refined JBIG2)
-    for (mode <- 0 until 11) {
+    // refused JPX + decodable sibling, predictor'd Flate, refined JBIG2,
+    // Huffman-dictionary JBIG2)
+    for (mode <- 0 until 12) {
       it(s"imagePdf mode $mode refuses cleanly when mangled") {
         val base = PdfImageFixtures.imagePdf(mode.toLong)
         (truncations(base, 3000L + mode) ++ flips(base, 4000L + mode))
@@ -103,6 +104,27 @@ class FuzzRefusalSpec extends AnyFunSpec {
         // any segment's declared dataLen leaves an incomplete stream
         truncations(base, 7000L).filter(_.length < base.length).foreach { t =>
           assertNoThrow("jbig2 short")(Jbig2.decodeEmbedded(t, w, h))
+        }
+      }
+    }
+  }
+
+  describe("standalone Huffman-dictionary JBIG2 under mangling") {
+    it("both collective-bitmap codings refuse (None) or parse, never throw") {
+      // the imagePdf mode-11 sweep above only reaches ONE coding (docId=11
+      // → uncompressed); mangle both here, straight into the segment walk
+      val gw = 4; val h = 6; val w = 4 * gw
+      val glyphs = IndexedSeq(0, 1).map { k =>
+        Jbig2.Glyph(gw, h, Array.tabulate(gw * h)(i =>
+          (5 * (i % gw + k * gw) + 3 * (i / gw)) % 11 < 4))
+      }
+      val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
+      for (huffDict <- Seq(0, 1)) {
+        val base = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+          huffDict = huffDict)
+        (truncations(base, 15000L + huffDict) ++ flips(base, 16000L + huffDict) ++
+          garbage).foreach { m =>
+          assertNoThrow(s"jbig2 huffDict=$huffDict")(Jbig2.decodeEmbedded(m, w, h))
         }
       }
     }

@@ -248,6 +248,92 @@ class PdfImagesSpec extends AnyFunSuite {
     }
   }
 
+  test("JBIG2 Annex-B standard Huffman tables pin the printed codes") {
+    import graft.ingest.Jbig2
+    // canonical §B.3 assignment must reproduce the code column printed in
+    // the standard (OOB pseudo-line last in the codes array)
+    assert(Jbig2.TableB1.codes.toSeq === Seq(0, 2, 6, 7))
+    assert(Jbig2.TableB2.codes.toSeq === Seq(0, 2, 6, 14, 30, 62, 63))
+    assert(Jbig2.TableB3.codes.toSeq === Seq(254, 0, 2, 6, 14, 30, 255, 126, 62))
+    assert(Jbig2.TableB4.codes.toSeq === Seq(0, 2, 6, 14, 30, 31))
+    assert(Jbig2.TableB5.codes.toSeq === Seq(126, 0, 2, 6, 14, 30, 127, 62))
+    // prefix-freedom: no assigned code is a prefix of a longer one
+    for ((t, name) <- Seq((Jbig2.TableB1, "B1"), (Jbig2.TableB2, "B2"),
+                          (Jbig2.TableB3, "B3"), (Jbig2.TableB4, "B4"),
+                          (Jbig2.TableB5, "B5"))) {
+      val lens = t.lines.map(_.prefLen) ++
+        (if (t.codes.length > t.lines.length) Seq(6) else Nil)
+      val strs = t.codes.toSeq.zip(lens).map { case (c, l) =>
+        String.format("%" + l + "s", Integer.toBinaryString(c)).replace(' ', '0')
+      }
+      assert(strs.distinct.length === strs.length, s"$name: duplicate code")
+      for (a <- strs; b <- strs if a != b)
+        assert(!b.startsWith(a), s"$name: $a prefixes $b")
+    }
+    // value round-trips through the bit reader/writer, boundaries + OOB
+    val cases = Seq(
+      (Jbig2.TableB1, Seq(0L, 15L, 16L, 271L, 272L, 65807L, 65808L, 1000000L)),
+      (Jbig2.TableB2, Seq(0L, 1L, 2L, 3L, 10L, 11L, 74L, 75L, 5000L, Jbig2.HuffOob)),
+      (Jbig2.TableB3, Seq(-300L, -257L, -256L, -1L, 0L, 2L, 10L, 74L, 75L,
+        9999L, Jbig2.HuffOob)),
+      (Jbig2.TableB4, Seq(1L, 2L, 3L, 4L, 11L, 12L, 75L, 76L, 4096L)),
+      (Jbig2.TableB5, Seq(-4000L, -256L, -255L, 0L, 1L, 3L, 12L, 75L, 76L, 8888L)))
+    for ((t, vs) <- cases) {
+      val wtr = new Jbig2.BitWriter
+      vs.foreach(v => t.encode(wtr, v))
+      val r = new Jbig2.BitReader(wtr.result())
+      vs.foreach(v => assert(t.decode(r) === v, s"value $v"))
+    }
+  }
+
+  test("JBIG2 Huffman symbol dictionary round-trips the full fixture grid") {
+    import graft.ingest.Jbig2
+    // same sweep discipline that caught the r10 refinement escape: the
+    // WHOLE did grid × both collective-bitmap codings (uncompressed, MMR),
+    // through the embedded stream, not just a unit sample
+    for (did <- 0 until 256; huffDict <- Seq(0, 1)) {
+      val gw = 2 + did % 3
+      val h = 5 + did % 4
+      val w = 4 * gw
+      val glyphs = IndexedSeq(0, 1).map { k =>
+        Jbig2.Glyph(gw, h, Array.tabulate(gw * h)(i =>
+          PdfImageFixtures.symBlack(did, gw, i % gw + k * gw, i / gw)))
+      }
+      val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
+      val stream = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+        huffDict = huffDict)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.nonEmpty, s"did=$did huffDict=$huffDict: refused")
+      val expected = Array.tabulate(w * h)(i =>
+        PdfImageFixtures.symBlack(did, gw, i % w, i / w))
+      assert(out.get.toSeq === expected.toSeq, s"did=$did huffDict=$huffDict")
+    }
+    // multi-height-class, multi-width-class dictionaries (widths
+    // nondecreasing within a class, the Table-B.2 range), random planes
+    val rnd = new scala.util.Random(59)
+    for (trial <- 0 until 6; huffDict <- Seq(0, 1)) {
+      val g1 = Jbig2.Glyph(3, 4, Array.fill(12)(rnd.nextBoolean()))
+      val g2 = Jbig2.Glyph(5, 4, Array.fill(20)(rnd.nextBoolean()))
+      val g3 = Jbig2.Glyph(9, 4, Array.fill(36)(rnd.nextBoolean()))
+      val g4 = Jbig2.Glyph(4, 7, Array.fill(28)(rnd.nextBoolean()))
+      val glyphs = IndexedSeq(g1, g2, g3, g4)
+      val places = Seq((0, 0, 0), (1, 4, 1), (2, 10, 0), (3, 20, 0),
+        (0, 2, 8), (3, 8, 8))
+      val (w, h) = (26, 16)
+      val stream = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+        huffDict = huffDict)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.nonEmpty, s"trial $trial huffDict=$huffDict: refused")
+      val expected = new Array[Boolean](w * h)
+      places.foreach { case (si, x, y) =>
+        val g = glyphs(si)
+        for (yy <- 0 until g.h; xx <- 0 until g.w)
+          if (g.bits(yy * g.w + xx)) expected((y + yy) * w + (x + xx)) = true
+      }
+      assert(out.get.toSeq === expected.toSeq, s"trial $trial huffDict=$huffDict")
+    }
+  }
+
   test("JBIG2 refinement coder round-trips against shifted references, both templates") {
     import graft.ingest.Jbig2
     val rnd = new scala.util.Random(47)
@@ -376,7 +462,7 @@ class PdfImagesSpec extends AnyFunSuite {
   test("every fixture class extracts with closed-form luma stats") {
     def expected(docId: Long): (String, Int, Int, Long, Long) = {
       val did = (docId % 256).toInt
-      (docId % 11) match {
+      (docId % 12) match {
         case 0L | 1L =>
           val (w, h) = PdfImageFixtures.rgbDims(docId)
           def lum(x: Int, y: Int) =
@@ -423,18 +509,25 @@ class PdfImagesSpec extends AnyFunSuite {
           val sum = (for (y <- 0 until h; x <- 0 until w)
             yield PdfImageFixtures.grayPx(did, x, y).toLong).sum
           ("raw", w, h, sum, PdfImageFixtures.grayPx(did, 1, 2).toLong)
-        case _ => // 10: refined JBIG2 (REFAGG dict + IARI text region)
+        case 10L => // refined JBIG2 (REFAGG dict + IARI text region)
           val (gw, w, h) = PdfImageFixtures.refDims(docId)
           def lum(x: Int, y: Int) =
             if (PdfImageFixtures.refBlack(did, gw, x, y)) 0L else 255L
           val sum = (for (y <- 0 until h; x <- 0 until w) yield lum(x, y)).sum
           ("jbig2", w, h, sum, lum(1, 2))
+        case _ => // 11: Huffman-dictionary JBIG2, same composed form as 8
+          val (gw, w, h) = PdfImageFixtures.symDims(docId)
+          def lum(x: Int, y: Int) =
+            if (PdfImageFixtures.symBlack(did, gw, x, y)) 0L else 255L
+          val sum = (for (y <- 0 until h; x <- 0 until w) yield lum(x, y)).sum
+          ("jbig2", w, h, sum, lum(1, 2))
       }
     }
-    // 88 ids = 8 full rotations, covering the mmr/tpgdon/arith alternation
-    // inside the JBIG2 class, the /Decode [1 0] CCITT sub-class, and both
-    // refinement GRTEMPLATEs several times over
-    for (docId <- 0L until 88L) {
+    // 96 ids = 8 full rotations, covering the mmr/tpgdon/arith alternation
+    // inside the JBIG2 class, the /Decode [1 0] CCITT sub-class, both
+    // refinement GRTEMPLATEs, and both Huffman collective-bitmap codings
+    // several times over
+    for (docId <- 0L until 96L) {
       val ims = PdfImages.extract(PdfImageFixtures.imagePdf(docId))
       assert(ims.length === 1, s"doc $docId: expected exactly one image " +
         "(the JPX-class sibling must survive its refused neighbor)")
