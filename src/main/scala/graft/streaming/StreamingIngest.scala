@@ -926,12 +926,27 @@ object StreamingIngest {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("jaccard",
           org.apache.spark.sql.types.DoubleType, nullable = true)))
+      // the emitted pairs STAY distributed: move the pair parquet out of
+      // the staging tree (deleted below) into a JVM-lifetime dir and hand
+      // back a lazy scan. The previous shape — collect() into a
+      // LocalRelation so the result could outlive the cleanup — was an
+      // O(all pairs) driver materialization: fine at sf scale, a
+      // multi-minute GC-bound cliff at the 100× adversarial regime (every
+      // doc in a ~100-twin group), and exactly the cost shape a 100 TB
+      // corpus would OOM the driver with.
       val out =
         if (new java.io.File(pairsDir).exists) {
-          val p = spark.read.parquet(pairsDir)
+          val keep = JFiles.createTempDirectory("graft_stream_delta_out")
+          sys.addShutdownHook {
+            import scala.jdk.CollectionConverters._
+            JFiles.walk(keep).iterator().asScala.toSeq.reverse
+              .foreach(p => JFiles.deleteIfExists(p))
+          }
+          JFiles.move(Paths.get(pairsDir), keep.resolve("pairs"),
+            StandardCopyOption.ATOMIC_MOVE)
+          spark.read.parquet(keep.resolve("pairs").toString)
             .select(col("id_a").cast("long"), col("id_b").cast("long"),
               col("jaccard").cast("double"))
-          spark.createDataFrame(java.util.Arrays.asList(p.collect(): _*), pairSchema)
         } else spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), pairSchema)
       (out, StreamRunStats(batches = batchesWithRows, maxStateRows = st.rowCount(),

@@ -329,6 +329,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("delta-dedup candidate-id semi-join routes by measured count like the pair join") {
+    // ops/Dedup.routedSemiJoin: the shape d_delta_dedup (and the streaming
+    // twin) uses to restrict shingling to candidate-touched docs. Same
+    // discipline as routedPairJoin — broadcast only a counted-bounded id
+    // set, shuffle-semi above the threshold; a "small by construction"
+    // forced broadcast is exactly the class the verify stage already
+    // closed, so both physical routes are pinned here too.
+    import graft.ops.Dedup
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      keys.foreach(conf.set(_, "-1"))
+      import spark.implicits._
+      val docs = (0 until 30).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+      val ids = Seq(1L, 4L, 9L).toDF("doc_id")
+      val below = Dedup.routedSemiJoin(docs, ids, "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(below.contains("BroadcastHashJoin"), below.take(2000))
+      val above = Dedup.routedSemiJoin(docs, ids, "doc_id",
+          maxBroadcastPairs = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!above.contains("BroadcastExchange"), above.take(2000))
+      assert(above.contains("ShuffledHashJoin"), above.take(2000))
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(s) => conf.set(k, s); case None => conf.unset(k) }
+    }
+  }
+
   test("AQE splits a skewed shuffle partition at runtime") {
     // the adaptive counterpart to static salting: with one key carrying 95%
     // of the fact side, the map-output stats must trigger OptimizeSkewedJoin
