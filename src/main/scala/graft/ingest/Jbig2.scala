@@ -28,10 +28,14 @@ import scala.collection.mutable
   *    Annex-B tables B.1–B.5: per-class collective bitmaps, §6.5.9,
   *    uncompressed or MMR) — the shape legacy scanned-text encoders emit
   *
+  * /JBIG2Globals streams (shared dictionaries, no page association) are
+  * handled by the PDF layer as segment-stream concatenation —
+  * [[graft.ingest.PdfImages]] resolves and prepends them.
+  *
   * Subset honesty (refuse-don't-garble): generic templates 1–3,
   * REFAGGNINST>1 aggregation, SDHUFF+SDREFAGG, custom Huffman tables,
   * Huffman-coded TEXT regions (SBHUFF), transposed text, halftone
-  * segments, /JBIG2Globals, and EXTTEMPLATE are refused.
+  * segments, and EXTTEMPLATE are refused.
   *
   * Validation posture: the MQ coder and region coders are pinned by
   * encode→decode round-trips over adversarial planes (a carry or
@@ -1217,7 +1221,30 @@ object Jbig2 {
                             w: Int, h: Int,
                             bottomLeft: Boolean = false,
                             logStrips: Int = 0,
-                            huffDict: Int = -1): Array[Byte] = {
+                            huffDict: Int = -1): Array[Byte] =
+    encodeSymbolStreams(glyphs, places, w, h, bottomLeft, logStrips,
+      huffDict, splitGlobals = false)._2
+
+  /** [[encodeEmbeddedSymbols]] split for the PDF /JBIG2Globals shape
+    * (multi-page scanned toolchains share one dictionary across pages):
+    * returns (globals, page) where `globals` holds the symbol-dictionary
+    * segment (page association 0) and `page` the page-info + text-region
+    * segments referring to it. A decoder processes the globals stream's
+    * segments before the page's own. */
+  def encodeEmbeddedSymbolsGlobals(glyphs: IndexedSeq[Glyph],
+                                   places: Seq[(Int, Int, Int)],
+                                   w: Int, h: Int,
+                                   huffDict: Int = -1): (Array[Byte], Array[Byte]) =
+    encodeSymbolStreams(glyphs, places, w, h, bottomLeft = false,
+      logStrips = 0, huffDict = huffDict, splitGlobals = true)
+
+  private def encodeSymbolStreams(glyphs: IndexedSeq[Glyph],
+                                  places: Seq[(Int, Int, Int)],
+                                  w: Int, h: Int,
+                                  bottomLeft: Boolean,
+                                  logStrips: Int,
+                                  huffDict: Int,
+                                  splitGlobals: Boolean): (Array[Byte], Array[Byte]) = {
     require(glyphs.nonEmpty && places.nonEmpty, "need glyphs and placements")
     require((1 until glyphs.size).forall(i => glyphs(i - 1).h <= glyphs(i).h),
       "glyphs must be sorted by height")
@@ -1332,39 +1359,61 @@ object Jbig2 {
       encodeInt(trEnc, iads, OOB) // strip terminator
     }
     val trBody = trEnc.flush()
-    // ---- segment stream ----
-    val out = new java.io.ByteArrayOutputStream()
-    def u8(v: Int): Unit = out.write(v & 0xFF)
-    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
-    def u32(v: Int): Unit = { u16(v >>> 16); u16(v) }
-    def header(num: Int, segType: Int, refs: Seq[Int], dataLen: Int): Unit = {
-      u32(num); u8(segType)
-      u8(refs.size << 5) // short-form count, retain bits 0
-      refs.foreach(u8) // 1-byte referred numbers (segNum ≤ 256)
-      u8(1) // page 1
-      u32(dataLen)
+    // ---- segments, each a standalone byte run so the caller can route
+    // the dictionary out-of-band (/JBIG2Globals) or keep one stream ----
+    def segment(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      body(out)
+      out.toByteArray
     }
-    header(0, 48, Nil, 19) // page info
-    u32(w); u32(h); u32(0); u32(0); u8(0); u16(0)
-    if (huffDict < 0) {
-      header(1, 0, Nil, 18 + sdBody.length) // symbol dictionary, arithmetic
-      u16(0) // flags: arithmetic, template 0, no refinement
-      NominalAt.foreach { case (ax, ay) => u8(ax); u8(ay) }
-    } else {
-      // SDHUFF=1 (standard-table selections all 0): no AT pixels in header
-      header(1, 0, Nil, 10 + sdBody.length)
-      u16(1)
+    def writers(out: java.io.ByteArrayOutputStream) = {
+      def u8(v: Int): Unit = out.write(v & 0xFF)
+      def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+      def u32(v: Int): Unit = { u16(v >>> 16); u16(v) }
+      def header(num: Int, segType: Int, refs: Seq[Int], dataLen: Int,
+                 pageAssoc: Int): Unit = {
+        u32(num); u8(segType)
+        u8(refs.size << 5) // short-form count, retain bits 0
+        refs.foreach(u8) // 1-byte referred numbers (segNum ≤ 256)
+        u8(pageAssoc)
+        u32(dataLen)
+      }
+      (u8 _, u16 _, u32 _, header _)
     }
-    u32(glyphs.size); u32(glyphs.size) // numEx, numNew
-    out.write(sdBody)
-    header(2, 6, Seq(1), 17 + 6 + trBody.length) // immediate text region
-    u32(w); u32(h); u32(0); u32(0); u8(0) // region info, external op OR
-    // flags: arith, LOGSBSTRIPS, refcorner (0 = BOTTOMLEFT, 1 = TOPLEFT),
-    // OR, defpixel 0, dsOffset 0
-    u16((logStrips << 2) | ((if (bottomLeft) 0 else 1) << 4))
-    u32(places.size) // SBNUMINSTANCES
-    out.write(trBody)
-    out.toByteArray
+    val pageSeg = segment { out =>
+      val (u8, u16, u32, header) = writers(out)
+      header(0, 48, Nil, 19, 1) // page info
+      u32(w); u32(h); u32(0); u32(0); u8(0); u16(0)
+    }
+    // globals-eligible dictionary: page association 0 when routed
+    // out-of-band (ISO 32000 §7.4.7 / T.88 §7.3.3: globals segments have
+    // no page), 1 when inline — the body is identical
+    def dictSeg(pageAssoc: Int): Array[Byte] = segment { out =>
+      val (u8, u16, u32, header) = writers(out)
+      if (huffDict < 0) {
+        header(1, 0, Nil, 18 + sdBody.length, pageAssoc) // arithmetic
+        u16(0) // flags: arithmetic, template 0, no refinement
+        NominalAt.foreach { case (ax, ay) => u8(ax); u8(ay) }
+      } else {
+        // SDHUFF=1 (standard-table selections all 0): no AT pixels
+        header(1, 0, Nil, 10 + sdBody.length, pageAssoc)
+        u16(1)
+      }
+      u32(glyphs.size); u32(glyphs.size) // numEx, numNew
+      out.write(sdBody)
+    }
+    val textSeg = segment { out =>
+      val (u8, u16, u32, header) = writers(out)
+      header(2, 6, Seq(1), 17 + 6 + trBody.length, 1) // immediate text region
+      u32(w); u32(h); u32(0); u32(0); u8(0) // region info, external op OR
+      // flags: arith, LOGSBSTRIPS, refcorner (0 = BOTTOMLEFT, 1 = TOPLEFT),
+      // OR, defpixel 0, dsOffset 0
+      u16((logStrips << 2) | ((if (bottomLeft) 0 else 1) << 4))
+      u32(places.size) // SBNUMINSTANCES
+      out.write(trBody)
+    }
+    if (splitGlobals) (dictSeg(0), pageSeg ++ textSeg)
+    else (Array.emptyByteArray, pageSeg ++ dictSeg(1) ++ textSeg)
   }
 
   /** Build a PDF-embeddable REFINING JBIG2 stream exercising BOTH §6.3

@@ -643,13 +643,14 @@ object PdfTextFixtures {
 
 /** Deterministic PDFs with EMBEDDED IMAGE XObjects, the [[PdfImages]]
   * fixture family. One page painted by the content stream; the image's
-  * encoding rotates by doc_id % 12 through the raster shapes a crawled
+  * encoding rotates by doc_id % 13 through the raster shapes a crawled
   * corpus carries (0 raw RGB, 1 Flate, 2 Flate+PNG-predictor, 3
   * baseline-JPEG DCTDecode, 4 AHx+Flate chain, 5 CCITT G4 — half with
   * /Decode [1 0] over the inverted plane, 6 inline BI…ID…EI, 7
   * generic-region JBIG2, 8 SYMBOL-CODED JBIG2, 9 a refused-JPX +
   * decodable-sibling page, 10 REFINED JBIG2, 11 HUFFMAN-dictionary
-  * JBIG2 — collective bitmaps uncompressed or MMR), while every pixel
+  * JBIG2 — collective bitmaps uncompressed or MMR, 12 /JBIG2Globals
+  * shared-dictionary JBIG2), while every pixel
   * stays a closed form of (doc_id, x, y) — so a DuckDB oracle replays luma
   * statistics for the WHOLE rotation, DCT and G4 included (the JPEG
   * fixture is DC-exact, see [[graft.ops.Jpeg]]; G4 and JBIG2 are lossless
@@ -836,9 +837,38 @@ object PdfImageFixtures {
     sb.toString.getBytes(ISO_8859_1)
   }
 
+  /** one-page PDF whose JBIG2 image keeps its symbol DICTIONARY in a
+    * separate /JBIG2Globals stream (ISO 32000 §7.4.7 — the multi-page
+    * scanned shape where every page shares one dictionary); the globals
+    * stream itself is Flate-coded so its own /Filter chain is exercised */
+  private def assembleJbig2Globals(docId: Long, globals: Array[Byte],
+                                   page: Array[Byte], w: Int,
+                                   h: Int): Array[Byte] = {
+    val content = s"q $w 0 0 $h 0 0 cm /Im0 Do Q".getBytes(ISO_8859_1)
+    val gz = deflate(globals)
+    val sb = new StringBuilder("%PDF-1.4\n")
+    def obj(num: Int, body: String): Unit =
+      sb ++= s"$num 0 obj\n$body\nendobj\n": Unit
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Im0 5 0 R >> >> >>")
+    sb ++= s"4 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+      new String(content, ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width $w " +
+      s"/Height $h /ColorSpace /DeviceGray /BitsPerComponent 1 " +
+      "/Filter /JBIG2Decode /DecodeParms << /JBIG2Globals 6 0 R >> " +
+      s"/Length ${page.length} >>\nstream\n" +
+      new String(page, ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= s"6 0 obj\n<< /Filter /FlateDecode /Length ${gz.length} >>\nstream\n" +
+      new String(gz, ISO_8859_1) + "\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
   /** the rotation entry point: a complete PDF whose embedded image's
-    * encoding class is doc_id % 12 */
-  def imagePdf(docId: Long): Array[Byte] = (docId % 12) match {
+    * encoding class is doc_id % 13 */
+  def imagePdf(docId: Long): Array[Byte] = (docId % 13) match {
     case 0 =>
       val (w, h) = rgbDims(docId)
       assemble(rgbSamples(docId), w, h,
@@ -942,6 +972,22 @@ object PdfImageFixtures {
       assemble(Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
           huffDict = ((docId / 12) % 2).toInt), w, h,
         "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode")
+    case 12 =>
+      // /JBIG2Globals: same composed raster as classes 8/11 but the
+      // symbol dictionary travels in a SHARED out-of-band stream the
+      // image's /DecodeParms points at — the multi-page scanner shape;
+      // the dictionary coding alternates arithmetic / Huffman across the
+      // corpus so the globals route is pinned for both
+      val did = (docId % 256).toInt
+      val (gw, w, h) = symDims(docId)
+      val glyphs = IndexedSeq(0, 1).map { k =>
+        Jbig2.Glyph(gw, h, Array.tabulate(gw * h)(i =>
+          symBlack(did, gw, i % gw + k * gw, i / gw)))
+      }
+      val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
+      val (globals, page) = Jbig2.encodeEmbeddedSymbolsGlobals(glyphs, places,
+        w, h, huffDict = if ((docId / 13) % 2 == 0) -1 else 0)
+      assembleJbig2Globals(docId, globals, page, w, h)
     case _ => assembleJpxSibling(docId)
   }
 

@@ -45,7 +45,7 @@ object PdfImages {
       orderedPages(objs, byNum).zipWithIndex.flatMap { case (pageObj, idx) =>
         val res = pageResources(pageObj, byNum)
         val xobj = imageRefs(res, byNum).flatMap { case (name, obj) =>
-          decodeImage(obj, idx + 1, name)
+          decodeImage(obj, idx + 1, name, byNum)
         }
         val inline = contentBytes(pageObj, byNum)
           .map(inlineImages(_, idx + 1)).getOrElse(Seq.empty)
@@ -215,8 +215,8 @@ object PdfImages {
     }
   }
 
-  private def decodeImage(obj: PdfObj, page: Int,
-                          name: String): Option[PdfImageX] =
+  private def decodeImage(obj: PdfObj, page: Int, name: String,
+                          byNum: Map[Int, PdfObj]): Option[PdfImageX] =
     try {
       for {
         dict <- obj.dict
@@ -244,13 +244,32 @@ object PdfImages {
               }
             }
           case Some(("JBIG2Decode", parms)) =>
-            // /JBIG2Globals (shared symbol dictionaries) out of subset
-            if (parms.exists(_.m.contains("JBIG2Globals"))) None
-            else decodeInversion(dict, 1).flatMap { inv =>
-              Jbig2.decodeEmbedded(decoded, w, h).map { bits =>
-                // JBIG2 1-bits are black; /Decode [1 0] flips the mapping
-                PdfImageX(page, name, w, h, 1, "DeviceGray", "jbig2",
-                  bits.map(b => if (b != inv) 0 else 255))
+            // /JBIG2Globals: the out-of-band segment stream holding
+            // shared symbol dictionaries (ISO 32000 §7.4.7 — the
+            // multi-page scanned shape, one dictionary reused by every
+            // page). Its segments are processed BEFORE the page's own,
+            // which for the T.88 §7.2 embedded walk is exactly stream
+            // concatenation; the globals stream's own /Filter chain is
+            // honored, anything unresolvable refuses the image.
+            val globals: Option[Array[Byte]] =
+              parms.flatMap(_.m.get("JBIG2Globals")) match {
+                case None => Some(Array.emptyByteArray)
+                case Some(PRef(n)) =>
+                  for {
+                    gobj <- byNum.get(n)
+                    gdata <- gobj.stream
+                    (gdec, gcodec) <- decodeToImageCodec(gdata, gobj.dict)
+                    if gcodec.isEmpty // an image codec on globals: malformed
+                  } yield gdec
+                case Some(_) => None // non-ref globals value: refuse
+              }
+            globals.flatMap { g =>
+              decodeInversion(dict, 1).flatMap { inv =>
+                Jbig2.decodeEmbedded(g ++ decoded, w, h).map { bits =>
+                  // JBIG2 1-bits are black; /Decode [1 0] flips the mapping
+                  PdfImageX(page, name, w, h, 1, "DeviceGray", "jbig2",
+                    bits.map(b => if (b != inv) 0 else 255))
+                }
               }
             }
           case Some(_) => None // JPX: out of subset, refuse this image

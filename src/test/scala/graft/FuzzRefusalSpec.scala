@@ -77,11 +77,11 @@ class FuzzRefusalSpec extends AnyFunSpec {
   }
 
   describe("PDF image encoding classes under truncation and byte flips") {
-    // imagePdf rotates 12 raster classes by docId % 12 (raw gray/RGB,
+    // imagePdf rotates 13 raster classes by docId % 13 (raw gray/RGB,
     // Flate, DCT, CCITT G4, inline BI..EI, JBIG2 generic, JBIG2 symbol,
     // refused JPX + decodable sibling, predictor'd Flate, refined JBIG2,
-    // Huffman-dictionary JBIG2)
-    for (mode <- 0 until 12) {
+    // Huffman-dictionary JBIG2, /JBIG2Globals shared-dictionary JBIG2)
+    for (mode <- 0 until 13) {
       it(s"imagePdf mode $mode refuses cleanly when mangled") {
         val base = PdfImageFixtures.imagePdf(mode.toLong)
         (truncations(base, 3000L + mode) ++ flips(base, 4000L + mode))

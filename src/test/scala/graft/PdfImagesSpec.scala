@@ -334,6 +334,38 @@ class PdfImagesSpec extends AnyFunSuite {
     }
   }
 
+  test("/JBIG2Globals shared dictionaries resolve through the PDF layer") {
+    import graft.ingest.Jbig2
+    // the multi-page scanner shape: the symbol dictionary travels in a
+    // SEPARATE (Flate-coded) globals stream the image's /DecodeParms
+    // points at. Full did sweep through the PDF layer, both dictionary
+    // codings — same discipline as the other JBIG2 grids.
+    for (did <- 0 until 256; huffDict <- Seq(-1, 0)) {
+      val docId = did.toLong
+      val gw = (2 + docId % 3).toInt
+      val h = (5 + docId % 4).toInt
+      val w = 4 * gw
+      val glyphs = IndexedSeq(0, 1).map { k =>
+        Jbig2.Glyph(gw, h, Array.tabulate(gw * h)(i =>
+          PdfImageFixtures.symBlack(did, gw, i % gw + k * gw, i / gw)))
+      }
+      val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
+      val (globals, page) = Jbig2.encodeEmbeddedSymbolsGlobals(glyphs, places,
+        w, h, huffDict = huffDict)
+      // the split streams decode when concatenated (globals first)...
+      val direct = Jbig2.decodeEmbedded(globals ++ page, w, h)
+      assert(direct.nonEmpty, s"did=$did huffDict=$huffDict: refused")
+      val expected = Array.tabulate(w * h)(i =>
+        PdfImageFixtures.symBlack(did, gw, i % w, i / w))
+      assert(direct.get.toSeq === expected.toSeq, s"did=$did huffDict=$huffDict")
+      // ...and the page stream ALONE refuses (its text region refers to a
+      // dictionary it never saw) — the refusal that keeps a missing
+      // globals stream from garbling
+      assert(Jbig2.decodeEmbedded(page, w, h).isEmpty,
+        s"did=$did huffDict=$huffDict: page without globals must refuse")
+    }
+  }
+
   test("JBIG2 refinement coder round-trips against shifted references, both templates") {
     import graft.ingest.Jbig2
     val rnd = new scala.util.Random(47)
@@ -462,7 +494,7 @@ class PdfImagesSpec extends AnyFunSuite {
   test("every fixture class extracts with closed-form luma stats") {
     def expected(docId: Long): (String, Int, Int, Long, Long) = {
       val did = (docId % 256).toInt
-      (docId % 12) match {
+      (docId % 13) match {
         case 0L | 1L =>
           val (w, h) = PdfImageFixtures.rgbDims(docId)
           def lum(x: Int, y: Int) =
@@ -515,7 +547,7 @@ class PdfImagesSpec extends AnyFunSuite {
             if (PdfImageFixtures.refBlack(did, gw, x, y)) 0L else 255L
           val sum = (for (y <- 0 until h; x <- 0 until w) yield lum(x, y)).sum
           ("jbig2", w, h, sum, lum(1, 2))
-        case _ => // 11: Huffman-dictionary JBIG2, same composed form as 8
+        case _ => // 11 Huffman-dictionary / 12 JBIG2Globals: symBlack form
           val (gw, w, h) = PdfImageFixtures.symDims(docId)
           def lum(x: Int, y: Int) =
             if (PdfImageFixtures.symBlack(did, gw, x, y)) 0L else 255L
@@ -523,11 +555,11 @@ class PdfImagesSpec extends AnyFunSuite {
           ("jbig2", w, h, sum, lum(1, 2))
       }
     }
-    // 96 ids = 8 full rotations, covering the mmr/tpgdon/arith alternation
+    // 104 ids = 8 full rotations, covering the mmr/tpgdon/arith alternation
     // inside the JBIG2 class, the /Decode [1 0] CCITT sub-class, both
-    // refinement GRTEMPLATEs, and both Huffman collective-bitmap codings
-    // several times over
-    for (docId <- 0L until 96L) {
+    // refinement GRTEMPLATEs, both Huffman collective-bitmap codings, and
+    // both /JBIG2Globals dictionary codings several times over
+    for (docId <- 0L until 104L) {
       val ims = PdfImages.extract(PdfImageFixtures.imagePdf(docId))
       assert(ims.length === 1, s"doc $docId: expected exactly one image " +
         "(the JPX-class sibling must survive its refused neighbor)")
