@@ -807,7 +807,10 @@ object Jbig2 {
       var totalArea = 0L
       while (newSyms.size < numNew) {
         val dh = tDH.decode(r)
-        if (dh == HuffOob) return None
+        // range-check the LONG before narrowing: a 32-bit-range line can
+        // return values whose Int truncation wraps back into the accepted
+        // band — refuse, don't garble
+        if (dh == HuffOob || dh > 4096 || dh < -4096) return None
         hcHeight += dh.toInt
         if (hcHeight <= 0 || hcHeight > 4096) return None
         // widths first (no per-symbol bitmaps in this mode), then the
@@ -819,6 +822,7 @@ object Jbig2 {
         while (!classDone) {
           val dw = tDW.decode(r)
           if (dw == HuffOob) classDone = true
+          else if (dw > 4096 || dw < -4096) return None // pre-narrowing guard
           else {
             symWidth += dw.toInt
             if (symWidth <= 0 || symWidth > 4096 ||

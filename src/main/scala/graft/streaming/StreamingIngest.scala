@@ -657,6 +657,27 @@ object StreamingIngest {
   final case class StreamRunStats(batches: Long, maxStateRows: Long,
                                   maxBatchWallSec: Double = 0.0)
 
+  /** JVM-lifetime temp dirs (returned-result parquet that must outlive the
+    * producing call): ONE shutdown hook, a shared queue of dirs — repeated
+    * invocations must not each register their own hook */
+  private val jvmLifetimeDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val jvmLifetimeHook: Unit = {
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      jvmLifetimeDirs.iterator().asScala.foreach { d =>
+        try java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    ()
+  }
+  private def registerJvmLifetimeDir(dir: java.nio.file.Path): Unit = {
+    jvmLifetimeHook
+    jvmLifetimeDirs.add(dir): Unit
+  }
+
   /** Oracle-matched AvailableNow run of [[clickAttributionJoin]] over a
     * batch events table, driven as a REAL multi-batch stream: events are
     * staged as `numFiles` event-time-ordered parquet files (equal time
@@ -937,11 +958,7 @@ object StreamingIngest {
       val out =
         if (new java.io.File(pairsDir).exists) {
           val keep = JFiles.createTempDirectory("graft_stream_delta_out")
-          sys.addShutdownHook {
-            import scala.jdk.CollectionConverters._
-            JFiles.walk(keep).iterator().asScala.toSeq.reverse
-              .foreach(p => JFiles.deleteIfExists(p))
-          }
+          registerJvmLifetimeDir(keep)
           JFiles.move(Paths.get(pairsDir), keep.resolve("pairs"),
             StandardCopyOption.ATOMIC_MOVE)
           spark.read.parquet(keep.resolve("pairs").toString)
