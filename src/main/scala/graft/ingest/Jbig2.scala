@@ -1218,16 +1218,21 @@ object Jbig2 {
     * uncompressed (§6.5.9 BMSIZE=0), 1 codes it with MMR; -1 keeps the
     * arithmetic dictionary. The text region stays arithmetic either way
     * (the modes are per-segment — mixing is the legal shape that pins
-    * both coders against ONE oracle). Huffman mode requires widths
-    * nondecreasing within each height class (DW ≥ 0, Table B.2's range). */
+    * both coders against ONE oracle).
+    *
+    * `huffSel` = (SDHUFFDH, SDHUFFDW) standard-table selections: (0, 0)
+    * codes DH with Table B.4 and DW with B.2 (DW ≥ 0 — widths must be
+    * nondecreasing within a height class); (1, 1) selects the signed
+    * tables B.5/B.3, whose DW range admits width-DECREASING classes. */
   def encodeEmbeddedSymbols(glyphs: IndexedSeq[Glyph],
                             places: Seq[(Int, Int, Int)],
                             w: Int, h: Int,
                             bottomLeft: Boolean = false,
                             logStrips: Int = 0,
-                            huffDict: Int = -1): Array[Byte] =
+                            huffDict: Int = -1,
+                            huffSel: (Int, Int) = (0, 0)): Array[Byte] =
     encodeSymbolStreams(glyphs, places, w, h, bottomLeft, logStrips,
-      huffDict, splitGlobals = false)._2
+      huffDict, splitGlobals = false, huffSel)._2
 
   /** [[encodeEmbeddedSymbols]] split for the PDF /JBIG2Globals shape
     * (multi-page scanned toolchains share one dictionary across pages):
@@ -1248,7 +1253,8 @@ object Jbig2 {
                                   bottomLeft: Boolean,
                                   logStrips: Int,
                                   huffDict: Int,
-                                  splitGlobals: Boolean): (Array[Byte], Array[Byte]) = {
+                                  splitGlobals: Boolean,
+                                  huffSel: (Int, Int) = (0, 0)): (Array[Byte], Array[Byte]) = {
     require(glyphs.nonEmpty && places.nonEmpty, "need glyphs and placements")
     require((1 until glyphs.size).forall(i => glyphs(i - 1).h <= glyphs(i).h),
       "glyphs must be sorted by height")
@@ -1278,24 +1284,28 @@ object Jbig2 {
       encodeInt(sdEnc, iaex, glyphs.size) // export everything
       sdEnc.flush()
     } else {
+      val (dhSel, dwSel) = huffSel
+      val tDH = if (dhSel == 0) TableB4 else TableB5
+      val tDW = if (dwSel == 0) TableB2 else TableB3
       val wtr = new BitWriter
       var hcHeight = 0
       var gi = 0
       while (gi < glyphs.size) {
         val ch = glyphs(gi).h
-        TableB4.encode(wtr, ch - hcHeight)
+        tDH.encode(wtr, ch - hcHeight)
         hcHeight = ch
         val cls = mutable.ArrayBuffer.empty[Glyph]
         var symWidth = 0
         while (gi < glyphs.size && glyphs(gi).h == ch) {
           val g = glyphs(gi)
-          require(g.w >= symWidth, "huffDict needs nondecreasing widths in a class")
-          TableB2.encode(wtr, g.w - symWidth)
+          require(dwSel == 1 || g.w >= symWidth,
+            "Table B.2 (dwSel 0) needs nondecreasing widths in a class")
+          tDW.encode(wtr, g.w - symWidth)
           symWidth = g.w
           cls += g
           gi += 1
         }
-        TableB2.encode(wtr, HuffOob)
+        tDW.encode(wtr, HuffOob)
         // the class's collective bitmap: glyphs side by side
         val totWidth = cls.map(_.w).sum
         val coll = new Array[Boolean](totWidth * ch)
@@ -1399,9 +1409,9 @@ object Jbig2 {
         u16(0) // flags: arithmetic, template 0, no refinement
         NominalAt.foreach { case (ax, ay) => u8(ax); u8(ay) }
       } else {
-        // SDHUFF=1 (standard-table selections all 0): no AT pixels
+        // SDHUFF=1 with the (DH, DW) standard-table selections: no AT pixels
         header(1, 0, Nil, 10 + sdBody.length, pageAssoc)
-        u16(1)
+        u16(1 | (huffSel._1 << 2) | (huffSel._2 << 4))
       }
       u32(glyphs.size); u32(glyphs.size) // numEx, numNew
       out.write(sdBody)

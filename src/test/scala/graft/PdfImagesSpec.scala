@@ -334,6 +334,43 @@ class PdfImagesSpec extends AnyFunSuite {
     }
   }
 
+  test("JBIG2 Huffman dictionary decodes the signed-table selections (B.5/B.3)") {
+    import graft.ingest.Jbig2
+    // SDHUFFDH/SDHUFFDW selection 1 picks the SIGNED tables — the only
+    // route that admits width-DECREASING height classes (DW < 0, outside
+    // Table B.2's range). Round-trip both selections over random planes,
+    // with class shapes that force negative deltas.
+    val rnd = new scala.util.Random(83)
+    for (trial <- 0 until 6; huffDict <- Seq(0, 1)) {
+      val g1 = Jbig2.Glyph(7, 4, Array.fill(28)(rnd.nextBoolean()))
+      val g2 = Jbig2.Glyph(3, 4, Array.fill(12)(rnd.nextBoolean())) // DW = -4
+      val g3 = Jbig2.Glyph(5, 4, Array.fill(20)(rnd.nextBoolean())) // DW = +2
+      val g4 = Jbig2.Glyph(4, 6, Array.fill(24)(rnd.nextBoolean()))
+      val glyphs = IndexedSeq(g1, g2, g3, g4)
+      val places = Seq((0, 0, 0), (1, 8, 0), (2, 12, 0), (3, 18, 0), (1, 22, 7))
+      val (w, h) = (26, 14)
+      val stream = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+        huffDict = huffDict, huffSel = (1, 1))
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.nonEmpty, s"trial $trial huffDict=$huffDict: refused")
+      val expected = new Array[Boolean](w * h)
+      places.foreach { case (si, x, y) =>
+        val g = glyphs(si)
+        for (yy <- 0 until g.h; xx <- 0 until g.w)
+          if (g.bits(yy * g.w + xx)) expected((y + yy) * w + (x + xx)) = true
+      }
+      assert(out.get.toSeq === expected.toSeq, s"trial $trial huffDict=$huffDict")
+    }
+    // selection-0 encode of a width-decreasing class must refuse at the
+    // encoder (B.2 cannot express DW < 0) rather than emit a wrong stream
+    val bad = IndexedSeq(Jbig2.Glyph(5, 3, Array.fill(15)(true)),
+      Jbig2.Glyph(2, 3, Array.fill(6)(true)))
+    intercept[IllegalArgumentException] {
+      Jbig2.encodeEmbeddedSymbols(bad, Seq((0, 0, 0), (1, 6, 0)), 10, 3,
+        huffDict = 0)
+    }
+  }
+
   test("/JBIG2Globals shared dictionaries resolve through the PDF layer") {
     import graft.ingest.Jbig2
     // the multi-page scanner shape: the symbol dictionary travels in a
