@@ -352,7 +352,20 @@ object Dedup {
     * [[MaxBroadcastPairs]]) — deployments size the broadcast budget to
     * their driver/executor memory without touching pipeline code. */
   def routedPairJoin(pairs: DataFrame, l: DataFrame, r: DataFrame,
-                     maxBroadcastPairs: Long = -1L): DataFrame = {
+                     maxBroadcastPairs: Long = -1L): DataFrame =
+    routedPairJoinReleasable(pairs, l, r, maxBroadcastPairs)._1
+
+  /** [[routedPairJoin]] plus a RELEASE HANDLE for the persisted pair
+    * projection. The lazily-returned join cannot unpersist its own input
+    * before the caller runs it, so the handle-less overload leaves the
+    * MEMORY_AND_DISK blocks to the caller's session (fine for a
+    * run-one-query harness, accumulation in a long-lived engine). Callers
+    * that own their terminal action invoke the handle AFTER it completes
+    * (earlier is safe — the plan recomputes — just wasteful); the blocking
+    * unpersist makes "blocks gone" synchronous, so a session-hygiene gate
+    * (getPersistentRDDs empty) can assert it deterministically. */
+  def routedPairJoinReleasable(pairs: DataFrame, l: DataFrame, r: DataFrame,
+                               maxBroadcastPairs: Long = -1L): (DataFrame, () => Unit) = {
     val limit =
       if (maxBroadcastPairs >= 0) maxBroadcastPairs
       else pairs.sparkSession.conf
@@ -362,14 +375,16 @@ object Dedup {
         col("id_b").cast("long").as("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = p.count()
-    if (n <= limit)
-      l.join(broadcast(p), Seq("id_a")).join(r, Seq("id_b"))
-    else
-      // shuffle_hash on the pair side: both joins repartition by their key
-      // and hash-build the (smaller) pair partitions — no sort of the
-      // payload side, no size-estimate gamble on a broadcast.
-      l.join(p.hint("shuffle_hash"), Seq("id_a"))
-        .join(r, Seq("id_b"))
+    val joined =
+      if (n <= limit)
+        l.join(broadcast(p), Seq("id_a")).join(r, Seq("id_b"))
+      else
+        // shuffle_hash on the pair side: both joins repartition by their key
+        // and hash-build the (smaller) pair partitions — no sort of the
+        // payload side, no size-estimate gamble on a broadcast.
+        l.join(p.hint("shuffle_hash"), Seq("id_a"))
+          .join(r, Seq("id_b"))
+    (joined, () => { p.unpersist(blocking = true); () })
   }
 
   /** Semi-join a payload side down to the ids a candidate pair list
@@ -382,7 +397,15 @@ object Dedup {
     * crawl's candidate explosion reaches the id set too). `ids` is
     * persisted for the count; caller's session releases the blocks. */
   def routedSemiJoin(payload: DataFrame, ids: DataFrame, idCol: String,
-                     maxBroadcastPairs: Long = -1L): DataFrame = {
+                     maxBroadcastPairs: Long = -1L): DataFrame =
+    routedSemiJoinReleasable(payload, ids, idCol, maxBroadcastPairs)._1
+
+  /** [[routedSemiJoin]] plus a release handle for the persisted id set —
+    * same contract as [[routedPairJoinReleasable]]. Per-micro-batch callers
+    * (the streaming dedup twin) MUST use this form: one leaked cached id
+    * block per batch accumulates for the stream's lifetime. */
+  def routedSemiJoinReleasable(payload: DataFrame, ids: DataFrame, idCol: String,
+                               maxBroadcastPairs: Long = -1L): (DataFrame, () => Unit) = {
     val limit = 2 * (
       if (maxBroadcastPairs >= 0) maxBroadcastPairs
       else ids.sparkSession.conf
@@ -390,25 +413,59 @@ object Dedup {
         .toLong)
     val p = ids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = p.count()
-    if (n <= limit) payload.join(broadcast(p), Seq(idCol), "left_semi")
-    else payload.join(p.hint("shuffle_hash"), Seq(idCol), "left_semi")
+    val joined =
+      if (n <= limit) payload.join(broadcast(p), Seq(idCol), "left_semi")
+      else payload.join(p.hint("shuffle_hash"), Seq(idCol), "left_semi")
+    (joined, () => { p.unpersist(blocking = true); () })
   }
+
+  /** 64-bit-hashed twin of a shingle array column: per-element xxhash64,
+    * computed row-side BEFORE a join carries the set. Jaccard / containment
+    * over the hashed sets equals the string-set value unless two DISTINCT
+    * shingles collide in 64 bits (~n²/2⁶⁵ per document pair — at 10⁴
+    * shingles a doc that is ~10⁻¹²; even one collision moves the ratio by
+    * ~1/n, below the 4-decimal rounding the verify emits). The payload a
+    * verify join exchanges shrinks from k words × avg word length per
+    * shingle (~40 B for 5-grams) to 8 B — measured ~6× less shuffle and an
+    * order less spill on the 100× adversarial d_delta_dedup run (PERF.md
+    * r12). xxhash64 evaluates per element inside the transform lambda —
+    * one O(len) hash per shingle, linear per row (the O(n²) lambda-inlining
+    * trap [[wordShingles]] documents needs a sliced ALIAS, not a
+    * per-element function). */
+  def hashedShingles(shinglesCol: String): Column =
+    transform(col(shinglesCol), s => xxhash64(s))
 
   /** exact Jaccard evaluated ONLY on given (id_a, id_b) pairs — the verify
     * stage after LSH blocking. Per pair this is one array_intersect over the
     * two (distinct) shingle arrays: no posting self-join, no quadratic
     * blowup. The pair list joins via [[routedPairJoin]]: broadcast below
-    * [[MaxBroadcastPairs]] candidates, shuffle join above. */
+    * [[MaxBroadcastPairs]] candidates, shuffle join above. The carried
+    * payload is [[hashedShingles]] longs, not the shingle strings — set
+    * sizes and intersections (hence the emitted jaccard) are unchanged up
+    * to 64-bit collisions (contract documented there), and the verify
+    * exchange narrows ~5-6×. */
   def jaccardOnPairs(pairs: DataFrame, df: DataFrame, idCol: String,
                      shinglesCol: String,
-                     maxBroadcastPairs: Long = -1L): DataFrame = {
-    val l = df.select(col(idCol).cast("long").as("id_a"), col(shinglesCol).as("_shs_a"))
-    val r = df.select(col(idCol).cast("long").as("id_b"), col(shinglesCol).as("_shs_b"))
-    routedPairJoin(pairs, l, r, maxBroadcastPairs)
+                     maxBroadcastPairs: Long = -1L): DataFrame =
+    jaccardOnPairsReleasable(pairs, df, idCol, shinglesCol, maxBroadcastPairs)._1
+
+  /** [[jaccardOnPairs]] plus the routed join's release handle
+    * ([[routedPairJoinReleasable]]) — for callers that own their terminal
+    * action, e.g. the per-micro-batch verify in the streaming dedup twin. */
+  def jaccardOnPairsReleasable(pairs: DataFrame, df: DataFrame, idCol: String,
+                               shinglesCol: String,
+                               maxBroadcastPairs: Long = -1L): (DataFrame, () => Unit) = {
+    val l = df.select(col(idCol).cast("long").as("id_a"),
+      hashedShingles(shinglesCol).as("_shs_a"))
+    val r = df.select(col(idCol).cast("long").as("id_b"),
+      hashedShingles(shinglesCol).as("_shs_b"))
+    val (joined, release) = routedPairJoinReleasable(pairs, l, r, maxBroadcastPairs)
+    val out = joined
       .withColumn("_inter", size(array_intersect(col("_shs_a"), col("_shs_b"))))
       .withColumn("jaccard", round(col("_inter") /
         (size(col("_shs_a")) + size(col("_shs_b")) - col("_inter")), 4))
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (out, release)
   }
 
   /** SimHash over a words-array column: distinct words hashed (portable

@@ -748,8 +748,13 @@ object DedupQueries {
           .withColumn("sig", Dedup.minhashSignature("hs", 16))
         val cand = Dedup.lshCandidatePairs(
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
-        val l = corpus.select(col("doc_id").cast("long").as("id_a"), col("shs").as("_a"))
-        val r = corpus.select(col("doc_id").cast("long").as("id_b"), col("shs").as("_b"))
+        // both containment denominators are SET SIZES — carry the hashed
+        // shingle twin (Dedup.hashedShingles' collision contract) so the
+        // verify exchange moves 8-byte elements, not 5-gram strings
+        val l = corpus.select(col("doc_id").cast("long").as("id_a"),
+          Dedup.hashedShingles("shs").as("_a"))
+        val r = corpus.select(col("doc_id").cast("long").as("id_b"),
+          Dedup.hashedShingles("shs").as("_b"))
         Dedup.routedPairJoin(cand, l, r)
           .withColumn("_inter", size(array_intersect(col("_a"), col("_b"))))
           .select(col("id_a"), col("id_b"),

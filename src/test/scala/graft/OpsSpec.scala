@@ -354,6 +354,59 @@ class OpsSpec extends AnyFunSuite {
     assert(viaBroadcast.nonEmpty)
   }
 
+  test("jaccardOnPairs over hashed shingles equals the exact string-set value") {
+    // the verify leg carries xxhash64(shingle) longs, not the strings — the
+    // emitted jaccard must equal the exact set computation on the strings
+    // (the DuckDB oracle's semantics) on every pair, including skewed set
+    // sizes and empty intersections
+    val raw = Seq(
+      (1L, Seq("a b c d e", "b c d e f", "c d e f g")),
+      (2L, Seq("a b c d e", "b c d e f", "x y z w v")),
+      (3L, Seq("p q r s t")),
+      (4L, Seq("a b c d e", "b c d e f", "c d e f g", "d e f g h",
+               "e f g h i", "f g h i j")),
+      (5L, Seq("entirely disjoint from one", "and from two as well", "third gram here")))
+    val docs = raw.toDF("doc_id", "shs")
+    val pairs = (for (a <- raw.map(_._1); b <- raw.map(_._1); if a < b)
+      yield (a, b)).toDF("id_a", "id_b")
+    val got = Dedup.jaccardOnPairs(pairs, docs, "doc_id", "shs")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sets = raw.map { case (id, shs) => id -> shs.toSet }.toMap
+    for (((a, b), j) <- got) {
+      val inter = sets(a).intersect(sets(b)).size
+      val expect = BigDecimal(inter.toDouble / (sets(a).size + sets(b).size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j === expect, s"pair ($a,$b)")
+    }
+    assert(got.size === pairs.count())
+  }
+
+  test("routed-join release handles leave no persisted blocks, both routes") {
+    // the releasable variants exist for long-lived sessions: after the
+    // caller's terminal action + release(), the session must hold NO cached
+    // blocks from the routed join (getPersistentRDDs back to baseline) —
+    // on the broadcast route AND the shuffle route of all three entry points
+    val docs = (0 until 30).map(i =>
+      (i.toLong, (0 until 8).map(j => s"sh_${(i % 3)}_$j"))).toDF("doc_id", "shs")
+    val pairs = (for (a <- 0 until 30; b <- a + 1 until 30; if a % 3 == b % 3)
+      yield (a.toLong, b.toLong)).toDF("id_a", "id_b")
+    val ids = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    for (limit <- Seq(-1L, 0L)) { // -1 → conf default (broadcast), 0 → shuffle
+      val (verified, relPairs) =
+        Dedup.jaccardOnPairsReleasable(pairs, docs, "doc_id", "shs", limit)
+      assert(verified.count() > 0)
+      relPairs()
+      val (semi, relIds) =
+        Dedup.routedSemiJoinReleasable(docs, ids, "doc_id", limit)
+      assert(semi.count() > 0)
+      relIds()
+      assert(spark.sparkContext.getPersistentRDDs.keySet === baseline,
+        s"persisted blocks leaked at maxBroadcastPairs=$limit")
+    }
+  }
+
   test("dhash: constant image hashes to 0, monotone gradient to all-ones") {
     def bmp(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
       val stride = ((3 * w + 3) / 4) * 4

@@ -210,6 +210,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats.maxStateRows === 7L, "index should hold exactly the signed docs")
   }
 
+  test("streaming dedup result dirs stay bounded: re-run deletes predecessor") {
+    // the returned pair scan lives in a JVM-lifetime dir; re-running the
+    // SAME query must claim the name and delete the previous run's dir, so
+    // a long-lived engine session's disk is bounded by live queries, not by
+    // invocation count. Contract: the first run's handle is dead once its
+    // producer re-runs.
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val corpus = Seq(
+      (0L, base), (1L, "unrelated filler text with enough words to shingle into five gram windows fine"),
+      (10L, base + " tail"), // near-dup of 0, later batch
+      (11L, "second filler document also long enough for shingles to exist in it okay")
+    ).toDF("doc_id", "text")
+    val first = StreamingIngest.incrementalDedupAvailableNow(spark, corpus, 0.5, 2)
+    assert(first.count() > 0, "fixture must emit pairs so a result dir is claimed")
+    val dir1 = StreamingIngest.currentResultDir("stream_delta")
+      .getOrElse(fail("no result dir claimed by first run"))
+    assert(java.nio.file.Files.exists(dir1))
+    val second = StreamingIngest.incrementalDedupAvailableNow(spark, corpus, 0.5, 2)
+    assert(second.count() > 0)
+    val dir2 = StreamingIngest.currentResultDir("stream_delta")
+      .getOrElse(fail("no result dir claimed by second run"))
+    assert(dir2 !== dir1)
+    assert(!java.nio.file.Files.exists(dir1), "predecessor result dir must be deleted")
+    assert(java.nio.file.Files.exists(dir2))
+  }
+
   test("streaming HLL sketch equals the batch sketch; state stays bounded") {
     import graft.ops.Sketches
     val corpus = (0 until 900).map(i => (i.toLong, s"stream text ${i % 333}"))
