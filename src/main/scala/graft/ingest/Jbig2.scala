@@ -555,6 +555,10 @@ object Jbig2 {
     * column printed in the standard (pinned by PdfImagesSpec). */
   private[graft] final class HuffTable(val lines: IndexedSeq[HuffLine],
                                        oobPrefLen: Int) {
+    /** whether the table carries an OOB code (custom DW tables must) */
+    private[graft] val hasOob: Boolean = oobPrefLen > 0
+    /** the OOB code's prefix length (0 = none) — serialization needs it */
+    private[graft] val oobLen: Int = oobPrefLen
     // canonical assignment over lines ++ the OOB pseudo-line (printed last
     // among its length's codes in every standard table that has one)
     private val prefLens: Array[Int] =
@@ -576,6 +580,15 @@ object Jbig2 {
       assigned
     }
     private val maxLen = prefLens.max
+
+    /** every used line's canonical code fits in its own prefix length —
+      * false means the length multiset violates Kraft (a malformed custom
+      * table): the overflowed lines would be undecodable dead weight, so
+      * the table parser refuses such streams up front instead of failing
+      * line-by-line at decode time */
+    private[graft] val wellFormed: Boolean =
+      prefLens.indices.forall(i =>
+        prefLens(i) == 0 || codes(i) < (1 << prefLens(i)))
 
     /** read one value (or [[HuffOob]]) off the bit stream */
     def decode(r: BitReader): Long = {
@@ -608,10 +621,12 @@ object Jbig2 {
       var i = 0
       while (i < lines.length) {
         val l = lines(i)
-        val hit =
+        // prefLen 0 marks an UNUSED line (§B.2 custom tables): no code is
+        // assigned, so a value landing only there is unencodable
+        val hit = l.prefLen > 0 && (
           if (l.lower) v <= l.rangeLow
           else if (l.rangeLen == 32) v >= l.rangeLow
-          else v >= l.rangeLow && v < l.rangeLow + (1L << l.rangeLen)
+          else v >= l.rangeLow && v < l.rangeLow + (1L << l.rangeLen))
         if (hit) {
           w.bits(codes(i).toLong, l.prefLen)
           w.bits(if (l.lower) l.rangeLow - v else v - l.rangeLow, l.rangeLen)
@@ -646,6 +661,123 @@ object Jbig2 {
     HuffLine(3, 0, 3), HuffLine(4, 3, 4), HuffLine(5, 6, 12),
     HuffLine(7, 32, -256, lower = true), HuffLine(6, 32, 76)), 0)
 
+  // --------------------------------------- custom Huffman tables (§B.2) --
+
+  /** Parse a code table segment body (§7.4.13 / §B.2) into a [[HuffTable]].
+    * Custom tables are SELF-DESCRIBING — flags byte (HTOOB, HTPS−1,
+    * HTRS−1), HTLOW/HTHIGH 32-bit signed bounds, then per-range-line
+    * (PREFLEN, RANGELEN) fields, the lower/upper open-range PREFLENs, and
+    * the OOB PREFLEN when HTOOB=1 — so unlike the SBHUFF standard tables
+    * B.6–B.13 (whose constants are NOT carried in the stream) they are
+    * implementable and verifiable without memorized tables. PREFLEN 0
+    * marks an unused line. Refuses malformed shapes: reserved flag bit,
+    * inverted bounds, RANGELEN > 32, a Kraft-violating length multiset
+    * (overflowed canonical codes), or a table with no used line. */
+  private[graft] def parseCodeTable(body: Array[Byte]): Option[HuffTable] =
+    try {
+      if (body.length < 9) return None
+      val fl = body(0) & 0xFF
+      if ((fl & 0x80) != 0) return None // reserved bit 7 must be 0
+      val htOob = (fl & 1) != 0
+      val htps = ((fl >> 1) & 7) + 1
+      val htrs = ((fl >> 4) & 7) + 1
+      def s32(o: Int): Int = ((body(o) & 0xFF) << 24) |
+        ((body(o + 1) & 0xFF) << 16) | ((body(o + 2) & 0xFF) << 8) |
+        (body(o + 3) & 0xFF)
+      val htLow = s32(1).toLong
+      val htHigh = s32(5).toLong
+      if (htHigh <= htLow) return None
+      val r = new BitReader(java.util.Arrays.copyOfRange(body, 9, body.length))
+      val rangeLines = mutable.ArrayBuffer.empty[HuffLine]
+      var cur = htLow
+      while (cur < htHigh) {
+        if (rangeLines.size >= 4096) return None // adversarial line bound
+        val prefLen = r.bits(htps).toInt
+        val rangeLen = r.bits(htrs).toInt
+        if (rangeLen > 32) return None
+        rangeLines += HuffLine(prefLen, rangeLen, cur)
+        cur += (1L << rangeLen)
+      }
+      val lowerPref = r.bits(htps).toInt
+      val upperPref = r.bits(htps).toInt
+      val oobPref = if (htOob) r.bits(htps).toInt else 0
+      val lines = rangeLines.toIndexedSeq :+
+        HuffLine(lowerPref, 32, htLow - 1, lower = true) :+
+        HuffLine(upperPref, 32, htHigh)
+      if (!lines.exists(_.prefLen > 0) && oobPref == 0) return None
+      val t = new HuffTable(lines, oobPref)
+      if (!t.wellFormed) return None
+      Some(t)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Serialize a custom table to a §7.4.13 code table segment body — the
+    * encoder mirror of [[parseCodeTable]] (HTPS=4 / HTRS=6 fixed: wide
+    * enough for any prefix length ≤ 15 and range length ≤ 32 this encoder
+    * builds). `lines` must end with the lower then upper open-range lines,
+    * contiguous range lines before them starting at the lowest value. */
+  private[graft] def encodeCodeTable(t: HuffTable): Array[Byte] = {
+    val oobPrefLen = t.oobLen
+    val rangeLines = t.lines.dropRight(2)
+    val lower = t.lines(t.lines.length - 2)
+    val upper = t.lines.last
+    require(lower.lower && !upper.lower, "line order: ranges, lower, upper")
+    val htLow = lower.rangeLow + 1
+    val htHigh = upper.rangeLow
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((if (oobPrefLen > 0) 1 else 0) | ((4 - 1) << 1) | ((6 - 1) << 4))
+    def s32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    s32(htLow); s32(htHigh)
+    val w = new BitWriter
+    rangeLines.foreach { l =>
+      w.bits(l.prefLen.toLong, 4); w.bits(l.rangeLen.toLong, 6)
+    }
+    w.bits(lower.prefLen.toLong, 4)
+    w.bits(upper.prefLen.toLong, 4)
+    if (oobPrefLen > 0) w.bits(oobPrefLen.toLong, 4)
+    out.write(w.result())
+    out.toByteArray
+  }
+
+  /** Build a compact custom table covering [lo, hi] (inclusive): the span
+    * splits into at most two range lines (prefix lengths 1, 2), the open
+    * lower/upper ranges and OOB take the tail lengths — a Kraft-complete
+    * assignment in every arm. The TABLE is what's under test (it travels
+    * in the stream via [[encodeCodeTable]] and is rebuilt by
+    * [[parseCodeTable]]); compactness, not optimality, is the point. */
+  private[graft] def buildCustomTable(lo: Long, hi: Long,
+                                      oob: Boolean): HuffTable = {
+    require(hi >= lo, s"empty custom-table range [$lo, $hi]")
+    val span = hi - lo + 1
+    def bitsFor(n: Long): Int = { // smallest k with 2^k >= n
+      var k = 0
+      while ((1L << k) < n) k += 1
+      k
+    }
+    // Kraft-complete length sets (verified by wellFormed below):
+    //   1 range line:  {1, 2, 2}        or with OOB {1, 2, 3, 3}
+    //   2 range lines: {1, 2, 3, 3}     or with OOB {1, 2, 3, 4, 4}
+    val lines =
+      if (span == 1)
+        IndexedSeq(HuffLine(1, 0, lo),
+          HuffLine(2, 32, lo - 1, lower = true),
+          HuffLine(if (oob) 3 else 2, 32, hi + 1))
+      else {
+        val k1 = bitsFor((span + 1) / 2) // 2^k1 < span for every span >= 2
+        val rest = span - (1L << k1)
+        val k2 = bitsFor(math.max(1L, rest))
+        IndexedSeq(HuffLine(1, k1, lo), HuffLine(2, k2, lo + (1L << k1)),
+          HuffLine(3, 32, lo - 1, lower = true),
+          HuffLine(if (oob) 4 else 3, 32, hi + 1))
+      }
+    val oobPref = if (!oob) 0 else if (span == 1) 3 else 4
+    val t = new HuffTable(lines, oobPref)
+    assert(t.wellFormed, s"custom table [$lo, $hi] oob=$oob not Kraft-complete")
+    t
+  }
+
   // ----------------------------- symbol dictionary + text region (§6.5/§6.4) --
 
   /** one dictionary symbol: a w×h bilevel glyph */
@@ -658,16 +790,28 @@ object Jbig2 {
     * of an already-decoded one, §6.5.8.2 — the shape refining encoders
     * emit); REFAGGNINST>1 (text-region recursion), custom Huffman tables,
     * and SDHUFF+SDREFAGG refuse. `inputSyms` = concatenated exports of the
-    * referred-to dictionaries, in referred order. */
+    * referred-to dictionaries, in referred order; `inputTables` = the
+    * referred-to CUSTOM TABLES (§7.4.13 code table segments) in referred
+    * order, consumed by the SDHUFF selections in the §7.4.3.1.6 order
+    * (DH, DW, BMSIZE). */
   private[graft] def decodeSymbolDict(body: Array[Byte],
-                                      inputSyms: Seq[Glyph]): Option[Seq[Glyph]] = {
-    if (body.length < 2 + 8 + 8) return None
+                                      inputSyms: Seq[Glyph],
+                                      inputTables: Seq[HuffTable] = Seq.empty): Option[Seq[Glyph]] = {
+    // the minimum-length gate is FLAG-DEPENDENT: an SDHUFF=1 header carries
+    // no AT pixels (flags + numEx + numNew = 10 bytes is legal), so check
+    // the flags before requiring the arithmetic path's 8 AT bytes — a gate
+    // of 18 up front refused legal tiny Huffman dictionaries
+    if (body.length < 2) return None
     val flags = ((body(0) & 0xFF) << 8) | (body(1) & 0xFF)
     val sdhuff = (flags & 1) != 0
     val sdrefagg = (flags & 2) != 0
     val template = (flags >> 10) & 3
     val rTemplate = (flags >> 12) & 1
-    if (sdhuff) return decodeSymbolDictHuff(body, flags, inputSyms)
+    if (sdhuff) {
+      if (body.length < 2 + 8) return None
+      return decodeSymbolDictHuff(body, flags, inputSyms, inputTables)
+    }
+    if (body.length < 2 + 8 + 8) return None
     if (template != 0) return None
     val at = Array.tabulate(4)(i => (body(2 + 2 * i).toInt, body(3 + 2 * i).toInt))
     // §7.4.3.1.2 field order: GB AT (template 0), then — when SDREFAGG=1
@@ -780,20 +924,38 @@ object Jbig2 {
     * 0 = stored uncompressed with byte-aligned rows, else MMR-coded over
     * exactly BMSIZE bytes — [[CcittG4]], the same delegation MMR generic
     * regions use) from which the symbols are cut by width. Export runs via
-    * B.1. Custom tables (selection 3 / the custom-BMSIZE flag), reserved
-    * selections, retained contexts, and SDHUFF+SDREFAGG refuse. */
+    * B.1. CUSTOM tables (selection 3 for DH/DW, the custom-BMSIZE flag)
+    * resolve against `inputTables` — the referred code table segments in
+    * referred order, consumed DH → DW → BMSIZE (§7.4.3.1.6); a custom DW
+    * table without OOB cannot terminate a height class and refuses.
+    * Reserved selections, retained contexts, custom AGGINST, and
+    * SDHUFF+SDREFAGG refuse. */
   private def decodeSymbolDictHuff(body: Array[Byte], flags: Int,
-                                   inputSyms: Seq[Glyph]): Option[Seq[Glyph]] =
+                                   inputSyms: Seq[Glyph],
+                                   inputTables: Seq[HuffTable]): Option[Seq[Glyph]] =
     try {
       if ((flags & 2) != 0) return None // SDHUFF+SDREFAGG out of subset
-      if (((flags >> 6) & 3) != 0) return None // custom BMSIZE/AGGINST tables
+      if (((flags >> 7) & 1) != 0) return None // custom AGGINST (needs SDREFAGG anyway)
       if (((flags >> 8) & 3) != 0) return None // contexts used/retained: arith-only
+      var tblIdx = 0
+      def nextTable(): Option[HuffTable] =
+        if (tblIdx < inputTables.size) {
+          val t = inputTables(tblIdx); tblIdx += 1; Some(t)
+        } else None
       val tDH = ((flags >> 2) & 3) match {
-        case 0 => TableB4; case 1 => TableB5; case _ => return None
+        case 0 => TableB4; case 1 => TableB5
+        case 3 => nextTable().getOrElse(return None)
+        case _ => return None
       }
       val tDW = ((flags >> 4) & 3) match {
-        case 0 => TableB2; case 1 => TableB3; case _ => return None
+        case 0 => TableB2; case 1 => TableB3
+        case 3 => nextTable().getOrElse(return None)
+        case _ => return None
       }
+      if (!tDW.hasOob) return None // DW table MUST code OOB (class terminator)
+      val tBm =
+        if (((flags >> 6) & 1) != 0) nextTable().getOrElse(return None)
+        else TableB1
       // SDHUFF=1 headers carry no AT pixels: numEx/numNew follow the flags
       def be32(o: Int): Long = (((body(o) & 0xFFL) << 24) |
         ((body(o + 1) & 0xFF) << 16) | ((body(o + 2) & 0xFF) << 8) |
@@ -834,7 +996,7 @@ object Jbig2 {
           }
         }
         if (widths.isEmpty) return None // §6.5.5: no empty height classes
-        val bmSize = TableB1.decode(r)
+        val bmSize = tBm.decode(r)
         if (bmSize < 0 || bmSize > r.data.length) return None
         val coll: Array[Boolean] =
           if (bmSize == 0L) {
@@ -1041,6 +1203,8 @@ object Jbig2 {
       // exported symbols by symbol-dictionary segment number — text regions
       // assemble their SBSYMS from their referred-to dictionaries in order
       val dicts = mutable.Map.empty[Long, Seq[Glyph]]
+      // parsed custom Huffman tables by code-table segment number (§7.4.13)
+      val tables = mutable.Map.empty[Long, HuffTable]
       var p = 0
       def u8(): Int = { val v = data(p) & 0xFF; p += 1; v }
       def u16(): Int = (u8() << 8) | u8()
@@ -1090,9 +1254,15 @@ object Jbig2 {
             if (pw != 0 && pw != w) return None
           case 0 => // symbol dictionary
             val inputSyms = referred.flatMap(r => dicts.getOrElse(r, Seq.empty))
+            // referred CODE TABLES in referred order (dictionary and table
+            // refs interleave freely; each map only resolves its own kind)
+            val inputTables = referred.flatMap(tables.get)
             val body = java.util.Arrays.copyOfRange(data, segStart, segEnd)
-            dicts(segNum) = decodeSymbolDict(body, inputSyms)
+            dicts(segNum) = decodeSymbolDict(body, inputSyms, inputTables)
               .getOrElse(return None)
+          case 53 => // code table segment (§7.4.13): custom Huffman table
+            val body = java.util.Arrays.copyOfRange(data, segStart, segEnd)
+            tables(segNum) = parseCodeTable(body).getOrElse(return None)
           case 4 | 6 | 7 => // text region (immediate / lossless)
             if (!need(17 + 6)) return None
             def be32(o: Int): Int = ((data(o) & 0xFF) << 24) |
@@ -1158,7 +1328,7 @@ object Jbig2 {
             }
             sawRegion = true
           case 49 | 50 | 51 | 62 => () // end-of-page/stripe/file, extension: skip
-          case _ => return None // halftone/refinement/huffman-table: refuse
+          case _ => return None // halftone/refinement region: refuse
         }
         p = segEnd
       }
@@ -1223,16 +1393,21 @@ object Jbig2 {
     * `huffSel` = (SDHUFFDH, SDHUFFDW) standard-table selections: (0, 0)
     * codes DH with Table B.4 and DW with B.2 (DW ≥ 0 — widths must be
     * nondecreasing within a height class); (1, 1) selects the signed
-    * tables B.5/B.3, whose DW range admits width-DECREASING classes. */
+    * tables B.5/B.3, whose DW range admits width-DECREASING classes.
+    * `customTables = true` (requires `huffDict >= 0`) instead BUILDS
+    * per-stream DH/DW/BMSIZE tables from the dictionary's value sets,
+    * carries them as §7.4.13 code table segments, and selects them with
+    * SDHUFFDH/DW=3 + the custom-BMSIZE flag. */
   def encodeEmbeddedSymbols(glyphs: IndexedSeq[Glyph],
                             places: Seq[(Int, Int, Int)],
                             w: Int, h: Int,
                             bottomLeft: Boolean = false,
                             logStrips: Int = 0,
                             huffDict: Int = -1,
-                            huffSel: (Int, Int) = (0, 0)): Array[Byte] =
+                            huffSel: (Int, Int) = (0, 0),
+                            customTables: Boolean = false): Array[Byte] =
     encodeSymbolStreams(glyphs, places, w, h, bottomLeft, logStrips,
-      huffDict, splitGlobals = false, huffSel)._2
+      huffDict, splitGlobals = false, huffSel, customTables)._2
 
   /** [[encodeEmbeddedSymbols]] split for the PDF /JBIG2Globals shape
     * (multi-page scanned toolchains share one dictionary across pages):
@@ -1254,10 +1429,18 @@ object Jbig2 {
                                   logStrips: Int,
                                   huffDict: Int,
                                   splitGlobals: Boolean,
-                                  huffSel: (Int, Int) = (0, 0)): (Array[Byte], Array[Byte]) = {
+                                  huffSel: (Int, Int) = (0, 0),
+                                  customTables: Boolean = false): (Array[Byte], Array[Byte]) = {
     require(glyphs.nonEmpty && places.nonEmpty, "need glyphs and placements")
     require((1 until glyphs.size).forall(i => glyphs(i - 1).h <= glyphs(i).h),
       "glyphs must be sorted by height")
+    require(!customTables || huffDict >= 0, "custom tables need SDHUFF=1")
+    // custom-table mode: the DH/DW/BMSIZE coding tables are BUILT from the
+    // dictionary's actual value sets (a pre-pass below collects them),
+    // serialized as §7.4.13 code table segments, and selected with
+    // SDHUFFDH/DW=3 + the custom-BMSIZE flag — the self-describing shape
+    // real encoders emit when the standard tables fit their data poorly
+    var customSegs: IndexedSeq[Array[Byte]] = IndexedSeq.empty
     // ---- symbol dictionary body ----
     val sdBody: Array[Byte] = if (huffDict < 0) {
       val sdEnc = new MqEncoder
@@ -1284,29 +1467,26 @@ object Jbig2 {
       encodeInt(sdEnc, iaex, glyphs.size) // export everything
       sdEnc.flush()
     } else {
-      val (dhSel, dwSel) = huffSel
-      val tDH = if (dhSel == 0) TableB4 else TableB5
-      val tDW = if (dwSel == 0) TableB2 else TableB3
-      val wtr = new BitWriter
-      var hcHeight = 0
-      var gi = 0
-      while (gi < glyphs.size) {
-        val ch = glyphs(gi).h
-        tDH.encode(wtr, ch - hcHeight)
-        hcHeight = ch
+      // pre-pass: height classes, their collective bitmaps (MMR-coded up
+      // front when huffDict=1 — BMSIZE values must exist BEFORE a custom
+      // BMSIZE table can be built), and the DH/DW value sets
+      final case class HClass(dh: Int, dws: Seq[Long], totWidth: Int,
+                              coll: Array[Boolean], mmr: Option[Array[Byte]])
+      val hclasses = mutable.ArrayBuffer.empty[HClass]
+      var hcHeight0 = 0
+      var gi0 = 0
+      while (gi0 < glyphs.size) {
+        val ch = glyphs(gi0).h
         val cls = mutable.ArrayBuffer.empty[Glyph]
+        val dws = mutable.ArrayBuffer.empty[Long]
         var symWidth = 0
-        while (gi < glyphs.size && glyphs(gi).h == ch) {
-          val g = glyphs(gi)
-          require(dwSel == 1 || g.w >= symWidth,
-            "Table B.2 (dwSel 0) needs nondecreasing widths in a class")
-          tDW.encode(wtr, g.w - symWidth)
+        while (gi0 < glyphs.size && glyphs(gi0).h == ch) {
+          val g = glyphs(gi0)
+          dws += (g.w - symWidth).toLong
           symWidth = g.w
           cls += g
-          gi += 1
+          gi0 += 1
         }
-        tDW.encode(wtr, HuffOob)
-        // the class's collective bitmap: glyphs side by side
         val totWidth = cls.map(_.w).sum
         val coll = new Array[Boolean](totWidth * ch)
         var x0 = 0
@@ -1319,24 +1499,55 @@ object Jbig2 {
           }
           x0 += g.w
         }
-        if (huffDict == 0) {
-          TableB1.encode(wtr, 0) // BMSIZE=0: uncompressed, byte-padded rows
-          wtr.align()
-          var y = 0
-          while (y < ch) {
-            var x = 0
-            while (x < totWidth) { wtr.bit(if (coll(y * totWidth + x)) 1 else 0); x += 1 }
-            wtr.align()
-            y += 1
-          }
+        val mmr = if (huffDict == 0) None
+                  else Some(CcittG4.encode(coll, totWidth, ch))
+        hclasses += HClass(ch - hcHeight0, dws.toSeq, totWidth, coll, mmr)
+        hcHeight0 = ch
+      }
+      val (tDH, tDW, tBm) =
+        if (customTables) {
+          val dhVals = hclasses.map(_.dh.toLong)
+          val dwVals = hclasses.flatMap(_.dws)
+          val bmVals = hclasses.map(_.mmr.map(_.length.toLong).getOrElse(0L))
+          val dh = buildCustomTable(dhVals.min, dhVals.max, oob = false)
+          val dw = buildCustomTable(dwVals.min, dwVals.max, oob = true)
+          val bm = buildCustomTable(bmVals.min, bmVals.max, oob = false)
+          customSegs = IndexedSeq(
+            encodeCodeTable(dh), encodeCodeTable(dw), encodeCodeTable(bm))
+          (dh, dw, bm)
         } else {
-          val mmr = CcittG4.encode(coll, totWidth, ch)
-          TableB1.encode(wtr, mmr.length)
-          wtr.align()
-          wtr.bytes(mmr)
+          val (dhSel, dwSel) = huffSel
+          hclasses.foreach(c => require(dwSel == 1 || c.dws.forall(_ >= 0),
+            "Table B.2 (dwSel 0) needs nondecreasing widths in a class"))
+          (if (dhSel == 0) TableB4 else TableB5,
+           if (dwSel == 0) TableB2 else TableB3, TableB1)
+        }
+      val wtr = new BitWriter
+      hclasses.foreach { c =>
+        tDH.encode(wtr, c.dh)
+        c.dws.foreach(dw => tDW.encode(wtr, dw))
+        tDW.encode(wtr, HuffOob)
+        c.mmr match {
+          case None =>
+            tBm.encode(wtr, 0) // BMSIZE=0: uncompressed, byte-padded rows
+            wtr.align()
+            val ch = c.coll.length / c.totWidth
+            var y = 0
+            while (y < ch) {
+              var x = 0
+              while (x < c.totWidth) {
+                wtr.bit(if (c.coll(y * c.totWidth + x)) 1 else 0); x += 1
+              }
+              wtr.align()
+              y += 1
+            }
+          case Some(mmr) =>
+            tBm.encode(wtr, mmr.length)
+            wtr.align()
+            wtr.bytes(mmr)
         }
       }
-      TableB1.encode(wtr, 0) // zero-length not-exported run
+      TableB1.encode(wtr, 0) // zero-length not-exported run (EX: always B.1)
       TableB1.encode(wtr, glyphs.size)
       wtr.result()
     }
@@ -1399,18 +1610,35 @@ object Jbig2 {
       header(0, 48, Nil, 19, 1) // page info
       u32(w); u32(h); u32(0); u32(0); u8(0); u16(0)
     }
+    // custom-table mode renumbers: tables 1-3 (type 53), dictionary 4
+    // (referring to them in §7.4.3.1.6 consumption order), text region 5 —
+    // the standard-table layout keeps its historical 1/2 numbering so
+    // existing golden fixtures stay byte-stable
+    val dictNum = if (customTables) 4 else 1
     // globals-eligible dictionary: page association 0 when routed
     // out-of-band (ISO 32000 §7.4.7 / T.88 §7.3.3: globals segments have
     // no page), 1 when inline — the body is identical
+    def tableSegs(pageAssoc: Int): Array[Byte] = segment { out =>
+      val (_, _, _, header) = writers(out)
+      customSegs.zipWithIndex.foreach { case (body, i) =>
+        header(i + 1, 53, Nil, body.length, pageAssoc)
+        out.write(body)
+      }
+    }
     def dictSeg(pageAssoc: Int): Array[Byte] = segment { out =>
       val (u8, u16, u32, header) = writers(out)
       if (huffDict < 0) {
-        header(1, 0, Nil, 18 + sdBody.length, pageAssoc) // arithmetic
+        header(dictNum, 0, Nil, 18 + sdBody.length, pageAssoc) // arithmetic
         u16(0) // flags: arithmetic, template 0, no refinement
         NominalAt.foreach { case (ax, ay) => u8(ax); u8(ay) }
+      } else if (customTables) {
+        // SDHUFF=1 with DH/DW selection 3 + custom BMSIZE, resolved
+        // against the three referred code table segments
+        header(dictNum, 0, Seq(1, 2, 3), 10 + sdBody.length, pageAssoc)
+        u16(1 | (3 << 2) | (3 << 4) | (1 << 6))
       } else {
         // SDHUFF=1 with the (DH, DW) standard-table selections: no AT pixels
-        header(1, 0, Nil, 10 + sdBody.length, pageAssoc)
+        header(dictNum, 0, Nil, 10 + sdBody.length, pageAssoc)
         u16(1 | (huffSel._1 << 2) | (huffSel._2 << 4))
       }
       u32(glyphs.size); u32(glyphs.size) // numEx, numNew
@@ -1418,7 +1646,7 @@ object Jbig2 {
     }
     val textSeg = segment { out =>
       val (u8, u16, u32, header) = writers(out)
-      header(2, 6, Seq(1), 17 + 6 + trBody.length, 1) // immediate text region
+      header(dictNum + 1, 6, Seq(dictNum), 17 + 6 + trBody.length, 1) // immediate text region
       u32(w); u32(h); u32(0); u32(0); u8(0) // region info, external op OR
       // flags: arith, LOGSBSTRIPS, refcorner (0 = BOTTOMLEFT, 1 = TOPLEFT),
       // OR, defpixel 0, dsOffset 0
@@ -1426,8 +1654,9 @@ object Jbig2 {
       u32(places.size) // SBNUMINSTANCES
       out.write(trBody)
     }
-    if (splitGlobals) (dictSeg(0), pageSeg ++ textSeg)
-    else (Array.emptyByteArray, pageSeg ++ dictSeg(1) ++ textSeg)
+    if (splitGlobals) (tableSegs(0) ++ dictSeg(0), pageSeg ++ textSeg)
+    else (Array.emptyByteArray,
+      pageSeg ++ tableSegs(1) ++ dictSeg(1) ++ textSeg)
   }
 
   /** Build a PDF-embeddable REFINING JBIG2 stream exercising BOTH §6.3

@@ -867,8 +867,8 @@ object PdfImageFixtures {
   }
 
   /** the rotation entry point: a complete PDF whose embedded image's
-    * encoding class is doc_id % 13 */
-  def imagePdf(docId: Long): Array[Byte] = (docId % 13) match {
+    * encoding class is doc_id % 14 */
+  def imagePdf(docId: Long): Array[Byte] = (docId % 14) match {
     case 0 =>
       val (w, h) = rgbDims(docId)
       assemble(rgbSamples(docId), w, h,
@@ -988,6 +988,24 @@ object PdfImageFixtures {
       val (globals, page) = Jbig2.encodeEmbeddedSymbolsGlobals(glyphs, places,
         w, h, huffDict = if ((docId / 13) % 2 == 0) -1 else 0)
       assembleJbig2Globals(docId, globals, page, w, h)
+    case 13 =>
+      // CUSTOM-TABLE Huffman JBIG2 (§7.4.13 / §B.2): the class-8/11
+      // glyph/placement shape, but the dictionary's DH/DW/BMSIZE coding
+      // tables are BUILT from the stream's own value sets and travel as
+      // code table segments (SDHUFFDH/DW selection 3 + the custom-BMSIZE
+      // flag) — the self-describing custom-table shape; collective
+      // bitmaps alternate uncompressed / MMR across the corpus, so one
+      // oracle pins both codings through the custom tables
+      val did = (docId % 256).toInt
+      val (gw, w, h) = symDims(docId)
+      val glyphs = IndexedSeq(0, 1).map { k =>
+        Jbig2.Glyph(gw, h, Array.tabulate(gw * h)(i =>
+          symBlack(did, gw, i % gw + k * gw, i / gw)))
+      }
+      val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
+      assemble(Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+          huffDict = ((docId / 14) % 2).toInt, customTables = true), w, h,
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode")
     case _ => assembleJpxSibling(docId)
   }
 

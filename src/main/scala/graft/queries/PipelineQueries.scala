@@ -239,7 +239,7 @@ object PipelineQueries {
 
     // ----- S6 raster leg: EMBEDDED-IMAGE extraction from the same
     // byte-level PDF walk (PdfImages) — the scanned/figure-image sibling
-    // of the text oracle above. The fixture rotation (doc_id % 13) covers
+    // of the text oracle above. The fixture rotation (doc_id % 14) covers
     // raw, Flate, Flate+PNG-Up-predictor, baseline-JPEG /DCTDecode, inline
     // AHx+Flate chain, CCITT G4 /CCITTFaxDecode (half with /Decode [1 0]
     // over the inverted plane — the cancelling inversions pin that the
@@ -251,7 +251,9 @@ object PipelineQueries {
     // JBIG2 (SDHUFF=1, standard Annex-B tables, §6.5.9 collective bitmaps
     // uncompressed or MMR by corpus half), and /JBIG2Globals JBIG2 (the
     // dictionary shared out-of-band, arithmetic or Huffman by corpus
-    // half — the multi-page scanner shape); every pixel is a
+    // half — the multi-page scanner shape), and CUSTOM-TABLE Huffman
+    // JBIG2 (§7.4.13/§B.2 code table segments built from the stream's own
+    // DH/DW/BMSIZE values, selections 3 + custom BMSIZE); every pixel is a
     // closed form of (doc_id, x, y), the JPEG class is DC-exact and
     // G4/JBIG2 are lossless, so ONE oracle pins the whole decode surface —
     // filters, predictor, the JPEG entropy/IDCT chain, the G4 2-D coder,
@@ -281,17 +283,17 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some("""WITH base AS (SELECT doc_id, doc_id % 256 AS did,
-             |    doc_id % 13 AS c FROM documents),
+             |    doc_id % 14 AS c FROM documents),
              |dims AS (SELECT *,
              |    CASE WHEN c = 3 THEN 24 + (doc_id % 2) * 8
              |         WHEN c = 5 THEN 8 + doc_id % 5
              |         WHEN c = 7 THEN 8 + doc_id % 6
-             |         WHEN c IN (8, 11, 12) THEN 4 * (2 + doc_id % 3)
+             |         WHEN c IN (8, 11, 12, 13) THEN 4 * (2 + doc_id % 3)
              |         WHEN c = 10 THEN 3 * (3 + doc_id % 3)
              |         ELSE 4 + doc_id % 5 END AS w,
              |    CASE WHEN c = 3 THEN 16 + (doc_id % 3) * 8
              |         WHEN c = 5 THEN 6 + doc_id % 3
-             |         WHEN c IN (7, 8, 10, 11, 12) THEN 5 + doc_id % 4
+             |         WHEN c IN (7, 8, 10, 11, 12, 13) THEN 5 + doc_id % 4
              |         ELSE 3 + doc_id % 4 END AS h FROM base),
              |px AS (SELECT doc_id, did, c, w, h, xs.x, ys.y,
              |    CASE WHEN c IN (0, 1) THEN
@@ -302,7 +304,7 @@ object PipelineQueries {
              |      WHEN c = 5 THEN
              |        CASE WHEN (did + 3 * xs.x + 5 * ys.y) % 7 < 3
              |             THEN 0 ELSE 255 END
-             |      WHEN c IN (8, 11, 12) THEN
+             |      WHEN c IN (8, 11, 12, 13) THEN
              |        CASE WHEN (did + 5 * (xs.x % (w // 2)) + 3 * ys.y) % 11 < 4
              |             THEN 0 ELSE 255 END
              |      WHEN c = 10 THEN
@@ -331,7 +333,7 @@ object PipelineQueries {
              |  WHERE c = 3 AND bx.b < w // 8 AND by.b < h // 8),
              |nond AS (SELECT doc_id,
              |    max(CASE WHEN c = 5 THEN 'ccitt' WHEN c = 6 THEN 'inline'
-             |        WHEN c IN (7, 8, 10, 11, 12) THEN 'jbig2' ELSE 'raw' END) AS codec,
+             |        WHEN c IN (7, 8, 10, 11, 12, 13) THEN 'jbig2' ELSE 'raw' END) AS codec,
              |    max(w) AS w, max(h) AS h, count(*) AS n_px,
              |    CAST(sum(luma) AS BIGINT) AS sum_luma,
              |    CAST(max(CASE WHEN x = 1 AND y = 2 THEN luma END)

@@ -77,11 +77,12 @@ class FuzzRefusalSpec extends AnyFunSpec {
   }
 
   describe("PDF image encoding classes under truncation and byte flips") {
-    // imagePdf rotates 13 raster classes by docId % 13 (raw gray/RGB,
+    // imagePdf rotates 14 raster classes by docId % 14 (raw gray/RGB,
     // Flate, DCT, CCITT G4, inline BI..EI, JBIG2 generic, JBIG2 symbol,
     // refused JPX + decodable sibling, predictor'd Flate, refined JBIG2,
-    // Huffman-dictionary JBIG2, /JBIG2Globals shared-dictionary JBIG2)
-    for (mode <- 0 until 13) {
+    // Huffman-dictionary JBIG2, /JBIG2Globals shared-dictionary JBIG2,
+    // custom-table Huffman JBIG2)
+    for (mode <- 0 until 14) {
       it(s"imagePdf mode $mode refuses cleanly when mangled") {
         val base = PdfImageFixtures.imagePdf(mode.toLong)
         (truncations(base, 3000L + mode) ++ flips(base, 4000L + mode))
@@ -125,6 +126,25 @@ class FuzzRefusalSpec extends AnyFunSpec {
         (truncations(base, 15000L + huffDict) ++ flips(base, 16000L + huffDict) ++
           garbage).foreach { m =>
           assertNoThrow(s"jbig2 huffDict=$huffDict")(Jbig2.decodeEmbedded(m, w, h))
+        }
+      }
+    }
+    it("custom-table streams refuse (None) or parse, never throw, both codings") {
+      // the imagePdf mode-13 sweep reaches one collective coding
+      // (docId=13 → uncompressed); mangle both here — flips land in the
+      // code table segments too, exercising parseCodeTable's refusals
+      val gw = 4; val h = 6; val w = 4 * gw
+      val glyphs = IndexedSeq(0, 1).map { k =>
+        Jbig2.Glyph(gw, h, Array.tabulate(gw * h)(i =>
+          (5 * (i % gw + k * gw) + 3 * (i / gw)) % 11 < 4))
+      }
+      val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
+      for (huffDict <- Seq(0, 1)) {
+        val base = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+          huffDict = huffDict, customTables = true)
+        (truncations(base, 17000L + huffDict) ++ flips(base, 18000L + huffDict) ++
+          garbage).foreach { m =>
+          assertNoThrow(s"jbig2 custom=$huffDict")(Jbig2.decodeEmbedded(m, w, h))
         }
       }
     }

@@ -334,6 +334,134 @@ class PdfImagesSpec extends AnyFunSuite {
     }
   }
 
+  test("JBIG2 custom code tables: serialize/parse round trip + refusals") {
+    import graft.ingest.Jbig2
+    // decode-behavior equality over the whole value neighborhood: the
+    // parsed table must reproduce the built table's codes exactly
+    for ((lo, hi, oob) <- Seq((1L, 1L, false), (0L, 7L, false), (-5L, 12L, true),
+                              (1L, 300L, false), (-256L, -250L, true), (3L, 4L, true))) {
+      val built = Jbig2.buildCustomTable(lo, hi, oob)
+      val parsed = Jbig2.parseCodeTable(Jbig2.encodeCodeTable(built))
+        .getOrElse(fail(s"parse refused [$lo,$hi] oob=$oob"))
+      val vals = ((lo - 40) to (hi + 40)).map(identity) ++
+        (if (oob) Seq(Jbig2.HuffOob) else Nil)
+      val w = new Jbig2.BitWriter
+      vals.foreach(v => built.encode(w, v))
+      val r = new Jbig2.BitReader(w.result())
+      vals.foreach(v => assert(parsed.decode(r) === v, s"[$lo,$hi] oob=$oob v=$v"))
+    }
+    // refusals: reserved flag bit, inverted bounds, truncated body
+    val ok = Jbig2.encodeCodeTable(Jbig2.buildCustomTable(0, 7, oob = true))
+    assert(Jbig2.parseCodeTable(ok).nonEmpty)
+    val reserved = ok.clone(); reserved(0) = (reserved(0) | 0x80).toByte
+    assert(Jbig2.parseCodeTable(reserved) === None)
+    val inverted = ok.clone()
+    inverted(1) = 0x7F.toByte // HTLOW becomes huge positive > HTHIGH
+    assert(Jbig2.parseCodeTable(inverted) === None)
+    assert(Jbig2.parseCodeTable(ok.take(8)) === None)
+    // Kraft violation refuses at parse time: three preflen-1 lines
+    val bad = new java.io.ByteArrayOutputStream()
+    bad.write((4 - 1) << 1 | (6 - 1) << 4) // no OOB
+    for (v <- Seq(0, 0, 0, 0, 0, 0, 0, 2)) bad.write(v) // HTLOW=0, HTHIGH=2
+    val bw = new Jbig2.BitWriter
+    for (_ <- 0 until 2) { bw.bits(1, 4); bw.bits(0, 6) } // 2 range lines, len 1
+    bw.bits(1, 4); bw.bits(1, 4) // lower/upper also len 1 -> Kraft > 1
+    bad.write(bw.result())
+    assert(Jbig2.parseCodeTable(bad.toByteArray) === None)
+  }
+
+  test("JBIG2 custom-table symbol dictionary round-trips the full fixture grid") {
+    import graft.ingest.Jbig2
+    // the same sweep discipline as the standard-table grid: every did ×
+    // both collective-bitmap codings, through the embedded stream with the
+    // code tables travelling as real §7.4.13 segments
+    for (did <- 0 until 256; huffDict <- Seq(0, 1)) {
+      val gw = 2 + did % 3
+      val h = 5 + did % 4
+      val w = 4 * gw
+      val glyphs = IndexedSeq(0, 1).map { k =>
+        Jbig2.Glyph(gw, h, Array.tabulate(gw * h)(i =>
+          PdfImageFixtures.symBlack(did, gw, i % gw + k * gw, i / gw)))
+      }
+      val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
+      val stream = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+        huffDict = huffDict, customTables = true)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.nonEmpty, s"did=$did huffDict=$huffDict: refused")
+      val expected = Array.tabulate(w * h)(i =>
+        PdfImageFixtures.symBlack(did, gw, i % w, i / w))
+      assert(out.get.toSeq === expected.toSeq, s"did=$did huffDict=$huffDict")
+    }
+    // multi-class dictionaries with negative width deltas (the shape the
+    // signed standard tables needed) — custom tables carry them natively
+    val rnd = new scala.util.Random(97)
+    for (trial <- 0 until 6; huffDict <- Seq(0, 1)) {
+      val g1 = Jbig2.Glyph(7, 4, Array.fill(28)(rnd.nextBoolean()))
+      val g2 = Jbig2.Glyph(3, 4, Array.fill(12)(rnd.nextBoolean())) // DW < 0
+      val g3 = Jbig2.Glyph(5, 9, Array.fill(45)(rnd.nextBoolean()))
+      val glyphs = IndexedSeq(g1, g2, g3)
+      val places = Seq((0, 0, 0), (1, 8, 1), (2, 12, 0), (1, 18, 6))
+      val (w, h) = (22, 16)
+      val stream = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+        huffDict = huffDict, customTables = true)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.nonEmpty, s"trial $trial huffDict=$huffDict: refused")
+      val expected = new Array[Boolean](w * h)
+      places.foreach { case (si, x, y) =>
+        val g = glyphs(si)
+        for (yy <- 0 until g.h; xx <- 0 until g.w)
+          if (g.bits(yy * g.w + xx)) expected((y + yy) * w + (x + xx)) = true
+      }
+      assert(out.get.toSeq === expected.toSeq, s"trial $trial huffDict=$huffDict")
+    }
+    // refusal: selection 3 with the table refs stripped must refuse, not
+    // garble (rewrite the dict segment's referred list to empty)
+    val glyphs = IndexedSeq(Jbig2.Glyph(2, 5, Array.fill(10)(true)),
+      Jbig2.Glyph(2, 5, Array.fill(10)(false)))
+    val stream = Jbig2.encodeEmbeddedSymbols(glyphs,
+      Seq((0, 0, 0), (1, 2, 0), (0, 4, 0), (1, 6, 0)), 8, 5,
+      huffDict = 0, customTables = true)
+    assert(Jbig2.decodeEmbedded(stream, 8, 5).nonEmpty)
+    // drop the three table segments entirely: dict's refs now dangle
+    // (parse skips unknown referred numbers), selection 3 finds no table
+    def u32(a: Array[Byte], o: Int): Long =
+      (((a(o) & 0xFFL) << 24) | ((a(o + 1) & 0xFF) << 16) |
+        ((a(o + 2) & 0xFF) << 8) | (a(o + 3) & 0xFF)) & 0xFFFFFFFFL
+    // walk segments, rebuild the stream without type-53 segments
+    val outBytes = new java.io.ByteArrayOutputStream()
+    var p = 0
+    while (p + 11 <= stream.length) {
+      val segType = stream(p + 4) & 0x3F
+      val rts = stream(p + 5) & 0xFF
+      val count = rts >> 5
+      val hdrLen = 6 + count + 1 // short form, 1-byte refs, 1-byte page assoc
+      val dataLen = u32(stream, p + hdrLen).toInt
+      val segEnd = p + hdrLen + 4 + dataLen
+      if (segType != 53)
+        outBytes.write(stream, p, segEnd - p)
+      p = segEnd
+    }
+    assert(Jbig2.decodeEmbedded(outBytes.toByteArray, 8, 5) === None,
+      "selection 3 without its referred tables must refuse")
+  }
+
+  test("JBIG2 SDHUFF length gate admits the 10-byte minimal dictionary") {
+    import graft.ingest.Jbig2
+    // an SDHUFF=1 header carries no AT pixels: flags(2) + numEx(4) +
+    // numNew(4) = 10 bytes is a legal (empty) dictionary. The old gate
+    // required the arithmetic path's 18 bytes up front, refusing it.
+    val tiny = Array[Byte](0x00, 0x01, // flags: SDHUFF=1, selections 0
+      0, 0, 0, 0, // numEx = 0
+      0, 0, 0, 0) // numNew = 0
+    assert(Jbig2.decodeSymbolDict(tiny, Nil) === Some(Seq.empty),
+      "legal minimal Huffman dictionary must decode to zero exports")
+    // truncated below the SDHUFF minimum still refuses (never throws)
+    for (len <- 0 until 10)
+      assert(Jbig2.decodeSymbolDict(tiny.take(len), Nil) === None, s"len=$len")
+    // the arithmetic path keeps its 18-byte minimum
+    assert(Jbig2.decodeSymbolDict(Array.fill[Byte](17)(0), Nil) === None)
+  }
+
   test("JBIG2 Huffman dictionary decodes the signed-table selections (B.5/B.3)") {
     import graft.ingest.Jbig2
     // SDHUFFDH/SDHUFFDW selection 1 picks the SIGNED tables — the only
@@ -531,7 +659,7 @@ class PdfImagesSpec extends AnyFunSuite {
   test("every fixture class extracts with closed-form luma stats") {
     def expected(docId: Long): (String, Int, Int, Long, Long) = {
       val did = (docId % 256).toInt
-      (docId % 13) match {
+      (docId % 14) match {
         case 0L | 1L =>
           val (w, h) = PdfImageFixtures.rgbDims(docId)
           def lum(x: Int, y: Int) =
@@ -584,7 +712,8 @@ class PdfImagesSpec extends AnyFunSuite {
             if (PdfImageFixtures.refBlack(did, gw, x, y)) 0L else 255L
           val sum = (for (y <- 0 until h; x <- 0 until w) yield lum(x, y)).sum
           ("jbig2", w, h, sum, lum(1, 2))
-        case _ => // 11 Huffman-dictionary / 12 JBIG2Globals: symBlack form
+        case _ => // 11 Huffman-dict / 12 JBIG2Globals / 13 custom-table
+          // Huffman: all compose the symBlack form
           val (gw, w, h) = PdfImageFixtures.symDims(docId)
           def lum(x: Int, y: Int) =
             if (PdfImageFixtures.symBlack(did, gw, x, y)) 0L else 255L
@@ -592,11 +721,12 @@ class PdfImagesSpec extends AnyFunSuite {
           ("jbig2", w, h, sum, lum(1, 2))
       }
     }
-    // 104 ids = 8 full rotations, covering the mmr/tpgdon/arith alternation
+    // 112 ids = 8 full rotations, covering the mmr/tpgdon/arith alternation
     // inside the JBIG2 class, the /Decode [1 0] CCITT sub-class, both
-    // refinement GRTEMPLATEs, both Huffman collective-bitmap codings, and
-    // both /JBIG2Globals dictionary codings several times over
-    for (docId <- 0L until 104L) {
+    // refinement GRTEMPLATEs, both Huffman collective-bitmap codings (in
+    // the standard-table AND custom-table classes), and both
+    // /JBIG2Globals dictionary codings several times over
+    for (docId <- 0L until 112L) {
       val ims = PdfImages.extract(PdfImageFixtures.imagePdf(docId))
       assert(ims.length === 1, s"doc $docId: expected exactly one image " +
         "(the JPX-class sibling must survive its refused neighbor)")
