@@ -4,7 +4,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** S6 raster-leg ingest stress: stages N fixture PDFs (the s6 13-class
+/** S6 raster-leg ingest stress: stages N fixture PDFs (the s6 14-class
   * codec rotation — raw/Flate/predictor/DCT/CCITT/JBIG2 generic/symbol/
   * refined/Huffman/globals — so per-doc decode cost is NATURALLY skewed)
   * as real files on disk, then times the engine's actual ingest DAG — a

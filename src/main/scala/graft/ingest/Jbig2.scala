@@ -1054,14 +1054,18 @@ object Jbig2 {
       Some(exported.toSeq)
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Decode an arithmetic text region body AFTER the region-info bytes
-    * (§6.4, §7.4.4): `body` starts at the text-region flags. Subset:
-    * SBHUFF=0, TRANSPOSED=0, SBCOMBOP=OR, SBDEFPIXEL=0; REFINE=1 is
-    * supported (per-instance IARI refinement of the placed symbol,
-    * §6.4.11) — anything else refuses. Returns the composed region
-    * plane. */
+  /** Decode a text region body AFTER the region-info bytes (§6.4, §7.4.4):
+    * `body` starts at the text-region flags. Subset: TRANSPOSED=0,
+    * SBCOMBOP=OR, SBDEFPIXEL=0; arithmetic coding with REFINE=1 supported
+    * (per-instance IARI refinement, §6.4.11); SBHUFF=1 supported for the
+    * ALL-CUSTOM-table shape (FS/DS/DT selection 3 resolved against
+    * `inputTables`, symbol IDs via the §7.4.4.5 runcode-coded table —
+    * every table self-describing, no reliance on the B.6–B.13 constants,
+    * which stay out of subset along with SBHUFF+REFINE). Anything else
+    * refuses. Returns the composed region plane. */
   private[graft] def decodeTextRegion(body: Array[Byte], syms: IndexedSeq[Glyph],
-                                      rw: Int, rh: Int): Option[Array[Boolean]] = {
+                                      rw: Int, rh: Int,
+                                      inputTables: Seq[HuffTable] = Seq.empty): Option[Array[Boolean]] = {
     if (body.length < 6 || syms.isEmpty) return None
     val flags = ((body(0) & 0xFF) << 8) | (body(1) & 0xFF)
     val sbhuff = (flags & 1) != 0
@@ -1074,7 +1078,12 @@ object Jbig2 {
     val rTemplate = (flags >> 15) & 1
     var dsOffset = (flags >> 10) & 0x1F
     if (dsOffset > 15) dsOffset -= 32 // signed 5-bit
-    if (sbhuff || transposed || combOp != 0 || defPixel) return None
+    if (transposed || combOp != 0 || defPixel) return None
+    if (sbhuff) {
+      if (refine) return None // SBHUFF+REFINE out of subset
+      return decodeTextRegionHuff(body, syms, rw, rh, logStrips, refCorner,
+        dsOffset, inputTables)
+    }
     // §7.4.4.1 field order: flags, then — when REFINE=1 and SBRTEMPLATE=0 —
     // the 2-pair refinement AT, then SBNUMINSTANCES
     var off = 2
@@ -1189,6 +1198,147 @@ object Jbig2 {
     Some(plane)
   }
 
+  /** §6.4 with SBHUFF=1 — the Huffman-coded text region, restricted to the
+    * fully SELF-DESCRIBING shape: SBHUFFFS/DS/DT must all be selection 3
+    * (custom tables, consumed from `inputTables` in that order; DS must
+    * carry OOB — it terminates strips), the refinement selections must be
+    * zero (REFINE is refused upstream), and symbol IDs decode through the
+    * §7.4.4.5 runcode-coded code-length table carried in the stream. The
+    * standard text tables B.6–B.13 are NOT in this repo (their constants
+    * cannot be carried by the stream), so selections 0–2 refuse. */
+  private def decodeTextRegionHuff(body: Array[Byte], syms: IndexedSeq[Glyph],
+                                   rw: Int, rh: Int, logStrips: Int,
+                                   refCorner: Int, dsOffset: Int,
+                                   inputTables: Seq[HuffTable]): Option[Array[Boolean]] =
+    try {
+      if (body.length < 2 + 2 + 4) return None
+      val hFlags = ((body(2) & 0xFF) << 8) | (body(3) & 0xFF)
+      if ((hFlags & 0x8000) != 0) return None // reserved bit
+      // refinement-table selections + RSIZE (bits 6-14) are meaningless
+      // with REFINE=0; a nonzero value signals a stream shape we do not
+      // model (it would also shift custom-table consumption) — refuse
+      if (((hFlags >> 6) & 0x1FF) != 0) return None
+      var tblIdx = 0
+      def nextTable(): Option[HuffTable] =
+        if (tblIdx < inputTables.size) {
+          val t = inputTables(tblIdx); tblIdx += 1; Some(t)
+        } else None
+      val tFS = (hFlags & 3) match {
+        case 3 => nextTable().getOrElse(return None)
+        case _ => return None // B.6/B.7 constants not carried in-stream
+      }
+      val tDS = ((hFlags >> 2) & 3) match {
+        case 3 => nextTable().getOrElse(return None)
+        case _ => return None // B.8-B.10
+      }
+      val tDT = ((hFlags >> 4) & 3) match {
+        case 3 => nextTable().getOrElse(return None)
+        case _ => return None // B.11-B.13
+      }
+      if (!tDS.hasOob) return None // DS OOB terminates strips
+      def be32(o: Int): Long = (((body(o) & 0xFFL) << 24) |
+        ((body(o + 1) & 0xFF) << 16) | ((body(o + 2) & 0xFF) << 8) |
+        (body(o + 3) & 0xFF)) & 0xFFFFFFFFL
+      val numInstances = be32(4)
+      if (numInstances > 1000000) return None
+      val sbStrips = 1 << logStrips
+      val r = new BitReader(java.util.Arrays.copyOfRange(body, 8, body.length))
+      // ---- §7.4.4.5: the symbol-ID code table, runcode-coded ----
+      val runLens = Array.fill(35)(r.bits(4).toInt)
+      val runTable = new HuffTable(
+        IndexedSeq.tabulate(35)(i => HuffLine(runLens(i), 0, i)), 0)
+      val symLens = new Array[Int](syms.size)
+      var si = 0
+      var prevLen = -1 // -1 = no previous length yet (RUNCODE32 refuses)
+      while (si < syms.size) {
+        val c = runTable.decode(r)
+        if (c == HuffOob || c < 0 || c > 34) return None
+        c.toInt match {
+          case 32 =>
+            if (prevLen < 0) return None
+            val n = 3 + r.bits(2).toInt
+            if (si + n > syms.size) return None
+            var k = 0
+            while (k < n) { symLens(si) = prevLen; si += 1; k += 1 }
+          case 33 =>
+            val n = 3 + r.bits(3).toInt
+            if (si + n > syms.size) return None
+            var k = 0
+            while (k < n) { symLens(si) = 0; si += 1; k += 1 }
+            prevLen = 0
+          case 34 =>
+            val n = 11 + r.bits(7).toInt
+            if (si + n > syms.size) return None
+            var k = 0
+            while (k < n) { symLens(si) = 0; si += 1; k += 1 }
+            prevLen = 0
+          case len =>
+            symLens(si) = len; prevLen = len; si += 1
+        }
+      }
+      r.align() // §7.4.4.5 ends byte-aligned
+      // canonical prefix code over symbol order — the same B.3 assignment
+      // HuffTable implements; rangeLen 0 lines return the symbol index
+      val symTable = new HuffTable(
+        IndexedSeq.tabulate(syms.size)(i => HuffLine(symLens(i), 0, i)), 0)
+      // ---- §6.4 decode loop, Huffman variant ----
+      val plane = new Array[Boolean](rw * rh)
+      def bounded(v: Long): Int = {
+        if (v == HuffOob || v < -1000000 || v > 1000000)
+          throw new IllegalArgumentException("text field out of range")
+        v.toInt
+      }
+      var stripT = -bounded(tDT.decode(r)) * sbStrips
+      var firstS = 0
+      var inst = 0L
+      while (inst < numInstances) {
+        stripT += bounded(tDT.decode(r)) * sbStrips
+        firstS += bounded(tFS.decode(r))
+        var curS = firstS
+        var first = true
+        var stripDone = false
+        while (!stripDone && inst < numInstances) {
+          if (!first) {
+            val ids = tDS.decode(r)
+            if (ids == HuffOob) stripDone = true
+            else curS += bounded(ids) + dsOffset
+          }
+          if (!stripDone) {
+            val curT = if (sbStrips == 1) 0 else r.bits(logStrips).toInt
+            val t = stripT + curT
+            val id = symTable.decode(r)
+            if (id == HuffOob || id < 0 || id >= syms.size) return None
+            val g = syms(id.toInt)
+            val y0 = if (refCorner == 0 || refCorner == 2) t - g.h + 1 else t
+            var yy = 0
+            while (yy < g.h) {
+              val py = y0 + yy
+              if (py >= 0 && py < rh) {
+                var xx = 0
+                while (xx < g.w) {
+                  val px = curS + xx
+                  if (px >= 0 && px < rw && g.bits(yy * g.w + xx))
+                    plane(py * rw + px) = true
+                  xx += 1
+                }
+              }
+              yy += 1
+            }
+            inst += 1
+            first = false
+            curS += g.w - 1
+          }
+        }
+        // drain the strip's OOB terminator when the instance budget ended
+        // the inner loop exactly at the boundary (mirror of the arith path)
+        if (!stripDone && inst >= numInstances) {
+          val ids = tDS.decode(r)
+          if (ids != HuffOob) return None
+        }
+      }
+      Some(plane)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // ------------------------------------- embedded segment stream (PDF leg) --
 
   /** decode a PDF-embedded JBIG2 stream (§7.2 segment headers, no file
@@ -1273,8 +1423,10 @@ object Jbig2 {
             if (rx < 0 || ry < 0 || rw <= 0 || rh <= 0 ||
                 rx.toLong + rw > w || ry.toLong + rh > h) return None
             val syms = referred.flatMap(r => dicts.getOrElse(r, Seq.empty))
+            val inputTables = referred.flatMap(tables.get)
             val body = java.util.Arrays.copyOfRange(data, segStart + 17, segEnd)
-            val region = decodeTextRegion(body, syms.toIndexedSeq, rw, rh)
+            val region = decodeTextRegion(body, syms.toIndexedSeq, rw, rh,
+                inputTables)
               .getOrElse(return None)
             var yy = 0
             while (yy < rh) {
@@ -1397,7 +1549,12 @@ object Jbig2 {
     * `customTables = true` (requires `huffDict >= 0`) instead BUILDS
     * per-stream DH/DW/BMSIZE tables from the dictionary's value sets,
     * carries them as §7.4.13 code table segments, and selects them with
-    * SDHUFFDH/DW=3 + the custom-BMSIZE flag. */
+    * SDHUFFDH/DW=3 + the custom-BMSIZE flag. `huffText = true` codes the
+    * TEXT region with SBHUFF=1 in the all-custom shape: FS/DS/DT tables
+    * built from the region's own deltas (three more table segments,
+    * selections 3) and symbol IDs through the §7.4.4.5 runcode-coded
+    * table — the only SBHUFF form expressible without the B.6–B.13
+    * constants. */
   def encodeEmbeddedSymbols(glyphs: IndexedSeq[Glyph],
                             places: Seq[(Int, Int, Int)],
                             w: Int, h: Int,
@@ -1405,9 +1562,10 @@ object Jbig2 {
                             logStrips: Int = 0,
                             huffDict: Int = -1,
                             huffSel: (Int, Int) = (0, 0),
-                            customTables: Boolean = false): Array[Byte] =
+                            customTables: Boolean = false,
+                            huffText: Boolean = false): Array[Byte] =
     encodeSymbolStreams(glyphs, places, w, h, bottomLeft, logStrips,
-      huffDict, splitGlobals = false, huffSel, customTables)._2
+      huffDict, splitGlobals = false, huffSel, customTables, huffText)._2
 
   /** [[encodeEmbeddedSymbols]] split for the PDF /JBIG2Globals shape
     * (multi-page scanned toolchains share one dictionary across pages):
@@ -1430,7 +1588,8 @@ object Jbig2 {
                                   huffDict: Int,
                                   splitGlobals: Boolean,
                                   huffSel: (Int, Int) = (0, 0),
-                                  customTables: Boolean = false): (Array[Byte], Array[Byte]) = {
+                                  customTables: Boolean = false,
+                                  huffText: Boolean = false): (Array[Byte], Array[Byte]) = {
     require(glyphs.nonEmpty && places.nonEmpty, "need glyphs and placements")
     require((1 until glyphs.size).forall(i => glyphs(i - 1).h <= glyphs(i).h),
       "glyphs must be sorted by height")
@@ -1554,36 +1713,99 @@ object Jbig2 {
     // ---- text region body ----
     val sbStrips = 1 << logStrips
     val codeLen = symCodeLen(glyphs.size)
-    val trEnc = new MqEncoder
-    val iadt = newCx(512); val iafs = newCx(512); val iads = newCx(512)
-    val iait = newCx(512); val iaid = newCx(1 << (codeLen + 1))
     // instance T per the reference corner: top row (TOPLEFT) or bottom
     // row (BOTTOMLEFT); strips cover [k·SBSTRIPS, (k+1)·SBSTRIPS) in T,
     // CURT = the in-strip offset (encoded via IAIT when SBSTRIPS > 1)
     val inst = places.map { case (si, x, y) =>
       (si, x, if (bottomLeft) y + glyphs(si).h - 1 else y)
     }
-    encodeInt(trEnc, iadt, 0) // STRIPT starts at 0
-    var stripT = 0
-    var firstS = 0
-    inst.groupBy(_._3 / sbStrips).toSeq.sortBy(_._1).foreach { case (sk, ps) =>
-      encodeInt(trEnc, iadt, (sk * sbStrips - stripT) / sbStrips)
-      stripT = sk * sbStrips
-      val sorted = ps.sortBy(_._2)
-      encodeInt(trEnc, iafs, sorted.head._2 - firstS)
-      firstS = sorted.head._2
-      var curS = firstS
-      var first = true
-      sorted.foreach { case (si, x, t) =>
-        if (!first) encodeInt(trEnc, iads, x - curS) // IDS (SBDSOFFSET = 0)
-        if (sbStrips > 1) encodeInt(trEnc, iait, t - stripT)
-        encodeIaid(trEnc, iaid, codeLen, si)
-        curS = x + glyphs(si).w - 1
-        first = false
+    val groups = inst.groupBy(_._3 / sbStrips).toSeq.sortBy(_._1)
+    var textTableBodies: IndexedSeq[Array[Byte]] = IndexedSeq.empty
+    val trBody: Array[Byte] = if (!huffText) {
+      val trEnc = new MqEncoder
+      val iadt = newCx(512); val iafs = newCx(512); val iads = newCx(512)
+      val iait = newCx(512); val iaid = newCx(1 << (codeLen + 1))
+      encodeInt(trEnc, iadt, 0) // STRIPT starts at 0
+      var stripT = 0
+      var firstS = 0
+      groups.foreach { case (sk, ps) =>
+        encodeInt(trEnc, iadt, (sk * sbStrips - stripT) / sbStrips)
+        stripT = sk * sbStrips
+        val sorted = ps.sortBy(_._2)
+        encodeInt(trEnc, iafs, sorted.head._2 - firstS)
+        firstS = sorted.head._2
+        var curS = firstS
+        var first = true
+        sorted.foreach { case (si, x, t) =>
+          if (!first) encodeInt(trEnc, iads, x - curS) // IDS (SBDSOFFSET = 0)
+          if (sbStrips > 1) encodeInt(trEnc, iait, t - stripT)
+          encodeIaid(trEnc, iaid, codeLen, si)
+          curS = x + glyphs(si).w - 1
+          first = false
+        }
+        encodeInt(trEnc, iads, OOB) // strip terminator
       }
-      encodeInt(trEnc, iads, OOB) // strip terminator
+      trEnc.flush()
+    } else {
+      // SBHUFF=1, all-custom: pre-pass collects the DT/DFS/IDS value sets
+      // so the FS/DS/DT tables can be built before the fields are written
+      val dtVals = mutable.ArrayBuffer[Long](0L) // initial STRIPT field
+      val dfsVals = mutable.ArrayBuffer.empty[Long]
+      val idsVals = mutable.ArrayBuffer.empty[Long]
+      var stripT = 0
+      var firstS = 0
+      groups.foreach { case (sk, ps) =>
+        dtVals += ((sk * sbStrips - stripT) / sbStrips).toLong
+        stripT = sk * sbStrips
+        val sorted = ps.sortBy(_._2)
+        dfsVals += (sorted.head._2 - firstS).toLong
+        firstS = sorted.head._2
+        var curS = firstS
+        var first = true
+        sorted.foreach { case (si, x, _) =>
+          if (!first) idsVals += (x - curS).toLong
+          curS = x + glyphs(si).w - 1
+          first = false
+        }
+      }
+      val tFS = buildCustomTable(dfsVals.min, dfsVals.max, oob = false)
+      val tDS = buildCustomTable(
+        if (idsVals.isEmpty) 0L else idsVals.min,
+        if (idsVals.isEmpty) 0L else idsVals.max, oob = true)
+      val tDT = buildCustomTable(dtVals.min, dtVals.max, oob = false)
+      textTableBodies = IndexedSeq(tFS, tDS, tDT).map(encodeCodeTable)
+      val wtr = new BitWriter
+      // §7.4.4.5 symbol-ID table: every symbol gets the same code length
+      // (the flat assignment — Kraft-fine since 2^codeLen >= nSyms), so
+      // the runcode table needs exactly ONE used entry: RUNCODE<codeLen>
+      // with prefix length 1 (its canonical code is the single bit 0)
+      (0 until 35).foreach(i => wtr.bits(if (i == codeLen) 1L else 0L, 4))
+      glyphs.indices.foreach(_ => wtr.bit(0))
+      wtr.align()
+      val symTable = new HuffTable(
+        IndexedSeq.tabulate(glyphs.size)(i => HuffLine(codeLen, 0, i)), 0)
+      stripT = 0
+      firstS = 0
+      tDT.encode(wtr, 0) // initial STRIPT
+      groups.foreach { case (sk, ps) =>
+        tDT.encode(wtr, (sk * sbStrips - stripT) / sbStrips)
+        stripT = sk * sbStrips
+        val sorted = ps.sortBy(_._2)
+        tFS.encode(wtr, sorted.head._2 - firstS)
+        firstS = sorted.head._2
+        var curS = firstS
+        var first = true
+        sorted.foreach { case (si, x, t) =>
+          if (!first) tDS.encode(wtr, x - curS)
+          if (sbStrips > 1) wtr.bits((t - stripT).toLong, logStrips)
+          symTable.encode(wtr, si)
+          curS = x + glyphs(si).w - 1
+          first = false
+        }
+        tDS.encode(wtr, HuffOob) // strip terminator
+      }
+      wtr.result()
     }
-    val trBody = trEnc.flush()
     // ---- segments, each a standalone byte run so the caller can route
     // the dictionary out-of-band (/JBIG2Globals) or keep one stream ----
     def segment(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
@@ -1644,19 +1866,34 @@ object Jbig2 {
       u32(glyphs.size); u32(glyphs.size) // numEx, numNew
       out.write(sdBody)
     }
+    // SBHUFF text: three more table segments (FS/DS/DT) after the dict,
+    // referred by the text region in §7.4.4 consumption order
+    val textTableNums = textTableBodies.indices.map(_ + dictNum + 1)
+    def textTableSegs: Array[Byte] = segment { out =>
+      val (_, _, _, header) = writers(out)
+      textTableBodies.zip(textTableNums).foreach { case (body, num) =>
+        header(num, 53, Nil, body.length, 1)
+        out.write(body)
+      }
+    }
     val textSeg = segment { out =>
       val (u8, u16, u32, header) = writers(out)
-      header(dictNum + 1, 6, Seq(dictNum), 17 + 6 + trBody.length, 1) // immediate text region
+      val textNum = dictNum + textTableBodies.size + 1
+      header(textNum, 6, dictNum +: textTableNums,
+        17 + 2 + (if (huffText) 2 else 0) + 4 + trBody.length, 1)
       u32(w); u32(h); u32(0); u32(0); u8(0) // region info, external op OR
-      // flags: arith, LOGSBSTRIPS, refcorner (0 = BOTTOMLEFT, 1 = TOPLEFT),
-      // OR, defpixel 0, dsOffset 0
-      u16((logStrips << 2) | ((if (bottomLeft) 0 else 1) << 4))
+      // flags: SBHUFF, LOGSBSTRIPS, refcorner (0 = BOTTOMLEFT,
+      // 1 = TOPLEFT), OR, defpixel 0, dsOffset 0
+      u16((if (huffText) 1 else 0) | (logStrips << 2) |
+        ((if (bottomLeft) 0 else 1) << 4))
+      if (huffText) u16(3 | (3 << 2) | (3 << 4)) // FS/DS/DT all custom
       u32(places.size) // SBNUMINSTANCES
       out.write(trBody)
     }
-    if (splitGlobals) (tableSegs(0) ++ dictSeg(0), pageSeg ++ textSeg)
+    if (splitGlobals)
+      (tableSegs(0) ++ dictSeg(0), pageSeg ++ textTableSegs ++ textSeg)
     else (Array.emptyByteArray,
-      pageSeg ++ tableSegs(1) ++ dictSeg(1) ++ textSeg)
+      pageSeg ++ tableSegs(1) ++ dictSeg(1) ++ textTableSegs ++ textSeg)
   }
 
   /** Build a PDF-embeddable REFINING JBIG2 stream exercising BOTH §6.3

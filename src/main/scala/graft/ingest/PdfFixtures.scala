@@ -643,14 +643,15 @@ object PdfTextFixtures {
 
 /** Deterministic PDFs with EMBEDDED IMAGE XObjects, the [[PdfImages]]
   * fixture family. One page painted by the content stream; the image's
-  * encoding rotates by doc_id % 13 through the raster shapes a crawled
+  * encoding rotates by doc_id % 14 through the raster shapes a crawled
   * corpus carries (0 raw RGB, 1 Flate, 2 Flate+PNG-predictor, 3
   * baseline-JPEG DCTDecode, 4 AHx+Flate chain, 5 CCITT G4 — half with
   * /Decode [1 0] over the inverted plane, 6 inline BI…ID…EI, 7
   * generic-region JBIG2, 8 SYMBOL-CODED JBIG2, 9 a refused-JPX +
   * decodable-sibling page, 10 REFINED JBIG2, 11 HUFFMAN-dictionary
   * JBIG2 — collective bitmaps uncompressed or MMR, 12 /JBIG2Globals
-  * shared-dictionary JBIG2), while every pixel
+  * shared-dictionary JBIG2, 13 CUSTOM-TABLE Huffman JBIG2 — §7.4.13
+  * code table segments), while every pixel
   * stays a closed form of (doc_id, x, y) — so a DuckDB oracle replays luma
   * statistics for the WHOLE rotation, DCT and G4 included (the JPEG
   * fixture is DC-exact, see [[graft.ops.Jpeg]]; G4 and JBIG2 are lossless
@@ -994,8 +995,11 @@ object PdfImageFixtures {
       // tables are BUILT from the stream's own value sets and travel as
       // code table segments (SDHUFFDH/DW selection 3 + the custom-BMSIZE
       // flag) — the self-describing custom-table shape; collective
-      // bitmaps alternate uncompressed / MMR across the corpus, so one
-      // oracle pins both codings through the custom tables
+      // bitmaps alternate uncompressed / MMR across the corpus, and the
+      // TEXT region alternates arithmetic / SBHUFF-all-custom (FS/DS/DT
+      // selection 3 + the §7.4.4.5 runcode symbol-ID table), so one
+      // oracle pins both dictionary codings AND both text coders through
+      // the custom tables
       val did = (docId % 256).toInt
       val (gw, w, h) = symDims(docId)
       val glyphs = IndexedSeq(0, 1).map { k =>
@@ -1004,7 +1008,8 @@ object PdfImageFixtures {
       }
       val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
       assemble(Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
-          huffDict = ((docId / 14) % 2).toInt, customTables = true), w, h,
+          huffDict = ((docId / 14) % 2).toInt, customTables = true,
+          huffText = (docId / 28) % 2 == 1), w, h,
         "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode")
     case _ => assembleJpxSibling(docId)
   }

@@ -132,19 +132,22 @@ class FuzzRefusalSpec extends AnyFunSpec {
     it("custom-table streams refuse (None) or parse, never throw, both codings") {
       // the imagePdf mode-13 sweep reaches one collective coding
       // (docId=13 → uncompressed); mangle both here — flips land in the
-      // code table segments too, exercising parseCodeTable's refusals
+      // code table segments too, exercising parseCodeTable's refusals —
+      // and both TEXT coders (arith / SBHUFF-all-custom, whose flips also
+      // reach the runcode symbol-ID table)
       val gw = 4; val h = 6; val w = 4 * gw
       val glyphs = IndexedSeq(0, 1).map { k =>
         Jbig2.Glyph(gw, h, Array.tabulate(gw * h)(i =>
           (5 * (i % gw + k * gw) + 3 * (i / gw)) % 11 < 4))
       }
       val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
-      for (huffDict <- Seq(0, 1)) {
+      for (huffDict <- Seq(0, 1); huffText <- Seq(false, true)) {
         val base = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
-          huffDict = huffDict, customTables = true)
+          huffDict = huffDict, customTables = true, huffText = huffText)
         (truncations(base, 17000L + huffDict) ++ flips(base, 18000L + huffDict) ++
           garbage).foreach { m =>
-          assertNoThrow(s"jbig2 custom=$huffDict")(Jbig2.decodeEmbedded(m, w, h))
+          assertNoThrow(s"jbig2 custom=$huffDict huffText=$huffText")(
+            Jbig2.decodeEmbedded(m, w, h))
         }
       }
     }

@@ -445,6 +445,85 @@ class PdfImagesSpec extends AnyFunSuite {
       "selection 3 without its referred tables must refuse")
   }
 
+  test("JBIG2 SBHUFF text region (all-custom tables) round-trips the grid") {
+    import graft.ingest.Jbig2
+    // full Huffman pipeline: SDHUFF dictionary (custom tables) + SBHUFF
+    // text region (custom FS/DS/DT + runcode-coded symbol IDs) — the only
+    // SBHUFF shape expressible without the B.6-B.13 constants. Whole did
+    // grid × both collective codings, embedded stream end to end.
+    for (did <- 0 until 256; huffDict <- Seq(0, 1)) {
+      val gw = 2 + did % 3
+      val h = 5 + did % 4
+      val w = 4 * gw
+      val glyphs = IndexedSeq(0, 1).map { k =>
+        Jbig2.Glyph(gw, h, Array.tabulate(gw * h)(i =>
+          PdfImageFixtures.symBlack(did, gw, i % gw + k * gw, i / gw)))
+      }
+      val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
+      val stream = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+        huffDict = huffDict, customTables = true, huffText = true)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.nonEmpty, s"did=$did huffDict=$huffDict: refused")
+      val expected = Array.tabulate(w * h)(i =>
+        PdfImageFixtures.symBlack(did, gw, i % w, i / w))
+      assert(out.get.toSeq === expected.toSeq, s"did=$did huffDict=$huffDict")
+    }
+    // multi-strip + BOTTOMLEFT + scattered placements + >2 symbols (the
+    // symbol-ID table is codeLen 2 here, exercising unused-code slack),
+    // arithmetic dictionary feeding a Huffman text region (legal mix)
+    val rnd = new scala.util.Random(131)
+    for (trial <- 0 until 6; variant <- 0 until 3) {
+      val g1 = Jbig2.Glyph(3, 4, Array.fill(12)(rnd.nextBoolean()))
+      val g2 = Jbig2.Glyph(5, 4, Array.fill(20)(rnd.nextBoolean()))
+      val g3 = Jbig2.Glyph(4, 6, Array.fill(24)(rnd.nextBoolean()))
+      val glyphs = IndexedSeq(g1, g2, g3)
+      val places = Seq((0, 1, 0), (1, 6, 2), (2, 13, 1), (0, 19, 8), (2, 3, 9))
+      val (w, h) = (24, 16)
+      val stream = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+        bottomLeft = variant == 1,
+        logStrips = if (variant == 2) 2 else 0,
+        huffDict = trial % 2, customTables = true, huffText = true)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.nonEmpty, s"trial $trial variant $variant: refused")
+      val expected = new Array[Boolean](w * h)
+      places.foreach { case (si, x, y) =>
+        val g = glyphs(si)
+        for (yy <- 0 until g.h; xx <- 0 until g.w)
+          if (g.bits(yy * g.w + xx)) expected((y + yy) * w + (x + xx)) = true
+      }
+      assert(out.get.toSeq === expected.toSeq, s"trial $trial variant $variant")
+    }
+    // refusal pins: standard text-table selections (B.6-B.13 constants
+    // are NOT in-repo) and SBHUFF+REFINE refuse rather than garble
+    val glyphs1 = IndexedSeq(Jbig2.Glyph(2, 5, Array.fill(10)(true)),
+      Jbig2.Glyph(2, 5, Array.fill(10)(false)))
+    val base = Jbig2.encodeEmbeddedSymbols(glyphs1,
+      Seq((0, 0, 0), (1, 2, 0), (0, 4, 0), (1, 6, 0)), 8, 5,
+      huffDict = 0, customTables = true, huffText = true)
+    assert(Jbig2.decodeEmbedded(base, 8, 5).nonEmpty)
+    // find the text segment's Huffman flags and flip FS selection 3 -> 0:
+    // the hFlags bytes are 2 bytes after the region-info block of the
+    // LAST segment (type 6); locate by walking headers
+    def u32(a: Array[Byte], o: Int): Long =
+      (((a(o) & 0xFFL) << 24) | ((a(o + 1) & 0xFF) << 16) |
+        ((a(o + 2) & 0xFF) << 8) | (a(o + 3) & 0xFF)) & 0xFFFFFFFFL
+    var p = 0
+    var hOff = -1
+    while (p + 11 <= base.length) {
+      val segType = base(p + 4) & 0x3F
+      val count = (base(p + 5) & 0xFF) >> 5
+      val hdrLen = 6 + count + 1
+      val dataLen = u32(base, p + hdrLen).toInt
+      if (segType == 6) hOff = p + hdrLen + 4 + 17 + 2 // region info + flags
+      p = p + hdrLen + 4 + dataLen
+    }
+    assert(hOff > 0)
+    val mangled = base.clone()
+    mangled(hOff + 1) = (mangled(hOff + 1) & ~3).toByte // FS sel 3 -> 0
+    assert(Jbig2.decodeEmbedded(mangled, 8, 5) === None,
+      "standard text-table selection must refuse (B.6/B.7 not in repo)")
+  }
+
   test("JBIG2 SDHUFF length gate admits the 10-byte minimal dictionary") {
     import graft.ingest.Jbig2
     // an SDHUFF=1 header carries no AT pixels: flags(2) + numEx(4) +
