@@ -1055,14 +1055,17 @@ object Jbig2 {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode a text region body AFTER the region-info bytes (§6.4, §7.4.4):
-    * `body` starts at the text-region flags. Subset: TRANSPOSED=0,
-    * SBCOMBOP=OR, SBDEFPIXEL=0; arithmetic coding with REFINE=1 supported
+    * `body` starts at the text-region flags. Subset: SBCOMBOP=OR,
+    * SBDEFPIXEL=0; arithmetic coding with REFINE=1 supported
     * (per-instance IARI refinement, §6.4.11); SBHUFF=1 supported for the
     * ALL-CUSTOM-table shape (FS/DS/DT selection 3 resolved against
     * `inputTables`, symbol IDs via the §7.4.4.5 runcode-coded table —
     * every table self-describing, no reliance on the B.6–B.13 constants,
-    * which stay out of subset along with SBHUFF+REFINE). Anything else
-    * refuses. Returns the composed region plane. */
+    * which stay out of subset along with SBHUFF+REFINE); TRANSPOSED=1
+    * supported in both coders (S runs down the page, T across it,
+    * corner picks the column side, advance by symbol height) except
+    * combined with REFINE. Anything else refuses. Returns the composed
+    * region plane. */
   private[graft] def decodeTextRegion(body: Array[Byte], syms: IndexedSeq[Glyph],
                                       rw: Int, rh: Int,
                                       inputTables: Seq[HuffTable] = Seq.empty): Option[Array[Boolean]] = {
@@ -1078,11 +1081,12 @@ object Jbig2 {
     val rTemplate = (flags >> 15) & 1
     var dsOffset = (flags >> 10) & 0x1F
     if (dsOffset > 15) dsOffset -= 32 // signed 5-bit
-    if (transposed || combOp != 0 || defPixel) return None
+    if (combOp != 0 || defPixel) return None
+    if (transposed && refine) return None // TRANSPOSED+REFINE out of subset
     if (sbhuff) {
       if (refine) return None // SBHUFF+REFINE out of subset
       return decodeTextRegionHuff(body, syms, rw, rh, logStrips, refCorner,
-        dsOffset, inputTables)
+        dsOffset, transposed, inputTables)
     }
     // §7.4.4.1 field order: flags, then — when REFINE=1 and SBRTEMPLATE=0 —
     // the 2-pair refinement AT, then SBNUMINSTANCES
@@ -1166,16 +1170,22 @@ object Jbig2 {
                 Glyph(wo, ho, bits)
               }
             }
-          // draw with OR; S is the left edge (non-transposed), the corner
-          // picks top vs bottom row alignment
-          val y0 = if (refCorner == 0 || refCorner == 2) t - g.h + 1 else t
+          // draw with OR. Non-transposed: S = left edge, corner picks
+          // top vs bottom row. TRANSPOSED=1 (§6.4.5): the axes swap — S
+          // runs down the page (top edge), T across it, and the corner
+          // picks left vs right column; advance is the symbol HEIGHT.
+          val (x0, y0) =
+            if (!transposed)
+              (curS, if (refCorner == 0 || refCorner == 2) t - g.h + 1 else t)
+            else
+              (if (refCorner == 2 || refCorner == 3) t - g.w + 1 else t, curS)
           var yy = 0
           while (yy < g.h) {
             val py = y0 + yy
             if (py >= 0 && py < rh) {
               var xx = 0
               while (xx < g.w) {
-                val px = curS + xx
+                val px = x0 + xx
                 if (px >= 0 && px < rw && g.bits(yy * g.w + xx))
                   plane(py * rw + px) = true
                 xx += 1
@@ -1185,7 +1195,7 @@ object Jbig2 {
           }
           inst += 1
           first = false
-          curS += g.w - 1
+          curS += (if (transposed) g.h else g.w) - 1
         }
       }
       // drain the final strip's OOB terminator when the instance budget
@@ -1209,6 +1219,7 @@ object Jbig2 {
   private def decodeTextRegionHuff(body: Array[Byte], syms: IndexedSeq[Glyph],
                                    rw: Int, rh: Int, logStrips: Int,
                                    refCorner: Int, dsOffset: Int,
+                                   transposed: Boolean,
                                    inputTables: Seq[HuffTable]): Option[Array[Boolean]] =
     try {
       if (body.length < 2 + 2 + 4) return None
@@ -1309,14 +1320,19 @@ object Jbig2 {
             val id = symTable.decode(r)
             if (id == HuffOob || id < 0 || id >= syms.size) return None
             val g = syms(id.toInt)
-            val y0 = if (refCorner == 0 || refCorner == 2) t - g.h + 1 else t
+            // same corner/axis model as the arithmetic path (see there)
+            val (x0, y0) =
+              if (!transposed)
+                (curS, if (refCorner == 0 || refCorner == 2) t - g.h + 1 else t)
+              else
+                (if (refCorner == 2 || refCorner == 3) t - g.w + 1 else t, curS)
             var yy = 0
             while (yy < g.h) {
               val py = y0 + yy
               if (py >= 0 && py < rh) {
                 var xx = 0
                 while (xx < g.w) {
-                  val px = curS + xx
+                  val px = x0 + xx
                   if (px >= 0 && px < rw && g.bits(yy * g.w + xx))
                     plane(py * rw + px) = true
                   xx += 1
@@ -1326,7 +1342,7 @@ object Jbig2 {
             }
             inst += 1
             first = false
-            curS += g.w - 1
+            curS += (if (transposed) g.h else g.w) - 1
           }
         }
         // drain the strip's OOB terminator when the instance budget ended
@@ -1554,7 +1570,11 @@ object Jbig2 {
     * built from the region's own deltas (three more table segments,
     * selections 3) and symbol IDs through the §7.4.4.5 runcode-coded
     * table — the only SBHUFF form expressible without the B.6–B.13
-    * constants. */
+    * constants. `transposed = true` codes the region with TRANSPOSED=1
+    * (§6.4.5 swapped axes: S down the page, T across, TOPLEFT corner,
+    * advance by symbol height) — the vertical-text / column layout shape;
+    * the composed raster is identical to the non-transposed coding of
+    * the same placements, so one oracle pins both. */
   def encodeEmbeddedSymbols(glyphs: IndexedSeq[Glyph],
                             places: Seq[(Int, Int, Int)],
                             w: Int, h: Int,
@@ -1563,9 +1583,11 @@ object Jbig2 {
                             huffDict: Int = -1,
                             huffSel: (Int, Int) = (0, 0),
                             customTables: Boolean = false,
-                            huffText: Boolean = false): Array[Byte] =
+                            huffText: Boolean = false,
+                            transposed: Boolean = false): Array[Byte] =
     encodeSymbolStreams(glyphs, places, w, h, bottomLeft, logStrips,
-      huffDict, splitGlobals = false, huffSel, customTables, huffText)._2
+      huffDict, splitGlobals = false, huffSel, customTables, huffText,
+      transposed)._2
 
   /** [[encodeEmbeddedSymbols]] split for the PDF /JBIG2Globals shape
     * (multi-page scanned toolchains share one dictionary across pages):
@@ -1589,7 +1611,8 @@ object Jbig2 {
                                   splitGlobals: Boolean,
                                   huffSel: (Int, Int) = (0, 0),
                                   customTables: Boolean = false,
-                                  huffText: Boolean = false): (Array[Byte], Array[Byte]) = {
+                                  huffText: Boolean = false,
+                                  transposed: Boolean = false): (Array[Byte], Array[Byte]) = {
     require(glyphs.nonEmpty && places.nonEmpty, "need glyphs and placements")
     require((1 until glyphs.size).forall(i => glyphs(i - 1).h <= glyphs(i).h),
       "glyphs must be sorted by height")
@@ -1713,12 +1736,19 @@ object Jbig2 {
     // ---- text region body ----
     val sbStrips = 1 << logStrips
     val codeLen = symCodeLen(glyphs.size)
-    // instance T per the reference corner: top row (TOPLEFT) or bottom
-    // row (BOTTOMLEFT); strips cover [k·SBSTRIPS, (k+1)·SBSTRIPS) in T,
-    // CURT = the in-strip offset (encoded via IAIT when SBSTRIPS > 1)
-    val inst = places.map { case (si, x, y) =>
-      (si, x, if (bottomLeft) y + glyphs(si).h - 1 else y)
-    }
+    // instance (S, T) per the reference corner: non-transposed S = x
+    // (left edge) and T = the top (TOPLEFT) or bottom (BOTTOMLEFT) row;
+    // TRANSPOSED swaps the axes — S = y (top edge), T = x, TOPLEFT only.
+    // Strips cover [k·SBSTRIPS, (k+1)·SBSTRIPS) in T, CURT = the in-strip
+    // offset (IAIT / raw bits when SBSTRIPS > 1)
+    require(!transposed || !bottomLeft, "transposed encoder emits TOPLEFT only")
+    val inst =
+      if (transposed) places.map { case (si, x, y) => (si, y, x) }
+      else places.map { case (si, x, y) =>
+        (si, x, if (bottomLeft) y + glyphs(si).h - 1 else y)
+      }
+    def advance(si: Int): Int =
+      (if (transposed) glyphs(si).h else glyphs(si).w) - 1
     val groups = inst.groupBy(_._3 / sbStrips).toSeq.sortBy(_._1)
     var textTableBodies: IndexedSeq[Array[Byte]] = IndexedSeq.empty
     val trBody: Array[Byte] = if (!huffText) {
@@ -1740,7 +1770,7 @@ object Jbig2 {
           if (!first) encodeInt(trEnc, iads, x - curS) // IDS (SBDSOFFSET = 0)
           if (sbStrips > 1) encodeInt(trEnc, iait, t - stripT)
           encodeIaid(trEnc, iaid, codeLen, si)
-          curS = x + glyphs(si).w - 1
+          curS = x + advance(si)
           first = false
         }
         encodeInt(trEnc, iads, OOB) // strip terminator
@@ -1764,7 +1794,7 @@ object Jbig2 {
         var first = true
         sorted.foreach { case (si, x, _) =>
           if (!first) idsVals += (x - curS).toLong
-          curS = x + glyphs(si).w - 1
+          curS = x + advance(si)
           first = false
         }
       }
@@ -1799,7 +1829,7 @@ object Jbig2 {
           if (!first) tDS.encode(wtr, x - curS)
           if (sbStrips > 1) wtr.bits((t - stripT).toLong, logStrips)
           symTable.encode(wtr, si)
-          curS = x + glyphs(si).w - 1
+          curS = x + advance(si)
           first = false
         }
         tDS.encode(wtr, HuffOob) // strip terminator
@@ -1883,9 +1913,10 @@ object Jbig2 {
         17 + 2 + (if (huffText) 2 else 0) + 4 + trBody.length, 1)
       u32(w); u32(h); u32(0); u32(0); u8(0) // region info, external op OR
       // flags: SBHUFF, LOGSBSTRIPS, refcorner (0 = BOTTOMLEFT,
-      // 1 = TOPLEFT), OR, defpixel 0, dsOffset 0
+      // 1 = TOPLEFT), TRANSPOSED, OR, defpixel 0, dsOffset 0
       u16((if (huffText) 1 else 0) | (logStrips << 2) |
-        ((if (bottomLeft) 0 else 1) << 4))
+        ((if (bottomLeft) 0 else 1) << 4) |
+        (if (transposed) 0x40 else 0))
       if (huffText) u16(3 | (3 << 2) | (3 << 4)) // FS/DS/DT all custom
       u32(places.size) // SBNUMINSTANCES
       out.write(trBody)

@@ -931,13 +931,15 @@ object PdfImageFixtures {
       }
       val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
       // rotate the §6.4.5 placement variants across the corpus: plain
-      // TOPLEFT one-row strips, BOTTOMLEFT corners, and multi-strip
-      // (SBSTRIPS=4 with per-instance IAIT offsets) — the composed raster
-      // is identical, so ONE oracle pins all three coded shapes
-      val variant = (docId / 10) % 3
+      // TOPLEFT one-row strips, BOTTOMLEFT corners, multi-strip
+      // (SBSTRIPS=4 with per-instance IAIT offsets), and TRANSPOSED
+      // (swapped S/T axes, the vertical-text shape) — the composed
+      // raster is identical, so ONE oracle pins all four coded shapes
+      val variant = (docId / 10) % 4
       assemble(Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
           bottomLeft = variant == 1,
-          logStrips = if (variant == 2) 2 else 0), w, h,
+          logStrips = if (variant == 2) 2 else 0,
+          transposed = variant == 3), w, h,
         "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode")
     case 10 =>
       // REFINED JBIG2 (§6.3): dictionary A's prototype, a REFAGG-refined

@@ -524,6 +524,59 @@ class PdfImagesSpec extends AnyFunSuite {
       "standard text-table selection must refuse (B.6/B.7 not in repo)")
   }
 
+  test("JBIG2 TRANSPOSED text regions round-trip, both coders") {
+    import graft.ingest.Jbig2
+    // TRANSPOSED=1 swaps the S/T axes (vertical-text / column layout);
+    // the composed raster equals the non-transposed coding of the same
+    // placements, so equality against the plain encoding pins it. Grid
+    // over the did rotation, arithmetic AND SBHUFF-all-custom text.
+    for (did <- 0 until 64; coder <- Seq("arith", "huff")) {
+      val gw = 2 + did % 3
+      val h = 5 + did % 4
+      val w = 4 * gw
+      val glyphs = IndexedSeq(0, 1).map { k =>
+        Jbig2.Glyph(gw, h, Array.tabulate(gw * h)(i =>
+          PdfImageFixtures.symBlack(did, gw, i % gw + k * gw, i / gw)))
+      }
+      val places = Seq((0, 0, 0), (1, gw, 0), (0, 2 * gw, 0), (1, 3 * gw, 0))
+      val huffText = coder == "huff"
+      val stream = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+        huffDict = if (huffText) did % 2 else -1,
+        customTables = huffText, huffText = huffText, transposed = true)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.nonEmpty, s"did=$did $coder: refused")
+      val plain = Jbig2.decodeEmbedded(
+        Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h), w, h).get
+      assert(out.get.toSeq === plain.toSeq, s"did=$did $coder")
+    }
+    // column-layout shape (the reason TRANSPOSED exists): instances
+    // stacked VERTICALLY share one strip in transposed coding; scattered
+    // columns + mixed symbol heights + multi-strip
+    val rnd = new scala.util.Random(173)
+    for (trial <- 0 until 6; huffText <- Seq(false, true)) {
+      val g1 = Jbig2.Glyph(3, 4, Array.fill(12)(rnd.nextBoolean()))
+      val g2 = Jbig2.Glyph(3, 6, Array.fill(18)(rnd.nextBoolean()))
+      val g3 = Jbig2.Glyph(5, 3, Array.fill(15)(rnd.nextBoolean()))
+      val glyphs = IndexedSeq(g3, g1, g2).sortBy(_.h) // dict wants by height
+      val places = Seq((0, 2, 0), (1, 2, 5), (2, 2, 10), // column at x=2
+        (0, 10, 1), (2, 10, 6), (1, 16, 0)) // second column + a stray
+      val (w, h) = (22, 18)
+      val stream = Jbig2.encodeEmbeddedSymbols(glyphs, places, w, h,
+        logStrips = if (trial % 2 == 1) 2 else 0,
+        huffDict = if (huffText) trial % 2 else -1,
+        customTables = huffText, huffText = huffText, transposed = true)
+      val out = Jbig2.decodeEmbedded(stream, w, h)
+      assert(out.nonEmpty, s"trial $trial huffText=$huffText: refused")
+      val expected = new Array[Boolean](w * h)
+      places.foreach { case (si, x, y) =>
+        val g = glyphs(si)
+        for (yy <- 0 until g.h; xx <- 0 until g.w)
+          if (g.bits(yy * g.w + xx)) expected((y + yy) * w + (x + xx)) = true
+      }
+      assert(out.get.toSeq === expected.toSeq, s"trial $trial huffText=$huffText")
+    }
+  }
+
   test("JBIG2 SDHUFF length gate admits the 10-byte minimal dictionary") {
     import graft.ingest.Jbig2
     // an SDHUFF=1 header carries no AT pixels: flags(2) + numEx(4) +
