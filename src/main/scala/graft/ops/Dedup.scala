@@ -258,27 +258,33 @@ object Dedup {
   /** exact n-gram Jaccard pairs over a shingle posting join; emits
     * (id_a, id_b, jaccard) for pairs sharing >= 1 shingle. */
   def jaccardPairs(df: DataFrame, idCol: String, shinglesCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double): DataFrame =
+    jaccardPairsReleasable(df, idCol, shinglesCol, threshold)._1
+
+  /** [[jaccardPairs]] plus a release handle for the persisted postings —
+    * same contract as [[routedPairJoinReleasable]]: invoke after the
+    * terminal action; the handle-less overload leaves the blocks to the
+    * caller's session. */
+  def jaccardPairsReleasable(df: DataFrame, idCol: String, shinglesCol: String,
+                             threshold: Double): (DataFrame, () => Unit) = {
     // set size rides along the posting explode, so the per-pair union size
     // is recovered from the grouped rows themselves (max of a functionally-
     // dependent column) — no separate sizes relation, no post-agg joins.
     // Persisting the postings makes the self-join read the (expensive)
-    // shingle projection once instead of once per side. The cached blocks
-    // live until the caller's session drops them (catalog clearCache() /
-    // unpersist after the consuming action) — a lazily-returned DataFrame
-    // cannot unpersist its own inputs before the caller runs it.
+    // shingle projection once instead of once per side.
     val posts = df.select(col(idCol), size(col(shinglesCol)).as("n_sh"),
         explode(col(shinglesCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = posts.select(col("sh"), col(idCol).as("id_a"), col("n_sh").as("n_a"))
     val r = posts.select(col("sh"), col(idCol).as("id_b"), col("n_sh").as("n_b"))
-    l.join(r, "sh").filter(col("id_a") < col("id_b"))
+    val out = l.join(r, "sh").filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"), max("n_a").as("n_a"), max("n_b").as("n_b"))
       .withColumn("jaccard",
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    (out, () => { posts.unpersist(blocking = true); () })
   }
 
   /** Cross-document duplicate k-gram coverage — per document, the fraction
@@ -294,11 +300,16 @@ object Dedup {
     * pair join. Shingles arrive distinct per doc ([[wordShingles]]), so
     * the gram→doc count IS the containing-doc count. */
   def dupGramCoverage(docs: DataFrame, idCol: String,
-                      shinglesCol: String): DataFrame = {
+                      shinglesCol: String): DataFrame =
+    dupGramCoverageReleasable(docs, idCol, shinglesCol)._1
+
+  /** [[dupGramCoverage]] plus a release handle for the persisted postings
+    * (same contract as [[jaccardPairsReleasable]]). */
+  def dupGramCoverageReleasable(docs: DataFrame, idCol: String,
+                                shinglesCol: String): (DataFrame, () => Unit) = {
     // persist the exploded postings: they feed BOTH the doc-count aggregate
     // and the coverage join — without this the (expensive) gram projection
-    // runs twice (same discipline + unpersist caveat as jaccardPairs:
-    // blocks live until the caller's session releases them). The column is
+    // runs twice. The column is
     // expected to carry HASHED grams ([[wordShingleHashes]]) — both
     // shuffles key on the gram, and an 8-byte key cuts exchanged bytes
     // ~5x vs shingle strings. A 64-bit collision merges two grams' doc
@@ -318,11 +329,12 @@ object Dedup {
       .filter(col("n_docs") >= 2)
     val covered = gd.join(shared, Seq("g"))
       .groupBy(idCol).agg(count(lit(1)).as("n_cov"))
-    totals.join(covered, Seq(idCol), "left")
+    val out = totals.join(covered, Seq(idCol), "left")
       .select(col(idCol),
         (round(coalesce(col("n_cov"), lit(0L)) /
           greatest(col("n_grams"), lit(1)), 4) + 0.0).as("dup_gram_frac"),
         col("n_grams").cast("long").as("n_grams"))
+    (out, () => { gd.unpersist(blocking = true); () })
   }
 
   /** Candidate-pair count above which the verify stage stops forcing a

@@ -405,6 +405,15 @@ class OpsSpec extends AnyFunSuite {
       assert(spark.sparkContext.getPersistentRDDs.keySet === baseline,
         s"persisted blocks leaked at maxBroadcastPairs=$limit")
     }
+    // the posting-persisting operators release the same way
+    val (jp, relJp) = Dedup.jaccardPairsReleasable(docs, "doc_id", "shs", 0.1)
+    assert(jp.count() > 0)
+    relJp()
+    val (cov, relCov) = Dedup.dupGramCoverageReleasable(docs, "doc_id", "shs")
+    assert(cov.count() > 0)
+    relCov()
+    assert(spark.sparkContext.getPersistentRDDs.keySet === baseline,
+      "posting blocks leaked")
   }
 
   test("dhash: constant image hashes to 0, monotone gradient to all-ones") {
