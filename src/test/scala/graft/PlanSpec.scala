@@ -329,6 +329,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("verify-leg exchanges carry 64-bit-hashed shingles, not the strings") {
+    // the r12 payload-width fix: jaccardOnPairs must project the shingle
+    // arrays to xxhash64 longs BEFORE the join, so the (shuffle-route)
+    // exchanges move 8-byte elements instead of 5-gram strings — the
+    // measured difference between 182 GB and 29.5 GB of spill at the 100×
+    // regime. Pin the join inputs' schema: if the transform is dropped,
+    // the string arrays silently reappear and only a re-stress would see
+    // it; this catches the regression at test time.
+    import graft.ops.Dedup
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, Seq(s"a$i", s"b${i % 3}")))
+      .toDF("doc_id", "shs")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val verified = Dedup.jaccardOnPairs(pairs, docs, "doc_id", "shs",
+      maxBroadcastPairs = 0L) // force the shuffle route (payload exchanges)
+    // the OPTIMIZED logical plan (the executed plan is an AQE wrapper whose
+    // children only materialize at runtime): the join inputs' _shs_a/_shs_b
+    // attributes are what the exchanges will carry
+    val plan = verified.queryExecution.optimizedPlan
+    val shsAttrs = plan.flatMap(_.output).filter(a =>
+      a.name == "_shs_a" || a.name == "_shs_b")
+    assert(shsAttrs.nonEmpty, "verify payload columns not found in the plan")
+    shsAttrs.foreach { a =>
+      assert(a.dataType === ArrayType(LongType, containsNull = false) ||
+        a.dataType === ArrayType(LongType, containsNull = true),
+        s"${a.name} carries ${a.dataType} — the hashed-shingle projection " +
+          "was dropped (string payloads back in the exchange)")
+      assert(a.dataType.asInstanceOf[ArrayType].elementType !== StringType)
+    }
+    assert(verified.count() >= 0) // the routed plan still executes
+  }
+
   test("delta-dedup candidate-id semi-join routes by measured count like the pair join") {
     // ops/Dedup.routedSemiJoin: the shape d_delta_dedup (and the streaming
     // twin) uses to restrict shingling to candidate-touched docs. Same
