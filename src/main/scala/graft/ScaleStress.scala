@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.core.TaskMetricsCollector
 import graft.queries.Registry
 
 /** Scale-stress main: times the dedup headline queries on the base corpus and
@@ -23,27 +23,6 @@ import graft.queries.Registry
   * pair-expansion path is built for.
   */
 object ScaleStress {
-
-  /** per-task-end maxima/totals over one timed query, from the listener bus */
-  private final class MetricsCollector extends SparkListener {
-    @volatile var maxTaskSpill = 0L   // memory+disk spill, worst single task
-    @volatile var totalSpill = 0L
-    @volatile var shuffleWrite = 0L
-    @volatile var tasks = 0L
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-      val m = t.taskMetrics
-      if (m != null) synchronized {
-        val spill = m.memoryBytesSpilled + m.diskBytesSpilled
-        if (spill > maxTaskSpill) maxTaskSpill = spill
-        totalSpill += spill
-        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
-        tasks += 1
-      }
-    }
-    def reset(): Unit = synchronized {
-      maxTaskSpill = 0L; totalSpill = 0L; shuffleWrite = 0L; tasks = 0L
-    }
-  }
 
   /** default = the dedup headlines; SPARK_GRAFT_STRESS_QUERIES=a,b,c
     * selects any documents-table queries (e.g. the text-analysis set) */
@@ -88,7 +67,7 @@ object ScaleStress {
       inflated.write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
     }
 
-    val collector = new MetricsCollector
+    val collector = new TaskMetricsCollector
     spark.sparkContext.addSparkListener(collector)
 
     def timed(name: String, dir: String): (Double, Long, Long, Long, Long) = {

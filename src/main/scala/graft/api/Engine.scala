@@ -603,21 +603,45 @@ final class Engine(
         s => s("text")), " ").as("text"))
       .withColumn("file_id", graft.ops.Dedup.hash60(col("filePath")))
       .persist()
+    // releasable verify (r13 soak finding): the handle-less pair verify
+    // persisted its candidate list per CALL — one leaked block per tool
+    // invocation for the session's lifetime. The checkpoint is eager, so
+    // every intermediate releases in the finally; the checkpoint itself
+    // rotates per API name below.
+    var release: () => Unit = () => ()
     try {
       val withSh = perFile
         .withColumn("ws", graft.ops.Dedup.wordsArray("text"))
         .withColumn("shs", graft.ops.Dedup.wordShingles("ws", 5))
-      val pairs = graft.ops.Dedup.nearDupPairsAt(
+      val (pairs, rel) = graft.ops.Dedup.nearDupPairsAtReleasable(
         withSh.select(col("file_id"), col("shs")), "file_id", "shs", threshold)
+      release = rel
       val ids = perFile.select(col("file_id"), col("filePath"))
-      pairs
+      checkpointBounded("nearDuplicateFiles", pairs
         .join(ids.select(col("file_id").as("id_a"), col("filePath").as("pa")), Seq("id_a"))
         .join(ids.select(col("file_id").as("id_b"), col("filePath").as("pb")), Seq("id_b"))
         .select(least(col("pa"), col("pb")).as("path_a"),
           greatest(col("pa"), col("pb")).as("path_b"), col("jaccard"))
-        .orderBy("path_a", "path_b")
-        .localCheckpoint(true)
-    } finally perFile.unpersist()
+        .orderBy("path_a", "path_b"))
+    } finally { release(); perFile.unpersist(): Unit }
+  }
+
+  /** Live materialized result per API NAME — the blocks bound on the
+    * engine's eager `localCheckpoint` results (the disk twin is
+    * StreamingIngest's named result dirs): a re-invocation of the same
+    * tool releases the predecessor's checkpoint blocks, so a long-lived
+    * session holds at most one materialized result per tool instead of
+    * one per call. Same lifecycle contract: a returned DataFrame is valid
+    * until the SAME tool runs again. */
+  private val liveCheckpoints =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[org.apache.spark.rdd.RDD[_]]]()
+  private def checkpointBounded(name: String,
+                                df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cp = df.localCheckpoint(true)
+    val mine = graft.ops.Dedup.checkpointRdd(cp)
+    val prev = liveCheckpoints.put(name, mine)
+    if (prev != null) prev.foreach(_.unpersist(blocking = true))
+    cp
   }
 
   /** F21 — per-page visual-candidate manifest over the workspace's PDFs

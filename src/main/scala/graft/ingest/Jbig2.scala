@@ -563,12 +563,20 @@ object Jbig2 {
     // among its length's codes in every standard table that has one)
     private val prefLens: Array[Int] =
       (lines.map(_.prefLen) ++ (if (oobPrefLen > 0) Seq(oobPrefLen) else Nil)).toArray
-    private[graft] val codes: Array[Int] = {
-      val assigned = new Array[Int](prefLens.length)
-      val maxLen = prefLens.max
-      var curCode = 0
+    private val maxLen = prefLens.max
+    // Canonical assignment in LONG: Int `curCode <<= 1` wraps once the
+    // running code crosses 2^31 (a dense length multiset near len 31, or a
+    // hostile PREFLEN > 31), and a wrapped code can alias a small value —
+    // wellFormed would then pass a Kraft-violating table and decode would
+    // accept garbled output instead of refusing. The loop is also bounded
+    // at 62 doublings so a 255-length hostile table cannot shift the
+    // accumulator off the end of the Long either.
+    private val codesL: Array[Long] = {
+      val assigned = new Array[Long](prefLens.length)
+      val lim = math.min(maxLen, 62)
+      var curCode = 0L
       var len = 1
-      while (len <= maxLen) {
+      while (len <= lim) {
         var i = 0
         while (i < prefLens.length) {
           if (prefLens(i) == len) { assigned(i) = curCode; curCode += 1 }
@@ -579,27 +587,35 @@ object Jbig2 {
       }
       assigned
     }
-    private val maxLen = prefLens.max
+    /** Int view of the canonical codes (spec pins compare against the
+      * printed code columns); −1 marks a code that does not fit an Int —
+      * only reachable on tables [[wellFormed]] already refuses. */
+    private[graft] val codes: Array[Int] =
+      codesL.map(c => if (c >= 0L && c <= Int.MaxValue) c.toInt else -1)
 
     /** every used line's canonical code fits in its own prefix length —
       * false means the length multiset violates Kraft (a malformed custom
       * table): the overflowed lines would be undecodable dead weight, so
       * the table parser refuses such streams up front instead of failing
-      * line-by-line at decode time */
+      * line-by-line at decode time. Prefix lengths above 31 are refused
+      * outright: [[decode]] accumulates the candidate code over at most
+      * `maxLen` bit-shifts, and 31 bits already covers any table this
+      * subset can meet (B.1–B.5 max 8; custom tables ≤ 4096 lines need
+      * ≤ 13; runcode/symbol-ID lengths are ≤ 31 by construction). */
     private[graft] val wellFormed: Boolean =
-      prefLens.indices.forall(i =>
-        prefLens(i) == 0 || codes(i) < (1 << prefLens(i)))
+      maxLen <= 31 && prefLens.indices.forall(i =>
+        prefLens(i) == 0 || codesL(i) < (1L << prefLens(i)))
 
     /** read one value (or [[HuffOob]]) off the bit stream */
     def decode(r: BitReader): Long = {
       var len = 0
-      var code = 0
+      var code = 0L
       while (len < maxLen) {
         code = (code << 1) | r.bit()
         len += 1
         var i = 0
         while (i < prefLens.length) {
-          if (prefLens(i) == len && codes(i) == code) {
+          if (prefLens(i) == len && codesL(i) == code) {
             if (i == lines.length) return HuffOob // the OOB pseudo-line
             val l = lines(i)
             val delta = r.bits(l.rangeLen)
@@ -615,7 +631,7 @@ object Jbig2 {
     def encode(w: BitWriter, v: Long): Unit = {
       if (v == HuffOob) {
         require(oobPrefLen > 0, "table has no OOB")
-        w.bits(codes(lines.length).toLong, oobPrefLen)
+        w.bits(codesL(lines.length), oobPrefLen)
         return
       }
       var i = 0
@@ -628,7 +644,7 @@ object Jbig2 {
           else if (l.rangeLen == 32) v >= l.rangeLow
           else v >= l.rangeLow && v < l.rangeLow + (1L << l.rangeLen))
         if (hit) {
-          w.bits(codes(i).toLong, l.prefLen)
+          w.bits(codesL(i), l.prefLen)
           w.bits(if (l.lower) l.rangeLow - v else v - l.rangeLow, l.rangeLen)
           return
         }
@@ -694,13 +710,20 @@ object Jbig2 {
         if (rangeLines.size >= 4096) return None // adversarial line bound
         val prefLen = r.bits(htps).toInt
         val rangeLen = r.bits(htrs).toInt
-        if (rangeLen > 32) return None
+        // PREFLEN can be 8 bits on the wire (HTPS up to 8) but no decodable
+        // table needs a prefix over 31 bits (≤ 4099 symbols ⇒ canonical
+        // lengths ≤ 13 even in the worst skew) — refuse up front rather
+        // than rely on downstream shifts behaving at 255 (the ADVICE r12
+        // overflow class: Int shifts wrap and a hostile table could pass
+        // wellFormed with wrapped codes)
+        if (prefLen > 31 || rangeLen > 32) return None
         rangeLines += HuffLine(prefLen, rangeLen, cur)
         cur += (1L << rangeLen)
       }
       val lowerPref = r.bits(htps).toInt
       val upperPref = r.bits(htps).toInt
       val oobPref = if (htOob) r.bits(htps).toInt else 0
+      if (lowerPref > 31 || upperPref > 31 || oobPref > 31) return None
       val lines = rangeLines.toIndexedSeq :+
         HuffLine(lowerPref, 32, htLow - 1, lower = true) :+
         HuffLine(upperPref, 32, htHigh)
@@ -1258,6 +1281,7 @@ object Jbig2 {
       val runLens = Array.fill(35)(r.bits(4).toInt)
       val runTable = new HuffTable(
         IndexedSeq.tabulate(35)(i => HuffLine(runLens(i), 0, i)), 0)
+      if (!runTable.wellFormed) return None // Kraft-violating runcode lengths
       val symLens = new Array[Int](syms.size)
       var si = 0
       var prevLen = -1 // -1 = no previous length yet (RUNCODE32 refuses)
@@ -1292,6 +1316,7 @@ object Jbig2 {
       // HuffTable implements; rangeLen 0 lines return the symbol index
       val symTable = new HuffTable(
         IndexedSeq.tabulate(syms.size)(i => HuffLine(symLens(i), 0, i)), 0)
+      if (!symTable.wellFormed) return None // Kraft-violating symbol lengths
       // ---- §6.4 decode loop, Huffman variant ----
       val plane = new Array[Boolean](rw * rh)
       def bounded(v: Long): Int = {

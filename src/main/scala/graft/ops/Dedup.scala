@@ -155,14 +155,25 @@ object Dedup {
     * broadcast per-pair Jaccard — the scale shape the benched
     * d_jaccard_pairs_lsh pins, behind a one-argument knob. */
   def nearDupPairsAt(df: DataFrame, idCol: String, shinglesCol: String,
-                     threshold: Double, nHashes: Int = 128): DataFrame = {
+                     threshold: Double, nHashes: Int = 128): DataFrame =
+    nearDupPairsAtReleasable(df, idCol, shinglesCol, threshold, nHashes)._1
+
+  /** [[nearDupPairsAt]] plus the verify stage's release handle — the
+    * long-lived-session form (engine tool calls): the candidate pair list
+    * (and the posting route's candidate projection, when taken) is
+    * persisted until the handle runs. The verify is the r13 measured-routed
+    * shape ([[jaccardOnPairsRoutedReleasable]]). */
+  def nearDupPairsAtReleasable(df: DataFrame, idCol: String, shinglesCol: String,
+                               threshold: Double,
+                               nHashes: Int = 128): (DataFrame, () => Unit) = {
     val (b, r) = bandingFor(threshold, nHashes)
     val withSig = df.filter(size(col(shinglesCol)) > 0)
       .withColumn("_hs", shingleBaseHashes(shinglesCol))
       .withColumn("_sig", minhashSignature("_hs", nHashes))
     val candidates = lshCandidatePairs(lshBands(withSig, idCol, "_sig", b, r), idCol)
-    jaccardOnPairs(candidates, df, idCol, shinglesCol)
-      .filter(col("jaccard") >= threshold)
+    val (verified, release) =
+      jaccardOnPairsRoutedReleasable(candidates, df, idCol, shinglesCol)
+    (verified.filter(col("jaccard") >= threshold), release)
   }
 
   /** LSH banding: explode signature into (bandId, bandHash) rows.
@@ -480,6 +491,127 @@ object Dedup {
     (out, release)
   }
 
+  /** Pairs-per-candidate-doc ratio above which the verify stage re-routes
+    * from the pair-carry join onto the posting-join shape. The pair carry
+    * duplicates each doc's hashed-shingle array once PER PAIR through the
+    * exchange — in a ~g-twin duplicate group every member's array travels
+    * ~g times (measured: the residual 29.5 GB spill of the r12 100×
+    * d_delta_dedup run). The posting shape explodes each candidate doc's
+    * grams ONCE and counts shared grams per pair gram-keyed, so its
+    * exchange is O(candidate-doc grams) + O(pairs × partial-agg fan-in) —
+    * the regimes cross roughly where pairs/docs exceeds a small constant.
+    * Session-tunable via `spark.graft.dedup.postingVerifyFactor`. */
+  val PostingVerifyFactor: Double = 8.0
+
+  /** [[jaccardOnPairs]] with the verify SHAPE itself routed by measurement:
+    * counts the candidate pairs and (approximately) the distinct ids they
+    * touch in one pass over the persisted pair list, then
+    *  - pairs ≤ factor × ids → the pair-carry join ([[jaccardOnPairsReleasable]]
+    *    — itself broadcast/shuffle-routed), whose exchange is
+    *    O(pairs × signature array);
+    *  - pairs > factor × ids (the adversarial twin-group regime) → a
+    *    posting join RESTRICTED to the candidate docs: semi-join the
+    *    payload down to ids the pairs touch, explode each doc's hashed
+    *    grams once, count shared grams per co-occurring pair, then join
+    *    the requested pair list back (left — a candidate pair sharing no
+    *    gram verifies to jaccard 0, exactly as the pair carry scores it).
+    * Both routes emit identical (id_a, id_b, jaccard) values (OpsSpec pins
+    * equality pair-for-pair, zero-intersection pairs included).
+    *
+    * The posting route's quadratic work stays bounded by the SAME guarantee
+    * the pair list already carries: within one gram, co-occurring candidate
+    * docs are members of [[lshCandidatePairs]]-capped buckets upstream, so
+    * per-gram fan-out cannot exceed the regime the candidate generator
+    * admitted. `postingFactor`: < 0 reads the session conf (default
+    * [[PostingVerifyFactor]]); 0 forces the posting route (tests/stress);
+    * a huge value pins the pair carry.
+    *
+    * Contract: pairs are CANONICAL (`id_a < id_b`) — what every in-repo
+    * candidate generator emits ([[lshCandidatePairs]]'s `j > i` guard, the
+    * index store's delta probe). The posting route counts co-occurrence
+    * under that ordering; a reversed pair would verify to 0 there while
+    * the pair carry scores it symmetrically. */
+  def jaccardOnPairsRouted(pairs: DataFrame, df: DataFrame, idCol: String,
+                           shinglesCol: String, maxBroadcastPairs: Long = -1L,
+                           postingFactor: Double = -1.0): DataFrame =
+    jaccardOnPairsRoutedReleasable(pairs, df, idCol, shinglesCol,
+      maxBroadcastPairs, postingFactor)._1
+
+  /** [[jaccardOnPairsRouted]] plus the release handle for every block the
+    * chosen route persists (pair list, and on the posting route the
+    * semi-joined candidate projection) — contract of
+    * [[routedPairJoinReleasable]]. */
+  def jaccardOnPairsRoutedReleasable(pairs: DataFrame, df: DataFrame,
+                                     idCol: String, shinglesCol: String,
+                                     maxBroadcastPairs: Long = -1L,
+                                     postingFactor: Double = -1.0): (DataFrame, () => Unit) = {
+    val factor =
+      if (postingFactor >= 0) postingFactor
+      else pairs.sparkSession.conf
+        .get("spark.graft.dedup.postingVerifyFactor", PostingVerifyFactor.toString)
+        .toDouble
+    val p = pairs.select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE measurement job over the cached pairs: exact pair count + approx
+    // distinct touched ids (HLL partial-merged, no shuffle of the ids —
+    // the route threshold tolerates the ~2% estimate error)
+    val m = p.select(explode(array(col("id_a"), col("id_b"))).as("_id"))
+      .agg(count(lit(1)).as("n2"), approx_count_distinct("_id").as("nid"))
+      .head()
+    val nPairs = m.getLong(0) / 2
+    val nIds = math.max(m.getLong(1), 1L)
+    if (nPairs <= factor * nIds) {
+      dedupLog.info(s"verify route: pair-carry (pairs=$nPairs ids~$nIds " +
+        s"factor=$factor)")
+      val (out, rel) =
+        jaccardOnPairsReleasable(p, df, idCol, shinglesCol, maxBroadcastPairs)
+      (out, () => { rel(); p.unpersist(blocking = true); () })
+    } else {
+      dedupLog.info(s"verify route: posting-join (pairs=$nPairs ids~$nIds " +
+        s"factor=$factor)")
+      val cand = p.select(col("id_a").as(idCol))
+        .union(p.select(col("id_b").as(idCol))).distinct()
+      // project BEFORE the semi-join: the exchange (if the id set is too
+      // big to broadcast) then moves (id, hashed grams), never the text
+      val payload = df.select(col(idCol).cast("long").as(idCol),
+        array_distinct(hashedShingles(shinglesCol)).as("_shs"))
+      val (candDocs0, relSemi) =
+        routedSemiJoinReleasable(payload, cand, idCol, maxBroadcastPairs)
+      // feeds the size projection + BOTH posting sides — cache the compact
+      // hashed projection once instead of recomputing the shingle pipeline
+      val candDocs = candDocs0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = candDocs.select(col(idCol), size(col("_shs")).as("_n"))
+      val posts = candDocs.select(col(idCol), explode(col("_shs")).as("_g"))
+      // gram-keyed co-occurrence count: each candidate doc's grams cross
+      // the exchange ONCE; the per-pair partial aggregate collapses the
+      // in-gram pair fan-out map-side, so the second exchange carries at
+      // most pairs × (partitions its shared grams landed on) thin rows
+      val inter = posts.select(col("_g"), col(idCol).as("id_a"))
+        .join(posts.select(col("_g"), col(idCol).as("id_b")), "_g")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+      val out = p
+        .join(sizes.select(col(idCol).as("id_a"), col("_n").as("_n_a")), Seq("id_a"))
+        .join(sizes.select(col(idCol).as("id_b"), col("_n").as("_n_b")), Seq("id_b"))
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .withColumn("jaccard", round(coalesce(col("_inter"), lit(0L)) /
+          (col("_n_a") + col("_n_b") - coalesce(col("_inter"), lit(0L))), 4))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      (out, () => {
+        candDocs.unpersist(blocking = true)
+        relSemi()
+        p.unpersist(blocking = true)
+        ()
+      })
+    }
+  }
+
+  /** driver-side route-decision audit logger */
+  @transient private lazy val dedupLog =
+    org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+
   /** SimHash over a words-array column: distinct words hashed (portable
     * md5-60-bit), bit b of the result set iff the signed sum of word-hash
     * bits is positive. One linear pass per row. */
@@ -641,7 +773,7 @@ object Dedup {
   /** The persisted RDD behind a `localCheckpoint(true)`ed Dataset, if any.
     * Checkpoint blocks live on the RDD (not in the CacheManager), so this
     * is the only handle through which they can be released eagerly. */
-  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+  private[graft] def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }

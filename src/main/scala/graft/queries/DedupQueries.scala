@@ -938,7 +938,12 @@ object DedupQueries {
         val needed = Dedup.routedSemiJoin(dupCorpus(s, d), candIds, "doc_id")
           .withColumn("ws", Dedup.wordsArray("text"))
           .withColumn("shs", Dedup.wordShingles("ws", 5))
-        Dedup.jaccardOnPairs(cands, needed, "doc_id", "shs")
+        // the verify SHAPE itself is measured-routed (r13): at benign
+        // pair-to-doc ratios this is the same pair-carry join as before;
+        // in the adversarial twin-group regime (pairs ≫ candidate docs) it
+        // re-routes onto the posting join so no doc's signature array is
+        // duplicated per pair through the exchange
+        Dedup.jaccardOnPairsRouted(cands, needed, "doc_id", "shs")
           .filter(col("jaccard") >= 0.5)
           .orderBy("id_a", "id_b")
       },

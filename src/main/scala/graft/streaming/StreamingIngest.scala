@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import scala.jdk.CollectionConverters._
+
 import graft.chunker.MaxMinChunker
 import graft.core.ChunkSchema.ChunkRow
 import graft.embed.Embedder
@@ -664,15 +666,21 @@ object StreamingIngest {
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
   private lazy val jvmLifetimeHook: Unit = {
     sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
-      jvmLifetimeDirs.iterator().asScala.foreach { d =>
-        try java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+      jvmLifetimeDirs.iterator().asScala.foreach(deleteTreeQuietly)
     }
     ()
   }
+
+  /** best-effort recursive delete; the Files.walk Stream is CLOSED (it holds
+    * an open directory handle per level — leaking one per engine-session
+    * result-dir rotation was the ADVICE r12 finding) */
+  private def deleteTreeQuietly(d: java.nio.file.Path): Unit =
+    try {
+      val s = java.nio.file.Files.walk(d)
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
   private def registerJvmLifetimeDir(dir: java.nio.file.Path): Unit = {
     jvmLifetimeHook
     jvmLifetimeDirs.add(dir): Unit
@@ -691,14 +699,23 @@ object StreamingIngest {
   private def claimResultDir(name: String): java.nio.file.Path = {
     val fresh = java.nio.file.Files.createTempDirectory(s"graft_${name}_out")
     registerJvmLifetimeDir(fresh)
-    val prev = namedResultDirs.put(name, fresh)
-    if (prev != null) {
-      jvmLifetimeDirs.remove(prev): Unit
-      import scala.jdk.CollectionConverters._
-      try java.nio.file.Files.walk(prev).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
+    // claim-then-delete runs inside compute(), so it is atomic PER NAME:
+    // two concurrent claims of the same name serialize on the map bin and
+    // each deletes exactly one predecessor (the ADVICE r12 race was two
+    // puts both observing the same prev and one deleting a dir the other's
+    // returned handle still lazily read). The lifecycle contract is
+    // unchanged and stays documented above: a returned result handle is
+    // valid only until the SAME query is re-run — claiming serially here
+    // makes the rotation safe, it does not make concurrent re-runs of one
+    // query a supported pattern (the later claim still deletes the dir the
+    // earlier, still-running invocation will write).
+    namedResultDirs.compute(name, (_, prev) => {
+      if (prev != null) {
+        jvmLifetimeDirs.remove(prev): Unit
+        deleteTreeQuietly(prev)
+      }
+      fresh
+    })
     fresh
   }
 
@@ -959,8 +976,11 @@ object StreamingIngest {
                   val needed = needed0
                     .withColumn("ws", graft.ops.Dedup.wordsArray("text"))
                     .withColumn("shs", graft.ops.Dedup.wordShingles("ws", 5))
+                  // r13: the verify shape is measured-routed too — a batch
+                  // landing in an adversarial twin regime re-routes onto
+                  // the posting join instead of carrying arrays per pair
                   val (verified, releasePairs) = graft.ops.Dedup
-                    .jaccardOnPairsReleasable(cands, needed, "doc_id", "shs")
+                    .jaccardOnPairsRoutedReleasable(cands, needed, "doc_id", "shs")
                   try
                     verified.filter(col("jaccard") >= threshold)
                       .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")

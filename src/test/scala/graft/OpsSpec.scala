@@ -416,6 +416,64 @@ class OpsSpec extends AnyFunSuite {
       "posting blocks leaked")
   }
 
+  test("routed verify: posting route equals pair-carry route pair-for-pair") {
+    // r13: jaccardOnPairsRouted may re-route the verify onto a posting join
+    // when pair mass dominates candidate-doc mass. The two shapes must emit
+    // IDENTICAL (id_a, id_b, jaccard) rows — including candidate pairs that
+    // share no gram (jaccard 0.0 on both routes, not a dropped row) and
+    // pairs whose ids are absent from the payload (dropped on both routes).
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 12).map(j => s"sh_${(i % 5)}_$j") :+ s"own_$i"))
+      .toDF("doc_id", "shs")
+    val pairs = ((for (a <- 0 until 40; b <- a + 1 until 40; if a % 5 == b % 5)
+      yield (a.toLong, b.toLong)) ++
+      Seq((0L, 1L),    // zero shared grams (different mod-5 groups)
+          (2L, 8L),    // another disjoint pair
+          (3L, 999L))) // id 999 not in docs — dropped by the payload join
+      .toDF("id_a", "id_b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val carry = rows(Dedup.jaccardOnPairsRouted(pairs, docs, "doc_id", "shs",
+      postingFactor = 1e18)) // pin the pair carry
+    val posting = rows(Dedup.jaccardOnPairsRouted(pairs, docs, "doc_id", "shs",
+      postingFactor = 0.0)) // force the posting route
+    assert(carry === posting)
+    assert(carry.exists { case (a, b, j) => (a, b) == (0L, 1L) && j == 0.0 },
+      "zero-intersection candidate pair must verify to 0.0, not vanish")
+    assert(!carry.exists { case (_, b, _) => b == 999L },
+      "pair with an id absent from the payload must drop on both routes")
+    // and the posting route under the SHUFFLE semi-join leg too
+    val postingShuffle = rows(Dedup.jaccardOnPairsRouted(pairs, docs,
+      "doc_id", "shs", maxBroadcastPairs = 0L, postingFactor = 0.0))
+    assert(postingShuffle === carry)
+  }
+
+  test("routed verify: posting-route release leaves no persisted blocks") {
+    // the posting route persists the pair list, the semi-join id set, and
+    // the candidate-doc hashed projection — the release handle must drop
+    // all three (the same session-hygiene gate as the pair-carry twins)
+    val docs = (0 until 30).map(i =>
+      (i.toLong, (0 until 8).map(j => s"sh_${(i % 3)}_$j"))).toDF("doc_id", "shs")
+    val pairs = (for (a <- 0 until 30; b <- a + 1 until 30; if a % 3 == b % 3)
+      yield (a.toLong, b.toLong)).toDF("id_a", "id_b")
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    for (limit <- Seq(-1L, 0L)) {
+      val (verified, rel) = Dedup.jaccardOnPairsRoutedReleasable(
+        pairs, docs, "doc_id", "shs", limit, postingFactor = 0.0)
+      assert(verified.count() > 0)
+      rel()
+      assert(spark.sparkContext.getPersistentRDDs.keySet === baseline,
+        s"posting-route blocks leaked at maxBroadcastPairs=$limit")
+    }
+    // pair-carry route through the SAME entry point releases too
+    val (v2, rel2) = Dedup.jaccardOnPairsRoutedReleasable(
+      pairs, docs, "doc_id", "shs", postingFactor = 1e18)
+    assert(v2.count() > 0)
+    rel2()
+    assert(spark.sparkContext.getPersistentRDDs.keySet === baseline,
+      "pair-carry blocks leaked through the routed entry point")
+  }
+
   test("dhash: constant image hashes to 0, monotone gradient to all-ones") {
     def bmp(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
       val stride = ((3 * w + 3) / 4) * 4

@@ -368,6 +368,23 @@ class PdfImagesSpec extends AnyFunSuite {
     bw.bits(1, 4); bw.bits(1, 4) // lower/upper also len 1 -> Kraft > 1
     bad.write(bw.result())
     assert(Jbig2.parseCodeTable(bad.toByteArray) === None)
+    // hostile PREFLEN (ADVICE r12): HTPS=8 lets the wire carry 8-bit prefix
+    // lengths; 200 would drive the canonical-code Int shifts into wrap
+    // territory where a Kraft-violating table could alias small codes and
+    // decode garbage. The parser must refuse any PREFLEN > 31 up front.
+    val hostile = new java.io.ByteArrayOutputStream()
+    hostile.write((8 - 1) << 1 | (6 - 1) << 4) // HTPS=8, HTRS=6, no OOB
+    for (v <- Seq(0, 0, 0, 0, 0, 0, 0, 2)) hostile.write(v) // HTLOW=0, HTHIGH=2
+    val hw = new Jbig2.BitWriter
+    for (_ <- 0 until 2) { hw.bits(200, 8); hw.bits(0, 6) } // PREFLEN=200 lines
+    hw.bits(200, 8); hw.bits(200, 8) // lower/upper PREFLEN=200
+    hostile.write(hw.result())
+    assert(Jbig2.parseCodeTable(hostile.toByteArray) === None)
+    // and the Long-safe wellFormed itself: a direct 62-bit-length table is
+    // refused rather than wrapped into acceptance
+    val deep = new Jbig2.HuffTable(IndexedSeq(
+      Jbig2.HuffLine(62, 0, 0), Jbig2.HuffLine(62, 0, 1)), 0)
+    assert(!deep.wellFormed)
   }
 
   test("JBIG2 custom-table symbol dictionary round-trips the full fixture grid") {

@@ -362,6 +362,41 @@ class PlanSpec extends AnyFunSuite {
     assert(verified.count() >= 0) // the routed plan still executes
   }
 
+  test("posting-route verify plan carries no per-pair signature arrays") {
+    // r13: when jaccardOnPairsRouted takes the posting route, the plan's
+    // defining property is that NO exchange duplicates a doc's hashed
+    // array per pair — the _shs arrays exist only up to the explode into
+    // (id, gram) postings; the pair-level joins move thin long rows. Pin
+    // (a) the _shs_a/_shs_b per-pair attributes are ABSENT, (b) the
+    // posting attribute _g is present and LongType (hashed grams, not
+    // strings), (c) the co-occurrence aggregate keys on (id_a, id_b).
+    import graft.ops.Dedup
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, Seq(s"a$i", s"b${i % 3}")))
+      .toDF("doc_id", "shs")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    val routed = Dedup.jaccardOnPairsRouted(pairs, docs, "doc_id", "shs",
+      postingFactor = 0.0) // force the posting route
+    val plan = routed.queryExecution.optimizedPlan
+    val attrs = plan.flatMap(_.output)
+    assert(!attrs.exists(a => a.name == "_shs_a" || a.name == "_shs_b"),
+      "per-pair signature arrays back in the posting-route plan")
+    val gAttrs = attrs.filter(_.name == "_g")
+    assert(gAttrs.nonEmpty, "gram posting attribute missing from the plan")
+    gAttrs.foreach(a => assert(a.dataType === LongType,
+      s"posting grams carry ${a.dataType} — the hash projection was dropped"))
+    val shsAttrs = attrs.filter(_.name == "_shs")
+    assert(shsAttrs.nonEmpty)
+    shsAttrs.foreach(a => assert(
+      a.dataType.asInstanceOf[ArrayType].elementType !== StringType,
+      "candidate projection carries string shingles"))
+    // both routes still execute and agree on this toy input
+    val viaCarry = Dedup.jaccardOnPairsRouted(pairs, docs, "doc_id", "shs",
+      postingFactor = 1e18)
+    assert(routed.collect().toSet === viaCarry.collect().toSet)
+  }
+
   test("delta-dedup candidate-id semi-join routes by measured count like the pair join") {
     // ops/Dedup.routedSemiJoin: the shape d_delta_dedup (and the streaming
     // twin) uses to restrict shingling to candidate-touched docs. Same
