@@ -478,53 +478,78 @@ object Dedup {
   def jaccardOnPairsReleasable(pairs: DataFrame, df: DataFrame, idCol: String,
                                shinglesCol: String,
                                maxBroadcastPairs: Long = -1L): (DataFrame, () => Unit) = {
+    val (stats, release) = pairStatsCarry(pairs, df, idCol, shinglesCol,
+      maxBroadcastPairs)
+    (stats.withColumn("jaccard", round(col("_inter") /
+        (col("_n_a") + col("_n_b") - col("_inter")), 4))
+      .select(col("id_a"), col("id_b"), col("jaccard")), release)
+  }
+
+  /** Pair-carry intersection stats — per candidate pair, the shared-gram
+    * count plus both set sizes: (id_a, id_b, _inter, _n_a, _n_b). The
+    * common core under Jaccard (union from sizes) and containment (either
+    * size as denominator); the payload moved is [[hashedShingles]] longs
+    * via [[routedPairJoinReleasable]]. */
+  private def pairStatsCarry(pairs: DataFrame, df: DataFrame, idCol: String,
+                             shinglesCol: String,
+                             maxBroadcastPairs: Long): (DataFrame, () => Unit) = {
     val l = df.select(col(idCol).cast("long").as("id_a"),
       hashedShingles(shinglesCol).as("_shs_a"))
     val r = df.select(col(idCol).cast("long").as("id_b"),
       hashedShingles(shinglesCol).as("_shs_b"))
     val (joined, release) = routedPairJoinReleasable(pairs, l, r, maxBroadcastPairs)
     val out = joined
-      .withColumn("_inter", size(array_intersect(col("_shs_a"), col("_shs_b"))))
-      .withColumn("jaccard", round(col("_inter") /
-        (size(col("_shs_a")) + size(col("_shs_b")) - col("_inter")), 4))
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      // cast matches the posting route's count(): one schema across routes
+      .withColumn("_inter",
+        size(array_intersect(col("_shs_a"), col("_shs_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("_inter"),
+        size(col("_shs_a")).as("_n_a"), size(col("_shs_b")).as("_n_b"))
     (out, release)
   }
 
   /** Pairs-per-candidate-doc ratio above which the verify stage re-routes
-    * from the pair-carry join onto the posting-join shape. The pair carry
-    * duplicates each doc's hashed-shingle array once PER PAIR through the
-    * exchange — in a ~g-twin duplicate group every member's array travels
-    * ~g times (measured: the residual 29.5 GB spill of the r12 100×
-    * d_delta_dedup run). The posting shape explodes each candidate doc's
-    * grams ONCE and counts shared grams per pair gram-keyed, so its
-    * exchange is O(candidate-doc grams) + O(pairs × partial-agg fan-in) —
-    * the regimes cross roughly where pairs/docs exceeds a small constant.
-    * Session-tunable via `spark.graft.dedup.postingVerifyFactor`. */
-  val PostingVerifyFactor: Double = 8.0
+    * from the pair-carry join onto the posting-join shape — DEFAULT
+    * EFFECTIVELY OFF, by measurement (PERF.md r13). The hypothesis was
+    * that the pair carry's per-pair array duplication (~group-size copies
+    * of each doc's array through the exchange in a g-twin group) loses to
+    * a posting shape that explodes each candidate doc's grams once. The
+    * same-state 100× adversarial rows say otherwise: posting eliminates
+    * spill ENTIRELY (27.3 GB → 0, max task 427 MB → 0) but pays 2.3×
+    * shuffle (the cross-group gram fan-out pairs candidate docs the LSH
+    * list never admitted) and 1.86× wall (206 → 383 s). Spill at 427 MB
+    * per worst task is bounded, not a scale-killer, so wall rules and the
+    * carry stays the auto choice. The posting route remains behind
+    * `spark.graft.dedup.postingVerifyFactor` (or the per-call parameter)
+    * for deployments where executor memory, not wall, binds — both routes
+    * stay equivalence- and plan-pinned either way. */
+  val PostingVerifyFactor: Double = 1e9
 
   /** [[jaccardOnPairs]] with the verify SHAPE itself routed by measurement:
     * counts the candidate pairs and (approximately) the distinct ids they
     * touch in one pass over the persisted pair list, then
-    *  - pairs ≤ factor × ids → the pair-carry join ([[jaccardOnPairsReleasable]]
-    *    — itself broadcast/shuffle-routed), whose exchange is
-    *    O(pairs × signature array);
-    *  - pairs > factor × ids (the adversarial twin-group regime) → a
-    *    posting join RESTRICTED to the candidate docs: semi-join the
-    *    payload down to ids the pairs touch, explode each doc's hashed
-    *    grams once, count shared grams per co-occurring pair, then join
-    *    the requested pair list back (left — a candidate pair sharing no
-    *    gram verifies to jaccard 0, exactly as the pair carry scores it).
+    *  - pairs ≤ factor × ids → the pair-carry join (broadcast/
+    *    shuffle-routed), whose exchange is O(pairs × signature array);
+    *  - pairs > factor × ids → a posting join RESTRICTED to the candidate
+    *    docs: semi-join the payload down to ids the pairs touch, explode
+    *    each doc's hashed grams once, count shared grams per co-occurring
+    *    pair (pair-key repartitioned BEFORE the count — the
+    *    lshCandidatePairs discipline; the map-side variant measured 221 GB
+    *    of partial-agg spill), then join the requested pair list back
+    *    (left — a candidate pair sharing no gram verifies to jaccard 0,
+    *    exactly as the pair carry scores it).
     * Both routes emit identical (id_a, id_b, jaccard) values (OpsSpec pins
     * equality pair-for-pair, zero-intersection pairs included).
     *
-    * The posting route's quadratic work stays bounded by the SAME guarantee
-    * the pair list already carries: within one gram, co-occurring candidate
-    * docs are members of [[lshCandidatePairs]]-capped buckets upstream, so
-    * per-gram fan-out cannot exceed the regime the candidate generator
-    * admitted. `postingFactor`: < 0 reads the session conf (default
-    * [[PostingVerifyFactor]]); 0 forces the posting route (tests/stress);
-    * a huge value pins the pair carry.
+    * CAVEAT the measurement surfaced ([[PostingVerifyFactor]], PERF.md
+    * r13): within one gram the posting join pairs ALL candidate docs that
+    * share it — including cross-group pairs the LSH candidate list never
+    * admitted — so boilerplate grams common across twin groups inflate its
+    * fan-out beyond the admitted pair set. At the 100× adversarial regime
+    * that made posting spill-free but 1.86× slower than the carry, which
+    * is why the default factor never auto-picks it. `postingFactor`: < 0
+    * reads the session conf (default [[PostingVerifyFactor]]); 0 forces
+    * the posting route (tests/stress/spill-bound deployments); a huge
+    * value pins the pair carry.
     *
     * Contract: pairs are CANONICAL (`id_a < id_b`) — what every in-repo
     * candidate generator emits ([[lshCandidatePairs]]'s `j > i` guard, the
@@ -545,6 +570,32 @@ object Dedup {
                                      idCol: String, shinglesCol: String,
                                      maxBroadcastPairs: Long = -1L,
                                      postingFactor: Double = -1.0): (DataFrame, () => Unit) = {
+    val (stats, release) = pairStatsRoutedReleasable(pairs, df, idCol,
+      shinglesCol, maxBroadcastPairs, postingFactor)
+    (stats.withColumn("jaccard",
+        round(coalesce(col("_inter"), lit(0L)) /
+          (col("_n_a") + col("_n_b") - coalesce(col("_inter"), lit(0L))), 4))
+      .select(col("id_a"), col("id_b"), col("jaccard")), release)
+  }
+
+  /** Measured-routed pair intersection stats (id_a, id_b, _inter, _n_a,
+    * _n_b) — the shared core of [[jaccardOnPairsRoutedReleasable]] and the
+    * containment verify (both denominators are recoverable from the same
+    * three numbers). `_inter` is null (not 0) for a posting-route pair
+    * sharing no gram — consumers coalesce. Routing/contract as documented
+    * on [[jaccardOnPairsRouted]]. */
+  /** handle-less [[pairStatsRoutedReleasable]] — run-one-query harnesses;
+    * long-lived sessions take the releasable form */
+  def pairStatsRouted(pairs: DataFrame, df: DataFrame, idCol: String,
+                      shinglesCol: String, maxBroadcastPairs: Long = -1L,
+                      postingFactor: Double = -1.0): DataFrame =
+    pairStatsRoutedReleasable(pairs, df, idCol, shinglesCol,
+      maxBroadcastPairs, postingFactor)._1
+
+  def pairStatsRoutedReleasable(pairs: DataFrame, df: DataFrame,
+                                idCol: String, shinglesCol: String,
+                                maxBroadcastPairs: Long = -1L,
+                                postingFactor: Double = -1.0): (DataFrame, () => Unit) = {
     val factor =
       if (postingFactor >= 0) postingFactor
       else pairs.sparkSession.conf
@@ -565,7 +616,7 @@ object Dedup {
       dedupLog.info(s"verify route: pair-carry (pairs=$nPairs ids~$nIds " +
         s"factor=$factor)")
       val (out, rel) =
-        jaccardOnPairsReleasable(p, df, idCol, shinglesCol, maxBroadcastPairs)
+        pairStatsCarry(p, df, idCol, shinglesCol, maxBroadcastPairs)
       (out, () => { rel(); p.unpersist(blocking = true); () })
     } else {
       dedupLog.info(s"verify route: posting-join (pairs=$nPairs ids~$nIds " +
@@ -585,20 +636,27 @@ object Dedup {
       val sizes = candDocs.select(col(idCol), size(col("_shs")).as("_n"))
       val posts = candDocs.select(col(idCol), explode(col("_shs")).as("_g"))
       // gram-keyed co-occurrence count: each candidate doc's grams cross
-      // the exchange ONCE; the per-pair partial aggregate collapses the
-      // in-gram pair fan-out map-side, so the second exchange carries at
-      // most pairs × (partitions its shared grams landed on) thin rows
+      // the first exchange ONCE. The raw co-occurrence stream is then
+      // repartitioned by PAIR KEY before the count — the same discipline
+      // lshCandidatePairs documents: a partial aggregate inside the
+      // exploding join stage holds (pairs visible to this task) hash-map
+      // state against an input amplified ~|gram bucket|× over its input,
+      // which measured 221 GB of spill at the 100× adversarial regime;
+      // the repartitioned plan streams thin (id_a, id_b) rows through the
+      // exchange and builds each pair's count post-shuffle from its own
+      // partition's share.
       val inter = posts.select(col("_g"), col(idCol).as("id_a"))
         .join(posts.select(col("_g"), col(idCol).as("id_b")), "_g")
         .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .repartition(col("id_a"), col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
       val out = p
         .join(sizes.select(col(idCol).as("id_a"), col("_n").as("_n_a")), Seq("id_a"))
         .join(sizes.select(col(idCol).as("id_b"), col("_n").as("_n_b")), Seq("id_b"))
         .join(inter, Seq("id_a", "id_b"), "left")
-        .withColumn("jaccard", round(coalesce(col("_inter"), lit(0L)) /
-          (col("_n_a") + col("_n_b") - coalesce(col("_inter"), lit(0L))), 4))
-        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .select(col("id_a"), col("id_b"), col("_inter"),
+          col("_n_a"), col("_n_b"))
       (out, () => {
         candDocs.unpersist(blocking = true)
         relSemi()

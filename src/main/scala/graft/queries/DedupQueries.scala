@@ -219,7 +219,7 @@ object DedupQueries {
     val withSig = kept2.filter(size(col("shs")) > 0)
       .withColumn("hs", Dedup.shingleBaseHashes("shs"))
       .withColumn("sig", Dedup.minhashSignature("hs", 16))
-    val nearPairs = Dedup.jaccardOnPairs(
+    val nearPairs = Dedup.jaccardOnPairsRouted(
         Dedup.lshCandidatePairs(
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id",
           droppedBuckets = Some(s.sparkContext.longAccumulator(
@@ -585,7 +585,7 @@ object DedupQueries {
           .withColumn("sig", Dedup.minhashSignature("hs", 16))
         val candidates = Dedup.lshCandidatePairs(
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
-        Dedup.jaccardOnPairs(candidates, corpus, "doc_id", "shs")
+        Dedup.jaccardOnPairsRouted(candidates, corpus, "doc_id", "shs")
           .filter(col("jaccard") >= 0.5)
           .orderBy("id_a", "id_b")
       },
@@ -748,18 +748,15 @@ object DedupQueries {
           .withColumn("sig", Dedup.minhashSignature("hs", 16))
         val cand = Dedup.lshCandidatePairs(
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
-        // both containment denominators are SET SIZES — carry the hashed
-        // shingle twin (Dedup.hashedShingles' collision contract) so the
-        // verify exchange moves 8-byte elements, not 5-gram strings
-        val l = corpus.select(col("doc_id").cast("long").as("id_a"),
-          Dedup.hashedShingles("shs").as("_a"))
-        val r = corpus.select(col("doc_id").cast("long").as("id_b"),
-          Dedup.hashedShingles("shs").as("_b"))
-        Dedup.routedPairJoin(cand, l, r)
-          .withColumn("_inter", size(array_intersect(col("_a"), col("_b"))))
+        // both containment denominators are SET SIZES — the r13 routed
+        // stats core carries them next to the shared-gram count, hashed
+        // (Dedup.hashedShingles' collision contract), and re-routes onto
+        // the posting shape in the adversarial pairs≫docs regime exactly
+        // like the Jaccard verify
+        Dedup.pairStatsRouted(cand, corpus, "doc_id", "shs")
           .select(col("id_a"), col("id_b"),
-            round(col("_inter") / size(col("_a")), 4).as("c_ab"),
-            round(col("_inter") / size(col("_b")), 4).as("c_ba"))
+            round(coalesce(col("_inter"), lit(0L)) / col("_n_a"), 4).as("c_ab"),
+            round(coalesce(col("_inter"), lit(0L)) / col("_n_b"), 4).as("c_ba"))
           .filter(greatest(col("c_ab"), col("c_ba")) >= 0.8)
           .orderBy("id_a", "id_b")
       },
@@ -996,7 +993,7 @@ object DedupQueries {
           .withColumn("sig", Dedup.minhashSignature("hs", 16))
         val candidates = Dedup.lshCandidatePairs(
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
-        val verified = Dedup.jaccardOnPairs(candidates, corpus, "doc_id", "shs")
+        val verified = Dedup.jaccardOnPairsRouted(candidates, corpus, "doc_id", "shs")
           .filter(col("jaccard") >= 0.5)
         val comp = Dedup.connectedComponents(verified)
         val sizes = comp.groupBy("comp").agg(count(lit(1)).as("group_size"))
@@ -1062,7 +1059,7 @@ object DedupQueries {
           .withColumn("sig", Dedup.minhashSignature("hs", 16))
         val candidates = Dedup.lshCandidatePairs(
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
-        val verified = Dedup.jaccardOnPairs(candidates, corpus, "doc_id", "shs")
+        val verified = Dedup.jaccardOnPairsRouted(candidates, corpus, "doc_id", "shs")
           .filter(col("jaccard") >= 0.5)
         val comp = Dedup.connectedComponents(verified)
         val scored = corpus.select(col("doc_id"),
@@ -1275,7 +1272,7 @@ object DedupQueries {
         // verify Jaccard ONLY on the LSH candidate pairs (the production
         // shape: candidates ≪ all-pairs, so the exact check is a per-pair
         // array_intersect, not a full shingle-posting self-join)
-        val verified = Dedup.jaccardOnPairs(candidates, corpus, "doc_id", "shs")
+        val verified = Dedup.jaccardOnPairsRouted(candidates, corpus, "doc_id", "shs")
           .filter(col("jaccard") >= 0.8)
         // drop the larger id of every verified pair (keep-canonical = min id)
         val dropped = verified.select(col("id_b").as("doc_id")).distinct()

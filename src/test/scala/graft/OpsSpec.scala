@@ -446,6 +446,14 @@ class OpsSpec extends AnyFunSuite {
     val postingShuffle = rows(Dedup.jaccardOnPairsRouted(pairs, docs,
       "doc_id", "shs", maxBroadcastPairs = 0L, postingFactor = 0.0))
     assert(postingShuffle === carry)
+    // the RAW stats core agrees too (containment consumes _inter/_n_a/_n_b
+    // directly, so jaccard equality alone would not pin the denominators)
+    def stats(factor: Double) =
+      Dedup.pairStatsRouted(pairs, docs, "doc_id", "shs", postingFactor = factor)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2).longValue,
+          r.getInt(3), r.getInt(4))).toSet
+    assert(stats(0.0) === stats(1e18))
   }
 
   test("routed verify: posting-route release leaves no persisted blocks") {
