@@ -46,15 +46,30 @@ object AnnStress {
     val collector = new TaskMetricsCollector
     spark.sparkContext.addSparkListener(collector)
 
+    // SPARK_GRAFT_ANN_PERTURB=1: displace each copy's first component by
+    // (vec_id % 997) · 1e-5 — every inflated vector becomes DISTINCT, so
+    // KMeans trains on the full N points instead of the distinct-clamped
+    // base set (verbatim duplication is the crawl-realistic default, but
+    // a quantizer bench should also show the genuinely-distinct regime;
+    // the displacement is ~100× smaller than typical inter-point gaps so
+    // the neighborhood structure survives and the recall gate stays fair)
+    val perturb = sys.env.get("SPARK_GRAFT_ANN_PERTURB").contains("1")
     val rows = factors.map { factor =>
       // inflated twin (reuses ScaleStress's tree when present)
-      val bigDir = s"$workDir/sf_x$factor"
+      val bigDir = s"$workDir/sf_x$factor" + (if (perturb) "p" else "")
       if (!new java.io.File(s"$bigDir/embeddings.parquet").exists()) {
         val emb = graft.core.Tables.embeddings(spark, baseDir)
-        (0 until factor).map { i =>
+        val inflated = (0 until factor).map { i =>
           emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
         }.reduce(_ union _)
-          .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+        val out =
+          if (!perturb) inflated
+          else inflated.withColumn("embedding",
+            transform(col("embedding"), (x, j) =>
+              when(j === 0,
+                (x + (col("vec_id") % 997).cast("float") * lit(1e-5f)).cast("float"))
+                .otherwise(x)))
+        out.write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
       }
       val emb = graft.core.Tables.embeddings(spark, bigDir)
       val n = emb.count()
