@@ -102,7 +102,17 @@ object Bench {
     // is machine-readable again; the full per-pass arrays stay one line up
     // for outlier-vs-uniform-slowdown diagnosis (and in PERF.md).
     println(s"""{"metric":"passes","passes":$raw,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(totalLine)
+    // belt-and-braces for stdout-tail consumers: the medians + raw passes
+    // also land in a file (cwd = repo root under both sbt and tools/run.sh),
+    // so the artifact stays machine-readable even if a harness captures
+    // only a bounded tail of this process's output
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_medians.json"),
+      (totalLine + "\n" + s"""{"metric":"passes","passes":$raw,"sf":"$sfDir"}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }
