@@ -120,4 +120,34 @@ class SoakSpec extends AnyFunSuite {
     assert((heaps.last - heaps(heaps.size - 2)).abs < 64L * 1024 * 1024,
       s"heap still trending in the final cycles: ${heaps.map(_ / 1e6).mkString(", ")} MB")
   }
+
+  test("bucketed engine session: per-bucket refresh cycles leave no blocks and bounded disk") {
+    // the bucketed mode's mutation path (single-file upsert → ONE bucket's
+    // chunk/FTS/ANN partitions rewritten) persists and swaps different
+    // state than the full-rebuild path — give it the same soak: repeated
+    // single-file mutations must not accumulate blocks or disk
+    val root = Files.createTempDirectory("soakb-root").toString
+    val storeBase = Files.createTempDirectory("soakb-store").toString
+    for (i <- 0 until 8)
+      write(s"$root/doc$i.txt",
+        s"Bucketed soak document $i token bq$i. " + ("content words " * 30))
+    val engine = new Engine(spark, storeBase + "/chunks", Seq(root), numBuckets = 4)
+    assert(engine.sync().upserted === 8)
+    assert(engine.queryDocuments("bucketed soak").count() > 0)
+    val blockBaseline = spark.sparkContext.getPersistentRDDs.size
+    val diskBaseline = treeBytes(storeBase)
+    for (cycle <- 1 to 4) {
+      // rotate the mutated file so DIFFERENT buckets refresh across cycles
+      val victim = s"$root/doc${cycle % 8}.txt"
+      write(victim, s"Bucketed soak document REVISED cycle $cycle token bq${cycle % 8}. " +
+        ("fresh words " * 30))
+      assert(engine.sync().upserted === 1, s"cycle $cycle")
+      assert(engine.queryDocuments(s"revised cycle").count() > 0)
+      assert(spark.sparkContext.getPersistentRDDs.size === blockBaseline,
+        s"bucketed cycle $cycle leaked persisted blocks")
+      val disk = treeBytes(storeBase)
+      assert(disk <= diskBaseline * 2 + (1 << 20),
+        s"bucketed cycle $cycle: store tree grew $diskBaseline -> $disk")
+    }
+  }
 }
