@@ -594,7 +594,16 @@ final class Engine(
     *
     * On-demand whole-corpus form (tool scale); a corpus-scale pipeline
     * keeps signatures in a [[graft.store.MinhashIndexStore]] and probes
-    * per batch instead. */
+    * per batch instead.
+    *
+    * RESULT LIFECYCLE (ADVICE r13): the returned DataFrame is an eagerly
+    * materialized checkpoint that stays valid until `nearDuplicateFiles`
+    * runs AGAIN on this engine — the re-invocation releases the
+    * predecessor's blocks (the [[checkpointBounded]] per-tool rotation
+    * that keeps a long-lived session's block count flat), after which
+    * iterating the earlier handle fails with removed-block errors.
+    * Consume each result before re-running the tool — the same contract
+    * StreamingIngest documents for its named result dirs. */
   def nearDuplicateFiles(threshold: Double = 0.8): DataFrame = {
     val perFile = store.read()
       .groupBy("filePath")

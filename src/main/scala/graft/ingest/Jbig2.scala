@@ -710,12 +710,15 @@ object Jbig2 {
         if (rangeLines.size >= 4096) return None // adversarial line bound
         val prefLen = r.bits(htps).toInt
         val rangeLen = r.bits(htrs).toInt
-        // PREFLEN can be 8 bits on the wire (HTPS up to 8) but no decodable
-        // table needs a prefix over 31 bits (≤ 4099 symbols ⇒ canonical
-        // lengths ≤ 13 even in the worst skew) — refuse up front rather
-        // than rely on downstream shifts behaving at 255 (the ADVICE r12
-        // overflow class: Int shifts wrap and a hostile table could pass
-        // wellFormed with wrapped codes)
+        // PREFLEN can be 8 bits on the wire (HTPS up to 8). The 31-bit cap
+        // is a DELIBERATE conservative subset boundary (ADVICE r13): an
+        // OPTIMAL Huffman code over ≤ 4099 symbols needs lengths ≤ 13, but
+        // an arbitrary wire table may legally be Kraft-complete with
+        // lengths up to 32+ (e.g. {1..31, 32, 32}) — such tables are
+        // refused (fail-closed, parseCodeTable → None), trading that rare
+        // conformance corner for shift-safety headroom on top of the
+        // Long-accumulated codes (the ADVICE r12 overflow class: wrapped
+        // codes could pass wellFormed)
         if (prefLen > 31 || rangeLen > 32) return None
         rangeLines += HuffLine(prefLen, rangeLen, cur)
         cur += (1L << rangeLen)

@@ -143,12 +143,13 @@ object StreamingIngest {
       case _: UnsupportedOperationException | _: java.io.IOException =>
         if (Files.isDirectory(target)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(target).iterator().asScala.foreach { p =>
+          val s = Files.walk(target) // CLOSED: one open dir handle per level
+          try s.iterator().asScala.foreach { p =>
             val dst = staged.resolve(target.relativize(p).toString)
             if (Files.isDirectory(p)) Files.createDirectories(dst): Unit
             else { Files.createDirectories(dst.getParent)
                    Files.copy(p, dst): Unit }
-          }
+          } finally s.close()
         } else Files.copy(target, staged): Unit
     }
     stageDir
@@ -215,10 +216,17 @@ object StreamingIngest {
     src
   }
 
+  /** recursive delete; the Files.walk Stream is CLOSED (one open directory
+    * handle per level otherwise — the ADVICE r12 / VERDICT r13 leak class).
+    * Unlike [[deleteTreeQuietly]] this propagates IO failures: staging-dir
+    * cleanup inside a `finally` should surface a wedged filesystem, not
+    * mask it. */
   private def deleteRecursively(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+    val s = java.nio.file.Files.walk(dir)
+    try s.iterator().asScala.toSeq.reverse
       .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally s.close()
   }
 
   /** Streaming feed → batch monitor: hourly TOTAL event volume maintained
@@ -432,11 +440,7 @@ object StreamingIngest {
       val snapshot = runToMemorySink(spark, regs, OutputMode.Complete(),
         "graft_stream_hll")(identity)
       graft.ops.Sketches.hllEstimate(snapshot, b)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      JFiles.walk(stage).iterator().asScala.toSeq.reverse
-        .foreach(p => JFiles.deleteIfExists(p))
-    }
+    } finally deleteRecursively(stage)
   }
 
   /** Streaming Count-Min: the depth×width counter grid maintained as a
@@ -464,11 +468,7 @@ object StreamingIngest {
       val terms = graft.ops.Sketches.cmsSketch(words, col("w"), depth, width)
       runToMemorySink(spark, terms, OutputMode.Complete(),
         "graft_stream_cms")(identity)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      JFiles.walk(stage).iterator().asScala.toSeq.reverse
-        .foreach(p => JFiles.deleteIfExists(p))
-    }
+    } finally deleteRecursively(stage)
   }
 
   final case class SessionState(count: Long, lastTs: Long)
@@ -769,11 +769,7 @@ object StreamingIngest {
         raw.filter(col("event_type") =!= "click"), windowMs)
       runToMemorySinkWithStats(spark, joined, OutputMode.Append(),
         "graft_stream_attrib")(identity)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      JFiles.walk(stage).iterator().asScala.toSeq.reverse
-        .foreach(p => JFiles.deleteIfExists(p))
-    }
+    } finally deleteRecursively(stage)
   }
 
   /** Streaming exact dedup run AvailableNow over a batch corpus, driven as
@@ -845,11 +841,7 @@ object StreamingIngest {
         _.select(col("fingerprint").as("fp"),
           length(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
             .cast("long").as("text_len")))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      JFiles.walk(stage).iterator().asScala.toSeq.reverse
-        .foreach(p => JFiles.deleteIfExists(p))
-    }
+    } finally deleteRecursively(stage)
   }
 
   def exactDedupAvailableNow(spark: org.apache.spark.sql.SparkSession,
@@ -1032,11 +1024,7 @@ object StreamingIngest {
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), pairSchema)
       (out, StreamRunStats(batches = batchesWithRows, maxStateRows = st.rowCount(),
         maxBatchWallSec = maxBatchWall))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      JFiles.walk(stage).iterator().asScala.toSeq.reverse
-        .foreach(p => JFiles.deleteIfExists(p))
-    }
+    } finally deleteRecursively(stage)
   }
 
   def incrementalDedupAvailableNow(spark: org.apache.spark.sql.SparkSession,

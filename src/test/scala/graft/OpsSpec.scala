@@ -454,6 +454,34 @@ class OpsSpec extends AnyFunSuite {
           if (r.isNullAt(2)) 0L else r.getLong(2).longValue,
           r.getInt(3), r.getInt(4))).toSet
     assert(stats(0.0) === stats(1e18))
+    // r14: factor >= PostingVerifyFactor skips the measurement job (pinned
+    // carry); a finite factor that still picks the carry takes the MEASURED
+    // leg, which reuses the measurement's persisted pair list + exact count
+    // for the join routing. All three carry shapes must agree with posting:
+    // 143 pairs over ~40 ids -> carry iff factor >= ~3.6, so 10.0 measures
+    // and picks carry while 0.0 still forces posting.
+    assert(stats(10.0) === stats(1e18))
+  }
+
+  test("routed verify: duplicate-element shingles score identically on both routes") {
+    // ADVICE r13: the carry route sized the raw hashed array while the
+    // posting route sized array_distinct of it — a caller passing shingles
+    // with duplicate elements got route-dependent _n/jaccard. Both routes
+    // now size the DISTINCT set.
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "a", "a")), // 3 distinct, 5 raw
+      (2L, Seq("a", "b", "d", "b"))       // 3 distinct, 4 raw
+    ).toDF("doc_id", "shs")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    def j(factor: Double) =
+      Dedup.jaccardOnPairsRouted(pairs, docs, "doc_id", "shs",
+        postingFactor = factor).collect().map(_.getDouble(2)).toSeq
+    val pinned = j(1e18)   // pinned carry (measurement skipped)
+    val measured = j(10.0) // measured carry
+    val posting = j(0.0)   // forced posting
+    assert(pinned === Seq(0.5)) // |{a,b}| / |{a,b,c,d}| on DISTINCT sets
+    assert(measured === pinned)
+    assert(posting === pinned)
   }
 
   test("routed verify: posting-route release leaves no persisted blocks") {
@@ -473,13 +501,17 @@ class OpsSpec extends AnyFunSuite {
       assert(spark.sparkContext.getPersistentRDDs.keySet === baseline,
         s"posting-route blocks leaked at maxBroadcastPairs=$limit")
     }
-    // pair-carry route through the SAME entry point releases too
-    val (v2, rel2) = Dedup.jaccardOnPairsRoutedReleasable(
-      pairs, docs, "doc_id", "shs", postingFactor = 1e18)
-    assert(v2.count() > 0)
-    rel2()
-    assert(spark.sparkContext.getPersistentRDDs.keySet === baseline,
-      "pair-carry blocks leaked through the routed entry point")
+    // pair-carry route through the SAME entry point releases too —
+    // both the pinned leg (measurement skipped) and the measured leg
+    // (which keeps ONE persisted pair list for the carry join)
+    for (factor <- Seq(1e18, 1e6)) {
+      val (v2, rel2) = Dedup.jaccardOnPairsRoutedReleasable(
+        pairs, docs, "doc_id", "shs", postingFactor = factor)
+      assert(v2.count() > 0)
+      rel2()
+      assert(spark.sparkContext.getPersistentRDDs.keySet === baseline,
+        s"pair-carry blocks leaked through the routed entry at factor=$factor")
+    }
   }
 
   test("dhash: constant image hashes to 0, monotone gradient to all-ones") {

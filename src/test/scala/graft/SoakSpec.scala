@@ -121,6 +121,45 @@ class SoakSpec extends AnyFunSuite {
       s"heap still trending in the final cycles: ${heaps.map(_ / 1e6).mkString(", ")} MB")
   }
 
+  test("posting-route engine session: dedup cycles under postingVerifyFactor=0 leave no blocks") {
+    // VERDICT r13 ask #4: the default-knob soak exercises only the pair
+    // carry. The posting route persists DIFFERENT state per verify (the
+    // pair list, the semi-join id set, and the candidate-doc hashed
+    // projection, ops/Dedup.scala posting leg) — pin factor=0 on the
+    // session so every nearDuplicateFiles verify takes the posting route,
+    // and give those persists the same blocks-return-to-baseline gate.
+    val root = Files.createTempDirectory("soakp-root").toString
+    val storeBase = Files.createTempDirectory("soakp-store").toString
+    val boiler = "posting route soak boilerplate shared across documents " * 8
+    for (i <- 0 until 10)
+      write(s"$root/doc$i.txt",
+        s"Posting soak document $i token pq$i.\n\n" + boiler +
+          (if (i % 2 == 0) " common trailing block for near dup candidates"
+           else s" distinct tail $i ${"filler " * 10}"))
+    spark.conf.set("spark.graft.dedup.postingVerifyFactor", "0")
+    try {
+      val engine = new Engine(spark, storeBase + "/chunks", Seq(root))
+      assert(engine.sync().upserted === 10)
+      assert(engine.nearDuplicateFiles(0.5).count() > 0,
+        "planted near-dups must surface through the posting route")
+      val blockBaseline = spark.sparkContext.getPersistentRDDs.size
+      val diskBaseline = treeBytes(storeBase)
+      for (cycle <- 1 to 3) {
+        write(s"$root/doc1.txt",
+          s"Posting soak document 1 REVISED cycle $cycle token pq1.\n\n" +
+            boiler + s" revision tail $cycle ${"filler " * 10}")
+        assert(engine.sync().upserted === 1, s"posting cycle $cycle")
+        assert(engine.nearDuplicateFiles(0.5).count() > 0)
+        assert(spark.sparkContext.getPersistentRDDs.size === blockBaseline,
+          s"posting cycle $cycle leaked persisted blocks: " +
+            spark.sparkContext.getPersistentRDDs.keySet.toSeq.sorted.mkString(","))
+        val disk = treeBytes(storeBase)
+        assert(disk <= diskBaseline * 3 / 2 + (1 << 20),
+          s"posting cycle $cycle: store tree grew $diskBaseline -> $disk")
+      }
+    } finally spark.conf.unset("spark.graft.dedup.postingVerifyFactor")
+  }
+
   test("bucketed engine session: per-bucket refresh cycles leave no blocks and bounded disk") {
     // the bucketed mode's mutation path (single-file upsert → ONE bucket's
     // chunk/FTS/ANN partitions rewritten) persists and swaps different

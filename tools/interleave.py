@@ -88,13 +88,17 @@ def main(sf_dir, out_dir, n_pairs=5, out_md=None):
         d = duck_pass(sf_dir, oracles, names)
         spark_runs.append(s)
         duck_runs.append(d)
-        st = sum(s[n] for n in names if s[n] >= 0 and d[n] >= 0)
-        dt = sum(d[n] for n in names if s[n] >= 0 and d[n] >= 0)
+        # .get(-1.0): a pass that omits a query (timed-out/failed drop
+        # from the medians map) degrades to 'not comparable' instead of
+        # a KeyError losing the whole run at reporting (ADVICE r13)
+        st = sum(s[n] for n in names if s.get(n, -1.0) >= 0 and d.get(n, -1.0) >= 0)
+        dt = sum(d[n] for n in names if s.get(n, -1.0) >= 0 and d.get(n, -1.0) >= 0)
         print(f"[interleave] pair {i + 1}: spark={st:.2f}s duckdb={dt:.2f}s "
               f"ratio={st / dt:.3f}", file=sys.stderr)
 
     ok = [n for n in names
-          if all(r[n] >= 0 for r in spark_runs) and all(r[n] >= 0 for r in duck_runs)]
+          if all(r.get(n, -1.0) >= 0 for r in spark_runs)
+          and all(r.get(n, -1.0) >= 0 for r in duck_runs)]
     lines = ["| query | spark med ± IQR (s) | duckdb med ± IQR (s) | ratio |",
              "|---|---|---|---|"]
     s_tot_med = d_tot_med = 0.0
