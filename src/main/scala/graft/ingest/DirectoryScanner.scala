@@ -72,8 +72,14 @@ object DirectoryScanner {
       else if (!shouldVisitDir(dirStr, scope)) ()
       else if (depth > maxDepth) depthLimited += dirStr
       else {
-        val entries = try Files.list(dir).iterator().asScala.toSeq.sortBy(_.toString)
-        catch { case _: Exception => unreadable += dirStr; Seq.empty[Path] }
+        // Files.list requires close — else one open directory handle leaks
+        // per visited directory until GC (ADVICE r12 / VERDICT r13 class)
+        val entries =
+          try {
+            val listing = Files.list(dir)
+            try listing.iterator().asScala.toSeq.sortBy(_.toString)
+            finally listing.close()
+          } catch { case _: Exception => unreadable += dirStr; Seq.empty[Path] }
         for (entry <- entries) {
           val s = entry.toString
           if (Files.isSymbolicLink(entry)) symlinks += s
