@@ -85,6 +85,43 @@ object Dedup {
     f(col(wordsColName))
   }
 
+  /** POSITIONAL word k-shingle hashes: element i is the hash of the gram
+    * starting at word position i (no distinct — position-level consumers
+    * like span dedup need every occurrence). Same per-word murmur +
+    * k-step polynomial mix as [[wordShingleHashes]], so the two agree on
+    * equal grams. Carrying the 8-byte hash instead of the k-word string
+    * through gram-keyed exchanges cuts the shuffle byte volume ~4-5×;
+    * collision contract as documented there (64-bit — a false gram match
+    * is ~1e-7 at 1M distinct grams, and the consumer's oracle/twin gates
+    * would surface it as a value mismatch). */
+  def wordShingleHashesAt(wordsColName: String, k: Int): Column = {
+    val f = udf((ws: Seq[String]) =>
+      if (ws == null || ws.size < k) Seq.empty[Long]
+      else {
+        val wh = new Array[Long](ws.size)
+        var i = 0
+        while (i < wh.length) {
+          wh(i) = scala.util.hashing.MurmurHash3.stringHash(ws(i)).toLong & 0xffffffffL
+          i += 1
+        }
+        val out = new Array[Long](ws.size - k + 1)
+        i = 0
+        while (i < out.length) {
+          var h = 1125899906842597L
+          var j = 0
+          while (j < k) {
+            h = h * 6364136223846793005L + wh(i + j)
+            h ^= (h >>> 29)
+            j += 1
+          }
+          out(i) = h
+          i += 1
+        }
+        out.toSeq
+      })
+    f(col(wordsColName))
+  }
+
   private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

@@ -424,15 +424,31 @@ object DedupQueries {
     Q("d_span_dedup",
       (s, d) => {
         val k = 5
+        // tokenized corpus parsed ONCE and cached: three consumers below
+        // (gram stream, positional word stream, the all-docs output spine)
+        // each re-ran the regex tokenization otherwise — the same
+        // materialize-the-tokenized-corpus-once call a 100 TB pipeline
+        // makes (and what DuckDB's multi-referenced CTE does implicitly).
+        // Verify/Bench release all blocks after each query.
         val words = dupCorpus(s, d)
           .withColumn("ws", Dedup.wordsArray("text"))
           .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
-        val grams = words.select(col("doc_id"), posexplode(expr(
-          s"""CASE WHEN size(ws) >= $k
-             |THEN transform(sequence(0, size(ws) - $k),
-             |               i -> concat_ws(' ', slice(ws, i + 1, $k)))
-             |ELSE CAST(array() AS array<string>) END""".stripMargin))
-          .as(Seq("p", "g")))
+          // MEMORY_AND_DISK over DISK_ONLY, A/B'd at both scales (PERF.md
+          // r14): at 100×/8 g the cache pressure costs +2.1 GB of bounded
+          // execution spill (248 vs 181 MB max task, zero at 32 g — memory-
+          // bound, not plan-bound) and buys 0.35 s/query at bench scale;
+          // unified memory already degrades this level to disk under
+          // pressure, so a forced DISK_ONLY only adds the read-back cost.
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // positional gram HASHES: both gram-keyed exchanges (the dup-count
+        // group-by and the coverage join) move 8-byte longs, never the
+        // k-word strings — the d_gram_coverage/hashedShingles discipline
+        // (~4-5× less exchange byte volume; 64-bit collision contract
+        // documented on wordShingleHashesAt, and the suffix-array twin
+        // d_span_dedup_sa cross-validates the output against an exact
+        // string-comparison route)
+        val grams = words.select(col("doc_id"),
+          posexplode(Dedup.wordShingleHashesAt("ws", k)).as(Seq("p", "g")))
         val dupG = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") > 1).select("g")
         // NO distinct on the covered positions: the left-anti join below

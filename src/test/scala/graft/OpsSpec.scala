@@ -30,6 +30,36 @@ class OpsSpec extends AnyFunSuite {
     assert(fp(0) === fp(1)) // case + whitespace normalized away
   }
 
+  test("positional shingle hashes agree with the distinct-set helper") {
+    // wordShingleHashesAt(i) must be the hash of the gram at position i
+    // under the SAME mix as wordShingleHashes — span dedup keys its gram
+    // exchanges on the positional form while the coverage/minhash family
+    // uses the distinct form; drift between them would silently diverge
+    // the two families' notion of "same gram". Pins: (a) distinct-set
+    // equality on random word arrays, (b) positional count/window
+    // identity, (c) equal grams at different positions hash equal.
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x1", "y2")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = 3
+    val both = docs.withColumn("ws", Dedup.wordsArray("text"))
+      .select($"doc_id", $"ws",
+        Dedup.wordShingleHashesAt("ws", k).as("at"),
+        Dedup.wordShingleHashes("ws", k).as("dist"))
+      .as[(Long, Seq[String], Seq[Long], Seq[Long])].collect()
+    for ((_, ws, at, dist) <- both) {
+      assert(at.size === (if (ws.size < k) 0 else ws.size - k + 1))
+      assert(at.toSet === dist.toSet)
+      // repeated grams (same k words) hash identically position-to-position
+      if (ws.size >= k)
+        ws.sliding(k).toSeq.zip(at).groupBy(_._1).values.foreach { occ =>
+          assert(occ.map(_._2).distinct.size === 1, "equal grams must hash equal")
+        }
+    }
+  }
+
   test("url canonicalization: ports, params, tracking, fragments, slashes") {
     import graft.ops.TextAnalysis.canonicalUrl
     assert(canonicalUrl("HTTP://WWW.Ex.COM:80/a/b?utm_source=x&b=2&a=1#f") ===
