@@ -1,0 +1,78 @@
+package graft.core
+
+/** Driver-side staleness stamps for cross-run cache probes.
+  *
+  * The index-backed queries guard their cross-run /tmp index caches with a
+  * freshness probe — "does the index's recorded row count still equal the
+  * source corpus count?". Correct, but every probe was a driver-blocking
+  * Spark job (a count over the source parquet plus a stats-table read):
+  * 2–4 fixed job barriers per query at the local scheduling floor, and at
+  * cluster scale a listing+scan job where a manifest comparison suffices
+  * (the reference's vector store versions its table manifests for exactly
+  * this reason — lancedb table versioning, `src/vectordb/lancedb.ts`).
+  *
+  * [[memoLong]] memoizes any Long-valued probe behind a FILESYSTEM
+  * SIGNATURE of the directory the value derives from: the sorted
+  * (relative path, size, mtime-ms) of every regular file under the dir,
+  * hashed. While the signature matches, the cached value is returned with
+  * ZERO Spark jobs; any file add/delete/resize/rewrite changes the
+  * signature and forces a recompute — strictly as fresh as re-running the
+  * probe, because every memoized value is a pure function of the dir's
+  * contents. (The reference leans on its vector store's versioned
+  * manifests for the same freshness-without-scans property — LanceDB
+  * table versions, `src/vectordb/index.ts:240,310`.)
+  *
+  * Caveats, both conservative-safe: (a) mtime is compared at millisecond
+  * granularity — a same-size same-ms rewrite is the only theoretical
+  * miss (sub-ms in-place rewrites of identical byte counts); (b)
+  * non-local paths (scheme-prefixed URIs java.nio cannot walk) and
+  * absent dirs are never memoized — the probe just runs. */
+object SourceStamp {
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** filesystem signature of `dir`; None when the dir is absent or not
+    * walkable locally (never memoize those — compute every time) */
+  def signature(dir: String): Option[String] = {
+    val root =
+      try java.nio.file.Paths.get(dir)
+      catch { case _: Exception => return None }
+    if (!java.nio.file.Files.isDirectory(root)) return None
+    val md = java.security.MessageDigest.getInstance("MD5")
+    try {
+      // Files.walk stream CLOSED (the r13/r14 leak class)
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .map(p => (root.relativize(p).toString,
+            java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toSeq.sortBy(_._1)
+          .foreach { case (rel, sz, mt) =>
+            md.update(s"$rel:$sz:$mt|".getBytes("UTF-8"))
+          }
+        Some(java.util.Base64.getEncoder.encodeToString(md.digest()))
+      } finally s.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** `compute`, memoized while `dir`'s signature is unchanged in this JVM.
+    * `key` distinguishes different probes derived from the same dir.
+    * CONTRACT: `compute`'s value must be a pure function of `dir`'s
+    * contents — then a signature hit is exactly as fresh as recomputing. */
+  def memoLong(dir: String, key: String)(compute: => Long): Long =
+    signature(dir) match {
+      case None => compute
+      case Some(sig) =>
+        val k = s"$key@$dir"
+        val hit = memo.get(k)
+        if (hit != null && hit._1 == sig) hit._2
+        else { val v = compute; memo.put(k, (sig, v)); v }
+    }
+
+  /** test hook: drop all cached stamps */
+  private[graft] def clear(): Unit = memo.clear()
+}

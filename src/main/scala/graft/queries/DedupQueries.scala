@@ -938,7 +938,11 @@ object DedupQueries {
         // cached index if the corpus was regenerated in place. Real engine
         // freshness is the refresh path's job — this only protects the
         // cross-run tmp cache.
-        if (!st.exists || st.rowCount() != stored.count()) st.rebuild(stored)
+        // both probe sides signature-memoized (stored derives purely from
+        // documents.parquet, the index rowCount from its stats dir)
+        val nStored = graft.core.SourceStamp.memoLong(
+          s"$d/documents.parquet", "delta_stored")(stored.count())
+        if (!st.exists || st.rowCount() != nStored) st.rebuild(stored)
         val cands = st.deltaCandidates(batch)
         // exact-verify shingles ONLY the docs appearing in candidate pairs
         // (semi-join before the shingle projection): verify cost follows
@@ -1757,7 +1761,11 @@ object DedupQueries {
           d.replaceAll("[^a-zA-Z0-9._-]", "_")
         val st = new graft.store.SrpIndexStore(s, dir, dim = 64, planes = 8,
           0, Seq("vec_id"), "embedding")
-        if (!st.exists || st.rowCount() != e.count()) st.rebuild(e)
+        // both probe sides are signature-memoized (SourceStamp): zero jobs
+        // when neither the corpus nor the index dir changed
+        val nCorpus = graft.core.SourceStamp.memoLong(
+          s"$d/embeddings.parquet", "count")(e.count())
+        if (!st.exists || st.rowCount() != nCorpus) st.rebuild(e)
         st.probe(qv, k = 10)
           .select(col("vec_id"), (round(col("score"), 4) + 0.0).as("score"))
       },
@@ -1974,8 +1982,11 @@ object DedupQueries {
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ann-ivf-" +
           d.replaceAll("[^a-zA-Z0-9._-]", "_")
         val st = new graft.store.AnnIndexStore(s, dir, 0, Seq("vec_id"), "embedding")
-        // build once per (tmpdir, sf): warm pass builds, timed pass probes
-        if (!st.exists || st.rowCount() != e.count()) st.rebuild(e, nLists = 16)
+        // build once per (tmpdir, sf): warm pass builds, timed pass probes;
+        // probe sides signature-memoized — zero jobs when nothing changed
+        val nCorpus = graft.core.SourceStamp.memoLong(
+          s"$d/embeddings.parquet", "count")(e.count())
+        if (!st.exists || st.rowCount() != nCorpus) st.rebuild(e, nLists = 16)
         st.probe(qv, nProbe = 8, k = 10)
           .select(col("vec_id"), (round(col("score"), 4) + 0.0).as("score"))
       },

@@ -202,11 +202,12 @@ object RagQueries {
           d.replaceAll("[^a-zA-Z0-9._-]", "_")
         val fts = new graft.store.FtsIndexStore(s, dir, 0)
         // staleness probe for the cross-run tmp cache: embeddings count ==
-        // chunk-table count (1:1 join by construction), and a single-column
-        // count of one table is cheaper than counting the join
-        val stale = !fts.exists ||
-          fts.load().get.stats.select(col("n_docs")).head().getLong(0) !=
-            Tables.embeddings(s, d).count()
+        // chunk-table count (1:1 join by construction). Both sides are
+        // signature-memoized (SourceStamp / FtsIndexStore.nDocs): when
+        // neither the corpus nor the index dir changed, the probe costs
+        // zero Spark jobs
+        val stale = fts.nDocs() != graft.core.SourceStamp.memoLong(
+          s"$d/embeddings.parquet", "count")(Tables.embeddings(s, d).count())
         if (stale) fts.rebuild(ch)
         HybridSearch.search(ch.crossJoin(broadcast(qv(s, d))), col("qv"),
           HybridSearch.Params(limit = 10, weight = 0.6,
@@ -247,7 +248,10 @@ object RagQueries {
           d.replaceAll("[^a-zA-Z0-9._-]", "_") // shared with ann_srp_store_probe
         val st = new graft.store.SrpIndexStore(s, dir, dim = Dim, planes = 8,
           0, Seq("vec_id"), "embedding")
-        val nCorpus = e.count() // one staleness probe shared by both indexes
+        // one staleness probe shared by both indexes, signature-memoized —
+        // zero jobs when the embeddings dir is unchanged
+        val nCorpus = graft.core.SourceStamp.memoLong(
+          s"$d/embeddings.parquet", "count")(e.count())
         if (!st.exists || st.rowCount() != nCorpus) st.rebuild(e)
         val ch = chunks(s, d)
           .withColumn("filePath", col("source"))
@@ -269,8 +273,7 @@ object RagQueries {
         val ftsDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts-idx-" +
           d.replaceAll("[^a-zA-Z0-9._-]", "_")
         val fts = new graft.store.FtsIndexStore(s, ftsDir, 0)
-        val ftsStale = !fts.exists ||
-          fts.load().get.stats.select(col("n_docs")).head().getLong(0) != nCorpus
+        val ftsStale = fts.nDocs() != nCorpus
         if (ftsStale) fts.rebuild(ch)
         HybridSearch.search(ch, typedLit(qArr.toSeq),
           HybridSearch.Params(limit = 10, weight = 0.6,

@@ -26,11 +26,17 @@ private[store] trait BucketedIndexStore {
 
   def exists: Boolean = fs.exists(new HPath(statsPath))
 
-  /** indexed row count from the stats table (no data scan) */
+  /** indexed row count from the stats table (no data scan). Memoized
+    * behind the stats dir's filesystem signature ([[graft.core.SourceStamp]]):
+    * the value is a pure function of the stats files, so a signature hit
+    * answers the staleness probe with ZERO Spark jobs — a rebuild rewrites
+    * the dir and invalidates the stamp. */
   def rowCount(): Long =
     if (!exists) 0L
-    else spark.read.parquet(statsPath)
-      .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+    else graft.core.SourceStamp.memoLong(statsPath, "rowCount") {
+      spark.read.parquet(statsPath)
+        .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+    }
 
   def drop(): Unit =
     if (fs.exists(new HPath(path))) fs.delete(new HPath(path), true)

@@ -131,5 +131,22 @@ final class FtsIndexStore(spark: SparkSession, path: String, numBuckets: Int = 0
         stats))
     }
 
+  /** recorded corpus size from the stats table — the cheap side of the
+    * cross-run cache staleness probe (readers compared this against a
+    * corpus count). Memoized behind the stats dir's filesystem signature
+    * ([[graft.core.SourceStamp]]): zero Spark jobs while the index is
+    * unchanged; a rebuild/refresh rewrites stats and invalidates. -1 when
+    * the index does not exist (never equal to any real corpus count). */
+  def nDocs(): Long =
+    if (!exists) -1L
+    else graft.core.SourceStamp.memoLong(statsPath, "nDocs") {
+      val rawStats = spark.read.parquet(statsPath)
+      val st =
+        if (rawStats.columns.contains("pbucket"))
+          rawStats.agg(sum("n_docs").as("n_docs"))
+        else rawStats.select("n_docs")
+      st.head().getLong(0)
+    }
+
   def drop(): Unit = if (fs.exists(new HPath(path))) fs.delete(new HPath(path), true)
 }

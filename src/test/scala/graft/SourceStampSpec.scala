@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.SourceStamp
+
+/** The staleness-stamp memo must be exactly as fresh as re-running the
+  * probe: cached only while the dir's (name, size, mtime) census is
+  * byte-for-byte unchanged, recomputed on ANY add/delete/rewrite, and
+  * never cached for absent/non-walkable dirs. */
+class SourceStampSpec extends AnyFunSuite {
+
+  private def write(dir: String, name: String, content: String): Unit = {
+    val p = Paths.get(dir, name)
+    Files.createDirectories(p.getParent)
+    Files.write(p, content.getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  test("memo hits while the dir is unchanged, recomputes on any mutation") {
+    SourceStamp.clear()
+    val dir = Files.createTempDirectory("stamp").toString
+    write(dir, "part-0.parquet", "aaaa")
+    write(dir, "sub/part-1.parquet", "bbbb")
+
+    var runs = 0
+    def probe(): Long = SourceStamp.memoLong(dir, "t") { runs += 1; 42L }
+
+    assert(probe() === 42L); assert(runs === 1)
+    assert(probe() === 42L); assert(runs === 1) // hit: no recompute
+
+    // add a file → recompute
+    write(dir, "part-2.parquet", "cc")
+    assert(probe() === 42L); assert(runs === 2)
+
+    // rewrite with a DIFFERENT SIZE (size is in the census even when the
+    // filesystem's mtime granularity would hide a fast rewrite)
+    write(dir, "part-2.parquet", "ccdd")
+    assert(probe() === 42L); assert(runs === 3)
+
+    // delete → recompute
+    Files.delete(Paths.get(dir, "part-2.parquet"))
+    assert(probe() === 42L); assert(runs === 4)
+
+    // touch mtime only (content/size identical) → recompute (conservative)
+    Files.setLastModifiedTime(Paths.get(dir, "part-0.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    assert(probe() === 42L); assert(runs === 5)
+  }
+
+  test("distinct keys over one dir memoize independently") {
+    SourceStamp.clear()
+    val dir = Files.createTempDirectory("stamp2").toString
+    write(dir, "f.parquet", "x")
+    var a = 0; var b = 0
+    assert(SourceStamp.memoLong(dir, "ka") { a += 1; 1L } === 1L)
+    assert(SourceStamp.memoLong(dir, "kb") { b += 1; 2L } === 2L)
+    assert(SourceStamp.memoLong(dir, "ka") { a += 1; 1L } === 1L)
+    assert(SourceStamp.memoLong(dir, "kb") { b += 1; 2L } === 2L)
+    assert(a === 1 && b === 1)
+  }
+
+  test("absent dirs are never memoized — the probe always runs") {
+    SourceStamp.clear()
+    val ghost = Files.createTempDirectory("stamp3").toString + "/nope"
+    var runs = 0
+    def probe(): Long = SourceStamp.memoLong(ghost, "t") { runs += 1; 7L }
+    assert(probe() === 7L); assert(probe() === 7L)
+    assert(runs === 2, "an absent dir must not pin a stale value")
+    // the dir appearing later is a signature change by construction
+    write(ghost, "f.parquet", "now exists")
+    assert(probe() === 7L); assert(runs === 3)
+    assert(probe() === 7L); assert(runs === 3, "existing dir memoizes")
+  }
+}
