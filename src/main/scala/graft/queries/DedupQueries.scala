@@ -451,29 +451,64 @@ object DedupQueries {
           posexplode(Dedup.wordShingleHashesAt("ws", k)).as(Seq("p", "g")))
         val dupG = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") > 1).select("g")
-        // NO distinct on the covered positions: the left-anti join below
-        // is existence-only, so duplicate (doc_id, q) rows are harmless —
-        // and the distinct's partial aggregate ran inside the gram-join
-        // stage, whose output is ~5× amplified and duplicate-dense at
-        // high dup rates (measured ~19 GB spill at 100× corpus inflation;
-        // plan-bound, not memory-bound — still ~15 GB at 32 g).
-        val covered = grams.join(dupG, "g")
-          .select(col("doc_id"),
-            explode(expr(s"sequence(p, p + ${k - 1})")).as("q"))
-        val pws = words
-          .select(col("doc_id"), posexplode(col("ws")).as(Seq("q", "w")))
-        val cleaned = pws.join(covered, Seq("doc_id", "q"), "left_anti")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_kept"),
-            expr("md5(array_join(transform(array_sort(" +
-              "collect_list(struct(q, w))), x -> x.w), ' '))").as("cleaned_md5"))
-        words.select(col("doc_id"), col("n"))
-          .join(cleaned, Seq("doc_id"), "left")
+        // NO distinct on the covered positions before the set-aggregate:
+        // collect_set dedups inside its own partial aggregate, and a
+        // separate distinct's partial agg ran inside the gram-join stage,
+        // whose output is ~5× amplified and duplicate-dense at high dup
+        // rates (measured ~19 GB spill at 100× corpus inflation).
+        // Reconstruction is DOC-LOCAL: aggregate each doc's dup-gram START
+        // positions into one bounded set (≤ the doc's own gram count —
+        // skew-safe by construction) and rebuild the cleaned text map-side
+        // from the cached words array, expanding each start to its k
+        // covered positions with a boolean mask. Two mass reductions vs
+        // the previous shape, both measured at 100× (PERF.md r14):
+        //  - the old plan positionally exploded the ENTIRE corpus into
+        //    (doc_id, q, w) rows, anti-joined on (doc_id, q), and
+        //    re-sorted per doc via collect_list(struct) — three
+        //    full-corpus positional exchanges;
+        //  - carrying START positions (not the k-expanded coverage) keeps
+        //    the aggregated stream at 1/k of the covered-position mass.
+        // doc-key repartition BEFORE the set aggregate — the
+        // lshCandidatePairs discipline: collect_set's partial aggregate
+        // would otherwise run inside the amplified gram-join stage (and
+        // object aggs degrade to sort-based past the fallback threshold —
+        // the r9 spill class, remeasured here at 11.9 GB/100× without the
+        // barrier). Per-row UDF rebuild, measured-justified (SURVEY §2.11
+        // d): one linear mask pass per doc; the array_contains lambda
+        // equivalent is O(words × covered).
+        val covSets = grams.join(dupG, "g")
+          .select(col("doc_id"), col("p"))
+          .repartition(col("doc_id"))
+          .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+        val rebuild = udf { (ws: Seq[String], cov: Seq[Int]) =>
+          val n = ws.size
+          val masked = new Array[Boolean](n)
+          if (cov != null) cov.foreach { s =>
+            var i = s
+            val end = math.min(s + k - 1, n - 1)
+            while (i <= end) { masked(i) = true; i += 1 }
+          }
+          val sb = new StringBuilder
+          var kept = 0L
+          var i = 0
+          while (i < n) {
+            if (!masked(i)) {
+              if (kept > 0) sb.append(' ')
+              sb.append(ws(i)); kept += 1
+            }
+            i += 1
+          }
+          (kept, sb.toString)
+        }
+        // shuffle-hash, not sort-merge: the streamed side carries the
+        // cached word arrays (the corpus), which an SMJ would external-sort
+        words.join(covSets.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n"),
+            rebuild(col("ws"), col("cov")).as("r"))
           .select(col("doc_id"), col("n").cast("long").as("n_words"),
-            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-            (col("n") - coalesce(col("n_kept"), lit(0L))).cast("long")
-              .as("n_removed"),
-            coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+            col("r._1").as("n_kept"),
+            (col("n") - col("r._1")).cast("long").as("n_removed"),
+            md5(col("r._2")).as("cleaned_md5"))
           .orderBy("doc_id")
       },
       Some(SpanDedupOracle),
