@@ -122,6 +122,79 @@ object Dedup {
     f(col(wordsColName))
   }
 
+  /** Exact-substring SPAN dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): every word position covered by
+    * a word k-gram that occurs MORE THAN ONCE corpus-wide is cut, and the
+    * surviving words reassemble the cleaned document. One row per input
+    * row: (idCol, n_words, n_kept, n_removed, cleaned) — `cleaned` is the
+    * reassembled text (empty when everything was cut).
+    *
+    * Plan shape (the r14 doc-local reconstruction, adversarial rows in
+    * PERF.md — sf0.1×100: zero spill at the default heap):
+    *  - the tokenized corpus is cached once (MEMORY_AND_DISK, A/B'd vs
+    *    DISK_ONLY) and feeds both the gram stream and the rebuild spine;
+    *  - gram exchanges carry 8-byte positional hashes
+    *    ([[wordShingleHashesAt]] — 64-bit collision contract there), never
+    *    k-word strings;
+    *  - each doc's dup-gram START positions aggregate into ONE bounded set
+    *    (≤ the doc's own gram count — skew-safe), doc-key repartitioned
+    *    BEFORE the collect_set so its partial phase never runs inside the
+    *    amplified gram-join stage (object aggs degrade to sort-based past
+    *    the fallback threshold — measured 11.9 GB of 100× spill without
+    *    the barrier);
+    *  - the cleaned text is rebuilt MAP-SIDE by a k-expansion boolean mask
+    *    over the cached words array (per-row UDF, measured-justified:
+    *    one linear pass), joined shuffle-hash so the corpus side is never
+    *    external-sorted.
+    * Use the releasable form in long-lived sessions; the handle unpersists
+    * the cached tokenized corpus. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame =
+    spanDedupReleasable(df, idCol, textCol, k)._1
+
+  def spanDedupReleasable(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): (DataFrame, () => Unit) = {
+    val words = df
+      .withColumn("_ws", wordsArray(textCol))
+      .select(col(idCol), col("_ws"), size(col("_ws")).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = words.select(col(idCol),
+      posexplode(wordShingleHashesAt("_ws", k)).as(Seq("_p", "_g")))
+    val dupG = grams.groupBy("_g").agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") > 1).select("_g")
+    val covSets = grams.join(dupG, "_g")
+      .select(col(idCol), col("_p"))
+      .repartition(col(idCol))
+      .groupBy(idCol).agg(collect_set(col("_p")).as("_cov"))
+    val rebuild = udf { (ws: Seq[String], cov: Seq[Int]) =>
+      val n = ws.size
+      val masked = new Array[Boolean](n)
+      if (cov != null) cov.foreach { s =>
+        var i = s
+        val end = math.min(s + k - 1, n - 1)
+        while (i <= end) { masked(i) = true; i += 1 }
+      }
+      val sb = new StringBuilder
+      var kept = 0L
+      var i = 0
+      while (i < n) {
+        if (!masked(i)) {
+          if (kept > 0) sb.append(' ')
+          sb.append(ws(i)); kept += 1
+        }
+        i += 1
+      }
+      (kept, sb.toString)
+    }
+    val out = words.join(covSets.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol), col("_n"), rebuild(col("_ws"), col("_cov")).as("_r"))
+      .select(col(idCol), col("_n").cast("long").as("n_words"),
+        col("_r._1").as("n_kept"),
+        (col("_n") - col("_r._1")).cast("long").as("n_removed"),
+        col("_r._2").as("cleaned"))
+    (out, () => { words.unpersist(blocking = true); () })
+  }
+
   private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

@@ -423,92 +423,15 @@ object DedupQueries {
     // one positional semi-join back; never a pair join. -----
     Q("d_span_dedup",
       (s, d) => {
-        val k = 5
-        // tokenized corpus parsed ONCE and cached: three consumers below
-        // (gram stream, positional word stream, the all-docs output spine)
-        // each re-ran the regex tokenization otherwise — the same
-        // materialize-the-tokenized-corpus-once call a 100 TB pipeline
-        // makes (and what DuckDB's multi-referenced CTE does implicitly).
-        // Verify/Bench release all blocks after each query.
-        val words = dupCorpus(s, d)
-          .withColumn("ws", Dedup.wordsArray("text"))
-          .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
-          // MEMORY_AND_DISK over DISK_ONLY, A/B'd at both scales (PERF.md
-          // r14): at 100×/8 g the cache pressure costs +2.1 GB of bounded
-          // execution spill (248 vs 181 MB max task, zero at 32 g — memory-
-          // bound, not plan-bound) and buys 0.35 s/query at bench scale;
-          // unified memory already degrades this level to disk under
-          // pressure, so a forced DISK_ONLY only adds the read-back cost.
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // positional gram HASHES: both gram-keyed exchanges (the dup-count
-        // group-by and the coverage join) move 8-byte longs, never the
-        // k-word strings — the d_gram_coverage/hashedShingles discipline
-        // (~4-5× less exchange byte volume; 64-bit collision contract
-        // documented on wordShingleHashesAt, and the suffix-array twin
-        // d_span_dedup_sa cross-validates the output against an exact
-        // string-comparison route)
-        val grams = words.select(col("doc_id"),
-          posexplode(Dedup.wordShingleHashesAt("ws", k)).as(Seq("p", "g")))
-        val dupG = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") > 1).select("g")
-        // NO distinct on the covered positions before the set-aggregate:
-        // collect_set dedups inside its own partial aggregate, and a
-        // separate distinct's partial agg ran inside the gram-join stage,
-        // whose output is ~5× amplified and duplicate-dense at high dup
-        // rates (measured ~19 GB spill at 100× corpus inflation).
-        // Reconstruction is DOC-LOCAL: aggregate each doc's dup-gram START
-        // positions into one bounded set (≤ the doc's own gram count —
-        // skew-safe by construction) and rebuild the cleaned text map-side
-        // from the cached words array, expanding each start to its k
-        // covered positions with a boolean mask. Two mass reductions vs
-        // the previous shape, both measured at 100× (PERF.md r14):
-        //  - the old plan positionally exploded the ENTIRE corpus into
-        //    (doc_id, q, w) rows, anti-joined on (doc_id, q), and
-        //    re-sorted per doc via collect_list(struct) — three
-        //    full-corpus positional exchanges;
-        //  - carrying START positions (not the k-expanded coverage) keeps
-        //    the aggregated stream at 1/k of the covered-position mass.
-        // doc-key repartition BEFORE the set aggregate — the
-        // lshCandidatePairs discipline: collect_set's partial aggregate
-        // would otherwise run inside the amplified gram-join stage (and
-        // object aggs degrade to sort-based past the fallback threshold —
-        // the r9 spill class, remeasured here at 11.9 GB/100× without the
-        // barrier). Per-row UDF rebuild, measured-justified (SURVEY §2.11
-        // d): one linear mask pass per doc; the array_contains lambda
-        // equivalent is O(words × covered).
-        val covSets = grams.join(dupG, "g")
-          .select(col("doc_id"), col("p"))
-          .repartition(col("doc_id"))
-          .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
-        val rebuild = udf { (ws: Seq[String], cov: Seq[Int]) =>
-          val n = ws.size
-          val masked = new Array[Boolean](n)
-          if (cov != null) cov.foreach { s =>
-            var i = s
-            val end = math.min(s + k - 1, n - 1)
-            while (i <= end) { masked(i) = true; i += 1 }
-          }
-          val sb = new StringBuilder
-          var kept = 0L
-          var i = 0
-          while (i < n) {
-            if (!masked(i)) {
-              if (kept > 0) sb.append(' ')
-              sb.append(ws(i)); kept += 1
-            }
-            i += 1
-          }
-          (kept, sb.toString)
-        }
-        // shuffle-hash, not sort-merge: the streamed side carries the
-        // cached word arrays (the corpus), which an SMJ would external-sort
-        words.join(covSets.hint("shuffle_hash"), Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n"),
-            rebuild(col("ws"), col("cov")).as("r"))
-          .select(col("doc_id"), col("n").cast("long").as("n_words"),
-            col("r._1").as("n_kept"),
-            (col("n") - col("r._1")).cast("long").as("n_removed"),
-            md5(col("r._2")).as("cleaned_md5"))
+        // library op: ops/Dedup.spanDedup (Lee-2022 exact-substring span
+        // cut with the r14 doc-local reconstruction — plan notes and the
+        // 100x adversarial rows live on the op; the suffix-array twin
+        // d_span_dedup_sa cross-validates the same oracle through an
+        // exact string-comparison route). Blocks released post-query by
+        // the Verify/Bench harnesses.
+        Dedup.spanDedup(dupCorpus(s, d), "doc_id", "text", 5)
+          .select(col("doc_id"), col("n_words"), col("n_kept"),
+            col("n_removed"), md5(col("cleaned")).as("cleaned_md5"))
           .orderBy("doc_id")
       },
       Some(SpanDedupOracle),

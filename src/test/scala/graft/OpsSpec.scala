@@ -60,6 +60,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("spanDedup cuts exactly the k-gram-covered spans and reassembles the rest") {
+    // k=3; "a b c" occurs in docs 0 and 1 → doc 0 covers positions 0-2
+    // (start 0), doc 1 covers 2-4 (start 2); doc 2 shares no 3-gram and
+    // survives whole; doc 3 is shorter than k (no grams, all kept); doc 4
+    // is entirely one repeated gram window of doc 0's tail → fully cut
+    val rows = Seq(
+      (0L, "a b c d e"),
+      (1L, "x y a b c"),
+      (2L, "p q r s"),
+      (3L, "u v"),
+      (4L, "c d e")).toDF("doc_id", "text")
+    val (out, release) = Dedup.spanDedupReleasable(rows, "doc_id", "text", 3)
+    val got = out.orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    release()
+    assert(got === Seq(
+      (0L, 5L, 0L, 5L, ""),          // starts 0 ("a b c") and 2 ("c d e") cover 0-4
+      (1L, 5L, 2L, 3L, "x y"),
+      (2L, 4L, 4L, 0L, "p q r s"),
+      (3L, 2L, 2L, 0L, "u v"),
+      (4L, 3L, 0L, 3L, "")))
+  }
+
   test("url canonicalization: ports, params, tracking, fragments, slashes") {
     import graft.ops.TextAnalysis.canonicalUrl
     assert(canonicalUrl("HTTP://WWW.Ex.COM:80/a/b?utm_source=x&b=2&a=1#f") ===
