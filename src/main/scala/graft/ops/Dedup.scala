@@ -166,7 +166,10 @@ object Dedup {
       .select(col(idCol), col("_p"))
       .repartition(col(idCol))
       .groupBy(idCol).agg(collect_set(col("_p")).as("_cov"))
-    val rebuild = udf { (ws: Seq[String], cov: Seq[Int]) =>
+    val rebuild = udf { (ws0: Seq[String], cov: Seq[Int]) =>
+      // null text → wordsArray yields null; same contract as the sibling
+      // shingle UDFs (null in → empty doc out), this is a public op now
+      val ws = if (ws0 == null) Seq.empty[String] else ws0
       val n = ws.size
       val masked = new Array[Boolean](n)
       if (cov != null) cov.foreach { s =>
@@ -424,38 +427,46 @@ object Dedup {
                       shinglesCol: String): DataFrame =
     dupGramCoverageReleasable(docs, idCol, shinglesCol)._1
 
-  /** [[dupGramCoverage]] plus a release handle for the persisted postings
-    * (same contract as [[jaccardPairsReleasable]]). */
+  /** [[dupGramCoverage]] plus a release handle for the persisted compact
+    * shingle projection (same contract as [[jaccardPairsReleasable]]).
+    *
+    * Plan shape (r15 rebuild — the r14 span-dedup playbook applied):
+    * shingles are DISTINCT per doc ([[wordShingles]]), so a gram whose
+    * corpus-wide count is 1 has exactly ONE owner, identifiable as
+    * min(doc) inside the same aggregate — which inverts the coverage:
+    * n_cov = n_grams − (this doc's count-1 grams). That removes the join
+    * of the amplified posting stream back onto itself (the old plan
+    * exchanged the exploded stream TWICE, once for the gram count and once
+    * as the join probe, and persisted the exploded stream — the cache
+    * class the t_dsir_select negative ruled out). Now the amplified stream
+    * crosses the wire ONCE, map-side partially aggregated to distinct
+    * grams per task; what's cached is the COMPACT pre-amplification
+    * (id, shingles) projection, which both the totals projection and the
+    * explode read so the caller's shingle UDF runs once. The column is
+    * expected to carry HASHED grams ([[wordShingleHashes]]) — the exchange
+    * keys on the gram, and an 8-byte key cuts exchanged bytes ~5x vs
+    * shingle strings. A 64-bit collision merges two grams' doc counts —
+    * one-sided and vanishing for a ">= 2 docs" threshold signal (~1e-7 at
+    * 1M distinct grams; even at 10^12 corpus grams the chance any count is
+    * off stays in the percent range, far below the signal's own noise). */
   def dupGramCoverageReleasable(docs: DataFrame, idCol: String,
                                 shinglesCol: String): (DataFrame, () => Unit) = {
-    // persist the exploded postings: they feed BOTH the doc-count aggregate
-    // and the coverage join — without this the (expensive) gram projection
-    // runs twice. The column is
-    // expected to carry HASHED grams ([[wordShingleHashes]]) — both
-    // shuffles key on the gram, and an 8-byte key cuts exchanged bytes
-    // ~5x vs shingle strings. A 64-bit collision merges two grams' doc
-    // counts — one-sided and vanishing for a ">= 2 docs" threshold signal
-    // (~1e-7 at 1M distinct grams; even at 10^12 corpus grams the chance
-    // any count is off stays in the percent range, far below the signal's
-    // own noise).
-    val gd = docs.select(col(idCol), explode(col(shinglesCol)).as("g"))
+    val compact = docs.select(col(idCol), col(shinglesCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-doc gram totals ride the (already-distinct) shingle array — a
-    // per-row size(), NO shuffle; only the covered-gram count needs the
-    // gram-keyed pass. Pre-filtering the doc-count side to n_docs >= 2
-    // means the join carries only genuinely-shared grams (small for a
-    // mostly-clean corpus; AQE broadcasts it when it fits).
-    val totals = docs.select(col(idCol), size(col(shinglesCol)).as("n_grams"))
-    val shared = gd.groupBy("g").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-    val covered = gd.join(shared, Seq("g"))
-      .groupBy(idCol).agg(count(lit(1)).as("n_cov"))
-    val out = totals.join(covered, Seq(idCol), "left")
+    val totals = compact.select(col(idCol), size(col(shinglesCol)).as("n_grams"))
+    // ONE gram-keyed pass: per gram, (occurrence count, smallest owner).
+    // count==1 ⟹ min(doc) IS the sole owner; grams with count >= 2 are
+    // covered for every owner, so they never need to flow back per-doc.
+    val solo = compact.select(col(idCol), explode(col(shinglesCol)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n_docs"), min(col(idCol)).as(idCol))
+      .filter(col("n_docs") === 1)
+      .groupBy(idCol).agg(count(lit(1)).as("n_solo"))
+    val out = totals.join(solo, Seq(idCol), "left")
       .select(col(idCol),
-        (round(coalesce(col("n_cov"), lit(0L)) /
+        (round((col("n_grams") - coalesce(col("n_solo"), lit(0L))) /
           greatest(col("n_grams"), lit(1)), 4) + 0.0).as("dup_gram_frac"),
         col("n_grams").cast("long").as("n_grams"))
-    (out, () => { gd.unpersist(blocking = true); () })
+    (out, () => { compact.unpersist(blocking = true); () })
   }
 
   /** Candidate-pair count above which the verify stage stops forcing a

@@ -24,6 +24,33 @@ object DedupQueries {
           concat(col("text"), lit(" extra appended words")).as("text")))
   }
 
+  /** The shingled dup corpus (doc_id, text, ws, shs) persisted
+    * MEMORY_AND_DISK, plus its minhash-signature projection (16 hashes,
+    * 4×4 banding downstream) — the shared prefix of every LSH-verify query
+    * below, factored once so the six consumers can never drift. The
+    * persist is the in-session twin of a stored shingle table (the corpus
+    * feeds the signature projection AND the verify side(s), so the shingle
+    * UDF runs once) with a HARNESS-SCOPE release contract: these builders
+    * run one query at a time under Verify/Bench, and Verify runs
+    * GraftSession.releaseAllBlocks after each — no per-query handle
+    * needed. The LIBRARY surface for the same capability is ops/Dedup +
+    * ops/CleanCorpus, whose releasable forms own their caches.
+    * `filterEmpty` drops docs with no 5-shingle before caching
+    * (d_lsh_recall_eval evaluates recall over shingled docs only — its
+    * posting ground truth reads the corpus side directly). */
+  private def shingledDupCorpus(s: SparkSession, d: String,
+                                filterEmpty: Boolean = false): (DataFrame, DataFrame) = {
+    val sh = dupCorpus(s, d)
+      .withColumn("ws", Dedup.wordsArray("text"))
+      .withColumn("shs", Dedup.wordShingles("ws", 5))
+    val corpus = (if (filterEmpty) sh.filter(size(col("shs")) > 0) else sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = corpus.filter(size(col("shs")) > 0)
+      .withColumn("hs", Dedup.shingleBaseHashes("shs"))
+      .withColumn("sig", Dedup.minhashSignature("hs", 16))
+    (corpus, withSig)
+  }
+
   private val DupCorpusCte =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -190,57 +217,19 @@ object DedupQueries {
   /** Shared cleaning pipeline (quality rules → exact dedup → verified
     * near-dup drop → decontamination): d_corpus_pipeline reports its
     * retention funnel, d_train_manifest lays out its survivors — ONE
-    * builder so the two can never drift. */
-  private final case class CleanStages(corpus: DataFrame, kept1: DataFrame,
-                                       kept2: DataFrame, kept3: DataFrame,
-                                       kept4: DataFrame)
-
-  private def cleaningStages(s: SparkSession, d: String): CleanStages = {
-    import graft.ops.TextAnalysis
-    val corpus = dupCorpus(s, d)
-    // the multilingual-safe subset of the Gopher rules (word floor +
-    // format ratios): stopword/alpha/mean-word-length rules are
-    // English priors that zero out CJK and non-English strata — the
-    // full rule set stays measured per-doc by t_gopher_rules
-    val g = TextAnalysis.gopherRules(col("text"))
-    val kept1 = corpus
-      .filter(g.getField("n_words").between(20, 100000) &&
-        g.getField("symbol_ratio") < 0.1 &&
-        g.getField("bullet_ratio") <= 0.9 &&
-        g.getField("ellipsis_ratio") <= 0.3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val canon = kept1
-      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
-      .agg(min("doc_id").as("doc_id"))
-    val kept2 = kept1.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
-      .withColumn("ws", Dedup.wordsArray("text"))
-      .withColumn("shs", Dedup.wordShingles("ws", 5))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = kept2.filter(size(col("shs")) > 0)
-      .withColumn("hs", Dedup.shingleBaseHashes("shs"))
-      .withColumn("sig", Dedup.minhashSignature("hs", 16))
-    val nearPairs = Dedup.jaccardOnPairsRouted(
-        Dedup.lshCandidatePairs(
-          Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id",
-          droppedBuckets = Some(s.sparkContext.longAccumulator(
-            "graft.lsh.dropped_hot_buckets.cleaning_pipeline"))),
-        kept2, "doc_id", "shs")
-      .filter(col("jaccard") >= 0.8)
-    val dropped = nearPairs.select(col("id_b").as("doc_id")).distinct()
-    val kept3 = kept2.join(dropped, Seq("doc_id"), "left_anti")
-    // holdout = shingles of RAW-corpus docs with doc_id % 97 == 0 (the
-    // benchmark set exists independently of what cleaning kept)
-    val benchSh = corpus.filter(col("doc_id") % 97 === 0)
-      .withColumn("ws", Dedup.wordsArray("text"))
-      .select(explode(Dedup.wordShingles("ws", 5)).as("sh")).distinct()
-    val contaminated = kept3.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .join(broadcast(benchSh), "sh")
-      .select("doc_id").distinct()
-    val kept4 = kept3.filter(col("doc_id") % 97 =!= 0)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-    CleanStages(corpus, kept1, kept2, kept3, kept4)
-  }
+    * builder so the two can never drift. Since r15 the builder IS the
+    * library op ([[graft.ops.CleanCorpus]], which owns the funnel's
+    * caching + release contract); the queries run the handle-less form
+    * under the harness-scope contract (one JVM per Verify/Bench run —
+    * JVM exit reclaims the funnel's two stage caches). The holdout is
+    * RAW-corpus docs with doc_id % 97 == 0 (the benchmark set exists
+    * independently of what cleaning kept); thresholds/banding are the
+    * op's defaults, which the oracle CTEs mirror. */
+  private def cleaningStages(s: SparkSession, d: String): graft.ops.CleanCorpusStages =
+    graft.ops.CleanCorpus.cleanCorpus(dupCorpus(s, d), "doc_id", "text",
+      isHoldout = Some(col("doc_id") % 97 === 0),
+      droppedBuckets = Some(s.sparkContext.longAccumulator(
+        "graft.lsh.dropped_hot_buckets.cleaning_pipeline")))
 
   val qs: Seq[Q] = Seq(
 
@@ -550,13 +539,7 @@ object DedupQueries {
     // exactly on the candidate set. -----
     Q("d_jaccard_pairs_lsh",
       (s, d) => {
-        val corpus = dupCorpus(s, d)
-          .withColumn("ws", Dedup.wordsArray("text"))
-          .withColumn("shs", Dedup.wordShingles("ws", 5))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val withSig = corpus.filter(size(col("shs")) > 0)
-          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
-          .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        val (corpus, withSig) = shingledDupCorpus(s, d)
         val candidates = Dedup.lshCandidatePairs(
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
         Dedup.jaccardOnPairsRouted(candidates, corpus, "doc_id", "shs")
@@ -713,13 +696,7 @@ object DedupQueries {
     // surface) — and the exact verify computes both directions. -----
     Q("d_containment_pairs",
       (s, d) => {
-        val corpus = dupCorpus(s, d)
-          .withColumn("ws", Dedup.wordsArray("text"))
-          .withColumn("shs", Dedup.wordShingles("ws", 5))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val withSig = corpus.filter(size(col("shs")) > 0)
-          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
-          .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        val (corpus, withSig) = shingledDupCorpus(s, d)
         val cand = Dedup.lshCandidatePairs(
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
         // both containment denominators are SET SIZES — the r13 routed
@@ -823,10 +800,10 @@ object DedupQueries {
         def stage(name: String, df: DataFrame) =
           df.agg(count(lit(1)).as("docs")).select(lit(name).as("stage"), col("docs"))
         stage("1_raw", st.corpus)
-          .union(stage("2_quality", st.kept1))
-          .union(stage("3_exact_dedup", st.kept2))
-          .union(stage("4_near_dedup", st.kept3))
-          .union(stage("5_decontaminated", st.kept4))
+          .union(stage("2_quality", st.quality))
+          .union(stage("3_exact_dedup", st.exactDeduped))
+          .union(stage("4_near_dedup", st.nearDeduped))
+          .union(stage("5_decontaminated", st.decontaminated))
           .orderBy("stage")
       },
       Some(s"""WITH $CleaningCtes
@@ -849,7 +826,7 @@ object DedupQueries {
       (s, d) => {
         val st = cleaningStages(s, d)
         val finalDocs = st.corpus
-          .join(st.kept4.select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(st.decontaminated.select("doc_id"), Seq("doc_id"), "left_semi")
         graft.ops.CorpusWriter.layout(finalDocs, numShards = 8)
           .select(col("split"), col("shard"),
             graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
@@ -962,13 +939,7 @@ object DedupQueries {
     // rounds); the oracle replays the closure with WITH RECURSIVE. -----
     Q("d_dup_groups",
       (s, d) => {
-        val corpus = dupCorpus(s, d)
-          .withColumn("ws", Dedup.wordsArray("text"))
-          .withColumn("shs", Dedup.wordShingles("ws", 5))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val withSig = corpus.filter(size(col("shs")) > 0)
-          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
-          .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        val (corpus, withSig) = shingledDupCorpus(s, d)
         val candidates = Dedup.lshCandidatePairs(
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
         val verified = Dedup.jaccardOnPairsRouted(candidates, corpus, "doc_id", "shs")
@@ -1028,13 +999,7 @@ object DedupQueries {
     Q("d_keep_best",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val corpus = dupCorpus(s, d)
-          .withColumn("ws", Dedup.wordsArray("text"))
-          .withColumn("shs", Dedup.wordShingles("ws", 5))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val withSig = corpus.filter(size(col("shs")) > 0)
-          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
-          .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        val (corpus, withSig) = shingledDupCorpus(s, d)
         val candidates = Dedup.lshCandidatePairs(
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id")
         val verified = Dedup.jaccardOnPairsRouted(candidates, corpus, "doc_id", "shs")
@@ -1154,14 +1119,7 @@ object DedupQueries {
     // the measured row set pins where the deployment actually sits. -----
     Q("d_lsh_recall_eval",
       (s, d) => {
-        val corpus = dupCorpus(s, d)
-          .withColumn("ws", Dedup.wordsArray("text"))
-          .withColumn("shs", Dedup.wordShingles("ws", 5))
-          .filter(size(col("shs")) > 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val withSig = corpus
-          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
-          .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        val (corpus, withSig) = shingledDupCorpus(s, d, filterEmpty = true)
         // UNCAPPED candidates: the eval measures the BANDING's recall, so
         // the hot-bucket cap must not enter (and the oracle models no
         // cap — a capped run on a hotter corpus would silently diverge);
@@ -1236,13 +1194,7 @@ object DedupQueries {
         // the shingled corpus feeds three consumers (minhash signatures,
         // both sides of the pair verify) — persist so the shingle UDF runs
         // once, the in-session twin of a stored shingle table
-        val corpus = dupCorpus(s, d)
-          .withColumn("ws", Dedup.wordsArray("text"))
-          .withColumn("shs", Dedup.wordShingles("ws", 5))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val withSig = corpus.filter(size(col("shs")) > 0)
-          .withColumn("hs", Dedup.shingleBaseHashes("shs"))
-          .withColumn("sig", Dedup.minhashSignature("hs", 16))
+        val (corpus, withSig) = shingledDupCorpus(s, d)
         val candidates = Dedup.lshCandidatePairs(
           Dedup.lshBands(withSig, "doc_id", "sig", 4, 4), "doc_id",
           droppedBuckets = Some(s.sparkContext.longAccumulator(

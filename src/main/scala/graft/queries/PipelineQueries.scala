@@ -811,6 +811,9 @@ object PipelineQueries {
         // (ANN scan, BM25 postings, corpus stats) — without this the whole
         // chunk+embed pipeline re-runs per reference. In production the
         // ingest output is a stored table; persist() is the in-session twin.
+        // HARNESS-SCOPE release contract: Verify runs releaseAllBlocks
+        // after each query; the library path (api/Engine) stores chunks
+        // and releases its own caches.
         val chunks = ingestedChunks(s, d).persist()
         val embedder = new HashedEmbedder(64)
         val qv = typedLit(embedder.embed("spark join stream table").toSeq)

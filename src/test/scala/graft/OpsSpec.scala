@@ -1946,4 +1946,75 @@ class OpsSpec extends AnyFunSuite {
     assert(row.head.isNullAt(row.head.fieldIndex("min_user_id")))
     assert(ZOrder.read(spark, dir, wide).count() === baseline)
   }
+
+  test("spanDedup: a null text row flows through as an empty doc, not an NPE") {
+    // ADVICE r14: the rebuild UDF is a public-op surface now — caller data
+    // is not controlled, and wordsArray maps null text to a null array.
+    // Contract pin: null text = empty doc (0 kept, empty rebuild), the
+    // same null-in/empty-out contract as the sibling shingle UDFs.
+    val rows = Seq((0L, "a b c d e"), (1L, null: String), (2L, "a b c x y"))
+      .toDF("doc_id", "text")
+    val (out, release) = Dedup.spanDedupReleasable(rows, "doc_id", "text", 3)
+    val got = out.orderBy("doc_id")
+      .select($"doc_id", $"n_kept", $"cleaned").as[(Long, Long, String)].collect()
+    release()
+    assert(got(1) === ((1L, 0L, "")), "null text row must survive as empty")
+    // the non-null rows still dedup normally around it
+    assert(got(0)._2 === 2L && got(2)._2 === 2L)
+  }
+
+  test("cleanCorpus funnel: hand-computed stage counts, preserved schema, released blocks") {
+    import graft.ops.CleanCorpus
+    // Stage-by-stage hand-computable corpus (quality floor is 20 words):
+    //  0: 24-word base doc                          -> survives everything
+    //  1: doc 0 with case/whitespace jitter          -> exact-dedup drop
+    //     (fingerprint-equal to 0, canonical = min id)
+    //  2: doc 0 + trailing "!!!"                     -> near-dedup drop
+    //     (punctuation is not a word, so the SHINGLE SET is identical to
+    //     doc 0 -> identical minhash signature -> every band agrees ->
+    //     candidate guaranteed, jaccard = 1.0; fingerprint differs so it
+    //     passes exact dedup -- the deterministic near-dup construction)
+    //  3: distinct 24-word doc                       -> survives everything
+    //  4: 5-word doc                                 -> quality drop
+    //  5: holdout doc (isHoldout hits it)            -> decontamination drop
+    //  6: distinct doc sharing ONE 5-gram with doc 5 -> contamination drop
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray"
+    val rows = Seq(
+      (0L, base),
+      (1L, "Alpha  BRAVO " + base.split(" ").drop(2).mkString(" ")),
+      (2L, base + " !!!"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen " +
+        "twenty andone andtwo andthree andfour"),
+      (4L, "too short to keep here"),
+      (5L, "red orange yellow green blue indigo violet crimson scarlet " +
+        "amber gold silver copper bronze pearl ivory jade ruby topaz onyx " +
+        "quartz garnet opal beryl"),
+      (6L, "wind rain snow hail storm cloud mist fog dew frost blue indigo " +
+        "violet crimson scarlet thunder lightning breeze gale cyclone " +
+        "typhoon monsoon drizzle sleet")).toDF("doc_id", "text")
+    val floor = spark.sparkContext.parallelize(Seq(0), 1).id
+    val (st, release) = CleanCorpus.cleanCorpusReleasable(rows, "doc_id", "text",
+      isHoldout = Some($"doc_id" === 5))
+    assert(st.corpus.count() === 7L)
+    assert(st.quality.count() === 6L)
+    assert(st.exactDeduped.count() === 5L)
+    assert(st.nearDeduped.count() === 4L)
+    val fin = st.decontaminated.select("doc_id").as[Long].collect().sorted
+    assert(fin === Seq(0L, 3L))
+    // every stage frame keeps the INPUT schema — no internal columns leak
+    for (f <- Seq(st.quality, st.exactDeduped, st.nearDeduped, st.decontaminated))
+      assert(f.columns.toSeq === Seq("doc_id", "text"))
+    // the one release handle drops every block the funnel cached
+    release()
+    val left = spark.sparkContext.getPersistentRDDs.keys.filter(_ >= floor)
+    assert(left.isEmpty, s"funnel leaked persisted blocks: ${left.mkString(",")}")
+    // no holdout predicate -> decontamination is the identity on stage 4
+    val (st2, release2) = CleanCorpus.cleanCorpusReleasable(rows, "doc_id", "text")
+    assert(st2.decontaminated.select("doc_id").as[Long].collect().sorted ===
+      Seq(0L, 3L, 5L, 6L))
+    release2()
+  }
 }

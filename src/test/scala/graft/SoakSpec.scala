@@ -209,4 +209,51 @@ class SoakSpec extends AnyFunSuite {
         s"bucketed cycle $cycle: store tree grew $diskBaseline -> $disk")
     }
   }
+
+  test("cleanCorpus op: repeated funnel calls leave no blocks on the carry AND posting routes") {
+    // VERDICT r14 ask #5: the funnel's two stage caches plus its routed
+    // verify's persists are exactly the class this soak exists to gate.
+    // Drive the ops-level API (not the benchmark query) through repeated
+    // build→consume→release cycles under both verify knobs — any cycle
+    // that strands even one block fails immediately.
+    import org.apache.spark.sql.functions.col
+    import graft.ops.CleanCorpus
+    val session = spark
+    import session.implicits._
+    // deterministic funnel work: every 5th doc is the SAME 24 words with a
+    // distinct punctuation suffix (identical shingle set -> guaranteed LSH
+    // candidates, jaccard 1.0 -> all but the canonical drop at near-dedup;
+    // distinct fingerprints -> they survive exact dedup), the rest carry
+    // doc-unique vocab (survive everything except the holdout predicate)
+    val groupText = (0 until 24).map(j => s"group word g$j").mkString(" ")
+      .split(" ").take(24).mkString(" ")
+    val base = (0 until 60).map { i =>
+      val text =
+        if (i % 5 == 0) groupText + " " + ("!" * (i / 5 + 1))
+        else s"document $i corpus soak token zz$i " +
+          (0 until 20).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, text)
+    }
+    val corpus = base.toDF("doc_id", "text")
+    for (knob <- Seq(None, Some("0"))) {
+      knob.foreach(v => spark.conf.set("spark.graft.dedup.postingVerifyFactor", v))
+      try {
+        val floor = blockFloor()
+        var expected = -1L
+        for (cycle <- 1 to 3) {
+          val (st, release) = CleanCorpus.cleanCorpusReleasable(
+            corpus, "doc_id", "text",
+            isHoldout = Some(col("doc_id") % 13 === 0))
+          val n = st.decontaminated.count()
+          assert(n > 0, s"funnel produced no survivors (knob=$knob)")
+          if (expected < 0) expected = n
+          else assert(n === expected, s"cycle $cycle drifted (knob=$knob)")
+          release()
+          val left = blocksSince(floor)
+          assert(left.isEmpty,
+            s"cleanCorpus cycle $cycle (knob=$knob) leaked blocks: ${left.mkString(",")}")
+        }
+      } finally spark.conf.unset("spark.graft.dedup.postingVerifyFactor")
+    }
+  }
 }
