@@ -52,7 +52,13 @@ object SourceStamp {
             java.nio.file.Files.getLastModifiedTime(p).toMillis))
           .toSeq.sortBy(_._1)
           .foreach { case (rel, sz, mt) =>
-            md.update(s"$rel:$sz:$mt|".getBytes("UTF-8"))
+            // unambiguous encoding: ':'/'|' are legal filename bytes, so a
+            // delimited concat could collide two different dir states.
+            // Length-prefix the path bytes and fix-width the longs instead.
+            val relBytes = rel.getBytes("UTF-8")
+            val buf = java.nio.ByteBuffer.allocate(4 + relBytes.length + 16)
+            buf.putInt(relBytes.length).put(relBytes).putLong(sz).putLong(mt)
+            md.update(buf.array())
           }
         Some(java.util.Base64.getEncoder.encodeToString(md.digest()))
       } finally s.close()
@@ -73,6 +79,25 @@ object SourceStamp {
         else { val v = compute; memo.put(k, (sig, v)); v }
     }
 
+  private val memoRef =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+
+  /** [[memoLong]] generalized to any reference value (r14 VERDICT ask #3:
+    * the index stores' bucket maps and centroid tables are pure functions
+    * of their dirs just like the row counts). ADDITIONAL CONTRACT beyond
+    * memoLong's: the returned object is SHARED across hits — `compute`
+    * must return an immutable value, or the caller must defensively copy
+    * before mutating (loadCentroids does). */
+  def memo[T <: AnyRef](dir: String, key: String)(compute: => T): T =
+    signature(dir) match {
+      case None => compute
+      case Some(sig) =>
+        val k = s"$key@$dir"
+        val hit = memoRef.get(k)
+        if (hit != null && hit._1 == sig) hit._2.asInstanceOf[T]
+        else { val v = compute; memoRef.put(k, (sig, v)); v }
+    }
+
   /** test hook: drop all cached stamps */
-  private[graft] def clear(): Unit = memo.clear()
+  private[graft] def clear(): Unit = { memo.clear(); memoRef.clear() }
 }

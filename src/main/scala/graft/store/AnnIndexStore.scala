@@ -113,8 +113,9 @@ final class AnnIndexStore(
       if (n == 0L) return 0L
       val parts = if (bucketed) Seq("pbucket", "list_id") else Seq("list_id")
       a.write.mode(SaveMode.Append).partitionBy(parts: _*).parquet(assignmentsPath)
-      val cur = sp.read.parquet(statsPath)
-        .select("pbucket", "n_rows").as[(Long, Long)].collect().toMap
+      // signature-memoized stats read (BucketedIndexStore.storedBucketMap):
+      // zero Spark jobs until the swap below rewrites the dir
+      val cur = storedBucketMap()
       val add: Map[Long, Long] =
         if (bucketed) a.groupBy("pbucket").agg(count(lit(1)).as("n"))
           .as[(Long, Long)].collect().toMap
@@ -135,9 +136,18 @@ final class AnnIndexStore(
     } finally a.unpersist()
   }
 
+  /** The k×dim centroid table — a pure function of the centroids dir, so
+    * it is signature-memoized ([[graft.core.SourceStamp.memo]]): every
+    * probe/append/refresh needs it, and without the stamp each call was a
+    * parquet-read+sort+collect Spark job (at 100 TB scale: a fixed
+    * scheduling barrier per query answering what a manifest read answers).
+    * A rebuild rewrites the dir and invalidates the stamp. The cached rows
+    * are defensively cloned — callers may mutate their copy. */
   def loadCentroids(): Array[Array[Float]] =
-    spark.read.parquet(centroidsPath).orderBy("list_id")
-      .collect().map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    graft.core.SourceStamp.memo(centroidsPath, "centroids") {
+      spark.read.parquet(centroidsPath).orderBy("list_id")
+        .collect().map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    }.map(_.clone())
 
   /** reassign ONE path bucket's vectors against the stored centroids and
     * swap only that bucket's partition (1/numBuckets of the index — the same

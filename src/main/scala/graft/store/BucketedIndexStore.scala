@@ -54,14 +54,25 @@ private[store] trait BucketedIndexStore {
         .write.mode(SaveMode.Overwrite).parquet(tmp))
   }
 
+  /** the stored per-bucket row counts — a pure function of the stats dir,
+    * signature-memoized like [[rowCount]] (r14 VERDICT ask #3: this was a
+    * collect() Spark job on every append/refresh; the map re-reads only
+    * when a swap rewrites the dir and invalidates the stamp) */
+  protected final def storedBucketMap(): Map[Long, Long] = {
+    val sp = spark
+    import sp.implicits._
+    graft.core.SourceStamp.memo(statsPath, "bucketMap") {
+      sp.read.parquet(statsPath)
+        .select("pbucket", "n_rows").as[(Long, Long)].collect().toMap
+    }
+  }
+
   /** replace ONE bucket's stats row (read-modify-write of the tiny
     * numBuckets-row table) after an incremental bucket refresh */
   protected final def replaceBucketStats(bucket: Long, n: Long): Unit = {
     val sp = spark
     import sp.implicits._
-    val others = sp.read.parquet(statsPath)
-      .filter(col("pbucket") =!= bucket)
-      .select("pbucket", "n_rows").as[(Long, Long)].collect().toSeq
+    val others = storedBucketMap().toSeq.filter(_._1 != bucket)
     DirSwap.swapInto(fs, path, statsPath)(tmp =>
       (others :+ (bucket, n)).toDF("pbucket", "n_rows")
         .write.mode(SaveMode.Overwrite).parquet(tmp))

@@ -125,8 +125,9 @@ final class MinhashIndexStore(
       }
       appendTo(bandsOf(sigs), bandsPath)
       appendTo(sigs, sigsPath)
-      val cur = sp.read.parquet(statsPath)
-        .select("pbucket", "n_rows").as[(Long, Long)].collect().toMap
+      // signature-memoized stats read (BucketedIndexStore.storedBucketMap):
+      // zero Spark jobs until the swap below rewrites the dir
+      val cur = storedBucketMap()
       val add: Map[Long, Long] =
         if (bucketed) sigs.withColumn("pbucket", bucketCol)
           .groupBy("pbucket").agg(count(lit(1)).as("n"))

@@ -82,8 +82,9 @@ final class SrpIndexStore(
       if (n == 0L) return 0L
       val parts = if (bucketed) Seq("pbucket", "abucket") else Seq("abucket")
       a.write.mode(SaveMode.Append).partitionBy(parts: _*).parquet(assignmentsPath)
-      val cur = sp.read.parquet(statsPath)
-        .select("pbucket", "n_rows").as[(Long, Long)].collect().toMap
+      // signature-memoized stats read (BucketedIndexStore.storedBucketMap):
+      // zero Spark jobs until the swap below rewrites the dir
+      val cur = storedBucketMap()
       val add: Map[Long, Long] =
         if (bucketed) a.groupBy("pbucket").agg(count(lit(1)).as("n"))
           .as[(Long, Long)].collect().toMap

@@ -74,4 +74,43 @@ class SourceStampSpec extends AnyFunSuite {
     assert(probe() === 7L); assert(runs === 3)
     assert(probe() === 7L); assert(runs === 3, "existing dir memoizes")
   }
+
+  test("generic memo: reference values hit while unchanged, recompute on mutation") {
+    SourceStamp.clear()
+    val dir = Files.createTempDirectory("stampref").toString
+    write(dir, "stats.parquet", "v1")
+    var runs = 0
+    def probe(): Map[Long, Long] =
+      SourceStamp.memo(dir, "bucketMap") { runs += 1; Map(0L -> runs.toLong) }
+    assert(probe() === Map(0L -> 1L)); assert(runs === 1)
+    assert(probe() === Map(0L -> 1L)); assert(runs === 1) // hit: same ref value
+    write(dir, "stats.parquet", "v2-bigger") // size change → recompute
+    assert(probe() === Map(0L -> 2L)); assert(runs === 2)
+    // Long and reference memos are independent namespaces for one dir+key
+    assert(SourceStamp.memoLong(dir, "bucketMap")(7L) === 7L)
+    assert(probe() === Map(0L -> 2L)); assert(runs === 2)
+  }
+
+  test("signature encoding is injective on adversarial filenames (ADVICE r14)") {
+    // ':' and '|' are legal filename bytes, so the old delimited concat
+    // "$rel:$sz:$mt|" collided these two DIFFERENT dir states:
+    //   state A: files "a" (1 byte, mtime 2ms) and "b" (3 bytes, mtime 4ms)
+    //   state B: one file literally named "a:1:2|b" (3 bytes, mtime 4ms)
+    // — both fed the digest "a:1:2|b:3:4|". The length-prefixed encoding
+    // must keep them distinct (a collision here is a silent stale cache).
+    import java.nio.file.attribute.FileTime
+    def touch(dir: String, name: String, bytes: Int, mtimeMs: Long): Unit = {
+      val p = Paths.get(dir, name)
+      Files.write(p, Array.fill(bytes)('x'.toByte))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs)): Unit
+    }
+    val dirA = Files.createTempDirectory("stampA").toString
+    touch(dirA, "a", 1, 2L)
+    touch(dirA, "b", 3, 4L)
+    val dirB = Files.createTempDirectory("stampB").toString
+    touch(dirB, "a:1:2|b", 3, 4L)
+    val (sigA, sigB) = (SourceStamp.signature(dirA), SourceStamp.signature(dirB))
+    assert(sigA.isDefined && sigB.isDefined)
+    assert(sigA !== sigB, "two different dir states must never share a signature")
+  }
 }

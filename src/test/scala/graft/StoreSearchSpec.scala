@@ -318,6 +318,48 @@ class StoreSearchSpec extends AnyFunSuite {
     assert(annAll === bruteAll)
   }
 
+  test("centroid stamp: repeat loadCentroids runs ZERO Spark jobs; rebuild invalidates; cache is mutation-proof") {
+    // r14 VERDICT ask #3 extended: the centroid table is a pure function
+    // of the centroids dir, so after one read the staleness story is the
+    // filesystem signature — every probe used to pay a read+sort+collect
+    // job for the same k×dim rows
+    graft.core.SourceStamp.clear()
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("ann-stamp").toString + "/ann"
+    val st = new graft.store.AnnIndexStore(spark, dir, 0, Seq("vec_id"), "embedding")
+    st.rebuild(e, nLists = 8)
+    def countJobs[A](body: => A): (A, Int) = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val out = body
+        val before = jobs.get()
+        spark.sparkContext.parallelize(1 to 2, 1).count() // flush sentinel
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (jobs.get() <= before && System.nanoTime() < deadline) Thread.sleep(20)
+        (out, jobs.get() - 1) // minus the sentinel
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val (c1, _) = countJobs(st.loadCentroids()) // first read warms the stamp
+    val (c2, jobsHit) = countJobs(st.loadCentroids())
+    assert(jobsHit === 0, s"stamped centroid read scheduled $jobsHit Spark jobs")
+    assert(c2.map(_.toSeq).toSeq === c1.map(_.toSeq).toSeq)
+    // defensive copy: a caller mutating its rows must not poison the cache
+    c2(0)(0) = 12345f
+    assert(st.loadCentroids()(0)(0) !== 12345f)
+    // a rebuild rewrites the dir → the stamp misses and fresh rows return
+    st.rebuild(e, nLists = 4)
+    val (c3, jobsMiss) = countJobs(st.loadCentroids())
+    assert(jobsMiss > 0, "rebuild must invalidate the centroid stamp")
+    assert(c3.length <= 4 && c3.length < c1.length)
+  }
+
   test("IVF appendBatch: appended vectors are probe-visible; drift counter forces retrain") {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("ann-append").toString + "/ann"
