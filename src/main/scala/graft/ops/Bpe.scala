@@ -233,8 +233,13 @@ object Bpe {
     while (rank < numMerges && !done) {
       // ONE driver round-trip per ROUND: TakeOrdered(fetch) over the
       // vocab-scale pair table, deterministic tiebreak total order
-      val cands = pairCounts.orderBy(desc("cnt"), asc("a"), asc("b"))
+      val fetched = pairCounts.orderBy(desc("cnt"), asc("a"), asc("b"))
         .head(candidateFetch(batchK))
+      // runtime pin: the per-round driver materialization is bounded by
+      // the vocab knob, never the corpus (TrainerProbe contract)
+      TrainerProbe.record("bpe.argmax", round, fetched.length.toLong,
+        candidateFetch(batchK).toLong)
+      val cands = fetched
         .iterator
         .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt")))
         .filter(_._3 >= minCount)

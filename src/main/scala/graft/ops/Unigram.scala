@@ -155,16 +155,20 @@ object Unigram {
       } yield (w.substring(i, j), c)
     }.reduceByKey(_ + _)
     val chars = subCounts.filter(_._1.length == 1).collect()
+    // alphabet-bounded: ≤ 65536 distinct single UTF-16 chars can exist
+    TrainerProbe.record("unigram.alphabet", 0, chars.length.toLong, 65536L)
     val multi = subCounts.filter(_._1.length > 1)
       .map { case (p, c) => (p, c) }
       .sortBy({ case (p, c) => (-c, p) })
       .take(math.max(0, seedSize - chars.length))
+    TrainerProbe.record("unigram.seed", 0, multi.length.toLong, seedSize.toLong)
     var vocab: Map[String, Double] = {
       val all = (chars ++ multi).toMap
       val total = all.values.sum.toDouble
       all.map { case (p, c) => p -> math.log(c / total) }
     }
 
+    var emIdx = 0
     def emRound(): Unit = {
       val bc = spark.sparkContext.broadcast(vocab)
       // E-step: distributed over distinct words; piece table broadcast.
@@ -183,6 +187,12 @@ object Unigram {
         a
       }
       bc.destroy()
+      // runtime pin: the collected E-step aggregate is VOCAB-sized — every
+      // emitted key flows through lp.get, so |counts| ≤ |vocab| holds by
+      // construction and this fails the first run that breaks it
+      TrainerProbe.record("unigram.estep", emIdx, counts.size.toLong,
+        vocab.size.toLong)
+      emIdx += 1
       // M-step with determinism rounding (see scaladoc); single chars are
       // floored into the table even when their posterior mass rounds away —
       // total coverage is a vocab invariant, not a learned property

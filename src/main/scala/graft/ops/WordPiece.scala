@@ -120,13 +120,18 @@ object WordPiece {
       // vocab-scale score join + TakeOrdered; integral ÷ integral is
       // double division in Spark SQL, so the score is the same double
       // the sequential twin computes
-      val cands = pairCounts
+      val cands0 = pairCounts
         .join(symCounts.select(col("s").as("a"), col("cnt").as("ca")), "a")
         .join(symCounts.select(col("s").as("b"), col("cnt").as("cb")), "b")
         .select(col("a"), col("b"), col("cnt"),
           (col("cnt") / (col("ca") * col("cb"))).as("score"))
         .orderBy(desc("score"), desc("cnt"), asc("a"), asc("b"))
         .head(Bpe.candidateFetch(batchK))
+      // runtime pin: per-round driver rows bounded by the vocab knob,
+      // never the corpus (TrainerProbe contract)
+      TrainerProbe.record("wordpiece.argmax", rank, cands0.length.toLong,
+        Bpe.candidateFetch(batchK).toLong)
+      val cands = cands0
         .iterator
         .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
           r.getAs[Long]("cnt"), r.getAs[Double]("score")))
@@ -202,6 +207,9 @@ object WordPiece {
       .select(explode(Dedup.wordsArray(textCol)).as("w"))
       .select(explode(initUdf(col("w"))).as("s"))
       .distinct().collect().map(_.getString(0)).toSet
+    // alphabet-bounded by construction: initSymbols emits 1-char heads and
+    // "##"+char continuations, so ≤ 2·65536 distinct UTF-16 forms exist
+    TrainerProbe.record("wordpiece.alphabet", 0, alphabet.size.toLong, 131072L)
     alphabet ++ merges.map(_.merged)
   }
 
