@@ -91,6 +91,11 @@ object TokStress {
       val wall = (System.nanoTime() - t0) / 1e9
       TrainerProbe.hook = null
       Thread.sleep(500) // async listener bus drain (ScaleStress gotcha)
+      // per-fetch detail for the PERF.md iteration tables
+      for (r <- rounds)
+        System.err.println(f"[tok-round] $name ${r.label} ${r.round}%4d " +
+          f"rows=${r.rows}%6d bound=${r.bound}%6d dt=${r.wallSec}%7.3fs " +
+          f"shufW=${r.shufW / 1e6}%8.2fMB spill=${r.spill / 1e6}%7.1fMB")
       graft.core.GraftSession.releaseAllBlocks(spark)
       val argmaxRounds = rounds.filter(_.label.endsWith(".argmax"))
       val emRounds = rounds.filter(_.label == "unigram.estep")
@@ -138,9 +143,13 @@ object TokStress {
         graft.ops.WordPiece.learn(docs, "text", numMerges = 128,
           minCount = 2, batchK = 8).size
       }
+      // the synthetic corpus builds text from a bounded word list, so its
+      // whole ≤8-char piece universe is ~262 pieces regardless of SF —
+      // targetSize must sit BELOW that (150, the bench query's value) or
+      // the prune/EM loop never runs and the row measures only seeding
       results += run(s"unigram_$tag", dir) {
-        graft.ops.Unigram.learn(docs, "text", targetSize = 400,
-          seedSize = 1200).size
+        graft.ops.Unigram.learn(docs, "text", targetSize = 150,
+          seedSize = 600).size
       }
     }
     println(results.mkString(
