@@ -408,8 +408,9 @@ object DedupQueries {
     // covered by a 5-gram that occurs MORE THAN ONCE corpus-wide is cut,
     // and the surviving words REASSEMBLE the cleaned document (not just a
     // coverage fraction — the md5 of the reconstruction is oracle-pinned
-    // per doc). Scale shape = d_gram_coverage's gram-keyed shuffles plus
-    // one positional semi-join back; never a pair join. -----
+    // per doc). Scale shape (r14 rebuild, plan notes on the op): ONE
+    // positional-gram-keyed exchange, doc-local start-position sets, a
+    // doc-keyed shuffle-hash join — never a pair join. -----
     Q("d_span_dedup",
       (s, d) => {
         // library op: ops/Dedup.spanDedup (Lee-2022 exact-substring span
