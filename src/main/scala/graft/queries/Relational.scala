@@ -385,20 +385,41 @@ object Relational {
              |       count(*) AS row_cnt
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // ----- flagship aggregation (TPC-H Q1 shape; exact decimal sums) -----
+    // ----- flagship aggregation (TPC-H Q1 shape; exact decimal sums).
+    // The 2dp money sums run TWO-LEVEL: Spark's decimal aggregation buffer
+    // is compact (one long) only while the result precision stays <= 18,
+    // i.e. input precision <= 8 under the sum's +10 rule — a DECIMAL(30,2)
+    // sum accumulates through BigDecimal and measures 5x the scan
+    // (Q1Probe, sf0.1: scan 0.20 s, decimal30 sums 1.02 s, compact 0.49 s).
+    // Level 1 groups by (keys, partition id) and sums exact DECIMAL(8,2)
+    // per-row casts in compact buffers — safe because one partition's
+    // partial is bounded by split size (≤ ~6M rows × 1e7 cents ≈ 6e13,
+    // margin 160x under DECIMAL(18,2)'s 1e16); level 2 re-sums the few
+    // (groups × partitions) partials in wide DECIMAL(38,2), unbounded at
+    // any corpus scale. Exactness: 2dp inputs < 1e6 cast losslessly to
+    // (8,2), and decimal addition is associative — bit-identical to the
+    // one-level DECIMAL(30,2) sum the oracle runs. The 8dp disc term has
+    // no compact path (needs p <= 8 with scale 8) and stays one-level. -----
     Q("q1_pricing_summary",
       (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          spark_partition_id().as("_pid"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(8, 2))).as("_p_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(8, 2))).as("_p_base"),
+          // round-2 on the final output: per-row double->decimal casts can
+          // disagree between engines in the last decimal ulp (shortest-repr
+          // vs exact-binary rounding); at sf0.1 the accumulated 1e-8 noise
+          // crossed a double ulp at 5e9 magnitude.
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(30, 8))).as("_p_disc"),
+          count(lit(1)).as("_p_cnt"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dsum(col("l_quantity"), 2).as("sum_qty"),
-          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-          // round-2: per-row double->decimal casts can disagree between
-          // engines in the last decimal ulp (shortest-repr vs exact-binary
-          // rounding); at sf0.1 the accumulated 1e-8 noise crossed a double
-          // ulp at 5e9 magnitude. Rounding the output absorbs it.
-          (round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2) + lit(0.0))
-            .as("sum_disc_price"),
-          count(lit(1)).as("count_order"))
+          sum(col("_p_qty").cast(DecimalType(38, 2))).cast("double").as("sum_qty"),
+          sum(col("_p_base").cast(DecimalType(38, 2))).cast("double").as("sum_base_price"),
+          (round(sum(col("_p_disc")).cast("double"), 2) + lit(0.0)).as("sum_disc_price"),
+          sum(col("_p_cnt")).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,

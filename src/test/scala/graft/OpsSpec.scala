@@ -1947,6 +1947,42 @@ class OpsSpec extends AnyFunSuite {
     assert(ZOrder.read(spark, dir, wide).count() === baseline)
   }
 
+  test("dupGramCoverage: solo-gram inversion equals brute force on random corpora") {
+    // the r15 join-free shape computes n_cov = n_grams − |count-1 grams
+    // owned by the doc|, leaning on wordShingles' per-doc distinctness;
+    // cross-validate the whole identity against a brute-force in-memory
+    // recomputation on randomized corpora (overlap-heavy vocab so shared
+    // and solo grams both occur)
+    val rng = new scala.util.Random(43)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    for (trial <- 0 until 3) {
+      val docs = (0 until 30).map { i =>
+        val n = rng.nextInt(10) + (trial % 3)
+        (i.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val k = 3
+      val df = docs.toDF("doc_id", "text")
+        .withColumn("ws", Dedup.wordsArray("text"))
+        .withColumn("shs", Dedup.wordShingles("ws", k))
+      val got = Dedup.dupGramCoverage(df, "doc_id", "shs")
+        .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      // brute force: distinct k-grams per doc, gram -> containing-doc count
+      val grams = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).sliding(k)
+          .filter(_.size == k).map(_.mkString(" ")).toSet
+      }.toMap
+      val docCount = grams.values.flatten.toSeq.groupBy(identity).map { case (g, o) => g -> o.size }
+      for ((id, gs) <- grams) {
+        val nCov = gs.count(g => docCount(g) >= 2)
+        val frac = if (gs.isEmpty) 0.0
+          else BigDecimal(nCov.toDouble / gs.size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got(id) === ((frac, gs.size.toLong)),
+          s"trial $trial doc $id: got ${got(id)}, brute ($frac, ${gs.size})")
+      }
+    }
+  }
+
   test("spanDedup: a null text row flows through as an empty doc, not an NPE") {
     // ADVICE r14: the rebuild UDF is a public-op surface now — caller data
     // is not controlled, and wordsArray maps null text to a null array.
