@@ -1999,6 +1999,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(0)._2 === 2L && got(2)._2 === 2L)
   }
 
+  test("cleanCorpus: null-text rows drop at the quality gate; an empty corpus flows through") {
+    import graft.ops.CleanCorpus
+    // public-op robustness (the spanDedup null-contract class): a null
+    // text makes every quality ratio null, and a null predicate filters
+    // the row — dropped at stage 2, no NPE anywhere downstream
+    val rows = Seq(
+      (0L, ("word " * 25).trim),
+      (1L, null: String)).toDF("doc_id", "text")
+    val (st, release) = CleanCorpus.cleanCorpusReleasable(rows, "doc_id", "text")
+    assert(st.corpus.count() === 2L && st.quality.count() === 1L)
+    assert(st.decontaminated.select("doc_id").as[Long].collect() === Seq(0L))
+    release()
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (st0, release0) = CleanCorpus.cleanCorpusReleasable(empty, "doc_id", "text",
+      isHoldout = Some($"doc_id" === 0))
+    assert(st0.decontaminated.count() === 0L)
+    release0()
+  }
+
   test("cleanCorpus funnel: hand-computed stage counts, preserved schema, released blocks") {
     import graft.ops.CleanCorpus
     // Stage-by-stage hand-computable corpus (quality floor is 20 words):
