@@ -70,6 +70,23 @@ object Q1Probe {
           count(lit(1)))
         .write.format("noop").mode("overwrite").save()
     }
+    t("disc_unscaled_long_split") {
+      // the disc term's (30,8) per-row semantics reproduced as an unscaled
+      // long (BigDecimal(toString).setScale(8, HALF_UP) — the exact code
+      // path Spark's double->decimal cast runs), then summed as TWO compact
+      // long columns (whole units, 1e8-fraction) to dodge the wide buffer
+      val unscaled8 = udf { (x: Double) =>
+        java.math.BigDecimal.valueOf(x)
+          .setScale(8, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+      }
+      li.withColumn("_k", unscaled8(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(expr("_k div 100000000")).as("hi"),
+          sum(col("_k") % 100000000L).as("lo"),
+          count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
     t("cents_long_sums") {
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(sum((col("l_quantity") * 100).cast("long")),

@@ -398,29 +398,51 @@ object Relational {
     // (groups × partitions) partials in wide DECIMAL(38,2), unbounded at
     // any corpus scale. Exactness: 2dp inputs < 1e6 cast losslessly to
     // (8,2), and decimal addition is associative — bit-identical to the
-    // one-level DECIMAL(30,2) sum the oracle runs. The 8dp disc term has
-    // no compact path (needs p <= 8 with scale 8) and stays one-level. -----
+    // one-level DECIMAL(30,2) sum the oracle runs.
+    //
+    // The 8dp disc term has no compact decimal path (scale 8 needs
+    // precision <= 8), so its per-row DECIMAL(30,8) value rides as its
+    // UNSCALED long k (same construction as Spark's double->decimal cast:
+    // shortest decimal repr, setScale(8, HALF_UP) — BigDecimal.valueOf IS
+    // Double.toString; per-row k < 1e13, longValueExact guards), summed as
+    // two compact longs: level 1 (k div 1e8, k mod 1e8) — per-partition
+    // hi ≤ 6M·1e5 = 6e11, lo ≤ 6M·1e8 = 6e14 — level 2 carry-normalizes
+    // each partial (lo < 1e8 after) then long-sums: hi bounded by the
+    // total sum (< 9e13 even at 1e12 rows x 1e5), lo by partitions × 1e8
+    // (9e10 partitions before overflow). Probe: the wide-decimal sum cost
+    // 0.6 s over the scan at sf0.1; this shape ~0.2 s (Q1Probe ladder).
+    // round-2 on the final output: per-row double->decimal casts can
+    // disagree between engines in the last decimal ulp; at sf0.1 the
+    // accumulated 1e-8 noise crossed a double ulp at 5e9 magnitude — the
+    // hi + lo/1e8 double reconstruction sits inside the same tolerance. -----
     Q("q1_pricing_summary",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"), col("l_linestatus"),
-          spark_partition_id().as("_pid"))
-        .agg(
-          sum(col("l_quantity").cast(DecimalType(8, 2))).as("_p_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(8, 2))).as("_p_base"),
-          // round-2 on the final output: per-row double->decimal casts can
-          // disagree between engines in the last decimal ulp (shortest-repr
-          // vs exact-binary rounding); at sf0.1 the accumulated 1e-8 noise
-          // crossed a double ulp at 5e9 magnitude.
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(30, 8))).as("_p_disc"),
-          count(lit(1)).as("_p_cnt"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(col("_p_qty").cast(DecimalType(38, 2))).cast("double").as("sum_qty"),
-          sum(col("_p_base").cast(DecimalType(38, 2))).cast("double").as("sum_base_price"),
-          (round(sum(col("_p_disc")).cast("double"), 2) + lit(0.0)).as("sum_disc_price"),
-          sum(col("_p_cnt")).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"),
+      (s, d) => {
+        val unscaled8 = udf { (x: Double) =>
+          java.math.BigDecimal.valueOf(x)
+            .setScale(8, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValueExact()
+        }
+        Tables.lineitem(s, d)
+          .withColumn("_k", unscaled8(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            spark_partition_id().as("_pid"))
+          .agg(
+            sum(col("l_quantity").cast(DecimalType(8, 2))).as("_p_qty"),
+            sum(col("l_extendedprice").cast(DecimalType(8, 2))).as("_p_base"),
+            sum(expr("_k div 100000000")).as("_p_hi"),
+            sum(col("_k") % 100000000L).as("_p_lo"),
+            count(lit(1)).as("_p_cnt"))
+          .withColumn("_hi", col("_p_hi") + expr("_p_lo div 100000000"))
+          .withColumn("_lo", col("_p_lo") % 100000000L)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("_p_qty").cast(DecimalType(38, 2))).cast("double").as("sum_qty"),
+            sum(col("_p_base").cast(DecimalType(38, 2))).cast("double").as("sum_base_price"),
+            (round(sum(col("_hi")).cast("double") +
+              sum(col("_lo")).cast("double") / 1e8, 2) + lit(0.0)).as("sum_disc_price"),
+            sum(col("_p_cnt")).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
