@@ -457,13 +457,13 @@ object Dedup {
     // ONE gram-keyed pass: per gram, (occurrence count, smallest owner).
     // count==1 ⟹ min(doc) IS the sole owner; grams with count >= 2 are
     // covered for every owner, so they never need to flow back per-doc.
-    val solo = compact.select(col(idCol), explode(col(shinglesCol)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("n_docs"), min(col(idCol)).as(idCol))
-      .filter(col("n_docs") === 1)
-      .groupBy(idCol).agg(count(lit(1)).as("n_solo"))
+    val solo = compact.select(col(idCol), explode(col(shinglesCol)).as("_cg"))
+      .groupBy("_cg").agg(count(lit(1)).as("_ndocs"), min(col(idCol)).as(idCol))
+      .filter(col("_ndocs") === 1)
+      .groupBy(idCol).agg(count(lit(1)).as("_nsolo"))
     val out = totals.join(solo, Seq(idCol), "left")
       .select(col(idCol),
-        (round((col("n_grams") - coalesce(col("n_solo"), lit(0L))) /
+        (round((col("n_grams") - coalesce(col("_nsolo"), lit(0L))) /
           greatest(col("n_grams"), lit(1)), 4) + 0.0).as("dup_gram_frac"),
         col("n_grams").cast("long").as("n_grams"))
     (out, () => { compact.unpersist(blocking = true); () })
