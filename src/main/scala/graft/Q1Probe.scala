@@ -6,7 +6,11 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Scratch probe: where does q1_pricing_summary's wall go — the scan, the
   * wide-decimal (precision 30) aggregation buffers, or the floor?
-  * tools/run.sh graft.Q1Probe /root/testdata/sf0.1 */
+  *   tools/run.sh graft.Q1Probe /root/testdata/sf0.1 [workDir factor]
+  * With workDir+factor the lineitem table is inflated verbatim ×factor
+  * (ScaleStress convention — q1's group keys are low-cardinality, so
+  * duplication just multiplies row mass) and each variant reports
+  * shuffle/spill off the listener bus next to its wall. */
 object Q1Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -16,12 +20,40 @@ object Q1Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val li = graft.core.Tables.lineitem(spark, args(0))
+    val li = {
+      val base = graft.core.Tables.lineitem(spark, args(0))
+      if (args.length > 2) {
+        val factor = args(2).toInt
+        val dir = s"${args(1)}/li_x$factor/lineitem.parquet"
+        if (!new java.io.File(dir).exists()) {
+          (0 until factor).map(i =>
+              base.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+            .reduce(_ union _)
+            .write.mode("overwrite").parquet(dir)
+        }
+        spark.read.parquet(dir)
+      } else base
+    }
+    val collector = new graft.core.TaskMetricsCollector
+    spark.sparkContext.addSparkListener(collector)
     def t(name: String)(body: => Unit): Unit = {
       for (i <- 1 to 3) {
+        collector.reset()
         val t0 = System.nanoTime()
-        body
-        println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        try {
+          body
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // listener bus drain
+          println(f"$name run$i $sec%.2f s shufW=${collector.shuffleWrite / 1e6}%.1fMB " +
+            f"spill=${collector.totalSpill / 1e6}%.1fMB maxTaskSpill=${collector.maxTaskSpill / 1e6}%.1fMB")
+        } catch {
+          // a probe arm that overflows IS a result (the naive cents-long
+          // arm trips int64 at x100 where the carry-normalized split is
+          // exact) — record it and keep probing
+          case e: Exception =>
+            println(s"$name run$i FAILED: ${e.getClass.getSimpleName}: " +
+              e.getMessage.linesIterator.next())
+        }
       }
     }
     t("scan_only") {
@@ -68,6 +100,34 @@ object Q1Probe {
           sum(col("l_extendedprice").cast(DecimalType(8, 2))),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 8))),
           count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("shipped_two_level") {
+      // the registry q1 shape: compact (8,2) two-level for the 2dp sums,
+      // unscaled hi/lo longs for the 8dp disc term
+      val unscaled8s = udf { (x: Double) =>
+        java.math.BigDecimal.valueOf(x)
+          .setScale(8, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+      }
+      li.withColumn("_k", unscaled8s(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          spark_partition_id().as("_pid"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(8, 2))).as("_p_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(8, 2))).as("_p_base"),
+          sum(expr("_k div 100000000")).as("_p_hi"),
+          sum(col("_k") % 100000000L).as("_p_lo"),
+          count(lit(1)).as("_p_cnt"))
+        .withColumn("_hi", col("_p_hi") + expr("_p_lo div 100000000"))
+        .withColumn("_lo", col("_p_lo") % 100000000L)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("_p_qty").cast(DecimalType(38, 2))).cast("double").as("sum_qty"),
+          sum(col("_p_base").cast(DecimalType(38, 2))).cast("double").as("sum_base_price"),
+          (round(sum(col("_hi")).cast("double") +
+            sum(col("_lo")).cast("double") / 1e8, 2) + lit(0.0)).as("sum_disc_price"),
+          sum(col("_p_cnt")).as("count_order"))
         .write.format("noop").mode("overwrite").save()
     }
     t("disc_unscaled_long_split") {
