@@ -261,6 +261,33 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("TrainerProbe: every driver fetch reports vocab-bounded, hook sees each round, bound breach throws") {
+    import graft.ops.TrainerProbe
+    val events = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long)]
+    TrainerProbe.reset()
+    TrainerProbe.hook = (l, r, rows, b) => events += ((l, r, rows, b))
+    try {
+      val docs = Seq("low lower lowest", "new newer newest", "wide wider widest")
+        .toDF("text")
+      val merges = Bpe.learnBatched(docs, "text", numMerges = 12, minCount = 1, batchK = 4)
+      assert(merges.nonEmpty)
+      assert(events.nonEmpty, "the trainer must report its argmax fetches")
+      assert(events.forall { case (l, _, rows, bound) =>
+        l == "bpe.argmax" && rows <= bound
+      })
+      assert(TrainerProbe.maxRows === events.map(_._3).max)
+      // rounds arrive in order from the single driver loop thread
+      assert(events.map(_._2) === events.map(_._2).sorted)
+    } finally TrainerProbe.hook = null
+    // the runtime pin itself: a fetch above its vocab bound must throw
+    // (the corpus-bounded-collect regression this probe exists to catch)
+    intercept[IllegalArgumentException] {
+      TrainerProbe.record("test.argmax", 0, rows = 100L, bound = 10L)
+    }
+    TrainerProbe.reset()
+    assert(TrainerProbe.maxRows === 0L)
+  }
+
   test("encode matches a by-hand greedy application") {
     val merges = Seq(
       Bpe.Merge(0, "l", "o", "lo", 10),
