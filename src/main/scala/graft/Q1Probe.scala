@@ -104,13 +104,10 @@ object Q1Probe {
     }
     t("shipped_two_level") {
       // the registry q1 shape: compact (8,2) two-level for the 2dp sums,
-      // unscaled hi/lo longs for the 8dp disc term
-      val unscaled8s = udf { (x: Double) =>
-        java.math.BigDecimal.valueOf(x)
-          .setScale(8, java.math.RoundingMode.HALF_UP)
-          .unscaledValue().longValueExact()
-      }
-      li.withColumn("_k", unscaled8s(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      // unscaled hi/lo longs for the 8dp disc term (ONE shared definition
+      // with the registry query — graft.queries.Decimals, r15 ADVICE)
+      li.withColumn("_k", graft.queries.Decimals.q1Unscaled8(
+          col("l_extendedprice"), col("l_quantity"), col("l_discount")))
         .groupBy(col("l_returnflag"), col("l_linestatus"),
           spark_partition_id().as("_pid"))
         .agg(
@@ -135,12 +132,8 @@ object Q1Probe {
       // long (BigDecimal(toString).setScale(8, HALF_UP) — the exact code
       // path Spark's double->decimal cast runs), then summed as TWO compact
       // long columns (whole units, 1e8-fraction) to dodge the wide buffer
-      val unscaled8 = udf { (x: Double) =>
-        java.math.BigDecimal.valueOf(x)
-          .setScale(8, java.math.RoundingMode.HALF_UP)
-          .unscaledValue().longValueExact()
-      }
-      li.withColumn("_k", unscaled8(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      li.withColumn("_k", graft.queries.Decimals.unscaled8(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(sum(expr("_k div 100000000")).as("hi"),
           sum(col("_k") % 100000000L).as("lo"),

@@ -29,8 +29,62 @@ package graft.core
   * absent dirs are never memoized — the probe just runs. */
 object SourceStamp {
 
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  /** Retention bound per memo map (r15 VERDICT "What's wrong #1"): the
+    * maps previously grew without bound across `(key, dir)` pairs for the
+    * JVM's lifetime, and [[memo]]'s values are not small (a bucket map is
+    * numBuckets entries; a centroid table is k×dim floats) — an engine
+    * session churning index generations leaked retained heap. Every put
+    * now (a) evicts entries whose dir no longer exists on disk (deleted /
+    * rebuilt-elsewhere index generations), and (b) if still over the cap,
+    * drops least-recently-USED entries. 64 live index dirs per probe
+    * family is far above any real session's concurrent-store count. */
+  private[graft] val MaxEntries = 64
+
+  /** (dir, signature, value, lastUsedTick) — `dir` is carried in the value
+    * rather than parsed back out of the composite key (keys and dirs may
+    * both contain '@'). */
+  private final case class Entry(dir: String, sig: String, v: AnyRef, tick: Long)
+
+  private val ticker = new java.util.concurrent.atomic.AtomicLong()
+
+  /** signature-keyed memo with dead-dir eviction + LRU cap (shared shape
+    * for the Long and AnyRef maps) */
+  private final class BoundedMemo {
+    val m = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+    def get(k: String, dir: String, sig: String): Option[AnyRef] = {
+      val hit = m.get(k)
+      // dir re-checked against the entry: the composite key's '@' splice is
+      // ambiguous when `key` itself contains '@' (defensive, not observed)
+      if (hit != null && hit.dir == dir && hit.sig == sig) {
+        // refresh recency (racy put is harmless — any interleaving leaves
+        // a valid entry with one of the competing ticks)
+        m.put(k, hit.copy(tick = ticker.incrementAndGet()))
+        Some(hit.v)
+      } else None
+    }
+
+    def put(k: String, dir: String, sig: String, v: AnyRef): Unit = {
+      m.put(k, Entry(dir, sig, v, ticker.incrementAndGet()))
+      if (m.size > MaxEntries) evict()
+    }
+
+    /** dead dirs first, then oldest-used down to the cap; synchronized so
+      * concurrent over-cap puts don't stampede the filesystem checks */
+    private def evict(): Unit = synchronized {
+      import scala.jdk.CollectionConverters._
+      m.entrySet().asScala.toSeq
+        .filter(e => !java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(e.getValue.dir)))
+        .foreach(e => m.remove(e.getKey))
+      val over = m.size - MaxEntries
+      if (over > 0)
+        m.entrySet().asScala.toSeq.sortBy(_.getValue.tick).take(over)
+          .foreach(e => m.remove(e.getKey))
+    }
+  }
+
+  private val memo = new BoundedMemo
 
   /** filesystem signature of `dir`; None when the dir is absent or not
     * walkable locally (never memoize those — compute every time) */
@@ -74,30 +128,38 @@ object SourceStamp {
       case None => compute
       case Some(sig) =>
         val k = s"$key@$dir"
-        val hit = memo.get(k)
-        if (hit != null && hit._1 == sig) hit._2
-        else { val v = compute; memo.put(k, (sig, v)); v }
+        memo.get(k, dir, sig) match {
+          case Some(v) => v.asInstanceOf[java.lang.Long].longValue()
+          case None =>
+            val v = compute
+            memo.put(k, dir, sig, java.lang.Long.valueOf(v)); v
+        }
     }
 
-  private val memoRef =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+  private val memoRef = new BoundedMemo
 
   /** [[memoLong]] generalized to any reference value (r14 VERDICT ask #3:
     * the index stores' bucket maps and centroid tables are pure functions
-    * of their dirs just like the row counts). ADDITIONAL CONTRACT beyond
-    * memoLong's: the returned object is SHARED across hits — `compute`
+    * of their dirs just like the row counts). ADDITIONAL CONTRACTS beyond
+    * memoLong's: (a) the returned object is SHARED across hits — `compute`
     * must return an immutable value, or the caller must defensively copy
-    * before mutating (loadCentroids does). */
+    * before mutating (loadCentroids does); (b) values may be arbitrarily
+    * large (centroid tables, bucket maps) and are retained STRONGLY until
+    * dead-dir / LRU eviction (cap [[MaxEntries]]) — don't memoize values
+    * that dwarf the index they stand for. */
   def memo[T <: AnyRef](dir: String, key: String)(compute: => T): T =
     signature(dir) match {
       case None => compute
       case Some(sig) =>
         val k = s"$key@$dir"
-        val hit = memoRef.get(k)
-        if (hit != null && hit._1 == sig) hit._2.asInstanceOf[T]
-        else { val v = compute; memoRef.put(k, (sig, v)); v }
+        memoRef.get(k, dir, sig) match {
+          case Some(v) => v.asInstanceOf[T]
+          case None => val v = compute; memoRef.put(k, dir, sig, v); v
+        }
     }
 
-  /** test hook: drop all cached stamps */
-  private[graft] def clear(): Unit = { memo.clear(); memoRef.clear() }
+  /** test hooks: drop all cached stamps / observe retention */
+  private[graft] def clear(): Unit = { memo.m.clear(); memoRef.m.clear() }
+  private[graft] def retainedLongEntries: Int = memo.m.size
+  private[graft] def retainedRefEntries: Int = memoRef.m.size
 }

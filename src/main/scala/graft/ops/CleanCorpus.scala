@@ -23,7 +23,14 @@ final case class CleanCorpusConfig(
     nHashes: Int = 16,
     bands: Int = 4,
     rowsPerBand: Int = 4,
-    nearDupThreshold: Double = 0.8)
+    nearDupThreshold: Double = 0.8,
+    /** decontamination broadcasts the holdout's distinct shingles only up
+      * to this row count (a bounded limit-probe counts first); an
+      * oversized holdout routes to a plain shuffled join instead of
+      * OOM-ing the driver — the "holdouts are small by construction"
+      * assumption enforced at runtime, not by comment (r15 ADVICE). 4M
+      * shingle strings ≈ low hundreds of MB broadcast. */
+    maxBroadcastShingles: Long = 4000000L)
 
 /** The funnel's per-stage frames. Each stage keeps the INPUT's columns
   * (internal shingle columns are dropped), so a caller can count a stage,
@@ -59,8 +66,11 @@ final case class CleanCorpusStages(
   *    fingerprints;
   *  - near-dup is banded LSH candidates + the measured-routed exact-Jaccard
   *    verify ([[Dedup.jaccardOnPairsRoutedReleasable]]) — never all-pairs;
-  *  - decontamination broadcasts the holdout's distinct shingles (holdout
-  *    sets are small by construction — that is what makes them holdouts).
+  *  - decontamination broadcasts the holdout's distinct shingles when a
+  *    bounded limit-probe confirms they fit (holdout sets are small by
+  *    construction — that is what makes them holdouts — but the assumption
+  *    is size-routed at runtime, not trusted: an oversized holdout takes a
+  *    shuffled join instead of OOM-ing).
   *
   * Caching contract: the quality survivors feed two consumers (the
   * fingerprint groupBy and the canonical semi-join) and the shingled
@@ -92,7 +102,10 @@ object CleanCorpus {
       : (CleanCorpusStages, () => Unit) = {
     require(cfg.bands * cfg.rowsPerBand == cfg.nHashes,
       s"bands(${cfg.bands}) * rowsPerBand(${cfg.rowsPerBand}) must equal nHashes(${cfg.nHashes})")
+    require(cfg.maxBroadcastShingles > 0 && cfg.maxBroadcastShingles < Int.MaxValue,
+      s"maxBroadcastShingles(${cfg.maxBroadcastShingles}) must be in (0, Int.MaxValue)")
     val inCols = df.columns.map(col).toSeq
+    var releaseHoldout: () => Unit = () => ()
     val g = TextAnalysis.gopherRules(col(textCol))
     val quality = df
       .filter(g.getField("n_words").between(cfg.minWords, cfg.maxWords) &&
@@ -123,14 +136,22 @@ object CleanCorpus {
       case None => nearShingled.select(inCols: _*)
       case Some(hold) =>
         // holdout shingles come from the RAW corpus (the benchmark set
-        // exists independently of what cleaning kept), broadcast small
+        // exists independently of what cleaning kept). Size-routed: a
+        // limit-probe (bounded job over the persisted shingle set) gates
+        // the broadcast, so an oversized holdout degrades to a shuffled
+        // join instead of a driver OOM (r15 ADVICE).
         val benchSh = df.filter(hold)
           .withColumn("_ws", Dedup.wordsArray(textCol))
           .select(explode(Dedup.wordShingles("_ws", cfg.shingleK)).as("_sh"))
           .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        releaseHoldout = () => { benchSh.unpersist(blocking = true); () }
+        val smallEnough =
+          benchSh.limit((cfg.maxBroadcastShingles + 1).toInt)
+            .count() <= cfg.maxBroadcastShingles
         val contaminated = nearShingled.filter(!hold)
           .select(col(idCol), explode(col("_shs")).as("_sh"))
-          .join(broadcast(benchSh), "_sh")
+          .join(if (smallEnough) broadcast(benchSh) else benchSh, "_sh")
           .select(idCol).distinct()
         nearShingled.filter(!hold)
           .join(contaminated, Seq(idCol), "left_anti")
@@ -145,6 +166,7 @@ object CleanCorpus {
     val release = () => {
       quality.unpersist(blocking = true)
       exactShingled.unpersist(blocking = true)
+      releaseHoldout()
       releaseVerify()
     }
     (stages, release)

@@ -20,10 +20,16 @@ package graft.ops
   * fetch to stress harnesses (TokStress) and specs; [[hook]] lets them
   * record per-round metrics without touching trainer code. */
 private[graft] object TrainerProbe {
+  /** worst observed fetch, JVM-global: concurrent trainers interleave into
+    * ONE max — fine for the bound story (each fetch still asserts its own
+    * bound), but per-trainer attribution assumes one trainer per JVM at a
+    * time (every in-repo harness is single-trainer). */
   @volatile var maxRows: Long = 0L
   /** (label, round, rows, bound) — fired AFTER the bound assertion.
     * Installed only by single-threaded harnesses; trainers fire it from
-    * their driver loop thread. */
+    * their driver loop thread. Hook failures must never abort a trainer
+    * (a harness that forgets to clear a throwing hook would otherwise
+    * poison subsequent production runs), so [[record]] swallows them. */
   @volatile var hook: (String, Int, Long, Long) => Unit = null
 
   def record(label: String, round: Int, rows: Long, bound: Long): Unit = {
@@ -32,7 +38,12 @@ private[graft] object TrainerProbe {
         s"vocab bound $bound; this loop must never collect corpus-scale data")
     synchronized { if (rows > maxRows) maxRows = rows }
     val h = hook
-    if (h != null) h(label, round, rows, bound)
+    if (h != null)
+      try h(label, round, rows, bound)
+      catch {
+        case e: Exception =>
+          System.err.println(s"[trainer-probe] hook threw (ignored): $e")
+      }
   }
 
   def reset(): Unit = synchronized { maxRows = 0L }

@@ -417,13 +417,19 @@ object Relational {
     // hi + lo/1e8 double reconstruction sits inside the same tolerance. -----
     Q("q1_pricing_summary",
       (s, d) => {
-        val unscaled8 = udf { (x: Double) =>
-          java.math.BigDecimal.valueOf(x)
-            .setScale(8, java.math.RoundingMode.HALF_UP)
-            .unscaledValue().longValueExact()
-        }
+        // DOMAIN GUARDS (r15 ADVICE): the per-row UDF requires the 2dp
+        // inputs inside the DECIMAL(8,2) domain — a violation throws,
+        // never nulls; the level-2 re-sum additionally raise_errors if a
+        // level-1 DECIMAL(18,2) partial ever null-overflowed (needs ~1e10
+        // rows × 1e6 in ONE scan partition — beyond any real split, but
+        // the failure mode must be loud, not a silently smaller sum).
+        def partial(c: Column): Column =
+          when(c.isNull && col("_p_cnt") > 0, raise_error(lit(
+            "q1 level-1 decimal partial overflowed DECIMAL(18,2) — shrink input splits")))
+            .otherwise(c)
         Tables.lineitem(s, d)
-          .withColumn("_k", unscaled8(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .withColumn("_k", Decimals.q1Unscaled8(
+            col("l_extendedprice"), col("l_quantity"), col("l_discount")))
           .groupBy(col("l_returnflag"), col("l_linestatus"),
             spark_partition_id().as("_pid"))
           .agg(
@@ -436,8 +442,8 @@ object Relational {
           .withColumn("_lo", col("_p_lo") % 100000000L)
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(col("_p_qty").cast(DecimalType(38, 2))).cast("double").as("sum_qty"),
-            sum(col("_p_base").cast(DecimalType(38, 2))).cast("double").as("sum_base_price"),
+            sum(partial(col("_p_qty")).cast(DecimalType(38, 2))).cast("double").as("sum_qty"),
+            sum(partial(col("_p_base")).cast(DecimalType(38, 2))).cast("double").as("sum_base_price"),
             (round(sum(col("_hi")).cast("double") +
               sum(col("_lo")).cast("double") / 1e8, 2) + lit(0.0)).as("sum_disc_price"),
             sum(col("_p_cnt")).as("count_order"))

@@ -1999,6 +1999,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got(0)._2 === 2L && got(2)._2 === 2L)
   }
 
+  test("q1 compact-path domain guards fail loudly, never null (r15 ADVICE)") {
+    import graft.queries.Decimals
+    // in-domain: exact unscaled DECIMAL(·,8) semantics
+    val ok = Seq((904.47, 31.0, 0.05)).toDF("price", "qty", "disc")
+      .select(Decimals.q1Unscaled8($"price", $"qty", $"disc").as("k"))
+      .as[Long].head()
+    assert(ok === 85924650000L) // 904.47 * 0.95 = 859.2465 → ×1e8
+    // price >= 1e6 previously null-overflowed the DECIMAL(8,2) cast and
+    // silently dropped from sum(); now the row throws
+    val bad = Seq((1.0e6, 1.0, 0.0)).toDF("price", "qty", "disc")
+      .select(Decimals.q1Unscaled8($"price", $"qty", $"disc"))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage != null)
+    val badQty = Seq((10.0, -1.0, 0.0)).toDF("price", "qty", "disc")
+      .select(Decimals.q1Unscaled8($"price", $"qty", $"disc"))
+    intercept[Exception](badQty.collect()): Unit
+    // the unguarded helper's own ceiling is loud too (longValueExact)
+    val over = Seq(Tuple1(1.0e11)).toDF("x")
+      .select(Decimals.unscaled8($"x"))
+    intercept[Exception](over.collect()): Unit
+  }
+
   test("cleanCorpus: null-text rows drop at the quality gate; an empty corpus flows through") {
     import graft.ops.CleanCorpus
     // public-op robustness (the spanDedup null-contract class): a null
@@ -2071,5 +2093,20 @@ class OpsSpec extends AnyFunSuite {
     assert(st2.decontaminated.select("doc_id").as[Long].collect().sorted ===
       Seq(0L, 3L, 5L, 6L))
     release2()
+
+    // oversized-holdout route (r15 ADVICE): a holdout whose distinct
+    // shingles exceed maxBroadcastShingles must degrade to the shuffled
+    // join — same survivors, no forced broadcast, blocks still released.
+    // doc 5 yields 20 distinct 5-gram shingles > cap 1.
+    val floor3 = spark.sparkContext.parallelize(Seq(0), 1).id
+    val (st3, release3) = CleanCorpus.cleanCorpusReleasable(rows, "doc_id", "text",
+      isHoldout = Some($"doc_id" === 5),
+      cfg = graft.ops.CleanCorpusConfig(maxBroadcastShingles = 1L))
+    assert(st3.decontaminated.select("doc_id").as[Long].collect().sorted ===
+      Seq(0L, 3L), "shuffled decontamination route must match the broadcast route")
+    release3()
+    val left3 = spark.sparkContext.getPersistentRDDs.keys.filter(_ >= floor3)
+    assert(left3.isEmpty,
+      s"shuffle-routed funnel leaked persisted blocks: ${left3.mkString(",")}")
   }
 }

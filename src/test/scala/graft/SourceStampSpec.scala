@@ -91,6 +91,39 @@ class SourceStampSpec extends AnyFunSuite {
     assert(probe() === Map(0L -> 2L)); assert(runs === 2)
   }
 
+  test("memo retention is bounded under index-generation churn (r15 VERDICT)") {
+    // A long-lived engine session churns index generations: each build
+    // memoizes (bucket map / centroid / row count) for a fresh dir, then
+    // the dir is deleted or rebuilt. The maps must not retain an entry per
+    // dead generation for the JVM's lifetime — dead-dir entries are
+    // evicted and the total is LRU-capped at MaxEntries.
+    SourceStamp.clear()
+    val live = Files.createTempDirectory("stamp-live").toString
+    write(live, "f.parquet", "live")
+    var liveRuns = 0
+    def liveProbe(): Seq[Int] =
+      SourceStamp.memo(live, "centroids") { liveRuns += 1; Seq(1, 2, 3) }
+    assert(liveProbe() === Seq(1, 2, 3)); assert(liveRuns === 1)
+
+    val generations = SourceStamp.MaxEntries * 3
+    (1 to generations).foreach { g =>
+      val dir = Files.createTempDirectory(s"stamp-gen$g")
+      write(dir.toString, "idx.parquet", s"generation $g")
+      SourceStamp.memo(dir.toString, "centroids")(Array.fill(1024)(g)): Unit
+      SourceStamp.memoLong(dir.toString, "rows")(g.toLong): Unit
+      Files.delete(dir.resolve("idx.parquet"))
+      Files.delete(dir)
+    }
+    assert(SourceStamp.retainedRefEntries <= SourceStamp.MaxEntries,
+      s"ref memo retained ${SourceStamp.retainedRefEntries} entries after $generations dead generations")
+    assert(SourceStamp.retainedLongEntries <= SourceStamp.MaxEntries,
+      s"long memo retained ${SourceStamp.retainedLongEntries} entries after $generations dead generations")
+    // the live dir's entry survives the churn (dead dirs evict first;
+    // post-sweep the map is under the cap, so LRU never reaches it)
+    assert(liveProbe() === Seq(1, 2, 3))
+    assert(liveRuns === 1, "live-dir entry must survive dead-generation churn")
+  }
+
   test("signature encoding is injective on adversarial filenames (ADVICE r14)") {
     // ':' and '|' are legal filename bytes, so the old delimited concat
     // "$rel:$sz:$mt|" collided these two DIFFERENT dir states:
