@@ -145,15 +145,39 @@ object Dedup {
     *  - the cleaned text is rebuilt MAP-SIDE by a k-expansion boolean mask
     *    over the cached words array (per-row UDF, measured-justified:
     *    one linear pass), joined shuffle-hash so the corpus side is never
-    *    external-sorted.
+    *    external-sorted;
+    *  - the reconstruct join can SPLIT by coverage (r15 VERDICT #3): in a
+    *    genuinely clean corpus most documents have ZERO covered positions,
+    *    yet the single left join ships every document's word array through
+    *    the shuffle. With `spark.graft.dedup.spanSplitMaxCoveredFraction`
+    *    (or the parameter) set above 0, the covered-doc ids are counted
+    *    off the persisted cov table; when the covered fraction is at or
+    *    under the knob AND the id set fits the broadcast budget
+    *    (`spark.graft.dedup.maxBroadcastPairs`), clean docs take a
+    *    BROADCAST anti join (map-side pass-through — their arrays never
+    *    cross the wire) and only covered docs ride the shuffle-hash join.
+    *    The DEFAULT (0.0) pins the single-join shape with ZERO measurement
+    *    jobs and no cov-table persist — the r13 lesson (fixed per-call
+    *    driver jobs regressed every verify consumer), re-measured r16:
+    *    this repo's test corpus is 61% covered at sf0.1 (bounded word
+    *    list ⇒ heavy cross-doc 5-gram repeats) and 100% covered under the
+    *    ×100 verbatim inflation, so the split is pure overhead HERE
+    *    (2.5 s vs 1.65 s at sf0.1) while remaining the right shape for a
+    *    real mostly-clean corpus — hence reachable, not default.
     * Use the releasable form in long-lived sessions; the handle unpersists
-    * the cached tokenized corpus. */
+    * the cached tokenized corpus (and the cov table when the split
+    * measurement persisted it). */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame =
     spanDedupReleasable(df, idCol, textCol, k)._1
 
   def spanDedupReleasable(df: DataFrame, idCol: String, textCol: String,
-                          k: Int): (DataFrame, () => Unit) = {
+                          k: Int, splitMaxCoveredFraction: Double = -1.0)
+      : (DataFrame, () => Unit) = {
+    val maxCovered =
+      if (splitMaxCoveredFraction >= 0) splitMaxCoveredFraction
+      else df.sparkSession.conf
+        .get("spark.graft.dedup.spanSplitMaxCoveredFraction", "0.0").toDouble
     val words = df
       .withColumn("_ws", wordsArray(textCol))
       .select(col(idCol), col("_ws"), size(col("_ws")).as("_n"))
@@ -162,10 +186,14 @@ object Dedup {
       posexplode(wordShingleHashesAt("_ws", k)).as(Seq("_p", "_g")))
     val dupG = grams.groupBy("_g").agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") > 1).select("_g")
-    val covSets = grams.join(dupG, "_g")
+    val covSets0 = grams.join(dupG, "_g")
       .select(col(idCol), col("_p"))
       .repartition(col(idCol))
       .groupBy(idCol).agg(collect_set(col("_p")).as("_cov"))
+    val covSets =
+      if (maxCovered > 0)
+        covSets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else covSets0
     val rebuild = udf { (ws0: Seq[String], cov: Seq[Int]) =>
       // null text → wordsArray yields null; same contract as the sibling
       // shingle UDFs (null in → empty doc out), this is a public op now
@@ -189,13 +217,47 @@ object Dedup {
       }
       (kept, sb.toString)
     }
-    val out = words.join(covSets.hint("shuffle_hash"), Seq(idCol), "left")
+    def joined(w: DataFrame): DataFrame = w
+      .join(covSets.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol), col("_n"), rebuild(col("_ws"), col("_cov")).as("_r"))
       .select(col(idCol), col("_n").cast("long").as("n_words"),
         col("_r._1").as("n_kept"),
         (col("_n") - col("_r._1")).cast("long").as("n_removed"),
         col("_r._2").as("cleaned"))
-    (out, () => { words.unpersist(blocking = true); () })
+    // Coverage-split routing, reached ONLY when the knob opts into
+    // measurement (two bounded jobs over persisted frames: covered-id
+    // count off the cov table, total-doc count off the tokenized corpus —
+    // the gram pipeline still runs exactly once, into the cache). The
+    // default path skips both jobs and the cov persist entirely.
+    val out =
+      if (maxCovered <= 0) joined(words)
+      else {
+        val maxIds = resolveMaxBroadcastPairs(words, -1L)
+        val nCovered = covSets
+          .limit((math.min(maxIds, Int.MaxValue - 1L) + 1L).toInt).count()
+        val nDocs = math.max(words.count(), 1L)
+        if (nCovered <= maxIds && nCovered <= maxCovered * nDocs) {
+          val coveredIds = covSets.select(idCol)
+          // clean docs: map-side identity rebuild — kept = n_words,
+          // nothing removed, cleaned = the words re-joined (byte-identical
+          // to the rebuild UDF's mask-nothing path, including the
+          // null-text row: concat_ws over a null array is "" and n_kept
+          // coalesces to 0)
+          val cleanOut = words
+            .join(broadcast(coveredIds), Seq(idCol), "left_anti")
+            .select(col(idCol), col("_n").cast("long").as("n_words"),
+              coalesce(col("_n").cast("long"), lit(0L)).as("n_kept"),
+              (col("_n") - coalesce(col("_n"), lit(0))).cast("long").as("n_removed"),
+              concat_ws(" ", col("_ws")).as("cleaned"))
+          joined(words.join(broadcast(coveredIds), Seq(idCol), "left_semi"))
+            .unionByName(cleanOut)
+        } else joined(words)
+      }
+    (out, () => {
+      words.unpersist(blocking = true)
+      if (maxCovered > 0) covSets.unpersist(blocking = true)
+      ()
+    })
   }
 
   private val mdLocal = new ThreadLocal[java.security.MessageDigest] {

@@ -75,12 +75,34 @@ class OpsSpec extends AnyFunSuite {
     val got = out.orderBy("doc_id")
       .as[(Long, Long, Long, Long, String)].collect()
     release()
-    assert(got === Seq(
+    val want = Seq(
       (0L, 5L, 0L, 5L, ""),          // starts 0 ("a b c") and 2 ("c d e") cover 0-4
       (1L, 5L, 2L, 3L, "x y"),
       (2L, 4L, 4L, 0L, "p q r s"),
       (3L, 2L, 2L, 0L, "u v"),
-      (4L, 3L, 0L, 3L, "")))
+      (4L, 3L, 0L, 3L, ""))
+    assert(got === want)
+
+    // coverage-split route (r15 VERDICT #3, knob-gated): 3 of 5 docs are
+    // covered (0.6 ≤ 0.9), so clean docs 2 and 3 take the broadcast anti
+    // pass-through and covered docs ride the join — results byte-identical
+    // to the pinned single-join route, and both caches released
+    val floor = spark.sparkContext.parallelize(Seq(0), 1).id
+    val (outS, releaseS) = Dedup.spanDedupReleasable(rows, "doc_id", "text", 3,
+      splitMaxCoveredFraction = 0.9)
+    val gotS = outS.orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    releaseS()
+    assert(gotS === want, "split route must match the single-join route")
+    val leftS = spark.sparkContext.getPersistentRDDs.keys.filter(_ >= floor)
+    assert(leftS.isEmpty, s"split route leaked persisted blocks: ${leftS.mkString(",")}")
+    // a fraction knob below the corpus's covered fraction falls back to
+    // the single join (and still releases the measurement persist)
+    val (outF, releaseF) = Dedup.spanDedupReleasable(rows, "doc_id", "text", 3,
+      splitMaxCoveredFraction = 0.1)
+    assert(outF.orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect() === want)
+    releaseF()
   }
 
   test("url canonicalization: ports, params, tracking, fragments, slashes") {
