@@ -64,9 +64,38 @@ final class Engine(
     case other => throw new IllegalArgumentException(
       s"annStrategy must be ivf or srp, got: $other")
   }
+  /** Distributed exact-path binary read — replaces
+    * `spark.read.format("binaryFile").load(paths: _*)` on the sync paths.
+    * Passing N explicit paths as LISTING ROOTS makes InMemoryFileIndex
+    * stat every path through the FileIndex machinery: IngestStress (r16,
+    * 100k files) measured ~60 s of "Listing leaf files and directories
+    * for 100000 paths" jobs per sync, plus partition-metadata cache
+    * thrashing — at crawl scale the listing alone would dominate. The
+    * sync planner already HOLDS the exact file list (file-scale by the
+    * DriverProbe contract), so ship it to the executors and read bytes
+    * directly: zero listing jobs, locality by sorted-contiguous ranges.
+    * Skew contract: tasks pack ~64+ files by COUNT, not size — the
+    * engine's corpus is document files (KB–MB); a multi-GB outlier rides
+    * one task, same as one binaryFile split would carry it. */
+  private def readFilesBinary(paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val slices = math.max(1, math.min(paths.size / 64 + 1,
+      spark.sparkContext.defaultParallelism * 4))
+    spark.sparkContext.parallelize(paths.sorted, slices)
+      .map(p => (p, java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+      .toDF("path", "content")
+  }
+
+  /** run `body` under a job description so engine phases attribute cleanly
+    * in the UI / listener tooling (IngestStress job table) */
+  private def describing[T](desc: String)(body: => T): T = {
+    spark.sparkContext.setJobDescription(desc)
+    try body finally spark.sparkContext.setJobDescription(null)
+  }
+
   private def refreshIndexes(): Unit = {
-    ftsIndex.rebuild(store.read())
-    refreshAnn(None)
+    describing("graft index: FTS rebuild") { ftsIndex.rebuild(store.read()) }
+    describing("graft index: ANN refresh") { refreshAnn(None) }
   }
   private def refreshIndexesFor(filePath: String): Unit =
     if (numBuckets > 0 && ftsIndex.exists) {
@@ -177,8 +206,12 @@ final class Engine(
       if (graft.ingest.PdfIngest.isPdf(spelled)) {
         import spark.implicits._
         val raw = Seq((spelled, bytes)).toDF("filePath", "content")
-        graft.ingest.PdfIngest.pdfDocsDF(spark, raw, mkEmbedder)
-          .as[Ingest.Doc].collect().headOption
+        val docs = graft.ingest.PdfIngest.pdfDocsDF(spark, raw, mkEmbedder)
+          .as[Ingest.Doc].collect()
+        // one input file → at most one doc row (DriverProbe: a future
+        // pdfDocsDF edit that fans out per-page rows fails here, loudly)
+        graft.core.DriverProbe.record("ingest_pdf_doc", docs.length, 1L)
+        docs.headOption
           .getOrElse(Ingest.Doc(spelled, "",
             Some(Ingest.sha256Hex(new String(bytes, StandardCharsets.UTF_8))), None))
       } else if (spelled.toLowerCase.endsWith(".docx"))
@@ -363,15 +396,23 @@ final class Engine(
       if (allFiles.size >= distributedThreshold ||
           store.manifest().limit(distributedThreshold).count() >=
             math.max(1L, distributedThreshold.toLong))
-        planDistributed(allFiles, scanned.coverage.unobservedPrefixes,
-          scopeKeys, excludes, fileRequest)
+        describing("graft sync: distributed gather+plan") {
+          planDistributed(allFiles, scanned.coverage.unobservedPrefixes,
+            scopeKeys, excludes, fileRequest)
+        }
       else {
         val disk = allFiles.map { f =>
           val content = Files.readAllBytes(Paths.get(f))
           SyncPlanner.DiskFile(PathKeys.syncPathKey(f), f,
             Some(Ingest.sha256Hex(new String(content, StandardCharsets.UTF_8))))
         }
-        val db = store.manifest().collect().toSeq.map { r =>
+        val manifestRows = store.manifest().collect()
+        // this branch is only reachable when the limit-probe above counted
+        // the manifest UNDER the routing threshold (DriverProbe: a routing
+        // edit that lets a big manifest reach the driver loop fails here)
+        graft.core.DriverProbe.record("sync_manifest_small",
+          manifestRows.length, distributedThreshold.toLong)
+        val db = manifestRows.toSeq.map { r =>
           val p = r.getString(0)
           SyncPlanner.DbEntry(PathKeys.syncPathKey(p), p, Option(r.getString(1)))
         }
@@ -388,7 +429,8 @@ final class Engine(
       val (upserted, empty) =
         if (upserts.size >= batchExecuteThreshold ||
             pruneSpellings.size >= batchExecuteThreshold)
-          executeBatched(upserts, pruneSpellings)
+          describing("graft sync: batched ingest")(
+            executeBatched(upserts, pruneSpellings))
         else {
           // reference-parity per-file loop: right below the threshold,
           // where a binaryFile job's scheduling floor exceeds a handful of
@@ -439,8 +481,8 @@ final class Engine(
     val (docxPaths, textPaths) = nonPdf.partition(_.toLowerCase.endsWith(".docx"))
     val textDocs =
       if (textPaths.isEmpty) None
-      else Some(spark.read.format("binaryFile").load(textPaths: _*)
-        .select(regexp_replace(col("path"), "^file:", "").as("filePath"),
+      else Some(readFilesBinary(textPaths)
+        .select(col("path").as("filePath"),
           // decode parity with the driver path (Ingest reads bytes → UTF-8
           // string): invalid sequences replace identically, so hashes agree
           Ingest.utf8Lossy(col("content")).as("content"),
@@ -451,9 +493,8 @@ final class Engine(
     // F15/F16 pipeline; parse-empty files fall out and count `empty`
     val pdfRaw =
       if (pdfPaths.isEmpty) None
-      else Some(spark.read.format("binaryFile").load(pdfPaths: _*)
-        .select(regexp_replace(col("path"), "^file:", "").as("filePath"),
-          col("content"))
+      else Some(readFilesBinary(pdfPaths)
+        .select(col("path").as("filePath"), col("content"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val mkCap = mkCaptioner // local copy, same closure hygiene as `mk`
     // F20 in the batched path: caption rows assemble in the SAME task as
@@ -487,8 +528,8 @@ final class Engine(
       else {
         val mdUdf = udf((b: Array[Byte]) => graft.ingest.DocxParser.toMarkdown(b))
         val titleUdf = udf((b: Array[Byte]) => graft.ingest.DocxParser.docTitle(b))
-        Some(spark.read.format("binaryFile").load(docxPaths: _*)
-          .select(regexp_replace(col("path"), "^file:", "").as("filePath"),
+        Some(readFilesBinary(docxPaths)
+          .select(col("path").as("filePath"),
             mdUdf(col("content")).as("content"),
             Ingest.utf8LossyHash(col("content")).as("rawHash"),
             titleUdf(col("content")).as("titleOverride"))
@@ -521,9 +562,9 @@ final class Engine(
           .select(lit("").as("key"), lit("").as("path"), lit("").as("hash"))
           .where(lit(false))
       else
-        spark.read.format("binaryFile").load(allFiles: _*)
-          .select(regexp_replace(col("path"), "^file:", "").as("path"),
-            col("content"))
+        // exact-path distributed read (readFilesBinary: no listing jobs;
+        // paths are already native spellings, no "file:" strip needed)
+        readFilesBinary(allFiles)
           // hash parity with the driver path (Ingest.sha256Hex): bytes →
           // UTF-8 string → bytes, so invalid sequences replace identically
           // (utf8LossyHash streams the round-trip — NOT SQL decode, which
@@ -541,6 +582,12 @@ final class Engine(
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val work = acts.filter(col("action").isin("upsert", "prune"))
         .collect().toSeq
+      // action rows are one-per-dirty-FILE by construction; the bound
+      // comes from the INDEPENDENT 4-row count aggregate above, so an
+      // edit that joins chunk- or corpus-scale rows into the collected
+      // work set fails its first sync (DriverProbe, r15 VERDICT ask #1)
+      graft.core.DriverProbe.record("sync_plan_work", work.size.toLong,
+        counts.getOrElse("upsert", 0L) + counts.getOrElse("prune", 0L))
       val upserts = work.filter(_.getAs[String]("action") == "upsert")
         .sortBy(_.getAs[String]("key"))
         .map(r => SyncPlanner.Upsert(r.getAs[String]("key"),

@@ -14,7 +14,7 @@ import graft.ops.{Dedup, Multimodal, Similarity}
   */
 object DedupQueries {
 
-  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dupCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     docs
       .union(docs.filter(col("doc_id") % 10 === 0)

@@ -45,27 +45,38 @@ final class AnnIndexStore(
     * the row count (KMeans cannot seed more centers than points). */
   def rebuild(rows: DataFrame, nLists: Int, seed: Long = 42L): Unit = {
     import spark.implicits._
+    // The slim (ids, vector) projection is PERSISTED for the whole train+
+    // assign window: KMeans consumes it many times (the distinct-count
+    // clamp, k-means|| init sampling, 20 iterations, the final transform),
+    // and uncached each pass re-ran the full upstream scan — IngestStress
+    // (r16, 100k docs / 1.36M chunks) attributed its only straggler tasks
+    // (22-31 s vs p95 0.25 s) to exactly this: `takeSample at KMeans` over
+    // the uncached lineage. A/B on that table (AnnRebuildProbe): fit
+    // 13.0-14.5 s uncached → 6.6-9.2 s cached.
     val src = rows.select(idCols.map(col) :+ col(vecCol): _*)
-    val n = src.count()
-    // below 2 vectors there is nothing to quantize (KMeans needs k >= 2)
-    // and nothing an index could beat — the query path's brute-force
-    // fallback covers this regime
-    if (n < 2L) { drop(); return }
-    val idx = Similarity.buildIvfCols(src, idCols, vecCol,
-      math.min(nLists.toLong, n).toInt, seed)
-    val assigned = (if (bucketed) idx.assignments.withColumn("pbucket", bucketCol)
-                    else idx.assignments).persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val parts = if (bucketed) Seq("pbucket", "list_id") else Seq("list_id")
-      DirSwap.swapInto(fs, path, assignmentsPath)(tmp =>
-        assigned.write.partitionBy(parts: _*).mode(SaveMode.Overwrite).parquet(tmp))
-      DirSwap.swapInto(fs, path, centroidsPath)(tmp =>
-        idx.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-          .toDF("list_id", "centroid")
-          .write.mode(SaveMode.Overwrite).parquet(tmp))
-      writeStats(assigned)
-      writeDrift(0L) // fresh centroids: the staleness clock restarts
-    } finally assigned.unpersist()
+      val n = src.count()
+      // below 2 vectors there is nothing to quantize (KMeans needs k >= 2)
+      // and nothing an index could beat — the query path's brute-force
+      // fallback covers this regime
+      if (n < 2L) { drop(); return }
+      val idx = Similarity.buildIvfCols(src, idCols, vecCol,
+        math.min(nLists.toLong, n).toInt, seed)
+      val assigned = (if (bucketed) idx.assignments.withColumn("pbucket", bucketCol)
+                      else idx.assignments).persist()
+      try {
+        val parts = if (bucketed) Seq("pbucket", "list_id") else Seq("list_id")
+        DirSwap.swapInto(fs, path, assignmentsPath)(tmp =>
+          assigned.write.partitionBy(parts: _*).mode(SaveMode.Overwrite).parquet(tmp))
+        DirSwap.swapInto(fs, path, centroidsPath)(tmp =>
+          idx.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+            .toDF("list_id", "centroid")
+            .write.mode(SaveMode.Overwrite).parquet(tmp))
+        writeStats(assigned)
+        writeDrift(0L) // fresh centroids: the staleness clock restarts
+      } finally assigned.unpersist()
+    } finally src.unpersist()
   }
 
   private val driftPath = path + "/drift"

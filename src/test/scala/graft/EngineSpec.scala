@@ -422,6 +422,48 @@ class EngineSpec extends AnyFunSuite {
     assert(state(engA) === state(engB))
   }
 
+  test("DriverProbe: sync driver fetches report batch-bounded; violations throw") {
+    import graft.core.DriverProbe
+    // a violation is loud — the TrainerProbe contract on the write path
+    intercept[IllegalArgumentException](DriverProbe.record("t", 10L, 9L))
+    // a throwing hook must never abort the caller
+    DriverProbe.hook = (_, _, _) => throw new RuntimeException("boom")
+    try DriverProbe.record("t", 1L, 1L)
+    finally DriverProbe.hook = null
+
+    // drive a real distributed+batched sync and pin that every site fired
+    // within its bound (threshold 1 forces planDistributed even for a
+    // small workspace; 40 files > BatchedExecuteThreshold batches execute)
+    val root = Files.createTempDirectory("probe-root").toString
+    (0 until 40).foreach { i =>
+      write(s"$root/docs/p$i.md",
+        s"# Probe $i\nAlpha bravo charlie probe document number $i. " +
+          ("Spark engines shuffle partitions across executors in stages. " * (2 + i % 3)))
+    }
+    val engine = new Engine(spark,
+      Files.createTempDirectory("probe-store").toString + "/chunks", Seq(root))
+    val sites = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    DriverProbe.reset()
+    DriverProbe.hook = (site, rows, bound) => {
+      sites.merge(site, (rows, bound),
+        (a: (Long, Long), b: (Long, Long)) => if (a._1 >= b._1) a else b)
+      ()
+    }
+    try {
+      val s = engine.sync(distributedThreshold = 1)
+      assert(s.upserted === 40, s"summary: $s; sites: $sites")
+      val work = sites.get("sync_plan_work")
+      assert(work !== null, "distributed plan must report its work collect")
+      assert(work._1 === 40L && work._1 <= work._2)
+      // warm re-sync through the same distributed path: plan-only, skips
+      val s2 = engine.sync(distributedThreshold = 1)
+      assert(s2.skipped === 40)
+      assert(sites.get("sync_plan_work")._1 <= sites.get("sync_plan_work")._2)
+      assert(DriverProbe.maxRows <= 40L,
+        s"sync materialized ${DriverProbe.maxRows} driver rows for a 40-file batch")
+    } finally DriverProbe.hook = null
+  }
+
   test("batched sync execute: 100+ dirty files, O(1) jobs, counts equal the loop path") {
     // two identical workspaces, two engines: one forced down the per-file
     // execute loop, one down the batched binaryFile→chunk+embed→single-
