@@ -51,6 +51,24 @@ object PipelineProbe {
       corpus, "doc_id", "text", isHoldout = Some(col("doc_id") % 97 === 0))
 
     t("raw_scan_count") { corpus.count(): Unit }
+    // cum2 sub-decomposition: the funnel's BUILD is not free when a holdout
+    // predicate is given (the decontamination broadcast's limit-probe runs
+    // eagerly, r16), and the quality frame persists — separate the three
+    t("build_only_holdout") {
+      val (_, rel) = funnel(); rel()
+    }
+    t("quality_filter_nocache") {
+      val g = graft.ops.TextAnalysis.gopherRules(col("text"))
+      corpus.filter(g.getField("n_words").between(20, 100000) &&
+        g.getField("symbol_ratio") < 0.1 &&
+        g.getField("bullet_ratio") <= 0.9 &&
+        g.getField("ellipsis_ratio") <= 0.3).count(): Unit
+    }
+    t("cum2_quality_noholdout") {
+      val (st, rel) = graft.ops.CleanCorpus.cleanCorpusReleasable(
+        corpus, "doc_id", "text")
+      st.quality.count(): Unit; rel()
+    }
     t("cum2_quality") {
       val (st, rel) = funnel(); st.quality.count(): Unit; rel()
     }

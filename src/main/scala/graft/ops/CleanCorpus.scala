@@ -23,14 +23,7 @@ final case class CleanCorpusConfig(
     nHashes: Int = 16,
     bands: Int = 4,
     rowsPerBand: Int = 4,
-    nearDupThreshold: Double = 0.8,
-    /** decontamination broadcasts the holdout's distinct shingles only up
-      * to this row count (a bounded limit-probe counts first); an
-      * oversized holdout routes to a plain shuffled join instead of
-      * OOM-ing the driver — the "holdouts are small by construction"
-      * assumption enforced at runtime, not by comment (r15 ADVICE). 4M
-      * shingle strings ≈ low hundreds of MB broadcast. */
-    maxBroadcastShingles: Long = 4000000L)
+    nearDupThreshold: Double = 0.8)
 
 /** The funnel's per-stage frames. Each stage keeps the INPUT's columns
   * (internal shingle columns are dropped), so a caller can count a stage,
@@ -66,11 +59,13 @@ final case class CleanCorpusStages(
   *    fingerprints;
   *  - near-dup is banded LSH candidates + the measured-routed exact-Jaccard
   *    verify ([[Dedup.jaccardOnPairsRoutedReleasable]]) — never all-pairs;
-  *  - decontamination broadcasts the holdout's distinct shingles when a
-  *    bounded limit-probe confirms they fit (holdout sets are small by
-  *    construction — that is what makes them holdouts — but the assumption
-  *    is size-routed at runtime, not trusted: an oversized holdout takes a
-  *    shuffled join instead of OOM-ing).
+  *  - decontamination joins the holdout's distinct shingles WITHOUT a
+  *    forced broadcast: AQE sizes the build side at runtime (holdout sets
+  *    are small by construction — that is what makes them holdouts — so
+  *    the runtime plan is a broadcast join, but an oversized holdout
+  *    degrades to a shuffled join instead of OOM-ing; r15 ADVICE, and the
+  *    zero-job router — both guard variants that ran their own measurement
+  *    job cost +1.5 s per funnel call in the r16 interleaved A/B).
   *
   * Caching contract: the quality survivors feed two consumers (the
   * fingerprint groupBy and the canonical semi-join) and the shingled
@@ -102,10 +97,7 @@ object CleanCorpus {
       : (CleanCorpusStages, () => Unit) = {
     require(cfg.bands * cfg.rowsPerBand == cfg.nHashes,
       s"bands(${cfg.bands}) * rowsPerBand(${cfg.rowsPerBand}) must equal nHashes(${cfg.nHashes})")
-    require(cfg.maxBroadcastShingles > 0 && cfg.maxBroadcastShingles < Int.MaxValue,
-      s"maxBroadcastShingles(${cfg.maxBroadcastShingles}) must be in (0, Int.MaxValue)")
     val inCols = df.columns.map(col).toSeq
-    var releaseHoldout: () => Unit = () => ()
     val g = TextAnalysis.gopherRules(col(textCol))
     val quality = df
       .filter(g.getField("n_words").between(cfg.minWords, cfg.maxWords) &&
@@ -131,27 +123,30 @@ object CleanCorpus {
       exactShingled, idCol, "_shs")
     val dropped = verified.filter(col("jaccard") >= cfg.nearDupThreshold)
       .select(col("id_b").as(idCol)).distinct()
+    // NOT persisted: its three consumers re-derive it from the persisted
+    // exactShingled + pair list (~1.1 s warm at sf0.1, PipelineProbe r16);
+    // persisting it measured SLOWER end-to-end in the interleaved A/B
+    // (+1.5 s with the guard job — the cold materialization barrier costs
+    // more than the warm re-derives save in a single-shot funnel).
     val nearShingled = exactShingled.join(dropped, Seq(idCol), "left_anti")
     val decontaminated = isHoldout match {
       case None => nearShingled.select(inCols: _*)
       case Some(hold) =>
         // holdout shingles come from the RAW corpus (the benchmark set
-        // exists independently of what cleaning kept). Size-routed: a
-        // limit-probe (bounded job over the persisted shingle set) gates
-        // the broadcast, so an oversized holdout degrades to a shuffled
-        // join instead of a driver OOM (r15 ADVICE).
+        // exists independently of what cleaning kept). NO forced
+        // broadcast: AQE sizes the distinct's output at runtime and
+        // broadcasts when it fits, so an oversized holdout degrades to a
+        // shuffled join instead of a driver OOM (r15 ADVICE) — the
+        // zero-extra-job router; both measured-guard variants (distinct
+        // limit-probe, map-side shingle-count bound) cost +1.5 s per
+        // funnel call in the r16 interleaved A/B and were rejected.
         val benchSh = df.filter(hold)
           .withColumn("_ws", Dedup.wordsArray(textCol))
           .select(explode(Dedup.wordShingles("_ws", cfg.shingleK)).as("_sh"))
           .distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        releaseHoldout = () => { benchSh.unpersist(blocking = true); () }
-        val smallEnough =
-          benchSh.limit((cfg.maxBroadcastShingles + 1).toInt)
-            .count() <= cfg.maxBroadcastShingles
         val contaminated = nearShingled.filter(!hold)
           .select(col(idCol), explode(col("_shs")).as("_sh"))
-          .join(if (smallEnough) broadcast(benchSh) else benchSh, "_sh")
+          .join(benchSh, "_sh")
           .select(idCol).distinct()
         nearShingled.filter(!hold)
           .join(contaminated, Seq(idCol), "left_anti")
@@ -166,7 +161,6 @@ object CleanCorpus {
     val release = () => {
       quality.unpersist(blocking = true)
       exactShingled.unpersist(blocking = true)
-      releaseHoldout()
       releaseVerify()
     }
     (stages, release)
