@@ -177,35 +177,55 @@ object Similarity {
                            codebooks: Array[Array[Array[Float]]], // m × k × subdim
                            m: Int, dim: Int)
 
-  /** train per-subvector KMeans codebooks (deterministic seed) and encode
-    * every vector as its nearest-centroid id per block */
+  /** Train per-subvector KMeans codebooks (deterministic seed) and encode
+    * every vector as its nearest-centroid id per block.
+    *
+    * Lineage shape (r16, the AnnIndexStore.rebuild lesson): each block's
+    * model depends only on its own SLICE of the base vectors, so the m
+    * fits train independently off ONE persisted slim projection — the old
+    * chained-`cur` shape made fit b's init sampling and 20 iterations
+    * recompute blocks 0..b-1's transforms every pass (O(m²) lineage). The
+    * code assembly chains the transforms AFTER all fits: per-row
+    * projections over a single scan. */
   def buildPq(df: DataFrame, idCol: String, vecColName: String, dim: Int,
               m: Int = 4, k: Int = 16, seed: Long = 42L): PqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
     import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, "dim must divide into m blocks")
     val sub = dim / m
-    var cur = df
+    val slim = df.select(col(idCol), col(vecColName))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codebooks = new Array[Array[Array[Float]]](m)
-    for (b <- 0 until m) {
-      val featCol = s"_pq_feat_$b"
-      val sliceExpr = expr(s"slice($vecColName, ${b * sub + 1}, $sub)")
-      // same distinct-clamp as buildIvfCols: a low-variance subvector block
-      // (constant dims are common in hashed/padded embeddings) would
-      // otherwise crash the blockified KMeans when distinct < k
-      val distinct = distinctCount(cur, sliceExpr)
-      if (distinct <= 1L) {
-        codebooks(b) = Array(
-          cur.select(sliceExpr.as("_s")).head().getSeq[Float](0).toArray)
-        cur = cur.withColumn(s"_pq_code_$b", lit(0))
-      } else {
-        val kb = math.min(k.toLong, distinct).toInt
-        val withFeat = cur.withColumn(featCol, array_to_vector(sliceExpr))
-        val model = new KMeans().setK(kb).setSeed(seed + b).setMaxIter(20)
-          .setFeaturesCol(featCol).setPredictionCol(s"_pq_code_$b").fit(withFeat)
-        codebooks(b) = model.clusterCenters.map(_.toArray.map(_.toFloat))
-        cur = model.transform(withFeat).drop(featCol)
+    val fitted = new Array[Option[KMeansModel]](m)
+    try {
+      for (b <- 0 until m) {
+        val sliceExpr = expr(s"slice($vecColName, ${b * sub + 1}, $sub)")
+        // same distinct-clamp as buildIvfCols: a low-variance subvector
+        // block (constant dims are common in hashed/padded embeddings)
+        // would otherwise crash the blockified KMeans when distinct < k
+        val distinct = distinctCount(slim, sliceExpr)
+        if (distinct <= 1L) {
+          codebooks(b) = Array(
+            slim.select(sliceExpr.as("_s")).head().getSeq[Float](0).toArray)
+          fitted(b) = None
+        } else {
+          val kb = math.min(k.toLong, distinct).toInt
+          val withFeat = slim.withColumn(s"_pq_feat_$b", array_to_vector(sliceExpr))
+          val model = new KMeans().setK(kb).setSeed(seed + b).setMaxIter(20)
+            .setFeaturesCol(s"_pq_feat_$b").setPredictionCol(s"_pq_code_$b")
+            .fit(withFeat)
+          codebooks(b) = model.clusterCenters.map(_.toArray.map(_.toFloat))
+          fitted(b) = Some(model)
+        }
       }
+    } finally slim.unpersist(blocking = true)
+    var cur = df.select(col(idCol), col(vecColName))
+    for (b <- 0 until m) fitted(b) match {
+      case Some(model) =>
+        cur = model.transform(cur.withColumn(s"_pq_feat_$b",
+            array_to_vector(expr(s"slice($vecColName, ${b * sub + 1}, $sub)"))))
+          .drop(s"_pq_feat_$b")
+      case None => cur = cur.withColumn(s"_pq_code_$b", lit(0))
     }
     val codes = cur.select(col(idCol),
       array((0 until m).map(b => col(s"_pq_code_$b")): _*).as("pq_code"))
