@@ -79,8 +79,14 @@ final class Engine(
     * one task, same as one binaryFile split would carry it. */
   private def readFilesBinary(paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    val slices = math.max(1, math.min(paths.size / 64 + 1,
-      spark.sparkContext.defaultParallelism * 4))
+    // ~128 files per task: the downstream parse+chunk+embed work rides
+    // these partitions, so task granularity bounds the straggler tail —
+    // IngestStress at 200k with a 4×cores cap packed 1,400 text files
+    // per task (64 s tasks vs p95 2.8 s); ~128/task keeps tasks in the
+    // seconds band. Floor = cluster parallelism, ceiling 4096 bounds the
+    // task array for very large batches (32k+ files/task only then).
+    val slices = math.max(1, math.max(spark.sparkContext.defaultParallelism,
+      math.min(paths.size / 128 + 1, 4096)))
     spark.sparkContext.parallelize(paths.sorted, slices)
       .map(p => (p, java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
       .toDF("path", "content")
