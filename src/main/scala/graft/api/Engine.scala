@@ -73,12 +73,27 @@ final class Engine(
     * thrashing — at crawl scale the listing alone would dominate. The
     * sync planner already HOLDS the exact file list (file-scale by the
     * DriverProbe contract), so ship it to the executors and read bytes
-    * directly: zero listing jobs, locality by sorted-contiguous ranges.
+    * directly: zero listing jobs. (Sorting keeps task membership
+    * deterministic and groups same-directory files per task; it buys no
+    * HDFS-style block locality — these are whole-file reads.)
     * Skew contract: tasks pack ~64+ files by COUNT, not size — the
     * engine's corpus is document files (KB–MB); a multi-GB outlier rides
-    * one task, same as one binaryFile split would carry it. */
+    * one task, same as one binaryFile split would carry it.
+    *
+    * Filesystem contract (r16 ADVICE): schemeless paths are read with
+    * java.nio on the executor — correct only when executors share the
+    * driver's filesystem view (local master, or an identical shared
+    * mount). Scheme-qualified URIs (file://, hdfs://, s3a://) go through
+    * Hadoop FileSystem and work on any deployment. On a non-local master
+    * a schemeless batch fails HERE, at plan time, with the remedy in the
+    * message — not as a NoSuchFileException mid-task. */
   private def readFilesBinary(paths: Seq[String]): DataFrame = {
     import spark.implicits._
+    if (!spark.sparkContext.isLocal && paths.exists(!_.contains(":/")))
+      throw new IllegalArgumentException(
+        "readFilesBinary got schemeless local paths on a non-local master; " +
+          "executors cannot be assumed to share the driver's filesystem — " +
+          "pass scheme-qualified URIs (file:// for a shared mount, hdfs://, s3a://)")
     // ~128 files per task: the downstream parse+chunk+embed work rides
     // these partitions, so task granularity bounds the straggler tail —
     // IngestStress at 200k with a 4×cores cap packed 1,400 text files
@@ -88,15 +103,18 @@ final class Engine(
     val slices = math.max(1, math.max(spark.sparkContext.defaultParallelism,
       math.min(paths.size / 128 + 1, 4096)))
     spark.sparkContext.parallelize(paths.sorted, slices)
-      .map(p => (p, java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+      .map(p => (p, Engine.readFileBytes(p)))
       .toDF("path", "content")
   }
 
   /** run `body` under a job description so engine phases attribute cleanly
-    * in the UI / listener tooling (IngestStress job table) */
+    * in the UI / listener tooling (IngestStress job table); restores the
+    * PREVIOUS description (r16 ADVICE: restoring null silently cleared any
+    * ambient caller-set description, and broke nesting) */
   private def describing[T](desc: String)(body: => T): T = {
+    val prev = spark.sparkContext.getLocalProperty("spark.job.description")
     spark.sparkContext.setJobDescription(desc)
-    try body finally spark.sparkContext.setJobDescription(null)
+    try body finally spark.sparkContext.setJobDescription(prev)
   }
 
   private def refreshIndexes(): Unit = {
@@ -852,6 +870,24 @@ final class Engine(
 }
 
 object Engine {
+  /** Executor-side single-file read for [[Engine.readFilesBinary]]: plain
+    * local paths use java.nio (the engine's measured fast path — Hadoop's
+    * LocalFileSystem adds checksum machinery per open); scheme-qualified
+    * URIs open through Hadoop FileSystem so file://, hdfs://, s3a:// keep
+    * working (r16 ADVICE). Lives on the companion so the RDD closure
+    * captures nothing. */
+  private[api] def readFileBytes(p: String): Array[Byte] =
+    if (p.contains(":/")) {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val len = fs.getFileStatus(path).getLen
+      require(len <= Int.MaxValue, s"file too large for a byte array: $p ($len bytes)")
+      val buf = new Array[Byte](len.toInt)
+      val in = fs.open(path)
+      try in.readFully(buf) finally in.close()
+      buf
+    } else java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+
   /** file count at which the sync gather distributes (below it the driver
     * loop wins — a binaryFile scan's job-scheduling floor exceeds hashing a
     * few hundred small files in-process) */

@@ -57,9 +57,11 @@ object SourceStamp {
       // dir re-checked against the entry: the composite key's '@' splice is
       // ambiguous when `key` itself contains '@' (defensive, not observed)
       if (hit != null && hit.dir == dir && hit.sig == sig) {
-        // refresh recency (racy put is harmless — any interleaving leaves
-        // a valid entry with one of the competing ticks)
-        m.put(k, hit.copy(tick = ticker.incrementAndGet()))
+        // refresh recency via CAS: a plain put could clobber a newer entry
+        // written concurrently (stale sig/value resurrected) or re-insert a
+        // key the LRU just evicted; replace(k, hit, ...) simply fails in
+        // both races, leaving the newer state (r16 ADVICE)
+        m.replace(k, hit, hit.copy(tick = ticker.incrementAndGet()))
         Some(hit.v)
       } else None
     }

@@ -423,8 +423,11 @@ object Relational {
         // level-1 DECIMAL(18,2) partial ever null-overflowed (needs ~1e10
         // rows × 1e6 in ONE scan partition — beyond any real split, but
         // the failure mode must be loud, not a silently smaller sum).
-        def partial(c: Column): Column =
-          when(c.isNull && col("_p_cnt") > 0, raise_error(lit(
+        // The guard conditions on that COLUMN's non-null count, not row
+        // count (r16 ADVICE): sum() is also null over an all-null group,
+        // which is a legitimate null result, not an overflow.
+        def partial(c: Column, nonNullCnt: Column): Column =
+          when(c.isNull && nonNullCnt > 0, raise_error(lit(
             "q1 level-1 decimal partial overflowed DECIMAL(18,2) — shrink input splits")))
             .otherwise(c)
         Tables.lineitem(s, d)
@@ -437,13 +440,17 @@ object Relational {
             sum(col("l_extendedprice").cast(DecimalType(8, 2))).as("_p_base"),
             sum(expr("_k div 100000000")).as("_p_hi"),
             sum(col("_k") % 100000000L).as("_p_lo"),
+            count(col("l_quantity")).as("_p_qty_cnt"),
+            count(col("l_extendedprice")).as("_p_base_cnt"),
             count(lit(1)).as("_p_cnt"))
           .withColumn("_hi", col("_p_hi") + expr("_p_lo div 100000000"))
           .withColumn("_lo", col("_p_lo") % 100000000L)
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(partial(col("_p_qty")).cast(DecimalType(38, 2))).cast("double").as("sum_qty"),
-            sum(partial(col("_p_base")).cast(DecimalType(38, 2))).cast("double").as("sum_base_price"),
+            sum(partial(col("_p_qty"), col("_p_qty_cnt"))
+              .cast(DecimalType(38, 2))).cast("double").as("sum_qty"),
+            sum(partial(col("_p_base"), col("_p_base_cnt"))
+              .cast(DecimalType(38, 2))).cast("double").as("sum_base_price"),
             (round(sum(col("_hi")).cast("double") +
               sum(col("_lo")).cast("double") / 1e8, 2) + lit(0.0)).as("sum_disc_price"),
             sum(col("_p_cnt")).as("count_order"))

@@ -62,7 +62,7 @@ final class AnnIndexStore(
       // fallback covers this regime
       if (n < 2L) { drop(); return }
       val idx = Similarity.buildIvfCols(src, idCols, vecCol,
-        math.min(nLists.toLong, n).toInt, seed)
+        math.min(nLists.toLong, n).toInt, seed, rowCount = Some(n))
       val assigned = (if (bucketed) idx.assignments.withColumn("pbucket", bucketCol)
                       else idx.assignments).persist()
       try {

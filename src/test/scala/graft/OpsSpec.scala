@@ -1354,6 +1354,50 @@ class OpsSpec extends AnyFunSuite {
       .subsetOf(Set(0L, 1L, 2L)))
   }
 
+  test("IVF sampled fit (corpus above fitSampleCap) keeps the recall gate") {
+    // the r17 straggler fix: above the cap the coarse quantizer trains on
+    // a bounded seeded sample and the full corpus pays ONE assignment pass.
+    // Force the sampled path with a tiny cap and hold the same recall bar
+    // as the full fit on the same clustered fixture; also pin determinism
+    // (same seed -> identical centroids) and the duplicate-heavy re-clamp
+    // (sample-distinct < k must not trip the blockified-KMeans AIOOBE).
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val qv = vecs.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+    val brute = vecs
+      .withColumn("score", graft.search.VectorSearch.dotDistance($"embedding", typedLit(qv.toSeq)))
+      .orderBy("score", "vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSet
+
+    val idx = Similarity.buildIvfCols(vecs, Seq("vec_id"), "embedding",
+      nLists = 8, seed = 42L, fitSampleCap = 64) // 200 rows >> cap: sampled path
+    assert(idx.centroids.length >= 2 && idx.centroids.length <= 8)
+    val ivf = Similarity.ivfTopK(idx, "vec_id", "embedding", qv, nProbe = 3, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.intersect(brute).size >= 8, s"sampled-fit recall too low: $ivf vs $brute")
+
+    val idx2 = Similarity.buildIvfCols(vecs, Seq("vec_id"), "embedding",
+      nLists = 8, seed = 42L, fitSampleCap = 64)
+    assert(idx.centroids.map(_.toSeq).toSeq == idx2.centroids.map(_.toSeq).toSeq,
+      "sampled fit must be deterministic under a fixed seed")
+
+    // duplicate-heavy corpus: 300 rows, 3 distinct vectors; full-distinct(3)
+    // < k(8) clamps k, and the SAMPLE may see fewer still — must build, not
+    // throw, and every distinct vector must land in a valid list
+    val dups = (0 until 300).map(i => (i.toLong, centers(i % 3).toSeq.toArray))
+      .toDF("vec_id", "embedding")
+    val dupIdx = Similarity.buildIvfCols(dups, Seq("vec_id"), "embedding",
+      nLists = 8, seed = 42L, fitSampleCap = 32)
+    val listIds = dupIdx.assignments.select("list_id").distinct()
+      .as[Int].collect().toSet
+    assert(listIds.forall(l => l >= 0 && l < dupIdx.centroids.length))
+    assert(dupIdx.assignments.count() == 300L)
+  }
+
   test("IVF/PQ recall@10 gated on the real embeddings table") {
     // deterministic recall gate vs the brute-force oracle on actual data
     // (not just the synthetic clustered fixture): ANN quality is verified,
