@@ -1641,6 +1641,120 @@ object DedupQueries {
              |FROM q LEFT JOIN bs USING (query_id) LEFT JOIN hits USING (query_id)
              |ORDER BY query_id""".stripMargin)),
 
+    // ----- IVF twin of the v_recall pair (r16 VERDICT #4): per-query
+    // recall@10 vs nProbe (1/2/4 of 16 lists) against brute-force ground
+    // truth — the probes→recall curve as ONE hash-checked query, so IVF
+    // tuning is data, not a spec constant. Trained-KMeans lists are not
+    // oracle-reproducible (ann_ivf_store_probe is recall-gated for exactly
+    // that reason), so the coarse quantizer here is the deterministic
+    // DATA-POINT variant: centroids = the embeddings of vec_id 0..15,
+    // assignment = argmin 4dp-rounded squared L2, ties by list_id — same
+    // layout and probe mechanics as the production IVF route, bit-
+    // reproducible in SQL. Probe sets nest (top-1 ⊂ top-2 ⊂ top-4), so
+    // recall is monotone in n_probe by construction — the curve reads
+    // directly off the 15 output rows. -----
+    Q("v_recall_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("list_id"), col("embedding").as("cv"))
+        def l2sq(a: String, b: String) = round(expr(
+          s"""aggregate(zip_with($a, $b,
+             |  (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE)),
+             |  CAST(0 AS DOUBLE), (acc, z) -> acc + z * z)""".stripMargin), 4) + 0.0
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("d2"), col("list_id"))
+        val assigned = e.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cents)) // 16 centroids — a dim
+          .withColumn("d2", l2sq("embedding", "cv"))
+          .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
+          .select("vec_id", "list_id")
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val wQ = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("qd2"), col("list_id"))
+        val qLists = qs.crossJoin(broadcast(cents))
+          .withColumn("qd2", l2sq("qv", "cv"))
+          .withColumn("crk", row_number().over(wQ))
+          .select("query_id", "list_id", "crk")
+        val pairs = e.crossJoin(broadcast(qs))
+          .withColumn("score", round(
+            graft.search.VectorSearch.dotDistance(col("embedding"), col("qv")), 4) + 0.0)
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("score"), col("vec_id"))
+        val gt = pairs.withColumn("rk", row_number().over(wS))
+          .filter(col("rk") <= 10).select("query_id", "vec_id")
+        val probes = s.range(3)
+          .select(expr("CAST(1 << id AS INT)").as("n_probe")) // 1, 2, 4
+        val candBase = pairs.join(assigned, "vec_id")
+          .join(qLists, Seq("query_id", "list_id"))
+          .crossJoin(broadcast(probes))
+          .filter(col("crk") <= col("n_probe"))
+        val wC = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id", "n_probe").orderBy(col("score"), col("vec_id"))
+        val cand = candBase.withColumn("rk", row_number().over(wC))
+          .filter(col("rk") <= 10).select("query_id", "n_probe", "vec_id")
+        val probed = candBase.groupBy("query_id", "n_probe")
+          .agg(count(lit(1)).as("n_probed"))
+        val hits = gt.join(cand, Seq("query_id", "vec_id"))
+          .groupBy("query_id", "n_probe").agg(count(lit(1)).as("n_hits"))
+        qs.select("query_id").crossJoin(probes)
+          .join(probed, Seq("query_id", "n_probe"), "left_outer")
+          .join(hits, Seq("query_id", "n_probe"), "left_outer")
+          .select(col("query_id"), col("n_probe"),
+            coalesce(col("n_probed"), lit(0L)).as("n_probed"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (round(coalesce(col("n_hits"), lit(0L)) / 10.0, 2) + 0.0).as("recall_at_10"))
+          .orderBy("query_id", "n_probe")
+      },
+      Some("""WITH c AS (SELECT vec_id::INT AS list_id, embedding AS cv
+             |  FROM embeddings WHERE vec_id < 16),
+             |a0 AS (SELECT e.vec_id, c.list_id,
+             |    round(sum((e.embedding[t.i]::DOUBLE - c.cv[t.i]::DOUBLE)
+             |            * (e.embedding[t.i]::DOUBLE - c.cv[t.i]::DOUBLE)), 4) + 0.0 AS d2
+             |  FROM embeddings e, c, generate_series(1, 64) t(i) GROUP BY 1, 2),
+             |asn AS (SELECT vec_id, list_id FROM (
+             |    SELECT vec_id, list_id,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+             |    FROM a0) WHERE rk = 1),
+             |q AS (SELECT vec_id AS query_id, embedding AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |ql0 AS (SELECT q.query_id, c.list_id,
+             |    round(sum((q.qv[t.i]::DOUBLE - c.cv[t.i]::DOUBLE)
+             |            * (q.qv[t.i]::DOUBLE - c.cv[t.i]::DOUBLE)), 4) + 0.0 AS qd2
+             |  FROM q, c, generate_series(1, 64) t(i) GROUP BY 1, 2),
+             |ql AS (SELECT query_id, list_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY qd2, list_id) AS crk
+             |  FROM ql0),
+             |sc AS (SELECT q.query_id, e.vec_id,
+             |    round(1.0 - sum(e.embedding[t.i]::DOUBLE * q.qv[t.i]::DOUBLE), 4) + 0.0 AS score
+             |  FROM embeddings e, q, generate_series(1, 64) t(i) GROUP BY 1, 2),
+             |gt AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) AS rk
+             |    FROM sc) WHERE rk <= 10),
+             |pr AS (SELECT unnest([1, 2, 4]) AS n_probe),
+             |cb AS (SELECT s.query_id, pr.n_probe, s.vec_id, s.score
+             |  FROM sc s JOIN asn ON asn.vec_id = s.vec_id
+             |  JOIN ql ON ql.query_id = s.query_id AND ql.list_id = asn.list_id
+             |  JOIN pr ON ql.crk <= pr.n_probe),
+             |cand AS (SELECT query_id, n_probe, vec_id FROM (
+             |    SELECT query_id, n_probe, vec_id,
+             |      row_number() OVER (PARTITION BY query_id, n_probe ORDER BY score, vec_id) AS rk
+             |    FROM cb) WHERE rk <= 10),
+             |np AS (SELECT query_id, n_probe, count(*) AS n_probed FROM cb GROUP BY 1, 2),
+             |hits AS (SELECT g.query_id, c2.n_probe, count(*) AS n_hits FROM gt g
+             |  JOIN cand c2 ON c2.query_id = g.query_id AND c2.vec_id = g.vec_id
+             |  GROUP BY 1, 2)
+             |SELECT q.query_id, pr.n_probe,
+             |  coalesce(np.n_probed, 0) AS n_probed,
+             |  coalesce(hits.n_hits, 0) AS n_hits,
+             |  round(coalesce(hits.n_hits, 0) / 10.0, 2) + 0.0 AS recall_at_10
+             |FROM q CROSS JOIN pr
+             |LEFT JOIN np ON np.query_id = q.query_id AND np.n_probe = pr.n_probe
+             |LEFT JOIN hits ON hits.query_id = q.query_id AND hits.n_probe = pr.n_probe
+             |ORDER BY q.query_id, pr.n_probe""".stripMargin)),
+
     Q("ann_lsh_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)
