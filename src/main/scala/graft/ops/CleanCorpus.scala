@@ -77,6 +77,17 @@ final case class CleanCorpusStages(
   * lifecycle contract ([[Dedup.spanDedupReleasable]]). */
 object CleanCorpus {
 
+  /** The funnel's quality-stage predicate, factored so the incremental
+    * pipeline ([[graft.store.CleanStateStore]]) applies EXACTLY the batch
+    * funnel's rules to a sync batch — one definition, zero drift. */
+  def qualityPredicate(textCol: String, cfg: CleanCorpusConfig): Column = {
+    val g = TextAnalysis.gopherRules(col(textCol))
+    g.getField("n_words").between(cfg.minWords, cfg.maxWords) &&
+      g.getField("symbol_ratio") < cfg.maxSymbolRatio &&
+      g.getField("bullet_ratio") <= cfg.maxBulletRatio &&
+      g.getField("ellipsis_ratio") <= cfg.maxEllipsisRatio
+  }
+
   /** handle-less [[cleanCorpusReleasable]] — run-one-query harnesses only;
     * long-lived sessions take the releasable form. */
   def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
@@ -98,12 +109,8 @@ object CleanCorpus {
     require(cfg.bands * cfg.rowsPerBand == cfg.nHashes,
       s"bands(${cfg.bands}) * rowsPerBand(${cfg.rowsPerBand}) must equal nHashes(${cfg.nHashes})")
     val inCols = df.columns.map(col).toSeq
-    val g = TextAnalysis.gopherRules(col(textCol))
     val quality = df
-      .filter(g.getField("n_words").between(cfg.minWords, cfg.maxWords) &&
-        g.getField("symbol_ratio") < cfg.maxSymbolRatio &&
-        g.getField("bullet_ratio") <= cfg.maxBulletRatio &&
-        g.getField("ellipsis_ratio") <= cfg.maxEllipsisRatio)
+      .filter(qualityPredicate(textCol, cfg))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val canon = quality
       .groupBy(TextAnalysis.fingerprint(col(textCol)).as("_fp"))

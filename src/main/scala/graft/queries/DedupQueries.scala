@@ -932,6 +932,42 @@ object DedupQueries {
               |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
+    // ----- the WHOLE cleaning funnel run incrementally — the d_delta_dedup
+    // pattern lifted from one stage to the full quality → exact → near-dup
+    // → decontamination pipeline (r16 VERDICT #2, the funnel's production
+    // deployment shape). The stored corpus (doc_id < 200000) is cleaned
+    // once into persisted CleanStateStore state (fingerprints, MinHash
+    // bands, survivor ids, benchmark shingles, survivor postings — built
+    // in the warm pass, staleness-gated like the other index stores); the
+    // "sync batch" (the +200000 near-dup docs) then cleans against that
+    // state only: every state table is scanned under a broadcast of a
+    // batch-derived side, zero state-scale shuffles. Includes the funnel's
+    // one non-monotone edge: batch docs that are HOLDOUT members extend
+    // the benchmark shingle set and REVOKE stored survivors they
+    // contaminate (live in this data: e.g. doc 305 survives the stored
+    // funnel, its +200000 mutation is a holdout member, so 305 is revoked).
+    // Output = the union corpus's final survivor ids — hash-matched
+    // against the BATCH funnel on the union (the same CleaningCtes as
+    // d_corpus_pipeline), so the increment is provably exact, not
+    // approximately right. -----
+    Q("d_delta_pipeline",
+      (s, d) => {
+        val full = dupCorpus(s, d)
+        val stored = full.filter(col("doc_id") < 200000)
+        val batch = full.filter(col("doc_id") >= 200000)
+        val hold = col("doc_id") % 97 === 0
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft-cleanstate-16-4-4-" +
+          d.replaceAll("[^a-zA-Z0-9._-]", "_")
+        val st = new graft.store.CleanStateStore(s, dir)
+        val nStored = graft.core.SourceStamp.memoLong(
+          s"$d/documents.parquet", "delta_pipeline_stored")(stored.count())
+        if (!st.exists || st.rawCount() != nStored) st.rebuild(stored, hold)
+        st.applyBatch(batch, full, hold).survivors.orderBy("doc_id")
+      },
+      Some(s"""WITH $CleaningCtes
+              |SELECT doc_id FROM kept4 ORDER BY doc_id""".stripMargin),
+      bench = true),
+
     // ----- transitive duplicate groups: LSH-verified pairs → connected
     // components → (doc, canonical representative, group size). Pairs alone
     // under-specify survivor choice on chains (A~B, B~C without A~C); the
