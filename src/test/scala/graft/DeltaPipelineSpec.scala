@@ -111,6 +111,37 @@ class DeltaPipelineSpec extends AnyFunSuite {
     assert(!ids(r.survivors).contains(1L))
   }
 
+  test("degenerate batches: empty, all-filtered, and all-holdout") {
+    val hold = col("doc_id").isin(5L, 260L)
+    val stored = df(Seq(
+      1L -> words("alpha"), 2L -> words("beta"), 5L -> words("bench")))
+    val st = new CleanStateStore(spark, tmpDir("delta-edge"))
+    st.rebuild(stored, hold)
+    val storedSurvivors = ids(st.survivors())
+
+    // empty batch: everything empty, survivors unchanged
+    val empty = df(Seq.empty)
+    val r0 = st.applyBatch(empty, stored, hold)
+    assert(ids(r0.finalNew).isEmpty && ids(r0.revoked).isEmpty)
+    assert(ids(r0.survivors) === storedSurvivors)
+    st.absorb(r0) // must not throw or corrupt state
+    assert(ids(st.survivors()) === storedSurvivors)
+
+    // all rows fail quality: same as empty past stage 2
+    val junk = df(Seq(210L -> "x", 211L -> "tiny"))
+    val r1 = st.applyBatch(junk, stored.union(junk), hold)
+    assert(ids(r1.quality).isEmpty && ids(r1.survivors) === storedSurvivors)
+
+    // all-holdout batch: nothing admitted, but its shingles can revoke
+    val holdBatch = df(Seq(260L -> (words("alpha", 10) + " " + words("nu", 20))))
+    val r2 = st.applyBatch(holdBatch, stored.union(holdBatch), hold)
+    assert(ids(r2.finalNew).isEmpty)
+    assert(ids(r2.revoked) === Set(1L))
+    assert(ids(r2.survivors) === storedSurvivors - 1L)
+    st.absorb(r2)
+    assert(ids(st.survivors()) === storedSurvivors - 1L)
+  }
+
   test("absorbed batches chain: two increments equal the three-way union funnel") {
     val hold = col("doc_id").isin(5L, 305L)
     val stored = df(Seq(
