@@ -2087,6 +2087,31 @@ class OpsSpec extends AnyFunSuite {
     intercept[Exception](over.collect()): Unit
   }
 
+  test("q1 overflow guard tolerates a legitimately all-null group (r16 ADVICE)") {
+    // sum() is null BOTH when a DECIMAL(18,2) partial overflows and when
+    // every input in the group is null; the guard keys on the per-column
+    // non-null COUNT so the second case returns a null sum instead of
+    // aborting with a misleading 'decimal overflow'. Run the REAL registry
+    // builder over a lineitem table with one normal and one all-null group.
+    val dir = java.nio.file.Files.createTempDirectory("q1null").toString
+    Seq(
+      ("A", "F", Some(10.0), Some(100.0), Some(0.1)),
+      ("A", "F", Some(20.0), Some(200.0), Some(0.0)),
+      ("N", "O", None: Option[Double], None: Option[Double], Some(0.0)))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.queries.Registry.byName("q1_pricing_summary")
+      .build(spark, dir).collect()
+    assert(out.length === 2)
+    val a = out.find(_.getString(0) == "A").get
+    assert(math.abs(a.getDouble(2) - 30.0) < 1e-9)   // sum_qty
+    assert(math.abs(a.getDouble(3) - 300.0) < 1e-9)  // sum_base_price
+    assert(math.abs(a.getDouble(4) - 290.0) < 1e-9)  // sum_disc_price
+    val n = out.find(_.getString(0) == "N").get
+    assert(n.isNullAt(2) && n.isNullAt(3), "all-null group must sum to null, not raise")
+    assert(n.getLong(5) === 1L) // count_order still counts the row
+  }
+
   test("cleanCorpus: null-text rows drop at the quality gate; an empty corpus flows through") {
     import graft.ops.CleanCorpus
     // public-op robustness (the spanDedup null-contract class): a null
