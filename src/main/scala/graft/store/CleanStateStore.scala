@@ -259,15 +259,15 @@ final class CleanStateStore(
       .select(col(idCol), explode(col("_shs")).as("_sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // batch docs contaminated by the STORED benchmark set (state scanned,
-    // batch shingles broadcast — same flip as fps) …
+    // batch shingles broadcast — same flip as fps) or by the batch's own
+    // new benchmark shingles: the two tiny shingle sets fuse into ONE
+    // broadcast semi-join (each extra sequential job here is a fixed
+    // ~0.2-0.4 s local scheduling floor on the benched path)
     val hitSh = storedHoldSh()
       .join(broadcast(bexpl.select("_sh").distinct()), Seq("_sh"), "left_semi")
-    val contamStored = bexpl.join(broadcast(hitSh), Seq("_sh"), "left_semi")
-      .select(idCol)
-    // … or by the batch's own new benchmark shingles
-    val contamNew = bexpl.join(broadcast(batchHoldSh), Seq("_sh"), "left_semi")
-      .select(idCol)
-    val contaminated = contamStored.union(contamNew).distinct()
+    val contaminated = bexpl
+      .join(broadcast(hitSh.union(batchHoldSh)), Seq("_sh"), "left_semi")
+      .select(idCol).distinct()
     val finalNew = nearNew.filter(!isHoldout)
       .join(contaminated, Seq(idCol), "left_anti")
       .select(idCol)
