@@ -142,6 +142,23 @@ class DeltaPipelineSpec extends AnyFunSuite {
     assert(ids(st.survivors()) === storedSurvivors - 1L)
   }
 
+  test("empty stored corpus: rebuild bootstraps, the first batch is the funnel") {
+    val hold = col("doc_id").isin(5L)
+    val st = new CleanStateStore(spark, tmpDir("delta-bootstrap"))
+    st.rebuild(df(Seq.empty), hold)
+    assert(st.exists && st.rawCount() === 0L)
+    assert(ids(st.survivors()).isEmpty)
+    val batch = df(Seq(
+      201L -> words("zeta"),
+      202L -> words("zeta"), // exact dup within the first batch
+      5L -> words("bench")))  // holdout member
+    val truth = funnel(batch, hold)
+    val r = st.applyBatch(batch, batch, hold)
+    assert(ids(r.survivors) === ids(truth.decontaminated))
+    st.absorb(r)
+    assert(ids(st.survivors()) === ids(truth.decontaminated))
+  }
+
   test("absorbed batches chain: two increments equal the three-way union funnel") {
     val hold = col("doc_id").isin(5L, 305L)
     val stored = df(Seq(
