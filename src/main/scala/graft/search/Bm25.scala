@@ -60,7 +60,14 @@ object Bm25 {
     val idc = idCols.map(col)
     val toks = docs.select(idc :+ explode(tokens).as("tok"): _*)
     val postings = toks.groupBy(idc :+ col("tok"): _*).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(idc: _*).agg(count(lit(1)).as("dl"))
+    // doc length = Σtf over the doc's postings — derived FROM postings
+    // instead of a second groupBy over the raw token stream, so the
+    // tokenize+explode of the corpus is evaluated once, not twice (the
+    // r16 ANN-rebuild lineage lesson on the FTS path). Identical values:
+    // both shapes drop zero-token docs through the same explode. When
+    // postings is persisted (store rebuild) dl reads the cache; in one
+    // ad-hoc plan the shared postings exchange is ReusedExchange-deduped.
+    val dl = postings.groupBy(idc: _*).agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     Index(postings, dl, stats)
   }
