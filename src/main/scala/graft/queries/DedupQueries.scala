@@ -968,6 +968,24 @@ object DedupQueries {
               |SELECT doc_id FROM kept4 ORDER BY doc_id""".stripMargin),
       bench = true),
 
+    // ----- the incremental funnel as a STREAM: the dup corpus replays as
+    // 4 ascending-id staged files (one per AvailableNow trigger); every
+    // micro-batch cleans against the persisted CleanStateStore and absorbs
+    // (the d_stream_delta_dedup cadence lifted to the whole funnel). The
+    // final survivor set must equal the batch funnel on the whole corpus —
+    // the SAME CleaningCtes oracle, third route onto it (batch funnel,
+    // delta, stream), so any drift among the three breaks a hash. Note the
+    // ascending replay makes first-wins monotone AND exercises cross-batch
+    // revocation: the +200000 slice's holdout docs retract survivors
+    // admitted two batches earlier. -----
+    Q("e_stream_pipeline",
+      (s, d) => graft.streaming.StreamingIngest
+        .cleanPipelineAvailableNow(s, dupCorpus(s, d),
+          isHoldout = col("doc_id") % 97 === 0, numFiles = 4)
+        .orderBy("doc_id"),
+      Some(s"""WITH $CleaningCtes
+              |SELECT doc_id FROM kept4 ORDER BY doc_id""".stripMargin)),
+
     // ----- transitive duplicate groups: LSH-verified pairs → connected
     // components → (doc, canonical representative, group size). Pairs alone
     // under-specify survivor choice on chains (A~B, B~C without A~C); the

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -1031,6 +1031,102 @@ object StreamingIngest {
                                    corpus: DataFrame, threshold: Double = 0.5,
                                    numFiles: Int = 4): DataFrame =
     incrementalDedupAvailableNowWithStats(spark, corpus, threshold, numFiles)._1
+
+  /** Streaming twin of the INCREMENTAL CLEANING FUNNEL — the
+    * d_stream_delta_dedup pattern lifted to the whole quality → exact →
+    * near-dup → decontamination pipeline: the corpus replays as
+    * event-time-ordered staged files (ascending doc_id slices, one per
+    * trigger — the id ordering is what makes first-wins monotone across
+    * micro-batches), each foreachBatch cleans the arriving batch against
+    * the persisted [[graft.store.CleanStateStore]] via
+    * `applyBatchReleasable` and folds it in via `absorb`, including the
+    * revocation edge (a later batch's holdout docs can retract earlier
+    * survivors). State bootstraps from an EMPTY rebuild, so batch 0 runs
+    * the same delta protocol as every other batch (spec-pinned: the first
+    * batch against empty state IS the batch funnel).
+    *
+    * The final survivor set equals the batch funnel on the whole corpus —
+    * the e_stream_pipeline oracle hash-checks exactly that (same
+    * CleaningCtes as d_corpus_pipeline/d_delta_pipeline).
+    *
+    * At-least-once discipline matches the dedup twin: absorb's appends are
+    * not idempotent, so each fully processed batchId leaves a marker and
+    * replays are skipped; the accumulated doc store (the candidate-verify
+    * lookup side) writes per-batch subdirectories in Overwrite mode.
+    * Survivors are moved to a per-name claimed result dir and returned as
+    * a lazy scan (never a driver collect). */
+  def cleanPipelineAvailableNow(spark: org.apache.spark.sql.SparkSession,
+                                corpus: DataFrame,
+                                isHoldout: Column,
+                                numFiles: Int = 4): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val stage = JFiles.createTempDirectory("graft_stream_pipe")
+    val src = stage.resolve("src")
+    JFiles.createDirectories(src)
+    val stateDir = stage.resolve("clean-state").toString
+    val docsDir = stage.resolve("docs").toString
+    try {
+      val ev = corpus.select(col("doc_id"), col("text"))
+      val Array(lo, hi) = ev.agg(min(col("doc_id")), max(col("doc_id")))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val n = math.max(1, numFiles)
+      val span = math.max(1L, (hi - lo) / n + 1)
+      (0 until n).foreach { i =>
+        val tmp = stage.resolve(s"slice_$i").toString
+        ev.filter(col("doc_id") >= lo + i * span && col("doc_id") < lo + (i + 1) * span)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val listing = JFiles.list(Paths.get(tmp))
+        val found = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        try {
+          val part = listing.iterator()
+          while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found += p }
+        } finally listing.close()
+        val dest = src.resolve(f"docs_$i%04d.parquet")
+        JFiles.move(found.head, dest, StandardCopyOption.REPLACE_EXISTING)
+        JFiles.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+      }
+      val st = new graft.store.CleanStateStore(spark, stateDir)
+      st.rebuild(ev.filter(lit(false)), isHoldout) // empty bootstrap
+      val markerDir = stage.resolve("processed")
+      JFiles.createDirectories(markerDir)
+      val raw = spark.readStream.schema(spark.read.parquet(src.toString).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+      val q = raw.writeStream
+        .foreachBatch { (batchDF: DataFrame, batchId: Long) =>
+          val marker = markerDir.resolve(f"batch-$batchId%08d")
+          val batch = batchDF.persist()
+          try {
+            val nRows = if (JFiles.exists(marker)) 0L else batch.count()
+            if (!JFiles.exists(marker) && nRows > 0) {
+              // the candidate-verify lookup side: this batch plus the
+              // accumulated doc store (point lookups at scale)
+              val full =
+                if (new java.io.File(docsDir).exists)
+                  batch.unionByName(
+                    spark.read.parquet(docsDir).select("doc_id", "text"))
+                else batch
+              val (r, release) = st.applyBatchReleasable(batch, full, isHoldout)
+              try st.absorb(r) finally release()
+              batch.write.mode("overwrite").parquet(s"$docsDir/batch=$batchId")
+              JFiles.createFile(marker): Unit
+              System.err.println(s"[stream-pipe] batch=$batchId rows=$nRows " +
+                s"survivors=${st.stageCounts()._5}")
+            }
+          } finally batch.unpersist(): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // hand the survivors back OUTSIDE the staging tree (deleted below)
+      val keep = claimResultDir("stream_pipeline")
+      st.survivors().write.mode("overwrite")
+        .parquet(keep.resolve("survivors").toString)
+      spark.read.parquet(keep.resolve("survivors").toString)
+        .select(col("doc_id").cast("long"))
+    } finally deleteRecursively(stage)
+  }
 
   /** run the streaming ingest over a directory of text files using
     * AvailableNow (incremental batch), writing chunk parquet + checkpoint */

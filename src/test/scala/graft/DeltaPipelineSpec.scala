@@ -159,6 +159,28 @@ class DeltaPipelineSpec extends AnyFunSuite {
     assert(ids(st.survivors()) === ids(truth.decontaminated))
   }
 
+  test("streaming replay equals the batch funnel (revocation across micro-batches)") {
+    // ids spread so the 4 ascending slices land: {1,2,5,8} | {201..203} |
+    // {301..305} | {401} — doc 305 (holdout) arrives two batches after
+    // stored survivor 8 and must retract it through the stream's absorb
+    val hold = col("doc_id").isin(5L, 305L)
+    val corpus = df(Seq(
+      1L -> words("alpha"), 2L -> words("beta"),
+      5L -> words("bench"), 8L -> words("epsilon"),
+      201L -> words("zeta"), 202L -> (words("beta") + " tail"),
+      203L -> words("beta"),
+      301L -> words("zeta"), 302L -> (words("zeta") + " end"),
+      303L -> words("kappa"),
+      305L -> (words("epsilon", 10) + " " + words("mu", 20)),
+      401L -> words("omega")))
+    val got = graft.streaming.StreamingIngest
+      .cleanPipelineAvailableNow(spark, corpus, hold, numFiles = 4)
+    val truth = funnel(corpus, hold)
+    assert(ids(got) === ids(truth.decontaminated))
+    assert(!ids(got).contains(8L), "late-arriving holdout must revoke doc 8")
+    assert(ids(got).contains(401L))
+  }
+
   test("absorbed batches chain: two increments equal the three-way union funnel") {
     val hold = col("doc_id").isin(5L, 305L)
     val stored = df(Seq(
