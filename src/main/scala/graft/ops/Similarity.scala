@@ -493,6 +493,36 @@ object Similarity {
         (round(col("approx_dist"), 4) + 0.0).as("approx_dist"))
   }
 
+  /** ADC distances of EVERY code row against a bounded query set in ONE
+    * map-side pass: per query, the m×k lookup table is computed driver-side
+    * (m·k·sub doubles — bounded by construction) and applied as a literal
+    * expression, so the whole approximate-distance sweep is scan +
+    * explode(nQueries) with zero shuffles. Each per-block term is q6 (a
+    * 1e-6 multiple), so the rounded sum is exact on both engines — the
+    * evaluation shape `v_recall_pq` replays in SQL. */
+  def pqAdcScores(idx: PqSeeded, idCol: String,
+                  queries: Seq[(Long, Array[Float])]): DataFrame = {
+    require(queries.nonEmpty, "need at least one query vector")
+    val sub = idx.dim / idx.m
+    val perQuery = queries.map { case (qid, qv) =>
+      require(qv.length == idx.dim, s"query dim ${qv.length} != index dim ${idx.dim}")
+      val table = Array.tabulate(idx.m) { b =>
+        idx.codebooks(b).map { c =>
+          var s = 0.0; var j = 0
+          while (j < sub) { val d = qv(b * sub + j) - c(j); s += d * d; j += 1 }
+          q6(s)
+        }
+      }
+      val raw = (0 until idx.m).map { b =>
+        element_at(typedLit(table(b).toSeq), col("pq_code").getItem(b) + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), round(raw, 6).as("ad"))
+    }
+    idx.codes
+      .select(col(idCol), explode(array(perQuery: _*)).as("q"))
+      .select(col("q.query_id"), col(idCol), col("q.ad"))
+  }
+
   /** LSH-blocked near-dup pairs: candidate pairs limited to equal SRP
     * buckets — the linear-ish scale path next to the exact quadratic pair
     * join (recall bounded by bucket collision probability; raise recall by

@@ -1809,6 +1809,138 @@ object DedupQueries {
              |LEFT JOIN hits ON hits.query_id = q.query_id AND hits.n_probe = pr.n_probe
              |ORDER BY q.query_id, pr.n_probe""".stripMargin)),
 
+    // ----- recall-as-data for the PQ route, completing the probes→recall
+    // family (v_recall_eval SRP / v_recall_multiprobe / v_recall_ivf): per-
+    // query recall@10 of the ADC-ranked candidate list with exact rerank at
+    // depth 10×{1,2,4}, against brute-force ground truth. Codebooks are the
+    // SAME seeded-Lloyd discipline as ann_pq_topk (q6-quantized, every ADC
+    // term a 1e-6 multiple ⇒ the rounded sum is exact on both engines), so
+    // the whole curve — candidates, rerank, recall — is hash-checked.
+    // Rerank depth is THE PQ deployment knob (ADC is lossy; the exact
+    // rerank buys recall back); this query turns it into data. The ADC
+    // sweep itself is one shuffle-free map pass (Similarity.pqAdcScores).
+    Q("v_recall_pq",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val idx = Similarity.buildPqSeeded(e, "vec_id", "embedding",
+          dim = 64, m = 8, k = 16)
+        val qvs = e.filter(col("vec_id") < 5).orderBy("vec_id")
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val adc = Similarity.pqAdcScores(idx, "vec_id", qvs)
+        val mults = s.range(3)
+          .select(expr("CAST(1 << id AS INT)").as("rerank_mult")) // 1, 2, 4
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id", "rerank_mult").orderBy(col("ad"), col("vec_id"))
+        val cand = adc.crossJoin(broadcast(mults))
+          .withColumn("rk", row_number().over(wA))
+          .filter(col("rk") <= col("rerank_mult") * 10)
+          .select("query_id", "rerank_mult", "vec_id")
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val pairs = e.crossJoin(broadcast(qs))
+          .withColumn("score", round(
+            graft.search.VectorSearch.dotDistance(col("embedding"), col("qv")), 4) + 0.0)
+          .select("query_id", "vec_id", "score")
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("score"), col("vec_id"))
+        val gt = pairs.withColumn("rk", row_number().over(wS))
+          .filter(col("rk") <= 10).select("query_id", "vec_id")
+        val wR = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id", "rerank_mult").orderBy(col("score"), col("vec_id"))
+        val rer = cand.join(pairs, Seq("query_id", "vec_id"))
+          .withColumn("rk", row_number().over(wR))
+          .filter(col("rk") <= 10).select("query_id", "rerank_mult", "vec_id")
+        val nC = cand.groupBy("query_id", "rerank_mult")
+          .agg(count(lit(1)).as("n_cand"))
+        val hits = gt.join(rer, Seq("query_id", "vec_id"))
+          .groupBy("query_id", "rerank_mult").agg(count(lit(1)).as("n_hits"))
+        qs.select("query_id").crossJoin(mults)
+          .join(nC, Seq("query_id", "rerank_mult"), "left_outer")
+          .join(hits, Seq("query_id", "rerank_mult"), "left_outer")
+          .select(col("query_id"), col("rerank_mult"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (round(coalesce(col("n_hits"), lit(0L)) / 10.0, 2) + 0.0).as("recall_at_10"))
+          .orderBy("query_id", "rerank_mult")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |blocks AS (SELECT unnest(range(0, 8)) AS b),
+             |ps AS (SELECT unnest(range(0, 8)) AS p),
+             |ev AS (SELECT vec_id, bl.b, ps.p,
+             |    CAST(embedding[bl.b * 8 + ps.p + 1] AS DOUBLE) AS v
+             |  FROM e, blocks bl, ps),
+             |seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             |    embedding AS c FROM e ORDER BY vec_id LIMIT 16),
+             |s0 AS (SELECT cid, bl.b, ps.p,
+             |    CAST(c[bl.b * 8 + ps.p + 1] AS DOUBLE) AS v
+             |  FROM seed, blocks bl, ps),
+             |d0 AS (SELECT ev.vec_id, ev.b, s0.cid,
+             |    round(sum((ev.v - s0.v) * (ev.v - s0.v)), 6) AS dist
+             |  FROM ev JOIN s0 ON ev.b = s0.b AND ev.p = s0.p
+             |  GROUP BY 1, 2, 3),
+             |a0 AS (SELECT vec_id, b, cid FROM (
+             |    SELECT vec_id, b, cid, row_number()
+             |      OVER (PARTITION BY vec_id, b ORDER BY dist, cid) AS rn
+             |    FROM d0) WHERE rn = 1),
+             |m1 AS (SELECT a0.b, a0.cid, ev.p, round(avg(ev.v), 6) AS v
+             |  FROM a0 JOIN ev ON ev.vec_id = a0.vec_id AND ev.b = a0.b
+             |  GROUP BY 1, 2, 3),
+             |c1 AS (SELECT s0.b, s0.cid, s0.p,
+             |    coalesce(m1.v, round(s0.v, 6)) AS v
+             |  FROM s0 LEFT JOIN m1
+             |    ON s0.b = m1.b AND s0.cid = m1.cid AND s0.p = m1.p),
+             |d1 AS (SELECT ev.vec_id, ev.b, c1.cid,
+             |    round(sum((ev.v - c1.v) * (ev.v - c1.v)), 6) AS dist
+             |  FROM ev JOIN c1 ON ev.b = c1.b AND ev.p = c1.p
+             |  GROUP BY 1, 2, 3),
+             |code AS (SELECT vec_id, b, cid FROM (
+             |    SELECT vec_id, b, cid, row_number()
+             |      OVER (PARTITION BY vec_id, b ORDER BY dist, cid) AS rn
+             |    FROM d1) WHERE rn = 1),
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 5),
+             |qev AS (SELECT qs.query_id, bl.b, ps.p,
+             |    CAST(qv[bl.b * 8 + ps.p + 1] AS DOUBLE) AS v
+             |  FROM qs, blocks bl, ps),
+             |qd AS (SELECT qev.query_id, c1.b, c1.cid,
+             |    round(sum((qev.v - c1.v) * (qev.v - c1.v)), 6) AS dist
+             |  FROM qev JOIN c1 ON qev.b = c1.b AND qev.p = c1.p
+             |  GROUP BY 1, 2, 3),
+             |adc AS (SELECT qd.query_id, code.vec_id, round(sum(qd.dist), 6) AS ad
+             |  FROM code JOIN qd ON qd.b = code.b AND qd.cid = code.cid
+             |  GROUP BY 1, 2),
+             |mult AS (SELECT unnest([1, 2, 4]) AS rerank_mult),
+             |cand AS (SELECT query_id, rerank_mult, vec_id FROM (
+             |    SELECT a.query_id, m.rerank_mult, a.vec_id,
+             |      row_number() OVER (PARTITION BY a.query_id, m.rerank_mult
+             |                         ORDER BY a.ad, a.vec_id) AS rk
+             |    FROM adc a CROSS JOIN mult m) WHERE rk <= 10 * rerank_mult),
+             |sc AS (SELECT qs.query_id, e2.vec_id,
+             |    round(1.0 - sum(e2.embedding[t.i]::DOUBLE * qs.qv[t.i]::DOUBLE), 4) + 0.0 AS score
+             |  FROM embeddings e2, qs, generate_series(1, 64) t(i) GROUP BY 1, 2),
+             |gt AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) AS rk
+             |    FROM sc) WHERE rk <= 10),
+             |rr AS (SELECT query_id, rerank_mult, vec_id FROM (
+             |    SELECT c2.query_id, c2.rerank_mult, c2.vec_id,
+             |      row_number() OVER (PARTITION BY c2.query_id, c2.rerank_mult
+             |                         ORDER BY s2.score, c2.vec_id) AS rk
+             |    FROM cand c2 JOIN sc s2
+             |      ON s2.query_id = c2.query_id AND s2.vec_id = c2.vec_id) WHERE rk <= 10),
+             |nc AS (SELECT query_id, rerank_mult, count(*) AS n_cand FROM cand GROUP BY 1, 2),
+             |hits AS (SELECT g.query_id, r2.rerank_mult, count(*) AS n_hits FROM gt g
+             |  JOIN rr r2 ON r2.query_id = g.query_id AND r2.vec_id = g.vec_id
+             |  GROUP BY 1, 2)
+             |SELECT q2.query_id, m2.rerank_mult,
+             |  coalesce(nc.n_cand, 0) AS n_cand,
+             |  coalesce(hits.n_hits, 0) AS n_hits,
+             |  round(coalesce(hits.n_hits, 0) / 10.0, 2) + 0.0 AS recall_at_10
+             |FROM qs q2 CROSS JOIN mult m2
+             |LEFT JOIN nc ON nc.query_id = q2.query_id AND nc.rerank_mult = m2.rerank_mult
+             |LEFT JOIN hits ON hits.query_id = q2.query_id AND hits.rerank_mult = m2.rerank_mult
+             |ORDER BY q2.query_id, m2.rerank_mult""".stripMargin)),
+
     Q("ann_lsh_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)

@@ -156,6 +156,100 @@ object RagQueries {
               |SELECT doc_id, round(bm25raw, 4) AS bm25 FROM bm
               |ORDER BY bm25raw DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // ----- retrieval quality as data for the FTS route: nDCG@10 of the
+    // BM25 ranking against a closed-form graded relevance (rel = capped
+    // query-term occurrence count, least(3, Σtf div 4); gain = 2^rel − 1 —
+    // BM25's tf saturation and length normalization do NOT perfectly track
+    // raw counts, so the metric discriminates) — the search-quality twin of
+    // the ANN probes→recall family (v_recall_eval/.../v_recall_pq), so
+    // ranking-quality evaluation is a hash-checked query, not an offline
+    // notebook. Discount weights 1/log2(r+1) are 9dp literals IDENTICAL on
+    // both engines (libm log2 never runs in the compared path); each DCG
+    // term is rounded to a 1e-6 multiple before the sum, so the rounded
+    // sums are exact; ranking is by 4dp-rounded BM25 with doc_id tiebreak
+    // (the q_bm25 discipline). Three graded query sets; IDCG over the
+    // corpus-wide ideal ordering (rel=0 docs contribute zero gain, so
+    // restricting both engines to matched docs loses nothing). -----
+    Q("q_ndcg_eval",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sets = Seq(0 -> Seq("spark", "join", "stream"),
+                       1 -> Seq("data", "query"),
+                       2 -> Seq("window", "agg"))
+        val disc = Seq(1.0, 0.630929754, 0.5, 0.430676558, 0.386852807,
+          0.356207187, 0.333333333, 0.315464877, 0.301029996, 0.289064826)
+        val scored = sets.map { case (qid, terms) =>
+          Bm25.score(docs, Seq("doc_id"), Bm25.wordTokens(col("text")), terms)
+            .select(lit(qid).as("query_id"), col("doc_id"),
+              round(col("bm25"), 4).as("bm4"))
+        }.reduce(_.unionByName(_))
+        val rels = sets.map { case (qid, terms) =>
+          val inList = terms.map(t => s"'$t'").mkString(", ")
+          docs.select(lit(qid).as("query_id"), col("doc_id"),
+            expr(s"""CAST(least(3, size(filter(regexp_extract_all(lower(text),
+                    |'[a-z0-9]+', 0), t -> t IN ($inList))) div 4) AS INT)""".stripMargin
+              .replace("\n", " ")).as("rel"))
+        }.reduce(_.unionByName(_))
+        def dcgOf(ranked: DataFrame, outCol: String): DataFrame = ranked
+          .withColumn("gain", (expr("shiftleft(CAST(1 AS BIGINT), rel)") - 1).cast("double"))
+          .withColumn("term", round(col("gain") * element_at(typedLit(disc), col("rnk")), 6))
+          .groupBy("query_id").agg(round(sum("term"), 6).as(outCol))
+        val wB = Window.partitionBy("query_id").orderBy(col("bm4").desc, col("doc_id"))
+        val dcg = dcgOf(scored
+          .withColumn("rnk", row_number().over(wB)).filter(col("rnk") <= 10)
+          .join(rels, Seq("query_id", "doc_id")), "dcg")
+        val wI = Window.partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
+        val idcg = dcgOf(rels
+          .withColumn("rnk", row_number().over(wI)).filter(col("rnk") <= 10), "idcg")
+        dcg.join(idcg, "query_id")
+          .select(col("query_id"), (col("dcg") + 0.0).as("dcg"),
+            (col("idcg") + 0.0).as("idcg"),
+            (round(col("dcg") / col("idcg"), 4) + 0.0).as("ndcg_at_10"))
+          .orderBy("query_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             |  FROM documents),
+             |qt(query_id, tok) AS (VALUES (0, 'spark'), (0, 'join'), (0, 'stream'),
+             |  (1, 'data'), (1, 'query'), (2, 'window'), (2, 'agg')),
+             |dw(rnk, w) AS (VALUES
+             |  (1, 1.0::DOUBLE), (2, 0.630929754::DOUBLE), (3, 0.5::DOUBLE),
+             |  (4, 0.430676558::DOUBLE), (5, 0.386852807::DOUBLE),
+             |  (6, 0.356207187::DOUBLE), (7, 0.333333333::DOUBLE),
+             |  (8, 0.315464877::DOUBLE), (9, 0.301029996::DOUBLE),
+             |  (10, 0.289064826::DOUBLE)),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+             |tf AS (SELECT qt.query_id, toks.doc_id, toks.tok, count(*) AS tf
+             |  FROM toks JOIN qt ON toks.tok = qt.tok GROUP BY 1, 2, 3),
+             |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+             |wt AS (SELECT tf.query_id, tf.doc_id,
+             |    ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             |    * (tf.tf * (1.2 + 1.0))
+             |    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (st.sum_dl * 1.0 / st.n_docs))) AS w
+             |  FROM tf, dfq, dl, st WHERE tf.tok = dfq.tok AND tf.doc_id = dl.doc_id),
+             |bm AS (SELECT query_id, doc_id, round(sum(w), 4) AS bm4 FROM wt GROUP BY 1, 2),
+             |rel AS (SELECT query_id, doc_id, least(3, sum(tf) // 4)::INT AS rel
+             |  FROM tf GROUP BY 1, 2),
+             |rnk AS (SELECT query_id, doc_id, rnk FROM (
+             |    SELECT query_id, doc_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY bm4 DESC, doc_id) AS rnk
+             |    FROM bm) WHERE rnk <= 10),
+             |dcg AS (SELECT r.query_id,
+             |    round(sum(round(((1::BIGINT << rel.rel) - 1) * dw.w, 6)), 6) AS dcg
+             |  FROM rnk r
+             |  JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+             |  JOIN dw ON dw.rnk = r.rnk GROUP BY 1),
+             |irk AS (SELECT query_id, rel,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rnk
+             |  FROM rel),
+             |idcg AS (SELECT query_id,
+             |    round(sum(round(((1::BIGINT << rel) - 1) * dw.w, 6)), 6) AS idcg
+             |  FROM irk JOIN dw ON dw.rnk = irk.rnk WHERE irk.rnk <= 10 GROUP BY 1)
+             |SELECT d2.query_id, d2.dcg + 0.0 AS dcg, i2.idcg + 0.0 AS idcg,
+             |  round(d2.dcg / i2.idcg, 4) + 0.0 AS ndcg_at_10
+             |FROM dcg d2 JOIN idcg i2 USING (query_id) ORDER BY d2.query_id""".stripMargin)),
+
     // ----- §3.1 end-to-end: ANN 2k candidates → BM25 boost → re-rank → k -----
     Q("q_hybrid",
       (s, d) => {
