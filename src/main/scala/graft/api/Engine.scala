@@ -102,8 +102,28 @@ final class Engine(
     // task array for very large batches (32k+ files/task only then).
     val slices = math.max(1, math.max(spark.sparkContext.defaultParallelism,
       math.min(paths.size / 128 + 1, 4096)))
+    // scheme-qualified reads need the SESSION's Hadoop conf on executors
+    // (s3a credentials etc. live in spark.hadoop.*, which a bare
+    // `new Configuration()` executor-side would never see); ship its
+    // effective entries only when a qualified URI is actually present so
+    // the local fast path stays closure-free, and rebuild once per
+    // PARTITION, not per file
+    val bconf =
+      if (paths.exists(_.contains(":/"))) {
+        import scala.jdk.CollectionConverters._
+        Some(spark.sparkContext.broadcast(
+          spark.sparkContext.hadoopConfiguration.iterator().asScala
+            .map(e => (e.getKey, e.getValue)).toArray))
+      } else None
     spark.sparkContext.parallelize(paths.sorted, slices)
-      .map(p => (p, Engine.readFileBytes(p)))
+      .mapPartitions { it =>
+        val conf = bconf.map { b =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          b.value.foreach { case (k, v) => c.set(k, v) }
+          c
+        }
+        it.map(p => (p, Engine.readFileBytes(p, conf)))
+      }
       .toDF("path", "content")
   }
 
@@ -874,12 +894,17 @@ object Engine {
     * local paths use java.nio (the engine's measured fast path — Hadoop's
     * LocalFileSystem adds checksum machinery per open); scheme-qualified
     * URIs open through Hadoop FileSystem so file://, hdfs://, s3a:// keep
-    * working (r16 ADVICE). Lives on the companion so the RDD closure
-    * captures nothing. */
-  private[api] def readFileBytes(p: String): Array[Byte] =
+    * working (r16 ADVICE), with the SESSION's Hadoop conf when the caller
+    * broadcast one (credentials and fs.* tuning ride spark.hadoop.*).
+    * Lives on the companion so the closure carries only the optional
+    * broadcast handle. */
+  private[api] def readFileBytes(
+      p: String,
+      conf: Option[org.apache.hadoop.conf.Configuration] = None): Array[Byte] =
     if (p.contains(":/")) {
       val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = path.getFileSystem(
+        conf.getOrElse(new org.apache.hadoop.conf.Configuration()))
       val len = fs.getFileStatus(path).getLen
       require(len <= Int.MaxValue, s"file too large for a byte array: $p ($len bytes)")
       val buf = new Array[Byte](len.toInt)
