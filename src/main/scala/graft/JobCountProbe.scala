@@ -1,0 +1,50 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.Registry
+
+/** Dev probe: DETERMINISTIC job counts for named queries — the evidence a
+  * job-count optimization (fewer driver barriers) is graded on, since walls
+  * on this VM carry up to ~1.6–2.5x single-run noise (PERF.md). Runs each
+  * query once warm (codegen, store builds), then counts scheduler jobs over
+  * one steady-state execution.
+  *   tools/run.sh graft.JobCountProbe <sfDir> <name> [name...]
+  */
+object JobCountProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.core.GraftSession.quietNoisyLoggers()
+    val jobs = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    })
+    for (name <- args.tail; q <- Registry.byName.get(name)) {
+      q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+      graft.core.GraftSession.releaseAllBlocks(spark)
+      Thread.sleep(500) // listener bus drain before the counted run
+      jobs.set(0)
+      val t0 = System.nanoTime()
+      q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.core.GraftSession.releaseAllBlocks(spark)
+      Thread.sleep(500)
+      println(f"$name jobs=${jobs.get()} wall=$sec%.2f s")
+    }
+    spark.stop()
+  }
+}

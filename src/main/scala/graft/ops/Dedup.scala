@@ -1059,8 +1059,9 @@ object Dedup {
     * (boilerplate-heavy crawl data) converges in ~8 rounds where plain
     * propagation needs 100 and hits the iteration cap. Per round this is
     * two equi-joins + one groupBy (edge join on dst, label self-join); the
-    * convergence check doubles as per-round materialization, so lineage
-    * never stacks beyond one iteration. This is the shortcutting half of
+    * per-round eager checkpoint materializes the new labels AND carries the
+    * convergence count as an observed metric in the same job, so lineage
+    * never stacks beyond one iteration and no round pays a second pass. This is the shortcutting half of
     * the large-star/small-star family (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14) without the edge-set
     * rewriting — the label table shrinks the same way, the (persisted)
@@ -1123,13 +1124,29 @@ object Dedup {
         // chain converges in O(log d) rounds instead of O(d), removing the
         // long-chain cliff (a 100-link boilerplate dup chain: ~8 rounds).
         // Same per-round shape: one extra equi-join on the label table.
-        val next = stepped
+        // The convergence count rides the checkpoint's own materialization
+        // job as an observed metric (CollectMetricsExec accumulates while
+        // the eager checkpoint computes the rows) — previously this was a
+        // SECOND job per round re-scanning the freshly checkpointed labels
+        // just to count changed rows: 2 jobs/round → 1, and at scale one
+        // full labels pass per round is gone. The metric is read
+        // SYNCHRONOUSLY off the executed plan's accumulators
+        // (queryExecution.observedMetrics), not via the Observation helper,
+        // whose value arrives on the async listener bus — measured slower
+        // than the count job it replaces when the bus lags a heavy round.
+        // coalesce: sum over an EMPTY label table is null (edges with zero
+        // distinct ids), which must read as converged, not crash.
+        val observed = stepped
           .join(labels.select(col("id").as("comp"), col("comp").as("hop")),
             Seq("comp"), "left")
           .select(col("id"), col("old_comp"),
             least(col("comp"), coalesce(col("hop"), col("comp"))).as("comp"))
-          .localCheckpoint(true)
-        changed = next.filter(col("comp") =!= col("old_comp")).count()
+          .observe("cc_changed", coalesce(
+            sum(when(col("comp") =!= col("old_comp"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
+        val next = observed.localCheckpoint(true)
+        changed = observed.queryExecution.observedMetrics("cc_changed")
+          .getAs[Long]("changed")
         // `next` is eagerly materialized into its own blocks, so the
         // previous round's checkpoint is now dead weight — release it.
         checkpointRdd(labels).foreach(_.unpersist(blocking = true))

@@ -1655,6 +1655,16 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: empty edge set converges to empty labels") {
+    // r17: the convergence count is an observed metric on the checkpoint
+    // job (sum over an empty label table is NULL — the coalesce must read
+    // it as converged, and the loop must terminate without a count job)
+    val labels = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    try assert(labels.count() === 0L)
+    finally labels.unpersist()
+  }
+
   test("connectedComponents: chains close transitively, min id is the rep") {
     // two components: a chain 1-2-3-4 (no direct 1-4 pair) and a pair 10-11
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
