@@ -29,9 +29,26 @@ object JobCountProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.GraftSession.quietNoisyLoggers()
     val jobs = new AtomicInteger(0)
+    // SPARK_GRAFT_JOBPROBE_DETAIL=1: per-job lines (start-relative ms,
+    // duration, call site) so a 60-job protocol can be attributed to its
+    // code sites, not just counted
+    val detail = sys.env.get("SPARK_GRAFT_JOBPROBE_DETAIL").contains("1")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet(): Unit
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (detail) {
+          // the result stage's name carries the action's call site
+          // (e.g. "count at Dedup.scala:633") — callSite.short is not
+          // populated in the job properties on this deployment
+          val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          starts.put(j.jobId, (j.time, site)): Unit
+        }
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (detail) Option(starts.get(e.jobId)).foreach { case (t0, site) =>
+          println(f"  job=${e.jobId}%4d ${e.time - t0}%6d ms  $site")
+        }
     })
     for (name <- args.tail; q <- Registry.byName.get(name)) {
       q.build(spark, sfDir).write.format("noop").mode("overwrite").save()

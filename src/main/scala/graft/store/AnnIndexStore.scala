@@ -194,7 +194,10 @@ final class AnnIndexStore(
     }
     val lists = cents.zipWithIndex
       .sortBy { case (c, i) => (dist2(c), i) }.take(nProbe).map(_._2)
-    val stored = spark.read.parquet(assignmentsPath)
+    // read only the probed lists' directories (prunedPartitionRead):
+    // listing cost follows nProbe, never the index size; the isin stays
+    // as the (now trivially-true) partition filter PlanSpec pins
+    val stored = prunedPartitionRead(assignmentsPath, "list_id", lists)
       .filter(col("list_id").isin(lists.map(Integer.valueOf).toSeq: _*))
     val scoped = where.map(stored.filter).getOrElse(stored)
     scoped

@@ -43,6 +43,34 @@ private[store] trait BucketedIndexStore {
 
   protected final def bucketCol: Column = pmod(bucketKey, lit(numBuckets.toLong))
 
+  /** Read ONLY the named partition values' directories of a partitioned
+    * assignments table — the probe-side read (r17). A bare
+    * `spark.read.parquet(tablePath)` discovers EVERY partition directory
+    * before the `isin` filter can prune: with 256 abucket dirs that is a
+    * parallel-listing Spark job plus schema-inference footer reads on every
+    * probe call (~0.5–0.7 s at sf0.1, measured via JobCountProbe on
+    * q_hybrid_ann), and at production index sizes a full directory listing
+    * per point query — the same listing-storm class the r16 ingest fix
+    * killed. Resolving the probed values to their directories driver-side
+    * (one cheap globStatus per value) and handing Spark exactly those paths
+    * makes the probe listing O(probed buckets), never O(index). `basePath`
+    * keeps the partition columns in the schema, so callers' `isin` filter
+    * still applies (and still shows as PartitionFilters — the plan shape
+    * PlanSpec pins). Falls back to the full read when no probed directory
+    * exists (empty probe result — the filter then returns no rows). */
+  protected final def prunedPartitionRead(
+      tablePath: String, partCol: String, values: Seq[Any]): DataFrame = {
+    val pats = values.distinct.map { v =>
+      if (bucketed) new HPath(s"$tablePath/pbucket=*/$partCol=$v")
+      else new HPath(s"$tablePath/$partCol=$v")
+    }
+    val dirs = pats
+      .flatMap(p => Option(fs.globStatus(p)).toSeq.flatten)
+      .map(_.getPath.toString)
+    if (dirs.isEmpty) spark.read.parquet(tablePath)
+    else spark.read.option("basePath", tablePath).parquet(dirs: _*)
+  }
+
   /** write the (pbucket, n_rows) stats table — call LAST in a rebuild;
     * `df` must already carry `pbucket` when the store is bucketed */
   protected final def writeStats(df: DataFrame): Unit = {

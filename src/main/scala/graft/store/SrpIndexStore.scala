@@ -112,7 +112,10 @@ final class SrpIndexStore(
           yield qb ^ (1L << p) ^ (1L << q))
       case r => throw new IllegalArgumentException(s"hammingRadius $r not in 0..2")
     }
-    val stored = spark.read.parquet(assignmentsPath)
+    // read only the probed buckets' directories (prunedPartitionRead):
+    // listing cost follows the probe, never the index size; the isin stays
+    // as the (now trivially-true) partition filter PlanSpec pins
+    val stored = prunedPartitionRead(assignmentsPath, "abucket", buckets)
       .filter(col("abucket").isin(buckets.map(java.lang.Long.valueOf): _*))
     val scoped = where.map(stored.filter).getOrElse(stored)
     scoped
