@@ -316,47 +316,91 @@ final class CleanStateStore(
     * have grown (absorb snapshots what it writes, callers get no such
     * protection) — read post-absorb truth from [[survivors]]/[[stageCounts]]. */
   def absorb(result: DeltaCleanResult): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val (raw0, q0, e0, n0, f0) = stageCounts()
-    val rawN = result.batchSource.count()
-    val qN = result.quality.count()
-    val nN = result.nearNew.count()
-    // SNAPSHOT every frame that gets written (or re-read) after the first
-    // state mutation: the delta frames' plans READ the state tables they
-    // are about to update, and Spark's write path recaches-by-path — the
-    // first append would re-evaluate the remaining frames against the
-    // MUTATED state (observed: the fps append made finalNew re-resolve to
-    // empty, so kept4 absorbed nothing). Eager localCheckpoint pins each
-    // frame's pre-mutation value and severs the path dependence.
-    val exactSnap = result.exactNew.select(col(idCol), col(textCol))
-      .localCheckpoint(true)
-    val fpsSnap = result.newFps.localCheckpoint(true)
-    val k4Snap = result.finalNew.localCheckpoint(true)
-    val revSnap = result.revoked.localCheckpoint(true)
-    val holdSnap = result.batchHoldSh.localCheckpoint(true)
-    val postSnap = result.finalPostings.localCheckpoint(true)
+    // absorb was ~20 driver-SEQUENTIAL small jobs (r17 attribution:
+    // snapshots, counts, appends at the local ~0.2–0.4 s/job floor —
+    // 4 absorbs put e_stream_pipeline at ~46 s at sf0.01). The protocol
+    // has exactly three true barriers, so it now runs as three phases
+    // (guide §2.6 / the BPE concurrent-checkpoint pattern): every job
+    // inside a phase is independent and submitted concurrently, each
+    // phase pays its MAX job, not the sum.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    def await[T](fs: Seq[Future[T]]): Seq[T] =
+      fs.map(f => Await.result(f, Duration.Inf))
+    // --- phase 1: SNAPSHOT every frame that gets written (or re-read)
+    // after the first state mutation: the delta frames' plans READ the
+    // state tables they are about to update, and Spark's write path
+    // recaches-by-path — the first append would re-evaluate the remaining
+    // frames against the MUTATED state (observed: the fps append made
+    // finalNew re-resolve to empty, so kept4 absorbed nothing). Eager
+    // localCheckpoint pins each frame's pre-mutation value and severs the
+    // path dependence; ALL snapshots (and the three batch-frame counts)
+    // complete before phase 2 mutates anything, so the pre-mutation
+    // barrier is intact. Counts the stats row needs from snapshotted
+    // frames ride the checkpoint job as observed metrics (the
+    // connectedComponents discipline) instead of re-count jobs.
+    def snap(df: DataFrame, name: String): (DataFrame, Long) = {
+      val observed = df.observe(s"absorb_$name", count(lit(1)).as("n"))
+      val cp = observed.localCheckpoint(true)
+      (cp, observed.queryExecution.observedMetrics(s"absorb_$name").getAs[Long]("n"))
+    }
+    val (exactSnap, fpsSnap, k4Snap, revSnap, holdSnap, postSnap, counts) =
+      try {
+        val fExact = Future(snap(result.exactNew.select(col(idCol), col(textCol)), "exact"))
+        val fFps = Future(result.newFps.localCheckpoint(true))
+        val fK4 = Future(snap(result.finalNew, "k4"))
+        val fRev = Future(snap(result.revoked, "rev"))
+        val fHold = Future(result.batchHoldSh.localCheckpoint(true))
+        val fPost = Future(result.finalPostings.localCheckpoint(true))
+        val fRaw = Future(result.batchSource.count())
+        val fQ = Future(result.quality.count())
+        val fN = Future(result.nearNew.count())
+        val (eSnap, eN) = Await.result(fExact, Duration.Inf)
+        val (kSnap, fN4) = Await.result(fK4, Duration.Inf)
+        val (rSnap, rN) = Await.result(fRev, Duration.Inf)
+        (eSnap, Await.result(fFps, Duration.Inf), kSnap, rSnap,
+          Await.result(fHold, Duration.Inf), Await.result(fPost, Duration.Inf),
+          (Await.result(fRaw, Duration.Inf), Await.result(fQ, Duration.Inf),
+            Await.result(fN, Duration.Inf), eN, fN4, rN))
+      } catch { case t: Throwable => pool.shutdown(); throw t }
+    val (rawN, qN, nN, eN, fN, rN) = counts
     try {
-      val eN = exactSnap.count()
-      val fN = k4Snap.count()
-      val rN = revSnap.count()
-      mh.appendBatch(exactSnap, textCol): Unit
-      fpsSnap.write.mode(SaveMode.Append).parquet(fpsPath)
-      k4Snap.write.mode(SaveMode.Append).parquet(kept4Path)
-      if (rN > 0L)
-        revSnap.write.mode(SaveMode.Append).parquet(revokedPath)
-      // keep holdsh a SET: append only the genuinely new shingles (overlap
-      // computed with the same scan+broadcast flip as the probes)
-      val overlap = storedHoldSh()
-        .join(broadcast(holdSnap), Seq("_sh"), "left_semi")
-      holdSnap.join(broadcast(overlap), Seq("_sh"), "left_anti")
-        .write.mode(SaveMode.Append).parquet(holdshPath)
-      postSnap.write.mode(SaveMode.Append).parquet(post4Path)
+      // --- phase 2: the state appends — each targets its own directory
+      // and reads only snapshotted frames (holdsh additionally reads its
+      // own pre-append state, which nothing else touches), so all six are
+      // independent and run concurrently
+      await(Seq(
+        Future { mh.appendBatch(exactSnap, textCol): Unit },
+        Future { fpsSnap.write.mode(SaveMode.Append).parquet(fpsPath) },
+        Future { k4Snap.write.mode(SaveMode.Append).parquet(kept4Path) },
+        Future {
+          if (rN > 0L)
+            revSnap.write.mode(SaveMode.Append).parquet(revokedPath)
+        },
+        Future {
+          // keep holdsh a SET: append only the genuinely new shingles
+          // (overlap computed with the same scan+broadcast flip as the
+          // probes)
+          val overlap = storedHoldSh()
+            .join(broadcast(holdSnap), Seq("_sh"), "left_semi")
+          holdSnap.join(broadcast(overlap), Seq("_sh"), "left_anti")
+            .write.mode(SaveMode.Append).parquet(holdshPath)
+        },
+        Future { postSnap.write.mode(SaveMode.Append).parquet(post4Path) }))
+      // --- phase 3: stats LAST (the exists/staleness discipline — a
+      // reader must never observe new stats over half-appended state)
       writeStats(raw0 + rawN, q0 + qN, e0 + eN, n0 + nN, f0 - rN + fN)
       // the session's shared file-status cache may still hold PRE-append
       // listings for these paths (all were read during applyBatch); a
       // post-absorb reader would silently miss the appended files
       spark.catalog.refreshByPath(path)
-    } finally
+    } finally {
+      pool.shutdown()
       Seq(exactSnap, fpsSnap, k4Snap, revSnap, holdSnap, postSnap)
         .foreach(_.unpersist(blocking = true))
+    }
   }
 }
