@@ -48,6 +48,22 @@ object IngestProfile {
     lap("warm")
     lap("run1")
     lap("run2")
+    // the REAL per-doc path (split+embed+group+reembed+assembleRows with
+    // title/sha256/id assembly) — the delta over the phases above is the
+    // assembly+hash share
+    def full(label: String): Unit = {
+      val t0 = System.nanoTime()
+      var rows = 0L
+      texts.zipWithIndex.foreach { case (t, i) =>
+        rows += graft.ingest.Ingest.chunkAndCaption(
+          graft.ingest.Ingest.Doc(s"/corpus/x/$i.md", t, None, None),
+          Seq.empty, embedder, "2026-01-01T00:00:00Z").length
+      }
+      println(f"$label: full chunkAndCaption ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows")
+    }
+    full("fullwarm")
+    full("full1")
+    full("full2")
     spark.stop()
   }
 }
