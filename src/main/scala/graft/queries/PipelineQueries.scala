@@ -800,6 +800,14 @@ object PipelineQueries {
         .select(col("id"), col("filePath"), col("chunkIndex"),
           length(col("text")).as("text_len"), size(col("vector")).as("dim"),
           col("fileTitle"), col("contentHash"), col("timestamp"))
+        // persist the slim projection BEFORE the contractual sort: the
+        // global orderBy's range-sampling pass otherwise iterates every
+        // row of the child, re-running the whole chunk+embed pipeline a
+        // second time per query (r17 attribution). Values unchanged —
+        // same rows, same order. HARNESS-SCOPE release contract as
+        // rag_e2e_search's persist (Verify/Bench run releaseAllBlocks
+        // after each query).
+        .persist()
         .orderBy("filePath", "chunkIndex"),
       None,
       bench = true),
