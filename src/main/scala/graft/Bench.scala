@@ -70,9 +70,14 @@ object Bench {
     // queries idle to tell noise from regression. With steal_pct next to every
     // wall the artifact adjudicates itself: high wall + high steal = host
     // noise, high wall + ~0 steal = look at the code. Zero extra Spark jobs.
+    // iowait% rides next to steal% since r18: the r17 driver artifact had
+    // t_pack_sequences at 7.7x its floor with steal≈0 on every pass — a
+    // noise class (co-tenant disk I/O) the steal column cannot see. With
+    // both shares in the artifact a slow wall adjudicates itself: high
+    // steal OR high iowait = host noise, both ~0 = look at the code.
     val results = headline.map { q =>
       val timed = (1 to passes).map { _ =>
-        val steal0 = graft.core.StealSampler.snapshot()
+        val s0 = graft.core.StealSampler.snapshotIo()
         val t0 = System.nanoTime()
         // a failed query reports -1, not its time-to-crash, and is excluded
         // from the total — a fast failure must not look like a fast query
@@ -80,11 +85,12 @@ object Bench {
           try { q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
                 (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 }
-        val steal = graft.core.StealSampler.pct(steal0, graft.core.StealSampler.snapshot())
+        val (steal, iowait) =
+          graft.core.StealSampler.pctIo(s0, graft.core.StealSampler.snapshotIo())
         graft.core.GraftSession.releaseAllBlocks(spark)
-        (elapsed, steal)
+        (elapsed, steal, iowait)
       }
-      (q.name, timed.map(_._1), timed.map(_._2))
+      (q.name, timed.map(_._1), timed.map(_._2), timed.map(_._3))
     }
     def median(ts: Seq[Double]): Double = {
       val ok = ts.filter(_ >= 0).sorted
@@ -96,21 +102,27 @@ object Bench {
     // comma-decimal locales — invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, ts, _) => "\"" + k + "\":" + fmt(median(ts)) }
+    val qs = results.map { case (k, ts, _, _) => "\"" + k + "\":" + fmt(median(ts)) }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, ts, _) =>
+    val raw = results.map { case (k, ts, _, _) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val stealRaw = results.map { case (k, _, ss) =>
+    val stealRaw = results.map { case (k, _, ss, _) =>
       "\"" + k + "\":" + ss.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map { case (_, ts, _) => median(ts) }.filter(_ >= 0).sum
+    val iowaitRaw = results.map { case (k, _, _, ws) =>
+      "\"" + k + "\":" + ws.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, ts, _, _) => median(ts) }.filter(_ >= 0).sum
     // run-level steal summary for the compact line: max and median across all
     // per-pass samples, so a truncated-tail consumer can still tell a clean
     // run (steal_max ~0) from a contaminated one without the passes line
     val allSteals = results.flatMap(_._3).filter(_ >= 0)
     val stealMax = if (allSteals.isEmpty) -1.0 else allSteals.max
     val stealMed = median(allSteals)
+    val allIo = results.flatMap(_._4).filter(_ >= 0)
+    val ioMax = if (allIo.isEmpty) -1.0 else allIo.max
+    val ioMed = median(allIo)
     // Two lines, raw passes FIRST and the parsed medians LAST: the round
     // artifact keeps only a bounded tail of this process's stdout, and a
     // single line carrying medians + all raw passes overflows it — the
@@ -119,18 +131,21 @@ object Bench {
     // compact line (~30 bytes/query) fits the tail whole, so the artifact
     // is machine-readable again; the full per-pass arrays stay one line up
     // for outlier-vs-uniform-slowdown diagnosis (and in PERF.md).
-    println(s"""{"metric":"passes","passes":$raw,"steal_pct":$stealRaw,"sf":"$sfDir"}""")
+    val passesLine =
+      s"""{"metric":"passes","passes":$raw,"steal_pct":$stealRaw,""" +
+        s""""iowait_pct":$iowaitRaw,"sf":"$sfDir"}"""
+    println(passesLine)
     val totalLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""steal_pct_max":${fmt(stealMax)},"steal_pct_median":${fmt(stealMed)},"sf":"$sfDir"}"""
+        s""""steal_pct_max":${fmt(stealMax)},"steal_pct_median":${fmt(stealMed)},""" +
+        s""""iowait_pct_max":${fmt(ioMax)},"iowait_pct_median":${fmt(ioMed)},"sf":"$sfDir"}"""
     println(totalLine)
     // belt-and-braces for stdout-tail consumers: the medians + raw passes
     // also land in a file (cwd = repo root under both sbt and tools/run.sh),
     // so the artifact stays machine-readable even if a harness captures
     // only a bounded tail of this process's output
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_medians.json"),
-      (totalLine + "\n" +
-        s"""{"metric":"passes","passes":$raw,"steal_pct":$stealRaw,"sf":"$sfDir"}""" + "\n")
+      (totalLine + "\n" + passesLine + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()

@@ -34,6 +34,7 @@ object JobCountProbe {
     // code sites, not just counted
     val detail = sys.env.get("SPARK_GRAFT_JOBPROBE_DETAIL").contains("1")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val epoch = new java.util.concurrent.atomic.AtomicLong(-1L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
@@ -42,12 +43,16 @@ object JobCountProbe {
           // (e.g. "count at Dedup.scala:633") — callSite.short is not
           // populated in the job properties on this deployment
           val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          epoch.compareAndSet(-1L, j.time)
           starts.put(j.jobId, (j.time, site)): Unit
         }
       }
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         if (detail) Option(starts.get(e.jobId)).foreach { case (t0, site) =>
-          println(f"  job=${e.jobId}%4d ${e.time - t0}%6d ms  $site")
+          // start-relative timestamp + duration: overlapping jobs are
+          // visible as [start, start+dur] interval overlap, so a
+          // concurrency change (guide §2.6) is checkable from the log
+          println(f"  job=${e.jobId}%4d t0=${t0 - epoch.get()}%6d ms dur=${e.time - t0}%6d ms  $site")
         }
     })
     for (name <- args.tail; q <- Registry.byName.get(name)) {

@@ -70,39 +70,43 @@ object ScaleStress {
     val collector = new TaskMetricsCollector
     spark.sparkContext.addSparkListener(collector)
 
-    def timed(name: String, dir: String): (Double, Long, Long, Long, Long, Double) = {
+    def timed(name: String, dir: String): (Double, Long, Long, Long, Long, Double, Double) = {
       val q = Registry.byName(name)
       // untimed warm pass: codegen compile + scan setup out of the number
       q.build(spark, dir).write.format("noop").mode("overwrite").save()
       graft.core.GraftSession.releaseAllBlocks(spark)
       collector.reset()
-      val s0 = graft.core.StealSampler.snapshot()
+      val s0 = graft.core.StealSampler.snapshotIo()
       val t0 = System.nanoTime()
       q.build(spark, dir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      // concurrent host-steal over the timed window (the PERF.md ritual:
-      // no scale wall without its steal sample)
-      val steal = graft.core.StealSampler.pct(s0, graft.core.StealSampler.snapshot())
+      // concurrent host-steal + iowait over the timed window (the PERF.md
+      // ritual: no scale wall without its noise samples — iowait catches
+      // the co-tenant disk contention steal is blind to, r17 VERDICT #2)
+      val (steal, iowait) =
+        graft.core.StealSampler.pctIo(s0, graft.core.StealSampler.snapshotIo())
       graft.core.GraftSession.releaseAllBlocks(spark)
       // listener bus is async (and its drain API is private[spark]) — give
       // queued task-end events a beat to land before reading the counters
       Thread.sleep(500)
       (sec, collector.maxTaskSpill, collector.totalSpill,
-        collector.shuffleWrite, collector.tasks, steal)
+        collector.shuffleWrite, collector.tasks, steal, iowait)
     }
 
     val rows = headline.map { name =>
-      val (t1, _, _, sw1, _, steal1) = timed(name, baseDir)
-      val (tN, maxSpill, totSpill, swN, tasks, stealN) = timed(name, bigDir)
+      val (t1, _, _, sw1, _, steal1, io1) = timed(name, baseDir)
+      val (tN, maxSpill, totSpill, swN, tasks, stealN, ioN) = timed(name, bigDir)
       val entry =
         f"""  "$name": {"t_1x_sec": $t1%.3f, "t_${factor}x_sec": $tN%.3f, """ +
         f""""ratio": ${tN / t1}%.2f, "shuffle_write_1x": $sw1, """ +
         f""""shuffle_write_${factor}x": $swN, "max_task_spill": $maxSpill, """ +
         f""""total_spill": $totSpill, "tasks_${factor}x": $tasks, """ +
-        f""""steal_pct_1x": $steal1%.2f, "steal_pct_${factor}x": $stealN%.2f}"""
+        f""""steal_pct_1x": $steal1%.2f, "steal_pct_${factor}x": $stealN%.2f, """ +
+        f""""iowait_pct_1x": $io1%.2f, "iowait_pct_${factor}x": $ioN%.2f}"""
       System.err.println(f"[stress] $name%-18s 1x=$t1%6.2fs ${factor}x=$tN%6.2fs " +
         f"ratio=${tN / t1}%5.2f shufW ${sw1 / 1e6}%8.1fMB -> ${swN / 1e6}%8.1fMB " +
-        f"maxTaskSpill=${maxSpill / 1e6}%6.1fMB steal=$steal1%.1f%%/$stealN%.1f%%")
+        f"maxTaskSpill=${maxSpill / 1e6}%6.1fMB steal=$steal1%.1f%%/$stealN%.1f%% " +
+        f"iowait=$io1%.1f%%/$ioN%.1f%%")
       entry
     }
     println(rows.mkString(s"""{"factor": $factor, "base": "$baseDir",\n""", ",\n", "\n}"))

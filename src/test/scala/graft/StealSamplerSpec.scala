@@ -34,6 +34,31 @@ class StealSamplerSpec extends AnyFunSuite {
     assert(steal <= total)
   }
 
+  test("pctIo computes both steal and iowait shares of elapsed jiffies") {
+    val before = Some((100L, 50L, 1000L))
+    val after = Some((140L, 60L, 1200L)) // 40 steal + 10 iowait of 200 elapsed
+    val (steal, iowait) = StealSampler.pctIo(before, after)
+    assert(math.abs(steal - 20.0) < 1e-9)
+    assert(math.abs(iowait - 5.0) < 1e-9)
+    // failure modes mirror pct: missing snapshot / zero-width window → (-1, -1)
+    assert(StealSampler.pctIo(None, after) == ((-1.0, -1.0)))
+    assert(StealSampler.pctIo(before, None) == ((-1.0, -1.0)))
+    assert(StealSampler.pctIo(Some((5L, 5L, 100L)), Some((5L, 5L, 100L))) == ((-1.0, -1.0)))
+  }
+
+  test("snapshotIo reads a live (steal, iowait, total) triple on this host") {
+    val s = StealSampler.snapshotIo()
+    assert(s.isDefined, "/proc/stat should be readable here")
+    val (steal, iowait, total) = s.get
+    assert(steal >= 0L && iowait >= 0L)
+    assert(total > 0L)
+    assert(steal + iowait <= total)
+    // the legacy pair view must agree with the triple
+    val p = StealSampler.snapshot()
+    assert(p.isDefined)
+    assert(p.get._1 >= steal) // monotone counters, read later
+  }
+
   test("measure wraps a body and returns a bounded pct") {
     val (result, pct) = StealSampler.measure {
       // burn a few ms so the window usually spans at least one tick; the
