@@ -72,11 +72,12 @@ object SourceStamp {
     }
 
     /** dead dirs first, then oldest-used down to the cap; synchronized so
-      * concurrent over-cap puts don't stampede the filesystem checks */
+      * concurrent over-cap puts don't stampede the filesystem checks.
+      * "dead" = neither a dir nor a regular file (file paths sign too). */
     private def evict(): Unit = synchronized {
       import scala.jdk.CollectionConverters._
       m.entrySet().asScala.toSeq
-        .filter(e => !java.nio.file.Files.isDirectory(
+        .filter(e => !java.nio.file.Files.exists(
           java.nio.file.Paths.get(e.getValue.dir)))
         .foreach(e => m.remove(e.getKey))
       val over = m.size - MaxEntries
@@ -88,12 +89,21 @@ object SourceStamp {
 
   private val memo = new BoundedMemo
 
-  /** filesystem signature of `dir`; None when the dir is absent or not
-    * walkable locally (never memoize those — compute every time) */
+  /** filesystem signature of `dir`; None when the path is absent or not
+    * walkable locally (never memoize those — compute every time). A
+    * REGULAR FILE also signs (the driver's sf tables are single parquet
+    * files, not dirs — r18: without this the schema/count memos on source
+    * tables never engaged): its signature is the (size, mtime) pair, the
+    * same freshness contract as one walked dir entry. */
   def signature(dir: String): Option[String] = {
     val root =
       try java.nio.file.Paths.get(dir)
       catch { case _: Exception => return None }
+    if (java.nio.file.Files.isRegularFile(root))
+      return try {
+        Some("f:" + java.nio.file.Files.size(root) + ":" +
+          java.nio.file.Files.getLastModifiedTime(root).toMillis)
+      } catch { case _: Exception => None }
     if (!java.nio.file.Files.isDirectory(root)) return None
     val md = java.security.MessageDigest.getInstance("MD5")
     try {

@@ -85,8 +85,10 @@ final class AnnIndexStore(
     * the staleness signal [[appendBatch]]'s rebuild trigger reads */
   def appendedSinceRebuild(): Long =
     if (!fs.exists(new HPath(driftPath))) 0L
-    else spark.read.parquet(driftPath)
-      .agg(coalesce(sum("appended"), lit(0L))).head().getLong(0)
+    else graft.core.SourceStamp.memoLong(driftPath, "drift") {
+      graft.core.Tables.openParquet(spark, driftPath)
+        .agg(coalesce(sum("appended"), lit(0L))).head().getLong(0)
+    }
 
   private def writeDrift(n: Long): Unit = {
     import spark.implicits._

@@ -60,15 +60,30 @@ private[store] trait BucketedIndexStore {
     * exists (empty probe result — the filter then returns no rows). */
   protected final def prunedPartitionRead(
       tablePath: String, partCol: String, values: Seq[Any]): DataFrame = {
-    val pats = values.distinct.map { v =>
-      if (bucketed) new HPath(s"$tablePath/pbucket=*/$partCol=$v")
-      else new HPath(s"$tablePath/$partCol=$v")
-    }
-    val dirs = pats
-      .flatMap(p => Option(fs.globStatus(p)).toSeq.flatten)
-      .map(_.getPath.toString)
+    // ONE globStatus with a {v1,v2,…} alternation instead of one RPC per
+    // probed value (r17 VERDICT #5): driver-side listing RPCs are O(1) per
+    // probe, not O(nProbe) — the values are numeric bucket/list ids by
+    // construction (no glob metacharacters)
+    val alts = values.distinct.mkString(",")
+    val valGlob = if (values.distinct.size == 1) alts else s"{$alts}"
+    val pat =
+      if (bucketed) new HPath(s"$tablePath/pbucket=*/$partCol=$valGlob")
+      else new HPath(s"$tablePath/$partCol=$valGlob")
+    val dirs = Option(fs.globStatus(pat)).toSeq.flatten.map(_.getPath.toString)
     if (dirs.isEmpty) spark.read.parquet(tablePath)
-    else spark.read.option("basePath", tablePath).parquet(dirs: _*)
+    else {
+      // schema memoized behind the TABLE's signature (Tables.openParquet
+      // discipline): per-probe footer inference over the probed dirs goes
+      // away, and the partition-column type is pinned by the memo rather
+      // than re-inferred per probed subset (r17 ADVICE). Inference over
+      // the probed dirs with basePath yields the full table schema (data
+      // columns are uniform — single writer; partition columns come from
+      // the path layout).
+      val schema = graft.core.SourceStamp.memo(tablePath, "parquetSchema") {
+        spark.read.option("basePath", tablePath).parquet(dirs: _*).schema
+      }
+      spark.read.schema(schema).option("basePath", tablePath).parquet(dirs: _*)
+    }
   }
 
   /** write the (pbucket, n_rows) stats table — call LAST in a rebuild;

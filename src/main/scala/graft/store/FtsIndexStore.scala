@@ -120,14 +120,17 @@ final class FtsIndexStore(spark: SparkSession, path: String, numBuckets: Int = 0
   def load(): Option[Bm25.Index] =
     if (!exists) None
     else {
-      val rawStats = spark.read.parquet(statsPath)
+      // schema-memoized opens (Tables.openParquet): load() runs per query
+      // on the indexed-search paths and otherwise pays three footer-read
+      // inference jobs (stats, postings, docLens) plus driver latency each
+      val rawStats = graft.core.Tables.openParquet(spark, statsPath)
       val stats =
         if (rawStats.columns.contains("pbucket"))
           rawStats.agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
         else rawStats
       Some(Bm25.Index(
-        spark.read.parquet(postingsPath),
-        spark.read.parquet(docLensPath),
+        graft.core.Tables.openParquet(spark, postingsPath),
+        graft.core.Tables.openParquet(spark, docLensPath),
         stats))
     }
 

@@ -142,9 +142,13 @@ final class MinhashIndexStore(
     } finally sigs.unpersist()
   }
 
-  /** stored banded projection (id, band, band_hash) */
+  /** stored banded projection (id, band, band_hash) — schema-memoized open
+    * ([[graft.core.Tables.openParquet]]): the per-probe footer-read
+    * inference job and its driver latency are paid once per index state,
+    * not per delta batch */
   def storedBands: DataFrame =
-    spark.read.parquet(bandsPath).select(col(idCol), col("band"), col("band_hash"))
+    graft.core.Tables.openParquet(spark, bandsPath)
+      .select(col(idCol), col("band"), col("band_hash"))
 
   /** Candidate near-dup pairs TOUCHING a new batch: batch×stored pairs from
     * a broadcast join of the batch's bands against the stored band table,

@@ -75,6 +75,26 @@ class SourceStampSpec extends AnyFunSuite {
     assert(probe() === 7L); assert(runs === 3, "existing dir memoizes")
   }
 
+  test("a regular FILE signs too: memo hits while unchanged, recomputes on rewrite") {
+    // the driver's sf tables are single parquet files — r18 extends the
+    // signature to them so the schema/count memos engage on source tables
+    SourceStamp.clear()
+    val dir = Files.createTempDirectory("stampfile").toString
+    write(dir, "table.parquet", "aaaa")
+    val file = s"$dir/table.parquet"
+    var runs = 0
+    def probe(): Long = SourceStamp.memoLong(file, "t") { runs += 1; 9L }
+    assert(probe() === 9L); assert(runs === 1)
+    assert(probe() === 9L); assert(runs === 1, "unchanged file memoizes")
+    // size change → recompute
+    write(dir, "table.parquet", "aaaabb")
+    assert(probe() === 9L); assert(runs === 2)
+    // mtime-only change → recompute (conservative)
+    Files.setLastModifiedTime(Paths.get(file),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 7000))
+    assert(probe() === 9L); assert(runs === 3)
+  }
+
   test("generic memo: reference values hit while unchanged, recompute on mutation") {
     SourceStamp.clear()
     val dir = Files.createTempDirectory("stampref").toString
