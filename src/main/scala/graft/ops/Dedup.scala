@@ -1136,6 +1136,13 @@ object Dedup {
         // than the count job it replaces when the bus lags a heavy round.
         // coalesce: sum over an EMPTY label table is null (edges with zero
         // distinct ids), which must read as converged, not crash.
+        // INVARIANT (ADVICE r17): the observed sum is accumulator-backed,
+        // so a stage retry / speculative duplicate can OVER-count changed
+        // rows — that only costs a spare round (the loop re-checks next
+        // iteration); an UNDER-count is impossible (every committed task's
+        // rows are accumulated at least once), so the loop can never exit
+        // while labels are still moving. A refactor must preserve this
+        // direction: convergence may be detected late, never early.
         val observed = stepped
           .join(labels.select(col("id").as("comp"), col("comp").as("hop")),
             Seq("comp"), "left")
