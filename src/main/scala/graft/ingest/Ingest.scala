@@ -189,7 +189,28 @@ object Ingest {
                   timestamp: String,
                   cfg: MaxMinChunker.Config = MaxMinChunker.Config()): Dataset[ChunkRow] = {
     import docs.sparkSession.implicits._
-    docs.mapPartitions { it =>
+    // chunk+embed is per-document CPU whose parallelism is whatever split
+    // count the SCAN produced — a small or freshly-compacted corpus can
+    // arrive as one 128 MB-class split, serializing the whole pipeline
+    // onto one core while the rest idle (r18: the sf tables are single
+    // small files → ONE task ran every doc). When the input under-splits
+    // the available cores, spread the docs first: the shuffled payload is
+    // exactly the under-split input, small by construction — a corpus big
+    // enough to make this shuffle expensive already splits past the core
+    // count and takes the no-shuffle branch. Scale-adaptive (derived from
+    // the actual split count vs the session's parallelism), not a local
+    // constant; row placement is value-neutral (chunking is per-document,
+    // ids are deterministic, callers own any contractual ordering).
+    // streaming sources can't be probed for a batch partition count
+    // (toRdd asserts batch execution) and their micro-batch parallelism
+    // is the trigger's business — the spread applies to BATCH inputs only
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (!docs.isStreaming &&
+          docs.queryExecution.toRdd.getNumPartitions < cores)
+        docs.repartition(cores)
+      else docs
+    spread.mapPartitions { it =>
       val embedder = mkEmbedder()
       it.flatMap(doc => chunkAndCaption(doc, Seq.empty, embedder, timestamp, cfg))
     }

@@ -815,14 +815,22 @@ object PipelineQueries {
     // ----- flagship end-to-end: ingest → embed query → hybrid search -----
     Q("rag_e2e_search",
       (s, d) => {
-        // persist: hybrid search references the chunk table several times
-        // (ANN scan, BM25 postings, corpus stats) — without this the whole
-        // chunk+embed pipeline re-runs per reference. In production the
-        // ingest output is a stored table; persist() is the in-session twin.
-        // HARNESS-SCOPE release contract: Verify runs releaseAllBlocks
-        // after each query; the library path (api/Engine) stores chunks
-        // and releases its own caches.
-        val chunks = ingestedChunks(s, d).persist()
+        // EAGER localCheckpoint (was a lazy persist): hybrid search
+        // references the chunk table ~10× (ANN scan, BM25 postings, corpus
+        // stats, windows) and AQE submits those leaf stages concurrently —
+        // against a lazy persist they RACED to populate the same cache,
+        // each recomputing the full chunk+embed pipeline (r18 job
+        // timeline: ten concurrent ~1.1 s jobs at pass start, one
+        // pipeline's work duplicated tenfold). The checkpoint materializes
+        // the pipeline ONCE and every reference reads the leaf; it also
+        // truncates the plan the ~10 references each re-embedded at
+        // analysis time. In production the ingest output is a stored
+        // table; the checkpoint is the in-session twin. Same rows.
+        // HARNESS-SCOPE release contract: Verify/Bench run
+        // releaseAllBlocks (which drops checkpoint RDD blocks too) after
+        // each query; the library path (api/Engine) stores chunks and
+        // releases its own caches.
+        val chunks = ingestedChunks(s, d).localCheckpoint(true)
         val embedder = new HashedEmbedder(64)
         val qv = typedLit(embedder.embed("spark join stream table").toSeq)
         HybridSearch.search(chunks, qv,

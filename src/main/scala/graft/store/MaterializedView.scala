@@ -82,7 +82,9 @@ final class MaterializedView(spark: SparkSession, store: VersionedStore,
   /** the view as of its most recent refresh (must have refreshed once) */
   def read(): DataFrame = readAt(refreshedVersions().last)
 
-  def readAt(v: Long): DataFrame = spark.read.parquet(dirFor(v))
+  // schema-memoized open (Tables.openParquet): the view is re-read per
+  // query, its schema is layout-constant per version dir
+  def readAt(v: Long): DataFrame = graft.core.Tables.openParquet(spark, dirFor(v))
 
   /** Bring the view up to the store's latest snapshot. No-op when already
     * current; full compute on first refresh; otherwise recompute only the

@@ -91,9 +91,9 @@ final class SketchStore(spark: SparkSession, path: String,
     val batchCms = Sketches.cmsSketch(words, col("w"), depth, width)
     val (hll, cms, batches, rows) =
       if (exists) {
-        val prevHll = spark.read.parquet(hllPath)
-        val prevCms = spark.read.parquet(cmsPath)
-        val st = spark.read.parquet(statsPath).head()
+        val prevHll = graft.core.Tables.openParquet(spark, hllPath)
+        val prevCms = graft.core.Tables.openParquet(spark, cmsPath)
+        val st = graft.core.Tables.openParquet(spark, statsPath).head()
         (prevHll.union(batchHll).groupBy("register")
            .agg(max("max_rho").as("max_rho")),
          prevCms.union(batchCms).groupBy("r", "idx")
@@ -124,17 +124,17 @@ final class SketchStore(spark: SparkSession, path: String,
   /** current distinct-count estimate (HLL estimator over stored registers) */
   def distinctEstimate(): DataFrame = {
     migrateLegacyLayout()
-    Sketches.hllEstimate(spark.read.parquet(hllPath), b)
+    Sketches.hllEstimate(graft.core.Tables.openParquet(spark, hllPath), b)
   }
 
   /** frequency estimates for the given items (min over stored counters) */
   def frequencyEstimates(items: DataFrame, keyCol: String): DataFrame = {
     migrateLegacyLayout()
-    Sketches.cmsLookup(spark.read.parquet(cmsPath), items, keyCol, depth, width)
+    Sketches.cmsLookup(graft.core.Tables.openParquet(spark, cmsPath), items, keyCol, depth, width)
   }
 
   def stats(): DataFrame = {
     migrateLegacyLayout()
-    spark.read.parquet(statsPath)
+    graft.core.Tables.openParquet(spark, statsPath)
   }
 }
