@@ -128,13 +128,26 @@ object CleanCorpus {
         Dedup.lshBands(withSig, idCol, "_sig", cfg.bands, cfg.rowsPerBand),
         idCol, droppedBuckets = droppedBuckets),
       exactShingled, idCol, "_shs")
+    // `dropped` — the verified near-dup id list — is eagerly checkpointed:
+    // it is the seam every post-verify frame embeds (nearDeduped,
+    // decontaminated, and their stage counts all re-contain the verify
+    // tree). The barrier (a) truncates those plans to a leaf, killing the
+    // per-Dataset Catalyst re-analysis + cache canonicalization of the
+    // verify tree (r18 timeline: a 1.62 s ZERO-JOB driver gap while
+    // d_corpus_pipeline's stage-count union was analyzed), and (b) runs
+    // the verify join ONCE — its three downstream consumers previously
+    // re-derived it from the cached inputs per consumer (~1.1 s warm at
+    // sf0.1, PipelineProbe r16). Distinct from the r16-REJECTED
+    // nearShingled persist: that cached the WIDE corpus-scale frame
+    // (cold materialization barrier over rows+shingle arrays, +1.5 s);
+    // this pins only the thin verified-duplicate ID LIST, bounded by the
+    // verified pairs. Value-neutral: same ids, same downstream rows.
     val dropped = verified.filter(col("jaccard") >= cfg.nearDupThreshold)
       .select(col("id_b").as(idCol)).distinct()
-    // NOT persisted: its three consumers re-derive it from the persisted
-    // exactShingled + pair list (~1.1 s warm at sf0.1, PipelineProbe r16);
-    // persisting it measured SLOWER end-to-end in the interleaved A/B
-    // (+1.5 s with the guard job — the cold materialization barrier costs
-    // more than the warm re-derives save in a single-shot funnel).
+      .localCheckpoint(true)
+    // still NOT persisted (r16 interleaved A/B, honored): consumers
+    // re-derive nearShingled from the persisted exactShingled + the
+    // checkpointed dropped leaf — a cheap anti-join, not a verify re-run
     val nearShingled = exactShingled.join(dropped, Seq(idCol), "left_anti")
     val decontaminated = isHoldout match {
       case None => nearShingled.select(inCols: _*)
@@ -168,6 +181,9 @@ object CleanCorpus {
     val release = () => {
       quality.unpersist(blocking = true)
       exactShingled.unpersist(blocking = true)
+      // dropped is a localCheckpoint — blocks live on the RDD, outside
+      // the CacheManager
+      Dedup.checkpointRdd(dropped).foreach(_.unpersist(blocking = true))
       releaseVerify()
     }
     (stages, release)
