@@ -408,8 +408,10 @@ final class CleanStateStore(
     val tried = phase1.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     tried.collectFirst { case scala.util.Failure(t) => t }.foreach { t =>
       tried.foreach {
-        case scala.util.Success(df: DataFrame) => df.unpersist(blocking = false)
-        case scala.util.Success((df: DataFrame, _)) => df.unpersist(blocking = false)
+        case scala.util.Success(df: org.apache.spark.sql.Dataset[_]) =>
+          df.unpersist(blocking = false): Unit
+        case scala.util.Success((df: org.apache.spark.sql.Dataset[_], _)) =>
+          df.unpersist(blocking = false): Unit
         case _ => ()
       }
       throw t
