@@ -70,8 +70,21 @@ private[store] trait BucketedIndexStore {
       if (bucketed) new HPath(s"$tablePath/pbucket=*/$partCol=$valGlob")
       else new HPath(s"$tablePath/$partCol=$valGlob")
     val dirs = Option(fs.globStatus(pat)).toSeq.flatten.map(_.getPath.toString)
-    if (dirs.isEmpty) spark.read.parquet(tablePath)
-    else {
+    if (dirs.isEmpty) {
+      // No probed directory exists, so the probe's answer is empty — but
+      // callers still select/filter by name, so a correctly-SHAPED frame
+      // is required. Build an empty frame from the memoized table schema
+      // instead of falling back to a full-table read (r17 ADVICE #2: the
+      // old fallback paid an O(index) directory listing for a result the
+      // isin filter then emptied anyway). The schema memo itself infers
+      // from the full table AT MOST ONCE per table state per JVM — the
+      // cold-miss cost equals the old fallback, every later miss is free.
+      val schema = graft.core.SourceStamp.memo(tablePath, "parquetSchema") {
+        spark.read.parquet(tablePath).schema
+      }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
       // schema memoized behind the TABLE's signature (Tables.openParquet
       // discipline): per-probe footer inference over the probed dirs goes
       // away, and the partition-column type is pinned by the memo rather
