@@ -70,31 +70,35 @@ private[store] trait BucketedIndexStore {
       if (bucketed) new HPath(s"$tablePath/pbucket=*/$partCol=$valGlob")
       else new HPath(s"$tablePath/$partCol=$valGlob")
     val dirs = Option(fs.globStatus(pat)).toSeq.flatten.map(_.getPath.toString)
+    // The probe schema is memoized behind the STATS dir signature, NOT the
+    // table's: stats is a few tiny files rewritten LAST by every mutation
+    // path (rebuild / appendBatch / refreshBucket — the exists/staleness
+    // discipline), so it is the store's version marker, exactly as the
+    // rowCount/bucketMap memos already use it. Signing the partitioned
+    // table itself would walk every index file driver-side PER PROBE —
+    // measured ~70–130 ms on the ×100 AnnStress tree (11k files), i.e.
+    // an O(index) pass re-smuggled into the read this method exists to
+    // keep O(nProbe). Inference over the probed dirs with basePath yields
+    // the full table schema (data columns are uniform — single writer;
+    // partition columns come from the path layout), and the memo pins the
+    // partition-column type across probes (r17 ADVICE).
+    def memoSchema(infer: => org.apache.spark.sql.types.StructType) =
+      graft.core.SourceStamp.memo(statsPath, s"parquetSchema@$tablePath")(infer)
     if (dirs.isEmpty) {
       // No probed directory exists, so the probe's answer is empty — but
       // callers still select/filter by name, so a correctly-SHAPED frame
       // is required. Build an empty frame from the memoized table schema
       // instead of falling back to a full-table read (r17 ADVICE #2: the
       // old fallback paid an O(index) directory listing for a result the
-      // isin filter then emptied anyway). The schema memo itself infers
-      // from the full table AT MOST ONCE per table state per JVM — the
-      // cold-miss cost equals the old fallback, every later miss is free.
-      val schema = graft.core.SourceStamp.memo(tablePath, "parquetSchema") {
-        spark.read.parquet(tablePath).schema
-      }
+      // isin filter then emptied anyway). A cold-JVM miss infers from the
+      // full table AT MOST ONCE per store state — the worst case equals
+      // the old fallback, every later miss is free.
+      val schema = memoSchema(spark.read.parquet(tablePath).schema)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      // schema memoized behind the TABLE's signature (Tables.openParquet
-      // discipline): per-probe footer inference over the probed dirs goes
-      // away, and the partition-column type is pinned by the memo rather
-      // than re-inferred per probed subset (r17 ADVICE). Inference over
-      // the probed dirs with basePath yields the full table schema (data
-      // columns are uniform — single writer; partition columns come from
-      // the path layout).
-      val schema = graft.core.SourceStamp.memo(tablePath, "parquetSchema") {
-        spark.read.option("basePath", tablePath).parquet(dirs: _*).schema
-      }
+      val schema = memoSchema(
+        spark.read.option("basePath", tablePath).parquet(dirs: _*).schema)
       spark.read.schema(schema).option("basePath", tablePath).parquet(dirs: _*)
     }
   }
